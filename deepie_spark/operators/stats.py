@@ -1,0 +1,58 @@
+"""Corpus statistics aggregations (A3/A4/A5/A7) and the P5 distance filter.
+
+All are plain hash aggregations — map-side partial aggregation, tiny
+outputs; they hold at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def distance_filter(mentions: DataFrame, max_distance: int = 100_000_000) -> DataFrame:
+    """P5: drop pairs with |pos2-pos1| > maximumDistance
+    (rnn_process_onlyExtra.py:10,59-61; default effectively disabled)."""
+    return mentions.filter(
+        F.abs(F.col("pos2") - F.col("pos1")) <= max_distance
+    )
+
+
+def corpus_counts(mentions: DataFrame) -> DataFrame:
+    """A3: instances per corpus (corpusCountIns
+    rnn_process_onlyExtra.py:76,247-249)."""
+    return (
+        mentions.groupBy("corpus")
+        .agg(F.count("*").alias("n_instances"))
+        .orderBy("corpus")
+    )
+
+
+def global_max_stats(mentions: DataFrame) -> DataFrame:
+    """A4: max sentence length / entity distance / dep-path length
+    (rnn_process_onlyExtra.py:65-72; recomputed rnnRE.py:391-399)."""
+    return mentions.agg(
+        F.max(F.size("tokens")).alias("max_sentence_len"),
+        F.max(F.abs(F.col("pos2") - F.col("pos1"))).alias("max_distance"),
+        F.max(F.size("dep_tokens")).alias("max_dep_len"),
+    )
+
+
+def distance_histogram(mentions: DataFrame) -> DataFrame:
+    """A5: histogram of |pos2-pos1| (distCounter
+    rnn_process_onlyExtra.py:74,251-253)."""
+    return (
+        mentions.select(
+            F.abs(F.col("pos2") - F.col("pos1")).alias("distance")
+        )
+        .groupBy("distance")
+        .agg(F.count("*").alias("n"))
+        .orderBy("distance")
+    )
+
+
+def max_binary_feature_len(mentions: DataFrame) -> DataFrame:
+    """A7: max #binary features per record (rnnRE.py:475-480)."""
+    return mentions.agg(
+        F.max(F.size("bin_feats")).alias("max_bin_feats")
+    )
