@@ -1,38 +1,491 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG pipeline (pages → triples) at
+sf0.001.  ``queries()`` exposes one callable per implemented operator
+from SURVEY.md §2 (+ the training-data-pipeline operator families);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible one.  Column names and value semantics are aligned
+between both sides; float aggregation results are rounded to dodge
+summation-order ULP noise.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from deepie_spark.datagen.catalog import (
+    ENTITY_CATALOG,
+    RELATION_RULES,
+    catalog_df,
+    relation_rules_df,
+)
+from deepie_spark.datagen.pages import pages_from_documents
+from deepie_spark.functions.text import (
+    BASE,
+    MOD,
+    bpe_ish_tokens,
+    char_poly_hash,
+    quality_features,
+    quality_score,
+    stopword_ratio,
+    tokenize,
+    STOPWORDS,
+)
+from deepie_spark.plans.pipeline import extract_triples
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (generated from the same constants as the Spark side)
+
+_TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
+
+CATALOG_VALUES = ",\n    ".join(
+    f"({eid}, '{alias}', '{etype}', '{sub}', {prior})"
+    for eid, alias, etype, sub, prior in ENTITY_CATALOG
+)
+RULES_VALUES = ",\n    ".join(
+    f"('{t1}', '{t2}', '{lab}')" for (t1, t2), lab in RELATION_RULES.items()
+)
+
+_OCC_SQL = f"""
+  occ AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i + 1] AS token
+    FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i
+          FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents))
+  )"""
+
+_MENTIONS_SQL = f"""
+  catalog(entity_id, alias, entity_type, subtype, prior) AS (VALUES
+    {CATALOG_VALUES}
+  ),
+  {_OCC_SQL.strip()},
+  mentions AS (
+    SELECT o.doc_id, o.pos, c.alias, c.entity_id, c.entity_type, c.subtype
+    FROM occ o JOIN catalog c ON o.token = c.alias
+    WHERE c.alias NOT LIKE '% %'
+  )"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    )
+
+
+def _occ(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _toks(spark, sf_dir).select(
+        "doc_id", F.posexplode("toks").alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+
+
+def _mentions_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = catalog_df(spark).filter(~F.col("alias").contains(" "))
+    occ = _occ(spark, sf_dir)
+    return occ.join(F.broadcast(cat), occ.token == cat["alias"]).select(
+        "doc_id", "pos", "alias", "entity_id", "entity_type", "subtype"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+def q_corpus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: instances per corpus (source stands in for corpus)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_instances"))
+    )
+
+
+def q_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-document-distinct token frequency (document frequency)."""
+    return (
+        _toks(spark, sf_dir)
+        .select(F.explode(F.array_distinct("toks")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("df_count"))
+    )
+
+
+def q_first_encounter_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: first-encounter dense ids over the token stream."""
+    occ = _occ(spark, sf_dir)
+    firsts = occ.groupBy("token").agg(
+        F.min(F.col("doc_id") * 1_000_000 + F.col("pos")).alias("first_ord")
+    )
+    return firsts.select(
+        "token",
+        F.row_number().over(W.orderBy("first_ord")).cast("long").alias("id"),
+    )
+
+
+def q_max_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: global max aggregates."""
+    return _docs(spark, sf_dir).agg(
+        F.max(F.size(tokenize(F.col("text")))).cast("long").alias("max_tokens"),
+        F.max(F.length("text")).cast("long").alias("max_chars"),
+    )
+
+
+def q_mentions_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 analog: token ⋈ broadcast alias catalog (single-token)."""
+    return _mentions_single(spark, sf_dir)
+
+
+def q_pair_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: histogram of |pos2-pos1| over within-doc mention pairs."""
+    m = _mentions_single(spark, sf_dir)
+    a = m.select(F.col("doc_id"), F.col("pos").alias("pos1"))
+    b = m.select(F.col("doc_id"), F.col("pos").alias("pos2"))
+    pairs = a.join(b, "doc_id").filter(
+        (F.col("pos1") < F.col("pos2"))
+        & (F.col("pos2") - F.col("pos1") <= 10)
+    )
+    return (
+        pairs.select((F.col("pos2") - F.col("pos1")).alias("distance"))
+        .groupBy("distance")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_triples_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 flagship, relational variant: mentions → pairs → rule classify
+    → directed triples (single-token mentions so the oracle matches)."""
+    m = _mentions_single(spark, sf_dir)
+    a = m.select(
+        "doc_id",
+        F.col("pos").alias("pos1"),
+        F.col("alias").alias("alias1"),
+        F.col("entity_type").alias("type1"),
+    )
+    b = m.select(
+        "doc_id",
+        F.col("pos").alias("pos2"),
+        F.col("alias").alias("alias2"),
+        F.col("entity_type").alias("type2"),
+    )
+    pairs = a.join(b, "doc_id").filter(
+        (F.col("pos1") < F.col("pos2"))
+        & (F.col("pos2") - F.col("pos1") <= 10)
+    )
+    rules = relation_rules_df(spark)
+    c = pairs.join(F.broadcast(rules), ["type1", "type2"]).filter(
+        F.col("label") != "NONE"
+    )
+    rev = F.col("label").endswith("(e2,e1)")
+    pred = F.regexp_replace(F.col("label"), "\\(e[12],e[21]\\)$", "")
+    return c.select(
+        F.when(rev, F.col("alias2")).otherwise(F.col("alias1")).alias("subj"),
+        pred.alias("pred"),
+        F.when(rev, F.col("alias1")).otherwise(F.col("alias2")).alias("obj"),
+        F.when(rev, F.col("type2")).otherwise(F.col("type1")).alias("subj_type"),
+        F.when(rev, F.col("type1")).otherwise(F.col("type2")).alias("obj_type"),
+        "doc_id",
+        "pos1",
+        "pos2",
+    )
+
+
+def q_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full trie-based pipeline (mapInPandas mention detection; greedy
+    longest-match includes multi-token aliases) — rows-only check."""
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    return extract_triples(spark, pages)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact / bag-of-words dedup: normalized key = sorted token list."""
+    d = _toks(spark, sf_dir)
+    key = F.concat_ws(" ", F.sort_array(F.col("toks")))
+    return (
+        d.select(key.alias("dup_key"), "doc_id")
+        .groupBy("dup_key")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_docs") >= 1)
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality features + composite score per document."""
+    d = _docs(spark, sf_dir)
+    f = quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        f["n_tokens"].cast("long").alias("n_tokens"),
+        f["distinct_ratio"].alias("distinct_ratio"),
+        f["punct_ratio"].alias("punct_ratio"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language heuristic (argmax over 4 languages)."""
+    d = _docs(spark, sf_dir)
+    toks = tokenize(F.col("text"))
+    ratios = {lang: stopword_ratio(toks, lang) for lang in STOPWORDS}
+    best = F.greatest(*ratios.values())
+    guess = F.when(F.lit(False), F.lit(""))
+    # deterministic tie-break: language order en, es, fr, de
+    expr = None
+    for lang in ["en", "es", "fr", "de"]:
+        cond = ratios[lang] == best
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return d.select("doc_id", expr.alias("lang_guess"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per document."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_ws_tokens"),
+        F.size(bpe_ish_tokens(F.col("text"))).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial fingerprint per document (portable hash)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", char_poly_hash(F.col("text")).alias("fp"))
+
+
+def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation on lineitem."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k: 3 highest-value orders per customer."""
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+def q_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers without orders (J3's anti twin)."""
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window metrics (batch form of the streaming agg)."""
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
+    return q_pipeline_triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "corpus_counts": q_corpus_counts,
+        "vocab_df": q_vocab_df,
+        "first_encounter_ids": q_first_encounter_ids,
+        "max_stats": q_max_stats,
+        "mentions_single": q_mentions_single,
+        "pair_distance_hist": q_pair_distance_hist,
+        "triples_rules": q_triples_rules,
+        "pipeline_triples": q_pipeline_triples,
+        "dedup_exact": q_dedup_exact,
+        "quality_scores": q_quality_scores,
+        "lang_guess": q_lang_guess,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "tpch_pricing": q_tpch_pricing,
+        "top_orders_per_cust": q_top_orders_per_cust,
+        "cust_no_orders": q_cust_no_orders,
+        "events_hourly": q_events_hourly,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sw_arrays = {
+        lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+        for lang, ws in STOPWORDS.items()
+    }
+    ratio = {
+        lang: (
+            f"CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> "
+            f"list_contains({arr}, t))) AS DOUBLE) / len(toks) ELSE 0.0 END"
+        )
+        for lang, arr in sw_arrays.items()
+    }
+    return {
+        "corpus_counts": (
+            "SELECT source, count(*) AS n_instances FROM documents"
+            " GROUP BY source"
+        ),
+        "vocab_df": f"""
+            SELECT word, count(*) AS df_count FROM (
+              SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS word
+              FROM documents
+            ) GROUP BY word
+        """,
+        "first_encounter_ids": f"""
+            WITH {_OCC_SQL.strip()}
+            SELECT token,
+                   row_number() OVER (ORDER BY first_ord) AS id
+            FROM (SELECT token, min(doc_id * 1000000 + pos) AS first_ord
+                  FROM occ GROUP BY token)
+        """,
+        "max_stats": f"""
+            SELECT CAST(max(len({_TOKS_SQL})) AS BIGINT) AS max_tokens,
+                   CAST(max(length(text)) AS BIGINT) AS max_chars
+            FROM documents
+        """,
+        "mentions_single": f"""
+            WITH {_MENTIONS_SQL.strip()}
+            SELECT doc_id, pos, alias, entity_id, entity_type, subtype
+            FROM mentions
+        """,
+        "pair_distance_hist": f"""
+            WITH {_MENTIONS_SQL.strip()}
+            SELECT b.pos - a.pos AS distance, count(*) AS n
+            FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id
+            WHERE a.pos < b.pos AND b.pos - a.pos <= 10
+            GROUP BY 1
+        """,
+        "triples_rules": f"""
+            WITH {_MENTIONS_SQL.strip()},
+            rules(type1, type2, label) AS (VALUES
+              {RULES_VALUES}
+            ),
+            pairs AS (
+              SELECT a.doc_id, a.pos AS pos1, b.pos AS pos2,
+                     a.alias AS alias1, b.alias AS alias2,
+                     a.entity_type AS type1, b.entity_type AS type2
+              FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id
+              WHERE a.pos < b.pos AND b.pos - a.pos <= 10
+            )
+            SELECT
+              CASE WHEN label LIKE '%(e2,e1)' THEN alias2 ELSE alias1 END AS subj,
+              regexp_replace(label, '\\(e[12],e[21]\\)$', '') AS pred,
+              CASE WHEN label LIKE '%(e2,e1)' THEN alias1 ELSE alias2 END AS obj,
+              CASE WHEN label LIKE '%(e2,e1)' THEN type2 ELSE type1 END AS subj_type,
+              CASE WHEN label LIKE '%(e2,e1)' THEN type1 ELSE type2 END AS obj_type,
+              doc_id, pos1, pos2
+            FROM pairs JOIN rules USING (type1, type2)
+            WHERE label != 'NONE'
+        """,
+        "dedup_exact": f"""
+            SELECT array_to_string(list_sort({_TOKS_SQL}), ' ') AS dup_key,
+                   count(*) AS n_docs, min(doc_id) AS keep_id
+            FROM documents GROUP BY 1 HAVING count(*) >= 1
+        """,
+        "quality_scores": f"""
+            SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_tokens,
+              CASE WHEN len(toks) > 0
+                   THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                   ELSE 0.0 END AS distinct_ratio,
+              CASE WHEN length(text) > 0
+                   THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                        AS DOUBLE) / length(text)
+                   ELSE 0.0 END AS punct_ratio,
+              least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+                + (CASE WHEN len(toks) > 0
+                        THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                        ELSE 0.0 END) * 0.4
+                + (1.0 - least((CASE WHEN length(text) > 0
+                     THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                          AS DOUBLE) / length(text)
+                     ELSE 0.0 END) * 10.0, 1.0)) * 0.2 AS quality
+            FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+        """,
+        "lang_guess": f"""
+            SELECT doc_id,
+              CASE
+                WHEN {ratio['en']} >= greatest({ratio['es']}, {ratio['fr']}, {ratio['de']}) THEN 'en'
+                WHEN {ratio['es']} >= greatest({ratio['fr']}, {ratio['de']}) THEN 'es'
+                WHEN {ratio['fr']} >= {ratio['de']} THEN 'fr'
+                ELSE 'de'
+              END AS lang_guess
+            FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+        """,
+        "token_counts": f"""
+            SELECT doc_id,
+              CAST(len({_TOKS_SQL}) AS BIGINT) AS n_ws_tokens,
+              CAST(len(regexp_extract_all(text,
+                   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)) AS BIGINT)
+                AS n_bpe_tokens
+            FROM documents
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id,
+              list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(text, ''),
+                                 c -> CAST(ascii(c) AS BIGINT))),
+                (acc, x) -> (acc * {BASE} + x) % {MOD}) AS fp
+            FROM documents
+        """,
+        "tpch_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders_per_cust": """
+            SELECT o_custkey, o_orderkey, rk FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+              FROM orders
+            ) WHERE rk <= 3
+        """,
+        "cust_no_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 3) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+    }

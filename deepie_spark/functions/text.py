@@ -1,0 +1,180 @@
+"""Text extraction and analysis functions (Spark-native where possible).
+
+``extract_text`` is the trafilatura-equivalent stage of the north star:
+html → main text, *byte-identical per url* to the golden ``text`` column
+(the per-row invariant in ``input_hint``).  For the deterministic HTML
+produced by :mod:`deepie_spark.datagen.pages` the inverse is exact and —
+deliberately — implemented with JVM-side column expressions only
+(regexp + unescape), so the hot path of the 100 TB scan stays inside
+whole-stage codegen with zero Python.  A real-world extractor would slot
+in here as an Arrow-batched pandas UDF with the same signature.
+
+The analysis functions (language id, quality score, token counts,
+fingerprints) are the text-analysis operator family for training-data
+pipelines; each has a DuckDB-oracle twin in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# extraction (north-star stage 1)
+
+_BODY_RE = "<p>(.*?)</p>"
+
+
+def html_unescape_col(c: Column) -> Column:
+    """Inverse of datagen.pages.html_escape_col (reverse order)."""
+    c = F.regexp_replace(c, "&gt;", ">")
+    c = F.regexp_replace(c, "&lt;", "<")
+    c = F.regexp_replace(c, "&amp;", "&")
+    return c
+
+
+def extract_text(html: Column) -> Column:
+    """binary html → extracted main text (byte-identical to golden)."""
+    return html_unescape_col(
+        F.regexp_extract(html.cast("string"), _BODY_RE, 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# tokenization
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokenization; drops empty tokens (split on runs)."""
+    return F.filter(F.split(text, "\\s+"), lambda t: t != "")
+
+
+#: a BPE-ish subword proxy: alternating letter/digit/punct runs, the kind
+#: of regex pre-tokenizer BPE vocabularies use.
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    return F.regexp_extract_all(text, F.lit(_BPE_RE), 0)
+
+
+# ---------------------------------------------------------------------------
+# language identification (n-gram / stopword heuristic)
+
+#: tiny per-language stopword lists — a closed-world heuristic classifier.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "en", "est", "que"],
+    "de": ["der", "die", "das", "und", "in", "von", "zu", "ist"],
+}
+
+
+def stopword_ratio(tokens: Column, lang: str) -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n = F.size(tokens)
+    hits = F.size(F.filter(tokens, lambda t: F.array_contains(sw, t)))
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword / repetition features.
+
+    All JVM-side; the composite ``quality_score`` is a fixed linear blend
+    so results are reproducible in the DuckDB oracle.
+    """
+    toks = tokenize(text)
+    n_tok = F.size(toks)
+    n_char = F.length(text)
+    n_punct = F.length(F.regexp_replace(text, "[^.,;:!?]", ""))
+    n_distinct = F.size(F.array_distinct(toks))
+    mean_tok_len = F.when(
+        n_tok > 0,
+        (n_char - (n_tok - 1)).cast("double") / n_tok,
+    ).otherwise(F.lit(0.0))
+    distinct_ratio = F.when(
+        n_tok > 0, n_distinct.cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_char > 0, n_punct.cast("double") / n_char
+    ).otherwise(F.lit(0.0))
+    en_stop = stopword_ratio(toks, "en")
+    return {
+        "n_tokens": n_tok,
+        "n_chars": n_char,
+        "mean_token_len": mean_tok_len,
+        "distinct_ratio": distinct_ratio,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio_en": en_stop,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite in [0,1]-ish: rewards length and lexical diversity,
+    penalizes punctuation soup."""
+    f = quality_features(text)
+    return (
+        F.least(f["n_tokens"].cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + f["distinct_ratio"] * 0.4
+        + (1.0 - F.least(f["punct_ratio"] * 10.0, F.lit(1.0))) * 0.2
+    )
+
+
+# ---------------------------------------------------------------------------
+# portable deterministic hashing (same algorithm is written in the DuckDB
+# oracles, so hash-based operators are cross-checkable)
+
+MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+BASE = 131
+
+
+def char_poly_hash(text: Column) -> Column:
+    """Polynomial rolling hash over character code points, mod 2^31-1.
+
+    h = sum(code(c_i) * BASE^i) mod M computed left-to-right as
+    h_{i+1} = (h_i * BASE + code(c_{i+1})) mod M.  Expressed with
+    ``aggregate`` over the exploded character array — stays JVM-side.
+    """
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * BASE + F.ascii(c)) % MOD,
+    )
+
+
+def token_poly_hash(tokens: Column) -> Column:
+    """Same scheme one level up: token hashes combined positionally."""
+    return F.aggregate(
+        tokens,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * BASE + char_poly_hash_str(t)) % MOD,
+    )
+
+
+def char_poly_hash_str(s: Column) -> Column:
+    return F.aggregate(
+        F.split(s, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * BASE + F.ascii(c)) % MOD,
+    )
+
+
+def shingles(tokens: Column, k: int) -> Column:
+    """k-token shingles as space-joined strings (for minhash / jaccard)."""
+    n = F.size(tokens)
+    return F.when(n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)),
+        )
+    ).otherwise(F.array(F.concat_ws(" ", tokens)))
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Document fingerprint: polynomial hash of the whole text (the
+    rolling structure makes it incremental / streamable)."""
+    return char_poly_hash(text)
