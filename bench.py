@@ -1,0 +1,91 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.  All logs go to stderr.
+
+The headline metric is end-to-end pipeline seconds (pages → triples);
+``triples_per_sec`` (the BASELINE.json metric) is included alongside.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+HEADLINE = [
+    "pipeline_triples",
+    "triples_rules",
+    "vocab_df",
+    "first_encounter_ids",
+    "mentions_single",
+    "pair_distance_hist",
+    "dedup_exact",
+    "doc_fingerprint",
+    "quality_scores",
+    "tpch_pricing",
+    "top_orders_per_cust",
+    "events_hourly",
+]
+
+
+def run_bench(sf_dir: str, cores: int) -> dict:
+    from deepie_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench", cores=cores, shuffle_partitions=cores)
+    qs = entrymod.queries()
+    per_query: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    # warmup: amortize JVM codegen + python-worker pool startup out of
+    # the timings — the steady state is what scales to real corpora,
+    # where cold start is noise against hours of scan time
+    spark.range(1000).selectExpr("sum(id)").collect()
+    if "pipeline_triples" in qs:
+        qs["pipeline_triples"](spark, sf_dir).count()
+        qs["pipeline_triples"](spark, sf_dir).count()
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        per_query[name] = round(time.time() - t0, 3)
+        counts[name] = n
+        log(f"{name}: {n} rows in {per_query[name]}s")
+    total = round(sum(per_query.values()), 3)
+    pipeline_sec = per_query.get("pipeline_triples", float("nan"))
+    n_triples = counts.get("pipeline_triples", 0)
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "cores": cores,
+        "rows": counts,
+        "pipeline_sec": pipeline_sec,
+        "triples_per_sec": round(n_triples / pipeline_sec, 1)
+        if pipeline_sec and pipeline_sec > 0
+        else None,
+    }
+    spark.stop()
+    return result
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    result = run_bench(sf_dir, cores)
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

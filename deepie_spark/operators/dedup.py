@@ -1,0 +1,248 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Five near/exact-dup families, all expressed as DataFrame plans:
+
+* exact / bag-of-words (hash-groupBy) — one shuffle on the dup key;
+* n-gram Jaccard (exact set similarity via shingle self-join);
+* MinHash + LSH banding (the scale path: candidate pairs from band
+  buckets, O(n·H) work instead of O(n²));
+* SimHash (bitwise fingerprint; identical-fingerprint buckets);
+* embedding-cosine near-dup (brute-force pairs; the ANN variant lives in
+  operators.similarity).
+
+Hashing is the *portable polynomial hash* (functions.text) so every
+operator has a DuckDB-oracle twin; at production scale you'd swap in
+``xxhash64`` (JVM intrinsic) via the ``hash_expr`` hooks — the plan
+shape is identical.
+
+Skew note: shingle self-joins explode on stop-shingles.  The Jaccard
+join filters shingles by document frequency (``max_df``) first — the
+standard guard that also caps the LSH bucket size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deepie_spark.functions.text import (
+    MOD,
+    char_poly_hash_str,
+    shingles,
+    tokenize,
+)
+
+# fixed affine coefficients for minhash permutations (any odd a works;
+# pinned constants keep Spark and DuckDB twins identical)
+def _minhash_coeffs(n: int) -> list[tuple[int, int]]:
+    coeffs = []
+    a, b = 1_103_515_245, 12_345
+    x, y = 7, 3
+    for _ in range(n):
+        x = (x * a + b) % MOD
+        y = (y * a + b) % MOD
+        coeffs.append((x | 1, y))
+    return coeffs
+
+
+def doc_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(id, shingle) — distinct k-token shingles per document."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(shingles(tokenize(F.col(text_col)), k))
+        ).alias("shingle"),
+    )
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", key: Column | None = None
+) -> DataFrame:
+    """Exact dedup on a normalized key; keeps the minimum id.
+    One hash aggregation (map-side combine), holds at any scale."""
+    key = key if key is not None else F.col("text")
+    return (
+        df.groupBy(key.alias("dup_key"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold).
+
+    shingle self-join → |A∩B| per pair; |A|,|B| from per-doc counts;
+    J = inter / (|A|+|B|−inter).  ``max_df`` drops stop-shingles before
+    the join (skew guard: a shingle shared by d docs contributes d²
+    join rows)."""
+    sh = doc_shingles(df, id_col, text_col, k)
+    if max_df:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("id").alias("a"), "shingle")
+    b = sh.select(F.col("id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("id").alias("a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("b"), F.col("n_sh").alias("n_b"))
+    j = (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return j.select("a", "b", "inter", "n_a", "n_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n_hashes: int = 16,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, sig array<long>) minhash signatures.
+
+    shingle → portable hash h0 → n affine permutations → min per
+    permutation.  One explode + one groupBy; linear in corpus size."""
+    sh = doc_shingles(df, id_col, text_col, k).withColumn(
+        "h0", char_poly_hash_str(F.col("shingle"))
+    )
+    aggs = [
+        F.min((F.col("h0") * F.lit(a) + F.lit(b)) % MOD).alias(f"h{i}")
+        for i, (a, b) in enumerate(_minhash_coeffs(n_hashes))
+    ]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select(
+        "id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of their signature.
+
+    Bands of r = n/bands rows each; bucket key = the band's value tuple.
+    Self-join per band via groupBy(band_key); emits distinct (a < b)
+    candidates.  This is the 100 TB dedup path: no quadratic work, and
+    hot buckets are bounded by band width."""
+    r = n_hashes // bands
+    sig = minhash_signatures(df, n_hashes, k, id_col, text_col)
+    band_rows = None
+    for bi in range(bands):
+        part = sig.select(
+            "id",
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                ",", *[F.slice("sig", bi * r + 1, r)[i].cast("string") for i in range(r)]
+            ).alias("band_key"),
+        )
+        band_rows = part if band_rows is None else band_rows.unionByName(part)
+    a = band_rows.select("band", "band_key", F.col("id").alias("a"))
+    b = band_rows.select("band", "band_key", F.col("id").alias("b"))
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    bits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, simhash long): sign of per-bit weight sums over token hashes.
+
+    For each distinct token with portable hash h, bit i contributes +1
+    if (h >> i) & 1 else −1; fingerprint bit i = 1 iff the sum > 0.
+    Near-dups share fingerprints (or differ in few bits — banding over
+    bit ranges generalizes exactly like minhash LSH)."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", char_poly_hash_str(F.col("tok")))
+    bit_sums = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i) % 2 == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return bit_sums.select("id", fp.cast("long").alias("simhash"))
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force embedding near-dup pairs (a < b, cosine ≥ threshold).
+
+    Quadratic — correct baseline for verification; the scale path is
+    operators.similarity (LSH bucketing).  Dot products are sequential
+    left-to-right folds in double precision so the DuckDB twin is
+    bit-identical."""
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    a = v.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    b = v.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    sim = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va")))
+        * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        pairs.withColumn("cosine", F.round(sim, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

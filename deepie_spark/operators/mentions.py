@@ -50,6 +50,13 @@ MENTIONS_SCHEMA = T.StructType(
     ]
 )
 
+MENTIONS_SCHEMA_SLIM = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("mentions", T.ArrayType(MENTION_STRUCT)),
+    ]
+)
+
 
 def greedy_match(tokens: list[str], trie: dict) -> list[tuple]:
     """Greedy longest-match scan; a token consumed by a longer alias is
@@ -74,12 +81,17 @@ def greedy_match(tokens: list[str], trie: dict) -> list[tuple]:
     return out
 
 
-def detect_mentions(pages: DataFrame, trie: dict | None = None) -> DataFrame:
-    """pages(url, text, …) → (url, tokens, mentions[]) via broadcast trie.
+def detect_mentions(
+    pages: DataFrame, trie: dict | None = None, include_tokens: bool = False
+) -> DataFrame:
+    """pages(url, text, …) → (url[, tokens], mentions[]) via broadcast trie.
 
     The trie is shipped in the task closure (it is tiny); for a large
     catalog use ``spark.sparkContext.broadcast`` and read
-    ``trie_bc.value`` inside the iterator instead.
+    ``trie_bc.value`` inside the iterator instead.  ``include_tokens``
+    ships the token array back through Arrow — only ask for it when the
+    downstream stage (feature encoding) needs it; the pair-generation
+    path does not, and at 100 TB the token column dwarfs the mentions.
     """
     trie = trie or build_alias_trie(ENTITY_CATALOG)
 
@@ -88,13 +100,17 @@ def detect_mentions(pages: DataFrame, trie: dict | None = None) -> DataFrame:
             toks_col, men_col = [], []
             for text in pdf["text"]:
                 toks = text.split()
-                toks_col.append(toks)
+                if include_tokens:
+                    toks_col.append(toks)
                 men_col.append(greedy_match(toks, trie))
-            yield pd.DataFrame(
-                {"url": pdf["url"], "tokens": toks_col, "mentions": men_col}
-            )
+            out = {"url": pdf["url"]}
+            if include_tokens:
+                out["tokens"] = toks_col
+            out["mentions"] = men_col
+            yield pd.DataFrame(out)
 
-    return pages.select("url", "text").mapInPandas(run, MENTIONS_SCHEMA)
+    schema = MENTIONS_SCHEMA if include_tokens else MENTIONS_SCHEMA_SLIM
+    return pages.select("url", "text").mapInPandas(run, schema)
 
 
 def detect_mentions_single(pages: DataFrame, catalog: DataFrame) -> DataFrame:

@@ -1,0 +1,124 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns with typed metadata structs, exactly
+like the north-rule ``html binary`` column.  The decode/feature kernels
+are *stubbed* (no image/audio libs in this container — clearly marked
+below); the Spark-side plumbing — schema, partition sizing, Arrow UDF
+signatures, batch shapes — is real and tested:
+
+* media rows are kept **narrow on the scan side** (metadata only) until
+  the decode stage, so Catalyst prunes the heavy binary column from any
+  plan that doesn't touch it;
+* decode runs in ``mapInPandas`` with a *byte budget* per emitted batch —
+  media batches are size-bound, not row-bound (a row-bound Arrow batch of
+  4K-video rows would OOM the worker);
+* extracted features come back as fixed-length float arrays, the same
+  contract the similarity operators consume.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """STUB — real impl would be PIL/libjpeg; not available in this
+    container.  Raises so accidental production use is loud."""
+    raise NotImplementedError("image decoding requires PIL/opencv")
+
+
+def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic stand-in for decode→embed: byte histogram moments.
+
+    Pure function of the payload bytes → stable across runs/partitions,
+    which is what the plumbing tests need."""
+    if payload is None or len(payload) == 0:
+        return np.zeros(dim, dtype=np.float32)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr % dim, minlength=dim).astype(np.float64)
+    return (hist / hist.sum()).astype(np.float32)
+
+
+def extract_media_features(
+    media: DataFrame, batch_bytes: int = 64 << 20
+) -> DataFrame:
+    """Decode/feature-extract stage over binary payloads.
+
+    Iterator-form ``mapInPandas``: incoming Arrow batches are re-chunked
+    so no emitted pandas frame holds more than ``batch_bytes`` of
+    payload — the batch shape contract for media pipelines."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            start = 0
+            acc = 0
+            for i, payload in enumerate(pdf["payload"]):
+                acc += len(payload) if payload is not None else 0
+                if acc >= batch_bytes:
+                    yield _featurize(pdf.iloc[start : i + 1])
+                    start, acc = i + 1, 0
+            if start < len(pdf):
+                yield _featurize(pdf.iloc[start:])
+
+    def _featurize(pdf: pd.DataFrame) -> pd.DataFrame:
+        feats = [_fake_features(p) for p in pdf["payload"]]
+        return pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": [
+                    len(p) if p is not None else 0 for p in pdf["payload"]
+                ],
+                "features": feats,
+            }
+        )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, FEATURES_SCHEMA
+    )
+
+
+def synthetic_media(documents: DataFrame) -> DataFrame:
+    """Deterministic media table derived from documents (no external
+    data): payload = utf-8 text bytes standing in for encoded media."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )

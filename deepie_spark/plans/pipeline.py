@@ -92,6 +92,13 @@ def extract_triples(
     max_distance: int = 10,
 ) -> DataFrame:
     """The full M1 pipeline: pages → triples (rule classifier)."""
+    # A production pages table arrives in many splits; the local test
+    # parquet is a single tiny file, which would serialize the whole
+    # pipeline onto one core.  Re-balance only when under-partitioned —
+    # on a real cluster this branch never fires.
+    target = spark.sparkContext.defaultParallelism
+    if pages.rdd.getNumPartitions() < target:
+        pages = pages.repartition(target)
     extracted = extract_stage(pages)
     mentions = detect_mentions(extracted, build_alias_trie())
     pairs = mention_pairs(mentions, max_distance=max_distance)
