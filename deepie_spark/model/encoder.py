@@ -81,11 +81,12 @@ def encode_record(
     type_ch = np.ones(n, dtype=np.int32)
     subtype_ch = np.ones(n, dtype=np.int32)
     order_ch = np.full(n, 3, dtype=np.int32)
-    type_ch[pos1], subtype_ch[pos1] = ty1, sty1
-    order_ch[pos1] = order_id + 1
+    # pos2 assigned first, pos1 second: the reference's if/elif makes
+    # pos1 win when pos1 == pos2 (rnnRE.py:132-156)
     type_ch[pos2], subtype_ch[pos2] = ty2, sty2
     order_ch[pos2] = 2 - order_id
-    # note reference's elif: pos1 wins when pos1 == pos2
+    type_ch[pos1], subtype_ch[pos1] = ty1, sty1
+    order_ch[pos1] = order_id + 1
 
     iidep = np.array([1 if j in dep_set else 0 for j in range(n)], np.int32)
     indep = iidep + 1

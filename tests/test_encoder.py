@@ -1,0 +1,180 @@
+"""Feature-encoder (F1/F5/F6) tests.
+
+Channel-exact checks of encode_record against hand-computed values on a
+constructed record, plus fixture-wide invariants (reference semantics:
+_generatePartialDataInstance rnnRE.py:31-210, getBinaryVector
+rnnRE.py:484-510, order leak rnnRE.py:33-41 / SURVEY.md §7.4.2).
+"""
+
+import numpy as np
+import pytest
+
+from deepie_spark.model.encoder import (
+    binary_feature_rows,
+    encode_batch,
+    encode_record,
+)
+from deepie_spark.sources.tsv_corpus import parse_line
+from tests.test_parser import all_lines
+
+
+DICTS = {
+    "word": {"the": 1, "cat": 2, "sat on": 3, "mat": 4},
+    "constit": {"Other": 1, "NP": 2, "VP": 3},
+    "preter": {"Other": 1, "DT": 2, "NN": 3},
+    "prepreter": {"Other": 1, "X": 2},
+    "type": {"Other": 1, "PER": 2, "FAC": 3},
+    "subtype": {"Other": 1, "NOM": 2},
+    "deprel": {"Other": 1, "nsubj": 2, "det": 3},
+}
+
+
+def tiny_record():
+    # tokens: the cat sat_on mat ; entities at 1 (cat/PER) and 3 (mat/FAC)
+    return {
+        "tokens": ["the", "cat", "sat_on", "mat"],
+        "governors": ["cat", "sat_on", "sat_on", "sat_on"],
+        "cons1": ["NP", "NP", "VP", "NP"],
+        "cons2": ["Other", "NP", "VP", "NP"],
+        "preter": ["DT", "NN", "Other", "NN"],
+        "prepreter": ["X", "X", "Other", "X"],
+        "type1": "PER",
+        "subtype1": "NOM",
+        "type2": "FAC",
+        "subtype2": "NOM",
+        "pos1": 1,
+        "pos2": 3,
+        "dep_idx": [1, 2, 3],
+        "grammar": [["det"], ["nsubj", "det"], ["Other"], ["nsubj"]],
+    }
+
+
+M_LEN = 6
+NUM_POS = 10  # center = 5
+
+
+@pytest.fixture()
+def enc():
+    return encode_record(tiny_record(), DICTS, M_LEN, NUM_POS)
+
+
+def test_word_and_gov_ids_with_underscore_norm(enc):
+    # 'sat_on' normalizes to 'sat on' (rnnRE.py:74-75) before lookup
+    assert enc["word"].tolist() == [1, 2, 3, 4, 0, 0]
+    assert enc["gov"].tolist() == [2, 3, 3, 3, 0, 0]
+
+
+def test_distance_channels(enc):
+    # dist = center + i - pos + 1, center = num_position//2 = 5
+    assert enc["dist1"].tolist() == [5, 6, 7, 8, 0, 0]  # pos1 = 1
+    assert enc["dist2"].tolist() == [3, 4, 5, 6, 0, 0]  # pos2 = 3
+
+
+def test_type_subtype_only_at_heads(enc):
+    # 'Other'(=1) everywhere except the two head positions
+    assert enc["type"].tolist() == [1, 2, 1, 3, 0, 0]
+    assert enc["subtype"].tolist() == [1, 2, 1, 2, 0, 0]
+
+
+def test_order_channel_inference_override(enc):
+    # F6: order_override=0 → pos1 gets 1, pos2 gets 2, others 3
+    assert enc["order"].tolist() == [3, 1, 3, 2, 0, 0]
+    rev = encode_record(tiny_record(), DICTS, M_LEN, NUM_POS, order_override=1)
+    assert rev["order"].tolist() == [3, 2, 3, 1, 0, 0]
+
+
+def test_constit_preter_channels(enc):
+    assert enc["constit1"].tolist() == [2, 2, 3, 2, 0, 0]
+    assert enc["constit2"].tolist() == [1, 2, 3, 2, 0, 0]
+    assert enc["preter"].tolist() == [2, 3, 1, 3, 0, 0]
+    assert enc["prepreter"].tolist() == [2, 2, 1, 2, 0, 0]
+
+
+def test_dep_path_indicators(enc):
+    # dep_idx = [1,2,3]: iidep 1 there, 0 elsewhere; indep = iidep+1 then pad
+    assert enc["iidep"].tolist() == [0.0, 1.0, 1.0, 1.0, 0.0, 0.0]
+    assert enc["indep"].tolist() == [1, 2, 2, 2, 0, 0]
+    assert enc["iidep"].dtype == np.float32
+
+
+def test_grammar_multihot(enc):
+    # deprel ids 1..3 → id-1 indexed columns, len(dict)+1 wide (the last
+    # column mirrors the reference's table sizing and stays zero)
+    g = enc["grammar"]
+    assert g.shape == (M_LEN, 4)
+    assert g[0].tolist() == [0.0, 0.0, 1.0, 0.0]  # det (id 3)
+    assert g[1].tolist() == [0.0, 1.0, 1.0, 0.0]  # nsubj + det
+    assert g[2].tolist() == [1.0, 0.0, 0.0, 0.0]  # Other (id 1)
+    assert g[3].tolist() == [0.0, 1.0, 0.0, 0.0]  # nsubj
+    assert not g[4:].any()
+
+
+def test_same_head_positions_pos1_wins():
+    rec = tiny_record()
+    rec["pos2"] = 1
+    rec["dep_idx"] = [1]
+    e = encode_record(rec, DICTS, M_LEN, NUM_POS)
+    # reference's elif: when pos1 == pos2 the pos1 assignment stands
+    assert e["type"][1] == DICTS["type"]["PER"]
+    assert e["order"][1] == 1
+
+
+def test_oov_hard_fails():
+    rec = tiny_record()
+    rec["tokens"][0] = "unseen"
+    with pytest.raises(KeyError, match="unrecognized"):
+        encode_record(rec, DICTS, M_LEN, NUM_POS)
+
+
+def test_too_long_fails():
+    with pytest.raises(ValueError, match="mLen"):
+        encode_record(tiny_record(), DICTS, 3, NUM_POS)
+
+
+def test_encode_batch_stacks():
+    recs = [tiny_record(), tiny_record()]
+    b = encode_batch(recs, DICTS, M_LEN, NUM_POS)
+    assert b["word"].shape == (2, M_LEN)
+    assert b["grammar"].shape == (2, M_LEN, 4)
+    assert (b["word"][0] == b["word"][1]).all()
+
+
+def test_binary_feature_rows_layout():
+    bd = {"f1": 0, "f2": 1, "f3": 2}
+    rows = binary_feature_rows(
+        [
+            {"bin_feats": ["f1", "f3", "unknown"]},
+            {"bin_feats": []},
+        ],
+        bd,
+        max_len=4,
+    )
+    # [count, ids..., -1 pad]; unknown features skipped (below-cutoff path)
+    assert rows[0].tolist() == [2, 0, 2, -1, -1]
+    assert rows[1].tolist() == [0, -1, -1, -1, -1]
+
+
+def test_encoder_runs_on_all_fixtures():
+    """Every fixture record encodes without error once dictionaries cover
+    it; global mLen from the corpus max (reference two-pass, rnnRE.py:391)."""
+    from tests.test_dictionary import SEEDS, record_streams
+
+    recs = [parse_line(c, l) for c, _, l in all_lines()]
+    dicts = {k: dict(seed) for k, (seed, _) in SEEDS.items()}
+    nxt = {k: start for k, (_, start) in SEEDS.items()}
+    for rec in recs:
+        for name, streams in record_streams(rec).items():
+            for stream in streams:
+                for v in stream:
+                    if v not in dicts[name]:
+                        dicts[name][v] = nxt[name]
+                        nxt[name] += 1
+    m_len = max(len(r["tokens"]) for r in recs)
+    num_pos = 2 * m_len
+    b = encode_batch(recs, dicts, m_len, num_pos)
+    assert b["word"].shape == (150, m_len)
+    for r, row_w, row_t in zip(recs, b["word"], b["type"]):
+        n = len(r["tokens"])
+        assert (row_w[:n] > 0).all()  # every word resolved
+        assert not row_w[n:].any()  # zero padding
+        assert row_t[r["pos1"]] == dicts["type"][r["type1"]]
