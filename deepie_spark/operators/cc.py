@@ -45,13 +45,19 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     mins = mins.withColumn("m", F.least("src", "m"))
     joined = both.join(mins, "src")
     if large:
+        # large-star(v): {(u, m) : u ∈ N>(v)}
         moved = joined.filter(F.col("dst") > F.col("src")).select(
             F.col("dst").alias("src"), F.col("m").alias("dst")
         )
     else:
-        moved = joined.filter(F.col("dst") <= F.col("src")).select(
-            F.col("src"), F.col("m").alias("dst")
+        # small-star(v): {(u, m) : u ∈ N≤(v) ∪ {v}} — each smaller
+        # neighbor AND v itself link to the minimum (dropping the
+        # neighbors here would disconnect star leaves)
+        neighbors = joined.filter(F.col("dst") <= F.col("src")).select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
         )
+        self_links = mins.select(F.col("src"), F.col("m").alias("dst"))
+        moved = neighbors.unionByName(self_links)
     return _canonical_edges(moved)
 
 

@@ -1,0 +1,107 @@
+"""Connected-components canonicalization tests (north-star stage 7)
+against a pure-python union-find oracle.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deepie_spark.datagen.catalog import ENTITY_CATALOG, catalog_df
+from deepie_spark.operators.cc import (
+    alias_overlap_edges,
+    canonicalize_triples,
+    connected_components,
+)
+
+
+def union_find(edges, nodes=None):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    all_nodes = set(parent)
+    if nodes:
+        all_nodes |= set(nodes)
+    return {n: find(n) for n in all_nodes}
+
+
+def run_cc(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+
+
+def test_chain(spark):
+    assert run_cc(spark, [(1, 2), (2, 3), (3, 4)]) == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_two_components_and_self_loop(spark):
+    got = run_cc(spark, [(1, 2), (5, 6), (6, 7), (3, 3)])
+    assert got[1] == got[2] == 1
+    assert got[5] == got[6] == got[7] == 5
+    # pure self-loop nodes drop out (no edges after cleanup)
+    assert 3 not in got
+
+
+def test_star_and_direction_invariance(spark):
+    a = run_cc(spark, [(10, 1), (10, 2), (10, 3)])
+    b = run_cc(spark, [(1, 10), (2, 10), (3, 10)])
+    assert a == b == {1: 1, 2: 1, 3: 1, 10: 1}
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = np.random.RandomState(99)
+    edges = [
+        (int(rng.randint(0, 60)), int(rng.randint(0, 60))) for _ in range(80)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    want = union_find(edges)
+    got = run_cc(spark, edges)
+    assert got == want
+
+
+def test_long_path_converges_within_iterations(spark):
+    """O(log n) convergence claim: a 64-node path needs few rounds."""
+    edges = [(i, i + 1) for i in range(63)]
+    got = run_cc(spark, edges)
+    assert set(got.values()) == {0}
+
+
+def test_alias_overlap_edges(spark):
+    edges = {
+        (r["src"], r["dst"])
+        for r in alias_overlap_edges(catalog_df(spark)).collect()
+    }
+    # 'table'(3) ↔ 'table scan'(14) share token 'table'
+    assert (3, 14) in edges
+    # 'hash join'(13) and 'sort merge'(15) share nothing
+    assert (13, 15) not in edges
+    assert all(a < b for a, b in edges)
+
+
+def test_canonicalize_triples_rewrites_to_component_min(spark):
+    cat = catalog_df(spark)
+    edges = alias_overlap_edges(cat)
+    mapping = connected_components(edges)
+    triples = spark.createDataFrame(
+        [("table scan", "PHYS", "customer"), ("spark", "ORG-AFF", "row")],
+        "subj string, pred string, obj string",
+    )
+    out = {
+        (r["subj_canon"], r["obj_canon"])
+        for r in canonicalize_triples(triples, mapping, cat).collect()
+    }
+    # 'table scan'(14) is in 'table'(3)'s component → canon 'table'
+    assert ("table", "customer") in out
+    # 'spark'(2) has no overlap edges → unchanged
+    assert ("spark", "row") in out

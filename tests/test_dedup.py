@@ -1,0 +1,152 @@
+"""Deduplication operator tests (exact, Jaccard, MinHash+LSH, SimHash,
+embedding cosine) against brute-force pure-python oracles.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deepie_spark.functions.text import BASE, MOD
+from deepie_spark.operators.dedup import (
+    _minhash_coeffs,
+    dedup_exact,
+    embedding_cosine_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+    (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    (4, "completely different text about spark engines"),
+    (5, "spark engines text about completely different"),  # permuted 4
+    (6, "one more unrelated document with its own words"),
+]
+
+
+def poly_hash(s: str) -> int:
+    h = 0
+    for c in s:
+        h = (h * BASE + ord(c)) % MOD
+    return h
+
+
+def py_shingles(text: str, k: int = 3) -> set[str]:
+    toks = text.split()
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_dedup_exact_groups(docs_df):
+    rows = dedup_exact(docs_df).collect()
+    groups = {r["dup_key"]: (r["keep_id"], r["n_docs"]) for r in rows}
+    assert groups[DOCS[0][1]] == (1, 2)  # docs 1 and 3, min id kept
+    assert len(groups) == 5
+
+
+def test_ngram_jaccard_matches_python(docs_df):
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df, threshold=0.0, k=3).collect()
+    }
+    sh = {i: py_shingles(t) for i, t in DOCS}
+    for (a, b), j in got.items():
+        inter = len(sh[a] & sh[b])
+        union = len(sh[a] | sh[b])
+        assert j == pytest.approx(inter / union, abs=1e-6)
+    # exact dup pair has jaccard 1; near-dup is high; disjoint pairs absent
+    assert got[(1, 3)] == pytest.approx(1.0)
+    assert got[(1, 2)] > 0.6
+    assert (1, 4) not in got  # no shared shingles → no join row
+
+
+def test_ngram_jaccard_threshold(docs_df):
+    got = {(r["a"], r["b"]) for r in ngram_jaccard_pairs(docs_df, 0.8).collect()}
+    assert (1, 3) in got
+    assert (1, 2) not in got  # ~0.67 < 0.8
+
+
+def test_minhash_signatures_match_python(docs_df):
+    n_hashes = 16
+    sigs = {
+        r["id"]: list(r["sig"])
+        for r in minhash_signatures(docs_df, n_hashes=n_hashes).collect()
+    }
+    coeffs = _minhash_coeffs(n_hashes)
+    for doc_id, text in DOCS:
+        hs = [poly_hash(s) for s in py_shingles(text)]
+        want = [min((h * a + b) % MOD for h in hs) for a, b in coeffs]
+        assert sigs[doc_id] == want
+    # identical docs → identical signatures
+    assert sigs[1] == sigs[3]
+
+
+def test_minhash_lsh_candidates(docs_df):
+    pairs = {
+        (r["a"], r["b"]) for r in minhash_lsh_pairs(docs_df, 16, bands=4).collect()
+    }
+    assert (1, 3) in pairs          # exact dups always collide
+    assert (1, 2) in pairs          # 0.67-jaccard near-dup: expected hit
+    assert (1, 6) not in pairs      # unrelated docs don't collide
+    assert all(a < b for a, b in pairs)
+
+
+def test_simhash_fingerprints(docs_df):
+    fps = {r["id"]: r["simhash"] for r in simhash_fingerprints(docs_df).collect()}
+    assert fps[1] == fps[3]  # identical token sets → identical fingerprint
+    assert fps[4] == fps[5]  # simhash is order-insensitive (bag of tokens)
+    assert fps[1] != fps[6]
+    assert all(0 <= v < 2 ** 32 for v in fps.values())
+
+
+def test_simhash_hamming_locality(docs_df):
+    fps = {r["id"]: r["simhash"] for r in simhash_fingerprints(docs_df).collect()}
+
+    def ham(x, y):
+        return bin(x ^ y).count("1")
+
+    assert ham(fps[1], fps[2]) < ham(fps[1], fps[6])
+
+
+def test_embedding_cosine_pairs(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),      # orthogonal
+        (4, [1.0, 0.0, 0.0]),      # exact dup of 1
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in embedding_cosine_pairs(df, threshold=0.95).collect()
+    }
+    assert got[(1, 4)] == pytest.approx(1.0)
+    assert got[(1, 2)] > 0.99
+    assert (1, 3) not in got
+    assert (2, 4) in got
+
+
+def test_embedding_cosine_on_testdata(spark, sf_dir):
+    emb = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .filter(F.col("vec_id") < 50)
+    )
+    rows = embedding_cosine_pairs(emb, threshold=0.0).collect()
+    # verify a few against numpy
+    pdf = emb.toPandas().set_index("vec_id")["embedding"]
+    for r in rows[:20]:
+        va = np.array(pdf[r["a"]], dtype=np.float64)
+        vb = np.array(pdf[r["b"]], dtype=np.float64)
+        want = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+        assert r["cosine"] == pytest.approx(want, abs=1e-5)

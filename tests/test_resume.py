@@ -1,0 +1,90 @@
+"""Checkpoint/resume and lineage-manifest tests (north rule: reruns skip
+completed partitions).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepie_spark.datagen.pages import pages_from_documents
+from deepie_spark.plans.pipeline import extract_triples, part_id_col
+from deepie_spark.plans.resume import (
+    done_part_ids,
+    pending,
+    resume_run,
+    write_triples_with_manifest,
+)
+
+
+@pytest.fixture()
+def pages(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return pages_from_documents(docs).withColumn("part_id", part_id_col())
+
+
+def test_done_part_ids_empty_when_no_manifest(spark, tmp_path):
+    done = done_part_ids(spark, str(tmp_path / "nope"))
+    assert done.count() == 0
+
+
+def test_write_then_resume_skips_everything(spark, pages, tmp_path):
+    out = str(tmp_path / "triples")
+    manifest = str(tmp_path / "manifest")
+
+    def run(p):
+        return extract_triples(spark, p.drop("part_id"))
+
+    first = resume_run(spark, pages, out, manifest, run)
+    assert not first["skipped"]
+    assert first["n_triples"] > 0
+    n_parts_written = first["parts"]
+
+    # a rerun over the same input must do zero work
+    second = resume_run(spark, pages, out, manifest, run)
+    assert second == {"parts": 0, "n_triples": 0, "skipped": True}
+
+    # manifest rows are per-bucket lineage/metrics
+    m = spark.read.parquet(manifest)
+    assert m.filter(F.col("status") == "done").count() == n_parts_written
+    assert m.agg(F.sum("n_triples")).collect()[0][0] == first["n_triples"]
+
+    # the output is partitioned by part_id on disk (partition pruning)
+    subdirs = [d for d in os.listdir(out) if d.startswith("part_id=")]
+    assert len(subdirs) == n_parts_written
+
+
+def test_partial_resume_processes_only_pending(spark, pages, tmp_path):
+    out = str(tmp_path / "triples")
+    manifest = str(tmp_path / "manifest")
+    parts = sorted(
+        r["part_id"] for r in pages.select("part_id").distinct().collect()
+    )
+    half = set(parts[: len(parts) // 2])
+
+    def run(p):
+        return extract_triples(spark, p.drop("part_id"))
+
+    # complete only half the buckets
+    first_half = pages.filter(F.col("part_id").isin(list(half)))
+    write_triples_with_manifest(run(first_half), out, manifest)
+
+    done = done_part_ids(spark, manifest)
+    assert {r["part_id"] for r in done.collect()} == half
+
+    todo = pending(pages, done)
+    todo_parts = {r["part_id"] for r in todo.select("part_id").distinct().collect()}
+    assert todo_parts == set(parts) - half
+
+    res = resume_run(spark, pages, out, manifest, run)
+    assert not res["skipped"]
+    assert res["parts"] == len(set(parts) - half)
+
+    # after catch-up, everything is done
+    res2 = resume_run(spark, pages, out, manifest, run)
+    assert res2["skipped"]
+
+    # total triples across both writes equals a clean full run
+    total = spark.read.parquet(out).count()
+    want = extract_triples(spark, pages.drop("part_id")).count()
+    assert total == want

@@ -1,0 +1,121 @@
+"""ANN similarity-search tests: exact top-k vs numpy, LSH recall vs the
+exact baseline (the correct oracle for an approximate operator).
+"""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deepie_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplanes,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """5 well-separated clusters x 8 vectors: near neighbors share the
+    cluster, so sign-bucket LSH keeps them together."""
+    rng = np.random.RandomState(7)
+    centers = rng.randn(5, 12) * 4.0
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(8):
+            v = c + rng.randn(12) * 0.05
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).cache()
+
+
+def queries_from(emb, n=10):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+def test_brute_force_topk_matches_numpy(clustered):
+    k = 5
+    q = queries_from(clustered, 6)
+    got = brute_force_topk(clustered, q, k=k).collect()
+    pdf = clustered.toPandas().set_index("vec_id")["embedding"]
+    M = np.stack([np.array(v) for v in pdf])
+    ids = np.array(pdf.index)
+    norms = np.linalg.norm(M, axis=1)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(6))
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, k + 1))
+        qv = np.array(pdf[qid])
+        cos = (M @ qv) / (norms * np.linalg.norm(qv))
+        cos = np.round(cos, 6)
+        mask = ids != qid
+        order = sorted(
+            zip(cos[mask], -ids[mask]), key=lambda t: (-t[0], t[1])
+        )
+        want_top = [(c, -i) for c, i in order[:k]]
+        got_top = [(r["cosine"], r["vec_id"]) for r in rows]
+        for (wc, wi), (gc, gi) in zip(want_top, got_top):
+            assert gc == pytest.approx(wc, abs=1e-6)
+            assert gi == wi
+
+
+def test_lsh_topk_recall_vs_exact(clustered):
+    k = 5
+    q = queries_from(clustered, 10)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(clustered, q, k=k).collect()
+    }
+    approx_rows = lsh_topk(clustered, q, k=k, n_bits=4).collect()
+    approx = {(r["query_id"], r["vec_id"]) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    # clustered data: same-cluster neighbors share the sign bucket
+    assert recall >= 0.8, f"recall {recall}"
+    # scores inside the bucket are exact — spot-check against brute force
+    exact_cos = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in brute_force_topk(clustered, q, k=40).collect()
+    }
+    for r in approx_rows:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_cos:
+            assert r["cosine"] == pytest.approx(exact_cos[key], abs=1e-6)
+
+
+def test_lsh_reduces_candidates(clustered):
+    """The point of LSH at scale: the bucket join scores far fewer pairs
+    than the cross join."""
+    from deepie_spark.operators.similarity import _bucket, _as_double
+
+    planes = hyperplanes(12, 4, 42)
+    e = clustered.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).withColumn("bucket", _bucket(F.col("v"), planes))
+    sizes = e.groupBy("bucket").count().collect()
+    n = clustered.count()
+    candidate_pairs = sum(r["count"] ** 2 for r in sizes)
+    assert candidate_pairs < n * n / 2
+
+
+def test_hyperplanes_deterministic():
+    assert np.allclose(hyperplanes(8, 6, 42), hyperplanes(8, 6, 42))
+    assert not np.allclose(hyperplanes(8, 6, 42), hyperplanes(8, 6, 43))
+
+
+def test_topk_on_driver_embeddings(spark, sf_dir):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    sub = emb.filter(F.col("vec_id") < 100)
+    q = queries_from(sub, 3)
+    got = brute_force_topk(sub, q, k=10).collect()
+    assert len(got) == 30
+    for r in got:
+        assert -1.0 <= r["cosine"] <= 1.0
