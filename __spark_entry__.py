@@ -35,6 +35,25 @@ from deepie_spark.functions.text import (
     tokenize,
     STOPWORDS,
 )
+from deepie_spark.model.infer import classify_type_pairs
+from deepie_spark.model.train import train_type_pair_expert
+from deepie_spark.operators.cc import (
+    alias_overlap_edges,
+    connected_components,
+)
+from deepie_spark.operators.dedup import (
+    _minhash_coeffs,
+    embedding_cosine_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from deepie_spark.operators.multimodal import (
+    extract_media_features,
+    synthetic_media,
+)
+from deepie_spark.operators.scorer import score_df
+from deepie_spark.operators.similarity import brute_force_topk
 from deepie_spark.plans.pipeline import extract_triples
 
 # ---------------------------------------------------------------------------
@@ -69,8 +88,102 @@ _MENTIONS_SQL = f"""
   )"""
 
 
+_K_SHINGLE = 3
+
+#: DuckDB twins of functions.text shingles / char_poly_hash, generated
+#: from the same constants so both engines compute identical values.
+_SHINGLES_SQL = (
+    f"CASE WHEN len(toks) >= {_K_SHINGLE} THEN"
+    f" list_transform(range(len(toks) - {_K_SHINGLE - 1}),"
+    f" i -> array_to_string(toks[i + 1:i + {_K_SHINGLE}], ' '))"
+    f" ELSE [array_to_string(toks, ' ')] END"
+)
+
+
+def _poly_hash_sql(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(string_split({expr}, ''),"
+        f" c -> CAST(ascii(c) AS BIGINT))),"
+        f" (acc, x) -> (acc * {BASE} + x) % {MOD})"
+    )
+
+
+#: derived near-dup corpus: every 10th document gains a copy with the
+#: first token dropped — gives the dedup family real positives with an
+#: expressible SQL twin (no external data, fully deterministic).
+_DOCS_DUPS_SQL = """
+  docs_dups AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           substr(text, instr(text, ' ') + 1) AS text
+    FROM documents WHERE doc_id % 10 = 0
+  )"""
+
+_EMB_DOUBLE_SQL = """
+  e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+  )"""
+
+_DOT_SQL = "list_dot_product({a}, {b})"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _DOT_SQL.format
+    return (
+        f"{dot(a=a, b=b)} / (sqrt({dot(a=a, b=a)}) * sqrt({dot(a=b, b=b)}))"
+    )
+
+
+def _minhash_oracle_sql(n_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB twin of operators.dedup.minhash_lsh_pairs, generated from
+    the same affine coefficients."""
+    r = n_hashes // bands
+    coeffs = _minhash_coeffs(n_hashes)
+    sig_cols = ",\n                     ".join(
+        f"min((h0 * {a} + {b}) % {MOD}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n              UNION ALL ".join(
+        f"SELECT {bi} AS band, concat_ws(',', "
+        + ", ".join(f"h{bi * r + j}" for j in range(r))
+        + ") AS band_key, id FROM sig"
+        for bi in range(bands)
+    )
+    return f"""
+        WITH {_DOCS_DUPS_SQL.strip()},
+        t AS (SELECT doc_id AS id, {_TOKS_SQL} AS toks FROM docs_dups),
+        sh AS (SELECT id, unnest(list_distinct({_SHINGLES_SQL})) AS shingle
+               FROM t),
+        h AS (SELECT id, {_poly_hash_sql('shingle')} AS h0 FROM sh),
+        sig AS (SELECT id, {sig_cols}
+                FROM h GROUP BY id),
+        bands AS ({band_selects})
+        SELECT DISTINCT x.id AS a, y.id AS b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.band_key = y.band_key
+        WHERE x.id < y.id
+    """
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _docs_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _DOCS_DUPS_SQL."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    perturbed = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return d.unionByName(perturbed)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,9 +403,11 @@ def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti join: customers without orders (J3's anti twin)."""
+    """Anti join: customers without recent (1998+) orders."""
     c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
-    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).filter(
+        F.col("o_orderdate") >= "1998-01-01"
+    )
     return c.join(
         o, c.c_custkey == o.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -311,6 +426,143 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 3).alias("sum_value"),
         )
     )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs over the derived dup corpus."""
+    return ngram_jaccard_pairs(
+        _docs_dups(spark, sf_dir), threshold=0.5, k=_K_SHINGLE
+    )
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banding candidates (16 hashes, 4 bands)."""
+    return minhash_lsh_pairs(
+        _docs_dups(spark, sf_dir), n_hashes=16, bands=4, k=_K_SHINGLE
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints per document."""
+    return simhash_fingerprints(_docs_dups(spark, sf_dir), bits=32)
+
+
+def q_emb_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force baseline)."""
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 2000)
+    return embedding_cosine_pairs(emb, threshold=0.3)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 per query (queries = vec_id < 5)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return brute_force_topk(emb, q, k=10)
+
+
+def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over catalog alias-token-overlap edges."""
+    return connected_components(alias_overlap_edges(catalog_df(spark)))
+
+
+def q_scorer_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 micro P/R/F1 over a deterministic pred/gold derivation."""
+    d = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 7).cast("int").alias("pred"),
+        (F.col("doc_id") % 5).cast("int").alias("gold"),
+    )
+    s = score_df(d)
+    return s.select(
+        "num_pred",
+        "num_key",
+        "correct",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+def q_token_df_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 analog: token dictionary with frequency cutoff + dense
+    first-encounter ids over the survivors."""
+    occ = _occ(spark, sf_dir)
+    firsts = occ.groupBy("token").agg(
+        F.min(F.col("doc_id") * 1_000_000 + F.col("pos")).alias("first_ord"),
+        F.count("*").alias("n"),
+    )
+    kept = firsts.filter(F.col("n") >= 5)
+    return kept.select(
+        "token",
+        (F.row_number().over(W.orderBy("first_ord")) - 1)
+        .cast("long")
+        .alias("id"),
+        "n",
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 semi join: suppliers that appear in lineitem."""
+    s = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+_EXPERT_CACHE: dict = {}
+
+
+def _type_pair_expert():
+    if "w" not in _EXPERT_CACHE:
+        _EXPERT_CACHE["w"] = train_type_pair_expert()
+    return _EXPERT_CACHE["w"]
+
+
+def q_pipeline_triples_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-inference pipeline path: the trained log-linear expert
+    (M18, broadcast weights, mapInPandas) replaces the rule join; the
+    expert provably internalizes the rule table, so the relational
+    DuckDB oracle still applies — a hash-checked model-inference gate."""
+    m = _mentions_single(spark, sf_dir)
+    a = m.select(
+        "doc_id",
+        F.col("pos").alias("pos1"),
+        F.col("alias").alias("alias1"),
+        F.col("entity_type").alias("type1"),
+    )
+    b = m.select(
+        "doc_id",
+        F.col("pos").alias("pos2"),
+        F.col("alias").alias("alias2"),
+        F.col("entity_type").alias("type2"),
+    )
+    pairs = a.join(b, "doc_id").filter(
+        (F.col("pos1") < F.col("pos2"))
+        & (F.col("pos2") - F.col("pos1") <= 10)
+    )
+    weights, labels, fid = _type_pair_expert()
+    c = classify_type_pairs(pairs, weights, labels, fid).filter(
+        F.col("label") != "NONE"
+    )
+    rev = F.col("label").endswith("(e2,e1)")
+    pred = F.regexp_replace(F.col("label"), "\\(e[12],e[21]\\)$", "")
+    return c.select(
+        F.when(rev, F.col("alias2")).otherwise(F.col("alias1")).alias("subj"),
+        pred.alias("pred"),
+        F.when(rev, F.col("alias1")).otherwise(F.col("alias2")).alias("obj"),
+        "doc_id",
+        "pos1",
+        "pos2",
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payloads → fixed-length features via
+    byte-budgeted mapInPandas (rows-only check: float32 features)."""
+    media = synthetic_media(_docs(spark, sf_dir))
+    return extract_media_features(media)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -337,6 +589,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_cust": q_top_orders_per_cust,
         "cust_no_orders": q_cust_no_orders,
         "events_hourly": q_events_hourly,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "emb_cosine_dup": q_emb_cosine_dup,
+        "ann_topk": q_ann_topk,
+        "cc_components": q_cc_components,
+        "scorer_prf": q_scorer_prf,
+        "token_df_cutoff": q_token_df_cutoff,
+        "semi_join": q_semi_join,
+        "pipeline_triples_model": q_pipeline_triples_model,
+        "media_features": q_media_features,
     }
 
 
@@ -479,13 +742,174 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rk <= 3
         """,
         "cust_no_orders": """
-            SELECT c_custkey, c_name FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+            )
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 3) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "ngram_jaccard": f"""
+            WITH {_DOCS_DUPS_SQL.strip()},
+            t AS (SELECT doc_id AS id, {_TOKS_SQL} AS toks FROM docs_dups),
+            sh AS (SELECT id, unnest(list_distinct({_SHINGLES_SQL})) AS shingle
+                   FROM t),
+            keep AS (SELECT shingle FROM sh GROUP BY shingle
+                     HAVING count(*) <= 1000),
+            shf AS (SELECT sh.id, sh.shingle FROM sh JOIN keep USING (shingle)),
+            sizes AS (SELECT id, count(*) AS n_sh FROM shf GROUP BY id),
+            ip AS (SELECT x.id AS a, y.id AS b, count(*) AS inter
+                   FROM shf x JOIN shf y USING (shingle)
+                   WHERE x.id < y.id GROUP BY 1, 2)
+            SELECT a, b, inter, na.n_sh AS n_a, nb.n_sh AS n_b,
+                   round(CAST(inter AS DOUBLE)
+                         / (na.n_sh + nb.n_sh - inter), 6) AS jaccard
+            FROM ip JOIN sizes na ON na.id = ip.a
+                    JOIN sizes nb ON nb.id = ip.b
+            WHERE CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) >= 0.5
+        """,
+        "minhash_lsh": _minhash_oracle_sql(),
+        "simhash": f"""
+            WITH {_DOCS_DUPS_SQL.strip()},
+            tok AS (SELECT doc_id AS id, unnest(list_distinct({_TOKS_SQL}))
+                        AS tok
+                    FROM docs_dups),
+            h AS (SELECT id, {_poly_hash_sql('tok')} AS h FROM tok),
+            bits AS (
+              SELECT id, i,
+                     sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM h CROSS JOIN (SELECT unnest(range(32)) AS i) r
+              GROUP BY id, i
+            )
+            SELECT id,
+                   CAST(sum(CASE WHEN s > 0
+                            THEN CAST(1 AS BIGINT) << i ELSE 0 END)
+                        AS BIGINT) AS simhash
+            FROM bits GROUP BY id
+        """,
+        "emb_cosine_dup": f"""
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings WHERE vec_id < 2000
+            )
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round({_cos_sql('a.v', 'b.v')}, 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round({_cos_sql('a.v', 'b.v')}, 6) >= 0.3
+        """,
+        "ann_topk": f"""
+            WITH {_EMB_DOUBLE_SQL.strip()},
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e
+                  WHERE vec_id < 5),
+            scored AS (
+              SELECT query_id, vec_id,
+                     round({_cos_sql('qv', 'v')}, 6) AS cosine
+              FROM q CROSS JOIN e WHERE query_id != vec_id
+            ),
+            r AS (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= 10
+        """,
+        "cc_components": f"""
+            WITH RECURSIVE
+            catalog(entity_id, alias, entity_type, subtype, prior) AS (VALUES
+              {CATALOG_VALUES}
+            ),
+            tok AS (SELECT entity_id,
+                           unnest(string_split(alias, ' ')) AS token
+                    FROM catalog),
+            edges AS (SELECT a.entity_id AS src, b.entity_id AS dst
+                      FROM tok a JOIN tok b USING (token)
+                      WHERE a.entity_id < b.entity_id GROUP BY 1, 2),
+            und AS (SELECT src, dst FROM edges
+                    UNION SELECT dst, src FROM edges),
+            reach(node, r) AS (
+              SELECT src, dst FROM und
+              UNION
+              SELECT reach.node, u.dst FROM reach
+              JOIN und u ON reach.r = u.src
+            )
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(least(node, min(r)) AS BIGINT) AS component
+            FROM reach GROUP BY node
+        """,
+        "scorer_prf": """
+            WITH pg AS (
+              SELECT CAST(doc_id % 7 AS INT) AS pred,
+                     CAST(doc_id % 5 AS INT) AS gold
+              FROM documents
+            ),
+            c AS (
+              SELECT CAST(sum(CASE WHEN pred != 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS num_pred,
+                     CAST(sum(CASE WHEN gold != 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS num_key,
+                     CAST(sum(CASE WHEN pred != 0 AND pred = gold
+                              THEN 1 ELSE 0 END) AS BIGINT) AS correct
+              FROM pg
+            ),
+            pr AS (
+              SELECT num_pred, num_key, correct,
+                     CASE WHEN num_pred > 0
+                          THEN 100.0 * correct / num_pred ELSE 0.0 END AS p,
+                     CASE WHEN num_key > 0
+                          THEN 100.0 * correct / num_key ELSE 0.0 END AS r
+              FROM c
+            )
+            SELECT num_pred, num_key, correct,
+                   round(p, 6) AS precision, round(r, 6) AS recall,
+                   round(CASE WHEN p + r > 0
+                         THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 6) AS f1
+            FROM pr
+        """,
+        "token_df_cutoff": f"""
+            WITH {_OCC_SQL.strip()},
+            counted AS (
+              SELECT token, min(doc_id * 1000000 + pos) AS first_ord,
+                     count(*) AS n
+              FROM occ GROUP BY token HAVING count(*) >= 5
+            )
+            SELECT token,
+                   CAST(row_number() OVER (ORDER BY first_ord) - 1
+                        AS BIGINT) AS id,
+                   n
+            FROM counted
+        """,
+        "semi_join": """
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
+        """,
+        "pipeline_triples_model": f"""
+            WITH {_MENTIONS_SQL.strip()},
+            rules(type1, type2, label) AS (VALUES
+              {RULES_VALUES}
+            ),
+            pairs AS (
+              SELECT a.doc_id, a.pos AS pos1, b.pos AS pos2,
+                     a.alias AS alias1, b.alias AS alias2,
+                     a.entity_type AS type1, b.entity_type AS type2
+              FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id
+              WHERE a.pos < b.pos AND b.pos - a.pos <= 10
+            )
+            SELECT
+              CASE WHEN label LIKE '%(e2,e1)' THEN alias2 ELSE alias1 END
+                AS subj,
+              regexp_replace(label, '\\(e[12],e[21]\\)$', '') AS pred,
+              CASE WHEN label LIKE '%(e2,e1)' THEN alias1 ELSE alias2 END
+                AS obj,
+              doc_id, pos1, pos2
+            FROM pairs JOIN rules USING (type1, type2)
+            WHERE label != 'NONE'
         """,
     }

@@ -23,12 +23,17 @@ def log(*a):
 
 HEADLINE = [
     "pipeline_triples",
+    "pipeline_triples_model",
     "triples_rules",
     "vocab_df",
     "first_encounter_ids",
     "mentions_single",
     "pair_distance_hist",
     "dedup_exact",
+    "ngram_jaccard",
+    "minhash_lsh",
+    "simhash",
+    "ann_topk",
     "doc_fingerprint",
     "quality_scores",
     "tpch_pricing",

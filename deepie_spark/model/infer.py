@@ -98,6 +98,49 @@ def classify_mentions(
     return mentions.select(cols).mapInPandas(run, PRED_SCHEMA)
 
 
+PAIR_PRED_SCHEMA = (
+    "doc_id long, pos1 long, pos2 long, alias1 string, alias2 string,"
+    " type1 string, type2 string, label string, prob double"
+)
+
+
+def classify_type_pairs(
+    pairs: DataFrame,
+    weights: dict[str, np.ndarray],
+    label_names: list[str],
+    feat_ids: dict[str, int],
+) -> DataFrame:
+    """Model-path pair classification: the trained log-linear expert
+    (M18) applied batched in ``mapInPandas`` with broadcast weights —
+    the same plan shape as the full relation classifier, on the
+    ``TYPE1@TYPE2`` feature family (reference field 3 / parseLine
+    rnn_process_onlyExtra.py:339-340)."""
+    bc = pairs.sparkSession.sparkContext.broadcast(
+        {"W": weights["W"], "b": weights["b"], "labels": label_names,
+         "fid": feat_ids}
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        v = bc.value
+        for pdf in batches:
+            recs = [
+                {"bin_feats": [f"{t1}@{t2}"]}
+                for t1, t2 in zip(pdf["type1"], pdf["type2"])
+            ]
+            rows = binary_feature_rows(recs, v["fid"], 1)
+            p = softmax(
+                sparse_loglinear_logits(rows, v["W"], v["b"]), axis=1
+            )
+            ids = p.argmax(axis=1)
+            yield pdf.assign(
+                label=[v["labels"][i] for i in ids],
+                prob=p[np.arange(len(ids)), ids],
+            )
+
+    cols = ["doc_id", "pos1", "pos2", "alias1", "alias2", "type1", "type2"]
+    return pairs.select(cols).mapInPandas(run, PAIR_PRED_SCHEMA)
+
+
 def triples_from_predictions(preds: DataFrame) -> DataFrame:
     """Predictions → directed (subj, pred, obj) triples, NONE excluded.
 

@@ -65,6 +65,43 @@ def predict_loglinear(
     return p.argmax(axis=1), p
 
 
+def train_type_pair_expert(
+    types: tuple[str, ...] = ("PER", "ORG", "GPE", "LOC", "FAC", "VEH"),
+    rules: dict | None = None,
+    epochs: int = 400,
+    lr: float = 1.0,
+) -> tuple[dict[str, np.ndarray], list[str], dict[str, int]]:
+    """Train the M18 log-linear expert to internalize the type-pair rule
+    table (the M1 classifier stub, SURVEY.md §7.2) from one one-hot
+    feature per ordered type pair.
+
+    Separable by construction, so the trained expert reproduces the rule
+    table *exactly* (asserted) — which is what lets the model-inference
+    pipeline path share a relational DuckDB oracle with the rule path.
+    Returns (weights, label_names, feature_ids).
+    """
+    if rules is None:
+        from deepie_spark.datagen.catalog import RELATION_RULES
+
+        rules = RELATION_RULES
+    label_names = ["NONE"] + sorted(set(rules.values()))
+    lid = {l: i for i, l in enumerate(label_names)}
+    feats = [f"{t1}@{t2}" for t1 in types for t2 in types]
+    fid = {f: i for i, f in enumerate(feats)}
+    rows = np.full((len(feats), 2), -1, dtype=np.int64)
+    rows[:, 0] = 1
+    rows[:, 1] = [fid[f] for f in feats]
+    y = np.array(
+        [lid[rules.get(tuple(f.split("@")), "NONE")] for f in feats]
+    )
+    w = train_loglinear(
+        rows, y, len(label_names), len(feats), epochs=epochs, lr=lr, batch=8
+    )
+    pred, _ = predict_loglinear(rows, w)
+    assert (pred == y).all(), "expert failed to internalize the rule table"
+    return w, label_names, fid
+
+
 def score_py(pred: np.ndarray, gold: np.ndarray) -> tuple[float, float, float]:
     """Pure-python twin of operators.scorer (rnnRE.py:564-581) for
     driver-side epoch evaluation."""
