@@ -31,6 +31,7 @@ from deepie_spark.functions.text import (
     shingles,
     tokenize,
 )
+from deepie_spark.session import ensure_parallelism
 
 # fixed affine coefficients for minhash permutations (any odd a works;
 # pinned constants keep Spark and DuckDB twins identical)
@@ -48,7 +49,12 @@ def _minhash_coeffs(n: int) -> list[tuple[int, int]]:
 def doc_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
-    """(id, shingle) — distinct k-token shingles per document."""
+    """(id, shingle) — distinct k-token shingles per document.
+
+    Shingling is the CPU-heavy narrow stage of every dedup plan, so the
+    input is rebalanced to cluster parallelism first (no-op on a
+    many-split production table)."""
+    df = ensure_parallelism(df)
     return df.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -86,7 +92,7 @@ def ngram_jaccard_pairs(
     J = inter / (|A|+|B|−inter).  ``max_df`` drops stop-shingles before
     the join (skew guard: a shingle shared by d docs contributes d²
     join rows)."""
-    sh = doc_shingles(df, id_col, text_col, k)
+    sh = doc_shingles(df, id_col, text_col, k).persist()
     if max_df:
         rare = (
             sh.groupBy("shingle")
@@ -95,6 +101,10 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle")
+    # the filtered shingle table feeds three consumers (sizes + both join
+    # sides): materialize once instead of re-shingling the corpus 3x —
+    # at scale this is where you'd write an intermediate table instead
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("id").alias("a"), "shingle")
     b = sh.select(F.col("id").alias("b"), "shingle")
@@ -159,16 +169,26 @@ def minhash_lsh_pairs(
     hot buckets are bounded by band width."""
     r = n_hashes // bands
     sig = minhash_signatures(df, n_hashes, k, id_col, text_col)
-    band_rows = None
-    for bi in range(bands):
-        part = sig.select(
-            "id",
-            F.lit(bi).alias("band"),
-            F.concat_ws(
-                ",", *[F.slice("sig", bi * r + 1, r)[i].cast("string") for i in range(r)]
-            ).alias("band_key"),
-        )
-        band_rows = part if band_rows is None else band_rows.unionByName(part)
+    # one explode over an in-row band array — a union of per-band selects
+    # would recompute the signature aggregation once per band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.slice("sig", bi * r + 1, r)[i].cast("string")
+                        for i in range(r)
+                    ],
+                ).alias("band_key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    band_rows = sig.select("id", F.explode(band_structs).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
     a = band_rows.select("band", "band_key", F.col("id").alias("a"))
     b = band_rows.select("band", "band_key", F.col("id").alias("b"))
     return (
@@ -191,6 +211,7 @@ def simhash_fingerprints(
     if (h >> i) & 1 else −1; fingerprint bit i = 1 iff the sum > 0.
     Near-dups share fingerprints (or differ in few bits — banding over
     bit ranges generalizes exactly like minhash LSH)."""
+    df = ensure_parallelism(df)
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("tok"),

@@ -102,9 +102,10 @@ def extract_media_features(
             }
         )
 
-    return media.select("media_id", "kind", "payload").mapInPandas(
-        run, FEATURES_SCHEMA
-    )
+    from deepie_spark.session import ensure_parallelism
+
+    narrow = ensure_parallelism(media.select("media_id", "kind", "payload"))
+    return narrow.mapInPandas(run, FEATURES_SCHEMA)
 
 
 def synthetic_media(documents: DataFrame) -> DataFrame:

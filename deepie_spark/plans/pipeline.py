@@ -96,9 +96,9 @@ def extract_triples(
     # parquet is a single tiny file, which would serialize the whole
     # pipeline onto one core.  Re-balance only when under-partitioned —
     # on a real cluster this branch never fires.
-    target = spark.sparkContext.defaultParallelism
-    if pages.rdd.getNumPartitions() < target:
-        pages = pages.repartition(target)
+    from deepie_spark.session import ensure_parallelism
+
+    pages = ensure_parallelism(pages)
     extracted = extract_stage(pages)
     mentions = detect_mentions(extracted, build_alias_trie())
     pairs = mention_pairs(mentions, max_distance=max_distance)

@@ -55,6 +55,20 @@ def get_spark(
     return spark
 
 
+def ensure_parallelism(df, target: int | None = None):
+    """Repartition only when the input is under-partitioned.
+
+    CPU-heavy per-row stages (shingling, hashing, Arrow UDFs) must run at
+    cluster parallelism; a production table arrives in many splits so
+    this is a no-op there, but a single small local parquet would
+    otherwise pin the whole stage to one or two cores.
+    """
+    target = target or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     """Load driver-provided parquet tables and register temp views.
 
