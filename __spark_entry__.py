@@ -269,6 +269,28 @@ def q_pair_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pair_distance_hist_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened twin of pair_distance_hist: the mention self-join
+    runs through salted_join (hot-doc keys split across 8 salts) and the
+    histogram through the two-stage salted_count — results identical, so
+    the SAME DuckDB oracle verifies the salted plan."""
+    from deepie_spark.operators.skew import salted_count, salted_join
+
+    m = _mentions_single(spark, sf_dir)
+    a = m.select(F.col("doc_id"), F.col("pos").alias("pos1"))
+    b = m.select(F.col("doc_id"), F.col("pos").alias("pos2"))
+    pairs = salted_join(a, b, "doc_id", n_salt=8).filter(
+        (F.col("pos1") < F.col("pos2"))
+        & (F.col("pos2") - F.col("pos1") <= 10)
+    )
+    hist = salted_count(
+        pairs.select((F.col("pos2") - F.col("pos1")).alias("distance")),
+        ["distance"],
+        n_salt=16,
+    )
+    return hist.select("distance", "n")
+
+
 def q_triples_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1 flagship, relational variant: mentions → pairs → rule classify
     → directed triples (single-token mentions so the oracle matches)."""
@@ -578,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_stats": q_max_stats,
         "mentions_single": q_mentions_single,
         "pair_distance_hist": q_pair_distance_hist,
+        "pair_distance_hist_salted": q_pair_distance_hist_salted,
         "triples_rules": q_triples_rules,
         "pipeline_triples": q_pipeline_triples,
         "dedup_exact": q_dedup_exact,
@@ -644,6 +667,15 @@ def oracle_sql() -> dict[str, str]:
             FROM mentions
         """,
         "pair_distance_hist": f"""
+            WITH {_MENTIONS_SQL.strip()}
+            SELECT b.pos - a.pos AS distance, count(*) AS n
+            FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id
+            WHERE a.pos < b.pos AND b.pos - a.pos <= 10
+            GROUP BY 1
+        """,
+        # the salted plan is result-identical by construction: the SAME
+        # oracle verifies it
+        "pair_distance_hist_salted": f"""
             WITH {_MENTIONS_SQL.strip()}
             SELECT b.pos - a.pos AS distance, count(*) AS n
             FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id

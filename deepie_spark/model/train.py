@@ -65,6 +65,67 @@ def predict_loglinear(
     return p.argmax(axis=1), p
 
 
+def train_loglinear_best_epoch(
+    bin_rows: np.ndarray,
+    labels: np.ndarray,
+    valid_rows: np.ndarray,
+    valid_labels: np.ndarray,
+    n_classes: int,
+    n_features: int,
+    epochs: int = 20,
+    lr: float = 0.5,
+    batch: int = 50,
+    seed: int = 8989,
+    l2: float = 1e-4,
+) -> tuple[dict[str, np.ndarray], list[dict]]:
+    """A9 model selection: per-epoch validation scoring, snapshot the
+    weights of the best-valid-F1 epoch (reference epoch loop
+    rnnRE.py:904,970-994).  Returns (best weights, per-epoch history)."""
+    rng = np.random.RandomState(seed)
+    W = 0.01 * rng.randn(n_features, n_classes)
+    b = np.zeros(n_classes)
+    n = len(labels)
+    best = {"W": W.copy(), "b": b.copy()}
+    best_f1 = -1.0
+    history = []
+    for epoch in range(epochs):
+        perm = rng.permutation(n)
+        for s in range(0, n, batch):
+            idx = perm[s : s + batch]
+            rows = bin_rows[idx]
+            y = labels[idx]
+            p = softmax(sparse_loglinear_logits(rows, W, b), axis=1)
+            p[np.arange(len(y)), y] -= 1.0
+            p /= len(y)
+            b -= lr * p.sum(axis=0)
+            for r, g in zip(rows, p):
+                k = int(r[0])
+                if k > 0:
+                    ids = r[1 : k + 1]
+                    W[ids] -= lr * (g + l2 * W[ids])
+        vpred, _ = predict_loglinear(valid_rows, {"W": W, "b": b})
+        vp, vr, vf1 = score_py(vpred, valid_labels)
+        history.append(
+            {"epoch": epoch, "valid_p": vp, "valid_r": vr, "valid_f1": vf1}
+        )
+        if vf1 > best_f1:
+            best_f1 = vf1
+            best = {"W": W.copy(), "b": b.copy()}
+    return best, history
+
+
+def save_weights(weights: dict[str, np.ndarray], path: str) -> None:
+    """S6 model-param sink (the reference writes one .npy per named
+    parameter, rnnReModels.py:725-727; one .npz archive is its
+    single-file equivalent)."""
+    np.savez(path, **weights)
+
+
+def load_weights(path: str) -> dict[str, np.ndarray]:
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
 def train_type_pair_expert(
     types: tuple[str, ...] = ("PER", "ORG", "GPE", "LOC", "FAC", "VEH"),
     rules: dict | None = None,

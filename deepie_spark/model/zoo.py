@@ -279,3 +279,73 @@ def product_of_experts(*logits: np.ndarray) -> np.ndarray:
 def argmax_decode(p: np.ndarray) -> np.ndarray:
     """M20: y_pred = argmax(p_y_given_x) (rnnReModels.py:687)."""
     return p.argmax(axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# M16 — CNN→RNN / RNN→CNN stacks
+
+def alternate_head(
+    x: np.ndarray,
+    conv_filters: list[tuple[np.ndarray, np.ndarray]],
+    gru_fwd: tuple,
+    gru_bwd: tuple,
+    pos1: np.ndarray,
+    pos2: np.ndarray,
+) -> np.ndarray:
+    """M16 'alternateHead' shape: same-length conv → biGRU → head pool
+    (rnnReModels.py:1148-1215)."""
+    h = multi_window_conv(x, conv_filters, pool=False)
+    h = bidirectional(h, gru_fwd, gru_bwd, cell=rnn_gru)
+    return head_pool(h, pos1, pos2)
+
+
+def alternate_max(
+    x: np.ndarray,
+    conv_filters: list[tuple[np.ndarray, np.ndarray]],
+    gru_fwd: tuple,
+    gru_bwd: tuple,
+) -> np.ndarray:
+    """M16 'alternateMax': conv → biGRU → max-over-time
+    (rnnReModels.py:1217-1277)."""
+    h = multi_window_conv(x, conv_filters, pool=False)
+    h = bidirectional(h, gru_fwd, gru_bwd, cell=rnn_gru)
+    return max_pool(h)
+
+
+def alternate_conv(
+    x: np.ndarray,
+    gru_fwd: tuple,
+    gru_bwd: tuple,
+    conv_filters: list[tuple[np.ndarray, np.ndarray]],
+) -> np.ndarray:
+    """M16 'alternateConv': biGRU → conv + max-pool-over-time
+    (rnnReModels.py:1279-1313)."""
+    h = bidirectional(x, gru_fwd, gru_bwd, cell=rnn_gru)
+    return multi_window_conv(h, conv_filters, pool=True)
+
+
+#: §2.10 string-driven dispatch — the engine's answer to the reference's
+#: ``eval(model_name)`` menu (rnnRE.py:874-885, evaluate.py:56): pooling
+#: heads and stacks addressable by reference name.
+MODEL_REGISTRY = {
+    "rnnHeadIn": head_pool,
+    "rnnMaxIn": max_pool,
+    "rnnSum": mean_pool,
+    "rnnSumDep": masked_sum_pool,
+    "rnnAtt": attention_pool,
+    "dynamicPooling": dynamic_pool3,
+    "alternateHead": alternate_head,
+    "alternateMax": alternate_max,
+    "alternateConv": alternate_conv,
+    "convolute": conv_maxpool,
+    "mainModel": softmax_classifier,
+    "MultiNN": sparse_loglinear_logits,
+    "hybridModel": product_of_experts,
+}
+
+
+def resolve_model(name: str):
+    """Named lookup with the reference's fail-fast semantics."""
+    if name not in MODEL_REGISTRY:
+        raise KeyError(f"unknown model: {name!r}")
+    return MODEL_REGISTRY[name]

@@ -228,6 +228,32 @@ def build_reference_dictionaries(mentions: DataFrame) -> dict[str, DataFrame]:
     return dicts
 
 
+def collapse_labels(df: DataFrame, label_col: str = "label") -> DataFrame:
+    """P8 projection: strip the (e1,e2)/(e2,e1) direction suffix
+    (collapseTypes rnnRE.py:642-647 / applied :693-695,430)."""
+    return df.withColumn(
+        label_col,
+        F.regexp_replace(F.col(label_col), "\\(e[12],e[21]\\)$", ""),
+    )
+
+
+def collapsed_label_dict(label_dict: DataFrame) -> DataFrame:
+    """P8 id remap: collapsed labels get dense new ids in order of their
+    minimum old id — exactly the reference's iteration over the old dict
+    in id order (collapseTypes rnnRE.py:642-647)."""
+    stripped = label_dict.select(
+        F.regexp_replace(F.col("value"), "\\(e[12],e[21]\\)$", "").alias(
+            "value"
+        ),
+        F.col("id").alias("old_id"),
+    )
+    firsts = stripped.groupBy("value").agg(F.min("old_id").alias("first_id"))
+    w = W.orderBy("first_id")
+    return firsts.select(
+        "value", (F.row_number().over(w) - 1).alias("id")
+    )
+
+
 def binary_feature_dictionary(
     mentions: DataFrame, cutoff: int = 2, train_corpora: list[str] | None = None
 ) -> DataFrame:

@@ -236,6 +236,32 @@ def parse_line(corpus: str, line: str) -> dict:
 
     governors = gov.split()
 
+    # field 12 (main layout only): full dependency-tree triples
+    # `rel(gov-i, dep-j)######…` — provided so no parser rerun is needed
+    # (data/readMe.md:39); not consumed by the neural path, parsed for
+    # schema parity (FIXTURES.md §3).
+    dep_triples = []
+    if main and len(els) >= 13 and els[12].strip():
+        for trip in els[12].split("######"):
+            trip = trip.strip()
+            lp = trip.find("(")
+            if lp < 0 or not trip.endswith(")"):
+                continue
+            rel = trip[:lp]
+            args = trip[lp + 1 : -1].split(", ")
+            if len(args) != 2:
+                continue
+            gcut, dcut = args[0].rfind("-"), args[1].rfind("-")
+            dep_triples.append(
+                {
+                    "rel": rel,
+                    "gov": args[0][:gcut],
+                    "gov_i": int(args[0][gcut + 1 :]) - 1,
+                    "dep": args[1][:dcut],
+                    "dep_i": int(args[1][dcut + 1 :]) - 1,
+                }
+            )
+
     return {
         "rel_id": rel_id,
         "label": label,
@@ -258,6 +284,7 @@ def parse_line(corpus: str, line: str) -> dict:
         "dep_idx": dep_idx,
         "grammar": grammar,
         "governors": governors,
+        "dep_triples": dep_triples,
         "kernel_pred": kernel_pred,
         "kernel_score": kernel_score,
         "corpus": corpus,
@@ -290,6 +317,21 @@ MENTION_SCHEMA = T.StructType(
             "grammar", T.ArrayType(T.ArrayType(T.StringType())), True
         ),
         T.StructField("governors", T.ArrayType(T.StringType()), True),
+        T.StructField(
+            "dep_triples",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("rel", T.StringType()),
+                        T.StructField("gov", T.StringType()),
+                        T.StructField("gov_i", T.IntegerType()),
+                        T.StructField("dep", T.StringType()),
+                        T.StructField("dep_i", T.IntegerType()),
+                    ]
+                )
+            ),
+            True,
+        ),
         T.StructField("kernel_pred", T.StringType(), True),
         T.StructField(
             "kernel_score", T.MapType(T.StringType(), T.DoubleType()), True

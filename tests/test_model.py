@@ -245,6 +245,37 @@ def test_train_loglinear_fits_separable_data():
     assert np.allclose(p.sum(axis=1), 1.0)
 
 
+def test_alternate_stacks_shapes_and_composition():
+    b, t, d = 2, 7, 3
+    x = rand(b, t, d)
+    filters = [(rand(4, w, d), rand(4)) for w in (2, 3)]  # 8 maps total
+    hid = 5
+    def gru_params(in_dim):
+        return (
+            rand(in_dim, 2 * hid), rand(2 * hid), rand(hid, 2 * hid),
+            rand(in_dim, hid), rand(hid, hid), rand(hid),
+        )
+    gf, gb = gru_params(8), gru_params(8)
+    pos1, pos2 = np.array([0, 3]), np.array([6, 5])
+    out = zoo.alternate_head(x, filters, gf, gb, pos1, pos2)
+    assert out.shape == (b, 4 * hid)  # biGRU(2h) heads concat
+    # composition check: equals manual stage chaining
+    h = zoo.multi_window_conv(x, filters, pool=False)
+    h = zoo.bidirectional(h, gf, gb, cell=zoo.rnn_gru)
+    assert np.allclose(out, zoo.head_pool(h, pos1, pos2))
+    assert zoo.alternate_max(x, filters, gf, gb).shape == (b, 2 * hid)
+    gf3, gb3 = gru_params(d), gru_params(d)
+    filters10 = [(rand(6, w, 2 * hid), rand(6)) for w in (2, 3, 4)]
+    assert zoo.alternate_conv(x, gf3, gb3, filters10).shape == (b, 18)
+
+
+def test_model_registry_dispatch():
+    assert zoo.resolve_model("rnnMaxIn") is zoo.max_pool
+    assert zoo.resolve_model("alternateHead") is zoo.alternate_head
+    with pytest.raises(KeyError, match="unknown model"):
+        zoo.resolve_model("notAModel")
+
+
 def test_score_py_reference_semantics():
     # pred/gold with id 0 = NONE: P over predicted-nonzero, R over gold-nonzero
     pred = np.array([1, 2, 0, 3, 1, 0])

@@ -105,6 +105,26 @@ def test_label_direction_semantics():
     assert all(l.endswith(("(e1,e2)", "(e2,e1)")) for l in directed)
 
 
+def test_dep_triples_field12():
+    corpus, _, line = all_lines()[0]
+    # fixture order: fold files first in all_lines? find a main-corpus line
+    for corpus, _, line in all_lines():
+        if corpus == "bn_nw":
+            break
+    rec = parse_line(corpus, line)
+    trips = rec["dep_triples"]
+    assert trips, "main corpora carry field 12"
+    t0 = trips[0]
+    assert set(t0) == {"rel", "gov", "gov_i", "dep", "dep_i"}
+    assert t0["rel"] == "root"
+    assert t0["gov_i"] == -1  # root's pseudo-governor '.-0' → 0-based -1
+    # fold layout has no field 12
+    for corpus, _, line in all_lines():
+        if corpus.startswith("bn_nw_train"):
+            assert parse_line(corpus, line)["dep_triples"] == []
+            break
+
+
 def test_analyze_dep_path_reversal():
     words, rels, idxs = analyze_dep_path("b-5 rel1 a-2 rel2 c-1")
     # path ends left of start → reversed (rnn_process_onlyExtra.py:508-511)

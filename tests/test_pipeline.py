@@ -170,6 +170,19 @@ def test_none_pairs_never_reach_triples(spark, pages):
     assert triples.filter(F.col("subj").isNull()).count() == 0
 
 
+def test_fused_equals_composed_pipeline(spark, pages):
+    """The fused in-row classify plan and the discrete-operator plan
+    must emit identical triple rows."""
+    fused = extract_triples(spark, pages, fused=True)
+    composed = extract_triples(spark, pages, fused=False)
+    cols = ["subj", "pred", "obj", "subj_type", "obj_type", "url",
+            "pos1", "pos2"]
+    f, c = fused.select(cols), composed.select(cols)
+    assert f.exceptAll(c).isEmpty()
+    assert c.exceptAll(f).isEmpty()
+    assert f.count() == c.count() > 0
+
+
 def test_part_id_deterministic_and_bounded(spark, pages):
     ids = pages.select(part_id_col().alias("p")).distinct().collect()
     vals = {r["p"] for r in ids}
