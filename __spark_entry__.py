@@ -489,6 +489,23 @@ def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(alias_overlap_edges(catalog_df(spark)))
 
 
+def q_triples_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star stage 7 end-to-end: rule triples rewritten to the
+    canonical representative of each alias's connected component."""
+    from deepie_spark.operators.cc import canonicalize_triples
+
+    t = q_triples_rules(spark, sf_dir).select(
+        "subj", "pred", "obj", "doc_id", "pos1", "pos2"
+    )
+    cat = catalog_df(spark)
+    mapping = connected_components(alias_overlap_edges(cat))
+    out = canonicalize_triples(t, mapping, cat)
+    return out.select(
+        "subj", "pred", "obj", "subj_canon", "obj_canon",
+        "doc_id", "pos1", "pos2",
+    )
+
+
 def q_scorer_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 micro P/R/F1 over a deterministic pred/gold derivation."""
     d = _docs(spark, sf_dir).select(
@@ -618,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_dup": q_emb_cosine_dup,
         "ann_topk": q_ann_topk,
         "cc_components": q_cc_components,
+        "triples_canonical": q_triples_canonical,
         "scorer_prf": q_scorer_prf,
         "token_df_cutoff": q_token_df_cutoff,
         "semi_join": q_semi_join,
@@ -875,6 +893,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(node AS BIGINT) AS node,
                    CAST(least(node, min(r)) AS BIGINT) AS component
             FROM reach GROUP BY node
+        """,
+        "triples_canonical": f"""
+            WITH RECURSIVE
+            {_MENTIONS_SQL.strip()},
+            rules(type1, type2, label) AS (VALUES
+              {RULES_VALUES}
+            ),
+            pairs AS (
+              SELECT a.doc_id, a.pos AS pos1, b.pos AS pos2,
+                     a.alias AS alias1, b.alias AS alias2,
+                     a.entity_type AS type1, b.entity_type AS type2
+              FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id
+              WHERE a.pos < b.pos AND b.pos - a.pos <= 10
+            ),
+            triples AS (
+              SELECT
+                CASE WHEN label LIKE '%(e2,e1)' THEN alias2 ELSE alias1 END
+                  AS subj,
+                regexp_replace(label, '\\(e[12],e[21]\\)$', '') AS pred,
+                CASE WHEN label LIKE '%(e2,e1)' THEN alias1 ELSE alias2 END
+                  AS obj,
+                doc_id, pos1, pos2
+              FROM pairs JOIN rules USING (type1, type2)
+              WHERE label != 'NONE'
+            ),
+            ctok AS (SELECT entity_id,
+                            unnest(string_split(alias, ' ')) AS token
+                     FROM catalog),
+            cedges AS (SELECT a.entity_id AS src, b.entity_id AS dst
+                       FROM ctok a JOIN ctok b USING (token)
+                       WHERE a.entity_id < b.entity_id GROUP BY 1, 2),
+            cund AS (SELECT src, dst FROM cedges
+                     UNION SELECT dst, src FROM cedges),
+            creach(node, r) AS (
+              SELECT src, dst FROM cund
+              UNION
+              SELECT creach.node, u.dst FROM creach
+              JOIN cund u ON creach.r = u.src
+            ),
+            comp AS (SELECT node, least(node, min(r)) AS component
+                     FROM creach GROUP BY node),
+            rep AS (
+              SELECT c.alias AS alias, cc.alias AS canon
+              FROM catalog c
+              JOIN comp ON comp.node = c.entity_id
+              JOIN catalog cc ON cc.entity_id = comp.component
+            )
+            SELECT t.subj, t.pred, t.obj,
+                   coalesce(r1.canon, t.subj) AS subj_canon,
+                   coalesce(r2.canon, t.obj) AS obj_canon,
+                   t.doc_id, t.pos1, t.pos2
+            FROM triples t
+            LEFT JOIN rep r1 ON r1.alias = t.subj
+            LEFT JOIN rep r2 ON r2.alias = t.obj
         """,
         "scorer_prf": """
             WITH pg AS (

@@ -73,6 +73,77 @@ def test_streaming_windowed_agg_matches_batch(spark, events_dir, tmp_path):
     assert len(got) > 0
 
 
+def test_stateful_running_totals_match_batch(spark, events_dir, tmp_path):
+    """applyInPandasWithState running totals: the last update emitted per
+    key must equal the batch aggregate over the whole input."""
+    from deepie_spark.streaming.stateful import running_totals
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    q = (
+        running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tot"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode appends one row per key per touched batch; the final
+    # state is the row with the max n per key
+    rows = spark.sql(
+        "select key, max_by(total, n) as total, max(n) as n"
+        " from totals group by key"
+    ).collect()
+    got = {r["key"]: (r["n"], r["total"]) for r in rows}
+    want = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in spark.read.parquet(events_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 3).alias("total"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_stateful_first_seen_filter(spark, events_dir, tmp_path):
+    """Streaming exact dedup: each user_id emitted exactly once."""
+    from deepie_spark.streaming.stateful import first_seen_filter
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    q = (
+        first_seen_filter(stream)
+        .writeStream.format("memory")
+        .queryName("first_seen")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_fs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from first_seen").collect()
+    keys = [r["key"] for r in rows]
+    assert len(keys) == len(set(keys))  # exactly once per key
+    want_keys = {
+        r["user_id"]
+        for r in spark.read.parquet(events_dir).select("user_id").distinct().collect()
+    }
+    assert set(keys) == want_keys
+
+
 def test_streaming_incremental_processing(spark, events_dir, tmp_path):
     """AvailableNow with maxFilesPerTrigger actually ran >1 micro-batch
     (i.e. the agg was computed incrementally, not as one batch)."""
