@@ -1,0 +1,61 @@
+"""Corpus statistics operators (A3/A4/A5/A7, P5) on the fixture corpus,
+cross-checked against sequential pure-python counts.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepie_spark.operators.stats import (
+    corpus_counts,
+    distance_filter,
+    distance_histogram,
+    global_max_stats,
+    max_binary_feature_len,
+)
+from deepie_spark.sources.tsv_corpus import parse_line, read_corpus
+from tests.conftest import REFERENCE_DATA
+from tests.test_parser import all_lines
+
+
+@pytest.fixture(scope="module")
+def mentions(spark):
+    return read_corpus(spark, REFERENCE_DATA).cache()
+
+
+@pytest.fixture(scope="module")
+def recs():
+    return [parse_line(c, l) for c, _, l in all_lines()]
+
+
+def test_corpus_counts(mentions):
+    got = {r["corpus"]: r["n_instances"] for r in corpus_counts(mentions).collect()}
+    assert len(got) == 15
+    assert all(v == 10 for v in got.values())
+
+
+def test_global_max_stats(mentions, recs):
+    row = global_max_stats(mentions).collect()[0]
+    assert row["max_sentence_len"] == max(len(r["tokens"]) for r in recs)
+    assert row["max_distance"] == max(abs(r["pos2"] - r["pos1"]) for r in recs)
+    assert row["max_dep_len"] == max(len(r["dep_tokens"]) for r in recs)
+
+
+def test_distance_histogram(mentions, recs):
+    from collections import Counter
+
+    want = Counter(abs(r["pos2"] - r["pos1"]) for r in recs)
+    got = {r["distance"]: r["n"] for r in distance_histogram(mentions).collect()}
+    assert got == dict(want)
+
+
+def test_max_binary_feature_len(mentions, recs):
+    row = max_binary_feature_len(mentions).collect()[0]
+    assert row["max_bin_feats"] == max(len(r["bin_feats"]) for r in recs)
+
+
+def test_distance_filter(mentions, recs):
+    d = 5
+    want = sum(1 for r in recs if abs(r["pos2"] - r["pos1"]) <= d)
+    assert distance_filter(mentions, d).count() == want
+    # default bound (1e8) is effectively disabled, like the reference
+    assert distance_filter(mentions).count() == len(recs)
