@@ -435,6 +435,37 @@ def q_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way join: revenue by region/nation for 1996,
+    local-supplier orders only — exercises multi-way broadcast joins
+    over every dimension table."""
+    rd = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
+    region, nation = rd("region"), rd("nation")
+    customer, orders, lineitem, supplier = (
+        rd("customer"), rd("orders"), rd("lineitem"), rd("supplier")
+    )
+    o = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    j = (
+        lineitem.join(o, lineitem.l_orderkey == o.o_orderkey)
+        .join(customer, o.o_custkey == customer.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return j.groupBy("r_name", "n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window metrics (batch form of the streaming agg)."""
     e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -629,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_cust": q_top_orders_per_cust,
         "cust_no_orders": q_cust_no_orders,
         "events_hourly": q_events_hourly,
+        "regional_revenue": q_regional_revenue,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -804,6 +836,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(value), 3) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "regional_revenue": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+              AND c_nationkey = s_nationkey
+            GROUP BY r_name, n_name
         """,
         "ngram_jaccard": f"""
             WITH {_DOCS_DUPS_SQL.strip()},
