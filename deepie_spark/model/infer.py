@@ -319,18 +319,20 @@ def classify_type_pairs(
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         v = bc.value
+        labels = np.array(v["labels"])
+        # one-feature-per-row special case of M18: logits = W[fid] + b,
+        # fully vectorized (no per-row python) — general sparse rows go
+        # through sparse_loglinear_logits
         for pdf in batches:
-            recs = [
-                {"bin_feats": [f"{t1}@{t2}"]}
-                for t1, t2 in zip(pdf["type1"], pdf["type2"])
-            ]
-            rows = binary_feature_rows(recs, v["fid"], 1)
-            p = softmax(
-                sparse_loglinear_logits(rows, v["W"], v["b"]), axis=1
-            )
+            keys = (pdf["type1"] + "@" + pdf["type2"]).map(v["fid"])
+            fids = keys.to_numpy(dtype=np.int64, na_value=-1)
+            logits = np.where(
+                (fids >= 0)[:, None], v["W"][fids], 0.0
+            ) + v["b"]
+            p = softmax(logits, axis=1)
             ids = p.argmax(axis=1)
             yield pdf.assign(
-                label=[v["labels"][i] for i in ids],
+                label=labels[ids],
                 prob=p[np.arange(len(ids)), ids],
             )
 

@@ -1,0 +1,80 @@
+"""Physical-plan regression guards: the properties the engine's
+scale story depends on (broadcast joins, parquet pushdown, column
+pruning, codegen) are asserted on the executed plans, so a refactor
+that silently degrades a plan fails CI.
+"""
+
+import os
+
+import pytest
+
+import __spark_entry__ as entry
+
+
+def executed(df) -> str:
+    # AQE finalizes the physical plan (incl. WholeStageCodegen spans)
+    # only at execution time — run the query before reading the plan
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tpch_pricing_pushdown_and_pruning(spark, sf_dir):
+    plan = executed(entry.q_tpch_pricing(spark, sf_dir))
+    scan = plan.split("FileScan")[1]
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in scan
+    read_schema = scan.split("ReadSchema:")[1]
+    # only the 6 referenced columns are read
+    assert "l_comment" not in read_schema
+    assert "l_orderkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_catalog_joins_are_broadcast(spark, sf_dir):
+    plan = executed(entry.q_triples_rules(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the rules build side must never become a shuffle join
+    assert plan.count("BroadcastExchange") >= 2  # catalog + rules
+
+
+def test_regional_revenue_broadcasts_dimensions(spark, sf_dir):
+    plan = executed(entry.q_regional_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pipeline_has_no_shuffle_before_sink(spark, sf_dir):
+    """The fused flagship plan: one input rebalance at most, then
+    narrow stages only — no Exchange between mention detection and the
+    triple projection."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    from deepie_spark.datagen.pages import pages_from_documents
+    from deepie_spark.plans.pipeline import extract_triples
+
+    plan = executed(
+        extract_triples(spark, pages_from_documents(docs).repartition(8))
+    )
+    # the only exchange is the explicit input rebalance; the planner
+    # introduces NO shuffle of its own anywhere in the pipeline (the
+    # AQE plan string repeats the tree as "Initial Plan", so compare
+    # counts rather than absolutes)
+    assert "ENSURE_REQUIREMENTS" not in plan
+    assert plan.count("Exchange") == plan.count("REPARTITION_BY_NUM") > 0
+    assert "MapInPandas" in plan
+    assert "Join" not in plan  # fused rule lookup, no join operator
+
+
+def test_whole_stage_codegen_on_scan_side(spark, sf_dir):
+    # aggregation path runs inside whole-stage codegen ('*(n)' spans)
+    agg_plan = executed(entry.q_tpch_pricing(spark, sf_dir))
+    assert "*(" in agg_plan
+    # text analysis stays JVM-side: pure column expressions, zero python
+    qs_plan = executed(entry.q_quality_scores(spark, sf_dir))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in qs_plan
+    assert qs_plan.strip().startswith("Project")  # scan + project only
+
+
+def test_semi_and_anti_joins_planned(spark, sf_dir):
+    semi = executed(entry.q_semi_join(spark, sf_dir))
+    assert "LeftSemi" in semi
+    anti = executed(entry.q_cust_no_orders(spark, sf_dir))
+    assert "LeftAnti" in anti

@@ -144,6 +144,40 @@ def test_stateful_first_seen_filter(spark, events_dir, tmp_path):
     assert set(keys) == want_keys
 
 
+def test_streaming_pipeline_matches_batch(spark, sf_dir, tmp_path):
+    """Continuous-ingest flagship path: pages as a multi-file stream
+    through foreachBatch produce exactly the batch pipeline's triples,
+    plus lineage manifest rows per micro-batch."""
+    from deepie_spark.datagen.pages import pages_from_documents
+    from deepie_spark.plans.pipeline import extract_triples
+    from deepie_spark.streaming.pipeline_stream import stream_triples
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pages = pages_from_documents(docs)
+    pages_dir = str(tmp_path / "pages_stream")
+    pages.repartition(4).write.parquet(pages_dir)
+
+    out = str(tmp_path / "triples")
+    manifest = str(tmp_path / "manifest")
+    q = stream_triples(
+        spark,
+        pages_dir,
+        out,
+        manifest,
+        str(tmp_path / "ckpt_pipe"),
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination(180)
+
+    want = extract_triples(spark, pages).count()
+    got = spark.read.parquet(out).count()
+    assert got == want > 0
+    m = spark.read.parquet(manifest)
+    stages = {r["stage"] for r in m.select("stage").distinct().collect()}
+    assert len(stages) >= 2  # multiple micro-batches left lineage rows
+    assert m.agg(F.sum("n_triples")).collect()[0][0] == want
+
+
 def test_streaming_incremental_processing(spark, events_dir, tmp_path):
     """AvailableNow with maxFilesPerTrigger actually ran >1 micro-batch
     (i.e. the agg was computed incrementally, not as one batch)."""
