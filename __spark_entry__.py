@@ -466,6 +466,41 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_brand_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-dimension rollup joined to lineitem demand: per brand,
+    distinct parts, average size, and total quantity ordered."""
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    demand = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    j = part.join(
+        demand, part.p_partkey == demand.l_partkey, "left"
+    ).withColumn("qty", F.coalesce(F.col("qty"), F.lit(0.0)))
+    return j.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.avg("p_size"), 4).alias("avg_size"),
+        F.round(F.sum("qty"), 2).alias("total_qty"),
+    )
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector aggregation at scale: per-cluster-label centroid of the
+    embedding column in flat (label, dim, mean) form — posexplode +
+    hash aggregate, the shape that survives 10^9-vector tables."""
+    emb = _emb(spark, sf_dir)
+    flat = emb.select(
+        "label",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("dim", "v"),
+    )
+    return flat.groupBy("label", "dim").agg(
+        F.round(F.avg("v"), 6).alias("centroid_v"),
+        F.count("*").alias("n"),
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window metrics (batch form of the streaming agg)."""
     e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -661,6 +696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cust_no_orders": q_cust_no_orders,
         "events_hourly": q_events_hourly,
         "regional_revenue": q_regional_revenue,
+        "brand_part_stats": q_brand_part_stats,
+        "label_centroids": q_label_centroids,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -852,6 +889,28 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
               AND c_nationkey = s_nationkey
             GROUP BY r_name, n_name
+        """,
+        "brand_part_stats": """
+            WITH demand AS (
+              SELECT l_partkey, sum(l_quantity) AS qty
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT p_brand, count(*) AS n_parts,
+                   round(avg(p_size), 4) AS avg_size,
+                   round(sum(coalesce(qty, 0.0)), 2) AS total_qty
+            FROM part LEFT JOIN demand ON p_partkey = l_partkey
+            GROUP BY p_brand
+        """,
+        "label_centroids": """
+            SELECT label, i AS dim,
+                   round(avg(v), 6) AS centroid_v, count(*) AS n
+            FROM (
+              SELECT label, i, CAST(embedding[i + 1] AS DOUBLE) AS v
+              FROM (SELECT label, embedding,
+                           unnest(range(len(embedding))) AS i
+                    FROM embeddings)
+            )
+            GROUP BY label, i
         """,
         "ngram_jaccard": f"""
             WITH {_DOCS_DUPS_SQL.strip()},
