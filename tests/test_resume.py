@@ -54,6 +54,29 @@ def test_write_then_resume_skips_everything(spark, pages, tmp_path):
     assert len(subdirs) == n_parts_written
 
 
+def test_iceberg_sink_gating_and_fallback(spark, pages, tmp_path):
+    """No Iceberg jar in this container: the probe must say so, the
+    fallback must produce the parquet+manifest layout, and the missing-
+    fallback misuse must be loud."""
+    from deepie_spark.plans.iceberg_sink import (
+        iceberg_available,
+        write_triples_table,
+    )
+
+    assert iceberg_available(spark) is False
+    triples = extract_triples(spark, pages.drop("part_id"))
+    out = str(tmp_path / "ice_fallback")
+    manifest = str(tmp_path / "ice_manifest")
+    res = write_triples_table(
+        spark, triples, "kg.triples", fallback_dir=out,
+        fallback_manifest=manifest,
+    )
+    assert res["sink"] == "parquet"
+    assert res["n_triples"] == spark.read.parquet(out).count() > 0
+    with pytest.raises(ValueError, match="Iceberg"):
+        write_triples_table(spark, triples, "kg.triples")
+
+
 def test_partial_resume_processes_only_pending(spark, pages, tmp_path):
     out = str(tmp_path / "triples")
     manifest = str(tmp_path / "manifest")
