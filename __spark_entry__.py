@@ -501,6 +501,81 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (self form): for every event, the timestamp of the
+    same user's most recent signup at-or-before it — a running windowed
+    max, the shuffle-once shape that replaces a per-row point lookup.
+    Spark lacks a native ASOF JOIN; the ordered-window formulation is
+    the idiomatic equivalent and keeps whole-stage codegen."""
+    e = _events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sign_ts = F.when(F.col("event_type") == "signup", F.col("ts"))
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.max(sign_ts).over(w).alias("last_signup_ts"),
+    )
+
+
+def q_error_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events of the same user in the 10 minutes before each
+    error event.  The inequality band bounds the join fan-out; at scale
+    the equi-key (user_id) carries the shuffle and the band is evaluated
+    within the partition (skewed hot users would take salting on top)."""
+    e = _events(spark, sf_dir)
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id"),
+        F.col("ts").alias("err_ts"),
+    )
+    joined = err.join(e, "user_id").filter(
+        (F.col("ts") >= F.col("err_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("ts") < F.col("err_ts"))
+    )
+    return joined.groupBy("error_id").agg(
+        F.count("*").alias("n_preceding"),
+        F.round(F.sum("value"), 3).alias("sum_value"),
+    )
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after a >30-minute
+    silence; per user, session count and longest session (events).
+    lag + conditional cumsum — one shuffle on user_id, no UDF."""
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; session tz is UTC so the ts cast is identity
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > 1800), F.lit(1)
+    ).otherwise(F.lit(0))
+    sessions = e.select(
+        "user_id", "ts", "event_id", new_session.alias("is_new")
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").alias("longest_session"),
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window metrics (batch form of the streaming agg)."""
     e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -695,6 +770,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_cust": q_top_orders_per_cust,
         "cust_no_orders": q_cust_no_orders,
         "events_hourly": q_events_hourly,
+        "asof_last_signup": q_asof_last_signup,
+        "error_window_events": q_error_window_events,
+        "user_sessions": q_user_sessions,
         "regional_revenue": q_regional_revenue,
         "brand_part_stats": q_brand_part_stats,
         "label_centroids": q_label_centroids,
@@ -873,6 +951,51 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(value), 3) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "asof_last_signup": """
+            SELECT event_id, user_id, ts,
+                   max(CASE WHEN event_type = 'signup' THEN ts END)
+                     OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS last_signup_ts
+            FROM events
+        """,
+        "error_window_events": """
+            WITH err AS (
+              SELECT event_id AS error_id, user_id, ts AS err_ts
+              FROM events WHERE event_type = 'error'
+            )
+            SELECT error_id, count(*) AS n_preceding,
+                   round(sum(e.value), 3) AS sum_value
+            FROM err JOIN events e USING (user_id)
+            WHERE e.ts >= err.err_ts - INTERVAL 10 MINUTE
+              AND e.ts < err.err_ts
+            GROUP BY error_id
+        """,
+        "user_sessions": """
+            WITH marked AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR CAST(floor(epoch(ts)) AS BIGINT)
+                               - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                               > 1800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+              SELECT user_id,
+                     sum(is_new) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM marked
+            ),
+            per_session AS (
+              SELECT user_id, session_id, count(*) AS n_events
+              FROM sess GROUP BY user_id, session_id
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   max(n_events) AS longest_session
+            FROM per_session GROUP BY user_id
         """,
         "regional_revenue": """
             SELECT r_name, n_name,
