@@ -505,6 +505,19 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
 
+def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column surface: extract props.k (semi-structured payload),
+    aggregate per event_type — get_json_object stays JVM-side and the
+    extraction prunes to the two referenced columns."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return e.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
 def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (self form): for every event, the timestamp of the
     same user's most recent signup at-or-before it — a running windowed
@@ -704,23 +717,52 @@ def q_pipeline_triples_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-inference pipeline path: the trained log-linear expert
     (M18, broadcast weights, mapInPandas) replaces the rule join; the
     expert provably internalizes the rule table, so the relational
-    DuckDB oracle still applies — a hash-checked model-inference gate."""
-    m = _mentions_single(spark, sf_dir)
-    a = m.select(
-        "doc_id",
-        F.col("pos").alias("pos1"),
-        F.col("alias").alias("alias1"),
-        F.col("entity_type").alias("type1"),
+    DuckDB oracle still applies — a hash-checked model-inference gate.
+
+    Plan shape: single-token trie mentions (mapInPandas, no join) →
+    in-row pair structs (no shuffle) → explode → batched classify —
+    the scale path; the relational self-join twin exists under
+    pair_distance_hist / triples_rules."""
+    from deepie_spark.datagen.catalog import ENTITY_CATALOG, build_alias_trie
+    from deepie_spark.operators.mentions import detect_mentions
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "text"
     )
-    b = m.select(
-        "doc_id",
-        F.col("pos").alias("pos2"),
-        F.col("alias").alias("alias2"),
-        F.col("entity_type").alias("type2"),
+    single_cat = [e for e in ENTITY_CATALOG if " " not in e[1]]
+    mentions = detect_mentions(docs, build_alias_trie(single_cat))
+    m = F.col("mentions")
+    pair_structs = F.flatten(
+        F.transform(
+            m,
+            lambda a: F.transform(
+                F.filter(
+                    m,
+                    lambda b: (a["pos"] < b["pos"])
+                    & ((b["pos"] - a["pos"]) <= 10),
+                ),
+                lambda b: F.struct(
+                    a["pos"].alias("pos1"),
+                    b["pos"].alias("pos2"),
+                    a["alias"].alias("alias1"),
+                    b["alias"].alias("alias2"),
+                    a["entity_type"].alias("type1"),
+                    b["entity_type"].alias("type2"),
+                ),
+            ),
+        )
     )
-    pairs = a.join(b, "doc_id").filter(
-        (F.col("pos1") < F.col("pos2"))
-        & (F.col("pos2") - F.col("pos1") <= 10)
+    pairs = mentions.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.explode(pair_structs).alias("p"),
+    ).select(
+        "doc_id",
+        F.col("p.pos1").cast("long").alias("pos1"),
+        F.col("p.pos2").cast("long").alias("pos2"),
+        F.col("p.alias1").alias("alias1"),
+        F.col("p.alias2").alias("alias2"),
+        F.col("p.type1").alias("type1"),
+        F.col("p.type2").alias("type2"),
     )
     weights, labels, fid = _type_pair_expert()
     c = classify_type_pairs(pairs, weights, labels, fid).filter(
@@ -770,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_cust": q_top_orders_per_cust,
         "cust_no_orders": q_cust_no_orders,
         "events_hourly": q_events_hourly,
+        "props_json_stats": q_props_json_stats,
         "asof_last_signup": q_asof_last_signup,
         "error_window_events": q_error_window_events,
         "user_sessions": q_user_sessions,
@@ -951,6 +994,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(value), 3) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "props_json_stats": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(props ->> '$.k' AS BIGINT)) AS sum_k,
+                   max(CAST(props ->> '$.k' AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
         """,
         "asof_last_signup": """
             SELECT event_id, user_id, ts,
