@@ -505,6 +505,40 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
 
+#: ambiguous-alias catalog for the linking query: same surface form,
+#: several candidate entities with priors + context cue tokens.
+AMBIG_CATALOG = [
+    (101, "table", "FAC", 0.6, ["scan", "rows"]),
+    (102, "table", "ORG", 0.5, ["group", "join"]),
+    (103, "spark", "ORG", 0.9, ["query", "data"]),
+    (104, "spark", "PER", 0.3, ["customer"]),
+    (105, "window", "FAC", 0.7, ["stream"]),
+]
+
+AMBIG_VALUES = ",\n    ".join(
+    f"({eid}, '{alias}', '{etype}', {prior}, "
+    + "[" + ", ".join(f"'{c}'" for c in cues) + "])"
+    for eid, alias, etype, prior, cues in AMBIG_CATALOG
+)
+
+
+def q_entity_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star entity-link scoring: disambiguate ambiguous aliases by
+    prior + context-cue affinity, argmax per occurrence."""
+    from deepie_spark.operators.linking import link_mentions
+
+    t = _toks(spark, sf_dir)
+    occ = t.select(
+        "doc_id", "toks", F.posexplode("toks").alias("pos", "token")
+    ).withColumn("pos", F.col("pos").cast("long"))
+    cat = spark.createDataFrame(
+        AMBIG_CATALOG,
+        "entity_id long, alias string, entity_type string,"
+        " prior double, cues array<string>",
+    )
+    return link_mentions(occ, cat, window=3, prior_weight=0.5)
+
+
 def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON column surface: extract props.k (semi-structured payload),
     aggregate per event_type — get_json_object stays JVM-side and the
@@ -812,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_cust": q_top_orders_per_cust,
         "cust_no_orders": q_cust_no_orders,
         "events_hourly": q_events_hourly,
+        "entity_linking": q_entity_linking,
         "props_json_stats": q_props_json_stats,
         "asof_last_signup": q_asof_last_signup,
         "error_window_events": q_error_window_events,
@@ -994,6 +1029,33 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(value), 3) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "entity_linking": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+            occ AS (
+              SELECT doc_id, toks, CAST(i AS BIGINT) AS pos,
+                     toks[i + 1] AS token
+              FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i
+                    FROM t)
+            ),
+            amb(entity_id, alias, entity_type, prior, cues) AS (VALUES
+              {AMBIG_VALUES}
+            ),
+            cand AS (
+              SELECT doc_id, pos, alias, entity_id, entity_type,
+                round(0.5 * prior + 0.5 * (
+                  CASE WHEN len(cues) > 0 THEN
+                    CAST(len(list_intersect(list_distinct(
+                      list_slice(toks, greatest(pos - 2, 1),
+                                 greatest(pos - 2, 1) + 6)), cues))
+                         AS DOUBLE) / len(cues)
+                  ELSE 0.0 END), 6) AS score
+              FROM occ JOIN amb ON occ.token = amb.alias
+            )
+            SELECT doc_id, pos, alias, entity_id, entity_type, score
+            FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, pos
+                    ORDER BY score DESC, entity_id) AS rk FROM cand)
+            WHERE rk = 1
         """,
         "props_json_stats": """
             SELECT event_type, count(*) AS n,

@@ -1,0 +1,82 @@
+"""Entity-link disambiguation tests: prior vs context-affinity tradeoff
+and deterministic tie-breaking.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepie_spark.operators.linking import link_mentions
+
+
+@pytest.fixture(scope="module")
+def catalog(spark):
+    return spark.createDataFrame(
+        [
+            (1, "bank", "ORG", 0.7, ["money", "loan"]),
+            (2, "bank", "LOC", 0.3, ["river", "water"]),
+            (3, "apple", "ORG", 0.6, ["iphone"]),
+        ],
+        "entity_id long, alias string, entity_type string, prior double,"
+        " cues array<string>",
+    )
+
+
+def occ_from_texts(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t.split()) for i, t in enumerate(texts)],
+        "doc_id long, toks array<string>",
+    )
+    return df.select(
+        "doc_id", "toks", F.posexplode("toks").alias("pos", "token")
+    ).withColumn("pos", F.col("pos").cast("long"))
+
+
+def links(spark, catalog, texts):
+    occ = occ_from_texts(spark, texts)
+    return {
+        (r["doc_id"], r["pos"]): (r["entity_id"], r["entity_type"], r["score"])
+        for r in link_mentions(occ, catalog).collect()
+    }
+
+
+def test_prior_wins_without_context(spark, catalog):
+    got = links(spark, catalog, ["the bank opened today"])
+    eid, etype, _ = got[(0, 1)]
+    assert (eid, etype) == (1, "ORG")  # higher prior, no cues present
+
+
+def test_context_overrides_prior(spark, catalog):
+    got = links(spark, catalog, ["the river bank water was cold"])
+    eid, etype, score = got[(0, 2)]
+    # LOC: 0.5*0.3 + 0.5*(2/2) = 0.65 > ORG: 0.5*0.7 = 0.35
+    assert (eid, etype) == (2, "LOC")
+    assert score == pytest.approx(0.65)
+
+
+def test_context_window_bounds(spark, catalog):
+    # cue outside the +-3 window must not count
+    got = links(
+        spark, catalog, ["river x1 x2 x3 x4 bank money near here"]
+    )
+    eid, etype, _ = got[(0, 5)]
+    # 'river' at distance 5 is outside; 'money' at +1 is inside → ORG
+    assert (eid, etype) == (1, "ORG")
+
+
+def test_unambiguous_and_unmatched(spark, catalog):
+    got = links(spark, catalog, ["apple pie with no match"])
+    assert got[(0, 0)][0] == 3
+    assert len(got) == 1  # only catalog aliases link
+
+
+def test_deterministic_tiebreak(spark):
+    cat = spark.createDataFrame(
+        [
+            (9, "x", "A", 0.5, ["q"]),
+            (4, "x", "B", 0.5, ["q"]),
+        ],
+        "entity_id long, alias string, entity_type string, prior double,"
+        " cues array<string>",
+    )
+    got = links(spark, cat, ["x alone"])
+    assert got[(0, 0)][0] == 4  # equal scores → min entity_id
