@@ -2,8 +2,14 @@ import os
 import sys
 
 import pytest
+from hypothesis import settings
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# deterministic property tests in the driver's CI gate: same examples
+# every run, no per-test deadline (Spark JIT warmup would trip it)
+settings.register_profile("ci", derandomize=True, deadline=None)
+settings.load_profile("ci")
 
 from deepie_spark.session import get_spark  # noqa: E402
 
