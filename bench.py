@@ -73,6 +73,33 @@ def run_bench(sf_dir: str, cores: int) -> dict:
     total = round(sum(per_query.values()), 3)
     pipeline_sec = per_query.get("pipeline_triples", float("nan"))
     n_triples = counts.get("pipeline_triples", 0)
+
+    # sustained throughput: the sf0.1 corpus runs in ~1 s, so the
+    # per-query number above is fixed-overhead-dominated; replicate the
+    # corpus 40x (distinct urls) so compute dominates — this is the
+    # number comparable to BASELINE.md / SCALING.json
+    from pyspark.sql import functions as F
+    from deepie_spark.datagen.pages import pages_from_documents
+    from deepie_spark.plans.pipeline import extract_triples
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).repartition(cores)
+    reps = spark.range(40).select(F.col("id").alias("rep"))
+    big = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    pages = pages_from_documents(big)
+    sustained_triples = extract_triples(spark, pages).count()  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        extract_triples(spark, pages).count()
+        best = min(best, time.time() - t0)
+    sustained_tps = round(sustained_triples / best, 1)
+    log(f"sustained: {sustained_triples} triples in {best:.2f}s "
+        f"= {sustained_tps}/s")
     result = {
         "metric": "headline_queries_total",
         "value": total,
@@ -85,6 +112,10 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "triples_per_sec": round(n_triples / pipeline_sec, 1)
         if pipeline_sec and pipeline_sec > 0
         else None,
+        "sustained_corpus_docs": 40 * counts.get("doc_fingerprint", 0),
+        "sustained_triples": sustained_triples,
+        "sustained_sec": round(best, 3),
+        "sustained_triples_per_sec": sustained_tps,
     }
     spark.stop()
     return result
