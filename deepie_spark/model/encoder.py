@@ -91,7 +91,9 @@ def encode_record(
     iidep = np.array([1 if j in dep_set else 0 for j in range(n)], np.int32)
     indep = iidep + 1
 
-    n_deprel = len(dicts["deprel"]) + 1  # ids start at 1 ('Other'=1)
+    # multi-hot width = numDeprel = deprel table rows - 1 = len(dict):
+    # ids 1..len map to columns 0..len-1 (graFet[gid-1], rnnRE.py:83-85)
+    n_deprel = len(dicts["deprel"])
     grammar = np.zeros((m_len, n_deprel), dtype=np.float32)
     for j, gs in enumerate(rec["grammar"]):
         for g in gs:

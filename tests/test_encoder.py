@@ -98,14 +98,14 @@ def test_dep_path_indicators(enc):
 
 
 def test_grammar_multihot(enc):
-    # deprel ids 1..3 → id-1 indexed columns, len(dict)+1 wide (the last
-    # column mirrors the reference's table sizing and stays zero)
+    # deprel ids 1..3 → id-1 indexed columns, len(dict) wide (the
+    # reference's numDeprel = table rows - 1, rnnRE.py:51,83-85)
     g = enc["grammar"]
-    assert g.shape == (M_LEN, 4)
-    assert g[0].tolist() == [0.0, 0.0, 1.0, 0.0]  # det (id 3)
-    assert g[1].tolist() == [0.0, 1.0, 1.0, 0.0]  # nsubj + det
-    assert g[2].tolist() == [1.0, 0.0, 0.0, 0.0]  # Other (id 1)
-    assert g[3].tolist() == [0.0, 1.0, 0.0, 0.0]  # nsubj
+    assert g.shape == (M_LEN, 3)
+    assert g[0].tolist() == [0.0, 0.0, 1.0]  # det (id 3)
+    assert g[1].tolist() == [0.0, 1.0, 1.0]  # nsubj + det
+    assert g[2].tolist() == [1.0, 0.0, 0.0]  # Other (id 1)
+    assert g[3].tolist() == [0.0, 1.0, 0.0]  # nsubj
     assert not g[4:].any()
 
 
@@ -135,7 +135,7 @@ def test_encode_batch_stacks():
     recs = [tiny_record(), tiny_record()]
     b = encode_batch(recs, DICTS, M_LEN, NUM_POS)
     assert b["word"].shape == (2, M_LEN)
-    assert b["grammar"].shape == (2, M_LEN, 4)
+    assert b["grammar"].shape == (2, M_LEN, 3)
     assert (b["word"][0] == b["word"][1]).all()
 
 
