@@ -122,6 +122,91 @@ def encode_record(
     }
 
 
+def encode_dep_record(
+    rec: dict,
+    dicts: dict[str, dict[str, int]],
+    m_dep_len: int,
+    num_dep_position: int,
+    order_override: int = 0,
+) -> dict[str, np.ndarray]:
+    """F2: the same channel family over the dependency path
+    (dep_generatePartialDataInstance rnnRE.py:212-372).
+
+    The sequence is the dep-path tokens; token-aligned features are
+    gathered through ``dep_idx`` (retrieveDepFeatures
+    rnn_process_onlyExtra.py:474-489), head positions are the path ends
+    (dep_pos1=0, dep_pos2=len-1, :489).  Reference quirks reproduced
+    exactly: the scalar ``indep`` channel is 0 at every path position
+    (rnnRE.py:269-271) and ``iidep`` is 1 everywhere on the path.
+    """
+    dep = rec["dep_idx"]
+    words = [norm(w) for w in rec["dep_tokens"]]
+    govs = [norm(rec["governors"][i]) for i in dep]
+    n = len(words)
+    if n > m_dep_len:
+        raise ValueError("dep path longer than mDepLen")
+    wd = dicts["word"]
+    try:
+        x = [wd[w] for w in words]
+        gov = [wd[g] for g in govs]
+    except KeyError as e:  # rnnRE.py:336-338 'unrecognized dep features'
+        raise KeyError(f"unrecognized dep word {e}") from e
+    cons1 = [dicts["constit"][rec["cons1"][i]] for i in dep]
+    cons2 = [dicts["constit"][rec["cons2"][i]] for i in dep]
+    preter = [dicts["preter"][rec["preter"][i]] for i in dep]
+    prepreter = [dicts["prepreter"][rec["prepreter"][i]] for i in dep]
+    ty1 = dicts["type"][rec["type1"]]
+    ty2 = dicts["type"][rec["type2"]]
+    sty1 = dicts["subtype"][rec["subtype1"]]
+    sty2 = dicts["subtype"][rec["subtype2"]]
+    pos1, pos2 = 0, n - 1
+    order_id = order_override
+
+    center = num_dep_position // 2
+    i = np.arange(n)
+    dist1 = center + i - pos1 + 1
+    dist2 = center + i - pos2 + 1
+
+    type_ch = np.ones(n, dtype=np.int32)
+    subtype_ch = np.ones(n, dtype=np.int32)
+    order_ch = np.full(n, 3, dtype=np.int32)
+    # pos2 first, pos1 second: pos1 wins on a length-1 path (if/elif)
+    type_ch[pos2], subtype_ch[pos2] = ty2, sty2
+    order_ch[pos2] = 2 - order_id
+    type_ch[pos1], subtype_ch[pos1] = ty1, sty1
+    order_ch[pos1] = order_id + 1
+
+    n_deprel = len(dicts["deprel"])
+    grammar = np.zeros((m_dep_len, n_deprel), dtype=np.float32)
+    for j, src in enumerate(dep):
+        for g in rec["grammar"][src]:
+            grammar[j, dicts["deprel"][g] - 1] = 1.0
+
+    def pad(a):
+        out = np.zeros(m_dep_len, dtype=np.int32)
+        out[:n] = a
+        return out
+
+    iidep = np.zeros(m_dep_len, dtype=np.float32)
+    iidep[:n] = 1.0
+    return {
+        "word": pad(x),
+        "gov": pad(gov),
+        "dist1": pad(dist1),
+        "dist2": pad(dist2),
+        "type": pad(type_ch),
+        "subtype": pad(subtype_ch),
+        "order": pad(order_ch),
+        "constit1": pad(cons1),
+        "constit2": pad(cons2),
+        "preter": pad(preter),
+        "prepreter": pad(prepreter),
+        "indep": np.zeros(m_dep_len, dtype=np.int32),  # rnnRE.py:269-271
+        "iidep": iidep,
+        "grammar": grammar,
+    }
+
+
 def encode_batch(
     records: list[dict],
     dicts: dict[str, dict[str, int]],

@@ -262,6 +262,13 @@ def binary_feature_dictionary(
 
     Counted over training rows only; features below the cutoff are
     dropped; surviving features get first-encounter ids from 0.
+
+    Documented deviation: the reference assigns ids by iterating its
+    Python-2 ``defaultdict`` counter (rnnRE.py:462-464) — dict-HASH
+    order, unspecified and build-dependent.  First-encounter order is
+    the only reproducible choice; id *values* therefore differ from any
+    particular reference run, which is irrelevant downstream (ids only
+    index weight rows trained against the same dictionary).
     """
     df = mentions
     if train_corpora:

@@ -154,6 +154,70 @@ def test_binary_feature_rows_layout():
     assert rows[1].tolist() == [0, -1, -1, -1, -1]
 
 
+def test_dep_encoder_channels():
+    """F2 hand-check: path [1,2,3] of tiny_record; heads at ends;
+    gathered features; indep scalar 0 / iidep 1 quirks."""
+    from deepie_spark.model.encoder import encode_dep_record
+
+    rec = tiny_record()
+    rec["dep_tokens"] = ["cat", "sat_on", "mat"]
+    e = encode_dep_record(rec, DICTS, 5, 8)  # center = 4
+    assert e["word"].tolist() == [2, 3, 4, 0, 0]
+    # governors gathered via dep_idx [1,2,3]
+    assert e["gov"].tolist() == [3, 3, 3, 0, 0]
+    # dep_pos1 = 0, dep_pos2 = 2: dist = 4 + i - pos + 1
+    assert e["dist1"].tolist() == [5, 6, 7, 0, 0]
+    assert e["dist2"].tolist() == [3, 4, 5, 0, 0]
+    assert e["type"].tolist() == [2, 1, 3, 0, 0]      # heads at ends
+    assert e["order"].tolist() == [1, 3, 2, 0, 0]
+    assert e["constit1"].tolist() == [2, 3, 2, 0, 0]  # gathered cons1
+    assert e["preter"].tolist() == [3, 1, 3, 0, 0]
+    # reference quirks: indep scalar 0 everywhere, iidep 1 on path
+    assert not e["indep"].any()
+    assert e["iidep"].tolist() == [1.0, 1.0, 1.0, 0.0, 0.0]
+    g = e["grammar"]
+    assert g[0].tolist() == [0.0, 1.0, 1.0]  # grammar[1] = nsubj+det
+    assert g[1].tolist() == [1.0, 0.0, 0.0]  # grammar[2] = Other
+    assert not g[3:].any()
+
+
+def test_dep_encoder_single_token_path():
+    from deepie_spark.model.encoder import encode_dep_record
+
+    rec = tiny_record()
+    rec["pos1"] = rec["pos2"] = 1
+    rec["dep_idx"] = [1]
+    rec["dep_tokens"] = ["cat"]
+    e = encode_dep_record(rec, DICTS, 3, 4)
+    # length-1 path: pos1 == pos2 == 0 → pos1 wins (if/elif)
+    assert e["type"][0] == DICTS["type"]["PER"]
+    assert e["order"][0] == 1
+
+
+def test_dep_encoder_on_all_fixtures():
+    from deepie_spark.model.encoder import encode_dep_record
+    from tests.test_dictionary import SEEDS, record_streams
+
+    recs = [parse_line(c, l) for c, _, l in all_lines()]
+    dicts = {k: dict(seed) for k, (seed, _) in SEEDS.items()}
+    nxt = {k: start for k, (_, start) in SEEDS.items()}
+    for rec in recs:
+        for name, streams in record_streams(rec).items():
+            for stream in streams:
+                for v in stream:
+                    if v not in dicts[name]:
+                        dicts[name][v] = nxt[name]
+                        nxt[name] += 1
+    m_dep = max(len(r["dep_tokens"]) for r in recs)
+    for r in recs:
+        e = encode_dep_record(r, dicts, m_dep, 2 * m_dep)
+        n = len(r["dep_tokens"])
+        assert (e["word"][:n] > 0).all()
+        assert e["type"][0] == dicts["type"][r["type1"]] or n == 1
+        if n > 1:
+            assert e["type"][n - 1] == dicts["type"][r["type2"]]
+
+
 def test_encoder_runs_on_all_fixtures():
     """Every fixture record encodes without error once dictionaries cover
     it; global mLen from the corpus max (reference two-pass, rnnRE.py:391)."""
