@@ -18,7 +18,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from deepie_spark.model.encoder import binary_feature_rows, encode_batch
+from deepie_spark.model.encoder import (
+    binary_feature_rows,
+    encode_batch,
+    encode_dep_record,
+)
 from deepie_spark.model.zoo import (
     bidirectional,
     conv_maxpool,
@@ -194,11 +198,30 @@ def neural_forward(
     weights: dict[str, np.ndarray],
     m_len: int,
     num_position: int,
+    seq: str = "surface",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Shared forward pass (driver golden AND executor UDF run this):
     encode → M1 embed-concat → M7 conv-pool or M5+M10 biGRU-head → M17.
-    Returns (pred ids, probability matrix)."""
-    enc = encode_batch(records, dicts, m_len, num_position)
+    ``seq`` is the reference's sequence-rep dispatch (F3,
+    generateDataInstance rnnRE.py:374-387): ``surface`` encodes the
+    sentence (F1), ``dep`` the dependency path (F2, head positions at
+    the path ends).  Returns (pred ids, probability matrix)."""
+    if seq == "surface":
+        enc = encode_batch(records, dicts, m_len, num_position)
+        pos1 = np.array([r["pos1"] for r in records])
+        pos2 = np.array([r["pos2"] for r in records])
+    elif seq == "dep":
+        encs = [
+            encode_dep_record(r, dicts, m_len, num_position)
+            for r in records
+        ]
+        enc = {k: np.stack([e[k] for e in encs]) for k in encs[0]}
+        pos1 = np.zeros(len(records), dtype=np.int64)
+        pos2 = np.array(
+            [len(r["dep_tokens"]) - 1 for r in records], dtype=np.int64
+        )
+    else:
+        raise ValueError(f"unknown sequence rep {seq!r}")
     x = embed_concat(
         [enc[ch] for ch in NEURAL_CHANNELS],
         [weights[f"T_{ch}"] for ch in NEURAL_CHANNELS],
@@ -218,8 +241,6 @@ def neural_forward(
         fwd = [weights[f"gru_fwd_{i}"] for i in range(6)]
         bwd = [weights[f"gru_bwd_{i}"] for i in range(6)]
         h = bidirectional(x, tuple(fwd), tuple(bwd), cell=rnn_gru)
-        pos1 = np.array([r["pos1"] for r in records])
-        pos2 = np.array([r["pos2"] for r in records])
         feats = head_pool(h, pos1, pos2)
     p = softmax_classifier(feats, weights["cls_W"], weights["cls_b"])
     return p.argmax(axis=1), p
@@ -227,8 +248,8 @@ def neural_forward(
 
 _NEURAL_COLS = [
     "rel_id", "corpus", "label", "tokens", "governors", "cons1", "cons2",
-    "preter", "prepreter", "dep_idx", "grammar", "type1", "subtype1",
-    "type2", "subtype2", "pos1", "pos2", "line_no",
+    "preter", "prepreter", "dep_idx", "dep_tokens", "grammar", "type1",
+    "subtype1", "type2", "subtype2", "pos1", "pos2", "line_no",
 ]
 
 
@@ -239,6 +260,7 @@ def classify_mentions_neural(
     label_names: list[str],
     m_len: int,
     num_position: int,
+    seq: str = "surface",
 ) -> DataFrame:
     """North-star stage 5, neural flavor: the full embed→CNN/biGRU→
     softmax forward pass runs batched inside ``mapInPandas``; weight
@@ -248,7 +270,7 @@ def classify_mentions_neural(
     spark = mentions.sparkSession
     bc = spark.sparkContext.broadcast(
         {"w": weights, "dicts": dicts, "labels": label_names,
-         "m_len": m_len, "num_position": num_position}
+         "m_len": m_len, "num_position": num_position, "seq": seq}
     )
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -266,6 +288,7 @@ def classify_mentions_neural(
                     "preter": list(r.preter),
                     "prepreter": list(r.prepreter),
                     "dep_idx": list(r.dep_idx),
+                    "dep_tokens": list(r.dep_tokens),
                     "grammar": [list(g) for g in r.grammar],
                     "type1": r.type1, "subtype1": r.subtype1,
                     "type2": r.type2, "subtype2": r.subtype2,
@@ -274,7 +297,8 @@ def classify_mentions_neural(
                 for r in pdf.itertuples()
             ]
             pred_ids, p = neural_forward(
-                records, v["dicts"], v["w"], v["m_len"], v["num_position"]
+                records, v["dicts"], v["w"], v["m_len"],
+                v["num_position"], v["seq"],
             )
             probs = p[np.arange(len(pred_ids)), pred_ids]
             yield pd.DataFrame(

@@ -49,8 +49,16 @@ def setup(spark):
     }
 
 
-@pytest.mark.parametrize("model", ["convolute", "gruHead"])
-def test_distributed_neural_matches_golden(spark, setup, model):
+@pytest.mark.parametrize(
+    "model,seq",
+    [
+        ("convolute", "surface"),
+        ("gruHead", "surface"),
+        ("convolute", "dep"),
+        ("gruHead", "dep"),
+    ],
+)
+def test_distributed_neural_matches_golden(spark, setup, model, seq):
     dict_sizes = {k: max(d.values()) for k, d in setup["dicts"].items()}
     weights = init_neural_weights(
         dict_sizes,
@@ -61,7 +69,7 @@ def test_distributed_neural_matches_golden(spark, setup, model):
     # golden: sequential forward over the same records
     gold_ids, gold_p = neural_forward(
         setup["records"], setup["dicts"], weights,
-        setup["m_len"], setup["num_position"],
+        setup["m_len"], setup["num_position"], seq,
     )
     gold = {
         (r["corpus"], r["rel_id"]): (int(i), float(p[i]))
@@ -75,6 +83,7 @@ def test_distributed_neural_matches_golden(spark, setup, model):
         setup["labels"],
         setup["m_len"],
         setup["num_position"],
+        seq,
     ).collect()
     assert len(preds) == 50
     lid = {l: i for i, l in enumerate(setup["labels"])}
