@@ -657,6 +657,44 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(_docs_dups(spark, sf_dir), bits=32)
 
 
+def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup pairs (Hamming ≤ 3 over 32 bits)."""
+    from deepie_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        _docs_dups(spark, sf_dir), bits=32, bands=4, max_hamming=3
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (smoothed idf): the classic
+    text-pipeline term-weighting operator — two hash aggregations and a
+    broadcast-sized idf join."""
+    t = _toks(spark, sf_dir)
+    n_docs = t.count()
+    tf = (
+        t.select("doc_id", F.explode("toks").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    idf = dfreq.select(
+        "word",
+        F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)).alias("idf"),
+    )
+    scored = tf.join(F.broadcast(idf), "word").select(
+        "doc_id",
+        "word",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "word", "tfidf", "rk")
+    )
+
+
 def q_emb_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute-force baseline)."""
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 2000)
@@ -857,6 +895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "simhash_near": q_simhash_near,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "emb_cosine_dup": q_emb_cosine_dup,
         "ann_topk": q_ann_topk,
         "cc_components": q_cc_components,
@@ -1183,6 +1223,66 @@ def oracle_sql() -> dict[str, str]:
                             THEN CAST(1 AS BIGINT) << i ELSE 0 END)
                         AS BIGINT) AS simhash
             FROM bits GROUP BY id
+        """,
+        "simhash_near": f"""
+            WITH {_DOCS_DUPS_SQL.strip()},
+            tok AS (SELECT doc_id AS id, unnest(list_distinct({_TOKS_SQL}))
+                        AS tok
+                    FROM docs_dups),
+            h AS (SELECT id, {_poly_hash_sql('tok')} AS h FROM tok),
+            bits AS (
+              SELECT id, i,
+                     sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM h CROSS JOIN (SELECT unnest(range(32)) AS i) r
+              GROUP BY id, i
+            ),
+            fp AS (
+              SELECT id,
+                     CAST(sum(CASE WHEN s > 0
+                              THEN CAST(1 AS BIGINT) << i ELSE 0 END)
+                          AS BIGINT) AS simhash
+              FROM bits GROUP BY id
+            ),
+            bnd AS (
+              SELECT id, simhash, b.band,
+                     (simhash >> (b.band * 8)) & 255 AS band_key
+              FROM fp CROSS JOIN
+                   (SELECT unnest(range(4)) AS band) b
+            ),
+            cand AS (
+              SELECT DISTINCT x.id AS a, y.id AS b,
+                     x.simhash AS fa, y.simhash AS fb
+              FROM bnd x JOIN bnd y
+                ON x.band = y.band AND x.band_key = y.band_key
+              WHERE x.id < y.id
+            )
+            SELECT a, b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+            FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+        """,
+        "tfidf_top_terms": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+            n AS (SELECT count(*) AS n_docs FROM t),
+            tf AS (
+              SELECT doc_id, word, count(*) AS tf
+              FROM (SELECT doc_id, unnest(toks) AS word FROM t)
+              GROUP BY doc_id, word
+            ),
+            idf AS (
+              SELECT word,
+                     ln(CAST((SELECT n_docs FROM n) + 1 AS DOUBLE)
+                        / (count(*) + 1)) AS idf
+              FROM tf GROUP BY word
+            ),
+            scored AS (
+              SELECT doc_id, tf.word,
+                     round(tf * idf, 6) AS tfidf
+              FROM tf JOIN idf ON tf.word = idf.word
+            )
+            SELECT doc_id, word, tfidf, rk FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, word) AS rk
+              FROM scored
+            ) WHERE rk <= 3
         """,
         "emb_cosine_dup": f"""
             WITH e AS (

@@ -231,6 +231,60 @@ def simhash_fingerprints(
     return bit_sums.select("id", fp.cast("long").alias("simhash"))
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding: fingerprints are cut into
+    ``bands`` bit-ranges; docs sharing any band are candidates, then the
+    exact Hamming distance (``bit_count(xor)``) filters to
+    ``max_hamming``.  Pigeonhole guarantee: any pair within
+    ``bands - 1`` bits of each other shares at least one band, so for
+    ``max_hamming < bands`` recall is exact — banding only prunes work,
+    never answers."""
+    assert bits % bands == 0
+    width = bits // bands
+    mask = (1 << width) - 1
+    fp = simhash_fingerprints(df, bits, id_col, text_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                (
+                    F.shiftright(F.col("simhash"), bi * width)
+                    .bitwiseAND(F.lit(mask))
+                ).alias("band_key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    rows = fp.select(
+        "id", "simhash", F.explode(band_structs).alias("bk")
+    ).select("id", "simhash", "bk.band", "bk.band_key")
+    a = rows.select(
+        "band", "band_key", F.col("id").alias("a"), F.col("simhash").alias("fa")
+    )
+    b = rows.select(
+        "band", "band_key", F.col("id").alias("b"), F.col("simhash").alias("fb")
+    )
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "fa", "fb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
 def embedding_cosine_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -119,6 +119,29 @@ def test_simhash_hamming_locality(docs_df):
     assert ham(fps[1], fps[2]) < ham(fps[1], fps[6])
 
 
+def test_simhash_near_pairs_exact_recall(docs_df):
+    """Banding with max_hamming < bands is lossless: candidates from
+    band buckets + exact hamming filter == brute-force hamming pairs."""
+    from deepie_spark.operators.dedup import simhash_near_pairs
+
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in simhash_near_pairs(
+            docs_df, bits=32, bands=4, max_hamming=3
+        ).collect()
+    }
+    fps = {r["id"]: r["simhash"] for r in simhash_fingerprints(docs_df).collect()}
+    want = {}
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(fps[a] ^ fps[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want
+    assert (1, 3) in got and got[(1, 3)] == 0  # identical docs
+
+
 def test_embedding_cosine_pairs(spark):
     vecs = [
         (1, [1.0, 0.0, 0.0]),
