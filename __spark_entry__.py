@@ -852,6 +852,41 @@ def q_pipeline_triples_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TAGGER_CACHE: dict = {}
+
+
+def q_mentions_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based mention detection (rows-only): the BIO tagger is
+    trained driver-side by distant supervision from the gazetteer on a
+    deterministic 300-doc sample, then tags pages distributed via
+    mapInPandas with broadcast weights."""
+    from deepie_spark.datagen.catalog import build_alias_trie
+    from deepie_spark.model.tagger import detect_mentions_tagger, train_tagger
+
+    if sf_dir not in _TAGGER_CACHE:
+        sample = (
+            _docs(spark, sf_dir)
+            .filter(F.col("doc_id") < 300)
+            .select("text")
+            .collect()
+        )
+        _TAGGER_CACHE[sf_dir] = train_tagger(
+            [r["text"].split() for r in sample], build_alias_trie()
+        )
+    weights, vocab = _TAGGER_CACHE[sf_dir]
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    tagged = detect_mentions_tagger(pages, weights, vocab)
+    return tagged.select(
+        "url", F.explode("mentions").alias("m")
+    ).select(
+        "url",
+        F.col("m.start").alias("start"),
+        F.col("m.pos").alias("pos"),
+        F.col("m.alias").alias("alias"),
+        F.col("m.entity_type").alias("entity_type"),
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads → fixed-length features via
     byte-budgeted mapInPandas (rows-only check: float32 features)."""
@@ -905,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_df_cutoff": q_token_df_cutoff,
         "semi_join": q_semi_join,
         "pipeline_triples_model": q_pipeline_triples_model,
+        "mentions_tagged": q_mentions_tagged,
         "media_features": q_media_features,
     }
 
