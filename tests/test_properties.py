@@ -81,6 +81,19 @@ def test_greedy_match_invariants(tokens):
         last_end = pos
 
 
+@given(st.lists(words | st.sampled_from(
+    ["hash", "join", "table", "scan", "sort", "merge", "spark", "row"]
+), min_size=0, max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_compiled_matcher_equals_greedy_trie(tokens):
+    """The compiled fast matcher is semantics-identical to the trie
+    walk on arbitrary token streams (incl. alias-dense ones)."""
+    from deepie_spark.operators.mentions import compile_matcher
+
+    trie = build_alias_trie()
+    assert compile_matcher(trie)(tokens) == greedy_match(tokens, trie)
+
+
 @given(st.text(max_size=64))
 @settings(max_examples=200, deadline=None)
 def test_poly_hash_range_and_determinism(s):
