@@ -1122,8 +1122,8 @@ def oracle_sql() -> dict[str, str]:
                 round(0.5 * prior + 0.5 * (
                   CASE WHEN len(cues) > 0 THEN
                     CAST(len(list_intersect(list_distinct(
-                      list_slice(toks, greatest(pos - 2, 1),
-                                 greatest(pos - 2, 1) + 6)), cues))
+                      list_slice(toks, greatest(pos - 3, 0) + 1,
+                                 pos + 4)), cues))
                          AS DOUBLE) / len(cues)
                   ELSE 0.0 END), 6) AS score
               FROM occ JOIN amb ON occ.token = amb.alias

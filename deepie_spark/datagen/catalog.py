@@ -60,6 +60,32 @@ RELATION_RULES: dict[tuple[str, str], str] = {
 }
 
 
+#: the reference's directed-label convention: one regex, one place
+#: (collapseTypes rnnRE.py:642-647 strips it; saving() keeps order)
+DIRECTION_SUFFIX_RE = r"\(e[12],e[21]\)$"
+
+
+def directed_triple_columns(label, alias1, alias2, type1=None, type2=None):
+    """(subj, pred, obj[, subj_type, obj_type]) column list implementing
+    the direction swap: an (e2,e1) label swaps the arguments and the
+    suffix is stripped from the predicate.  The single implementation
+    both triple-emission paths (discrete and fused) select from."""
+    from pyspark.sql import functions as F
+
+    rev = label.endswith("(e2,e1)")
+    cols = [
+        F.when(rev, alias2).otherwise(alias1).alias("subj"),
+        F.regexp_replace(label, DIRECTION_SUFFIX_RE, "").alias("pred"),
+        F.when(rev, alias1).otherwise(alias2).alias("obj"),
+    ]
+    if type1 is not None and type2 is not None:
+        cols += [
+            F.when(rev, type2).otherwise(type1).alias("subj_type"),
+            F.when(rev, type1).otherwise(type2).alias("obj_type"),
+        ]
+    return cols
+
+
 def catalog_df(spark: SparkSession) -> DataFrame:
     """Catalog as a small DataFrame (broadcast side of the mention join)."""
     return spark.createDataFrame(

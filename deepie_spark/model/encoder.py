@@ -146,19 +146,19 @@ def encode_dep_record(
     if n > m_dep_len:
         raise ValueError("dep path longer than mDepLen")
     wd = dicts["word"]
-    try:
+    try:  # rnnRE.py:336-338 'unrecognized dep features' fail-fast
         x = [wd[w] for w in words]
         gov = [wd[g] for g in govs]
-    except KeyError as e:  # rnnRE.py:336-338 'unrecognized dep features'
-        raise KeyError(f"unrecognized dep word {e}") from e
-    cons1 = [dicts["constit"][rec["cons1"][i]] for i in dep]
-    cons2 = [dicts["constit"][rec["cons2"][i]] for i in dep]
-    preter = [dicts["preter"][rec["preter"][i]] for i in dep]
-    prepreter = [dicts["prepreter"][rec["prepreter"][i]] for i in dep]
-    ty1 = dicts["type"][rec["type1"]]
-    ty2 = dicts["type"][rec["type2"]]
-    sty1 = dicts["subtype"][rec["subtype1"]]
-    sty2 = dicts["subtype"][rec["subtype2"]]
+        cons1 = [dicts["constit"][rec["cons1"][i]] for i in dep]
+        cons2 = [dicts["constit"][rec["cons2"][i]] for i in dep]
+        preter = [dicts["preter"][rec["preter"][i]] for i in dep]
+        prepreter = [dicts["prepreter"][rec["prepreter"][i]] for i in dep]
+        ty1 = dicts["type"][rec["type1"]]
+        ty2 = dicts["type"][rec["type2"]]
+        sty1 = dicts["subtype"][rec["subtype1"]]
+        sty2 = dicts["subtype"][rec["subtype2"]]
+    except KeyError as e:
+        raise KeyError(f"unrecognized dep features {e}") from e
     pos1, pos2 = 0, n - 1
     order_id = order_override
 

@@ -127,6 +127,9 @@ def tag_tokens(
     return ids
 
 
+#: same struct shape as operators.mentions.MENTION_STRUCT so the tagger
+#: output drops into mention_pairs unchanged; entity_id/subtype/prior
+#: are unresolved at detection time (linking fills them) → null
 TAGGED_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),
@@ -137,8 +140,11 @@ TAGGED_SCHEMA = T.StructType(
                     [
                         T.StructField("start", T.IntegerType()),
                         T.StructField("pos", T.IntegerType()),
+                        T.StructField("entity_id", T.LongType()),
                         T.StructField("alias", T.StringType()),
                         T.StructField("entity_type", T.StringType()),
+                        T.StructField("subtype", T.StringType()),
+                        T.StructField("prior", T.DoubleType()),
                     ]
                 )
             ),
@@ -170,7 +176,7 @@ def detect_mentions_tagger(
                 ids = tag_tokens(toks, v["w"], v["vocab"])
                 out.append(
                     [
-                        (s, e, " ".join(toks[s : e + 1]), ty)
+                        (s, e, None, " ".join(toks[s : e + 1]), ty, None, None)
                         for s, e, ty in decode_spans(ids)
                     ]
                 )

@@ -92,6 +92,11 @@ def ngram_jaccard_pairs(
     J = inter / (|A|+|B|−inter).  ``max_df`` drops stop-shingles before
     the join (skew guard: a shingle shared by d docs contributes d²
     join rows)."""
+    # one persist: the raw shingle table feeds the df-filter AND (via a
+    # cheap re-join against the small `rare` set) all three downstream
+    # consumers — persisting the filtered copy too would double the
+    # cached footprint per call with no second materialization saved.
+    # At scale this is where you'd write an intermediate table instead.
     sh = doc_shingles(df, id_col, text_col, k).persist()
     if max_df:
         rare = (
@@ -101,10 +106,6 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle")
-    # the filtered shingle table feeds three consumers (sizes + both join
-    # sides): materialize once instead of re-shingling the corpus 3x —
-    # at scale this is where you'd write an intermediate table instead
-    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("id").alias("a"), "shingle")
     b = sh.select(F.col("id").alias("b"), "shingle")

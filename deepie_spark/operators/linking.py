@@ -48,10 +48,15 @@ def link_mentions(
     alias, entity_type, prior, cues array<string>).  Returns one row per
     linked mention: the argmax-scored candidate.
     """
+    # ±window tokens around pos: clamp the start at the sentence
+    # boundary AND shrink the length by the clamped amount — a fixed
+    # length would grab extra right-hand context for sentence-initial
+    # mentions and inflate their affinity
+    start0 = F.greatest(F.col("pos") - window, F.lit(0))  # 0-based
     ctx = F.slice(
         F.col("toks"),
-        F.greatest(F.col("pos") - window + 1, F.lit(1)).cast("int"),
-        2 * window + 1,
+        (start0 + 1).cast("int"),
+        (F.col("pos") + window + 1 - start0).cast("int"),
     )
     cands = occurrences.join(
         F.broadcast(catalog), occurrences.token == catalog["alias"]

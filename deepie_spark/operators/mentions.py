@@ -143,9 +143,11 @@ def detect_mentions(
     path does not, and at 100 TB the token column dwarfs the mentions.
     """
     trie = trie or build_alias_trie(ENTITY_CATALOG)
+    # compile on the driver: the compiled dicts ride the serialized
+    # closure, so tasks pay zero per-partition trie-walk/sort cost
+    match = compile_matcher(trie)
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        match = compile_matcher(trie)  # compiled once per worker
         for pdf in batches:
             toks_col, men_col = [], []
             for text in pdf["text"]:

@@ -36,12 +36,35 @@ from pyspark.sql import functions as F
 SALT_COL = "_salt"
 
 
+def _hashable_columns(df: DataFrame) -> list[str]:
+    """xxhash64 rejects MAP-typed inputs; restrict the salt to
+    hash-safe columns (wide corpus tables carry map columns, e.g. the
+    parsed corpus's kernel_score)."""
+
+    def ok(dt) -> bool:
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return ok(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(ok(f.dataType) for f in dt.fields)
+        return True
+
+    cols = [f.name for f in df.schema.fields if ok(f.dataType)]
+    if not cols:
+        raise ValueError("no hash-safe columns available for salting")
+    return cols
+
+
 def deterministic_salt(df: DataFrame, n_salt: int) -> Column:
-    """Salt derived from the row's own content (xxhash64 of all columns):
-    deterministic across retries/partitionings — never rand(), which
-    breaks task-retry idempotence."""
+    """Salt derived from the row's own content (xxhash64 of the
+    hash-safe columns): deterministic across retries/partitionings —
+    never rand(), which breaks task-retry idempotence."""
     return F.pmod(
-        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt)
+        F.xxhash64(*[F.col(c) for c in _hashable_columns(df)]),
+        F.lit(n_salt),
     ).cast("int")
 
 

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from deepie_spark.datagen.catalog import (
     RELATION_RULES,
     build_alias_trie,
+    directed_triple_columns,
     relation_rules_df,
 )
 from deepie_spark.functions.text import extract_text
@@ -71,14 +72,11 @@ def triples_from_classified(classified: DataFrame) -> DataFrame:
     rnnRE.py:566-573).
     """
     c = classified.filter(F.col("label") != "NONE")
-    reversed_ = F.col("label").endswith("(e2,e1)")
-    pred = F.regexp_replace(F.col("label"), "\\(e[12],e[21]\\)$", "")
     return c.select(
-        F.when(reversed_, F.col("alias2")).otherwise(F.col("alias1")).alias("subj"),
-        pred.alias("pred"),
-        F.when(reversed_, F.col("alias1")).otherwise(F.col("alias2")).alias("obj"),
-        F.when(reversed_, F.col("type2")).otherwise(F.col("type1")).alias("subj_type"),
-        F.when(reversed_, F.col("type1")).otherwise(F.col("type2")).alias("obj_type"),
+        *directed_triple_columns(
+            F.col("label"), F.col("alias1"), F.col("alias2"),
+            F.col("type1"), F.col("type2"),
+        ),
         F.col("prob"),
         F.col("url"),
         F.col("pos1"),
@@ -141,14 +139,11 @@ def _fused_triples(mentions: DataFrame, max_distance: int) -> DataFrame:
         )
     )
     exploded = mentions.select("url", F.explode(pair_structs).alias("p"))
-    rev = F.col("p.label").endswith("(e2,e1)")
-    pred = F.regexp_replace(F.col("p.label"), "\\(e[12],e[21]\\)$", "")
     return exploded.select(
-        F.when(rev, F.col("p.alias2")).otherwise(F.col("p.alias1")).alias("subj"),
-        pred.alias("pred"),
-        F.when(rev, F.col("p.alias1")).otherwise(F.col("p.alias2")).alias("obj"),
-        F.when(rev, F.col("p.type2")).otherwise(F.col("p.type1")).alias("subj_type"),
-        F.when(rev, F.col("p.type1")).otherwise(F.col("p.type2")).alias("obj_type"),
+        *directed_triple_columns(
+            F.col("p.label"), F.col("p.alias1"), F.col("p.alias2"),
+            F.col("p.type1"), F.col("p.type2"),
+        ),
         F.lit(0.9).alias("prob"),
         F.col("url"),
         F.col("p.pos1").alias("pos1"),

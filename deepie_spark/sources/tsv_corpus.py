@@ -252,13 +252,16 @@ def parse_line(corpus: str, line: str) -> dict:
             if len(args) != 2:
                 continue
             gcut, dcut = args[0].rfind("-"), args[1].rfind("-")
+            gi, di = args[0][gcut + 1 :], args[1][dcut + 1 :]
+            if not (gi.isdigit() and di.isdigit()):
+                continue  # malformed index: skip, like the other guards
             dep_triples.append(
                 {
                     "rel": rel,
                     "gov": args[0][:gcut],
-                    "gov_i": int(args[0][gcut + 1 :]) - 1,
+                    "gov_i": int(gi) - 1,
                     "dep": args[1][:dcut],
-                    "dep_i": int(args[1][dcut + 1 :]) - 1,
+                    "dep_i": int(di) - 1,
                 }
             )
 

@@ -60,17 +60,24 @@ def read_warc_lite(spark: SparkSession, path: str) -> DataFrame:
     """WARC-lite shards → (url, warc_ts, html binary)."""
     raw = spark.read.option("lineSep", MARKER).text(path)
     rec = F.col("value")
+    # try_* variants: one malformed/headerless record (or stray preamble
+    # text before the first marker) must yield a droppable null row, not
+    # kill the scan — Spark 4 runs ANSI mode by default, where plain
+    # to_timestamp('')/cast throw
     parsed = raw.filter(F.length(F.trim(rec)) > 0).select(
         F.regexp_extract(rec, r"WARC-Target-URI: (\S+)", 1).alias("url"),
-        F.to_timestamp(
+        F.try_to_timestamp(
             F.regexp_extract(rec, r"WARC-Date: (\S+)", 1)
         ).alias("warc_ts"),
         F.regexp_extract(rec, r"Content-Length: (\d+)", 1)
-        .cast("int")
+        .try_cast("int")
         .alias("clen"),
         F.regexp_extract(rec, r"(?s)\n\n(.*)$", 1).alias("body"),
     )
-    return parsed.select(
+    valid = parsed.filter(
+        (F.length("url") > 0) & F.col("clen").isNotNull()
+    )
+    return valid.select(
         "url",
         "warc_ts",
         F.col("body").substr(F.lit(1), F.col("clen"))

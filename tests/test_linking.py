@@ -63,6 +63,18 @@ def test_context_window_bounds(spark, catalog):
     assert (eid, etype) == (1, "ORG")
 
 
+def test_window_symmetric_at_sentence_start(spark, catalog):
+    """Boundary clamping must shrink the window, not shift it: a
+    sentence-initial mention may not see tokens beyond +window."""
+    # 'bank' at pos 0; 'river' and 'water' at positions 4 and 5 — past
+    # the +3 window; with a fixed-length slice they would leak in and
+    # flip the link to LOC
+    got = links(spark, catalog, ["bank x1 x2 x3 river water here"])
+    eid, etype, score = got[(0, 0)]
+    assert (eid, etype) == (1, "ORG")  # prior decides; no cues in ±3
+    assert score == pytest.approx(0.35)
+
+
 def test_unambiguous_and_unmatched(spark, catalog):
     got = links(spark, catalog, ["apple pie with no match"])
     assert got[(0, 0)][0] == 3

@@ -115,35 +115,18 @@ def test_distributed_tagger_matches_golden_and_gazetteer(spark, trained):
 
 
 def test_tagger_mentions_feed_pair_generation(spark, trained):
-    """Tagger output plugs into the pair generator (same array shape)."""
-    from pyspark.sql import functions as F
+    """Tagger output drops into the standard pair generator unchanged
+    (same mention-struct shape; unresolved link fields are null)."""
+    from deepie_spark.operators.pairs import mention_pairs
 
     pages = pages_from_documents(trained["docs"]).limit(100)
     tagged = detect_mentions_tagger(
         pages, trained["weights"], trained["vocab"]
     )
-    m = F.col("mentions")
-    pairs = tagged.select(
-        "url",
-        F.explode(
-            F.flatten(
-                F.transform(
-                    m,
-                    lambda a: F.filter(
-                        F.transform(
-                            m,
-                            lambda b: F.struct(
-                                a["pos"].alias("pos1"),
-                                b["pos"].alias("pos2"),
-                                a["entity_type"].alias("type1"),
-                                b["entity_type"].alias("type2"),
-                            ),
-                        ),
-                        lambda p: (p["pos1"] < p["pos2"])
-                        & ((p["pos2"] - p["pos1"]) <= 10),
-                    ),
-                )
-            )
-        ).alias("p"),
-    )
+    pairs = mention_pairs(tagged, max_distance=10)
+    rows = pairs.limit(20).collect()
     assert pairs.count() > 0
+    for r in rows:
+        assert r["pos1"] < r["pos2"]
+        assert r["entity_id1"] is None  # linking resolves these later
+        assert r["type1"] in ("PER", "ORG", "GPE", "LOC", "FAC", "VEH")

@@ -54,6 +54,32 @@ def test_payload_with_tricky_content(spark, tmp_path):
     assert bytes(got[0]["html"]).decode() == safe
 
 
+def test_malformed_records_do_not_kill_the_scan(spark, tmp_path):
+    """One bad record (missing date / missing length / stray preamble)
+    must degrade to a dropped or null-field row, never abort the job —
+    Spark 4 ANSI mode would otherwise throw on the empty-string casts."""
+    out = str(tmp_path / "warc_bad")
+    os.makedirs(out)
+    with open(os.path.join(out, "part-0000.warc"), "w") as f:
+        f.write("stray preamble junk\n")
+        f.write(
+            "WARC/1.0\nWARC-Target-URI: https://good\n"
+            "WARC-Date: 2024-01-01T00:00:00\nContent-Length: 6\n\n<p>ok</p>\n"
+        )
+        f.write(
+            "WARC/1.0\nWARC-Target-URI: https://nodate\n"
+            "Content-Length: 3\n\nabc\n"
+        )
+        f.write(
+            "WARC/1.0\nWARC-Target-URI: https://nolen\n"
+            "WARC-Date: 2024-01-01T00:00:00\n\npayload\n"
+        )
+    got = {r["url"]: r for r in read_warc_lite(spark, out).collect()}
+    assert set(got) == {"https://good", "https://nodate"}
+    assert bytes(got["https://good"]["html"]) == b"<p>ok<"  # clen cut
+    assert got["https://nodate"]["warc_ts"] is None
+
+
 def test_extraction_from_warc_is_byte_identical(spark, warc_dir, sf_dir):
     out, _ = warc_dir
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
