@@ -283,8 +283,14 @@ def q_pair_distance_hist_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos1") < F.col("pos2"))
         & (F.col("pos2") - F.col("pos1") <= 10)
     )
+    # keep the row-identity columns: the salt hashes ALL columns, so a
+    # distance-only projection would make it a pure function of the
+    # group key and spread nothing
     hist = salted_count(
-        pairs.select((F.col("pos2") - F.col("pos1")).alias("distance")),
+        pairs.select(
+            "doc_id", "pos1", "pos2",
+            (F.col("pos2") - F.col("pos1")).alias("distance"),
+        ),
         ["distance"],
         n_salt=16,
     )
@@ -315,14 +321,13 @@ def q_triples_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = pairs.join(F.broadcast(rules), ["type1", "type2"]).filter(
         F.col("label") != "NONE"
     )
-    rev = F.col("label").endswith("(e2,e1)")
-    pred = F.regexp_replace(F.col("label"), "\\(e[12],e[21]\\)$", "")
+    from deepie_spark.datagen.catalog import directed_triple_columns
+
     return c.select(
-        F.when(rev, F.col("alias2")).otherwise(F.col("alias1")).alias("subj"),
-        pred.alias("pred"),
-        F.when(rev, F.col("alias1")).otherwise(F.col("alias2")).alias("obj"),
-        F.when(rev, F.col("type2")).otherwise(F.col("type1")).alias("subj_type"),
-        F.when(rev, F.col("type1")).otherwise(F.col("type2")).alias("obj_type"),
+        *directed_triple_columns(
+            F.col("label"), F.col("alias1"), F.col("alias2"),
+            F.col("type1"), F.col("type2"),
+        ),
         "doc_id",
         "pos1",
         "pos2",
@@ -338,17 +343,11 @@ def q_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact / bag-of-words dedup: normalized key = sorted token list."""
+    from deepie_spark.operators.dedup import dedup_exact
+
     d = _toks(spark, sf_dir)
     key = F.concat_ws(" ", F.sort_array(F.col("toks")))
-    return (
-        d.select(key.alias("dup_key"), "doc_id")
-        .groupBy("dup_key")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.min("doc_id").alias("keep_id"),
-        )
-        .filter(F.col("n_docs") >= 1)
-    )
+    return dedup_exact(d, key=key)
 
 
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -370,7 +369,6 @@ def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokenize(F.col("text"))
     ratios = {lang: stopword_ratio(toks, lang) for lang in STOPWORDS}
     best = F.greatest(*ratios.values())
-    guess = F.when(F.lit(False), F.lit(""))
     # deterministic tie-break: language order en, es, fr, de
     expr = None
     for lang in ["en", "es", "fr", "de"]:
@@ -559,9 +557,11 @@ def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark lacks a native ASOF JOIN; the ordered-window formulation is
     the idiomatic equivalent and keeps whole-stage codegen."""
     e = _events(spark, sf_dir)
+    # event_id tie-break: a ROWS frame over ts alone would be
+    # nondeterministic if (user_id, ts) ever collides
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     sign_ts = F.when(F.col("event_type") == "signup", F.col("ts"))
@@ -840,12 +840,12 @@ def q_pipeline_triples_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = classify_type_pairs(pairs, weights, labels, fid).filter(
         F.col("label") != "NONE"
     )
-    rev = F.col("label").endswith("(e2,e1)")
-    pred = F.regexp_replace(F.col("label"), "\\(e[12],e[21]\\)$", "")
+    from deepie_spark.datagen.catalog import directed_triple_columns
+
     return c.select(
-        F.when(rev, F.col("alias2")).otherwise(F.col("alias1")).alias("subj"),
-        pred.alias("pred"),
-        F.when(rev, F.col("alias1")).otherwise(F.col("alias2")).alias("obj"),
+        *directed_triple_columns(
+            F.col("label"), F.col("alias1"), F.col("alias2")
+        ),
         "doc_id",
         "pos1",
         "pos2",
@@ -867,7 +867,8 @@ def q_mentions_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample = (
             _docs(spark, sf_dir)
             .filter(F.col("doc_id") < 300)
-            .select("text")
+            .select("doc_id", "text")
+            .orderBy("doc_id")   # collect order = vocab/SGD determinism
             .collect()
         )
         _TAGGER_CACHE[sf_dir] = train_tagger(
@@ -1026,7 +1027,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": f"""
             SELECT array_to_string(list_sort({_TOKS_SQL}), ' ') AS dup_key,
                    count(*) AS n_docs, min(doc_id) AS keep_id
-            FROM documents GROUP BY 1 HAVING count(*) >= 1
+            FROM documents GROUP BY 1
         """,
         "quality_scores": f"""
             SELECT doc_id,
@@ -1142,7 +1143,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_last_signup": """
             SELECT event_id, user_id, ts,
                    max(CASE WHEN event_type = 'signup' THEN ts END)
-                     OVER (PARTITION BY user_id ORDER BY ts
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS last_signup_ts
             FROM events
         """,

@@ -48,6 +48,21 @@ def tokenize(text: Column) -> Column:
     return F.filter(F.split(text, "\\s+"), lambda t: t != "")
 
 
+import re as _re
+
+#: ASCII \s, matching Java-regex \s (Spark) and RE2 \s (DuckDB); python
+#: str.split()/default \s are Unicode-aware and would tokenize
+#: differently on e.g. non-breaking spaces
+_WS_RE = _re.compile(r"\s+", _re.ASCII)
+
+
+def py_tokenize(text: str) -> list[str]:
+    """Python twin of :func:`tokenize` — used by every python-side
+    stage (trie matcher, tagger) so all three engines (Spark column
+    expr, DuckDB oracle, python UDF) agree on token positions."""
+    return [t for t in _WS_RE.split(text) if t]
+
+
 #: a BPE-ish subword proxy: alternating letter/digit/punct runs, the kind
 #: of regex pre-tokenizer BPE vocabularies use.
 _BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"

@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from deepie_spark.functions.text import py_tokenize
 from deepie_spark.model.train import predict_loglinear, train_loglinear
 from deepie_spark.operators.mentions import greedy_match
 
@@ -169,7 +170,7 @@ def detect_mentions_tagger(
         for pdf in batches:
             out = []
             for text in pdf["text"]:
-                toks = text.split()
+                toks = py_tokenize(text)
                 if not toks:
                     out.append([])
                     continue

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from deepie_spark.datagen.catalog import ENTITY_CATALOG, build_alias_trie
-from deepie_spark.functions.text import tokenize
+from deepie_spark.functions.text import py_tokenize, tokenize
 
 MENTION_STRUCT = T.StructType(
     [
@@ -151,7 +151,7 @@ def detect_mentions(
         for pdf in batches:
             toks_col, men_col = [], []
             for text in pdf["text"]:
-                toks = text.split()
+                toks = py_tokenize(text)
                 if include_tokens:
                     toks_col.append(toks)
                 men_col.append(match(toks))

@@ -138,7 +138,8 @@ def main():
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
     print(json.dumps(result, indent=2))
-    with open("SCALING.json", "w") as f:
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo_root, "SCALING.json"), "w") as f:
         json.dump(result, f, indent=2)
 
 

@@ -29,6 +29,7 @@ def norm_cell(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
+        v += 0.0  # collapse -0.0 to 0.0 (signed-zero ULP disagreements)
         return f"{v:.6g}"
     if isinstance(v, bool):
         return str(int(v))
@@ -61,9 +62,14 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
         if only and name not in only:
             continue
         t0 = time.time()
-        sdf = fn(spark, sf_dir)
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"{name:24s} SPARK ERROR: {str(e)[:200]}")
+            failures.append(name)
+            continue
         if name not in oracles:
             print(f"{name:24s} rows-only: {len(srows)} rows "
                   f"({time.time()-t0:.1f}s)")
