@@ -31,7 +31,7 @@ import subprocess
 import sys
 import time
 
-REPL = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "400"))
+REPL = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "800"))
 LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "4"))
 HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "16"))
 
