@@ -55,11 +55,21 @@ import re as _re
 #: differently on e.g. non-breaking spaces
 _WS_RE = _re.compile(r"\s+", _re.ASCII)
 
+#: ASCII file/group/record/unit separators: str.split() treats them as
+#: whitespace, regex \s does not — they gate the fast path
+_FS_RE = _re.compile("[\x1c-\x1f]")
+
 
 def py_tokenize(text: str) -> list[str]:
     """Python twin of :func:`tokenize` — used by every python-side
     stage (trie matcher, tagger) so all three engines (Spark column
-    expr, DuckDB oracle, python UDF) agree on token positions."""
+    expr, DuckDB oracle, python UDF) agree on token positions.
+
+    Pure-ASCII text (the overwhelmingly common case post-extraction)
+    takes the C-speed ``str.split`` path, which is semantics-identical
+    there except for \\x1c-\\x1f — hence the separator guard."""
+    if text.isascii() and not _FS_RE.search(text):
+        return text.split()
     return [t for t in _WS_RE.split(text) if t]
 
 

@@ -94,6 +94,19 @@ def test_compiled_matcher_equals_greedy_trie(tokens):
     assert compile_matcher(trie)(tokens) == greedy_match(tokens, trie)
 
 
+@given(st.text(max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_py_tokenize_fast_path_equals_regex(s):
+    """The ASCII fast path must agree with the canonical ASCII-regex
+    split on arbitrary input (incl. unicode whitespace, \\x1c-\\x1f)."""
+    import re
+
+    from deepie_spark.functions.text import py_tokenize
+
+    want = [t for t in re.split(r"\s+", s, flags=re.ASCII) if t]
+    assert py_tokenize(s) == want
+
+
 @given(st.text(max_size=64))
 @settings(max_examples=200, deadline=None)
 def test_poly_hash_range_and_determinism(s):
