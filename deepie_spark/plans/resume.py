@@ -18,7 +18,6 @@ observability surface: row counts per stage per bucket.
 
 from __future__ import annotations
 
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from deepie_spark.plans.pipeline import extract_triples, part_id_col
+from deepie_spark.plans.pipeline import extract_triples
 from deepie_spark.plans.resume import write_triples_with_manifest
 
 
