@@ -168,6 +168,50 @@ def _minhash_oracle_sql(n_hashes: int = 16, bands: int = 4) -> str:
     """
 
 
+def _media_features_oracle_sql(dim: int = 16) -> str:
+    """DuckDB twin of operators.multimodal's byte-histogram features.
+
+    synthetic_media payloads are utf-8 document text, and the sf corpora
+    are pure ASCII (verified: octet_length(encode(text)) == length(text)),
+    so byte values equal character codes and the histogram is expressible
+    with ascii() per character.  The float32 cast in _fake_features is
+    mirrored with CAST(.. AS REAL) before the round."""
+    hist_cols = ",\n                 ".join(
+        f"sum(CASE WHEN b = {j} THEN 1 ELSE 0 END) AS c{j}"
+        for j in range(dim)
+    )
+    feat_cols = ",\n              ".join(
+        f"CASE WHEN b.n_bytes = 0 THEN 0.0 ELSE"
+        f" round(CAST(CAST(CAST(coalesce(c{j}, 0) AS DOUBLE)"
+        f" / CAST(b.n_bytes AS DOUBLE) AS REAL) AS DOUBLE), 6)"
+        f" END AS f{j:02d}"
+        for j in range(dim)
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id AS media_id,
+                 CASE WHEN doc_id % 3 = 0 THEN 'image'
+                      WHEN doc_id % 3 = 1 THEN 'audio'
+                      ELSE 'video' END AS kind,
+                 CAST(length(text) AS BIGINT) AS n_bytes
+          FROM documents
+        ),
+        ch AS (
+          SELECT doc_id AS media_id, ascii(c) % {dim} AS b
+          FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+                FROM documents)
+        ),
+        hist AS (
+          SELECT media_id,
+                 {hist_cols}
+          FROM ch GROUP BY media_id
+        )
+        SELECT b.media_id, b.kind, b.n_bytes,
+              {feat_cols}
+        FROM base b LEFT JOIN hist USING (media_id)
+    """
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -671,16 +715,20 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     text-pipeline term-weighting operator — two hash aggregations and a
     broadcast-sized idf join."""
     t = _toks(spark, sf_dir)
-    n_docs = t.count()
+    # idf denominator folded into the plan (broadcast 1-row agg) — an
+    # eager t.count() here would be a second full corpus scan per call
+    n_docs = t.agg(F.count("*").alias("n_docs"))
     tf = (
         t.select("doc_id", F.explode("toks").alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("tf"))
     )
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
-    idf = dfreq.select(
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
         "word",
-        F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)).alias("idf"),
+        F.log(
+            (F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)
+        ).alias("idf"),
     )
     scored = tf.join(F.broadcast(idf), "word").select(
         "doc_id",
@@ -890,9 +938,22 @@ def q_mentions_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads → fixed-length features via
-    byte-budgeted mapInPandas (rows-only check: float32 features)."""
+    byte-budgeted mapInPandas.
+
+    The ``array<float>`` feature column is projected to one rounded
+    double scalar per dimension (f00..f15): array cells are unhashable
+    in the driver gate's pandas canonicalizer, and scalar doubles are
+    exactly what the DuckDB oracle can reproduce (payloads are utf-8
+    text, so the byte histogram is expressible over character codes)."""
+    from deepie_spark.operators.multimodal import FEATURE_DIM
+
     media = synthetic_media(_docs(spark, sf_dir))
-    return extract_media_features(media)
+    feats = extract_media_features(media)
+    dims = [
+        F.round(F.col("features")[i].cast("double"), 6).alias(f"f{i:02d}")
+        for i in range(FEATURE_DIM)
+    ]
+    return feats.select("media_id", "kind", "n_bytes", *dims)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1134,9 +1195,14 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY score DESC, entity_id) AS rk FROM cand)
             WHERE rk = 1
         """,
+        # the outer CAST on sum_k matters: DuckDB's SUM(BIGINT) returns
+        # HUGEINT, which pandas renders as float64 — the driver gate goes
+        # through pandas, so an uncast sum hash-mismatches ("123.0" vs
+        # "123") even though fetchall()-based comparison agrees.
         "props_json_stats": """
             SELECT event_type, count(*) AS n,
-                   sum(CAST(props ->> '$.k' AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT)
+                     AS sum_k,
                    max(CAST(props ->> '$.k' AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
         """,
@@ -1494,4 +1560,5 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs JOIN rules USING (type1, type2)
             WHERE label != 'NONE'
         """,
+        "media_features": _media_features_oracle_sql(),
     }
