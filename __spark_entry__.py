@@ -168,6 +168,46 @@ def _minhash_oracle_sql(n_hashes: int = 16, bands: int = 4) -> str:
     """
 
 
+def _lsh_topk_oracle_sql(
+    n_bits: int = 6, seed: int = 42, dim: int = 64, k: int = 10
+) -> str:
+    """DuckDB twin of operators.similarity.lsh_topk, generated from the
+    SAME seeded hyperplanes (embedded as double literals), so the gate
+    verifies the actual 100 TB ANN path — bucket assignment, bucket
+    join, and exact in-bucket scoring — not just the brute-force twin."""
+    from deepie_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_bits, seed)
+
+    def bucket(col: str) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product({col}, "
+            f"[{', '.join(repr(float(c)) for c in p)}]) > 0"
+            f" THEN {2 ** i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        return f"CAST({terms} AS BIGINT)"
+
+    return f"""
+        WITH {_EMB_DOUBLE_SQL.strip()},
+        eb AS (SELECT vec_id, v, {bucket('v')} AS bucket FROM e),
+        q AS (SELECT vec_id AS query_id, v AS qv, bucket
+              FROM eb WHERE vec_id < 5),
+        scored AS (
+          SELECT query_id, vec_id,
+                 round({_cos_sql('qv', 'v')}, 6) AS cosine
+          FROM q JOIN eb USING (bucket) WHERE query_id != vec_id
+        ),
+        r AS (
+          SELECT query_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= {k}
+    """
+
+
 def _media_features_oracle_sql(dim: int = 16) -> str:
     """DuckDB twin of operators.multimodal's byte-histogram features.
 
@@ -758,6 +798,21 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, q, k=10)
 
 
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for ANN: hyperplane-LSH bucketing + exact scoring
+    within the query's bucket (candidate set ~N/2^bits instead of the
+    brute-force Q·N cross join).  Oracle-gated against a DuckDB twin
+    built from the same seeded planes; recall vs the exact twin is
+    asserted separately in test_similarity."""
+    from deepie_spark.operators.similarity import lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return lsh_topk(emb, q, k=10, n_bits=6, seed=42, dim=64)
+
+
 def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over catalog alias-token-overlap edges."""
     return connected_components(alias_overlap_edges(catalog_df(spark)))
@@ -909,6 +964,7 @@ def q_mentions_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic 300-doc sample, then tags pages distributed via
     mapInPandas with broadcast weights."""
     from deepie_spark.datagen.catalog import build_alias_trie
+    from deepie_spark.functions.text import py_tokenize
     from deepie_spark.model.tagger import detect_mentions_tagger, train_tagger
 
     if sf_dir not in _TAGGER_CACHE:
@@ -919,8 +975,11 @@ def q_mentions_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id")   # collect order = vocab/SGD determinism
             .collect()
         )
+        # py_tokenize (NOT str.split): inference tokenizes with
+        # py_tokenize inside detect_mentions_tagger — a train/infer
+        # tokenizer mismatch silently degrades on NBSP / \x1c-\x1f
         _TAGGER_CACHE[sf_dir] = train_tagger(
-            [r["text"].split() for r in sample], build_alias_trie()
+            [py_tokenize(r["text"]) for r in sample], build_alias_trie()
         )
     weights, vocab = _TAGGER_CACHE[sf_dir]
     pages = pages_from_documents(_docs(spark, sf_dir))
@@ -996,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "emb_cosine_dup": q_emb_cosine_dup,
         "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
         "cc_components": q_cc_components,
         "triples_canonical": q_triples_canonical,
         "scorer_prf": q_scorer_prf,
@@ -1561,4 +1621,5 @@ def oracle_sql() -> dict[str, str]:
             WHERE label != 'NONE'
         """,
         "media_features": _media_features_oracle_sql(),
+        "ann_topk_lsh": _lsh_topk_oracle_sql(),
     }

@@ -78,6 +78,11 @@ def dedup_exact(
     )
 
 
+#: persisted shingle tables from prior ngram_jaccard_pairs calls,
+#: released lazily on the next invocation (see comment in-function)
+_SHINGLE_PERSISTS: list[DataFrame] = []
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -97,7 +102,14 @@ def ngram_jaccard_pairs(
     # consumers — persisting the filtered copy too would double the
     # cached footprint per call with no second materialization saved.
     # At scale this is where you'd write an intermediate table instead.
+    # The previous call's cache is released here (not at return: the
+    # result is lazy, so the cache must outlive this function until the
+    # consumer's action) — repeated invocations (bench best-of-2, oracle
+    # sweeps) hold at most one cached shingle table, not one per call.
+    while _SHINGLE_PERSISTS:
+        _SHINGLE_PERSISTS.pop().unpersist(False)
     sh = doc_shingles(df, id_col, text_col, k).persist()
+    _SHINGLE_PERSISTS.append(sh)
     if max_df:
         rare = (
             sh.groupBy("shingle")

@@ -18,6 +18,8 @@ observability surface: row counts per stage per bucket.
 
 from __future__ import annotations
 
+import glob
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,6 +48,25 @@ def pending(df: DataFrame, done: DataFrame) -> DataFrame:
     return df.join(F.broadcast(done), "part_id", "left_anti")
 
 
+def _part_files(out_dir: str) -> set[str]:
+    return set(glob.glob(os.path.join(out_dir, "part_id=*", "*.parquet")))
+
+
+def _footer_counts(files: set[str]) -> dict[int, int]:
+    """Exact per-bucket row counts from parquet footer metadata only —
+    no data pages are read and the triples plan is never re-executed.
+    On Iceberg the same numbers come from the snapshot's manifest
+    statistics; on a remote store this listing is a metadata-service
+    call, the same O(files) cost Iceberg's commit itself pays."""
+    import pyarrow.parquet as pq
+
+    counts: dict[int, int] = {}
+    for f in files:
+        pid = int(os.path.basename(os.path.dirname(f)).split("=", 1)[1])
+        counts[pid] = counts.get(pid, 0) + pq.ParquetFile(f).metadata.num_rows
+    return counts
+
+
 def write_triples_with_manifest(
     triples: DataFrame,
     out_dir: str,
@@ -57,9 +78,15 @@ def write_triples_with_manifest(
     One shuffle (repartition by part_id) so each output partition is a
     single task's write — at scale this is also where AQE coalescing and
     a sort-within-partitions for downstream locality would slot in.
+
+    The manifest counts come from the footers of the files this call
+    wrote (before/after file-set diff, so concurrent history in an
+    append dir is excluded): the triples plan — the most expensive job
+    in the system — executes exactly once.
     """
     spark = triples.sparkSession
     t0 = time.time()
+    before = _part_files(out_dir)
     (
         triples.repartition("part_id")
         .sortWithinPartitions("subj", "pred", "obj")
@@ -67,23 +94,16 @@ def write_triples_with_manifest(
         .partitionBy("part_id")
         .parquet(out_dir)
     )
-    counts = (
-        triples.groupBy("part_id")
-        .agg(F.count("*").alias("n_triples"))
-        .collect()
-    )
+    counts = _footer_counts(_part_files(out_dir) - before)
     t1 = time.time()
     rows = [
-        (
-            int(r["part_id"]), stage, None, None, None,
-            int(r["n_triples"]), t0, t1, "done",
-        )
-        for r in counts
+        (pid, stage, None, None, None, n, t0, t1, "done")
+        for pid, n in sorted(counts.items())
     ]
     spark.createDataFrame(rows, MANIFEST_SCHEMA).write.mode("append").parquet(
         manifest_dir
     )
-    return {"parts": len(rows), "n_triples": sum(r["n_triples"] for r in counts)}
+    return {"parts": len(rows), "n_triples": sum(counts.values())}
 
 
 def resume_run(

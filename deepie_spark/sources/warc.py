@@ -34,7 +34,20 @@ def write_warc_lite(
     records: list[tuple[str, str, str]], out_dir: str, shards: int = 4
 ) -> list[str]:
     """Driver-side shard writer (fixture generation): records are
-    (url, iso_ts, html) tuples, striped across ``shards`` files."""
+    (url, iso_ts, html) tuples, striped across ``shards`` files.
+
+    Payloads must not contain the record marker (``WARC/1.0``): the
+    reader splits shards on it, so a marker inside a payload would cut
+    that record mid-body and drop the headerless remainder silently.
+    Real WARC frames by Content-Length instead; this lite format trades
+    that for a splittable lineSep scan, so the writer rejects the
+    ambiguity up front rather than producing corrupt shards."""
+    for url, _ts, html in records:
+        if MARKER in html:
+            raise ValueError(
+                f"payload for {url!r} contains the record marker"
+                f" {MARKER!r}; warc-lite cannot frame it"
+            )
     os.makedirs(out_dir, exist_ok=True)
     paths = [
         os.path.join(out_dir, f"part-{i:04d}.warc") for i in range(shards)

@@ -54,6 +54,28 @@ def test_write_then_resume_skips_everything(spark, pages, tmp_path):
     assert len(subdirs) == n_parts_written
 
 
+def test_manifest_write_runs_plan_once(spark, pages, tmp_path):
+    """Plan guard for the single most expensive job in the system: the
+    manifest counts must come from the written files' footers, not a
+    second execution of the triples plan.  The accumulator counts rows
+    flowing through the plan; exactly n (not 2n) may pass."""
+    acc = spark.sparkContext.accumulator(0)
+    triples = extract_triples(spark, pages.drop("part_id"))
+    n = triples.count()
+
+    def passthrough(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    instrumented = triples.mapInPandas(passthrough, triples.schema)
+    res = write_triples_with_manifest(
+        instrumented, str(tmp_path / "t1"), str(tmp_path / "m1")
+    )
+    assert res["n_triples"] == n
+    assert acc.value == n
+
+
 def test_iceberg_sink_gating_and_fallback(spark, pages, tmp_path):
     """No Iceberg jar in this container: the probe must say so, the
     fallback must produce the parquet+manifest layout, and the missing-

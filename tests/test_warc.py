@@ -53,6 +53,15 @@ def test_payload_with_tricky_content(spark, tmp_path):
     assert len(got) == 1
     assert bytes(got[0]["html"]).decode() == safe
 
+    # the writer must refuse the ambiguous payload instead of silently
+    # producing a shard the reader would truncate mid-body
+    with pytest.raises(ValueError, match="marker"):
+        write_warc_lite(
+            [("https://b", "2024-01-01T00:00:00", html)],
+            str(tmp_path / "warc3"),
+            shards=1,
+        )
+
 
 def test_malformed_records_do_not_kill_the_scan(spark, tmp_path):
     """One bad record (missing date / missing length / stray preamble)
