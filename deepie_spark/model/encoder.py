@@ -222,6 +222,24 @@ def encode_batch(
     }
 
 
+def one_hot_channel(ids: np.ndarray, width: int) -> np.ndarray:
+    """Feature mode 1 (one-hot) from the scalar id channel.
+
+    The reference's one-hot encodings (rnnRE.py:96-170) all reduce to
+    one rule relative to the scalar mode: ``vec[scalar_id - 1] = 1``,
+    pad rows (scalar 0) are zero vectors (rnnRE.py:180-207).  Verified
+    per channel: dist one-hot index ``lpos`` vs scalar ``lpos+1``
+    (:109-118); type/subtype ``[ty-1]`` vs ``ty`` (:123-170, 'Other'
+    ``[0]`` vs 1); order ``[orderId]``/``[1-orderId]``/``[2]`` vs
+    ``orderId+1``/``2-orderId``/``3``; constit/preter/prepreter
+    ``[c-1]`` vs ``c`` (:96-106); indep ``[idid-1]`` vs ``idid``
+    (:87-94, dep path: all-zero, :268-271)."""
+    out = np.zeros((*ids.shape, width), dtype=np.float32)
+    b, t = np.nonzero(ids > 0)
+    out[b, t, ids[b, t] - 1] = 1.0
+    return out
+
+
 def binary_feature_rows(
     records: list[dict], bin_dict: dict[str, int], max_len: int
 ) -> np.ndarray:

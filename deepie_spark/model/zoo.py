@@ -225,23 +225,33 @@ def dynamic_pool3(
 ) -> np.ndarray:
     """M15: 3-segment dynamic max pooling — max over [0,pos1), [pos1],
     (pos1,pos2), [pos2], (pos2,end) → 5 concatenated pieces
-    (dynamicpooling rnnReModels.py:1509-1569).  Empty segments pool to 0
-    (the reference's zero-padded states)."""
+    (dynamicpooling rnnReModels.py:1509-1569).
+
+    Reference-exact detail: each segment max is taken over a *zeroed
+    full-length copy* with only the segment filled in
+    (``T.set_subtensor(zeros[a:b], x[a:b])`` then ``T.max(axis=0)``), so
+    the pooled value is elementwise ``max(segment ∪ {0})`` — all-negative
+    segments clamp to 0, and empty segments pool to 0.  pos1/pos2 are
+    used as given (the reference assumes pos1 ≤ pos2; a reversed pair
+    yields empty before/between slices exactly as Theano's would)."""
     b, t, d = h.shape
     out = np.zeros((b, 5 * d), dtype=h.dtype)
-    idx = np.arange(t)
+
+    def seg_max(s: np.ndarray) -> np.ndarray:
+        if s.size == 0:
+            return np.zeros(d, h.dtype)
+        return np.maximum(s.max(axis=0), 0)
+
     for i in range(b):
         p1, p2 = int(pos1[i]), int(pos2[i])
-        lo, hi = min(p1, p2), max(p1, p2)
-        segs = [
-            h[i, idx < lo],
-            h[i, [lo]],
-            h[i, (idx > lo) & (idx < hi)],
-            h[i, [hi]],
-            h[i, idx > hi],
-        ]
         out[i] = np.concatenate(
-            [s.max(axis=0) if s.size else np.zeros(d, h.dtype) for s in segs]
+            [
+                seg_max(h[i, :p1]),
+                h[i, p1],
+                seg_max(h[i, p1 + 1 : p2]),
+                h[i, p2],
+                seg_max(h[i, p2 + 1 :]),
+            ]
         )
     return out
 

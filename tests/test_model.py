@@ -182,12 +182,14 @@ def test_dynamic_pool3_segments():
     h = rand(1, 6, 2)
     pos1, pos2 = np.array([1]), np.array([4])
     out = zoo.dynamic_pool3(h, pos1, pos2)[0]
+    # segment maxes clamp at 0: the reference pools a zeroed full-length
+    # copy with only the segment filled (rnnReModels.py:1509-1569)
     segs = [
-        h[0, :1].max(0),      # before
-        h[0, 1],              # [pos1]
-        h[0, 2:4].max(0),     # between
-        h[0, 4],              # [pos2]
-        h[0, 5:].max(0),      # after
+        np.maximum(h[0, :1].max(0), 0),      # before
+        h[0, 1],                             # [pos1] (unclamped gather)
+        np.maximum(h[0, 2:4].max(0), 0),     # between
+        h[0, 4],                             # [pos2]
+        np.maximum(h[0, 5:].max(0), 0),      # after
     ]
     assert np.allclose(out, np.concatenate(segs))
     # empty segments (adjacent heads at the edges) pool to zero
