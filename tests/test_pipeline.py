@@ -79,6 +79,44 @@ def test_greedy_match_longest_wins():
     ]
 
 
+def test_arrow_mentions_equals_pandas_twin(spark, pages):
+    """The Arrow-native hot path (mapInArrow + pyarrow.compute split/
+    index_in) must reproduce the pandas-batch twin exactly — tokens AND
+    mentions — including adversarial texts: empty, whitespace-only,
+    \\x1c-\\x1f separators, unicode spaces, NULL, alias-dense streams."""
+    from deepie_spark.operators.mentions import (
+        detect_mentions,
+        detect_mentions_pandas,
+    )
+
+    def snap(df):
+        return {
+            r["url"]: (r["tokens"], [tuple(m) for m in r["mentions"]])
+            for r in df.collect()
+        }
+
+    a = snap(detect_mentions(pages, include_tokens=True))
+    b = snap(detect_mentions_pandas(pages, include_tokens=True))
+    assert a == b
+
+    weird = [
+        "", "   ", "\x1c\x1d", "a\x1cspark b", "café table scan",
+        "nbsp spark", "spark", "hash join hash join",
+        "  lead trail  ", None, "table scan table scan table",
+    ]
+    wdf = spark.createDataFrame(
+        [(f"u{i}", t) for i, t in enumerate(weird)],
+        "url string, text string",
+    )
+    aw = snap(detect_mentions(wdf, include_tokens=True))
+    bw = snap(
+        detect_mentions_pandas(
+            wdf.fillna({"text": ""}), include_tokens=True
+        )
+    )
+    assert aw == bw
+
+
 def test_mention_position_is_last_token():
     trie = build_alias_trie(ENTITY_CATALOG)
     m = greedy_match("a table scan b".split(), trie)[0]

@@ -94,6 +94,22 @@ def test_compiled_matcher_equals_greedy_trie(tokens):
     assert compile_matcher(trie)(tokens) == greedy_match(tokens, trie)
 
 
+@given(st.lists(st.lists(words | st.sampled_from(
+    ["hash", "join", "table", "scan", "sort", "merge", "spark", "row"]
+), min_size=0, max_size=40), min_size=0, max_size=6))
+@settings(max_examples=300, deadline=None)
+def test_batch_matcher_equals_greedy_trie(token_lists):
+    """The vectorized batch matcher (Index.get_indexer hash joins +
+    python only at multi-candidate hits) is semantics-identical to the
+    per-row trie walk on arbitrary batches."""
+    from deepie_spark.operators.mentions import compile_batch_matcher
+
+    trie = build_alias_trie()
+    got = compile_batch_matcher(trie)(token_lists)
+    want = [greedy_match(toks, trie) for toks in token_lists]
+    assert got == want
+
+
 @given(st.text(max_size=80))
 @settings(max_examples=300, deadline=None)
 def test_py_tokenize_fast_path_equals_regex(s):
