@@ -98,8 +98,15 @@ _COMPONENTS = {
     "rnnAtt": ("gruBi", "att"),
     "rnnAttHead": ("gruBi", "atthead"),
     "alternateHead": ("convThenGruBi", "head"),
+    "alternateHeadForward": ("convThenGruF", "head"),
+    "alternateHeadBackward": ("convThenGruB", "head"),
+    "alternateHeadDeep": ("convThenGruBiDeep", "head"),
     "alternateMax": ("convThenGruBi", "max"),
+    "alternateMaxForward": ("convThenGruF", "max"),
+    "alternateMaxBackward": ("convThenGruB", "max"),
     "alternateConv": ("gruBi", "convpool"),
+    "alternateConvForward": ("gruF", "convpool"),
+    "alternateConvBackward": ("gruB", "convpool"),
 }
 
 
@@ -279,7 +286,8 @@ def _component_out_dim(spec: dict, f: dict) -> int:
         None: conv_out if core is None else 0,
         "gruBi": 2 * nh, "ffBi": 2 * nh,
         "gruF": nh, "gruB": nh, "ffF": nh, "ffB": nh,
-        "convThenGruBi": 2 * nh,
+        "convThenGruBi": 2 * nh, "convThenGruBiDeep": 2 * nh,
+        "convThenGruF": nh, "convThenGruB": nh,
     }[core]
     if pool == "convpool":
         return conv_out
@@ -356,36 +364,56 @@ def init_menu_weights(spec: dict, seed: int = 8989) -> dict[str, np.ndarray]:
         core, pool = _COMPONENTS[comp]
         in_dim = family_in_dim(spec, f)
         nh = spec["nh"][fam]
-        conv_in = in_dim
-        if core == "convThenGruBi":
+        conv_out = spec["maps"] * len(spec["windows"])
+
+        def conv_set(prefix: str, d: int) -> None:
             for win in spec["windows"]:
-                w[f"{fam}_conv_W{win}"] = mat(
-                    spec["maps"] * win * in_dim, 1
-                ).reshape(spec["maps"], win, in_dim)
-                w[f"{fam}_conv_b{win}"] = np.zeros(spec["maps"], np.float32)
-            rnn_in = spec["maps"] * len(spec["windows"])
-        else:
-            rnn_in = in_dim
-        if core in ("gruBi", "gruF", "gruB", "convThenGruBi"):
-            dirs = ("fwd", "bwd") if core in ("gruBi", "convThenGruBi") \
-                else (("fwd",) if core == "gruF" else ("bwd",))
+                w[f"{fam}_{prefix}_W{win}"] = mat(
+                    spec["maps"] * win * d, 1
+                ).reshape(spec["maps"], win, d)
+                w[f"{fam}_{prefix}_b{win}"] = np.zeros(
+                    spec["maps"], np.float32
+                )
+
+        def gru_set(prefix: str, d: int, dirs: tuple[str, ...]) -> None:
             for side in dirs:
-                for i, p in enumerate(gru_params(rnn_in, nh)):
-                    w[f"{fam}_gru_{side}_{i}"] = p
+                for i, p in enumerate(gru_params(d, nh)):
+                    w[f"{fam}_{prefix}_{side}_{i}"] = p
+
+        if core == "convThenGruBiDeep":
+            # depth-2 conv→biGRU stack (alternateHeadDeep
+            # rnnReModels.py:1198-1215): each stage's conv runs over the
+            # previous stage's output
+            conv_set("conv", in_dim)
+            gru_set("gru", conv_out, ("fwd", "bwd"))
+            conv_set("conv2", 2 * nh)
+            gru_set("gru2", conv_out, ("fwd", "bwd"))
+            rnn_in = conv_out
+        elif core in ("convThenGruBi", "convThenGruF", "convThenGruB"):
+            conv_set("conv", in_dim)
+            rnn_in = conv_out
+            dirs = ("fwd", "bwd") if core == "convThenGruBi" else (
+                ("fwd",) if core.endswith("F") else ("bwd",)
+            )
+            gru_set("gru", rnn_in, dirs)
+        elif core in ("gruBi", "gruF", "gruB"):
+            dirs = ("fwd", "bwd") if core == "gruBi" else (
+                ("fwd",) if core == "gruF" else ("bwd",)
+            )
+            gru_set("gru", in_dim, dirs)
         elif core in ("ffBi", "ffF", "ffB"):
             dirs = ("fwd", "bwd") if core == "ffBi" else (
                 ("fwd",) if core == "ffF" else ("bwd",)
             )
             for side in dirs:
-                for i, p in enumerate(ff_params(rnn_in, nh)):
+                for i, p in enumerate(ff_params(in_dim, nh)):
                     w[f"{fam}_ff_{side}_{i}"] = p
         if pool in ("convpool", "convmean", "convdep"):
-            conv_d = 2 * nh if comp == "alternateConv" else conv_in
-            for win in spec["windows"]:
-                w[f"{fam}_pconv_W{win}"] = mat(
-                    spec["maps"] * win * conv_d, 1
-                ).reshape(spec["maps"], win, conv_d)
-                w[f"{fam}_pconv_b{win}"] = np.zeros(spec["maps"], np.float32)
+            if comp.startswith("alternateConv"):
+                conv_d = 2 * nh if comp == "alternateConv" else nh
+            else:
+                conv_d = in_dim
+            conv_set("pconv", conv_d)
         if pool in ("att", "atthead"):
             w[f"{fam}_att_IW"] = mat(2 * nh, 1)
             w[f"{fam}_att_Ib"] = np.zeros(1, np.float32)
@@ -510,32 +538,44 @@ def _conv_filters(w: dict, spec: dict, fam: str, prefix: str):
     ]
 
 
+def _same_conv(x, w, spec, fam, prefix):
+    return np.concatenate(
+        [
+            conv_same_tanh(x, W, b)
+            for W, b in _conv_filters(w, spec, fam, prefix)
+        ],
+        axis=2,
+    )
+
+
 def _run_core(core, x, w, spec, fam):
-    nh_key = fam
     if core is None:
         return x
-    if core == "convThenGruBi":
-        conv = [
-            conv_same_tanh(x, W, b)
-            for W, b in _conv_filters(w, spec, fam, "conv")
-        ]
-        x = np.concatenate(conv, axis=2)
-        core = "gruBi"
+
+    def recur(kind, x, pre):
+        cell, n = (rnn_gru, 6) if pre.startswith("gru") else (rnn_ff, 3)
+        if kind == "Bi":
+            fwd = tuple(w[f"{fam}_{pre}_fwd_{i}"] for i in range(n))
+            bwd = tuple(w[f"{fam}_{pre}_bwd_{i}"] for i in range(n))
+            return bidirectional(x, fwd, bwd, cell=cell)
+        if kind == "F":
+            params = tuple(w[f"{fam}_{pre}_fwd_{i}"] for i in range(n))
+            return cell(x, *params)
+        params = tuple(w[f"{fam}_{pre}_bwd_{i}"] for i in range(n))
+        return cell(x[:, ::-1], *params)[:, ::-1]
+
+    if core == "convThenGruBiDeep":
+        x = _same_conv(x, w, spec, fam, "conv")
+        x = recur("Bi", x, "gru")
+        x = _same_conv(x, w, spec, fam, "conv2")
+        return recur("Bi", x, "gru2")
+    if core.startswith("convThenGru"):
+        x = _same_conv(x, w, spec, fam, "conv")
+        return recur(core[len("convThenGru"):], x, "gru")
     if core in ("gruBi", "ffBi"):
-        pre, cell, n = (
-            ("gru", rnn_gru, 6) if core == "gruBi" else ("ff", rnn_ff, 3)
-        )
-        fwd = tuple(w[f"{fam}_{pre}_fwd_{i}"] for i in range(n))
-        bwd = tuple(w[f"{fam}_{pre}_bwd_{i}"] for i in range(n))
-        return bidirectional(x, fwd, bwd, cell=cell)
-    pre, cell, n = (
-        ("gru", rnn_gru, 6) if core.startswith("gru") else ("ff", rnn_ff, 3)
-    )
-    if core.endswith("F"):
-        params = tuple(w[f"{fam}_{pre}_fwd_{i}"] for i in range(n))
-        return cell(x, *params)
-    params = tuple(w[f"{fam}_{pre}_bwd_{i}"] for i in range(n))
-    return cell(x[:, ::-1], *params)[:, ::-1]
+        return recur("Bi", x, "gru" if core == "gruBi" else "ff")
+    kind = "F" if core.endswith("F") else "B"
+    return recur(kind, x, "gru" if core.startswith("gru") else "ff")
 
 
 def component_features(

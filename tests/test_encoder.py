@@ -242,3 +242,50 @@ def test_encoder_runs_on_all_fixtures():
         assert (row_w[:n] > 0).all()  # every word resolved
         assert not row_w[n:].any()  # zero padding
         assert row_t[r["pos1"]] == dicts["type"][r["type1"]]
+
+
+def test_one_hot_mode_exact_channels():
+    """Feature mode 1 (expected_features=1): hand-computed one-hot
+    vectors for the tiny record, covering the reference's per-channel
+    index quirks (rnnRE.py:96-170) and zero pad rows (:180-207)."""
+    from deepie_spark.model.encoder import one_hot_channel
+
+    enc = encode_batch([tiny_record()], DICTS, M_LEN, NUM_POS)
+    # dist1: one-hot index = center + i - pos1 (no +1), width NUM_POS
+    d1 = one_hot_channel(enc["dist1"], NUM_POS)[0]
+    center = NUM_POS // 2
+    for i in range(4):
+        want = np.zeros(NUM_POS)
+        want[center + i - 1] = 1.0  # pos1 = 1
+        assert np.array_equal(d1[i], want)
+    assert not d1[4:].any()  # pad rows are zero vectors
+    # type: [ty-1]=1 at heads, [0]=1 ('Other') elsewhere, width numType
+    ty = one_hot_channel(enc["type"], len(DICTS["type"]))[0]
+    assert np.array_equal(ty[1], [0, 1, 0])   # PER at pos1
+    assert np.array_equal(ty[3], [0, 0, 1])   # FAC at pos2
+    assert np.array_equal(ty[0], [1, 0, 0])   # Other elsewhere
+    # order: pos1 -> [orderId]=1, pos2 -> [1-orderId]=1, else [2]=1
+    orv = one_hot_channel(enc["order"], 3)[0]
+    assert np.array_equal(orv[1], [1, 0, 0])
+    assert np.array_equal(orv[3], [0, 1, 0])
+    assert np.array_equal(orv[0], [0, 0, 1])
+    # indep: [idid-1]=1 (2 on dep path, 1 off), width 2
+    ind = one_hot_channel(enc["indep"], 2)[0]
+    assert np.array_equal(ind[0], [1, 0])     # token 0 off-path
+    assert np.array_equal(ind[1], [0, 1])     # token 1 on-path
+
+
+def test_one_hot_mode_dep_family():
+    """Dep-path family one-hot quirk: the indep channel is ALL-ZERO on
+    the dep sequence (indepFet stays untouched, rnnRE.py:268-271) —
+    scalar 0 everywhere -> zero one-hot rows via the universal rule."""
+    from deepie_spark.model.encoder import encode_dep_record, one_hot_channel
+
+    rec = tiny_record()
+    rec["dep_tokens"] = [rec["tokens"][i] for i in rec["dep_idx"]]
+    e = encode_dep_record(rec, DICTS, M_LEN, NUM_POS)
+    ind = one_hot_channel(e["indep"][None, :], 2)[0]
+    assert not ind.any()
+    # constit gathered through dep_idx then one-hot [c-1]=1
+    c1 = one_hot_channel(e["constit1"][None, :], len(DICTS["constit"]))[0]
+    assert np.array_equal(c1[0], [0, 1, 0])  # dep token 0 = cons1[1] = NP

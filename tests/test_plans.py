@@ -58,7 +58,8 @@ def test_pipeline_has_no_shuffle_before_sink(spark, sf_dir):
     # counts rather than absolutes)
     assert "ENSURE_REQUIREMENTS" not in plan
     assert plan.count("Exchange") == plan.count("REPARTITION_BY_NUM") > 0
-    assert "MapInPandas" in plan
+    # mention detection is the Arrow-native python stage (mapInArrow)
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan
     assert "Join" not in plan  # fused rule lookup, no join operator
 
 
