@@ -208,6 +208,40 @@ def _lsh_topk_oracle_sql(
     """
 
 
+def _pii_scrub_oracle_sql() -> str:
+    """DuckDB twin of q_pii_scrub: same synthetic contact tail, same
+    patterns (Java-regex/RE2-identical syntax), regexp_replace with the
+    'g' flag to match Spark's replace-all, fingerprint via the portable
+    poly hash."""
+    from deepie_spark.functions.text import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    t2 = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@mail.example.com or 10.'"
+        " || CAST(doc_id % 256 AS VARCHAR) || '.'"
+        " || CAST((doc_id // 256) % 256 AS VARCHAR)"
+        " || '.7 call +1-555-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+    redacted = (
+        f"regexp_replace(regexp_replace(regexp_replace({t2},"
+        f" '{PII_EMAIL}', '<EMAIL>', 'g'),"
+        f" '{PII_IPV4}', '<IP>', 'g'),"
+        f" '{PII_PHONE}', '<PHONE>', 'g')"
+    )
+    return f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all({t2}, '{PII_EMAIL}'))
+                    AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all({t2}, '{PII_IPV4}'))
+                    AS BIGINT) AS n_ipv4,
+               CAST(len(regexp_extract_all({t2}, '{PII_PHONE}'))
+                    AS BIGINT) AS n_phones,
+               {_poly_hash_sql(redacted)} AS redacted_fp
+        FROM documents
+    """
+
+
 def _media_features_oracle_sql(dim: int = 16) -> str:
     """DuckDB twin of operators.multimodal's byte-histogram features.
 
@@ -1015,6 +1049,83 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "kind", "n_bytes", *dims)
 
 
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (training-data quality): token-trigram
+    duplicate structure — total/distinct trigram counts, distinct ratio,
+    and the hottest trigram's share.  Two hash aggregations, map-side
+    combinable, no joins."""
+    from deepie_spark.functions.text import doc_trigrams
+
+    t = _toks(spark, sf_dir)
+    tri = t.select(
+        "doc_id", F.explode(doc_trigrams(F.col("toks"))).alias("tg")
+    )
+    per = tri.groupBy("doc_id", "tg").agg(F.count("*").alias("c"))
+    return per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tri"),
+        F.count("*").alias("n_distinct"),
+        F.round(F.count("*") / F.sum("c"), 6).alias("distinct_ratio"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_fraction"),
+    )
+
+
+def _pii_text2():
+    """Deterministic PII-bearing twin of the text column (the corpus
+    itself is digit-free): a synthetic contact tail derived from doc_id,
+    identical in Spark and the DuckDB oracle."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        (F.floor(F.col("doc_id") / 256) % 256).cast("long").cast("string"),
+        F.lit(".7 call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (training-data pipeline): count and redact emails /
+    IPv4 / phone patterns; the redacted text is compared by polynomial
+    fingerprint (patterns chosen for identical Java-regex/RE2
+    semantics — classes, bounded repetition, \\b; no lookaround)."""
+    from deepie_spark.functions.text import (
+        char_poly_hash,
+        pii_counts,
+        scrub_pii,
+    )
+
+    d = _docs(spark, sf_dir)
+    t2 = _pii_text2()
+    c = pii_counts(t2)
+    return d.select(
+        "doc_id",
+        c["n_emails"].cast("long").alias("n_emails"),
+        c["n_ipv4"].cast("long").alias("n_ipv4"),
+        c["n_phones"].cast("long").alias("n_phones"),
+        char_poly_hash(scrub_pii(t2)).alias("redacted_fp"),
+    )
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus stats over the north-rule pages table: host
+    extraction (parse_url stays JVM-side) + one hash aggregation — the
+    hot-domain skew surface a Common-Crawl pipeline monitors."""
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    return (
+        pages.select(
+            F.parse_url(F.col("url"), F.lit("HOST")).alias("domain"),
+            F.length("text").alias("nc"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nc").cast("long").alias("total_chars"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -1064,6 +1175,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_triples_model": q_pipeline_triples_model,
         "mentions_tagged": q_mentions_tagged,
         "media_features": q_media_features,
+        "repetition_scores": q_repetition_scores,
+        "pii_scrub": q_pii_scrub,
+        "domain_stats": q_domain_stats,
     }
 
 
@@ -1622,4 +1736,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_features": _media_features_oracle_sql(),
         "ann_topk_lsh": _lsh_topk_oracle_sql(),
+        "repetition_scores": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+            tg AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS tg FROM t),
+            per AS (SELECT doc_id, tg, count(*) AS c
+                    FROM tg GROUP BY doc_id, tg)
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tri,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   round(count(*) / sum(c), 6) AS distinct_ratio,
+                   round(max(c) / sum(c), 6) AS top_fraction
+            FROM per GROUP BY doc_id
+        """,
+        "pii_scrub": _pii_scrub_oracle_sql(),
+        "domain_stats": """
+            SELECT source || '.example.com' AS domain,
+                   count(*) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars
+            FROM documents GROUP BY 1
+        """,
     }

@@ -102,7 +102,12 @@ def run_bench(sf_dir: str, cores: int) -> dict:
     )
     tmp = tempfile.mkdtemp(prefix="bench_pages_")
     pages_dir = os.path.join(tmp, "pages.parquet")
-    pages_from_documents(big).write.mode("overwrite").parquet(pages_dir)
+    # file count sets effective scan parallelism (1 row group per small
+    # file; byte-range splits beyond a row-group start read nothing):
+    # 4x cores → four balanced waves, no straggler tail
+    pages_from_documents(big).repartition(4 * cores).write.mode(
+        "overwrite"
+    ).parquet(pages_dir)
     pages = spark.read.parquet(pages_dir)
     sustained_triples = extract_triples(spark, pages).count()  # warm
     best = float("inf")

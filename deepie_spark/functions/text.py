@@ -203,3 +203,41 @@ def doc_fingerprint(text: Column) -> Column:
     """Document fingerprint: polynomial hash of the whole text (the
     rolling structure makes it incremental / streamable)."""
     return char_poly_hash(text)
+
+
+# ---------------------------------------------------------------------------
+# intra-document repetition (training-data quality: repetitive docs are
+# boilerplate/spam candidates — the Gopher-style repetition signals
+# restated over token n-grams, since the synthetic corpus is one line)
+
+def doc_trigrams(tokens: Column) -> Column:
+    """Non-distinct token trigrams (same fallback semantics as
+    :func:`shingles`: short docs yield the whole text as one gram)."""
+    return shingles(tokens, 3)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data pipeline: redact emails / IPv4 / phone
+# numbers before anything ships to a training corpus).  Patterns use
+# only syntax with identical semantics in Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, \b — no lookaround.
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9][0-9-]{5,}[0-9]"
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), 0)),
+        "n_ipv4": F.size(F.regexp_extract_all(text, F.lit(PII_IPV4), 0)),
+        "n_phones": F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), 0)),
+    }
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact in a fixed order (email → ipv4 → phone) so the three
+    patterns cannot partially rewrite each other's matches."""
+    t = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    t = F.regexp_replace(t, PII_IPV4, "<IP>")
+    return F.regexp_replace(t, PII_PHONE, "<PHONE>")

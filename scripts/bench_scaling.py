@@ -56,7 +56,12 @@ big = docs.crossJoin(reps).select(
     (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
     "text", "lang", "source", "n_chars",
 )
-pages_from_documents(big).write.mode("overwrite").parquet(out)
+# 128 files: effective scan parallelism is the file count (one row
+# group per small file), so both legs get balanced waves (8 at 16
+# cores, 32 at 4) instead of a 33-task straggler tail
+pages_from_documents(big).repartition(128).write.mode(
+    "overwrite"
+).parquet(out)
 print(json.dumps({"n_docs": spark.read.parquet(out).count()}))
 """
 

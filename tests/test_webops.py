@@ -1,0 +1,84 @@
+"""Web-pipeline operator tests: intra-doc repetition, PII scrubbing,
+per-domain stats (training-data pipeline surface; each also has a
+DuckDB oracle via __spark_entry__).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from deepie_spark.functions.text import (
+    PII_EMAIL,
+    PII_IPV4,
+    PII_PHONE,
+    pii_counts,
+    scrub_pii,
+)
+
+
+def test_pii_scrub_redacts_everything(spark):
+    rows = [
+        (1, "mail me at a.b+c@ex-am.ple.org today"),
+        (2, "server 192.168.0.1 and 10.0.0.255 up"),
+        (3, "call +1-555-0100 or +44-20-7946-0958 now"),
+        (4, "clean text with no identifiers at all"),
+        (5, "combo x@y.io 8.8.8.8 +1-555-9999"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    c = pii_counts(F.col("text"))
+    got = df.select(
+        "doc_id",
+        c["n_emails"].alias("e"),
+        c["n_ipv4"].alias("i"),
+        c["n_phones"].alias("p"),
+        scrub_pii(F.col("text")).alias("red"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in got}
+    assert (by_id[1]["e"], by_id[2]["i"], by_id[3]["p"]) == (1, 2, 2)
+    assert by_id[4]["red"] == rows[3][1]  # untouched
+    assert by_id[5]["red"] == "combo <EMAIL> <IP> <PHONE>"
+    # nothing matching the patterns survives any redacted text
+    survivors = df.select(scrub_pii(F.col("text")).alias("red")).filter(
+        F.col("red").rlike(PII_EMAIL)
+        | F.col("red").rlike(PII_IPV4)
+        | F.col("red").rlike(PII_PHONE)
+    )
+    assert survivors.count() == 0
+
+
+def test_repetition_scores_bounds_and_extremes(spark, sf_dir):
+    out = entry.q_repetition_scores(spark, sf_dir).collect()
+    assert len(out) == 500
+    for r in out:
+        assert r["n_distinct"] <= r["n_tri"]
+        assert 0 < r["distinct_ratio"] <= 1.0
+        assert 0 < r["top_fraction"] <= 1.0
+    # a fully-repetitive doc pins top_fraction to 1
+    rep = spark.createDataFrame(
+        [(1, "a b a b a b a b"), (2, "w x y z q r s t")],
+        "doc_id long, text string",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    rep.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        r["doc_id"]: r for r in entry.q_repetition_scores(spark, d).collect()
+    }
+    assert got[1]["n_distinct"] == 2      # 'a b a' / 'b a b' alternate
+    assert got[2]["distinct_ratio"] == 1.0
+
+
+def test_domain_stats_matches_source_partition(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    want = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    got = {
+        r["domain"]: r["n_docs"]
+        for r in entry.q_domain_stats(spark, sf_dir).collect()
+    }
+    assert got == {f"{s}.example.com": n for s, n in want.items()}
