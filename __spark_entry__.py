@@ -847,6 +847,45 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, q, k=10, n_bits=6, seed=42, dim=64)
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: in-row coarse-quantizer cell assignment + exact
+    scoring within the query's cell (nprobe=1) — the second scale path
+    beside hyperplane LSH, with a full DuckDB oracle (cells derived from
+    the same seed vectors on both sides)."""
+    from deepie_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivf_topk(emb, q, k=10, n_cells=16)
+
+
+#: deterministic sampling constants (portable: plain BIGINT arithmetic,
+#: identical in Spark and DuckDB — no engine RNG involved)
+_SAMPLE_A = 1315423911
+_SAMPLE_MOD = 1_000_000_007
+_SAMPLE_TH_HI = _SAMPLE_MOD // 10   # 10% strata
+_SAMPLE_TH_LO = _SAMPLE_MOD // 50   # 2% strata
+_SAMPLE_HI_SOURCES = tuple(f"src{i}" for i in range(5))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-data pipeline): keep
+    10% of the head sources and 2% of the rest, selected by a pure
+    integer hash of doc_id — reproducible across engines, reruns, and
+    partitionings (engine RNG sampling is none of those)."""
+    d = _docs(spark, sf_dir)
+    h = (F.col("doc_id") * _SAMPLE_A) % _SAMPLE_MOD
+    th = F.when(
+        F.col("source").isin(list(_SAMPLE_HI_SOURCES)), _SAMPLE_TH_HI
+    ).otherwise(_SAMPLE_TH_LO)
+    return (
+        d.filter(h < th)
+        .select("doc_id", "source", h.alias("sample_key"))
+    )
+
+
 def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over catalog alias-token-overlap edges."""
     return connected_components(alias_overlap_edges(catalog_df(spark)))
@@ -1167,6 +1206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_dup": q_emb_cosine_dup,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "stratified_sample": q_stratified_sample,
         "cc_components": q_cc_components,
         "triples_canonical": q_triples_canonical,
         "scorer_prf": q_scorer_prf,
@@ -1749,6 +1790,49 @@ def oracle_sql() -> dict[str, str]:
             FROM per GROUP BY doc_id
         """,
         "pii_scrub": _pii_scrub_oracle_sql(),
+        "ann_topk_ivf": f"""
+            WITH {_EMB_DOUBLE_SQL.strip()},
+            seeds AS (SELECT vec_id AS cell, v AS sv FROM e
+                      WHERE vec_id < 16),
+            sc AS (SELECT e.vec_id, s.cell,
+                          list_dot_product(e.v, s.sv)
+                            / sqrt(list_dot_product(s.sv, s.sv)) AS c
+                   FROM e CROSS JOIN seeds s),
+            cells AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY c DESC, cell) AS rn
+                FROM sc
+              ) WHERE rn = 1
+            ),
+            ec AS (SELECT e.vec_id, e.v, cells.cell
+                   FROM e JOIN cells USING (vec_id)),
+            q AS (SELECT vec_id AS query_id, v AS qv, cell
+                  FROM ec WHERE vec_id < 5),
+            scored AS (
+              SELECT query_id, ec.vec_id,
+                     round({_cos_sql('qv', 'ec.v')}, 6) AS cosine
+              FROM q JOIN ec USING (cell)
+              WHERE query_id != ec.vec_id
+            ),
+            r AS (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= 10
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, source,
+                   (doc_id * {_SAMPLE_A}) % {_SAMPLE_MOD} AS sample_key
+            FROM documents
+            WHERE (doc_id * {_SAMPLE_A}) % {_SAMPLE_MOD} <
+                  CASE WHEN source IN
+                    ({", ".join(f"'{s}'" for s in _SAMPLE_HI_SOURCES)})
+                  THEN {_SAMPLE_TH_HI} ELSE {_SAMPLE_TH_LO} END
+        """,
         "domain_stats": """
             SELECT source || '.example.com' AS domain,
                    count(*) AS n_docs,

@@ -100,6 +100,70 @@ def _bucket(vec: Column, planes: np.ndarray) -> Column:
     return out.cast("long")
 
 
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantizer cells + exact in-cell scoring.
+
+    The quantizer here is seeded — the first ``n_cells`` vectors (sorted
+    by id) are the cell centroids; a production build would Lloyd-iterate
+    them driver-side, which changes only the centroid values, not the
+    plan.  Cell assignment is an IN-ROW argmax over the broadcast
+    centroid literals (no shuffle, no python); the only shuffle is the
+    cell-key join that replaces the brute-force cross join, candidate
+    count ~N/n_cells (nprobe=1).  Ties pick the smallest cell id (first
+    max), mirrored exactly by the oracle's row_number ordering."""
+    e = emb.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    seeds = (
+        e.filter(F.col("vec_id") < n_cells).orderBy("vec_id").collect()
+    )  # bounded: n_cells rows
+    # argmax_s cos(v, s) == argmax_s dot(v, s)/|s| (|v| > 0 is constant
+    # across cells): one dot fold per cell instead of three, with |s|
+    # precomputed driver-side (sequential sum, same order as the
+    # oracle's list_dot_product fold → identical doubles)
+    import math
+
+    def seq_norm(vec) -> float:
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    def cell_expr(vcol: Column) -> Column:
+        cs = F.array(
+            *[
+                dot(vcol, F.array(*[F.lit(float(x)) for x in r["v"]]))
+                / F.lit(seq_norm(r["v"]))
+                for r in seeds
+            ]
+        )
+        return (F.array_position(cs, F.array_max(cs)) - 1).cast("long")
+
+    ec = e.withColumn("cell", cell_expr(F.col("v")))
+    q = queries.select(
+        "query_id", _as_double(F.col("qvec")).alias("qv")
+    ).withColumn("cell", cell_expr(F.col("qv")))
+    scored = q.join(ec, "cell").filter(F.col("query_id") != F.col("vec_id"))
+    scored = scored.withColumn(
+        "cosine", F.round(cosine(F.col("qv"), F.col("v")), 6)
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cosine")
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

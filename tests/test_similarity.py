@@ -119,3 +119,48 @@ def test_topk_on_driver_embeddings(spark, sf_dir):
     assert len(got) == 30
     for r in got:
         assert -1.0 <= r["cosine"] <= 1.0
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    """IVF with one seed per cluster (ids 0..4 are the 5 centers, the
+    members follow): every member lands in its cluster's cell, so
+    same-cluster neighbors — the exact top-k — are all candidates."""
+    from deepie_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(5, 12) * 4.0
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(centers)
+    ]
+    vid = 5
+    for c in centers:
+        for _ in range(8):
+            v = c + rng.randn(12) * 0.05
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    k = 5
+    q = emb.filter(
+        (F.col("vec_id") >= 5) & (F.col("vec_id") < 13)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb, q, k=k).collect()
+    }
+    approx_rows = ivf_topk(emb, q, k=k, n_cells=5).collect()
+    approx = {(r["query_id"], r["vec_id"]) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall {recall}"
+    # in-cell scores are exact
+    exact_cos = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in brute_force_topk(emb, q, k=45).collect()
+    }
+    for r in approx_rows:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_cos:
+            assert r["cosine"] == pytest.approx(exact_cos[key], abs=1e-6)
