@@ -105,10 +105,12 @@ def _fused_triples(mentions: DataFrame, max_distance: int) -> DataFrame:
     )
     m = F.col("mentions")
 
-    def labeled(a, b):
-        lab = F.element_at(
+    def label_of(a, b):
+        return F.element_at(
             rule_map, F.concat_ws("@", a["entity_type"], b["entity_type"])
         )
+
+    def labeled(a, b):
         return F.struct(
             a["pos"].alias("pos1"),
             b["pos"].alias("pos2"),
@@ -116,25 +118,27 @@ def _fused_triples(mentions: DataFrame, max_distance: int) -> DataFrame:
             b["alias"].alias("alias2"),
             a["entity_type"].alias("type1"),
             b["entity_type"].alias("type2"),
-            lab.alias("label"),
+            label_of(a, b).alias("label"),
         )
 
     # order of operations matters: the cheap pos/distance predicate
-    # prunes the m^2 candidate space BEFORE the (map-scan) label lookup
-    # runs, and the label filter then drops NONE pairs pre-explode
+    # prunes the m^2 candidate space first, then the (map-scan) label
+    # predicate drops NONE pairs BEFORE any struct is built — the
+    # string-carrying pair structs exist only for survivors (~3x fewer),
+    # which is the memory-traffic term that dominates at scale.  The
+    # label lookup runs twice per surviving pair (filter + projection);
+    # a map probe is far cheaper than materializing the dropped structs.
     pair_structs = F.flatten(
         F.transform(
             m,
-            lambda a: F.filter(
-                F.transform(
-                    F.filter(
-                        m,
-                        lambda b: (a["pos"] < b["pos"])
-                        & ((b["pos"] - a["pos"]) <= max_distance),
-                    ),
-                    lambda b: labeled(a, b),
+            lambda a: F.transform(
+                F.filter(
+                    m,
+                    lambda b: (a["pos"] < b["pos"])
+                    & ((b["pos"] - a["pos"]) <= max_distance)
+                    & label_of(a, b).isNotNull(),
                 ),
-                lambda p: p["label"].isNotNull(),
+                lambda b: labeled(a, b),
             ),
         )
     )
