@@ -886,6 +886,57 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_BUDGET = 2048   # tokens per packed context window
+_PACK_BLOCK = 1000    # docs per packing block (parallelism unit)
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (training-data pipeline): docs are
+    assigned to ~budget-sized context windows in doc_id order.  Packing
+    is block-local (1000 docs per block) so the prefix-sum window is
+    partitioned — parallel and deterministic at any scale, no global
+    sort; the approximation (a window may straddle the budget by one
+    doc) is the standard streaming-packer tradeoff."""
+    t = _toks(spark, sf_dir).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.floor(F.col("doc_id") / _PACK_BLOCK).alias("block"),
+    )
+    w = (
+        W.partitionBy("block")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.col("block") * 1_000_000
+            + F.floor(cum_before / _PACK_BUDGET)
+        ).cast("long").alias("window_id"),
+    )
+
+
+def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact length quantiles of the corpus (chars and tokens): the
+    size profile a data pipeline monitors before choosing batch/window
+    budgets.  Spark's exact ``percentile`` and DuckDB's
+    ``quantile_cont`` share the linear-interpolation definition."""
+    d = _docs(spark, sf_dir).select(
+        F.length("text").alias("nc"), tokenize(F.col("text")).alias("toks")
+    ).select("nc", F.size("toks").alias("nt"))
+    cols = []
+    for name, col in (("chars", "nc"), ("tokens", "nt")):
+        for p in (0.5, 0.9, 0.99):
+            cols.append(
+                F.round(
+                    F.expr(f"percentile({col}, {p})"), 6
+                ).alias(f"{name}_p{int(p * 100)}")
+            )
+    return d.agg(*cols)
+
+
 def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over catalog alias-token-overlap edges."""
     return connected_components(alias_overlap_edges(catalog_df(spark)))
@@ -1208,6 +1259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "stratified_sample": q_stratified_sample,
+        "sequence_pack": q_sequence_pack,
+        "corpus_quantiles": q_corpus_quantiles,
         "cc_components": q_cc_components,
         "triples_canonical": q_triples_canonical,
         "scorer_prf": q_scorer_prf,
@@ -1790,6 +1843,38 @@ def oracle_sql() -> dict[str, str]:
             FROM per GROUP BY doc_id
         """,
         "pii_scrub": _pii_scrub_oracle_sql(),
+        "sequence_pack": f"""
+            WITH t AS (
+              SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+                     doc_id // {_PACK_BLOCK} AS block
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_tokens, block,
+                     COALESCE(sum(n_tokens) OVER (PARTITION BY block
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cb
+              FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(block * 1000000 + cb // {_PACK_BUDGET} AS BIGINT)
+                     AS window_id
+            FROM c
+        """,
+        "corpus_quantiles": f"""
+            WITH d AS (SELECT length(text) AS nc,
+                              len({_TOKS_SQL}) AS nt
+                       FROM documents)
+            SELECT
+              round(quantile_cont(nc, 0.5), 6) AS chars_p50,
+              round(quantile_cont(nc, 0.9), 6) AS chars_p90,
+              round(quantile_cont(nc, 0.99), 6) AS chars_p99,
+              round(quantile_cont(nt, 0.5), 6) AS tokens_p50,
+              round(quantile_cont(nt, 0.9), 6) AS tokens_p90,
+              round(quantile_cont(nt, 0.99), 6) AS tokens_p99
+            FROM d
+        """,
         "ann_topk_ivf": f"""
             WITH {_EMB_DOUBLE_SQL.strip()},
             seeds AS (SELECT vec_id AS cell, v AS sv FROM e

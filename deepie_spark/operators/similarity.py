@@ -122,8 +122,8 @@ def ivf_topk(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )
     seeds = (
-        e.filter(F.col("vec_id") < n_cells).orderBy("vec_id").collect()
-    )  # bounded: n_cells rows
+        e.orderBy("vec_id").limit(n_cells).collect()
+    )  # bounded: n_cells rows (first n_cells by id — works for sparse ids)
     # argmax_s cos(v, s) == argmax_s dot(v, s)/|s| (|v| > 0 is constant
     # across cells): one dot fold per cell instead of three, with |s|
     # precomputed driver-side (sequential sum, same order as the

@@ -82,3 +82,28 @@ def test_domain_stats_matches_source_partition(spark, sf_dir):
         for r in entry.q_domain_stats(spark, sf_dir).collect()
     }
     assert got == {f"{s}.example.com": n for s, n in want.items()}
+
+
+def test_sequence_pack_invariants(spark, sf_dir):
+    out = entry.q_sequence_pack(spark, sf_dir).collect()
+    assert len(out) == 500
+    from collections import defaultdict
+
+    by_window = defaultdict(list)
+    for r in out:
+        by_window[r["window_id"]].append((r["doc_id"], r["n_tokens"]))
+    budget = entry._PACK_BUDGET
+    for wid, docs in by_window.items():
+        total = sum(n for _, n in docs)
+        # streaming packer: a window exceeds the budget by at most the
+        # straddling doc (window boundary decided by the cumsum BEFORE)
+        assert total < budget + max(n for _, n in docs)
+        # windows hold contiguous doc_id runs within their block
+        ids = sorted(d for d, _ in docs)
+        assert ids == list(range(ids[0], ids[-1] + 1))
+
+
+def test_corpus_quantiles_ordering(spark, sf_dir):
+    r = entry.q_corpus_quantiles(spark, sf_dir).collect()[0]
+    assert r["chars_p50"] <= r["chars_p90"] <= r["chars_p99"]
+    assert r["tokens_p50"] <= r["tokens_p90"] <= r["tokens_p99"]
