@@ -242,6 +242,106 @@ def _pii_scrub_oracle_sql() -> str:
     """
 
 
+def _pipeline_oracle_sql() -> str:
+    """DuckDB twin of the FULL flagship pipeline — including greedy
+    longest-match mention detection over multi-token aliases.
+
+    With the catalog's aliases capped at 2 tokens, greedy consumption
+    has a closed form: within each maximal run of consecutive bigram
+    candidate positions, exactly the 1st, 3rd, 5th… are selected (a
+    selected bigram at i consumes i+1, unblocking i+2), so the trie
+    scan's sequential semantics become one row_number parity over runs —
+    no recursion.  Singles are suppressed at positions covered by a
+    selected bigram (operators.mentions greedy semantics, also
+    hypothesis-tested against the trie walk).  The url column is the
+    deterministic derivation of datagen.pages; part_id (xxhash64) is
+    excluded — hence the *_gated query twin without it."""
+    bigrams = [
+        (a.split()[0], a.split()[1], a, et)
+        for _eid, a, et, _st, _pr in ENTITY_CATALOG
+        if " " in a
+    ]
+    bigram_values = ",\n              ".join(
+        f"('{t1}', '{t2}', '{alias}', '{et}')"
+        for t1, t2, alias, et in bigrams
+    )
+    return f"""
+        WITH {_OCC_SQL.strip()},
+        catalog(entity_id, alias, entity_type, subtype, prior) AS (VALUES
+          {CATALOG_VALUES}
+        ),
+        rules(type1, type2, label) AS (VALUES
+          {RULES_VALUES}
+        ),
+        bigrams(t1, t2, alias, entity_type) AS (VALUES
+              {bigram_values}
+        ),
+        bcand AS (
+          SELECT a.doc_id, a.pos, g.alias, g.entity_type
+          FROM occ a JOIN occ b ON a.doc_id = b.doc_id
+                                AND b.pos = a.pos + 1
+          JOIN bigrams g ON a.token = g.t1 AND b.token = g.t2
+        ),
+        bruns AS (
+          SELECT doc_id, pos, alias, entity_type,
+                 pos - row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS grp
+          FROM bcand
+        ),
+        bsel AS (
+          SELECT doc_id, pos, alias, entity_type FROM (
+            SELECT doc_id, pos, alias, entity_type,
+                   row_number() OVER (PARTITION BY doc_id, grp
+                                      ORDER BY pos) AS rn
+            FROM bruns
+          ) WHERE rn % 2 = 1
+        ),
+        cov(doc_id, pos) AS (
+          SELECT doc_id, pos FROM bsel
+          UNION ALL
+          SELECT doc_id, pos + 1 FROM bsel
+        ),
+        mentions AS (
+          SELECT doc_id, pos + 1 AS pos, alias, entity_type
+          FROM bsel  -- mention position = LAST token (readMe.md:31)
+          UNION ALL
+          SELECT o.doc_id, o.pos, c.alias, c.entity_type
+          FROM occ o JOIN catalog c ON o.token = c.alias
+          WHERE c.alias NOT LIKE '% %'
+            AND NOT EXISTS (SELECT 1 FROM cov v
+                            WHERE v.doc_id = o.doc_id
+                              AND v.pos = o.pos)
+        ),
+        pairs AS (
+          SELECT a.doc_id, a.pos AS pos1, b.pos AS pos2,
+                 a.alias AS alias1, b.alias AS alias2,
+                 a.entity_type AS type1, b.entity_type AS type2
+          FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id
+          WHERE a.pos < b.pos AND b.pos - a.pos <= 10
+        ),
+        lab AS (
+          SELECT p.*, r.label
+          FROM pairs p JOIN rules r USING (type1, type2)
+          WHERE r.label != 'NONE'
+        )
+        SELECT
+          CASE WHEN label LIKE '%(e2,e1)' THEN alias2 ELSE alias1 END
+            AS subj,
+          regexp_replace(label, '\\(e[12],e[21]\\)$', '') AS pred,
+          CASE WHEN label LIKE '%(e2,e1)' THEN alias1 ELSE alias2 END
+            AS obj,
+          CASE WHEN label LIKE '%(e2,e1)' THEN type2 ELSE type1 END
+            AS subj_type,
+          CASE WHEN label LIKE '%(e2,e1)' THEN type1 ELSE type2 END
+            AS obj_type,
+          0.9 AS prob,
+          'https://' || source || '.example.com/doc/'
+            || CAST(doc_id AS VARCHAR) AS url,
+          pos1, pos2
+        FROM lab JOIN documents USING (doc_id)
+    """
+
+
 def _media_features_oracle_sql(dim: int = 16) -> str:
     """DuckDB twin of operators.multimodal's byte-histogram features.
 
@@ -937,6 +1037,16 @@ def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.agg(*cols)
 
 
+def q_pipeline_triples_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL flagship pipeline (pages synthesis → byte-identical
+    extraction → Arrow-native greedy trie mentions incl. multi-token
+    aliases → fused pairs → directed triples) as a hash-exact gated
+    query: identical to q_pipeline_triples minus the part_id column
+    (xxhash64 bucketing has no DuckDB twin by design — portable hashing
+    is reserved for values, xxhash64 for partitioning)."""
+    return q_pipeline_triples(spark, sf_dir).drop("part_id")
+
+
 def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over catalog alias-token-overlap edges."""
     return connected_components(alias_overlap_edges(catalog_df(spark)))
@@ -1261,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "sequence_pack": q_sequence_pack,
         "corpus_quantiles": q_corpus_quantiles,
+        "pipeline_triples_gated": q_pipeline_triples_gated,
         "cc_components": q_cc_components,
         "triples_canonical": q_triples_canonical,
         "scorer_prf": q_scorer_prf,
@@ -1830,6 +1941,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_features": _media_features_oracle_sql(),
         "ann_topk_lsh": _lsh_topk_oracle_sql(),
+        "pipeline_triples_gated": _pipeline_oracle_sql(),
         "repetition_scores": f"""
             WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
             tg AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS tg FROM t),
