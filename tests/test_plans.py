@@ -79,3 +79,30 @@ def test_semi_and_anti_joins_planned(spark, sf_dir):
     assert "LeftSemi" in semi
     anti = executed(entry.q_cust_no_orders(spark, sf_dir))
     assert "LeftAnti" in anti
+
+
+def test_domain_stats_prunes_scan(spark, sf_dir):
+    """Host aggregation reads only the columns it needs — the binary
+    html column and the text body never reach the scan."""
+    plan = executed(entry.q_domain_stats(spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1]
+    assert "text" in read_schema          # length(text) is aggregated
+    assert "lang" not in read_schema
+    # single hash aggregate pair (partial + final), no join
+    assert "Join" not in plan
+
+
+def test_sequence_pack_single_bounded_shuffle(spark, sf_dir):
+    """Block-local packing: exactly one exchange (the block-partitioned
+    window), never a global single-partition sort."""
+    plan = executed(entry.q_sequence_pack(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_pii_scrub_stays_jvm_side(spark, sf_dir):
+    """Regex counting/redaction is pure column expressions — no python
+    stage in the plan."""
+    plan = executed(entry.q_pii_scrub(spark, sf_dir))
+    assert "MapInPandas" not in plan and "MapInArrow" not in plan
+    assert "BatchEvalPython" not in plan
