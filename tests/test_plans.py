@@ -84,8 +84,11 @@ def test_semi_and_anti_joins_planned(spark, sf_dir):
 def test_domain_stats_prunes_scan(spark, sf_dir):
     """Host aggregation reads only the columns it needs — the binary
     html column and the text body never reach the scan."""
+    # another test module may have cached the documents relation, which
+    # would swap the FileScan for an InMemoryTableScan and hide pruning
+    spark.catalog.clearCache()
     plan = executed(entry.q_domain_stats(spark, sf_dir))
-    read_schema = plan.split("ReadSchema:")[1]
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "text" in read_schema          # length(text) is aggregated
     assert "lang" not in read_schema
     # single hash aggregate pair (partial + final), no join
