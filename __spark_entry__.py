@@ -242,6 +242,39 @@ def _pii_scrub_oracle_sql() -> str:
     """
 
 
+#: shared triple-emission tail (pairs → rule labels → directed triples
+#: with provenance) — identical for the bigram closed-form oracle and
+#: the depth-generic recursive greedy oracle; expects CTEs ``mentions``
+#: (doc_id, pos, alias, entity_type; pos = LAST token) and ``rules``.
+_TRIPLES_TAIL_SQL = """pairs AS (
+          SELECT a.doc_id, a.pos AS pos1, b.pos AS pos2,
+                 a.alias AS alias1, b.alias AS alias2,
+                 a.entity_type AS type1, b.entity_type AS type2
+          FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id
+          WHERE a.pos < b.pos AND b.pos - a.pos <= 10
+        ),
+        lab AS (
+          SELECT p.*, r.label
+          FROM pairs p JOIN rules r USING (type1, type2)
+          WHERE r.label != 'NONE'
+        )
+        SELECT
+          CASE WHEN label LIKE '%(e2,e1)' THEN alias2 ELSE alias1 END
+            AS subj,
+          regexp_replace(label, '\\(e[12],e[21]\\)$', '') AS pred,
+          CASE WHEN label LIKE '%(e2,e1)' THEN alias1 ELSE alias2 END
+            AS obj,
+          CASE WHEN label LIKE '%(e2,e1)' THEN type2 ELSE type1 END
+            AS subj_type,
+          CASE WHEN label LIKE '%(e2,e1)' THEN type1 ELSE type2 END
+            AS obj_type,
+          0.9 AS prob,
+          'https://' || source || '.example.com/doc/'
+            || CAST(doc_id AS VARCHAR) AS url,
+          pos1, pos2
+        FROM lab JOIN documents USING (doc_id)"""
+
+
 def _pipeline_oracle_sql() -> str:
     """DuckDB twin of the FULL flagship pipeline — including greedy
     longest-match mention detection over multi-token aliases.
@@ -256,6 +289,15 @@ def _pipeline_oracle_sql() -> str:
     hypothesis-tested against the trie walk).  The url column is the
     deterministic derivation of datagen.pages; part_id (xxhash64) is
     excluded — hence the *_gated query twin without it."""
+    # the run-parity closed form is valid ONLY for ≤2-token aliases with
+    # distinct bigram strings — fail loudly if the catalog ever grows a
+    # deeper alias (use _pipeline_deep_oracle_sql's recursive greedy
+    # walk for those; it is depth-generic)
+    assert all(
+        len(a.split()) <= 2 for _eid, a, _et, _st, _pr in ENTITY_CATALOG
+    ), "closed-form oracle requires aliases of <= 2 tokens"
+    multi = [a for _eid, a, _et, _st, _pr in ENTITY_CATALOG if " " in a]
+    assert len(set(multi)) == len(multi), "bigram aliases must be distinct"
     bigrams = [
         (a.split()[0], a.split()[1], a, et)
         for _eid, a, et, _st, _pr in ENTITY_CATALOG
@@ -312,33 +354,116 @@ def _pipeline_oracle_sql() -> str:
                             WHERE v.doc_id = o.doc_id
                               AND v.pos = o.pos)
         ),
-        pairs AS (
-          SELECT a.doc_id, a.pos AS pos1, b.pos AS pos2,
-                 a.alias AS alias1, b.alias AS alias2,
-                 a.entity_type AS type1, b.entity_type AS type2
-          FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id
-          WHERE a.pos < b.pos AND b.pos - a.pos <= 10
-        ),
-        lab AS (
-          SELECT p.*, r.label
-          FROM pairs p JOIN rules r USING (type1, type2)
-          WHERE r.label != 'NONE'
+        {_TRIPLES_TAIL_SQL}
+    """
+
+
+#: deterministic deep-corpus derivation: the standalone token 'agg'
+#: (never a substring of any other vocabulary token) becomes the
+#: trigram 'hash join key' — plain substring replace(), identical in
+#: Spark and DuckDB, giving ~2 depth-3 trie sites per document.
+_DEEP_SRC, _DEEP_DST = "agg", "hash join key"
+
+
+def _pipeline_deep_oracle_sql() -> str:
+    """Depth-GENERIC greedy-trie oracle: a recursive-CTE walk that
+    reproduces greedy longest-match consumption (greedy_match,
+    operators/mentions.py:61-81) for aliases of ANY token length — the
+    gate for the deep corpus whose catalog has depth-3 aliases that
+    extend the depth-2 ones ('hash join key' ⊃ 'hash join',
+    'sort merge join' ⊃ 'sort merge').
+
+    ``best`` = the longest fully-matched alias starting at each
+    position (exactly what the trie scan returns at that position);
+    ``walk`` advances per document from position 0 by len(best) (or 1),
+    which IS the sequential greedy consumption — one live row per
+    document per step, total rows = total tokens, trivially bounded at
+    oracle scale."""
+    from deepie_spark.datagen.catalog import DEEP_ENTITY_CATALOG
+
+    by_len: dict[int, list] = {}
+    for _eid, alias, etype, _st, _pr in DEEP_ENTITY_CATALOG:
+        parts = alias.split()
+        by_len.setdefault(len(parts), []).append((parts, alias, etype))
+
+    cat_ctes, cand_selects = [], []
+    for length in sorted(by_len):
+        cols = ", ".join(f"t{j}" for j in range(length))
+        vals = ",\n              ".join(
+            "("
+            + ", ".join(
+                [f"'{p}'" for p in parts] + [f"'{alias}'", f"'{etype}'"]
+            )
+            + ")"
+            for parts, alias, etype in by_len[length]
         )
-        SELECT
-          CASE WHEN label LIKE '%(e2,e1)' THEN alias2 ELSE alias1 END
-            AS subj,
-          regexp_replace(label, '\\(e[12],e[21]\\)$', '') AS pred,
-          CASE WHEN label LIKE '%(e2,e1)' THEN alias1 ELSE alias2 END
-            AS obj,
-          CASE WHEN label LIKE '%(e2,e1)' THEN type2 ELSE type1 END
-            AS subj_type,
-          CASE WHEN label LIKE '%(e2,e1)' THEN type1 ELSE type2 END
-            AS obj_type,
-          0.9 AS prob,
-          'https://' || source || '.example.com/doc/'
-            || CAST(doc_id AS VARCHAR) AS url,
-          pos1, pos2
-        FROM lab JOIN documents USING (doc_id)
+        cat_ctes.append(
+            f"cat{length}({cols}, alias, entity_type) AS (VALUES\n"
+            f"              {vals})"
+        )
+        joins = "occ o0"
+        conds = ["o0.token = c.t0"]
+        for j in range(1, length):
+            joins += (
+                f"\n               JOIN occ o{j} ON o{j}.doc_id = o0.doc_id"
+                f" AND o{j}.pos = o0.pos + {j}"
+            )
+            conds.append(f"o{j}.token = c.t{j}")
+        cand_selects.append(
+            f"SELECT o0.doc_id, o0.pos, c.alias, c.entity_type,\n"
+            f"                 CAST({length} AS BIGINT) AS len\n"
+            f"          FROM {joins}\n"
+            f"               JOIN cat{length} c"
+            f" ON {' AND '.join(conds)}"
+        )
+    cat_sql = ",\n        ".join(cat_ctes)
+    cand_sql = "\n          UNION ALL\n          ".join(cand_selects)
+    return f"""
+        WITH RECURSIVE
+        docs_deep AS (
+          SELECT doc_id, replace(text, '{_DEEP_SRC}', '{_DEEP_DST}') AS text
+          FROM documents
+        ),
+        occ AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i + 1] AS token
+          FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i
+                FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM docs_deep))
+        ),
+        doclen AS (
+          SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n
+          FROM docs_deep
+        ),
+        {cat_sql},
+        rules(type1, type2, label) AS (VALUES
+          {RULES_VALUES}
+        ),
+        cand AS (
+          {cand_sql}
+        ),
+        best AS (
+          SELECT doc_id, pos, alias, entity_type, len FROM (
+            SELECT cand.*,
+                   row_number() OVER (PARTITION BY doc_id, pos
+                                      ORDER BY len DESC) AS rn
+            FROM cand
+          ) WHERE rn = 1
+        ),
+        walk(doc_id, pos) AS (
+          SELECT doc_id, CAST(0 AS BIGINT) AS pos FROM doclen
+          UNION ALL
+          SELECT w.doc_id, w.pos + COALESCE(b.len, 1)
+          FROM walk w
+          JOIN doclen d ON d.doc_id = w.doc_id
+          LEFT JOIN best b ON b.doc_id = w.doc_id AND b.pos = w.pos
+          WHERE w.pos < d.n
+        ),
+        mentions AS (
+          SELECT w.doc_id, w.pos + b.len - 1 AS pos, b.alias,
+                 b.entity_type
+          FROM walk w JOIN best b ON b.doc_id = w.doc_id
+                                 AND b.pos = w.pos
+        ),
+        {_TRIPLES_TAIL_SQL}
     """
 
 
@@ -557,6 +682,30 @@ def q_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     longest-match includes multi-token aliases) — rows-only check."""
     pages = pages_from_documents(_docs(spark, sf_dir))
     return extract_triples(spark, pages)
+
+
+def _docs_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the oracle's docs_deep derivation."""
+    return _docs(spark, sf_dir).withColumn(
+        "text", F.expr(f"replace(text, '{_DEEP_SRC}', '{_DEEP_DST}')")
+    )
+
+
+def q_pipeline_triples_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline over the deep corpus + depth-3 catalog:
+    hash-exact gate for greedy longest-match consumption past bigram
+    aliases (trigrams extend existing bigrams, so the trie walk must
+    prefer depth 3 and suppress both the bigram prefix and the covered
+    singles).  Oracle: depth-generic recursive-CTE greedy walk."""
+    from deepie_spark.datagen.catalog import (
+        DEEP_ENTITY_CATALOG,
+        build_alias_trie,
+    )
+
+    pages = pages_from_documents(_docs_deep(spark, sf_dir))
+    return extract_triples(
+        spark, pages, trie=build_alias_trie(DEEP_ENTITY_CATALOG)
+    ).drop("part_id")
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -904,7 +1053,11 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)
         ).alias("idf"),
     )
-    scored = tf.join(F.broadcast(idf), "word").select(
+    # NO broadcast hint on idf: the distinct-token table is unbounded at
+    # web scale (>> the 8 GB broadcast limit) — let AQE pick the join
+    # strategy (shuffle hash join on `word` is the scale-safe plan; AQE
+    # still auto-broadcasts when the measured size is genuinely small)
+    scored = tf.join(idf, "word").select(
         "doc_id",
         "word",
         F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
@@ -976,7 +1129,15 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer hash of doc_id — reproducible across engines, reruns, and
     partitionings (engine RNG sampling is none of those)."""
     d = _docs(spark, sf_dir)
-    h = (F.col("doc_id") * _SAMPLE_A) % _SAMPLE_MOD
+    # reduce BEFORE multiplying: doc_id may exceed ~7e9 at design scale,
+    # where doc_id * A overflows int64 (Spark wraps silently; a negative
+    # remainder is always < threshold → wrapped ids over-sampled; DuckDB
+    # promotes to HUGEINT instead → engines diverge).  pmod(doc_id, MOD)
+    # < 1e9, so the product stays < 1.4e18 < 2^63 on any input.
+    h = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(_SAMPLE_MOD)) * _SAMPLE_A,
+        F.lit(_SAMPLE_MOD),
+    )
     th = F.when(
         F.col("source").isin(list(_SAMPLE_HI_SOURCES)), _SAMPLE_TH_HI
     ).otherwise(_SAMPLE_TH_LO)
@@ -1372,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,
         "corpus_quantiles": q_corpus_quantiles,
         "pipeline_triples_gated": q_pipeline_triples_gated,
+        "pipeline_triples_deep": q_pipeline_triples_deep,
         "cc_components": q_cc_components,
         "triples_canonical": q_triples_canonical,
         "scorer_prf": q_scorer_prf,
@@ -1942,6 +2104,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _media_features_oracle_sql(),
         "ann_topk_lsh": _lsh_topk_oracle_sql(),
         "pipeline_triples_gated": _pipeline_oracle_sql(),
+        "pipeline_triples_deep": _pipeline_deep_oracle_sql(),
         "repetition_scores": f"""
             WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
             tg AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS tg FROM t),
@@ -1989,8 +2152,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_topk_ivf": f"""
             WITH {_EMB_DOUBLE_SQL.strip()},
-            seeds AS (SELECT vec_id AS cell, v AS sv FROM e
-                      WHERE vec_id < 16),
+            -- first n_cells vectors ORDERED BY id, cell = 0-based rank:
+            -- mirrors ivf_topk's orderBy(id).limit(n) seed rule exactly,
+            -- so sparse / non-zero-based vec_ids pick identical centroids
+            seeds AS (SELECT rn - 1 AS cell, v AS sv FROM (
+                        SELECT v, row_number() OVER (ORDER BY vec_id) AS rn
+                        FROM e
+                      ) WHERE rn <= 16),
             sc AS (SELECT e.vec_id, s.cell,
                           list_dot_product(e.v, s.sv)
                             / sqrt(list_dot_product(s.sv, s.sv)) AS c
@@ -2022,10 +2190,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= 10
         """,
         "stratified_sample": f"""
-            SELECT doc_id, source,
-                   (doc_id * {_SAMPLE_A}) % {_SAMPLE_MOD} AS sample_key
-            FROM documents
-            WHERE (doc_id * {_SAMPLE_A}) % {_SAMPLE_MOD} <
+            -- pmod(pmod(doc_id, MOD) * A, MOD): reduce before multiply
+            -- (overflow-safe, engine-portable — mirrors the Spark side)
+            WITH keyed AS (
+              SELECT doc_id, source,
+                     (((doc_id % {_SAMPLE_MOD}) + {_SAMPLE_MOD})
+                       % {_SAMPLE_MOD} * {_SAMPLE_A}) % {_SAMPLE_MOD}
+                       AS sample_key
+              FROM documents
+            )
+            SELECT doc_id, source, sample_key FROM keyed
+            WHERE sample_key <
                   CASE WHEN source IN
                     ({", ".join(f"'{s}'" for s in _SAMPLE_HI_SOURCES)})
                   THEN {_SAMPLE_TH_HI} ELSE {_SAMPLE_TH_LO} END

@@ -40,6 +40,20 @@ ENTITY_CATALOG: list[tuple[int, str, str, str, float]] = [
     (15, "sort merge", "ORG", "NAM", 0.9),
 ]
 
+#: depth-3 catalog for the deep-trie gated pipeline: the trigram aliases
+#: deliberately EXTEND existing aliases ("hash join" ⊂ "hash join key",
+#: "sort merge" ⊂ "sort merge join") and collide with the single-token
+#: aliases "key"/"join"-adjacent tokens, so greedy longest-match
+#: consumption (greedy_match semantics, operators/mentions.py:61-81;
+#: reference dict-probe analog rnnRE.py:77-80) is genuinely exercised
+#: at depth 3 — a trigram must win over its bigram prefix and suppress
+#: the singles it covers.
+DEEP_ENTITY_CATALOG: list[tuple[int, str, str, str, float]] = [
+    *ENTITY_CATALOG,
+    (16, "hash join key", "PER", "NAM", 0.95),
+    (17, "sort merge join", "GPE", "NAM", 0.9),
+]
+
 #: ordered (type1, type2) → directed relation label; pairs not listed
 #: classify as NONE and are excluded from the triple sink (matching the
 #: scorer's non-NONE semantics, rnnRE.py:566-573).

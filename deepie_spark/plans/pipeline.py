@@ -161,13 +161,15 @@ def extract_triples(
     pages: DataFrame,
     max_distance: int = 10,
     fused: bool = True,
+    trie: dict | None = None,
 ) -> DataFrame:
     """The full M1 pipeline: pages → triples (rule classifier).
 
     ``fused=True`` (default) classifies inside the pair-generation
     expression (no join, smallest explode); ``fused=False`` composes the
     discrete operators (mention_pairs → broadcast-join classify) — both
-    produce identical rows (asserted in tests).
+    produce identical rows (asserted in tests).  ``trie`` overrides the
+    broadcast alias trie (e.g. the depth-3 DEEP_ENTITY_CATALOG).
     """
     # A production pages table arrives in many splits; the local test
     # parquet is a single tiny file, which would serialize the whole
@@ -177,7 +179,9 @@ def extract_triples(
 
     pages = ensure_parallelism(pages)
     extracted = extract_stage(pages)
-    mentions = detect_mentions(extracted, build_alias_trie())
+    mentions = detect_mentions(
+        extracted, trie if trie is not None else build_alias_trie()
+    )
     if fused:
         return _fused_triples(mentions, max_distance)
     pairs = mention_pairs(mentions, max_distance=max_distance)

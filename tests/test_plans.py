@@ -103,6 +103,62 @@ def test_sequence_pack_single_bounded_shuffle(spark, sf_dir):
     assert "Window" in plan
 
 
+def test_tfidf_never_hints_broadcast_of_vocab(spark, sf_dir):
+    """The idf side of the tf⋈idf join is vocabulary-sized — unbounded
+    at web scale, so the plan must NOT force-broadcast it (a 100× OOM
+    hazard); strategy selection belongs to AQE.  The only legitimate
+    broadcast hint is the 1-row n_docs denominator."""
+    df = entry.q_tfidf_top_terms(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("strategy=broadcast") == 1  # the 1-row n_docs only
+    word_joins = [
+        ln for ln in opt.splitlines() if "Join Inner, (word" in ln
+    ]
+    assert word_joins and all("Hint" not in ln for ln in word_joins)
+
+
+def test_pipeline_deep_matches_python_greedy_twin(spark, sf_dir):
+    """The deep (depth-3 trie) gated pipeline must actually exercise
+    trigram matches, and the Arrow mention stage under the deep trie
+    must equal the pure-python greedy_match twin on the same corpus."""
+    import pyspark.sql.functions as F
+
+    from deepie_spark.datagen.catalog import (
+        DEEP_ENTITY_CATALOG,
+        build_alias_trie,
+    )
+    from deepie_spark.datagen.pages import pages_from_documents
+    from deepie_spark.functions.text import py_tokenize
+    from deepie_spark.operators.mentions import detect_mentions, greedy_match
+
+    rows = entry.q_pipeline_triples_deep(spark, sf_dir).collect()
+    tri_aliases = {a for _eid, a, *_ in DEEP_ENTITY_CATALOG
+                   if len(a.split()) == 3}
+    seen = {r["subj"] for r in rows} | {r["obj"] for r in rows}
+    assert tri_aliases & seen, "no trigram alias matched — gate is vacuous"
+
+    trie = build_alias_trie(DEEP_ENTITY_CATALOG)
+    sample = entry._docs_deep(spark, sf_dir).filter(F.col("doc_id") < 100)
+    got = {
+        r["url"]: tuple(
+            (m["start"], m["pos"], m["alias"]) for m in r["mentions"]
+        )
+        for r in detect_mentions(pages_from_documents(sample), trie).collect()
+    }
+    want = {}
+    for d in sample.collect():
+        ms = tuple(
+            (start, end, alias)
+            for (start, end, _eid, alias, _et, _st, _pr) in greedy_match(
+                py_tokenize(d["text"]), trie
+            )
+        )
+        url = f"https://{d['source']}.example.com/doc/{d['doc_id']}"
+        want[url] = ms
+    assert set(got) == set(want)
+    assert got == want
+
+
 def test_pii_scrub_stays_jvm_side(spark, sf_dir):
     """Regex counting/redaction is pure column expressions — no python
     stage in the plan."""
