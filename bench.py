@@ -42,6 +42,86 @@ HEADLINE = [
 ]
 
 
+def _skew_leg(spark, docs, cores: int, tmp: str) -> dict:
+    """Zipf-hot-key join under naive / AQE-skew-split / salted plans.
+
+    left  = docs ×100 with zipf_domain(id) (d0 ≈ 61% of rows),
+            materialized to parquet untimed (3×cores files);
+    right = 64 domains × 1000 weight rows (64k rows — too big to
+            broadcast at real scale, broadcast disabled to model that);
+    query = inner join on domain + global agg.
+    """
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from deepie_spark.datagen.skewed import zipf_domain
+    from deepie_spark.operators.skew import salted_join
+
+    reps = spark.range(100).select(F.col("id").alias("rep"))
+    left_src = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * 1_000_000).alias("id"),
+        F.col("n_chars"),
+    )
+    left_src = left_src.withColumn(
+        "domain", zipf_domain(F.col("id"), n_domains=64, s=2.0)
+    )
+    left_dir = os.path.join(tmp, "skew_left.parquet")
+    left_src.repartition(3 * cores).write.mode("overwrite").parquet(left_dir)
+    left = spark.read.parquet(left_dir)
+    # single-partition builds: range() defaults to `cores` partitions and
+    # a crossJoin of two of them is cores² tiny tasks — pure scheduler
+    # overhead that would drown the actual join-time contrast
+    right = (
+        spark.range(0, 64, 1, 1)
+        .select(F.concat(F.lit("d"), F.col("id").cast("string")).alias("domain"))
+        .crossJoin(spark.range(0, 1000, 1, 1).select(F.col("id").alias("w")))
+    )
+
+    def agg(joined):
+        return joined.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("n_chars") * F.col("w")).alias("s"),
+        ).collect()[0]
+
+    def timed(fn):
+        fn()  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = _time.time()
+            fn()
+            best = min(best, _time.time() - t0)
+        return round(best, 3)
+
+    conf = spark.conf
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.skewJoin.enabled": conf.get(
+            "spark.sql.adaptive.skewJoin.enabled"
+        ),
+    }
+    out: dict = {}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        out["naive_sec"] = timed(lambda: agg(left.join(right, "domain")))
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        out["aqe_sec"] = timed(lambda: agg(left.join(right, "domain")))
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        out["salted_sec"] = timed(
+            lambda: agg(salted_join(left, right, "domain", n_salt=cores))
+        )
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    out["rows_joined"] = left.count() * 1000
+    log(f"skew: naive {out['naive_sec']}s, AQE {out['aqe_sec']}s, "
+        f"salted {out['salted_sec']}s over {out['rows_joined']} joined rows")
+    return out
+
+
 def run_bench(sf_dir: str, cores: int) -> dict:
     from deepie_spark.session import get_spark
     import __spark_entry__ as entrymod
@@ -76,8 +156,12 @@ def run_bench(sf_dir: str, cores: int) -> dict:
 
     # sustained throughput: the sf0.1 corpus runs in ~1 s, so the
     # per-query number above is fixed-overhead-dominated; replicate the
-    # corpus 40x (distinct urls) so compute dominates — this is the
-    # number comparable to BASELINE.md / SCALING.json.
+    # corpus 120x (distinct urls) so compute dominates — this is the
+    # number comparable to BASELINE.md / SCALING.json.  120 reps makes
+    # the timed window ~6.5 s at local[32]: at 40 reps (~3.4 s, round
+    # 1/2) the per-run fixed overhead was still ~25% of the window and
+    # the reported number under-stated steady-state throughput by ~35%
+    # (measured, scripts/sustained_probe.py).
     #
     # The replicated corpus is MATERIALIZED to parquet once, untimed:
     # profiling showed the in-plan crossJoin synthesis was ~2.3 s of
@@ -95,7 +179,8 @@ def run_bench(sf_dir: str, cores: int) -> dict:
     docs = spark.read.parquet(
         os.path.join(sf_dir, "documents.parquet")
     ).repartition(cores)
-    reps = spark.range(40).select(F.col("id").alias("rep"))
+    n_reps = 120
+    reps = spark.range(n_reps).select(F.col("id").alias("rep"))
     big = docs.crossJoin(reps).select(
         (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
         "text", "lang", "source", "n_chars",
@@ -104,20 +189,35 @@ def run_bench(sf_dir: str, cores: int) -> dict:
     pages_dir = os.path.join(tmp, "pages.parquet")
     # file count sets effective scan parallelism (1 row group per small
     # file; byte-range splits beyond a row-group start read nothing):
-    # 4x cores → four balanced waves, no straggler tail
-    pages_from_documents(big).repartition(4 * cores).write.mode(
+    # 3x cores → three EXACT waves of `cores` tasks.  Measured on this
+    # host (scripts/sustained_probe.py, 120 reps, local[32], best-of-3):
+    # 96 files = 2.52M triples/s, 64 = 2.42M, 128 = 2.02M — the 4-wave
+    # 128-file layout of round 2 paid per-task overhead without adding
+    # balance, and was the main reason BENCH_r02 undershot BASELINE.md.
+    pages_from_documents(big).repartition(3 * cores).write.mode(
         "overwrite"
     ).parquet(pages_dir)
     pages = spark.read.parquet(pages_dir)
     sustained_triples = extract_triples(spark, pages).count()  # warm
+    # best-of-3: the shared-VM host shows ~30% run-to-run noise; the
+    # minimum is the honest steady-state estimate (noise only adds time)
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         extract_triples(spark, pages).count()
         best = min(best, time.time() - t0)
     sustained_tps = round(sustained_triples / best, 1)
     log(f"sustained: {sustained_triples} triples in {best:.2f}s "
         f"= {sustained_tps}/s")
+
+    # skew leg: the same large⋈large shuffle join on a Zipf domain key
+    # (d0 ≈ 61% of rows) under three plans — naive (no AQE skew split,
+    # no broadcast), AQE runtime skew split, and explicit salting
+    # (operators.skew.salted_join).  Broadcast is disabled throughout:
+    # at 100 TB neither side fits, and the point is the shuffle-join
+    # skew story.  All three return identical results (same oracle —
+    # asserted in tests/test_skew.py); only wall-clock differs.
+    skew = _skew_leg(spark, docs, cores, tmp)
     shutil.rmtree(tmp, ignore_errors=True)
     result = {
         "metric": "headline_queries_total",
@@ -131,10 +231,11 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "triples_per_sec": round(n_triples / pipeline_sec, 1)
         if pipeline_sec and pipeline_sec > 0
         else None,
-        "sustained_corpus_docs": 40 * counts.get("doc_fingerprint", 0),
+        "sustained_corpus_docs": n_reps * counts.get("doc_fingerprint", 0),
         "sustained_triples": sustained_triples,
         "sustained_sec": round(best, 3),
         "sustained_triples_per_sec": sustained_tps,
+        "skew": skew,
     }
     spark.stop()
     return result

@@ -81,3 +81,33 @@ def test_salted_count_equals_plain(skewed):
         (r["k"],): r["n"] for r in salted_count(skewed, ["k"]).collect()
     }
     assert plain == two_stage
+
+
+def test_zipf_domain_distribution_and_determinism(spark):
+    """zipf_domain: d0 carries ~61% at s=2.0 (the Zipf head), the draw
+    is deterministic per id, and salted_join over the Zipf corpus
+    equals the plain join exactly."""
+    from deepie_spark.datagen.skewed import zipf_cumulative, zipf_domain
+    from deepie_spark.operators.skew import salted_join
+
+    n = 20000
+    df = spark.range(n).select(
+        F.col("id"), zipf_domain(F.col("id"), 64, 2.0).alias("domain")
+    )
+    counts = {r["domain"]: r["count"] for r in df.groupBy("domain").count().collect()}
+    expect_head = zipf_cumulative(64, 2.0)[0]
+    assert abs(counts["d0"] / n - expect_head) < 0.03
+    assert df.collect() == df.collect()  # pure function of id
+
+    right = spark.range(0, 64, 1, 1).select(
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("domain"),
+        (F.col("id") * 10).alias("w"),
+    )
+    small = df.filter(F.col("id") < 2000)
+    plain = sorted(
+        map(tuple, small.join(right, "domain").select("id", "w").collect())
+    )
+    salted = sorted(
+        map(tuple, salted_join(small, right, "domain").select("id", "w").collect())
+    )
+    assert plain == salted
