@@ -52,6 +52,8 @@ from deepie_spark.model.encoder import (
 )
 from deepie_spark.model.zoo import (
     bidirectional,
+    bidirectional_outer,
+    outer_rep,
     conv_maxpool,
     conv_same_tanh,
     dynamic_pool3,
@@ -107,6 +109,13 @@ _COMPONENTS = {
     "alternateConv": ("gruBi", "convpool"),
     "alternateConvForward": ("gruF", "convpool"),
     "alternateConvBackward": ("gruB", "convpool"),
+    # outer-combined biGRU encoder (gruBiDirectOuter
+    # rnnReModels.py:362-366 / gruBidirectOuterCore :296-308): the
+    # reference defines it as a first-class encoding but no menu string
+    # dispatches it; exposed here under the head/max pooling heads so
+    # reference configs with the outer encoder have a path
+    "rnnHeadOuter": ("gruBiOuter", "head"),
+    "rnnMaxOuter": ("gruBiOuter", "max"),
 }
 
 
@@ -173,6 +182,7 @@ def make_spec(
     use_head_emb: bool = False,
     ensemble_binary: bool = False,
     shared_word: bool = True,
+    outer: bool = False,
 ) -> dict:
     """Resolve a model-menu configuration into a self-contained spec.
 
@@ -182,7 +192,14 @@ def make_spec(
     additionally enables the label-indexed score fill that the reference
     documents but comments out (rnn_process_onlyExtra.py:267-273,
     active code pins every score to -1.0 which makes the expert a no-op
-    after renormalization)."""
+    after renormalization).
+
+    ``outer=True`` is the reference's global representation-mode
+    hyperparameter ('outer', evaluate.py:54-55): every channel family's
+    representation becomes the token-wise outer product of the word
+    embedding with the concat of the remaining active channels
+    (_getConcatenationOuter rnnReModels.py:140-162), with
+    dimIn = (dimIn − d_word) · d_word (rnnReModels.py:605-614)."""
     kind, comps = _component_split(model)
     m1 = default_modes(modes1)
     m2 = default_modes(modes2)
@@ -239,6 +256,7 @@ def make_spec(
         "use_head_emb": bool(use_head_emb),
         "ensemble_binary": bool(ensemble_binary),
         "shared_word": bool(shared_word),
+        "outer": bool(outer),
     }
 
 
@@ -258,7 +276,9 @@ def _fam_widths(spec: dict, f: dict) -> dict[str, int]:
 
 
 def family_in_dim(spec: dict, f: dict) -> int:
-    """dimIn of a channel family (rnnReModels.py:583-605)."""
+    """dimIn of a channel family (rnnReModels.py:583-605); under
+    ``outer`` the rep is word ⊗ rest, so dimIn becomes
+    (dimIn − d_word) · d_word (rnnReModels.py:605-614)."""
     widths = _fam_widths(spec, f)
     dim = 0
     for ch in CHANNELS:
@@ -272,6 +292,14 @@ def family_in_dim(spec: dict, f: dict) -> int:
             )
         else:
             dim += widths[ch]
+    if spec.get("outer"):
+        if f["modes"].get("word", -1) != 0 or dim <= spec["word_dim"]:
+            raise ValueError(
+                "outer mode needs an embedded word channel plus at least"
+                " one other active channel (_getConcatenationOuter"
+                " rnnReModels.py:140-162)"
+            )
+        return (dim - spec["word_dim"]) * spec["word_dim"]
     return dim
 
 
@@ -285,6 +313,7 @@ def _component_out_dim(spec: dict, f: dict) -> int:
     h_dim = {
         None: conv_out if core is None else 0,
         "gruBi": 2 * nh, "ffBi": 2 * nh,
+        "gruBiOuter": nh * nh,  # outer(fwd, bwd) per token, hidden²
         "gruF": nh, "gruB": nh, "ffF": nh, "ffB": nh,
         "convThenGruBi": 2 * nh, "convThenGruBiDeep": 2 * nh,
         "convThenGruF": nh, "convThenGruB": nh,
@@ -396,8 +425,8 @@ def init_menu_weights(spec: dict, seed: int = 8989) -> dict[str, np.ndarray]:
                 ("fwd",) if core.endswith("F") else ("bwd",)
             )
             gru_set("gru", rnn_in, dirs)
-        elif core in ("gruBi", "gruF", "gruB"):
-            dirs = ("fwd", "bwd") if core == "gruBi" else (
+        elif core in ("gruBi", "gruF", "gruB", "gruBiOuter"):
+            dirs = ("fwd", "bwd") if core in ("gruBi", "gruBiOuter") else (
                 ("fwd",) if core == "gruF" else ("bwd",)
             )
             gru_set("gru", in_dim, dirs)
@@ -512,10 +541,15 @@ def _family_x(
     enc: dict[str, np.ndarray], w: dict, spec: dict, f: dict
 ) -> np.ndarray:
     """_getConcatenation (rnnReModels.py:119-137): mode-0 channels gather
-    their table rows, mode-1 channels enter as raw one-/multi-hot."""
+    their table rows, mode-1 channels enter as raw one-/multi-hot.
+    Under ``outer`` the word channel is held out and the rep is
+    word ⊗ concat(rest) per token (_getConcatenationOuter
+    rnnReModels.py:140-162; same channel order — the reference's
+    features OrderedDict minus 'word')."""
     fam = f["fam"]
     widths = _fam_widths(spec, f)
-    xs = []
+    outer = bool(spec.get("outer"))
+    xs, wb = [], None
     for ch in CHANNELS:
         m = f["modes"].get(ch, -1)
         if m < 0:
@@ -523,12 +557,20 @@ def _family_x(
         if m == 0:
             tab = w[f"{fam}_T_word"] if ch in ("word", "gov") \
                 else w[f"{fam}_T_{ch}"]
+            if outer and ch == "word":
+                wb = tab[enc[ch]]
+                continue
             xs.append(tab[enc[ch]])
         elif ch == "grammar":
             xs.append(enc["grammar"])
         else:
             xs.append(one_hot_channel(enc[ch], widths[ch]))
-    return np.concatenate(xs, axis=2).astype(np.float32)
+    x = np.concatenate(xs, axis=2).astype(np.float32)
+    if outer:
+        if wb is None:
+            raise ValueError("outer mode requires the word channel")
+        return outer_rep(wb.astype(np.float32), x).astype(np.float32)
+    return x
 
 
 def _conv_filters(w: dict, spec: dict, fam: str, prefix: str):
@@ -572,6 +614,10 @@ def _run_core(core, x, w, spec, fam):
     if core.startswith("convThenGru"):
         x = _same_conv(x, w, spec, fam, "conv")
         return recur(core[len("convThenGru"):], x, "gru")
+    if core == "gruBiOuter":
+        fwd = tuple(w[f"{fam}_gru_fwd_{i}"] for i in range(6))
+        bwd = tuple(w[f"{fam}_gru_bwd_{i}"] for i in range(6))
+        return bidirectional_outer(x, fwd, bwd, cell=rnn_gru)
     if core in ("gruBi", "ffBi"):
         return recur("Bi", x, "gru" if core == "gruBi" else "ff")
     kind = "F" if core.endswith("F") else "B"

@@ -144,12 +144,24 @@ def _gru_backward(dh, x, params, caches):
 
 
 def forward_backward(
-    records, dicts, weights, labels, m_len, num_position
+    records, dicts, weights, labels, m_len, num_position,
+    dropout: float = 0.0, drop_rng=None, dropout_mask=None,
 ):
     """Mean-NLL loss + full gradient dict for convolute / gruHead.
 
-    Returns (loss, grads, p) — p is the same probability matrix
-    ``neural_forward`` produces (parity asserted in tests)."""
+    Returns (loss, grads, p) — with ``dropout == 0`` p is the same
+    probability matrix ``neural_forward`` produces (parity asserted in
+    tests).
+
+    ``dropout > 0`` reproduces the reference's training path
+    (mainModel rnnReModels.py:729-770): a binomial keep-mask
+    (``_dropout_from_layer`` :89-99, keep prob 1−p) is applied to the
+    POOLED representation, the train softmax and the NLL run on the
+    masked branch (buildFunctions :675-685), and gradients flow only
+    through it.  The clean inference branch scales the classifier
+    weights by (1−p) instead (:768; menu.py applies the same scaling
+    at inference).  ``dropout_mask`` pins the mask (for gradcheck);
+    otherwise it is drawn from ``drop_rng``."""
     model = str(weights["_model"])
     x, ids, _enc = _embed_forward(
         records, dicts, weights, m_len, num_position
@@ -182,6 +194,18 @@ def forward_backward(
     else:
         raise ValueError(f"training not implemented for {model!r}")
 
+    mask = None
+    if dropout > 0.0:
+        if dropout_mask is not None:
+            mask = np.asarray(dropout_mask, dtype=np.float64)
+        else:
+            if drop_rng is None:
+                raise ValueError("dropout > 0 needs drop_rng or a mask")
+            mask = drop_rng.binomial(
+                1, 1.0 - dropout, size=feats.shape
+            ).astype(np.float64)
+        feats = feats * mask
+
     W = weights["cls_W"].astype(np.float64)
     bcls = weights["cls_b"].astype(np.float64)
     p = softmax(feats @ W + bcls, axis=1)
@@ -194,6 +218,8 @@ def forward_backward(
     grads["cls_W"] = feats.T @ dlogits
     grads["cls_b"] = dlogits.sum(axis=0)
     dfeats = dlogits @ W.T
+    if mask is not None:
+        dfeats = dfeats * mask  # dropped units carry no gradient
 
     if model == "convolute":
         dx = np.zeros_like(x64)
@@ -276,6 +302,32 @@ def adadelta_step(
             w[0] = 0.0  # pad row stays the zero vector
 
 
+def sgd_step(
+    weights: dict[str, np.ndarray],
+    grads: dict[str, np.ndarray],
+    lr: float,
+    norm_lim: float = 9.0,
+) -> None:
+    """One in-place SGD update (sgd rnnReModels.py:58-71): p −= lr·g,
+    then the same post-update column max-norm and pad-row reset as
+    adadelta (clipGradient :74-85, setZero :715-723)."""
+    for name, g in grads.items():
+        w = weights[name]
+        new = w.astype(np.float64) - lr * g
+        if (
+            norm_lim > 0
+            and new.ndim == 2
+            and not name.startswith("T_word")
+            and "multi" not in name
+        ):
+            col = np.sqrt((new ** 2).sum(axis=0))
+            desired = np.clip(col, 0, np.sqrt(norm_lim))
+            new = new * (desired / (1e-7 + col))
+        w[...] = new.astype(w.dtype)
+        if name.startswith("T_"):
+            w[0] = 0.0
+
+
 def train_neural(
     records: list[dict],
     dicts: dict[str, dict[str, int]],
@@ -287,24 +339,59 @@ def train_neural(
     batch: int = 50,
     norm_lim: float = 9.0,
     seed: int = 3435,
+    dropout: float = 0.0,
+    optimizer: str = "adadelta",
+    lr: float = 0.01,
+    decay: bool = False,
 ) -> list[float]:
-    """Mini-batch adadelta training in place; returns per-epoch mean
-    loss.  Batch size 50 and the seeded shuffle mirror the reference
-    protocol (evaluate.py:111, rnnRE.py:855-866)."""
+    """Mini-batch training in place; returns per-epoch mean loss.
+
+    Batch size 50 and the seeded shuffle mirror the reference protocol
+    (evaluate.py:111, rnnRE.py:855-866).  ``dropout`` applies the
+    reference's binomial keep-mask to the pooled representation during
+    training (default 0.5 in the reference, evaluate.py:107; the
+    inference path compensates with (1−p) weight scaling).  The mask
+    RNG is seeded like the reference's (RandomState(3435) →
+    srng seeded randint(999999), rnnReModels.py:89-90,533).
+
+    ``decay`` reproduces rnnRE.py:999-1000: when the best epoch is ≥10
+    epochs behind the current one, the learning rate halves, and
+    training stops once it falls below 1e-5.  It acts on the SGD path
+    (``optimizer='sgd'``); the reference's adadelta update ignores the
+    learning rate entirely (f_param_update takes lr as an unused input,
+    rnnReModels.py:54 on_unused_input='ignore'), which is reproduced
+    here: decay bookkeeping runs but does not alter adadelta steps.
+    Best epoch = lowest training loss so far (this driver-side trainer
+    has no held-out fold; the reference tracks best valid F1)."""
     rng = np.random.RandomState(seed)
+    drop_rng = np.random.RandomState(
+        np.random.RandomState(seed).randint(999999)
+    )
     n = len(records)
-    losses = []
+    losses: list[float] = []
     state = adadelta_state(weights)
-    for _ in range(epochs):
+    clr = lr
+    best_epoch, best_loss = 0, float("inf")
+    for e in range(epochs):
         perm = rng.permutation(n)
         total = 0.0
         for s in range(0, n, batch):
             idx = perm[s : s + batch]
             recs = [records[i] for i in idx]
             loss, grads, _ = forward_backward(
-                recs, dicts, weights, labels[idx], m_len, num_position
+                recs, dicts, weights, labels[idx], m_len, num_position,
+                dropout=dropout, drop_rng=drop_rng,
             )
-            adadelta_step(weights, grads, state, norm_lim=norm_lim)
+            if optimizer == "sgd":
+                sgd_step(weights, grads, clr, norm_lim=norm_lim)
+            else:
+                adadelta_step(weights, grads, state, norm_lim=norm_lim)
             total += loss * len(idx)
         losses.append(total / n)
+        if losses[-1] < best_loss:
+            best_loss, best_epoch = losses[-1], e
+        if decay and abs(best_epoch - e) >= 10:
+            clr *= 0.5
+        if clr < 1e-5:
+            break
     return losses

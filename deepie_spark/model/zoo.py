@@ -109,6 +109,18 @@ def bidirectional(
     return np.concatenate([fwd, bwd], axis=2)
 
 
+def bidirectional_outer(
+    x: np.ndarray, fwd_params: tuple, bwd_params: tuple, cell=rnn_gru
+) -> np.ndarray:
+    """M5×M2: forward and (re-reversed) backward hidden states combined
+    by per-token OUTER PRODUCT instead of concat — gruBidirectOuterCore
+    (rnnReModels.py:296-308): bi_rep_t = outer(h_fwd_t, h_bwd_t).flatten,
+    output dim = hidden²."""
+    fwd = cell(x, *fwd_params)
+    bwd = cell(x[:, ::-1], *bwd_params)[:, ::-1]
+    return outer_rep(fwd, bwd)
+
+
 # ---------------------------------------------------------------------------
 # M6/M7 — convolutions
 

@@ -191,9 +191,52 @@ def test_kernel_score_matrix_modes(setup):
         assert not np.all(mf == -1.0)
 
 
+def test_outer_representation_semantics(setup):
+    """outer=True: rep_t = word_emb_t ⊗ concat(other channels)_t
+    flattened word-major, and dimIn = (dimIn − d_word)·d_word
+    (_getConcatenationOuter rnnReModels.py:140-162, dim rule :605-614).
+    Verified against the concat rep computed from the SAME tables."""
+    import numpy as np
+
+    from deepie_spark.model.menu import (
+        _family_encode,
+        _family_x,
+        family_in_dim,
+    )
+
+    spec_c = _spec(setup, "rnnMax", modes1=BASE_MODES)
+    spec_o = _spec(setup, "rnnMax", modes1=BASE_MODES, outer=True)
+    f_c, f_o = spec_c["families"][0], spec_o["families"][0]
+    wd = spec_o["word_dim"]
+    d_c = family_in_dim(spec_c, f_c)
+    assert family_in_dim(spec_o, f_o) == (d_c - wd) * wd
+
+    # tables are drawn before core params in init order, so both specs
+    # share identical embedding tables under the same seed
+    w_c, w_o = init_menu_weights(spec_c), init_menu_weights(spec_o)
+    assert np.array_equal(w_c["f1_T_word"], w_o["f1_T_word"])
+    enc, _, _ = _family_encode(
+        setup["records"][:4], setup["dicts"], spec_o, f_o
+    )
+    x_c = _family_x(enc, w_c, spec_c, f_c)
+    wb = x_c[..., :wd]  # word is first in CHANNELS order
+    rest = x_c[..., wd:]
+    want = np.einsum("btd,bte->btde", wb, rest).reshape(
+        wb.shape[0], wb.shape[1], -1
+    )
+    got = _family_x(enc, w_o, spec_o, f_o)
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-6)
+
+
 DISTRIBUTED_CASES = [
     ("rnnAtt", dict(modes1=BASE_MODES)),
     ("rnnSumDep", dict(modes1=BASE_MODES)),
+    # outer=True representation mode ('outer' evaluate.py:54-55,
+    # _getConcatenationOuter rnnReModels.py:140-162)
+    ("rnnMax", dict(modes1=BASE_MODES, outer=True)),
+    # outer-combined biGRU encoder (gruBiDirectOuter rnnReModels.py:362)
+    ("rnnHeadOuter", dict(modes1=BASE_MODES)),
     ("dynamicPooling", dict(modes1=BASE_MODES, multilayer1=[12])),
     ("rnnHead-convolute", dict(
         seq=("surface", "dep"), modes1=BASE_MODES,

@@ -220,3 +220,122 @@ def test_e2e_trained_neural_pr(spark, setup, model):
     assert precision >= 0.95 and recall >= 0.95, (
         model, precision, recall, len(got), len(want)
     )
+
+
+@pytest.mark.parametrize("model", ["convolute", "gruHead"])
+def test_gradcheck_with_fixed_dropout_mask(setup, model):
+    """Backprop stays exact under dropout when the binomial mask is held
+    fixed (the train-time graph of mainModel rnnReModels.py:743-766)."""
+    recs = setup["records"][:5]
+    y = setup["y"][:5]
+    w = _tiny_weights(setup, model)
+    w = {
+        k: (v.astype(np.float64) if not k.startswith("_") else v)
+        for k, v in w.items()
+    }
+    # probe feature width, then pin a mask with real zeros in it
+    loss0, grads0, p0 = forward_backward(
+        recs, setup["dicts"], w, y, setup["m_len"], setup["num_position"]
+    )
+    mask = np.random.RandomState(7).binomial(
+        1, 0.5, size=(len(recs), w["cls_W"].shape[0])
+    ).astype(np.float64)
+    assert (mask == 0).any() and (mask == 1).any()
+
+    def fb():
+        return forward_backward(
+            recs, setup["dicts"], w, y,
+            setup["m_len"], setup["num_position"],
+            dropout=0.5, dropout_mask=mask,
+        )
+
+    loss, grads, _ = fb()
+    rng = np.random.RandomState(0)
+    h = 1e-6
+    for name, g in grads.items():
+        flat = w[name].reshape(-1)
+        gflat = np.asarray(g).reshape(-1)
+        cand = np.nonzero(np.abs(gflat) > 1e-12)[0]
+        pick = cand[rng.permutation(len(cand))[:3]] if len(cand) else []
+        for i in list(pick) + [rng.randint(len(flat))]:
+            orig = flat[i]
+            flat[i] = orig + h
+            lp, _, _ = fb()
+            flat[i] = orig - h
+            lm, _, _ = fb()
+            flat[i] = orig
+            num = (lp - lm) / (2 * h)
+            assert num == pytest.approx(gflat[i], rel=2e-3, abs=1e-7), (
+                model, name, i
+            )
+
+
+def test_dropout_train_vs_inference_scaling(setup):
+    """Pin the reference's train/inference consistency (rnnReModels.py
+    :766-768): E[mask] = (1−p), so the mask-averaged train logits equal
+    the inference logits computed with (1−p)-scaled classifier weights."""
+    recs = setup["records"][:6]
+    y = setup["y"][:6]
+    model = "convolute"
+    w = _tiny_weights(setup, model)
+    w = {
+        k: (v.astype(np.float64) if not k.startswith("_") else v)
+        for k, v in w.items()
+    }
+    p_drop = 0.4
+    d = w["cls_W"].shape[0]
+    # exact expectation: mask == (1-p) everywhere gives the scaled path
+    mask = np.full((len(recs), d), 1.0 - p_drop)
+    _, _, p_scaled = forward_backward(
+        recs, setup["dicts"], w, y, setup["m_len"], setup["num_position"],
+        dropout=p_drop, dropout_mask=mask,
+    )
+    w_inf = dict(w)
+    w_inf["cls_W"] = w["cls_W"] * (1.0 - p_drop)
+    _, p_clean = neural_forward(
+        recs, setup["dicts"], w_inf, setup["m_len"], setup["num_position"]
+    )
+    assert np.allclose(p_scaled, p_clean, atol=1e-6)
+
+
+def test_sgd_training_reduces_loss_under_dropout(setup):
+    """SGD + binomial dropout still learns the fixture task."""
+    from deepie_spark.model.train_neural import train_neural
+
+    recs = setup["records"]
+    w = _tiny_weights(setup, "convolute")
+    losses = train_neural(
+        recs, setup["dicts"], w, setup["y"],
+        setup["m_len"], setup["num_position"],
+        epochs=8, batch=10, dropout=0.5, optimizer="sgd", lr=0.1,
+    )
+    assert len(losses) == 8
+    assert losses[-1] < losses[0]
+
+
+def test_sgd_decay_halves_lr_and_stops(monkeypatch, setup):
+    """decay (rnnRE.py:999-1000): once the best epoch is ≥10 behind,
+    lr halves each epoch and training breaks below 1e-5.  A constant
+    loss pins best_epoch at 0: halving starts at epoch 10
+    (16e-5 → 8,4,2,1,0.5e-5) so exactly 15 epochs run."""
+    import deepie_spark.model.train_neural as tn
+
+    def fake_fb(recs, dicts, w, labels, m_len, np_, dropout=0.0,
+                drop_rng=None, dropout_mask=None):
+        return 1.0, {}, None
+
+    monkeypatch.setattr(tn, "forward_backward", fake_fb)
+    w = _tiny_weights(setup, "convolute")
+    losses = tn.train_neural(
+        setup["records"][:4], setup["dicts"], w, setup["y"][:4],
+        setup["m_len"], setup["num_position"],
+        epochs=60, batch=4, optimizer="sgd", lr=16e-5, decay=True,
+    )
+    assert len(losses) == 15
+    # without decay the run goes the full distance
+    losses2 = tn.train_neural(
+        setup["records"][:4], setup["dicts"], w, setup["y"][:4],
+        setup["m_len"], setup["num_position"],
+        epochs=20, batch=4, optimizer="sgd", lr=16e-5, decay=False,
+    )
+    assert len(losses2) == 20
