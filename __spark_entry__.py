@@ -315,7 +315,42 @@ def _pipeline_oracle_sql() -> str:
         rules(type1, type2, label) AS (VALUES
           {RULES_VALUES}
         ),
-        bigrams(t1, t2, alias, entity_type) AS (VALUES
+        {_greedy_mention_ctes(bigram_values)},
+        {_TRIPLES_TAIL_SQL}
+    """
+
+
+def _bigram_values_sql() -> str:
+    return ",\n              ".join(
+        f"('{a.split()[0]}', '{a.split()[1]}', '{a}', '{et}')"
+        for _eid, a, et, _st, _pr in ENTITY_CATALOG
+        if " " in a
+    )
+
+
+def _tagger_gate_oracle_sql(threshold: float = 0.02) -> str:
+    """Oracle for the tagger gate: the gazetteer side of the anti-join
+    is fully DuckDB-computable (closed-form greedy mentions), and the
+    tolerance verdicts are pinned to pass — the Spark side computes the
+    REAL anti-join counts against the model's output, so the row goes
+    red whenever the trained tagger's miss or spurious rate crosses
+    {threshold:.0%} of the gazetteer mentions."""
+    return f"""
+        WITH {_OCC_SQL.strip()},
+        catalog(entity_id, alias, entity_type, subtype, prior) AS (VALUES
+          {CATALOG_VALUES}
+        ),
+        {_greedy_mention_ctes(_bigram_values_sql())}
+        SELECT CAST(count(*) AS BIGINT) AS n_gazetteer,
+               1 AS missing_ok, 1 AS extra_ok
+        FROM mentions
+    """
+
+
+def _greedy_mention_ctes(bigram_values: str) -> str:
+    """The closed-form greedy-mention CTE chain (expects ``occ`` and
+    ``catalog``); shared by the flagship oracle and the tagger gate."""
+    return f"""bigrams(t1, t2, alias, entity_type) AS (VALUES
               {bigram_values}
         ),
         bcand AS (
@@ -353,9 +388,7 @@ def _pipeline_oracle_sql() -> str:
             AND NOT EXISTS (SELECT 1 FROM cov v
                             WHERE v.doc_id = o.doc_id
                               AND v.pos = o.pos)
-        ),
-        {_TRIPLES_TAIL_SQL}
-    """
+        )"""
 
 
 #: deterministic deep-corpus derivation: the standalone token 'agg'
@@ -1005,10 +1038,25 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: caller-owned shingle persist for q_ngram_jaccard (ShingleCache —
+#: released at the next call, so repeated invocations (bench best-of-N,
+#: oracle sweeps) hold at most one cached shingle table)
+_NGRAM_CACHE = None
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs over the derived dup corpus."""
+    from deepie_spark.operators.dedup import ShingleCache
+
+    global _NGRAM_CACHE
+    if _NGRAM_CACHE is None:
+        _NGRAM_CACHE = ShingleCache()
+    # the PREVIOUS call's result has been consumed by now; this call's
+    # persist must outlive the function (the result is lazy)
+    _NGRAM_CACHE.release()
     return ngram_jaccard_pairs(
-        _docs_dups(spark, sf_dir), threshold=0.5, k=_K_SHINGLE
+        _docs_dups(spark, sf_dir), threshold=0.5, k=_K_SHINGLE,
+        cache=_NGRAM_CACHE,
     )
 
 
@@ -1390,6 +1438,57 @@ def q_mentions_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tagger_gazetteer_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated twin of the tagger surface (anti-join-count form).
+
+    The BIO tagger's output can't be recomputed by a SQL oracle, but
+    its distant supervision is trie-derived, so the gazetteer mentions
+    ARE oracle-computable.  This query full-outer-joins the tagger
+    mentions against the gazetteer mentions on
+    (url, pos, alias, entity_type) — one shuffle join + one aggregate,
+    the standard anti-join-count plan at any scale — and emits the
+    exact gazetteer mention count plus miss/spurious verdicts at a 2%
+    tolerance.  The oracle pins (n_gazetteer, 1, 1): the count is
+    hash-exact, and a tagger regression past the tolerance flips a
+    verdict column and fails the gate."""
+    from deepie_spark.datagen.catalog import build_alias_trie
+    from deepie_spark.operators.mentions import detect_mentions
+
+    keys = ["url", "pos", "alias", "entity_type"]
+    tagged = (
+        q_mentions_tagged(spark, sf_dir)
+        .select(*keys)
+        .withColumn("t", F.lit(1))
+    )
+    gaz = (
+        detect_mentions(
+            pages_from_documents(_docs(spark, sf_dir)), build_alias_trie()
+        )
+        .select("url", F.explode("mentions").alias("m"))
+        .select(
+            "url",
+            F.col("m.pos").alias("pos"),
+            F.col("m.alias").alias("alias"),
+            F.col("m.entity_type").alias("entity_type"),
+        )
+        .withColumn("g", F.lit(1))
+    )
+    j = gaz.join(tagged, keys, "full")
+    agg = j.agg(
+        F.sum("g").alias("n_g"),
+        F.sum(F.when(F.col("t").isNull(), 1).otherwise(0)).alias("missing"),
+        F.sum(F.when(F.col("g").isNull(), 1).otherwise(0)).alias("extra"),
+    )
+    th = 0.02
+    return agg.select(
+        F.col("n_g").cast("long").alias("n_gazetteer"),
+        (F.col("missing") <= th * F.col("n_g")).cast("int").alias(
+            "missing_ok"
+        ),
+        (F.col("extra") <= th * F.col("n_g")).cast("int").alias("extra_ok"),
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads → fixed-length features via
     byte-budgeted mapInPandas.
@@ -1541,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "pipeline_triples_model": q_pipeline_triples_model,
         "mentions_tagged": q_mentions_tagged,
+        "tagger_gazetteer_gate": q_tagger_gazetteer_gate,
         "media_features": q_media_features,
         "repetition_scores": q_repetition_scores,
         "pii_scrub": q_pii_scrub,
@@ -2105,6 +2205,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": _lsh_topk_oracle_sql(),
         "pipeline_triples_gated": _pipeline_oracle_sql(),
         "pipeline_triples_deep": _pipeline_deep_oracle_sql(),
+        "tagger_gazetteer_gate": _tagger_gate_oracle_sql(),
         "repetition_scores": f"""
             WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
             tg AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS tg FROM t),

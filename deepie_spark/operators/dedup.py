@@ -78,9 +78,33 @@ def dedup_exact(
     )
 
 
-#: persisted shingle tables from prior ngram_jaccard_pairs calls,
-#: released lazily on the next invocation (see comment in-function)
-_SHINGLE_PERSISTS: list[DataFrame] = []
+class ShingleCache:
+    """Caller-owned persist lifecycle for :func:`ngram_jaccard_pairs`.
+
+    The shingle table feeds three downstream consumers of one lazy
+    result, so its persist must outlive the function call until the
+    consumer's action runs — which only the CALLER knows.  Hold one of
+    these per call site; ``release()`` (or leaving the ``with`` block)
+    unpersists everything held.  Not thread-safe: share one cache per
+    thread, like a SparkSession."""
+
+    def __init__(self) -> None:
+        self._held: list[DataFrame] = []
+
+    def hold(self, df: DataFrame) -> DataFrame:
+        df.persist()
+        self._held.append(df)
+        return df
+
+    def release(self) -> None:
+        while self._held:
+            self._held.pop().unpersist(False)
+
+    def __enter__(self) -> "ShingleCache":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
 
 
 def ngram_jaccard_pairs(
@@ -90,26 +114,23 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_df: int | None = 1000,
+    cache: ShingleCache | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold).
 
     shingle self-join → |A∩B| per pair; |A|,|B| from per-doc counts;
     J = inter / (|A|+|B|−inter).  ``max_df`` drops stop-shingles before
     the join (skew guard: a shingle shared by d docs contributes d²
-    join rows)."""
-    # one persist: the raw shingle table feeds the df-filter AND (via a
-    # cheap re-join against the small `rare` set) all three downstream
-    # consumers — persisting the filtered copy too would double the
-    # cached footprint per call with no second materialization saved.
-    # At scale this is where you'd write an intermediate table instead.
-    # The previous call's cache is released here (not at return: the
-    # result is lazy, so the cache must outlive this function until the
-    # consumer's action) — repeated invocations (bench best-of-2, oracle
-    # sweeps) hold at most one cached shingle table, not one per call.
-    while _SHINGLE_PERSISTS:
-        _SHINGLE_PERSISTS.pop().unpersist(False)
-    sh = doc_shingles(df, id_col, text_col, k).persist()
-    _SHINGLE_PERSISTS.append(sh)
+    join rows).
+
+    Pass a :class:`ShingleCache` to persist the shingle table across
+    its three consumers (release it after the result is consumed);
+    without one the plan recomputes shingles per consumer — correct,
+    just slower.  At real scale the cache becomes an intermediate
+    table write instead."""
+    sh = doc_shingles(df, id_col, text_col, k)
+    if cache is not None:
+        sh = cache.hold(sh)
     if max_df:
         rare = (
             sh.groupBy("shingle")
