@@ -500,6 +500,111 @@ def _pipeline_deep_oracle_sql() -> str:
     """
 
 
+def _url_normalize_oracle_sql() -> str:
+    """DuckDB twin of functions.web.normalize_url over the same messy
+    urls (tails and tracking prefixes generated from the shared
+    constants)."""
+    from deepie_spark.functions.web import TRACKING_PREFIXES
+
+    tails = "\n                 ".join(
+        f"WHEN {i} THEN '{t}'" for i, t in enumerate(_MESSY_TAILS[:-1])
+    )
+    keep = " AND ".join(
+        f"NOT starts_with(p, '{pre}')" for pre in TRACKING_PREFIXES
+    )
+    return f"""
+        WITH u AS (
+          SELECT doc_id,
+                 'https://' || source || '.example.com/doc/'
+                   || CAST(doc_id AS VARCHAR)
+                   || CASE CAST(doc_id % 4 AS INTEGER)
+                 {tails}
+                 ELSE '{_MESSY_TAILS[-1]}' END AS raw
+          FROM documents
+        ),
+        s AS (SELECT doc_id, raw,
+                     string_split(raw, '#')[1] AS no_frag FROM u),
+        b AS (SELECT doc_id, raw,
+                string_split(no_frag, '?')[1] AS base,
+                CASE WHEN len(string_split(no_frag, '?')) > 1
+                     THEN string_split(no_frag, '?')[2]
+                     ELSE '' END AS query
+              FROM s),
+        c AS (SELECT doc_id, raw,
+                lower(regexp_extract(base, '^([A-Za-z]+://[^/]*)', 1))
+                  || regexp_replace(
+                       regexp_replace(base, '^[A-Za-z]+://[^/]*', ''),
+                       '/$', '') AS cleaned,
+                array_to_string(
+                  list_sort(list_filter(string_split(query, '&'),
+                    p -> p != '' AND {keep})), '&') AS qs
+              FROM b)
+        SELECT doc_id, raw AS raw_url,
+               CASE WHEN qs != '' THEN cleaned || '?' || qs
+                    ELSE cleaned END AS norm_url
+        FROM c
+    """
+
+
+def _pagerank_oracle_sql(iterations: int = 3, damping: float = 0.85) -> str:
+    """DuckDB twin of operators.graph.pagerank over the rule-triple
+    edge set: the iterative join+agg loop unrolls into ``iterations``
+    chained CTEs (synchronous updates need no recursion).  The teleport
+    and damping constants are embedded via repr() of the SAME python
+    doubles the Spark plan uses, so both engines compute identical IEEE
+    arithmetic; summation order is the only divergence, absorbed by the
+    round(…, 6)."""
+    tele = 1.0 - damping
+    its = []
+    prev = "pr0"
+    for i in range(1, iterations + 1):
+        its.append(f"""it{i} AS (
+          SELECT nodes.node,
+                 {tele!r} / nn.n
+                   + {damping!r} * COALESCE(s.c, 0.0) AS pr
+          FROM nodes CROSS JOIN nn
+          LEFT JOIN (
+            SELECT e.dst AS node, sum(p.pr / od.od) AS c
+            FROM edges e
+            JOIN {prev} p ON p.node = e.src
+            JOIN od ON od.src = e.src
+            GROUP BY e.dst
+          ) s USING (node)
+        )""")
+        prev = f"it{i}"
+    it_sql = ",\n        ".join(its)
+    return f"""
+        WITH {_MENTIONS_SQL.strip()},
+        rules(type1, type2, label) AS (VALUES
+          {RULES_VALUES}
+        ),
+        pairs AS (
+          SELECT a.alias AS alias1, b.alias AS alias2,
+                 a.entity_type AS type1, b.entity_type AS type2
+          FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id
+          WHERE a.pos < b.pos AND b.pos - a.pos <= 10
+        ),
+        t AS (
+          SELECT
+            CASE WHEN label LIKE '%(e2,e1)' THEN alias2 ELSE alias1 END
+              AS subj,
+            CASE WHEN label LIKE '%(e2,e1)' THEN alias1 ELSE alias2 END
+              AS obj
+          FROM pairs JOIN rules USING (type1, type2)
+          WHERE label != 'NONE'
+        ),
+        edges AS (SELECT DISTINCT subj AS src, obj AS dst FROM t),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        od AS (SELECT src, CAST(count(*) AS DOUBLE) AS od
+               FROM edges GROUP BY src),
+        pr0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+        {it_sql}
+        SELECT node, round(pr, 6) AS pagerank FROM {prev}
+    """
+
+
 def _media_features_oracle_sql(dim: int = 16) -> str:
     """DuckDB twin of operators.multimodal's byte-histogram features.
 
@@ -1256,6 +1361,101 @@ def q_pipeline_triples_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_pipeline_triples(spark, sf_dir).drop("part_id")
 
 
+#: deterministic "messy crawl URL" tails (fragment, tracking params,
+#: unsorted params, trailing slash) keyed on doc_id % 4 — mirrored
+#: verbatim in the oracle
+_MESSY_TAILS = (
+    "?utm_source=feed&b=2&a=1#frag",
+    "/?gclid=abc123&z=9",
+    "#section-2",
+    "?a=1&utm_campaign=x&b=2",
+)
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over deterministically-dirtied page urls:
+    fragment/tracking-param/order/trailing-slash noise must collapse to
+    the canonical form (functions/web.py — pure codegen expressions,
+    no Python)."""
+    from deepie_spark.functions.web import normalize_url
+
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    tail = None
+    for i, t in enumerate(_MESSY_TAILS):
+        cond = F.pmod(
+            F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long"),
+            F.lit(4),
+        ) == i
+        tail = (
+            F.when(cond, F.lit(t)) if tail is None else tail.when(
+                cond, F.lit(t)
+            )
+        )
+    raw = F.concat(F.col("url"), tail)
+    return pages.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias(
+            "doc_id"
+        ),
+        raw.alias("raw_url"),
+        normalize_url(raw).alias("norm_url"),
+    )
+
+
+def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity per document — the classic LM-based quality
+    signal of web-corpus pipelines (docs whose perplexity under a
+    corpus-trained n-gram LM is extreme get filtered).
+
+    The LM is trained ON the corpus in the same plan: bigram and
+    prefix-unigram counts are two hash aggregations; scoring joins each
+    document bigram against them (add-one smoothing over the prefix
+    vocabulary) and aggregates exp(−mean log p) per document.  The
+    count tables are vocabulary²-sized — like tfidf's idf they are
+    NEVER broadcast-hinted; AQE picks the join.  The only broadcast is
+    the 1-row vocabulary size."""
+    t = _toks(spark, sf_dir).filter(F.size("toks") >= 2)
+    bigs = F.expr(
+        "transform(slice(toks, 1, size(toks) - 1),"
+        " (x, i) -> struct(x AS w1, concat(x, ' ', toks[i + 1]) AS big))"
+    )
+    bg = t.select("doc_id", F.explode(bigs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.big").alias("big")
+    )
+    cbg = bg.groupBy("big").agg(F.count("*").alias("c_bg"))
+    cw = bg.groupBy("w1").agg(F.count("*").alias("c_w"))
+    v1 = bg.agg(
+        F.countDistinct("w1").cast("double").alias("v")
+    )
+    scored = (
+        bg.join(cbg, "big")
+        .join(cw, "w1")
+        .crossJoin(F.broadcast(v1))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c_bg") + 1.0) / (F.col("c_w") + F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.exp(-F.avg("lp")), 6).alias("ppl"),
+    )
+
+
+def q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity salience: 3-iteration PageRank over the distinct
+    (subj → obj) edges of the rule triples — the iterative join+agg
+    graph op beyond connected components (operators/graph.py plan
+    notes cover the 10^12-edge story)."""
+    from deepie_spark.operators.graph import pagerank
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return pagerank(t, iterations=3, damping=0.85)
+
+
 def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over catalog alias-token-overlap edges."""
     return connected_components(alias_overlap_edges(catalog_df(spark)))
@@ -1633,6 +1833,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quantiles": q_corpus_quantiles,
         "pipeline_triples_gated": q_pipeline_triples_gated,
         "pipeline_triples_deep": q_pipeline_triples_deep,
+        "url_normalize": q_url_normalize,
+        "doc_perplexity": q_doc_perplexity,
+        "entity_pagerank": q_entity_pagerank,
         "cc_components": q_cc_components,
         "triples_canonical": q_triples_canonical,
         "scorer_prf": q_scorer_prf,
@@ -2056,6 +2259,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= 10
         """,
+        "url_normalize": _url_normalize_oracle_sql(),
+        "doc_perplexity": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks
+                       FROM documents),
+            bg AS (
+              SELECT doc_id, toks[i + 1] AS w1,
+                     toks[i + 1] || ' ' || toks[i + 2] AS big
+              FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i
+                    FROM t WHERE len(toks) >= 2)
+            ),
+            cbg AS (SELECT big, count(*) AS c_bg FROM bg GROUP BY big),
+            cw AS (SELECT w1, count(*) AS c_w FROM bg GROUP BY w1),
+            v AS (SELECT CAST(count(DISTINCT w1) AS DOUBLE) AS v FROM bg),
+            scored AS (
+              SELECT b.doc_id,
+                     ln((c.c_bg + 1.0) / (w.c_w + v.v)) AS lp
+              FROM bg b
+              JOIN cbg c USING (big)
+              JOIN cw w USING (w1)
+              CROSS JOIN v
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(exp(-avg(lp)), 6) AS ppl
+            FROM scored GROUP BY doc_id
+        """,
+        "entity_pagerank": _pagerank_oracle_sql(),
         "cc_components": f"""
             WITH RECURSIVE
             catalog(entity_id, alias, entity_type, subtype, prior) AS (VALUES

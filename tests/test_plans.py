@@ -165,3 +165,20 @@ def test_pii_scrub_stays_jvm_side(spark, sf_dir):
     plan = executed(entry.q_pii_scrub(spark, sf_dir))
     assert "MapInPandas" not in plan and "MapInArrow" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_url_normalize_stays_jvm_side(spark, sf_dir):
+    """Canonicalization is pure column expressions — no python stage."""
+    plan = executed(entry.q_url_normalize(spark, sf_dir))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "MapInArrow"):
+        assert marker not in plan
+
+
+def test_perplexity_never_hints_broadcast_of_counts(spark, sf_dir):
+    """The bigram/prefix count tables are vocabulary²-sized: like
+    tfidf's idf they must never carry a broadcast hint; the only
+    legitimate hint is the 1-row vocabulary size."""
+    df = entry.q_doc_perplexity(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("strategy=broadcast") == 1

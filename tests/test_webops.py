@@ -107,3 +107,23 @@ def test_corpus_quantiles_ordering(spark, sf_dir):
     r = entry.q_corpus_quantiles(spark, sf_dir).collect()[0]
     assert r["chars_p50"] <= r["chars_p90"] <= r["chars_p99"]
     assert r["tokens_p50"] <= r["tokens_p90"] <= r["tokens_p99"]
+
+
+def test_normalize_url_examples(spark):
+    """Canonicalization unit cases: fragment, tracking params, param
+    order, host case, trailing slash (functions/web.py)."""
+    from deepie_spark.functions.web import normalize_url
+
+    cases = [
+        ("HTTPS://Example.COM/Path/?utm_source=x&b=2&a=1#f",
+         "https://example.com/Path?a=1&b=2"),
+        ("https://example.com/doc/1#sec", "https://example.com/doc/1"),
+        ("https://example.com/doc/2?gclid=abc", "https://example.com/doc/2"),
+        ("https://example.com/doc/2?fbclid=zz&x=1",
+         "https://example.com/doc/2?x=1"),
+        ("https://example.com/", "https://example.com"),
+        ("https://example.com", "https://example.com"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "u string")
+    got = [r["n"] for r in df.select(normalize_url(F.col("u")).alias("n")).collect()]
+    assert got == [want for _, want in cases]
