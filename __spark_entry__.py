@@ -1372,6 +1372,18 @@ _MESSY_TAILS = (
 )
 
 
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: per-doc k-gram overlap counts against a
+    deterministic held-out 'benchmark' slice (doc_id % 97 == 0) —
+    broadcast probe of the eval shingle set, one shuffle total."""
+    from deepie_spark.operators.dedup import contamination_counts
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return contamination_counts(corpus, bench, k=_K_SHINGLE)
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization over deterministically-dirtied page urls:
     fragment/tracking-param/order/trailing-slash noise must collapse to
@@ -1833,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quantiles": q_corpus_quantiles,
         "pipeline_triples_gated": q_pipeline_triples_gated,
         "pipeline_triples_deep": q_pipeline_triples_deep,
+        "benchmark_contamination": q_benchmark_contamination,
         "url_normalize": q_url_normalize,
         "doc_perplexity": q_doc_perplexity,
         "entity_pagerank": q_entity_pagerank,
@@ -2260,6 +2273,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= 10
         """,
         "url_normalize": _url_normalize_oracle_sql(),
+        "benchmark_contamination": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks
+                       FROM documents),
+            sh AS (SELECT doc_id,
+                          unnest(list_distinct({_SHINGLES_SQL})) AS shingle
+                   FROM t),
+            bench AS (SELECT DISTINCT shingle FROM sh
+                      WHERE doc_id % 97 = 0),
+            corpus AS (SELECT * FROM sh WHERE doc_id % 97 != 0)
+            SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+            FROM corpus c JOIN bench USING (shingle)
+            GROUP BY c.doc_id
+        """,
         "doc_perplexity": f"""
             WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks
                        FROM documents),

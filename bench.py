@@ -21,6 +21,16 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+#: round-3 additions timed SEPARATELY (extra_queries in the JSON) so
+#: headline_queries_total stays comparable round-over-round
+EXTRA = [
+    "pipeline_triples_deep",
+    "entity_pagerank",
+    "doc_perplexity",
+    "url_normalize",
+    "benchmark_contamination",
+]
+
 HEADLINE = [
     "pipeline_triples",
     "pipeline_triples_model",
@@ -154,6 +164,20 @@ def run_bench(sf_dir: str, cores: int) -> dict:
     pipeline_sec = per_query.get("pipeline_triples", float("nan"))
     n_triples = counts.get("pipeline_triples", 0)
 
+    extra_q: dict[str, float] = {}
+    extra_rows: dict[str, int] = {}
+    for name in EXTRA:
+        if name not in qs:
+            continue
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.time()
+            n = qs[name](spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        extra_q[name] = round(best, 3)
+        extra_rows[name] = n
+        log(f"extra {name}: {n} rows in {extra_q[name]}s")
+
     # sustained throughput: the sf0.1 corpus runs in ~1 s, so the
     # per-query number above is fixed-overhead-dominated; replicate the
     # corpus 120x (distinct urls) so compute dominates — this is the
@@ -236,6 +260,8 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "sustained_sec": round(best, 3),
         "sustained_triples_per_sec": sustained_tps,
         "skew": skew,
+        "extra_queries": extra_q,
+        "extra_rows": extra_rows,
     }
     spark.stop()
     return result

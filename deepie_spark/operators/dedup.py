@@ -63,6 +63,36 @@ def doc_shingles(
     )
 
 
+def contamination_counts(
+    df: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: per-document count of k-gram shingles
+    that also occur in the benchmark/eval set (docs with any overlap
+    are quarantined before training).
+
+    Scale shape: the benchmark side is eval-set-sized (thousands of
+    docs) against a corpus of billions — its distinct shingle set is
+    BROADCAST, so the probe is a map-side hash join with no shuffle;
+    the only shuffle is the final per-document count (map-side
+    combined).  Returns (doc_id, n_overlap) for overlapping docs."""
+    bs = (
+        doc_shingles(benchmark, id_col, text_col, k)
+        .select("shingle")
+        .distinct()
+    )
+    cs = doc_shingles(df, id_col, text_col, k)
+    return (
+        cs.join(F.broadcast(bs), "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_overlap"))
+        .select(F.col("id").alias(id_col), "n_overlap")
+    )
+
+
 def dedup_exact(
     df: DataFrame, id_col: str = "doc_id", key: Column | None = None
 ) -> DataFrame:

@@ -173,3 +173,37 @@ def test_embedding_cosine_on_testdata(spark, sf_dir):
         vb = np.array(pdf[r["b"]], dtype=np.float64)
         want = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
         assert r["cosine"] == pytest.approx(want, abs=1e-5)
+
+
+def test_contamination_counts_vs_python_twin(spark):
+    """contamination_counts == brute-force shingle intersection."""
+    from deepie_spark.functions.text import py_tokenize
+    from deepie_spark.operators.dedup import contamination_counts
+
+    docs = [
+        (0, "a b c d e"),          # benchmark
+        (1, "a b c x y"),          # shares shingle 'a b c'
+        (2, "x y z w v"),          # no overlap
+        (3, "c d e a b c"),        # shares 'c d e' and 'a b c'
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bench = df.filter(F.col("doc_id") == 0)
+    corpus = df.filter(F.col("doc_id") != 0)
+    got = {
+        r["doc_id"]: r["n_overlap"]
+        for r in contamination_counts(corpus, bench, k=3).collect()
+    }
+
+    def sh(text, k=3):
+        t = py_tokenize(text)
+        if len(t) < k:
+            return {" ".join(t)}
+        return {" ".join(t[i : i + k]) for i in range(len(t) - k + 1)}
+
+    bset = sh(docs[0][1])
+    want = {}
+    for did, text in docs[1:]:
+        n = len(sh(text) & bset)
+        if n:
+            want[did] = n
+    assert got == want

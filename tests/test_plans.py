@@ -182,3 +182,11 @@ def test_perplexity_never_hints_broadcast_of_counts(spark, sf_dir):
     df = entry.q_doc_perplexity(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert opt.count("strategy=broadcast") == 1
+
+
+def test_contamination_probe_is_broadcast(spark, sf_dir):
+    """The benchmark shingle set is eval-set-sized: the probe must be a
+    broadcast hash join (no shuffle of the corpus side before the
+    per-doc count)."""
+    plan = executed(entry.q_benchmark_contamination(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
