@@ -1372,6 +1372,17 @@ _MESSY_TAILS = (
 )
 
 
+def q_sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-shingle cardinality: exact count (oracle-
+    gated) + HLL estimate-within-tolerance verdict (the sketch is the
+    scale path; the exact branch is its test-scale twin)."""
+    from deepie_spark.operators.sketches import source_shingle_cardinality
+
+    return source_shingle_cardinality(
+        _docs(spark, sf_dir), k=_K_SHINGLE, rsd=0.05, tolerance=0.15
+    )
+
+
 def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination: per-doc k-gram overlap counts against a
     deterministic held-out 'benchmark' slice (doc_id % 97 == 0) —
@@ -1846,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_triples_gated": q_pipeline_triples_gated,
         "pipeline_triples_deep": q_pipeline_triples_deep,
         "benchmark_contamination": q_benchmark_contamination,
+        "sketch_cardinality": q_sketch_cardinality,
         "url_normalize": q_url_normalize,
         "doc_perplexity": q_doc_perplexity,
         "entity_pagerank": q_entity_pagerank,
@@ -2273,6 +2285,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= 10
         """,
         "url_normalize": _url_normalize_oracle_sql(),
+        "sketch_cardinality": f"""
+            WITH t AS (SELECT source, {_TOKS_SQL} AS toks
+                       FROM documents),
+            sh AS (SELECT source,
+                          unnest(list_distinct({_SHINGLES_SQL})) AS shingle
+                   FROM t)
+            SELECT source,
+                   CAST(count(DISTINCT shingle) AS BIGINT) AS n_exact,
+                   1 AS approx_ok
+            FROM sh GROUP BY source
+        """,
         "benchmark_contamination": f"""
             WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks
                        FROM documents),

@@ -127,3 +127,54 @@ def test_normalize_url_examples(spark):
     df = spark.createDataFrame([(r,) for r, _ in cases], "u string")
     got = [r["n"] for r in df.select(normalize_url(F.col("u")).alias("n")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_normalize_url_random_twin(spark):
+    """Randomized adversarial urls (multiple '#', '?' in fragments,
+    mixed-case schemes/hosts, tracking params in every position) vs a
+    pure-python twin of the documented steps."""
+    import re
+
+    from deepie_spark.functions.web import TRACKING_PREFIXES, normalize_url
+
+    def py_norm(u):
+        no_frag = u.split("#", 1)[0]
+        parts = no_frag.split("?", 1)
+        base, query = parts[0], parts[1] if len(parts) > 1 else ""
+        m = re.match(r"^([A-Za-z]+://[^/]*)", base)
+        host = m.group(1) if m else ""
+        rest = re.sub(r"^[A-Za-z]+://[^/]*", "", base)
+        rest = re.sub(r"/$", "", rest)
+        cleaned = host.lower() + rest
+        params = sorted(
+            p for p in query.split("&")
+            if p and not any(p.startswith(pre) for pre in TRACKING_PREFIXES)
+        )
+        return cleaned + ("?" + "&".join(params) if params else "")
+
+    import random
+
+    rng = random.Random(99)
+    schemes = ["http", "HTTP", "https", "HtTpS"]
+    hosts = ["Example.COM", "a.b.c", "X.org:8080", "wWw.Site.net"]
+    paths = ["", "/", "/p", "/p/q/", "/Doc/123", "/a%20b/"]
+    params = ["a=1", "b=2", "z=9", "utm_source=x", "utm_medium=m",
+              "gclid=g1", "fbclid=f", "q=a#b", "empty=", "dup=1"]
+    frags = ["", "#f", "#sec?x=1", "#a#b"]
+    urls = []
+    for _ in range(150):
+        qs = "&".join(rng.sample(params, rng.randint(0, 5)))
+        u = (
+            rng.choice(schemes) + "://" + rng.choice(hosts)
+            + rng.choice(paths)
+            + (("?" + qs) if qs else "")
+            + rng.choice(frags)
+        )
+        urls.append(u)
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    got = [
+        r["n"]
+        for r in df.select(normalize_url(F.col("u")).alias("n")).collect()
+    ]
+    want = [py_norm(u) for u in urls]
+    assert got == want
