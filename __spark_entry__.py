@@ -1372,6 +1372,56 @@ _MESSY_TAILS = (
 )
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup canonicalization: MinHash+LSH candidate
+    pairs → connected components over the dup graph → every clustered
+    doc mapped to its keeper (component-minimum doc_id).  Composes the
+    two oracle-gated stages into the operation a training pipeline
+    actually runs ('drop all but one of each near-dup cluster');
+    the oracle recomputes the pairs and closes them transitively with
+    a recursive CTE."""
+    from deepie_spark.operators.cc import connected_components
+
+    pairs = minhash_lsh_pairs(
+        _docs_dups(spark, sf_dir), n_hashes=16, bands=4, k=_K_SHINGLE
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    cc = connected_components(edges)
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("keep_id")
+    )
+
+
+def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length quantiles: exact percentile (the oracle
+    twin) + an approx_percentile(accuracy=100) sketch verdict — the
+    t-digest-style path a 10^12-row profile would run."""
+    d = _docs(spark, sf_dir).select(
+        "source", F.size(tokenize(F.col("text"))).alias("nt")
+    )
+    agg = d.groupBy("source").agg(
+        F.expr("percentile(nt, 0.5)").alias("exact50"),
+        F.expr("approx_percentile(nt, 0.5, 100)").alias("approx50"),
+        F.expr("percentile(nt, 0.9)").alias("exact90"),
+        F.expr("approx_percentile(nt, 0.9, 100)").alias("approx90"),
+    )
+    def ok(a, e):
+        return (
+            F.abs(F.col(a) - F.col(e))
+            <= F.greatest(F.lit(2.0), 0.1 * F.col(e))
+        ).cast("int")
+
+    return agg.select(
+        "source",
+        F.round("exact50", 6).alias("p50"),
+        ok("approx50", "exact50").alias("p50_ok"),
+        F.round("exact90", 6).alias("p90"),
+        ok("approx90", "exact90").alias("p90_ok"),
+    )
+
+
 def q_sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distinct-shingle cardinality: exact count (oracle-
     gated) + HLL estimate-within-tolerance verdict (the sketch is the
@@ -1858,6 +1908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_triples_deep": q_pipeline_triples_deep,
         "benchmark_contamination": q_benchmark_contamination,
         "sketch_cardinality": q_sketch_cardinality,
+        "sketch_quantiles": q_sketch_quantiles,
+        "dedup_canonical": q_dedup_canonical,
         "url_normalize": q_url_normalize,
         "doc_perplexity": q_doc_perplexity,
         "entity_pagerank": q_entity_pagerank,
@@ -2285,6 +2337,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= 10
         """,
         "url_normalize": _url_normalize_oracle_sql(),
+        "dedup_canonical": f"""
+            WITH RECURSIVE
+            pairs AS ({_minhash_oracle_sql()}),
+            und AS (SELECT a AS src, b AS dst FROM pairs
+                    UNION SELECT b, a FROM pairs),
+            reach(node, r) AS (
+              SELECT src, dst FROM und
+              UNION
+              SELECT reach.node, u.dst FROM reach
+              JOIN und u ON reach.r = u.src
+            )
+            SELECT CAST(node AS BIGINT) AS doc_id,
+                   CAST(least(node, min(r)) AS BIGINT) AS keep_id
+            FROM reach GROUP BY node
+        """,
+        "sketch_quantiles": f"""
+            WITH d AS (SELECT source, len({_TOKS_SQL}) AS nt
+                       FROM documents)
+            SELECT source,
+                   round(quantile_cont(nt, 0.5), 6) AS p50,
+                   1 AS p50_ok,
+                   round(quantile_cont(nt, 0.9), 6) AS p90,
+                   1 AS p90_ok
+            FROM d GROUP BY source
+        """,
         "sketch_cardinality": f"""
             WITH t AS (SELECT source, {_TOKS_SQL} AS toks
                        FROM documents),
