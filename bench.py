@@ -29,6 +29,10 @@ EXTRA = [
     "doc_perplexity",
     "url_normalize",
     "benchmark_contamination",
+    "dedup_canonical",
+    "sketch_cardinality",
+    "sketch_quantiles",
+    "tagger_gazetteer_gate",
 ]
 
 HEADLINE = [

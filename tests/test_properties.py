@@ -146,3 +146,35 @@ def test_scorer_bounds(ids):
         assert abs(f1 - 2 * p * r / (p + r)) < 1e-9
     else:
         assert f1 == 0.0
+
+
+_small = st.sampled_from(["a", "b", "c", "d", "e"])
+
+
+@given(
+    st.lists(
+        st.lists(_small, min_size=1, max_size=4), min_size=1, max_size=8
+    ),
+    st.lists(_small, min_size=0, max_size=30),
+)
+@settings(max_examples=300, deadline=None)
+def test_matchers_agree_on_random_deep_tries(aliases, tokens):
+    """All three matcher implementations agree for ARBITRARY tries up
+    to depth 4 (not just the shipped catalog) on dense token streams —
+    the property the depth-3 gated pipeline relies on."""
+    from deepie_spark.operators.mentions import (
+        compile_batch_matcher,
+        compile_matcher,
+    )
+
+    seen, catalog = set(), []
+    for parts in aliases:
+        alias = " ".join(parts)
+        if alias in seen:
+            continue
+        seen.add(alias)
+        catalog.append((len(catalog) + 1, alias, "PER", "NOM", 0.5))
+    trie = build_alias_trie(catalog)
+    want = greedy_match(tokens, trie)
+    assert compile_matcher(trie)(tokens) == want
+    assert compile_batch_matcher(trie)([tokens]) == [want]
