@@ -1372,6 +1372,68 @@ _MESSY_TAILS = (
 )
 
 
+_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def q_source_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP rollup: per-(source, lang) counts with source subtotals and
+    a grand total in one aggregation pass (Spark ROLLUP ≡ SQL
+    GROUP BY ROLLUP — partial aggregation applies to every grouping
+    set, so this is one shuffle regardless of corpus size)."""
+    d = _docs(spark, sf_dir)
+    return d.rollup("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+def q_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one row per source, one count column per language.  The
+    pivot value list is FIXED (the closed lang set) — an unspecified
+    list would trigger a driver-side distinct collect, the thing to
+    avoid on unbounded columns."""
+    d = _docs(spark, sf_dir)
+    out = d.groupBy("source").pivot("lang", list(_LANGS)).count()
+    # pivot yields nullable counts (absent combination = null → 0)
+    return out.select(
+        "source",
+        *[
+            F.coalesce(F.col(lang), F.lit(0)).cast("long").alias(
+                f"n_{lang}"
+            )
+            for lang in _LANGS
+        ],
+    )
+
+
+def q_doc_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global quartile bucketing WITHOUT a global sort: the three
+    cutpoints are a broadcast 1-row aggregate and bucketing is a CASE
+    comparison — the scale-honest replacement for ntile(4) OVER
+    (ORDER BY …), whose single-partition window cannot hold at 10^12
+    rows.  Ties at a cutpoint all land in the lower bucket (pinned
+    semantics, identical in the oracle)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(tokenize(F.col("text"))).alias("nt")
+    )
+    cuts = d.agg(
+        F.expr("percentile(nt, 0.25)").alias("q1"),
+        F.expr("percentile(nt, 0.5)").alias("q2"),
+        F.expr("percentile(nt, 0.75)").alias("q3"),
+    )
+    b = d.crossJoin(F.broadcast(cuts))
+    quartile = (
+        F.when(F.col("nt") <= F.col("q1"), 1)
+        .when(F.col("nt") <= F.col("q2"), 2)
+        .when(F.col("nt") <= F.col("q3"), 3)
+        .otherwise(4)
+    )
+    return b.select(
+        "doc_id", F.col("nt").cast("long").alias("nt"),
+        quartile.cast("int").alias("quartile"),
+    )
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup canonicalization: MinHash+LSH candidate
     pairs → connected components over the dup graph → every clustered
@@ -1910,6 +1972,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cardinality": q_sketch_cardinality,
         "sketch_quantiles": q_sketch_quantiles,
         "dedup_canonical": q_dedup_canonical,
+        "source_lang_rollup": q_source_lang_rollup,
+        "lang_pivot": q_lang_pivot,
+        "doc_quartiles": q_doc_quartiles,
         "url_normalize": q_url_normalize,
         "doc_perplexity": q_doc_perplexity,
         "entity_pagerank": q_entity_pagerank,
@@ -2337,6 +2402,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= 10
         """,
         "url_normalize": _url_normalize_oracle_sql(),
+        "source_lang_rollup": """
+            SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY ROLLUP (source, lang)
+        """,
+        "lang_pivot": f"""
+            SELECT source,
+                   {", ".join(
+                       f"CAST(sum(CASE WHEN lang = '{lang}' THEN 1 ELSE 0 END)"
+                       f" AS BIGINT) AS n_{lang}"
+                       for lang in _LANGS
+                   )}
+            FROM documents GROUP BY source
+        """,
+        "doc_quartiles": f"""
+            WITH d AS (SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT)
+                         AS nt FROM documents),
+            cuts AS (SELECT quantile_cont(nt, 0.25) AS q1,
+                            quantile_cont(nt, 0.5) AS q2,
+                            quantile_cont(nt, 0.75) AS q3 FROM d)
+            SELECT doc_id, nt,
+                   CAST(CASE WHEN nt <= q1 THEN 1
+                             WHEN nt <= q2 THEN 2
+                             WHEN nt <= q3 THEN 3
+                             ELSE 4 END AS INTEGER) AS quartile
+            FROM d CROSS JOIN cuts
+        """,
         "dedup_canonical": f"""
             WITH RECURSIVE
             pairs AS ({_minhash_oracle_sql()}),

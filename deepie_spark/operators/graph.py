@@ -39,13 +39,19 @@ def pagerank(
     """PageRank after ``iterations`` synchronous updates from the
     uniform start vector; returns (node, pagerank) with pagerank
     rounded to 6 decimals (cross-engine summation-order tolerance)."""
+    # checkpoint the edge set ONCE: every iteration joins against it
+    # (and against nodes/outdeg, derived from it) — without this the
+    # whole upstream pipeline that produced the edges would re-execute
+    # per iteration and per consumer (same entry pattern as
+    # connected_components, operators/cc.py)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    ).distinct().localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     n1 = nodes.agg(F.count("*").cast("double").alias("n"))
     outdeg = e.groupBy("src").agg(F.count("*").cast("double").alias("od"))
