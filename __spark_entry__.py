@@ -1375,6 +1375,26 @@ _MESSY_TAILS = (
 _LANGS = ("de", "en", "es", "fr", "zh")
 
 
+def q_set_ops_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational set ops (§2.7): sources appearing in BOTH corpus
+    halves (INTERSECT), only the first half (EXCEPT), and the distinct
+    union, tagged per op in one result.  Spark plans these as
+    aggregate/semi/anti-join forms — no custom code, listed to pin the
+    surface."""
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    lo = d.filter(F.col("doc_id") % 2 == 0).select("source")
+    hi = d.filter(F.col("doc_id") % 2 == 1).select("source")
+
+    def tag(df, op):
+        return df.select(F.lit(op).alias("op"), "source")
+
+    return (
+        tag(lo.intersect(hi), "both")
+        .unionByName(tag(lo.subtract(hi), "lo_only"))  # set EXCEPT
+        .unionByName(tag(lo.union(hi).distinct(), "any"))
+    )
+
+
 def q_source_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLAP rollup: per-(source, lang) counts with source subtotals and
     a grand total in one aggregation pass (Spark ROLLUP ≡ SQL
@@ -1972,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cardinality": q_sketch_cardinality,
         "sketch_quantiles": q_sketch_quantiles,
         "dedup_canonical": q_dedup_canonical,
+        "set_ops_sources": q_set_ops_sources,
         "source_lang_rollup": q_source_lang_rollup,
         "lang_pivot": q_lang_pivot,
         "doc_quartiles": q_doc_quartiles,
@@ -2402,6 +2423,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= 10
         """,
         "url_normalize": _url_normalize_oracle_sql(),
+        "set_ops_sources": """
+            WITH lo AS (SELECT source FROM documents WHERE doc_id % 2 = 0),
+            hi AS (SELECT source FROM documents WHERE doc_id % 2 = 1)
+            SELECT 'both' AS op, source FROM
+              (SELECT source FROM lo INTERSECT SELECT source FROM hi)
+            UNION ALL
+            SELECT 'lo_only', source FROM
+              (SELECT source FROM lo EXCEPT SELECT source FROM hi)
+            UNION ALL
+            SELECT 'any', source FROM
+              (SELECT source FROM lo UNION SELECT source FROM hi)
+        """,
         "source_lang_rollup": """
             SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
