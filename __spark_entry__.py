@@ -1454,6 +1454,107 @@ def q_doc_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion (click → later purchase) in ONE
+    per-user hash aggregate: a purchase after the first click exists
+    iff max(purchase ts) ≥ min(click ts), so the whole funnel is one
+    shuffle on user_id with map-side combine — no self-join, no
+    window, no epoch casts (timestamps compare directly on both
+    engines)."""
+    e = _events(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("first_click"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("last_purchase"),
+    )
+    clicked = F.col("first_click").isNotNull()
+    converted = clicked & (
+        F.col("last_purchase") >= F.col("first_click")
+    )
+    agg = per_user.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(clicked.cast("int")).cast("long").alias("n_click_users"),
+        F.sum(converted.cast("int")).cast("long").alias("n_converted"),
+    )
+    return agg.select(
+        "n_users",
+        "n_click_users",
+        "n_converted",
+        F.round(
+            F.col("n_converted").cast("double") / F.col("n_click_users"), 6
+        ).alias("conversion_rate"),
+    )
+
+
+def q_source_lang_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (source, lang): all four grouping sets — the
+    complement of q_source_lang_rollup's hierarchy — still one
+    aggregation pass (Spark expands grouping sets before the single
+    shuffle; partial aggregation applies to every set)."""
+    d = _docs(spark, sf_dir)
+    return d.cube("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+def q_doc_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source z-score normalization of document length.  The group
+    stats come from EXACT integer aggregates (count / sum / sum of
+    squares — all < 2^53, so bit-identical across engines and
+    partition orders), then mu/sigma are derived with the same IEEE
+    expression on both sides: no order-dependent streaming variance.
+    Plan: one hash agg + an un-hinted join back (AQE broadcasts the
+    stats side when it is small; at web scale a shuffle hash join on
+    source is the right fallback) — no per-group window sort."""
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    stats = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("ssq"),
+    )
+    j = d.join(stats, "source")
+    mu = F.col("s").cast("double") / F.col("n")
+    var = F.col("ssq").cast("double") / F.col("n") - mu * mu
+    sigma = F.sqrt(var)
+    z = F.when(
+        sigma > 0, (F.col("n_chars").cast("double") - mu) / sigma
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "doc_id", "source", F.round(z, 6).alias("z_chars")
+    )
+
+
+def q_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user (CDC-style pick-latest) as ONE aggregate:
+    max over struct(ts, event_id, event_type) — field-order
+    lexicographic, event_id breaks ts ties deterministically.  The
+    scale-honest replacement for row_number() OVER (PARTITION BY user
+    ORDER BY ts DESC): partial aggregation means only one row per
+    (user, input partition) crosses the shuffle, where the window
+    shuffles EVERY row before its sort.  (Struct max is not
+    hash-aggregable, so Spark plans SortAggregate — the map-side sort
+    is by the grouping key only and the combine still happens;
+    plan-guarded in test_plans.)"""
+    e = _events(spark, sf_dir)
+    m = e.groupBy("user_id").agg(
+        F.max(
+            F.struct(
+                F.col("ts"), F.col("event_id"), F.col("event_type")
+            )
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.col("m.ts").alias("last_ts"),
+        F.col("m.event_id").alias("last_event_id"),
+        F.col("m.event_type").alias("last_event_type"),
+    )
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup canonicalization: MinHash+LSH candidate
     pairs → connected components over the dup graph → every clustered
@@ -1994,8 +2095,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": q_dedup_canonical,
         "set_ops_sources": q_set_ops_sources,
         "source_lang_rollup": q_source_lang_rollup,
+        "source_lang_cube": q_source_lang_cube,
         "lang_pivot": q_lang_pivot,
         "doc_quartiles": q_doc_quartiles,
+        "event_funnel": q_event_funnel,
+        "doc_zscore": q_doc_zscore,
+        "latest_event": q_latest_event,
         "url_normalize": q_url_normalize,
         "doc_perplexity": q_doc_perplexity,
         "entity_pagerank": q_entity_pagerank,
@@ -2439,6 +2544,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY ROLLUP (source, lang)
+        """,
+        "source_lang_cube": """
+            SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY CUBE (source, lang)
+        """,
+        "event_funnel": """
+            WITH per_user AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'click' THEN ts END)
+                       AS first_click,
+                     max(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS last_purchase
+              FROM events GROUP BY user_id
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(CASE WHEN first_click IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_click_users,
+                   CAST(sum(CASE WHEN first_click IS NOT NULL
+                                  AND last_purchase >= first_click
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_converted,
+                   round(CAST(sum(CASE WHEN first_click IS NOT NULL
+                                        AND last_purchase >= first_click
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / sum(CASE WHEN first_click IS NOT NULL
+                                    THEN 1 ELSE 0 END), 6)
+                     AS conversion_rate
+            FROM per_user
+        """,
+        "doc_zscore": """
+            WITH stats AS (
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(n_chars) AS BIGINT) AS s,
+                     CAST(sum(n_chars * n_chars) AS BIGINT) AS ssq
+              FROM documents GROUP BY source
+            ),
+            j AS (
+              SELECT d.doc_id, d.source, d.n_chars,
+                     CAST(s AS DOUBLE) / n AS mu,
+                     sqrt(CAST(ssq AS DOUBLE) / n
+                          - (CAST(s AS DOUBLE) / n)
+                            * (CAST(s AS DOUBLE) / n)) AS sigma
+              FROM documents d JOIN stats USING (source)
+            )
+            SELECT doc_id, source,
+                   round(CASE WHEN sigma > 0
+                              THEN (CAST(n_chars AS DOUBLE) - mu) / sigma
+                              ELSE 0.0 END, 6) AS z_chars
+            FROM j
+        """,
+        "latest_event": """
+            SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+                   event_type AS last_event_type
+            FROM (
+              SELECT *, row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1
         """,
         "lang_pivot": f"""
             SELECT source,

@@ -190,3 +190,39 @@ def test_contamination_probe_is_broadcast(spark, sf_dir):
     per-doc count)."""
     plan = executed(entry.q_benchmark_contamination(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_latest_event_is_aggregate_not_window(spark, sf_dir):
+    """Pick-latest must stay a single max(struct) aggregate with a
+    map-side combine (partial_max): a row_number window would shuffle
+    every input row; the aggregate ships one row per (user, input
+    partition).  Struct max plans as SortAggregate (not
+    hash-aggregable) — assert the partial stage exists and no Window
+    sneaks in."""
+    plan = executed(entry.q_latest_event(spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Window" not in final
+    assert "partial_max" in final
+    assert final.count("Exchange hashpartitioning") == 1
+
+
+def test_event_funnel_single_shuffle(spark, sf_dir):
+    """The ordered funnel is one shuffle on user_id (per-user agg) +
+    a final 1-row reduce — no self-join of the events table."""
+    plan = executed(entry.q_event_funnel(spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in final
+    # user_id hash exchange + the single-partition final reduce
+    assert final.count("Exchange ") == 2
+
+
+def test_doc_zscore_no_window_no_hint(spark, sf_dir):
+    """Group normalization goes through agg + un-hinted join-back:
+    no per-group window sort, and the stats side must not carry a
+    broadcast hint (source cardinality is unbounded at web scale —
+    AQE may still choose broadcast at runtime, which is fine)."""
+    df = entry.q_doc_zscore(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in opt
+    plan = executed(df)
+    assert "Window" not in plan
