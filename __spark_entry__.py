@@ -1555,6 +1555,123 @@ def q_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_W = 32   # tokens per chunk (context-window size)
+_CHUNK_S = 24   # stride — 8-token overlap between adjacent chunks
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (training-data pipeline): each
+    document becomes ceil-strided windows of _CHUNK_W tokens every
+    _CHUNK_S — the standard long-document → context-window split with
+    overlap so no span is cut at a hard boundary.  Pure narrow plan:
+    tokenize → in-row sequence/explode/slice, all JVM codegen, zero
+    shuffles and zero Python — at 100 TB this is a map-only stage that
+    scales with input splits."""
+    t = _toks(spark, sf_dir)
+    n_chunks = F.floor((F.size("toks") - 1) / _CHUNK_S) + 1
+    c = t.filter(F.size("toks") >= 1).select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_id") * _CHUNK_S + 1, _CHUNK_W)
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def q_events_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series (time-series resample): every
+    (event_type, hour) cell between the corpus min and max hour, with
+    zero counts for silent hours — the dense grid a downstream
+    forecasting/monitoring consumer expects.  The grid is built from
+    two BOUNDED aggregates (1-row bounds × distinct types), so the
+    cross join and the left join back to the hourly counts are
+    broadcast-sized no matter how large the events table is; the only
+    full-data shuffle is the hourly count agg with map-side combine."""
+    e = _events(spark, sf_dir).select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    )
+    counts = e.groupBy("event_type", "hour").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    hours = (
+        e.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour")
+        )
+    )
+    grid = e.select("event_type").distinct().crossJoin(F.broadcast(hours))
+    return grid.join(counts, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+_WSAMPLE_K = 200
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted top-k sample (Efraimidis–Spirakis-style
+    priority sampling): priority = hash(doc_id)/weight with weight =
+    n_chars, keep the _WSAMPLE_K smallest — inclusion probability
+    scales ~linearly with weight in the small-k regime.  The priority
+    is a single IEEE division of two exact integers (the hash reduces
+    before multiplying, same overflow rule as q_stratified_sample), so
+    it is bit-identical across engines, reruns, and partitionings — no
+    RNG, no pow/ln (libm last-ulp divergence would make the boundary
+    of the top-k engine-dependent).  Spark plans orderBy+limit as
+    TakeOrderedAndProject: per-partition top-k then a single k-row
+    merge, never a global sort."""
+    d = _docs(spark, sf_dir)
+    h = F.pmod(
+        F.pmod(F.col("doc_id") + 7, F.lit(_SAMPLE_MOD)) * _SAMPLE_A,
+        F.lit(_SAMPLE_MOD),
+    )
+    pri = h.cast("double") / F.col("n_chars")
+    return (
+        d.select("doc_id", "source", "n_chars", pri.alias("priority"))
+        .orderBy(F.col("priority").asc(), F.col("doc_id"))
+        .limit(_WSAMPLE_K)
+    )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) exact dedup — the ingestion-time
+    complement of the full-corpus dedup family: an arriving batch is
+    fingerprinted and anti-joined against the existing corpus's
+    fingerprint set, so re-crawled pages are dropped before they enter
+    the pipeline.  The synthetic batch is derived deterministically
+    from the documents table (no external data): every 10th doc
+    re-sent verbatim (must be dropped) and every (10k+5)th doc with an
+    'update: ' prefix (new content, must survive).  Scale shape: the
+    corpus side is reduced to DISTINCT fingerprints (map-side combine)
+    before the anti join shuffles on fp — at 100 TB this is the
+    standard \"new data vs seen-set\" join, un-hinted so AQE can
+    broadcast the smaller side when it fits."""
+    d = _docs(spark, sf_dir)
+    corpus_fp = d.select(
+        char_poly_hash(F.col("text")).alias("fp")
+    ).distinct()
+    resent = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2000000).alias("batch_id"), "text"
+    )
+    fresh = d.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 3000000).alias("batch_id"),
+        F.concat(F.lit("update: "), F.col("text")).alias("text"),
+    )
+    batch = resent.unionByName(fresh).select(
+        "batch_id", char_poly_hash(F.col("text")).alias("fp")
+    )
+    return batch.join(corpus_fp, "fp", "left_anti").select("batch_id", "fp")
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup canonicalization: MinHash+LSH candidate
     pairs → connected components over the dup graph → every clustered
@@ -2101,6 +2218,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "doc_zscore": q_doc_zscore,
         "latest_event": q_latest_event,
+        "doc_chunks": q_doc_chunks,
+        "events_hourly_dense": q_events_hourly_dense,
+        "weighted_sample": q_weighted_sample,
+        "dedup_incremental": q_dedup_incremental,
         "url_normalize": q_url_normalize,
         "doc_perplexity": q_doc_perplexity,
         "entity_pagerank": q_entity_pagerank,
@@ -2606,6 +2727,73 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts DESC, event_id DESC) AS rn
               FROM events
             ) WHERE rn = 1
+        """,
+        "doc_chunks": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+            ),
+            c AS (
+              SELECT doc_id, toks,
+                     unnest(range(
+                       CAST(floor((len(toks) - 1) / {_CHUNK_S}) AS BIGINT)
+                       + 1)) AS chunk_id
+              FROM t WHERE len(toks) >= 1
+            )
+            SELECT doc_id,
+                   CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(len(toks[chunk_id * {_CHUNK_S} + 1
+                              : chunk_id * {_CHUNK_S} + {_CHUNK_W}])
+                        AS BIGINT) AS n_chunk_tokens,
+                   array_to_string(
+                     toks[chunk_id * {_CHUNK_S} + 1
+                          : chunk_id * {_CHUNK_S} + {_CHUNK_W}], ' ')
+                     AS chunk_text
+            FROM c
+        """,
+        "events_hourly_dense": """
+            WITH e AS (
+              SELECT date_trunc('hour', ts) AS hour, event_type FROM events
+            ),
+            counts AS (
+              SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n
+              FROM e GROUP BY 1, 2
+            ),
+            hours AS (
+              SELECT unnest(generate_series(min(hour), max(hour),
+                                            INTERVAL 1 HOUR)) AS hour
+              FROM e
+            ),
+            types AS (SELECT DISTINCT event_type FROM e)
+            SELECT t.event_type, h.hour,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+            FROM types t CROSS JOIN hours h
+            LEFT JOIN counts c
+              ON c.event_type = t.event_type AND c.hour = h.hour
+        """,
+        "weighted_sample": f"""
+            SELECT doc_id, source, n_chars,
+                   CAST(((doc_id + 7) % {_SAMPLE_MOD}) * {_SAMPLE_A}
+                        % {_SAMPLE_MOD} AS DOUBLE) / n_chars AS priority
+            FROM documents
+            ORDER BY priority ASC, doc_id
+            LIMIT {_WSAMPLE_K}
+        """,
+        "dedup_incremental": f"""
+            WITH corpus AS (
+              SELECT DISTINCT {_poly_hash_sql('text')} AS fp FROM documents
+            ),
+            batch AS (
+              SELECT doc_id + 2000000 AS batch_id, text
+              FROM documents WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 3000000 AS batch_id, 'update: ' || text
+              FROM documents WHERE doc_id % 10 = 5
+            ),
+            b AS (
+              SELECT batch_id, {_poly_hash_sql('text')} AS fp FROM batch
+            )
+            SELECT batch_id, fp FROM b
+            WHERE NOT EXISTS (SELECT 1 FROM corpus WHERE corpus.fp = b.fp)
         """,
         "lang_pivot": f"""
             SELECT source,

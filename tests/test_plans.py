@@ -226,3 +226,36 @@ def test_doc_zscore_no_window_no_hint(spark, sf_dir):
     assert "strategy=broadcast" not in opt
     plan = executed(df)
     assert "Window" not in plan
+
+
+def test_doc_chunks_narrow_jvm_only(spark, sf_dir):
+    """Chunking must stay a map-only JVM stage: zero shuffles, zero
+    Python — at 100 TB it scales purely with input splits."""
+    plan = executed(entry.q_doc_chunks(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "*(" in plan  # whole-stage codegen span
+
+
+def test_weighted_sample_is_takeordered(spark, sf_dir):
+    """Top-k by priority must plan as TakeOrderedAndProject
+    (per-partition top-k + k-row merge), never a rangepartitioning
+    global sort."""
+    plan = executed(entry.q_weighted_sample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_dedup_incremental_anti_join_unhinted(spark, sf_dir):
+    """Batch-vs-corpus dedup is a LeftAnti join on the fingerprint with
+    the corpus side reduced to distinct fps first; no planner-forced
+    broadcast (the seen-set is unbounded at web scale — AQE may still
+    pick broadcast at runtime)."""
+    df = entry.q_dedup_incremental(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in opt
+    plan = executed(df)
+    assert "LeftAnti" in plan
+    # distinct on the corpus side = partial + final HashAggregate
+    assert "HashAggregate" in plan

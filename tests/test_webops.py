@@ -178,3 +178,52 @@ def test_normalize_url_random_twin(spark):
     ]
     want = [py_norm(u) for u in urls]
     assert got == want
+
+
+def test_doc_chunks_window_semantics(spark, tmp_path):
+    """Strided-chunking rule on crafted lengths: n_chunks =
+    floor((n_tokens-1)/S)+1; every chunk starts at k*S, is at most W
+    tokens, and the concatenation of stride-prefixes reconstructs the
+    document (no token lost at boundaries)."""
+    docs = [
+        (1, " ".join(f"t{i}" for i in range(5))),    # < W  -> 1 chunk
+        (2, " ".join(f"t{i}" for i in range(32))),   # == W -> 2 chunks
+        (3, " ".join(f"t{i}" for i in range(80))),   # 80 -> 4 chunks
+        (4, "single"),                               # 1 token
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    p = os.path.join(str(tmp_path), "documents.parquet")
+    d.write.parquet(p)
+    rows = entry.q_doc_chunks(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    from __spark_entry__ import _CHUNK_S, _CHUNK_W
+
+    for doc_id, text in docs:
+        toks = text.split()
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_id"])
+        assert len(chunks) == (len(toks) - 1) // _CHUNK_S + 1
+        rebuilt = []
+        for r in chunks:
+            start = r["chunk_id"] * _CHUNK_S
+            want = toks[start:start + _CHUNK_W]
+            assert r["chunk_text"].split() == want
+            assert r["n_chunk_tokens"] == len(want) <= _CHUNK_W
+            rebuilt.extend(want[:_CHUNK_S])
+        # stride-prefix concatenation covers every token exactly once
+        assert rebuilt[:len(toks)] == toks
+
+
+def test_dedup_incremental_verdicts(spark, sf_dir):
+    """Re-sent docs (exact fingerprint hit) are all dropped; prefixed
+    'update:' docs all survive — checked against the raw doc counts."""
+    d = entry._docs(spark, sf_dir)
+    n_resent = d.filter(F.col("doc_id") % 10 == 0).count()
+    n_fresh = d.filter(F.col("doc_id") % 10 == 5).count()
+    out = entry.q_dedup_incremental(spark, sf_dir).collect()
+    ids = sorted(r["batch_id"] for r in out)
+    assert n_resent > 0 and n_fresh > 0
+    # every survivor is from the 'update:' branch (batch_id >= 3000000)
+    assert all(i >= 3000000 for i in ids)
+    assert len(ids) == n_fresh
