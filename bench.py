@@ -33,6 +33,18 @@ EXTRA = [
     "sketch_cardinality",
     "sketch_quantiles",
     "tagger_gazetteer_gate",
+    "set_ops_sources",
+    "source_lang_rollup",
+    "source_lang_cube",
+    "lang_pivot",
+    "doc_quartiles",
+    "event_funnel",
+    "doc_zscore",
+    "latest_event",
+    "doc_chunks",
+    "events_hourly_dense",
+    "weighted_sample",
+    "dedup_incremental",
 ]
 
 HEADLINE = [
