@@ -163,16 +163,27 @@ def run_bench(sf_dir: str, cores: int) -> dict:
     if "pipeline_triples" in qs:
         qs["pipeline_triples"](spark, sf_dir).count()
         qs["pipeline_triples"](spark, sf_dir).count()
+    def _time_query(fn) -> tuple[float, int]:
+        # best of two runs: the host shows ~30% run-to-run noise and the
+        # steady-state (plan compiled, workers warm) is what scales.  If
+        # the two runs disagree by >35% the window is noisy (neighbor
+        # bursts on this shared VM reach +56%) — take one more sample so
+        # a single burst can't double the recorded number.
+        times, n = [], 0
+        for _ in range(2):
+            t0 = time.time()
+            n = fn().count()
+            times.append(time.time() - t0)
+        if max(times) > 1.35 * min(times):
+            t0 = time.time()
+            fn().count()
+            times.append(time.time() - t0)
+        return min(times), n
+
     for name in HEADLINE:
         if name not in qs:
             continue
-        # best of two runs: the host shows ~30% run-to-run noise and the
-        # steady-state (plan compiled, workers warm) is what scales
-        best, n = float("inf"), 0
-        for _ in range(2):
-            t0 = time.time()
-            n = qs[name](spark, sf_dir).count()
-            best = min(best, time.time() - t0)
+        best, n = _time_query(lambda: qs[name](spark, sf_dir))
         per_query[name] = round(best, 3)
         counts[name] = n
         log(f"{name}: {n} rows in {per_query[name]}s")
@@ -185,11 +196,7 @@ def run_bench(sf_dir: str, cores: int) -> dict:
     for name in EXTRA:
         if name not in qs:
             continue
-        best, n = float("inf"), 0
-        for _ in range(2):
-            t0 = time.time()
-            n = qs[name](spark, sf_dir).count()
-            best = min(best, time.time() - t0)
+        best, n = _time_query(lambda: qs[name](spark, sf_dir))
         extra_q[name] = round(best, 3)
         extra_rows[name] = n
         log(f"extra {name}: {n} rows in {extra_q[name]}s")
