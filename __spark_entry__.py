@@ -26,9 +26,11 @@ from deepie_spark.datagen.catalog import (
 from deepie_spark.datagen.pages import pages_from_documents
 from deepie_spark.functions.text import (
     BASE,
+    GOPHER_STOPWORDS,
     MOD,
     bpe_ish_tokens,
     char_poly_hash,
+    gopher_flags,
     quality_features,
     quality_score,
     stopword_ratio,
@@ -41,8 +43,10 @@ from deepie_spark.operators.cc import (
     alias_overlap_edges,
     connected_components,
 )
+from deepie_spark.operators.clustering import kmeans_cluster_summary
 from deepie_spark.operators.dedup import (
     _minhash_coeffs,
+    dup_ngram_window_rate,
     embedding_cosine_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -134,6 +138,16 @@ def _cos_sql(a: str, b: str) -> str:
     dot = _DOT_SQL.format
     return (
         f"{dot(a=a, b=b)} / (sqrt({dot(a=a, b=a)}) * sqrt({dot(a=b, b=b)}))"
+    )
+
+
+def _km_dist2_sql(v: str, c: str, dim: int = 64) -> str:
+    """Squared euclidean distance as a left-to-right fold — the exact
+    shape of clustering._sq_dist's F.aggregate chain (0.0 + z1 == z1
+    bit-exact, so list_reduce without an init matches)."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), (a, b) -> a + b)"
     )
 
 
@@ -2159,6 +2173,40 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality flags (Rae et al. 2021 Appendix A) — pure
+    JVM expressions; every ratio is int/int so the booleans cannot sit
+    on a float boundary (functions/text.py gopher_flags)."""
+    d = _docs(spark, sf_dir)
+    g = gopher_flags(F.col("text"))
+    return d.select(
+        "doc_id",
+        g["n_words"].alias("n_words"),
+        g["mean_word_len"].alias("mean_word_len"),
+        g["symbol_ratio"].alias("symbol_ratio"),
+        g["alpha_frac"].alias("alpha_frac"),
+        g["n_stop"].alias("n_stop"),
+        g["passes"].alias("passes"),
+    )
+
+
+def q_dup_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicate-substring rate over 8-token windows (Lee et
+    al. 2022 exact-substring signal; operators/dedup.py
+    dup_ngram_window_rate).  Run over the corpus-with-duplicates
+    derivation so the rate is non-trivially distributed."""
+    return dup_ngram_window_rate(_docs_dups(spark, sf_dir), n=8)
+
+
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of k=8 k-means over the embeddings table
+    (operators/clustering.py): per-cluster size + centroid norm.
+    Seeds are the first 8 vectors by vec_id (IVF row_number rule);
+    empty clusters drop on both sides."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return kmeans_cluster_summary(emb, k=8, iters=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -2222,6 +2270,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_dense": q_events_hourly_dense,
         "weighted_sample": q_weighted_sample,
         "dedup_incremental": q_dedup_incremental,
+        "gopher_quality": q_gopher_quality,
+        "dup_ngram_rate": q_dup_ngram_rate,
+        "kmeans_embeddings": q_kmeans_embeddings,
         "url_normalize": q_url_normalize,
         "doc_perplexity": q_doc_perplexity,
         "entity_pagerank": q_entity_pagerank,
@@ -2794,6 +2845,126 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT batch_id, fp FROM b
             WHERE NOT EXISTS (SELECT 1 FROM corpus WHERE corpus.fp = b.fp)
+        """,
+        # gopher_flags twin: every ratio is int/int (IEEE division of
+        # identical integers is exact-rounded → bit-identical across
+        # engines), so the unrounded threshold comparisons in `passes`
+        # are engine-safe; displayed doubles round to 6 on both sides.
+        "gopher_quality": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS_SQL} AS toks, text FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                     len(toks) AS n,
+                     CAST(list_reduce(list_transform(toks, x -> length(x)),
+                          (a, b) -> a + b) AS DOUBLE) / len(toks) AS mean_len,
+                     CAST(len(string_split(text, '#')) - 1
+                          + len(regexp_extract_all(text, '\\.\\.\\.'))
+                          AS DOUBLE) / len(toks) AS symbol_ratio,
+                     CAST(len(list_filter(toks,
+                          x -> regexp_matches(x, '[A-Za-z]')))
+                          AS DOUBLE) / len(toks) AS alpha_frac,
+                     {" + ".join(
+                         f"CAST(list_contains(toks, '{w}') AS BIGINT)"
+                         for w in GOPHER_STOPWORDS
+                     )} AS n_stop
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_words,
+                   round(mean_len, 6) AS mean_word_len,
+                   round(symbol_ratio, 6) AS symbol_ratio,
+                   round(alpha_frac, 6) AS alpha_frac,
+                   n_stop,
+                   (n >= 50 AND n <= 100000
+                    AND mean_len >= 3.0 AND mean_len <= 10.0
+                    AND symbol_ratio <= 0.1
+                    AND alpha_frac >= 0.8
+                    AND n_stop >= 2) AS passes
+            FROM m
+        """,
+        # dup_ngram_window_rate twin: same explode → distinct-df →
+        # semi-join shape; docs with < 8 tokens produce no windows and
+        # drop on both sides (unnest of the empty list).
+        "dup_ngram_rate": f"""
+            WITH {_DOCS_DUPS_SQL.strip()},
+            toks AS (
+              SELECT doc_id, {_TOKS_SQL} AS toks FROM docs_dups
+            ),
+            pos AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(toks) >= 8 THEN
+                  list_transform(generate_series(1, len(toks) - 7),
+                    i -> array_to_string(list_slice(toks, i, i + 7), ' '))
+                ELSE []::VARCHAR[] END) AS win
+              FROM toks
+            ),
+            shared AS (
+              SELECT win FROM (SELECT DISTINCT win, doc_id FROM pos)
+              GROUP BY win HAVING count(*) > 1
+            ),
+            flagged AS (
+              SELECT doc_id, count(*) AS n_dup FROM pos
+              WHERE win IN (SELECT win FROM shared)
+              GROUP BY doc_id
+            ),
+            totals AS (
+              SELECT doc_id, count(*) AS n_windows FROM pos GROUP BY doc_id
+            )
+            SELECT doc_id, n_windows,
+                   coalesce(n_dup, 0) AS n_dup_windows,
+                   round(CAST(coalesce(n_dup, 0) AS DOUBLE) / n_windows, 6)
+                     AS dup_rate
+            FROM totals LEFT JOIN flagged USING (doc_id)
+        """,
+        # Lloyd k-means twin: seeds are row_number-by-vec_id (the IVF
+        # rule); each assign is an argmin (ORDER BY dist2, cid) against
+        # the previous centroids; dist2 folds left-to-right exactly like
+        # the Spark F.aggregate chain.  Centroid means are engine-summed
+        # (last-ulp order differences) → the gated norm rounds to 6 and
+        # assignment ties are broken by cid on both sides.
+        "kmeans_embeddings": f"""
+            WITH {_EMB_DOUBLE_SQL.strip()},
+            c0 AS (SELECT rn - 1 AS cid, v AS c FROM (
+                     SELECT v, row_number() OVER (ORDER BY vec_id) AS rn
+                     FROM e) WHERE rn <= 8),
+            a1 AS (SELECT vec_id, v, cid FROM (
+                     SELECT e.vec_id, e.v, c0.cid,
+                            row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_km_dist2_sql('e.v', 'c0.c')},
+                                       c0.cid) AS rn
+                     FROM e CROSS JOIN c0) WHERE rn = 1),
+            c1 AS (SELECT cid, list(av ORDER BY i) AS c FROM (
+                     SELECT cid, i, avg(v[i]) AS av
+                     FROM a1 CROSS JOIN generate_series(1, 64) AS t(i)
+                     GROUP BY cid, i) GROUP BY cid),
+            a2 AS (SELECT vec_id, v, cid FROM (
+                     SELECT a1.vec_id, a1.v, c1.cid,
+                            row_number() OVER (PARTITION BY a1.vec_id
+                              ORDER BY {_km_dist2_sql('a1.v', 'c1.c')},
+                                       c1.cid) AS rn
+                     FROM a1 CROSS JOIN c1) WHERE rn = 1),
+            c2 AS (SELECT cid, list(av ORDER BY i) AS c FROM (
+                     SELECT cid, i, avg(v[i]) AS av
+                     FROM a2 CROSS JOIN generate_series(1, 64) AS t(i)
+                     GROUP BY cid, i) GROUP BY cid),
+            a3 AS (SELECT vec_id, v, cid FROM (
+                     SELECT a2.vec_id, a2.v, c2.cid,
+                            row_number() OVER (PARTITION BY a2.vec_id
+                              ORDER BY {_km_dist2_sql('a2.v', 'c2.c')},
+                                       c2.cid) AS rn
+                     FROM a2 CROSS JOIN c2) WHERE rn = 1),
+            sizes AS (SELECT cid, count(*) AS n_members FROM a3 GROUP BY cid),
+            cf AS (SELECT cid, list(av ORDER BY i) AS c FROM (
+                     SELECT cid, i, avg(v[i]) AS av
+                     FROM a3 CROSS JOIN generate_series(1, 64) AS t(i)
+                     GROUP BY cid, i) GROUP BY cid)
+            SELECT sizes.cid AS cluster_id, sizes.n_members,
+                   round(sqrt(list_reduce(
+                     list_transform(cf.c, x -> x * x), (a, b) -> a + b)), 6)
+                     AS centroid_norm
+            FROM sizes JOIN cf USING (cid)
         """,
         "lang_pivot": f"""
             SELECT source,

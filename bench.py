@@ -45,6 +45,9 @@ EXTRA = [
     "events_hourly_dense",
     "weighted_sample",
     "dedup_incremental",
+    "gopher_quality",
+    "dup_ngram_rate",
+    "kmeans_embeddings",
 ]
 
 HEADLINE = [

@@ -241,3 +241,58 @@ def scrub_pii(text: Column) -> Column:
     t = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
     t = F.regexp_replace(t, PII_IPV4, "<IP>")
     return F.regexp_replace(t, PII_PHONE, "<PHONE>")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality flags (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", Appendix A — the public heuristic set
+# used by most web-corpus pipelines).  Pure JVM column expressions:
+# every term is an integer count or an int/int division, so the doubles
+# are bit-identical across engines and the boolean flags cannot sit on
+# a float boundary.  The line-level signals (bullet-start / ellipsis-
+# end line fractions) are omitted because the synthetic corpus is
+# single-line; they would be the same pattern over split(text, '\n').
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_flags(text: Column) -> dict[str, Column]:
+    """Gopher quality signals + the composite ``passes`` flag.
+
+    Thresholds (Gopher A1): 50 <= words <= 100k, 3 <= mean word length
+    <= 10, symbol-to-word ratio ('#' or '...') <= 0.1, >= 80% of words
+    contain an alphabetic character, >= 2 distinct stop words present.
+    """
+    toks = tokenize(text)
+    n = F.size(toks)
+    nd = n.cast("double")
+    len_sum = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_len = len_sum.cast("double") / nd
+    n_symbols = (
+        F.size(F.split(text, "#", -1)) - 1
+        + F.size(F.regexp_extract_all(text, F.lit(r"\.\.\."), 0))
+    )
+    symbol_ratio = n_symbols.cast("double") / nd
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_frac = n_alpha.cast("double") / nd
+    n_stop = None
+    for w in GOPHER_STOPWORDS:
+        hit = F.array_contains(toks, w).cast("long")
+        n_stop = hit if n_stop is None else n_stop + hit
+    passes = (
+        (n >= 50) & (n <= 100_000)
+        & (mean_len >= 3.0) & (mean_len <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (alpha_frac >= 0.8)
+        & (n_stop >= 2)
+    )
+    return {
+        "n_words": n.cast("long"),
+        "mean_word_len": F.round(mean_len, 6),
+        "symbol_ratio": F.round(symbol_ratio, 6),
+        "alpha_frac": F.round(alpha_frac, 6),
+        "n_stop": n_stop,
+        "passes": passes,
+    }

@@ -1,0 +1,136 @@
+"""Distributed Lloyd k-means over an embedding column.
+
+The canonical "cluster the corpus embeddings" step of a training-data
+pipeline (e.g. cluster-balanced sampling, semantic dedup à la SemDeDup).
+The design follows ``operators/similarity.py``'s IVF quantizer, which
+this generalizes: centroids live driver-side (k·dim floats — bounded,
+like any broadcast dimension table), each Lloyd iteration is
+
+  * **assign**: an in-row argmin over the centroid literals — pure JVM
+    codegen, no shuffle, no Python;
+  * **update**: one groupBy(cluster) with per-dimension ``avg`` — a
+    single map-side-combinable aggregation producing exactly k rows,
+    which are collected back (k·dim doubles — the only driver traffic).
+
+That is the plan that survives 100 TB: per iteration one narrow pass +
+one k-row agg, versus MLlib's RDD path which this mirrors structurally
+but keeps in the DataFrame/codegen world end-to-end.
+
+Determinism: seeds are the first ``k`` vectors ordered by id (the same
+row_number rule as the IVF oracle); argmin ties break to the smallest
+cluster id via struct ordering; empty clusters are dropped (both the
+DuckDB oracle and this implementation see only assigned clusters), so
+iteration results are reproducible across partitionings — asserted in
+tests.
+
+Distances fold left-to-right over the vector (sequential double adds),
+matching DuckDB ``list_sum(list_transform(...))`` bit-for-bit on the
+first iteration; subsequent iterations' centroid means are engine-summed
+(order differs in the last ulps) which is why gated outputs round to 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deepie_spark.operators.similarity import _as_double
+
+
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    lit_c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit_c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+
+
+def assign_clusters(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "v",
+) -> DataFrame:
+    """argmin_{(cid, c)} ||v - c||² as an in-row expression.
+
+    ``centroids`` is [(cluster_id, vector), ...]; ties pick the smallest
+    cluster id (struct comparison: dist2 first, cid second)."""
+    choices = F.array(
+        *[
+            F.struct(
+                _sq_dist(F.col(vec_col), c).alias("dist2"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, c in centroids
+        ]
+    )
+    return emb.withColumn("cluster", F.array_min(choices)["cid"].cast("long"))
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Lloyd k-means; returns (assignment DataFrame, final centroids).
+
+    The returned DataFrame has (vec_id, v, cluster) where ``cluster`` is
+    the assignment against the RETURNED centroids (i.e. after ``iters``
+    update steps there is one final assign pass, so df and centroids are
+    consistent)."""
+    e = emb.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    seeds = e.orderBy("vec_id").limit(k).collect()  # bounded: k rows
+    centroids = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(seeds)]
+    dim = len(centroids[0][1])
+    # persist across the Lloyd collects (pagerank lesson: iterative
+    # consumers re-run the whole upstream per action otherwise), then
+    # release before building the lazily-evaluated result plan so no
+    # cache handle outlives this call
+    e = e.persist()
+    try:
+        for _ in range(iters):
+            assigned = assign_clusters(e, centroids)
+            rows = (
+                assigned.groupBy("cluster")
+                .agg(*[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)])
+                .collect()
+            )  # bounded: <= k rows of dim doubles
+            centroids = sorted(
+                (int(r["cluster"]), [float(r[f"c{i}"]) for i in range(dim)])
+                for r in rows
+            )
+    finally:
+        e.unpersist()
+    return assign_clusters(e, centroids), centroids
+
+
+def kmeans_cluster_summary(
+    emb: DataFrame, k: int = 8, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Gated surface: per-cluster size + member-mean norm after
+    ``iters`` Lloyd steps.  The norm is computed wholly inside Spark
+    (per-dimension avg of the final members, then a sequential
+    sum-of-squares fold), rounded to 6 to absorb engine summation-order
+    ulps."""
+    assigned, centroids = kmeans_fit(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    dim = len(centroids[0][1])
+    agg = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        *[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)],
+    )
+    norm2 = None
+    for i in range(dim):
+        t = F.col(f"c{i}") * F.col(f"c{i}")
+        norm2 = t if norm2 is None else norm2 + t
+    return agg.select(
+        F.col("cluster").alias("cluster_id"),
+        "n_members",
+        F.round(F.sqrt(norm2), 6).alias("centroid_norm"),
+    )

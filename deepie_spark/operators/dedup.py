@@ -385,3 +385,64 @@ def embedding_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+def dup_ngram_window_rate(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicate-substring rate (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    per-doc signal of their exact-substring dedup, restated over
+    n-token windows).
+
+    For every position p in a document, the window is the n tokens
+    starting at p; the rate is the fraction of positions whose window
+    text also occurs in at least one OTHER document.  Unlike the
+    pairwise dedup family above this never self-joins documents: the
+    plan is explode → two map-side-combinable aggregations → one join
+    back on the window string — linear in corpus token count, and the
+    per-window fan-in is the document frequency of that window (no d²
+    blowup).  At petabyte scale the join key would be pre-hashed to a
+    128-bit fingerprint; here the string key keeps the DuckDB oracle
+    collision-free by construction.
+
+    Documents shorter than n tokens have no windows and are omitted
+    (callers wanting them back left-join on the id).
+    """
+    toks = tokenize(F.col(text_col))
+    wins = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = docs.select(F.col(id_col).alias("doc_id"), F.explode(wins).alias("win"))
+    # document frequency per window via distinct (win, doc) pairs —
+    # two-level agg, both stages partial-aggregated map-side
+    df_shared = (
+        pos.distinct()
+        .groupBy("win")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .filter(F.col("ndocs") > 1)
+        .select("win")
+    )
+    flagged = pos.join(df_shared, "win", "left_semi").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_windows")
+    )
+    totals = pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    return (
+        totals.join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)).alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(F.col("n_dup_windows").cast("double") / F.col("n_windows"), 6),
+        )
+    )

@@ -1,0 +1,119 @@
+"""Distributed Lloyd k-means (operators/clustering.py) against a
+numpy twin, plus partitioning-invariance and the empty-cluster /
+tie-break rules the DuckDB oracle depends on.
+"""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from deepie_spark.operators.clustering import (
+    assign_clusters,
+    kmeans_cluster_summary,
+    kmeans_fit,
+)
+
+
+def np_assign(X: np.ndarray, cents: list[tuple[int, np.ndarray]]) -> np.ndarray:
+    """argmin ||x - c||²; ties take the FIRST (= smallest cid, since
+    cents stays sorted by cid) — same as the struct-min tie rule."""
+    cids = np.array([c for c, _ in cents])
+    C = np.stack([v for _, v in cents])
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+    return cids[np.argmin(d, axis=1)]
+
+
+def np_kmeans(ids, X, k, iters):
+    order = np.argsort(ids, kind="stable")
+    ids, X = ids[order], X[order]
+    cents = [(i, X[i].astype(np.float64).copy()) for i in range(k)]
+    for _ in range(iters):
+        a = np_assign(X, cents)
+        cents = [
+            (cid, X[a == cid].mean(axis=0))
+            for cid, _ in cents
+            if (a == cid).any()
+        ]
+    return ids, np_assign(X, cents), cents
+
+
+@pytest.fixture(scope="module")
+def emb_np(sf_dir):
+    t = (
+        pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    ids = t["vec_id"].to_numpy()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+    return ids, X
+
+
+def test_kmeans_matches_numpy_twin(spark, sf_dir, emb_np):
+    ids, X = emb_np
+    _, np_a, np_cents = np_kmeans(ids, X, k=8, iters=2)
+    expected = dict(zip(ids.tolist(), np_a.tolist()))
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    assigned, cents = kmeans_fit(emb, k=8, iters=2)
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in assigned.select("vec_id", "cluster").collect()
+    }
+    assert got == expected
+    assert [c for c, _ in cents] == [c for c, _ in np_cents]
+    for (_, sv), (_, nv) in zip(cents, np_cents):
+        np.testing.assert_allclose(sv, nv, rtol=1e-9, atol=1e-12)
+
+
+def test_kmeans_summary_counts(spark, sf_dir, emb_np):
+    ids, X = emb_np
+    _, np_a, np_cents = np_kmeans(ids, X, k=8, iters=2)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    rows = kmeans_cluster_summary(emb, k=8, iters=2).collect()
+    got_sizes = {r["cluster_id"]: r["n_members"] for r in rows}
+    exp_sizes = {
+        int(c): int((np_a == c).sum()) for c in np.unique(np_a)
+    }
+    assert got_sizes == exp_sizes
+    # centroid norms: member mean per final cluster
+    exp_norm = {
+        int(c): float(np.sqrt((X[np_a == c].mean(axis=0) ** 2).sum()))
+        for c in np.unique(np_a)
+    }
+    for r in rows:
+        assert abs(r["centroid_norm"] - exp_norm[r["cluster_id"]]) < 1e-5
+
+
+def test_kmeans_repartition_invariant(spark, sf_dir):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    a1, _ = kmeans_fit(emb, k=4, iters=1)
+    a2, _ = kmeans_fit(emb.repartition(7), k=4, iters=1)
+    r1 = sorted((r["vec_id"], r["cluster"]) for r in a1.collect())
+    r2 = sorted((r["vec_id"], r["cluster"]) for r in a2.collect())
+    assert r1 == r2
+
+
+def test_kmeans_empty_cluster_drops(spark):
+    # seeds: c0=[5], c1=[5] (identical — every [5] ties to c0), c2=[0]
+    df = spark.createDataFrame(
+        [(0, [5.0]), (1, [5.0]), (2, [0.0]), (3, [4.9])],
+        "vec_id long, embedding array<double>",
+    )
+    assigned, cents = kmeans_fit(df, k=3, iters=1)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    assert got == {0: 0, 1: 0, 2: 2, 3: 0}
+    assert [c for c, _ in cents] == [0, 2]  # cluster 1 emptied and dropped
+    rows = kmeans_cluster_summary(df, k=3, iters=1).collect()
+    assert {r["cluster_id"]: r["n_members"] for r in rows} == {0: 3, 2: 1}
+
+
+def test_assign_tie_breaks_to_smaller_cid(spark):
+    df = spark.createDataFrame([(0, [1.0])], "vec_id long, v array<double>")
+    out = assign_clusters(
+        df, [(3, [0.0]), (7, [2.0])], vec_col="v"
+    ).collect()
+    assert out[0]["cluster"] == 3  # equidistant → smaller cid

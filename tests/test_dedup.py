@@ -207,3 +207,59 @@ def test_contamination_counts_vs_python_twin(spark):
         if n:
             want[did] = n
     assert got == want
+
+
+def test_dup_ngram_window_rate_semantics(spark):
+    from deepie_spark.operators.dedup import dup_ngram_window_rate
+
+    w = [f"w{i}" for i in range(10)]          # 10 tokens → 3 windows of 8
+    u = [f"u{i}" for i in range(10)]
+    docs = [
+        (1, " ".join(w)),                      # 3 windows
+        (2, " ".join(w)),                      # exact dup of 1
+        (3, " ".join(u)),                      # unique, but see doc 5
+        (4, " ".join(w[2:])),                  # = window 3 of doc 1 only
+        (5, " ".join(u[:8])),                  # = window 1 of doc 3
+        (6, "a b c d e f g"),                  # 7 tokens → no windows
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_rate"])
+        for r in dup_ngram_window_rate(df, n=8).collect()
+    }
+    # python twin
+    def wins(t):
+        ts = t.split()
+        return [" ".join(ts[i:i + 8]) for i in range(len(ts) - 7)]
+
+    byd = {d: wins(t) for d, t in docs if len(t.split()) >= 8}
+    from collections import Counter
+    df_count = Counter()
+    for d, ws in byd.items():
+        for wn in set(ws):
+            df_count[wn] += 1
+    exp = {}
+    for d, ws in byd.items():
+        dup = sum(1 for wn in ws if df_count[wn] > 1)
+        exp[d] = (len(ws), dup, round(dup / len(ws), 6))
+    assert got == exp
+    assert 6 not in got                       # short doc omitted
+    assert got[1] == (3, 3, 1.0) and got[2] == (3, 3, 1.0)
+    assert got[4] == (1, 1, 1.0)
+    assert got[3] == (3, 1, round(1 / 3, 6))  # only its first window shared
+    assert got[5] == (1, 1, 1.0)
+
+
+def test_dup_ngram_within_doc_repeat_not_dup(spark):
+    """A window repeated WITHIN one doc but in no other doc is not a
+    duplicate (document frequency, not occurrence count)."""
+    from deepie_spark.operators.dedup import dup_ngram_window_rate
+
+    t = " ".join([f"r{i % 8}" for i in range(16)])  # window repeats in-doc
+    df = spark.createDataFrame(
+        [(1, t), (2, "z1 z2 z3 z4 z5 z6 z7 z8")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["dup_rate"] for r in
+           dup_ngram_window_rate(df, n=8).collect()}
+    assert got == {1: 0.0, 2: 0.0}

@@ -259,3 +259,44 @@ def test_dedup_incremental_anti_join_unhinted(spark, sf_dir):
     assert "LeftAnti" in plan
     # distinct on the corpus side = partial + final HashAggregate
     assert "HashAggregate" in plan
+
+
+def test_gopher_quality_jvm_map_only(spark, sf_dir):
+    """Quality flags are pure column expressions: one map-only
+    codegen stage — zero shuffles, zero Python."""
+    plan = executed(entry.q_gopher_quality(spark, sf_dir))
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert "*(" in plan  # whole-stage codegen span
+
+
+def test_dup_ngram_rate_no_cartesian(spark, sf_dir):
+    """Duplicate-window rate must stay linear: a semi join on the
+    window string, never a pairwise document product, and the window
+    DF aggregation must partial-aggregate map-side."""
+    df = entry.q_dup_ngram_rate(spark, sf_dir)
+    plan = executed(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+    assert "partial_count" in plan  # map-side combine on the df agg
+
+
+def test_kmeans_assign_is_narrow(spark, sf_dir):
+    """One Lloyd assign pass = in-row argmin over centroid literals:
+    no shuffle, no Python, stays in codegen."""
+    import os
+
+    from deepie_spark.operators.clustering import assign_clusters
+
+    emb = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x as double)) AS v"
+    )
+    df = assign_clusters(emb, [(0, [0.0] * 64), (1, [1.0] * 64)])
+    plan = executed(df)
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan

@@ -227,3 +227,86 @@ def test_dedup_incremental_verdicts(spark, sf_dir):
     # every survivor is from the 'update:' branch (batch_id >= 3000000)
     assert all(i >= 3000000 for i in ids)
     assert len(ids) == n_fresh
+
+
+def _py_gopher(text: str) -> dict:
+    """Pure-python twin of functions.text.gopher_flags."""
+    import re
+
+    from deepie_spark.functions.text import GOPHER_STOPWORDS, py_tokenize
+
+    toks = py_tokenize(text)
+    n = len(toks)
+    mean_len = sum(len(t) for t in toks) / n
+    n_sym = text.count("#") + len(re.findall(r"\.\.\.", text))
+    symbol_ratio = n_sym / n
+    alpha_frac = sum(1 for t in toks if re.search("[A-Za-z]", t)) / n
+    n_stop = sum(1 for w in GOPHER_STOPWORDS if w in toks)
+    passes = (
+        50 <= n <= 100_000
+        and 3.0 <= mean_len <= 10.0
+        and symbol_ratio <= 0.1
+        and alpha_frac >= 0.8
+        and n_stop >= 2
+    )
+    return {
+        "n_words": n,
+        "mean_word_len": round(mean_len, 6),
+        "symbol_ratio": round(symbol_ratio, 6),
+        "alpha_frac": round(alpha_frac, 6),
+        "n_stop": n_stop,
+        "passes": passes,
+    }
+
+
+def test_gopher_flags_handcrafted(spark):
+    t_short = "the be to of"                      # 4 words, all stop
+    t_pass = " ".join(["the", "be"] + ["word"] * 58)   # 60 words, passes
+    t_sym = " ".join(["the", "be"] + ["word"] * 58 + ["#"] * 7)
+    t_ell = "a... b...... c"
+    rows = {
+        r["doc_id"]: r
+        for r in _gopher_rows(spark, [t_short, t_pass, t_sym, t_ell])
+    }
+    r = rows[0]
+    assert (r["n_words"], r["mean_word_len"], r["n_stop"], r["passes"]) == (
+        4, 2.25, 4, False)
+    r = rows[1]
+    assert r["n_words"] == 60 and r["passes"] is True
+    assert r["mean_word_len"] == round((3 + 2 + 4 * 58) / 60, 6)
+    r = rows[2]
+    # 7 '#' over 67 words = 0.1045 > 0.1 → fails on symbol ratio alone
+    assert r["symbol_ratio"] == round(7 / 67, 6) and r["passes"] is False
+    r = rows[3]
+    # '...' matches non-overlapping: 1 in 'a...' + 2 in 'b......'
+    assert r["symbol_ratio"] == 1.0 and r["n_words"] == 3
+
+
+def _gopher_rows(spark, texts):
+    from deepie_spark.functions.text import gopher_flags
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    g = gopher_flags(F.col("text"))
+    return df.select("doc_id", *[g[k].alias(k) for k in g]).collect()
+
+
+def test_gopher_flags_random_twin(spark):
+    import random
+
+    rng = random.Random(1234)
+    vocab = ["the", "be", "to", "word", "alpha", "x", "123", "#", "a...b",
+             "longish-token", "of", "...", "...."]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 80)))
+        for _ in range(60)
+    ]
+    for row in _gopher_rows(spark, texts):
+        exp = _py_gopher(texts[row["doc_id"]])
+        for k, v in exp.items():
+            got = row[k]
+            if isinstance(v, float):
+                assert abs(got - v) < 1e-9, (k, row["doc_id"])
+            else:
+                assert got == v, (k, row["doc_id"])
