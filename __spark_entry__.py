@@ -1843,6 +1843,25 @@ def q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(t, iterations=3, damping=0.85)
 
 
+def q_entity_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level entity co-occurrence PMI over the single-token
+    gazetteer mentions (operators/graph.py cooccurrence_pmi)."""
+    from deepie_spark.operators.graph import cooccurrence_pmi
+
+    return cooccurrence_pmi(_mentions_single(spark, sf_dir))
+
+
+def q_triple_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected distinct-neighbor degree distribution of the rule
+    triple graph (operators/graph.py degree_histogram)."""
+    from deepie_spark.operators.graph import degree_histogram
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return degree_histogram(t)
+
+
 def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over catalog alias-token-overlap edges."""
     return connected_components(alias_overlap_edges(catalog_df(spark)))
@@ -2273,6 +2292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "dup_ngram_rate": q_dup_ngram_rate,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "entity_cooccur_pmi": q_entity_cooccur_pmi,
+        "triple_degree_hist": q_triple_degree_hist,
         "url_normalize": q_url_normalize,
         "doc_perplexity": q_doc_perplexity,
         "entity_pagerank": q_entity_pagerank,
@@ -2965,6 +2986,53 @@ def oracle_sql() -> dict[str, str]:
                      list_transform(cf.c, x -> x * x), (a, b) -> a + b)), 6)
                      AS centroid_norm
             FROM sizes JOIN cf USING (cid)
+        """,
+        # cooccurrence_pmi twin: both engines hand libm ln() the same
+        # exact-integer-derived double (counts << 2^53), rounded to 6.
+        "entity_cooccur_pmi": f"""
+            WITH {_MENTIONS_SQL.strip()},
+            de AS (SELECT DISTINCT doc_id, entity_id FROM mentions),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM de),
+            ca AS (SELECT entity_id, count(*) AS c FROM de
+                   GROUP BY entity_id),
+            p AS (SELECT a.entity_id AS ent_a, b.entity_id AS ent_b,
+                         count(*) AS c_ab
+                  FROM de a JOIN de b ON a.doc_id = b.doc_id
+                   AND a.entity_id < b.entity_id
+                  GROUP BY 1, 2)
+            SELECT ent_a, ent_b, c_ab,
+                   round(ln(CAST(c_ab * n.n_docs AS DOUBLE)
+                            / CAST(ca1.c * ca2.c AS DOUBLE)), 6) AS pmi
+            FROM p
+            JOIN ca ca1 ON p.ent_a = ca1.entity_id
+            JOIN ca ca2 ON p.ent_b = ca2.entity_id
+            CROSS JOIN n
+        """,
+        "triple_degree_hist": f"""
+            WITH {_MENTIONS_SQL.strip()},
+            rules(type1, type2, label) AS (VALUES
+              {RULES_VALUES}
+            ),
+            pairs AS (
+              SELECT a.doc_id, a.alias AS alias1, b.alias AS alias2,
+                     a.entity_type AS type1, b.entity_type AS type2
+              FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id
+              WHERE a.pos < b.pos AND b.pos - a.pos <= 10
+            ),
+            tr AS (
+              SELECT
+                CASE WHEN label LIKE '%(e2,e1)' THEN alias2
+                     ELSE alias1 END AS a,
+                CASE WHEN label LIKE '%(e2,e1)' THEN alias1
+                     ELSE alias2 END AS b
+              FROM pairs JOIN rules USING (type1, type2)
+              WHERE label != 'NONE'
+            ),
+            und AS (SELECT a, b FROM tr WHERE a != b
+                    UNION
+                    SELECT b, a FROM tr WHERE a != b),
+            deg AS (SELECT a, count(*) AS degree FROM und GROUP BY a)
+            SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
         """,
         "lang_pivot": f"""
             SELECT source,

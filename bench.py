@@ -48,6 +48,8 @@ EXTRA = [
     "gopher_quality",
     "dup_ngram_rate",
     "kmeans_embeddings",
+    "entity_cooccur_pmi",
+    "triple_degree_hist",
 ]
 
 HEADLINE = [

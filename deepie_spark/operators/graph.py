@@ -82,3 +82,87 @@ def pagerank(
         # truncate lineage: iteration k+1's plan must not contain k's
         pr = pr.localCheckpoint(eager=True)
     return pr.select("node", F.round("pr", 6).alias("pagerank"))
+
+
+def cooccurrence_pmi(
+    mentions: DataFrame,
+    id_col: str = "entity_id",
+    doc_col: str = "doc_id",
+    min_pairs: int = 1,
+) -> DataFrame:
+    """Entity co-occurrence PMI (pointwise mutual information) over
+    document-level mention sets — the classic distant-supervision
+    association signal for proposing candidate relations between
+    catalog entities (cf. reference rnnRE.py's pair generation, which
+    this scores globally instead of per-sentence).
+
+    ``pmi(a, b) = ln( P(a,b) / (P(a)·P(b)) )`` with probabilities
+    estimated over documents: ``ln(c_ab · N / (c_a · c_b))``.
+
+    Plan shape at 10^12 docs: the distinct (doc, entity) projection and
+    both count aggregations are map-side-combinable; the pair join
+    shuffles on doc_id (mention fan-out per doc is bounded by the
+    catalog, so the per-doc product cannot blow up); the per-entity
+    count table is bounded by the entity catalog — the same bounded
+    dimension the pipeline already broadcasts as a trie — so the two
+    count joins are hinted broadcast.  The log argument is built as one
+    exact-integer numerator and denominator converted to double
+    (counts << 2^53), so both engines hand libm ln() the identical
+    argument; the result rounds to 6 like every gated float.
+    """
+    de = mentions.select(doc_col, id_col).distinct()
+    n_docs = de.agg(F.count_distinct(F.col(doc_col)).alias("n_docs"))
+    ca = de.groupBy(id_col).agg(F.count(F.lit(1)).alias("c"))
+    a = de.select(F.col(doc_col).alias("doc_id"), F.col(id_col).alias("ent_a"))
+    b = de.select(F.col(doc_col).alias("doc_id"), F.col(id_col).alias("ent_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("ent_a") < F.col("ent_b"))
+        .groupBy("ent_a", "ent_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_pairs)
+    )
+    out = (
+        pairs.join(
+            F.broadcast(
+                ca.select(F.col(id_col).alias("ent_a"), F.col("c").alias("c_a"))
+            ),
+            "ent_a",
+        )
+        .join(
+            F.broadcast(
+                ca.select(F.col(id_col).alias("ent_b"), F.col("c").alias("c_b"))
+            ),
+            "ent_b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab") * F.col("n_docs")).cast("double")
+            / (F.col("c_a") * F.col("c_b")).cast("double")
+        ),
+        6,
+    )
+    return out.select("ent_a", "ent_b", "c_ab", pmi.alias("pmi"))
+
+
+def degree_histogram(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Undirected distinct-neighbor degree distribution of the triple
+    graph — the standard KG health metric (hub detection, power-law
+    check before choosing skew salts).
+
+    Self-loops are excluded; degree counts DISTINCT neighbors.  Every
+    stage is a map-side-combinable hash aggregation; the head-entity
+    skew all lands in per-degree counts of size ≤ n_nodes — no join at
+    all, so nothing to salt."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -300,3 +300,24 @@ def test_kmeans_assign_is_narrow(spark, sf_dir):
     assert "Exchange" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_cooccur_pmi_count_joins_broadcast(spark, sf_dir):
+    """The per-entity count tables are bounded by the literal entity
+    catalog (the same dimension the pipeline broadcasts as a trie), so
+    the two count joins must be broadcast — the only shuffle keys are
+    doc_id (pair join) and the pair groupBy."""
+    plan = executed(entry.q_entity_cooccur_pmi(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+
+
+def test_degree_hist_join_free(spark, sf_dir):
+    """Degree histogram is pure aggregation over the triple edges: the
+    only joins allowed are the upstream triple-construction ones
+    (catalog/rules broadcasts + the pair self-join); the degree stages
+    themselves add hash aggregates, never a sort aggregate."""
+    plan = executed(entry.q_triple_degree_hist(spark, sf_dir))
+    assert "SortAggregate" not in plan
+    assert "partial_count" in plan
