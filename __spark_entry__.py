@@ -1157,6 +1157,44 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window metrics: 2-hour windows sliding every 30 min via
+    the native F.window expression (each event lands in 4 windows) —
+    the batch twin of the sliding-window streaming agg.  Output keys on
+    epoch seconds of the window start (engine-portable; events.ts is
+    TIMESTAMP_NTZ and the session tz is UTC, so unix epoch matches
+    DuckDB's epoch() on the naive value)."""
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = F.window(F.col("ts").cast("timestamp"), "2 hours", "30 minutes")
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("w_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 bigrams per source (frequent-pattern surface for corpus
+    inspection): count per (source, bigram), windowed top-k with a
+    deterministic bigram tie-break.  The window partitions on source —
+    per-group top-k after a map-side-combinable count, never a global
+    sort; at 10^12 docs the count agg shuffles on (source, bigram) so
+    the hot-source skew is spread across bigrams by construction."""
+    from deepie_spark.operators.stats import top_bigrams_per_group
+
+    return top_bigrams_per_group(
+        _docs(spark, sf_dir), group_col="source", k=5
+    )
+
+
 #: caller-owned shingle persist for q_ngram_jaccard (ShingleCache —
 #: released at the next call, so repeated invocations (bench best-of-N,
 #: oracle sweeps) hold at most one cached shingle table)
@@ -2294,6 +2332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": q_kmeans_embeddings,
         "entity_cooccur_pmi": q_entity_cooccur_pmi,
         "triple_degree_hist": q_triple_degree_hist,
+        "events_hopping": q_events_hopping,
+        "top_ngrams": q_top_ngrams,
         "url_normalize": q_url_normalize,
         "doc_perplexity": q_doc_perplexity,
         "entity_pagerank": q_entity_pagerank,
@@ -2472,6 +2512,37 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(value), 3) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        # F.window(ts, '2 hours', '30 minutes') twin: Spark's hopping
+        # windows are epoch-aligned, so the 4 containing window starts
+        # of an event at epoch es are es - es%1800 - k*1800, k=0..3.
+        "events_hopping": """
+            -- floor(), not CAST: epoch() keeps fractional seconds and
+            -- a BIGINT cast would ROUND, shifting >=.5s events into
+            -- the next slide; Spark windows on the full timestamp
+            WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                              event_type, value FROM events),
+            w AS (SELECT es - (es % 1800) - k * 1800 AS w_start,
+                         event_type, value
+                  FROM e CROSS JOIN generate_series(0, 3) AS t(k))
+            SELECT w_start, event_type, count(*) AS n,
+                   round(sum(value), 3) AS sum_value
+            FROM w GROUP BY 1, 2
+        """,
+        "top_ngrams": f"""
+            WITH t AS (SELECT source, {_TOKS_SQL} AS toks FROM documents),
+            bg AS (SELECT source,
+                          unnest(list_transform(
+                            generate_series(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+                   FROM t WHERE len(toks) >= 2),
+            c AS (SELECT source, bigram, count(*) AS n FROM bg
+                  GROUP BY 1, 2),
+            r AS (SELECT source, bigram, n,
+                         row_number() OVER (PARTITION BY source
+                           ORDER BY n DESC, bigram) AS rank
+                  FROM c)
+            SELECT source, bigram, n, rank FROM r WHERE rank <= 5
         """,
         "entity_linking": f"""
             WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),

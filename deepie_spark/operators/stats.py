@@ -56,3 +56,40 @@ def max_binary_feature_len(mentions: DataFrame) -> DataFrame:
     return mentions.agg(
         F.max(F.size("bin_feats")).alias("max_bin_feats")
     )
+
+
+def top_bigrams_per_group(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k most frequent bigrams per group, deterministic tie-break
+    on the bigram string.
+
+    Plan shape at 10^12 docs: the count aggregation shuffles on
+    (group, bigram) — a hot group's load spreads across its bigram
+    space, so no salting needed — then the top-k window partitions on
+    the group over the already-aggregated (small) count table.  Never a
+    global sort."""
+    from pyspark.sql import Window as W
+
+    from deepie_spark.functions.text import tokenize
+
+    d = docs.select(group_col, tokenize(F.col(text_col)).alias("toks"))
+    bg = d.filter(F.size("toks") >= 2).select(
+        group_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> concat_ws(' ', toks[i], toks[i + 1]))"
+            )
+        ).alias("bigram"),
+    )
+    c = bg.groupBy(group_col, "bigram").agg(F.count(F.lit(1)).alias("n"))
+    win = W.partitionBy(group_col).orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        c.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "bigram", "n", "rank")
+    )

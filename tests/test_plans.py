@@ -321,3 +321,26 @@ def test_degree_hist_join_free(spark, sf_dir):
     plan = executed(entry.q_triple_degree_hist(spark, sf_dir))
     assert "SortAggregate" not in plan
     assert "partial_count" in plan
+
+
+def test_events_hopping_single_shuffle_expand(spark, sf_dir):
+    """Hopping windows plan as one Expand (4 window replicas per
+    event) + one partial-aggregated shuffle — never a self-join or a
+    per-window pass."""
+    plan = executed(entry.q_events_hopping(spark, sf_dir))
+    # the AQE string repeats the tree as "Initial Plan" — count
+    # shuffles in the final-plan section only
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Expand" in final
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in final
+
+
+def test_top_ngrams_no_global_sort(spark, sf_dir):
+    """Per-group top-k: count agg with map-side combine, window sort
+    only AFTER aggregation (on the small count table), no
+    rangepartitioning global sort."""
+    plan = executed(entry.q_top_ngrams(spark, sf_dir))
+    assert "rangepartitioning" not in plan
+    assert "partial_count" in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan

@@ -310,3 +310,63 @@ def test_gopher_flags_random_twin(spark):
                 assert abs(got - v) < 1e-9, (k, row["doc_id"])
             else:
                 assert got == v, (k, row["doc_id"])
+
+
+def test_events_hopping_membership(spark, sf_dir):
+    """Every event lands in exactly 4 of the 2h/30min hopping windows,
+    and a sampled window's count matches a direct epoch filter."""
+    out = entry.q_events_hopping(spark, sf_dir)
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    n_events = e.count()
+    assert out.agg(F.sum("n")).first()[0] == 4 * n_events
+    # spot-check one window against first principles
+    r = out.orderBy("w_start", "event_type").first()
+    manual = e.filter(
+        (F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")))
+         >= r["w_start"])
+        & (F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")))
+           < r["w_start"] + 7200)
+        & (F.col("event_type") == r["event_type"])
+    ).count()
+    assert manual == r["n"]
+    assert r["w_start"] % 1800 == 0
+
+
+def test_top_ngrams_tie_break_twin(spark):
+    from collections import Counter
+
+    from deepie_spark.operators.stats import top_bigrams_per_group
+
+    docs = [
+        (1, "s1", "a b a b c d"),          # bigrams: a b, b a, a b, b c, c d
+        (2, "s1", "a b x y x y x y"),
+        (3, "s2", "p q p q r s r s"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    got = {
+        (r["source"], r["rank"]): (r["bigram"], r["n"])
+        for r in top_bigrams_per_group(df, k=5).collect()
+    }
+
+    twin = {}
+    for _, src, text in docs:
+        ts = text.split()
+        twin.setdefault(src, Counter()).update(
+            f"{a} {b}" for a, b in zip(ts, ts[1:])
+        )
+    n_expected = 0
+    for src, cnt in twin.items():
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        n_expected += len(ranked)
+        for i, (bgm, n) in enumerate(ranked, 1):
+            assert got[(src, i)] == (bgm, n), (src, i)
+    assert len(got) == n_expected
+
+
+def test_top_ngrams_short_docs_dropped(spark):
+    from deepie_spark.operators.stats import top_bigrams_per_group
+
+    df = spark.createDataFrame(
+        [(1, "s1", "one"), (2, "s1", "")], "doc_id long, source string, text string"
+    )
+    assert top_bigrams_per_group(df).count() == 0
