@@ -92,6 +92,32 @@ _MENTIONS_SQL = f"""
   )"""
 
 
+#: Canonical undirected edge set of the rule-triple graph (DuckDB twin
+#: of q_triples_rules' (subj, obj) projection); shared by the graph
+#: analytics oracles (triangle_stats, neighborhood_jaccard).
+_TRIPLE_EDGES_SQL = f"""
+  rules(type1, type2, label) AS (VALUES
+    {RULES_VALUES}
+  ),
+  rpairs AS (
+    SELECT a.doc_id, a.alias AS alias1, b.alias AS alias2,
+           a.entity_type AS type1, b.entity_type AS type2
+    FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id
+    WHERE a.pos < b.pos AND b.pos - a.pos <= 10
+  ),
+  tr AS (
+    SELECT
+      CASE WHEN label LIKE '%(e2,e1)' THEN alias2 ELSE alias1 END AS s,
+      CASE WHEN label LIKE '%(e2,e1)' THEN alias1 ELSE alias2 END AS d
+    FROM rpairs JOIN rules USING (type1, type2)
+    WHERE label != 'NONE'
+  ),
+  und AS (
+    SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+    FROM tr WHERE s != d
+  )"""
+
+
 _K_SHINGLE = 3
 
 #: DuckDB twins of functions.text shingles / char_poly_hash, generated
@@ -1900,6 +1926,31 @@ def q_triple_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_histogram(t)
 
 
+def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census / transitivity of the rule-triple graph
+    (operators/graph.py triangle_stats — degree-ordered orientation
+    bounds the wedge stage at Θ(|E|^1.5) under head-entity skew)."""
+    from deepie_spark.operators.graph import triangle_stats
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return triangle_stats(t)
+
+
+def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural-equivalence coreference candidates: neighbor-set
+    Jaccard over the rule-triple graph (operators/graph.py
+    neighborhood_jaccard; hub guard mirrors the dedup stop-shingle
+    rule)."""
+    from deepie_spark.operators.graph import neighborhood_jaccard
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return neighborhood_jaccard(t, min_common=2, max_degree=1000)
+
+
 def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over catalog alias-token-overlap edges."""
     return connected_components(alias_overlap_edges(catalog_df(spark)))
@@ -2332,6 +2383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": q_kmeans_embeddings,
         "entity_cooccur_pmi": q_entity_cooccur_pmi,
         "triple_degree_hist": q_triple_degree_hist,
+        "triangle_stats": q_triangle_stats,
+        "neighbor_jaccard": q_neighbor_jaccard,
         "events_hopping": q_events_hopping,
         "top_ngrams": q_top_ngrams,
         "url_normalize": q_url_normalize,
@@ -3104,6 +3157,51 @@ def oracle_sql() -> dict[str, str]:
                     SELECT b, a FROM tr WHERE a != b),
             deg AS (SELECT a, count(*) AS degree FROM und GROUP BY a)
             SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+        """,
+        # triangle_stats twin: the a<b<c three-way join is
+        # orientation-independent, so it must equal Spark's
+        # degree-ordered count exactly; wedge count is all-integer.
+        "triangle_stats": f"""
+            WITH {_MENTIONS_SQL.strip()},
+            {_TRIPLE_EDGES_SQL.strip()},
+            deg AS (SELECT n, count(*) AS deg FROM (
+                      SELECT a AS n FROM und
+                      UNION ALL SELECT b FROM und) GROUP BY n),
+            tri AS (SELECT count(*) AS n_triangles
+                    FROM und e1
+                    JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+                    JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+            st AS (SELECT
+                     (SELECT count(*) FROM deg) AS n_nodes,
+                     (SELECT count(*) FROM und) AS n_edges,
+                     (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT)
+                      FROM deg) AS n_wedges)
+            SELECT n_nodes, n_edges, n_wedges, n_triangles,
+                   round(3.0 * CAST(n_triangles AS DOUBLE)
+                         / CAST(n_wedges AS DOUBLE), 6) AS clustering
+            FROM st CROSS JOIN tri
+        """,
+        # neighborhood_jaccard twin: hub guard (deg <= 1000) applies to
+        # the shared-neighbor stage only; degrees keep full counts.
+        "neighbor_jaccard": f"""
+            WITH {_MENTIONS_SQL.strip()},
+            {_TRIPLE_EDGES_SQL.strip()},
+            nb AS (SELECT a AS node, b AS nbr FROM und
+                   UNION ALL SELECT b, a FROM und),
+            deg AS (SELECT node, count(*) AS deg FROM nb GROUP BY node),
+            wed AS (SELECT nb.nbr AS n, nb.node AS m FROM nb
+                    JOIN deg d ON d.node = nb.nbr AND d.deg <= 1000),
+            com AS (SELECT x.m AS ent_a, y.m AS ent_b,
+                           count(*) AS common
+                    FROM wed x JOIN wed y
+                      ON x.n = y.n AND x.m < y.m
+                    GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT ent_a, ent_b, common,
+                   d1.deg AS deg_a, d2.deg AS deg_b,
+                   round(common / (d1.deg + d2.deg - common), 6)
+                     AS jaccard
+            FROM com JOIN deg d1 ON d1.node = com.ent_a
+                     JOIN deg d2 ON d2.node = com.ent_b
         """,
         "lang_pivot": f"""
             SELECT source,

@@ -147,6 +147,171 @@ def cooccurrence_pmi(
     return out.select("ent_a", "ent_b", "c_ab", pmi.alias("pmi"))
 
 
+def _canonical_edges(
+    edges: DataFrame, src: str, dst: str
+) -> DataFrame:
+    """Distinct undirected edges as (a, b) with a < b, no self-loops."""
+    e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).filter(
+        F.col("x") != F.col("y")
+    )
+    return e.select(
+        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+    ).distinct()
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle census of the undirected triple graph: one row
+    ``(n_nodes, n_edges, n_wedges, n_triangles, clustering)`` where
+    ``clustering`` is the global clustering coefficient
+    ``3·triangles / wedges`` (transitivity).  Triangle density is the
+    standard KG-health signal for relation-rule quality (spurious
+    extraction rules produce star graphs — near-zero transitivity).
+
+    Scale plan (the part that must survive 10^12 edges): the naive
+    wedge join is Θ(Σ deg²) — a single head entity of degree 10^6
+    yields 10^12 wedge rows.  This implements the degree-ordered
+    orientation of Cohen's MapReduce triangle algorithm (also
+    Schank–Wagner forward counting): orient every edge from the
+    endpoint with the SMALLER (degree, node) rank to the larger, then
+    join oriented wedges (u→v, u→w) against oriented closing edges
+    (v→w).  Out-degree under this orientation is O(√|E|) regardless of
+    skew, so the wedge stage is bounded Θ(|E|^1.5) total — the
+    classic bound — instead of deg² on the hot node.  All stages are
+    hash joins/aggs on edge keys; nothing is collected.
+
+    The count is exact and orientation-independent (each triangle has
+    exactly one source-of-two under a total order), so the DuckDB
+    oracle can use the simpler a<b<c three-way join.
+    """
+    und = _canonical_edges(edges, src, dst).localCheckpoint()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    # orient low-rank → high-rank under the total order (deg, node)
+    low_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    ).localCheckpoint()
+    w1 = oriented.select(F.col("u"), F.col("v").alias("p"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("q"))
+    # wedges at the LOW-rank apex; (p, q) normalized so the closing
+    # edge lookup is a single equi-join against the canonical edge set
+    wedges = (
+        w1.join(w2, "u")
+        .filter(F.col("p") < F.col("q"))
+        .select(
+            F.least("p", "q").alias("a"), F.greatest("p", "q").alias("b")
+        )
+    )
+    tri = wedges.join(und, ["a", "b"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    stats = und.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        F.broadcast(
+            deg.agg(
+                F.count(F.lit(1)).alias("n_nodes"),
+                # integer DIV keeps the wedge count exact past 2^53
+                F.sum(F.expr("deg * (deg - 1) DIV 2")).alias("n_wedges"),
+            )
+        )
+    )
+    return stats.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(
+            F.lit(3.0)
+            * F.col("n_triangles").cast("double")
+            / F.col("n_wedges").cast("double"),
+            6,
+        ).alias("clustering"),
+    )
+
+
+def neighborhood_jaccard(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 2,
+    max_degree: int | None = 1000,
+) -> DataFrame:
+    """Structural-equivalence candidate pairs: Jaccard similarity of
+    distinct-neighbor sets for every node pair sharing ≥ ``min_common``
+    neighbors.  In the KG this is the coreference signal the
+    canonicalization stage (operators/cc.py) consumes — two surface
+    forms of one real-world entity link to near-identical neighbor
+    sets even when no alias-token edge connects them.
+
+    ``jaccard(a, b) = |N(a) ∩ N(b)| / (|N(a)| + |N(b)| − |N(a) ∩ N(b)|)``
+    — all-integer until the final division, so the value is
+    engine-portable (one correctly-rounded IEEE divide, then round 6).
+
+    Scale plan: the common-neighbor generator is a self-join on the
+    shared neighbor — Θ(deg²) per neighbor node, the same hub blow-up
+    as the shingle self-join in dedup — so hub nodes above
+    ``max_degree`` are dropped from the WEDGE STAGE ONLY (their edges
+    still count toward each endpoint's |N(x)| denominator).  That is
+    exactly the stop-shingle guard of ngram_jaccard_pairs
+    (operators/dedup.py:164): a neighbor shared by everything carries
+    no similarity signal but quadratic cost.  Both aggregations are
+    map-side combinable; degree tables are node-sized and join on the
+    pair keys un-hinted (AQE decides).
+    """
+    e = _canonical_edges(edges, src, dst)
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )  # (node=a, neighbor=b), both directions, distinct by construction
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    wed = und.select(F.col("b").alias("n"), F.col("a").alias("m"))
+    if max_degree is not None:
+        keep = deg.filter(F.col("deg") <= max_degree).select(
+            F.col("a").alias("n")
+        )
+        wed = wed.join(keep, "n")
+    p1 = wed.select("n", F.col("m").alias("ent_a"))
+    p2 = wed.select("n", F.col("m").alias("ent_b"))
+    common = (
+        p1.join(p2, "n")
+        .filter(F.col("ent_a") < F.col("ent_b"))
+        .groupBy("ent_a", "ent_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    out = common.join(
+        deg.select(F.col("a").alias("ent_a"), F.col("deg").alias("deg_a")),
+        "ent_a",
+    ).join(
+        deg.select(F.col("a").alias("ent_b"), F.col("deg").alias("deg_b")),
+        "ent_b",
+    )
+    jac = F.col("common") / (
+        F.col("deg_a") + F.col("deg_b") - F.col("common")
+    )
+    return out.select(
+        "ent_a",
+        "ent_b",
+        "common",
+        F.col("deg_a"),
+        F.col("deg_b"),
+        F.round(jac, 6).alias("jaccard"),
+    )
+
+
 def degree_histogram(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

@@ -103,6 +103,115 @@ def test_cooccurrence_pmi_matches_python_twin(spark):
     assert (10, 13) not in got  # never co-occur
 
 
+def _python_triangles(edges):
+    """Set-based twin: canonical undirected edges, count a<b<c closed
+    triples, wedges = sum deg·(deg−1)/2."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tris = sum(
+        1
+        for a, b in und
+        for c in adj[a] & adj[b]
+        if b < c
+    )
+    wedges = sum(d * (d - 1) // 2 for d in map(len, adj.values()))
+    return len(adj), len(und), wedges, tris
+
+
+def test_triangle_stats_matches_python_twin(spark, random_graph):
+    from deepie_spark.operators.graph import triangle_stats
+
+    df = spark.createDataFrame(random_graph, "src string, dst string")
+    row = triangle_stats(df).collect()[0]
+    n, e, w, t = _python_triangles(random_graph)
+    assert (
+        row["n_nodes"], row["n_edges"], row["n_wedges"], row["n_triangles"]
+    ) == (n, e, w, t)
+    assert row["clustering"] == round(3.0 * t / w, 6)
+    assert t > 0  # 1500 edges on 200 nodes must close some triangles
+
+
+def test_triangle_stats_handcrafted(spark):
+    from deepie_spark.operators.graph import triangle_stats
+
+    # K4 plus a pendant, with reverse-dup + multi-edge + self-loop noise
+    edges = [
+        ("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"), ("c", "d"),
+        ("d", "e"), ("e", "e"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    row = triangle_stats(df).collect()[0]
+    # K4 has 4 triangles; degrees a,b,c=3 d=4 e=1 → wedges 3·3+6+0=15
+    assert (row["n_nodes"], row["n_edges"]) == (5, 7)
+    assert (row["n_wedges"], row["n_triangles"]) == (15, 4)
+    assert row["clustering"] == round(12 / 15, 6)
+
+
+def _python_neighborhood_jaccard(edges, min_common=2, max_degree=None):
+    adj = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    hubs = (
+        {n for n, ns in adj.items() if len(ns) > max_degree}
+        if max_degree is not None
+        else set()
+    )
+    out = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            common = len((adj[a] & adj[b]) - hubs)
+            if common >= min_common:
+                j = common / (len(adj[a]) + len(adj[b]) - common)
+                out[(a, b)] = (common, len(adj[a]), len(adj[b]), round(j, 6))
+    return out
+
+
+def test_neighborhood_jaccard_matches_python_twin(spark, random_graph):
+    from deepie_spark.operators.graph import neighborhood_jaccard
+
+    df = spark.createDataFrame(random_graph, "src string, dst string")
+    got = {
+        (r["ent_a"], r["ent_b"]): (
+            r["common"], r["deg_a"], r["deg_b"], r["jaccard"]
+        )
+        for r in neighborhood_jaccard(df, min_common=3).collect()
+    }
+    assert got == _python_neighborhood_jaccard(random_graph, min_common=3)
+    assert got  # dense random graph has qualifying pairs
+
+
+def test_neighborhood_jaccard_hub_guard(spark):
+    from deepie_spark.operators.graph import neighborhood_jaccard
+
+    # hub h touches everything; a and b additionally share n1, n2
+    edges = (
+        [("h", f"x{i}") for i in range(8)]
+        + [("a", "h"), ("b", "h"), ("a", "n1"), ("b", "n1"),
+           ("a", "n2"), ("b", "n2")]
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r["ent_a"], r["ent_b"]): (r["common"], r["deg_a"], r["deg_b"],
+                                   r["jaccard"])
+        for r in neighborhood_jaccard(
+            df, min_common=2, max_degree=5
+        ).collect()
+    }
+    want = _python_neighborhood_jaccard(edges, min_common=2, max_degree=5)
+    assert got == want
+    # the hub is excluded from common counts but still in denominators:
+    # common(a,b) = {n1,n2}, deg 3 each → 2/(3+3−2)
+    assert got[("a", "b")] == (2, 3, 3, 0.5)
+
+
 def test_degree_histogram_semantics(spark):
     from deepie_spark.operators.graph import degree_histogram
 
