@@ -1894,6 +1894,70 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BM25 query-term list — ORDER MATTERS: per-term scores add in this
+#: exact order on both engines (FP addition does not commute).
+_BM25_TERMS = ["spark", "hash", "merge"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 documents by Lucene-variant BM25 for a literal query
+    (operators/retrieval.py — broadcast df table, integer-argument ln,
+    fixed-order per-term addition, TakeOrderedAndProject top-k)."""
+    from deepie_spark.operators.retrieval import bm25_scores
+
+    s = bm25_scores(
+        _toks(spark, sf_dir), _BM25_TERMS, k1=_BM25_K1, b=_BM25_B
+    )
+    return (
+        s.orderBy(F.desc("score"), "doc_id")
+        .limit(50)
+        .select("doc_id", "n_terms", F.round("score", 6).alias("bm25"))
+    )
+
+
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust length profile: median + MAD (median absolute
+    deviation) of token counts and the |x−med| > 3·MAD outlier count —
+    the skew-immune twin of doc_zscore (mean/σ are dragged by the very
+    outliers a web corpus filters; the median pair is not).
+
+    Plan: two exact grouped percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, the corpus_quantiles precedent) with the
+    source-cardinality stat tables broadcast back — bounded dimension,
+    same justification as domain_stats.  All compared values are exact
+    binary fractions (interpolated medians of integers are multiples
+    of 0.25), so the 3·MAD threshold boolean is engine-portable."""
+    dl = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(tokenize(F.col("text"))).cast("double").alias("n"),
+    )
+    med = dl.groupBy("source").agg(
+        F.expr("percentile(n, 0.5)").alias("med")
+    )
+    j = dl.join(F.broadcast(med), "source").withColumn(
+        "dev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = j.groupBy("source").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    return (
+        j.join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.max("med"), 6).alias("med_tokens"),
+            F.round(F.max("mad"), 6).alias("mad_tokens"),
+            F.sum(
+                F.when(
+                    F.col("dev") > F.lit(3.0) * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
 def q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity salience: 3-iteration PageRank over the distinct
     (subj → obj) edges of the rule triples — the iterative join+agg
@@ -2385,6 +2449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triple_degree_hist": q_triple_degree_hist,
         "triangle_stats": q_triangle_stats,
         "neighbor_jaccard": q_neighbor_jaccard,
+        "bm25_topk": q_bm25_topk,
+        "robust_outliers": q_robust_outliers,
         "events_hopping": q_events_hopping,
         "top_ngrams": q_top_ngrams,
         "url_normalize": q_url_normalize,
@@ -3202,6 +3268,72 @@ def oracle_sql() -> dict[str, str]:
                      AS jaccard
             FROM com JOIN deg d1 ON d1.node = com.ent_a
                      JOIN deg d2 ON d2.node = com.ent_b
+        """,
+        # bm25_topk twin: constants rendered with repr() from the SAME
+        # python expressions the Spark side F.lit()s, so both engines
+        # parse bit-identical doubles; ln args are exact integers; the
+        # per-term sum is fixed-order (s0 + s1 + s2).
+        "bm25_topk": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks
+                       FROM documents),
+            dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl
+                   FROM t),
+            st AS (SELECT count(*) AS n_docs,
+                          CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM (
+                     SELECT doc_id, unnest(toks) AS token FROM t)
+                   WHERE token IN (
+                     {", ".join(f"'{t}'" for t in _BM25_TERMS)})
+                   GROUP BY 1, 2),
+            dft AS (SELECT token, count(*) AS df FROM tf
+                    GROUP BY token),
+            sc AS (SELECT tf.doc_id, tf.token,
+                     (ln(CAST(2 * st.n_docs + 2 AS DOUBLE))
+                      - ln(CAST(2 * dft.df + 1 AS DOUBLE)))
+                     * ((CAST(tf.tf AS DOUBLE)
+                         * {_BM25_K1 + 1.0!r})
+                        / (CAST(tf.tf AS DOUBLE)
+                           + {_BM25_K1 * (1.0 - _BM25_B)!r}
+                           + ({_BM25_K1 * _BM25_B!r}
+                              * CAST(dl.dl AS DOUBLE)
+                              * CAST(st.n_docs AS DOUBLE)
+                              / CAST(st.total_len AS DOUBLE)))) AS s
+                   FROM tf JOIN dft USING (token)
+                   JOIN dl USING (doc_id) CROSS JOIN st),
+            g AS (SELECT doc_id, count(*) AS n_terms,
+                    {", ".join(
+                      f"coalesce(max(CASE WHEN token = '{t}' THEN s"
+                      f" END), 0.0) AS s{i}"
+                      for i, t in enumerate(_BM25_TERMS))}
+                  FROM sc GROUP BY doc_id)
+            SELECT doc_id, n_terms,
+                   round({" + ".join(
+                     f"s{i}" for i in range(len(_BM25_TERMS)))}, 6)
+                     AS bm25
+            FROM g
+            ORDER BY {" + ".join(
+              f"s{i}" for i in range(len(_BM25_TERMS)))} DESC, doc_id
+            LIMIT 50
+        """,
+        # robust_outliers twin: quantile_cont == Spark percentile
+        # (corpus_quantiles precedent); compared values are exact
+        # binary fractions so the 3·MAD boolean matches.
+        "robust_outliers": f"""
+            WITH dl AS (SELECT doc_id, source,
+                          CAST(len({_TOKS_SQL}) AS DOUBLE) AS n
+                        FROM documents),
+            med AS (SELECT source, quantile_cont(n, 0.5) AS med
+                    FROM dl GROUP BY source),
+            j AS (SELECT dl.source, n, med, abs(n - med) AS dev
+                  FROM dl JOIN med USING (source)),
+            mad AS (SELECT source, quantile_cont(dev, 0.5) AS mad
+                    FROM j GROUP BY source)
+            SELECT j.source, count(*) AS n_docs,
+                   round(max(med), 6) AS med_tokens,
+                   round(max(mad), 6) AS mad_tokens,
+                   CAST(sum(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_outliers
+            FROM j JOIN mad USING (source) GROUP BY j.source
         """,
         "lang_pivot": f"""
             SELECT source,

@@ -1,0 +1,106 @@
+"""BM25 keyword retrieval over the tokenized corpus.
+
+A KG-construction pipeline needs a retrieval primitive twice: to pull
+candidate support passages for a (subj, pred, obj) triple during
+verification, and to audit what the corpus says about an entity
+(reference DeepIE scores relation candidates per sentence pair,
+rnnRE.py:564-581; this is the corpus-level analogue for ad-hoc entity
+queries).
+
+Scoring is Lucene-variant Okapi BM25::
+
+    idf(t)       = ln(1 + (N − df + 0.5) / (df + 0.5))
+    score(d, t)  = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+Engine-portability (the DuckDB oracle must reproduce every bit):
+
+* ``idf`` is computed as ``ln(2N+2) − ln(2df+1)`` — both logarithm
+  arguments are exact integers converted to double, so both engines
+  hand libm the identical argument (same trick as cooccurrence_pmi,
+  operators/graph.py).
+* every other operation is +/·/÷ on doubles in an identical,
+  fully-parenthesized evaluation order — IEEE-exact on both engines.
+* the per-document total is NOT a ``sum()`` over an arbitrary row
+  order (FP addition does not commute): per-term scores pivot into
+  fixed columns and add in query-term order.
+
+Scale plan at 10^12 docs: the term list is a literal (bounded), so the
+per-term document-frequency table is broadcast; corpus-level N/avgdl
+ride along as a broadcast 1-row aggregate (no driver action); tf is
+one map-side-combinable aggregation over the exploded term matches —
+the explode filters to query terms BEFORE the shuffle, so shuffle
+volume is matches, not tokens.  Top-k goes through Spark's
+TakeOrderedAndProject (per-partition heaps, no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    toks_col: str = "toks",
+) -> DataFrame:
+    """(doc_id, n_terms, score) for every document matching ≥ 1 query
+    term; ``score`` is the exact double (caller rounds for display,
+    orders on the unrounded value)."""
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks_col).cast("long").alias("dl"),
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(toks_col).alias("token"),
+        )
+        .filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    j = (
+        tf.join(F.broadcast(dft), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    # idf: both ln arguments are exact integers widened to double
+    idf = F.log(
+        (F.lit(2) * F.col("n_docs") + F.lit(2)).cast("double")
+    ) - F.log((F.lit(2) * F.col("df") + F.lit(1)).cast("double"))
+    den = (
+        F.col("tf").cast("double")
+        + F.lit(k1 * (1.0 - b))
+        + (
+            F.lit(k1 * b)
+            * F.col("dl").cast("double")
+            * F.col("n_docs").cast("double")
+            / F.col("total_len").cast("double")
+        )
+    )
+    s = idf * ((F.col("tf").cast("double") * F.lit(k1 + 1.0)) / den)
+    scored = j.select("doc_id", "token", s.alias("s"))
+    # fixed-order pivot-and-add: score = s(t0) + s(t1) + … in the
+    # caller's term order on BOTH engines (FP adds don't commute)
+    per_term = [
+        F.coalesce(
+            F.max(F.when(F.col("token") == t, F.col("s"))), F.lit(0.0)
+        ).alias(f"s_{i}")
+        for i, t in enumerate(terms)
+    ]
+    g = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"), *per_term
+    )
+    total = F.col("s_0")
+    for i in range(1, len(terms)):
+        total = total + F.col(f"s_{i}")
+    return g.select("doc_id", "n_terms", total.alias("score"))
