@@ -1243,6 +1243,28 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONT_CACHE = None
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment pairs over the derived dup
+    corpus (operators/dedup.py containment_pairs — catches doc-in-doc
+    duplication that Jaccard's union denominator hides)."""
+    from deepie_spark.operators.dedup import (
+        ShingleCache,
+        containment_pairs,
+    )
+
+    global _CONT_CACHE
+    if _CONT_CACHE is None:
+        _CONT_CACHE = ShingleCache()
+    _CONT_CACHE.release()
+    return containment_pairs(
+        _docs_dups(spark, sf_dir), threshold=0.8, k=_K_SHINGLE,
+        cache=_CONT_CACHE,
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH banding candidates (16 hashes, 4 bands)."""
     return minhash_lsh_pairs(
@@ -2451,6 +2473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_jaccard": q_neighbor_jaccard,
         "bm25_topk": q_bm25_topk,
         "robust_outliers": q_robust_outliers,
+        "containment_pairs": q_containment,
         "events_hopping": q_events_hopping,
         "top_ngrams": q_top_ngrams,
         "url_normalize": q_url_normalize,
@@ -3314,6 +3337,31 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY {" + ".join(
               f"s{i}" for i in range(len(_BM25_TERMS)))} DESC, doc_id
             LIMIT 50
+        """,
+        # containment twin: same shingle CTEs as ngram_jaccard, final
+        # projection is the two directed containments.
+        "containment_pairs": f"""
+            WITH {_DOCS_DUPS_SQL.strip()},
+            t AS (SELECT doc_id AS id, {_TOKS_SQL} AS toks
+                  FROM docs_dups),
+            sh AS (SELECT id,
+                     unnest(list_distinct({_SHINGLES_SQL})) AS shingle
+                   FROM t),
+            keep AS (SELECT shingle FROM sh GROUP BY shingle
+                     HAVING count(*) <= 1000),
+            shf AS (SELECT sh.id, sh.shingle FROM sh
+                    JOIN keep USING (shingle)),
+            sizes AS (SELECT id, count(*) AS n_sh FROM shf GROUP BY id),
+            ip AS (SELECT x.id AS a, y.id AS b, count(*) AS inter
+                   FROM shf x JOIN shf y USING (shingle)
+                   WHERE x.id < y.id GROUP BY 1, 2)
+            SELECT a, b, inter, na.n_sh AS n_a, nb.n_sh AS n_b,
+                   round(CAST(inter AS DOUBLE) / na.n_sh, 6) AS cont_a,
+                   round(CAST(inter AS DOUBLE) / nb.n_sh, 6) AS cont_b
+            FROM ip JOIN sizes na ON na.id = ip.a
+                    JOIN sizes nb ON nb.id = ip.b
+            WHERE greatest(CAST(inter AS DOUBLE) / na.n_sh,
+                           CAST(inter AS DOUBLE) / nb.n_sh) >= 0.8
         """,
         # robust_outliers twin: quantile_cont == Spark percentile
         # (corpus_quantiles precedent); compared values are exact

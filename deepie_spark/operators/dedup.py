@@ -193,6 +193,72 @@ def ngram_jaccard_pairs(
     return j.select("a", "b", "inter", "n_a", "n_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = 1000,
+    cache: ShingleCache | None = None,
+) -> DataFrame:
+    """Asymmetric shingle-containment near-dup pairs — the doc-in-doc
+    detector Jaccard misses.  A boilerplate page embedding a full
+    article scores ``containment(article → page) ≈ 1`` while Jaccard
+    stays below any sane threshold because the page's extra shingles
+    inflate the union (Broder's containment, the signal behind
+    suffix-style substring dedup).
+
+    Emits canonical pairs (a < b) with both directed containments
+    ``cont_a = |A∩B| / |A|`` and ``cont_b = |A∩B| / |B|``, kept when
+    either side crosses ``threshold``.  All-integer until the final
+    divisions, so values are engine-portable.
+
+    Plan shape and skew guard are identical to
+    :func:`ngram_jaccard_pairs` (stop-shingle ``max_df`` filter before
+    the self-join; optional caller-owned :class:`ShingleCache`); the
+    two operators differ only in the final projection, so at scale
+    they share one shingle-pair materialization."""
+    sh = doc_shingles(df, id_col, text_col, k)
+    if cache is not None:
+        sh = cache.hold(sh)
+    if max_df:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("id").alias("a"), "shingle")
+    b = sh.select(F.col("id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("id").alias("a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("b"), F.col("n_sh").alias("n_b"))
+    cont_a = F.col("inter") / F.col("n_a")
+    cont_b = F.col("inter") / F.col("n_b")
+    return (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .filter(F.greatest(cont_a, cont_b) >= threshold)
+        .select(
+            "a",
+            "b",
+            "inter",
+            "n_a",
+            "n_b",
+            F.round(cont_a, 6).alias("cont_a"),
+            F.round(cont_b, 6).alias("cont_b"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     n_hashes: int = 16,

@@ -263,3 +263,47 @@ def test_dup_ngram_within_doc_repeat_not_dup(spark):
     got = {r["doc_id"]: r["dup_rate"] for r in
            dup_ngram_window_rate(df, n=8).collect()}
     assert got == {1: 0.0, 2: 0.0}
+
+
+def test_containment_pairs_doc_in_doc(spark):
+    from deepie_spark.operators.dedup import containment_pairs
+
+    article = "alpha beta gamma delta epsilon zeta eta theta"
+    page = "nav header " + article + " footer links contact about"
+    docs = [
+        (1, article),          # fully embedded in 2
+        (2, page),
+        (3, "unrelated words entirely different from both docs here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"]): (
+            r["inter"], r["n_a"], r["n_b"], r["cont_a"], r["cont_b"]
+        )
+        for r in containment_pairs(df, threshold=0.8).collect()
+    }
+    sa, sb = py_shingles(article), py_shingles(page)
+    inter = len(sa & sb)
+    assert got == {
+        (1, 2): (
+            inter, len(sa), len(sb),
+            round(inter / len(sa), 6), round(inter / len(sb), 6),
+        )
+    }
+    # the whole point: containment of the article is 1.0 while the
+    # symmetric jaccard would be far below any dedup threshold
+    assert got[(1, 2)][3] == 1.0
+    assert inter / (len(sa) + len(sb) - inter) < 0.6
+
+
+def test_containment_threshold_filters(spark):
+    from deepie_spark.operators.dedup import containment_pairs
+
+    docs = [
+        (1, "a b c d e f g h"),
+        (2, "a b c x y z w q"),  # shares only 1 of 6 shingles with 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    assert containment_pairs(df, threshold=0.8).count() == 0
+    low = containment_pairs(df, threshold=0.1).collect()
+    assert len(low) == 1 and low[0]["inter"] == 1
