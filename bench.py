@@ -50,6 +50,11 @@ EXTRA = [
     "kmeans_embeddings",
     "entity_cooccur_pmi",
     "triple_degree_hist",
+    "triangle_stats",
+    "neighbor_jaccard",
+    "bm25_topk",
+    "robust_outliers",
+    "containment_pairs",
 ]
 
 HEADLINE = [

@@ -58,12 +58,16 @@ def bm25_scores(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_len"),
     )
+    # filter INSIDE the array before exploding: the explode emits only
+    # query-term matches (a handful per doc), never the full token
+    # stream — at 10^12 docs that is the difference between shuffling
+    # matches and shuffling the corpus
+    matches = F.filter(F.col(toks_col), lambda t: t.isin(terms))
     tf = (
         docs.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(toks_col).alias("token"),
+            F.explode(matches).alias("token"),
         )
-        .filter(F.col("token").isin(terms))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

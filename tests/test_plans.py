@@ -344,3 +344,51 @@ def test_top_ngrams_no_global_sort(spark, sf_dir):
     assert "rangepartitioning" not in plan
     assert "partial_count" in plan
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_bm25_filters_before_explode_and_broadcasts_df(spark, sf_dir):
+    """The BM25 explode must emit only query-term matches (the array
+    filter runs BEFORE the generator — at corpus scale the shuffle
+    carries matches, not tokens); the per-term df table is broadcast;
+    top-k is TakeOrderedAndProject, not a global sort."""
+    plan = executed(entry.q_bm25_topk(spark, sf_dir))
+    gen = plan.split("Generate explode(")[1].split(")")[0]
+    assert "filter(" in gen
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_robust_outliers_broadcast_joinback_no_window(spark, sf_dir):
+    """Grouped median/MAD must come from hash aggregations with the
+    bounded per-source stat tables broadcast back — never a
+    per-source Window sort over the corpus."""
+    plan = executed(entry.q_robust_outliers(spark, sf_dir))
+    assert "Window" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_triangle_stats_no_cartesian(spark, sf_dir):
+    """Degree-ordered triangle counting: every join is an equi-join
+    (edge keys) or a broadcast of a 1-row aggregate; a
+    CartesianProduct would mean the orientation rewrite regressed."""
+    plan = executed(entry.q_triangle_stats(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_neighbor_jaccard_unhinted_no_cartesian(spark, sf_dir):
+    """Neighbor-set Jaccard joins degree tables un-hinted (node-sized,
+    unbounded at web scale — AQE decides) and stays equi-join.  The
+    hint check runs on the bare operator: the full query's upstream
+    catalog/rules broadcasts are bounded and legitimately hinted."""
+    from deepie_spark.operators.graph import neighborhood_jaccard
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        "src string, dst string",
+    )
+    bare = neighborhood_jaccard(edges, min_common=1)
+    opt = bare._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in opt
+    plan = executed(entry.q_neighbor_jaccard(spark, sf_dir))
+    assert "CartesianProduct" not in plan
