@@ -1980,6 +1980,142 @@ def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-1-hour event metrics via a RANGE-frame window
+    (value-based frame, so same-second ties land in the same frame on
+    every engine — no order ambiguity).  The window partitions by
+    user_id: parallelism is the user count, never a single-partition
+    sort.  ``value`` carries 2 decimals, so it is summed as exact
+    integer cents inside the frame (FP sliding sums are
+    order-sensitive; integer sums are not) and divided once at the
+    end.  events.ts is TIMESTAMP_NTZ → cast before epoch arithmetic
+    (session tz is UTC)."""
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    base = e.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("es"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-3599, W.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "es",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum("cents").over(w).alias("cents_1h"),
+    ).select(
+        "event_id",
+        "user_id",
+        "es",
+        "n_1h",
+        "cents_1h",
+        F.round(
+            F.col("cents_1h").cast("double")
+            / (F.lit(100.0) * F.col("n_1h").cast("double")),
+            6,
+        ).alias("avg_1h"),
+    )
+
+
+def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention matrix: users bucketed by first-active
+    day, counted per (cohort_day, day_offset).  Two map-side
+    combinable aggregations and one join on user_id — no window, no
+    self-join; the cohort table is user-sized and joins un-hinted
+    (unbounded at web scale, AQE decides)."""
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    d = e.select(
+        "user_id", F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    ).distinct()
+    first = d.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    j = d.join(first, "user_id")
+    return (
+        j.groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def q_fuzzy_alias_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant gazetteer probe: distinct corpus tokens within
+    Levenshtein distance 2 of a single-token catalog alias (exact hits
+    excluded — those are the trie matcher's job).  The catalog side is
+    a literal (bounded) → broadcast nested-loop against the DISTINCT
+    token table, which is vocabulary-sized, not corpus-sized; the
+    distinct happens BEFORE the quadratic compare.  Length guards
+    (|token| ≥ 4, |len difference| ≤ 2) prune the candidate grid
+    JVM-side.  Both engines implement classic Wagner–Fischer edit
+    distance — integer-exact."""
+    toks = (
+        _occ(spark, sf_dir)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.length("token") >= 4)
+    )
+    cat = catalog_df(spark).filter(
+        ~F.col("alias").contains(" ")
+    ).select("alias", "entity_id")
+    dist = F.levenshtein(F.col("token"), F.col("alias"))
+    return (
+        toks.crossJoin(F.broadcast(cat))
+        .filter(
+            (F.abs(F.length("token") - F.length("alias")) <= 2)
+            & (F.col("token") != F.col("alias"))
+            & (dist <= 2)
+        )
+        .select("token", "alias", "entity_id", dist.alias("dist"), "n_occ")
+    )
+
+
+def q_quality_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Pearson correlation between token and char counts
+    from EXACT integer moments (Σx, Σy, Σx², Σy², Σxy as BIGINTs in
+    one map-side-combinable agg — the doc_zscore trick extended to
+    second cross-moments).  The only floats are one fused formula over
+    integer-derived doubles; sqrt is IEEE-correctly-rounded (unlike
+    libm ln/pow), so both engines produce the identical bits.  Native
+    ``corr()`` is NOT used: its running-mean accumulation is
+    partitioning- and engine-order-dependent."""
+    d = _docs(spark, sf_dir).select(
+        "source",
+        F.size(tokenize(F.col("text"))).cast("long").alias("x"),
+        F.length("text").cast("long").alias("y"),
+    )
+    m = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    dx = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    )
+    dy = F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return m.select(
+        "source",
+        "n",
+        F.round(num / (dx * dy), 6).alias("corr_tokens_chars"),
+    )
+
+
 def q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity salience: 3-iteration PageRank over the distinct
     (subj → obj) edges of the rule triples — the iterative join+agg
@@ -2474,6 +2610,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "robust_outliers": q_robust_outliers,
         "containment_pairs": q_containment,
+        "events_moving_avg": q_events_moving_avg,
+        "user_retention": q_user_retention,
+        "fuzzy_alias_match": q_fuzzy_alias_match,
+        "quality_correlation": q_quality_correlation,
         "events_hopping": q_events_hopping,
         "top_ngrams": q_top_ngrams,
         "url_normalize": q_url_normalize,
@@ -3362,6 +3502,82 @@ def oracle_sql() -> dict[str, str]:
                     JOIN sizes nb ON nb.id = ip.b
             WHERE greatest(CAST(inter AS DOUBLE) / na.n_sh,
                            CAST(inter AS DOUBLE) / nb.n_sh) >= 0.8
+        """,
+        # events_moving_avg twin: RANGE frame is value-based (ties
+        # share a frame on both engines); integer-cents sums avoid
+        # order-sensitive FP sliding accumulation.
+        "events_moving_avg": """
+            WITH base AS (
+              SELECT event_id, user_id,
+                     -- floor, NOT a bare cast: DuckDB double→int
+                     -- casts round-half-even while Spark
+                     -- unix_timestamp floors sub-second parts
+                     CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            w AS (
+              SELECT event_id, user_id, es,
+                     count(*) OVER fr AS n_1h,
+                     CAST(sum(cents) OVER fr AS BIGINT) AS cents_1h
+              FROM base
+              WINDOW fr AS (PARTITION BY user_id ORDER BY es
+                            RANGE BETWEEN 3599 PRECEDING
+                            AND CURRENT ROW))
+            SELECT event_id, user_id, es, n_1h, cents_1h,
+                   round(CAST(cents_1h AS DOUBLE)
+                         / (100.0 * CAST(n_1h AS DOUBLE)), 6) AS avg_1h
+            FROM w
+        """,
+        "user_retention": """
+            WITH d AS (SELECT DISTINCT user_id,
+                         CAST(ts AS DATE) AS day FROM events),
+            f AS (SELECT user_id, min(day) AS cohort FROM d
+                  GROUP BY user_id)
+            SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+                   CAST(date_diff('day', cohort, day) AS INT)
+                     AS day_offset,
+                   count(DISTINCT d.user_id) AS n_users
+            FROM d JOIN f USING (user_id)
+            GROUP BY 1, 2
+        """,
+        # fuzzy_alias_match twin: Wagner–Fischer edit distance is
+        # integer-exact on both engines.
+        "fuzzy_alias_match": f"""
+            WITH catalog(entity_id, alias, entity_type, subtype, prior)
+              AS (VALUES {CATALOG_VALUES}),
+            {_OCC_SQL.strip()},
+            toks AS (SELECT token, count(*) AS n_occ FROM occ
+                     GROUP BY token HAVING length(token) >= 4)
+            SELECT token, alias, entity_id,
+                   CAST(levenshtein(token, alias) AS INT) AS dist, n_occ
+            FROM toks CROSS JOIN catalog
+            WHERE alias NOT LIKE '% %'
+              AND abs(length(token) - length(alias)) <= 2
+              AND token != alias
+              AND levenshtein(token, alias) <= 2
+        """,
+        # quality_correlation twin: Pearson r from exact integer
+        # moments; sqrt is IEEE-exact so bits match (native corr()
+        # would be accumulation-order-dependent).
+        "quality_correlation": f"""
+            WITH m AS (
+              SELECT source, count(*) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy
+              FROM (SELECT source,
+                      CAST(len({_TOKS_SQL}) AS BIGINT) AS x,
+                      CAST(length(text) AS BIGINT) AS y
+                    FROM documents)
+              GROUP BY source)
+            SELECT source, n,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))),
+                         6) AS corr_tokens_chars
+            FROM m
         """,
         # robust_outliers twin: quantile_cont == Spark percentile
         # (corpus_quantiles precedent); compared values are exact

@@ -55,6 +55,10 @@ EXTRA = [
     "bm25_topk",
     "robust_outliers",
     "containment_pairs",
+    "events_moving_avg",
+    "user_retention",
+    "fuzzy_alias_match",
+    "quality_correlation",
 ]
 
 HEADLINE = [

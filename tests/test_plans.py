@@ -392,3 +392,46 @@ def test_neighbor_jaccard_unhinted_no_cartesian(spark, sf_dir):
     assert "strategy=broadcast" not in opt
     plan = executed(entry.q_neighbor_jaccard(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_moving_avg_window_is_partitioned(spark, sf_dir):
+    """The RANGE-frame window must partition by user_id (parallelism =
+    user count) — a global single-partition window would serialize the
+    corpus."""
+    plan = executed(entry.q_events_moving_avg(spark, sf_dir))
+    assert "Window" in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_user_retention_no_window_no_hint(spark, sf_dir):
+    """Cohort retention is two hash aggs + one un-hinted user-keyed
+    join — no window, no forced broadcast of the unbounded user
+    table."""
+    df = entry.q_user_retention(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in opt
+    plan = executed(df)
+    assert "Window" not in plan
+
+
+def test_fuzzy_match_distinct_before_quadratic_probe(spark, sf_dir):
+    """The Levenshtein probe must run against the DISTINCT vocabulary
+    (HashAggregate feeds the broadcast nested loop), never the raw
+    token stream."""
+    plan = executed(entry.q_fuzzy_alias_match(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    agg_side = plan.split("BroadcastNestedLoopJoin")[1]
+    assert "HashAggregate" in agg_side
+
+
+def test_quality_correlation_single_agg_no_join(spark, sf_dir):
+    """Exact-moment Pearson r is ONE map-side-combinable aggregation:
+    no join, no window, one shuffle on source."""
+    plan = executed(entry.q_quality_correlation(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    # the AQE string repeats the tree as "Initial Plan" — count the
+    # final plan only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in final  # map-side combine confirmed
