@@ -1980,6 +1980,30 @@ def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-evaluation surface: confusion matrix of the declared
+    ``lang`` column vs the engine's stopword-ratio language guesser,
+    with per-true-language share.  One corpus aggregation; the per-row
+    totals table is language-cardinality (bounded) → broadcast
+    join-back.  share = n/total is one exact int/int IEEE divide."""
+    g = q_lang_guess(spark, sf_dir)
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.col("lang").alias("lang_true")
+    )
+    cm = (
+        d.join(g, "doc_id")
+        .groupBy("lang_true", F.col("lang_guess").alias("lang_pred"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cm.groupBy("lang_true").agg(F.sum("n").alias("tot"))
+    return cm.join(F.broadcast(tot), "lang_true").select(
+        "lang_true",
+        "lang_pred",
+        "n",
+        F.round(F.col("n") / F.col("tot"), 6).alias("share"),
+    )
+
+
 def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user trailing-1-hour event metrics via a RANGE-frame window
     (value-based frame, so same-second ties land in the same frame on
@@ -2610,6 +2634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "robust_outliers": q_robust_outliers,
         "containment_pairs": q_containment,
+        "lang_confusion": q_lang_confusion,
         "events_moving_avg": q_events_moving_avg,
         "user_retention": q_user_retention,
         "fuzzy_alias_match": q_fuzzy_alias_match,
@@ -3502,6 +3527,28 @@ def oracle_sql() -> dict[str, str]:
                     JOIN sizes nb ON nb.id = ip.b
             WHERE greatest(CAST(inter AS DOUBLE) / na.n_sh,
                            CAST(inter AS DOUBLE) / nb.n_sh) >= 0.8
+        """,
+        "lang_confusion": f"""
+            WITH g AS (
+              SELECT doc_id,
+                CASE
+                  WHEN {ratio['en']} >= greatest({ratio['es']},
+                       {ratio['fr']}, {ratio['de']}) THEN 'en'
+                  WHEN {ratio['es']} >= greatest({ratio['fr']},
+                       {ratio['de']}) THEN 'es'
+                  WHEN {ratio['fr']} >= {ratio['de']} THEN 'fr'
+                  ELSE 'de'
+                END AS lang_pred
+              FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)),
+            cm AS (SELECT d.lang AS lang_true, g.lang_pred,
+                          count(*) AS n
+                   FROM documents d JOIN g USING (doc_id)
+                   GROUP BY 1, 2),
+            tot AS (SELECT lang_true, CAST(sum(n) AS BIGINT) AS tot
+                    FROM cm GROUP BY 1)
+            SELECT lang_true, lang_pred, n,
+                   round(n / tot, 6) AS share
+            FROM cm JOIN tot USING (lang_true)
         """,
         # events_moving_avg twin: RANGE frame is value-based (ties
         # share a frame on both engines); integer-cents sums avoid

@@ -59,6 +59,7 @@ EXTRA = [
     "user_retention",
     "fuzzy_alias_match",
     "quality_correlation",
+    "lang_confusion",
 ]
 
 HEADLINE = [
