@@ -1980,6 +1980,21 @@ def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_term_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact term-vector cosine near-dup pairs over the dup
+    corpus (operators/retrieval.py term_cosine_pairs)."""
+    from deepie_spark.operators.retrieval import term_cosine_pairs
+
+    d = _docs_dups(spark, sf_dir).select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    )
+    # 0.95: the synthetic corpus draws every doc from one shared
+    # vocabulary, so bag-of-words cosine between unrelated docs is
+    # already ~0.83 at p99 — 0.95 keeps all 50 perturbed true-dup
+    # pairs plus only genuinely similar pairs
+    return term_cosine_pairs(d, threshold=0.95)
+
+
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operator-evaluation surface: confusion matrix of the declared
     ``lang`` column vs the engine's stopword-ratio language guesser,
@@ -2635,6 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers": q_robust_outliers,
         "containment_pairs": q_containment,
         "lang_confusion": q_lang_confusion,
+        "term_cosine": q_term_cosine,
         "events_moving_avg": q_events_moving_avg,
         "user_retention": q_user_retention,
         "fuzzy_alias_match": q_fuzzy_alias_match,
@@ -3527,6 +3543,35 @@ def oracle_sql() -> dict[str, str]:
                     JOIN sizes nb ON nb.id = ip.b
             WHERE greatest(CAST(inter AS DOUBLE) / na.n_sh,
                            CAST(inter AS DOUBLE) / nb.n_sh) >= 0.8
+        """,
+        # term_cosine twin: dot and norms are exact integers; sqrt and
+        # one divide are IEEE-exact, so the 0.8 threshold matches.
+        "term_cosine": f"""
+            WITH {_DOCS_DUPS_SQL.strip()},
+            occ AS (SELECT doc_id AS id, unnest({_TOKS_SQL}) AS token
+                    FROM docs_dups),
+            tf AS (SELECT id, token, count(*) AS tf FROM occ
+                   GROUP BY id, token),
+            norms AS (SELECT id, CAST(sum(tf * tf) AS BIGINT) AS n2
+                      FROM tf GROUP BY id),
+            rare AS (SELECT token FROM tf GROUP BY token
+                     HAVING count(*) <= 1000),
+            probe AS (SELECT tf.id, tf.token, tf.tf FROM tf
+                      JOIN rare USING (token)),
+            dots AS (SELECT x.id AS a, y.id AS b,
+                            CAST(sum(x.tf * y.tf) AS BIGINT) AS dot
+                     FROM probe x JOIN probe y USING (token)
+                     WHERE x.id < y.id GROUP BY 1, 2)
+            SELECT a, b, dot, na.n2 AS n2_a, nb.n2 AS n2_b,
+                   round(CAST(dot AS DOUBLE)
+                         / (sqrt(CAST(na.n2 AS DOUBLE))
+                            * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+                     AS cosine
+            FROM dots JOIN norms na ON na.id = dots.a
+                      JOIN norms nb ON nb.id = dots.b
+            WHERE CAST(dot AS DOUBLE)
+                  / (sqrt(CAST(na.n2 AS DOUBLE))
+                     * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.95
         """,
         "lang_confusion": f"""
             WITH g AS (

@@ -60,6 +60,7 @@ EXTRA = [
     "fuzzy_alias_match",
     "quality_correlation",
     "lang_confusion",
+    "term_cosine",
 ]
 
 HEADLINE = [

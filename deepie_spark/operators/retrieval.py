@@ -108,3 +108,67 @@ def bm25_scores(
     for i in range(1, len(terms)):
         total = total + F.col(f"s_{i}")
     return g.select("doc_id", "n_terms", total.alias("score"))
+
+
+def term_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    toks_col: str = "toks",
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Vector-space near-dup pairs: cosine similarity between raw
+    term-frequency vectors — the bag-of-words complement of shingle
+    Jaccard (insensitive to word order, sensitive to frequency
+    profile) that needs no embedding table.
+
+    Engine-portability: weights are raw tf counts, so the dot product
+    and both squared norms are EXACT integers aggregated in any order;
+    the only floats are two IEEE-correctly-rounded sqrts and one
+    divide — bit-identical on both engines (idf weighting would break
+    this: a float sum over an arbitrary row order).
+
+    Scale plan mirrors :func:`ngram_jaccard_pairs`: the self-join on
+    the shared term is Θ(df²) per term, so terms above ``max_df`` are
+    dropped from the DOT-PRODUCT stage only — norms keep the full
+    vectors, understating (never inflating) hot-term similarity.  Both
+    aggregations are map-side combinable."""
+    tf = (
+        docs.select(
+            F.col(id_col).alias("id"), F.explode(toks_col).alias("token")
+        )
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    norms = tf.groupBy("id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    probe = tf
+    if max_df:
+        rare = (
+            tf.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("token")
+        )
+        probe = probe.join(rare, "token")
+    a = probe.select(F.col("id").alias("a"), "token", F.col("tf").alias("tfa"))
+    b = probe.select(F.col("id").alias("b"), "token", F.col("tf").alias("tfb"))
+    dots = (
+        a.join(b, "token")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("tfa") * F.col("tfb")).alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("a"), F.col("n2").alias("n2_a"))
+    nb = norms.select(F.col("id").alias("b"), F.col("n2").alias("n2_b"))
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("n2_a").cast("double"))
+        * F.sqrt(F.col("n2_b").cast("double"))
+    )
+    return (
+        dots.join(na, "a")
+        .join(nb, "b")
+        .filter(cos >= threshold)
+        .select("a", "b", "dot", "n2_a", "n2_b", F.round(cos, 6).alias("cosine"))
+    )

@@ -65,3 +65,56 @@ def test_bm25_repartition_invariant(spark):
     a = sorted(map(tuple, bm25_scores(toks, TERMS).collect()))
     b = sorted(map(tuple, bm25_scores(toks.repartition(7), TERMS).collect()))
     assert a == b  # bit-identical: fixed-order adds, no sum() over rows
+
+
+def test_term_cosine_matches_python_twin(spark):
+    from deepie_spark.operators.retrieval import term_cosine_pairs
+
+    docs = [
+        (1, "a b a c"),
+        (2, "a b a c d"),       # near-identical frequency profile
+        (3, "c a b a"),         # permutation of 1 → cosine exactly 1
+        (4, "x y z x y z"),
+        (5, "q r s t u v"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    toks = df.select("doc_id", F.split("text", " ").alias("toks"))
+    got = {
+        (r["a"], r["b"]): (r["dot"], r["n2_a"], r["n2_b"], r["cosine"])
+        for r in term_cosine_pairs(toks, threshold=0.9).collect()
+    }
+
+    from collections import Counter
+
+    tfs = {d: Counter(t.split()) for d, t in docs}
+    want = {}
+    for a in tfs:
+        for b in tfs:
+            if a >= b:
+                continue
+            dot = sum(tfs[a][w] * tfs[b][w] for w in tfs[a])
+            n2a = sum(v * v for v in tfs[a].values())
+            n2b = sum(v * v for v in tfs[b].values())
+            cos = dot / (math.sqrt(n2a) * math.sqrt(n2b))
+            if dot and cos >= 0.9:
+                want[(a, b)] = (dot, n2a, n2b, round(cos, 6))
+    assert got == want
+    # permutation-invariance: docs 1 and 3 are the same bag → cos 1.0
+    assert got[(1, 3)][3] == 1.0
+    # disjoint vocabularies never pair
+    assert all(4 not in p and (5, 4) != p for p in got)
+
+
+def test_term_cosine_hot_term_guard(spark):
+    from deepie_spark.operators.retrieval import term_cosine_pairs
+
+    # 'the' appears in every doc; with max_df=2 it is dropped from the
+    # dot product but kept in the norms
+    docs = [(i, f"the unique{i} word{i}") for i in range(1, 5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    toks = df.select("doc_id", F.split("text", " ").alias("toks"))
+    assert term_cosine_pairs(toks, threshold=0.01, max_df=2).count() == 0
+    full = term_cosine_pairs(toks, threshold=0.01, max_df=None)
+    rows = full.collect()
+    assert len(rows) == 6  # all pairs share 'the'
+    assert all(r["dot"] == 1 and r["cosine"] == round(1 / 3, 6) for r in rows)
