@@ -1995,6 +1995,49 @@ def q_term_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_cosine_pairs(d, threshold=0.95)
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two corpus snapshots: per-status (added / removed /
+    changed / same) counts from ONE full-outer join on doc_id over
+    content fingerprints — the recrawl-delta primitive that decides
+    what re-enters the pipeline.  md5 is bit-stable across engines;
+    the join is un-hinted (both sides are corpus-sized).  Snapshot 2
+    is derived deterministically: every 17th doc removed, every 10th
+    re-extracted with its first token dropped (changed), plus a new
+    doc per 13th (added)."""
+    v1 = _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("fp"))
+    base = _docs(spark, sf_dir)
+    v2 = (
+        base.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 10 == 0,
+                    F.expr("substring(text, instr(text, ' ') + 1)"),
+                ).otherwise(F.col("text"))
+            ).alias("fp"),
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                F.md5(F.concat(F.lit("new "), F.col("text"))).alias("fp"),
+            )
+        )
+    )
+    j = v1.withColumnRenamed("fp", "fp1").join(
+        v2.withColumnRenamed("fp", "fp2"), "doc_id", "full_outer"
+    )
+    status = (
+        F.when(F.col("fp1").isNull(), F.lit("added"))
+        .when(F.col("fp2").isNull(), F.lit("removed"))
+        .when(F.col("fp1") == F.col("fp2"), F.lit("same"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operator-evaluation surface: confusion matrix of the declared
     ``lang`` column vs the engine's stopword-ratio language guesser,
@@ -2651,6 +2694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment,
         "lang_confusion": q_lang_confusion,
         "term_cosine": q_term_cosine,
+        "snapshot_diff": q_snapshot_diff,
         "events_moving_avg": q_events_moving_avg,
         "user_retention": q_user_retention,
         "fuzzy_alias_match": q_fuzzy_alias_match,
@@ -3543,6 +3587,25 @@ def oracle_sql() -> dict[str, str]:
                     JOIN sizes nb ON nb.id = ip.b
             WHERE greatest(CAST(inter AS DOUBLE) / na.n_sh,
                            CAST(inter AS DOUBLE) / nb.n_sh) >= 0.8
+        """,
+        "snapshot_diff": """
+            WITH v1 AS (SELECT doc_id, md5(text) AS fp1 FROM documents),
+            v2 AS (
+              SELECT doc_id,
+                     md5(CASE WHEN doc_id % 10 = 0
+                          THEN substr(text, instr(text, ' ') + 1)
+                          ELSE text END) AS fp2
+              FROM documents WHERE doc_id % 17 != 0
+              UNION ALL
+              SELECT doc_id + 2000000, md5('new ' || text)
+              FROM documents WHERE doc_id % 13 = 0)
+            SELECT CASE WHEN fp1 IS NULL THEN 'added'
+                        WHEN fp2 IS NULL THEN 'removed'
+                        WHEN fp1 = fp2 THEN 'same'
+                        ELSE 'changed' END AS status,
+                   count(*) AS n
+            FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+            GROUP BY 1
         """,
         # term_cosine twin: dot and norms are exact integers; sqrt and
         # one divide are IEEE-exact, so the 0.8 threshold matches.

@@ -61,6 +61,7 @@ EXTRA = [
     "quality_correlation",
     "lang_confusion",
     "term_cosine",
+    "snapshot_diff",
 ]
 
 HEADLINE = [
