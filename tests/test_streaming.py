@@ -208,3 +208,60 @@ def test_streaming_incremental_processing(spark, events_dir, tmp_path):
         for r in spark.read.parquet(events_dir).groupBy("event_type").count().collect()
     }
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
+    """Watermarked stream-stream interval join (streaming/joins.py):
+    each error joined to the same user's views in the prior 10 minutes.
+    Once the stream drains, the appended rows must equal the batch twin
+    of the identical join — and the query must carry watermarks on both
+    sides (the state bound at scale)."""
+    from deepie_spark.streaming.joins import interval_join
+
+    schema = spark.read.parquet(events_dir).schema
+
+    def split(df):
+        ts = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        errs = ts.filter(F.col("event_type") == "error").select(
+            "user_id", F.col("ts").alias("err_ts"),
+            F.col("event_id").alias("err_id"),
+        )
+        views = ts.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        return errs, views
+
+    s_errs, s_views = split(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(events_dir)
+    )
+    joined = interval_join(
+        s_errs, s_views, key="user_id",
+        left_ts="err_ts", right_ts="view_ts",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("err_ctx")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "jckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["err_id"], r["view_id"])
+        for r in spark.sql("select * from err_ctx").collect()
+    }
+    b_errs, b_views = split(spark.read.parquet(events_dir))
+    want = {
+        (r["err_id"], r["view_id"])
+        for r in interval_join(
+            b_errs, b_views, key="user_id",
+            left_ts="err_ts", right_ts="view_ts",
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
