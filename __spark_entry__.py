@@ -2165,36 +2165,15 @@ def q_quality_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     libm ln/pow), so both engines produce the identical bits.  Native
     ``corr()`` is NOT used: its running-mean accumulation is
     partitioning- and engine-order-dependent."""
+    from deepie_spark.operators.stats import grouped_pearson
+
     d = _docs(spark, sf_dir).select(
         "source",
         F.size(tokenize(F.col("text"))).cast("long").alias("x"),
         F.length("text").cast("long").alias("y"),
     )
-    m = d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-    )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-        "double"
-    )
-    dx = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-            "double"
-        )
-    )
-    dy = F.sqrt(
-        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
-            "double"
-        )
-    )
-    return m.select(
-        "source",
-        "n",
-        F.round(num / (dx * dy), 6).alias("corr_tokens_chars"),
+    return grouped_pearson(d, "source", "x", "y").withColumnRenamed(
+        "corr", "corr_tokens_chars"
     )
 
 
@@ -3728,10 +3707,12 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents)
               GROUP BY source)
             SELECT source, n,
-                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                   CASE WHEN n * sxx - sx * sx != 0
+                         AND n * syy - sy * sy != 0
+                   THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
                          / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                             * sqrt(CAST(n * syy - sy * sy AS DOUBLE))),
-                         6) AS corr_tokens_chars
+                         6) END AS corr_tokens_chars
             FROM m
         """,
         # robust_outliers twin: quantile_cont == Spark percentile

@@ -158,6 +158,30 @@ def ngram_jaccard_pairs(
     without one the plan recomputes shingles per consumer — correct,
     just slower.  At real scale the cache becomes an intermediate
     table write instead."""
+    j = _pair_intersections(df, k, id_col, text_col, max_df, cache)
+    jac = F.col("inter") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
+    )
+    return j.filter(jac >= threshold).select(
+        "a", "b", "inter", "n_a", "n_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+def _pair_intersections(
+    df: DataFrame,
+    k: int,
+    id_col: str,
+    text_col: str,
+    max_df: int | None,
+    cache: ShingleCache | None,
+) -> DataFrame:
+    """Shared core of the exact set-similarity family: canonical pairs
+    (a < b) with shingle-intersection size and both set sizes —
+    ``(a, b, inter, n_a, n_b)``.  The stop-shingle ``max_df`` guard
+    runs BEFORE the self-join (a shingle shared by d docs contributes
+    d² join rows); :func:`ngram_jaccard_pairs` and
+    :func:`containment_pairs` differ only in the similarity projection
+    they apply on top."""
     sh = doc_shingles(df, id_col, text_col, k)
     if cache is not None:
         sh = cache.hold(sh)
@@ -180,17 +204,7 @@ def ngram_jaccard_pairs(
     )
     na = sizes.select(F.col("id").alias("a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col("id").alias("b"), F.col("n_sh").alias("n_b"))
-    j = (
-        inter.join(na, "a")
-        .join(nb, "b")
-        .withColumn(
-            "jaccard",
-            F.col("inter")
-            / (F.col("n_a") + F.col("n_b") - F.col("inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
-    return j.select("a", "b", "inter", "n_a", "n_b", F.round("jaccard", 6).alias("jaccard"))
+    return inter.join(na, "a").join(nb, "b")
 
 
 def containment_pairs(
@@ -214,39 +228,17 @@ def containment_pairs(
     either side crosses ``threshold``.  All-integer until the final
     divisions, so values are engine-portable.
 
-    Plan shape and skew guard are identical to
-    :func:`ngram_jaccard_pairs` (stop-shingle ``max_df`` filter before
-    the self-join; optional caller-owned :class:`ShingleCache`); the
-    two operators differ only in the final projection, so at scale
-    they share one shingle-pair materialization."""
-    sh = doc_shingles(df, id_col, text_col, k)
-    if cache is not None:
-        sh = cache.hold(sh)
-    if max_df:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("shingle")
-        )
-        sh = sh.join(rare, "shingle")
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("id").alias("a"), "shingle")
-    b = sh.select(F.col("id").alias("b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
-    )
-    na = sizes.select(F.col("id").alias("a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("id").alias("b"), F.col("n_sh").alias("n_b"))
+    Plan shape and skew guard come from the shared
+    :func:`_pair_intersections` core (stop-shingle ``max_df`` filter
+    before the self-join; optional caller-owned :class:`ShingleCache`);
+    this operator only applies the containment projection, so at scale
+    both set-similarity operators share one shingle-pair
+    materialization."""
+    j = _pair_intersections(df, k, id_col, text_col, max_df, cache)
     cont_a = F.col("inter") / F.col("n_a")
     cont_b = F.col("inter") / F.col("n_b")
     return (
-        inter.join(na, "a")
-        .join(nb, "b")
-        .filter(F.greatest(cont_a, cont_b) >= threshold)
+        j.filter(F.greatest(cont_a, cont_b) >= threshold)
         .select(
             "a",
             "b",

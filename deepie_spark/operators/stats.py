@@ -93,3 +93,43 @@ def top_bigrams_per_group(
         .filter(F.col("rank") <= k)
         .select(group_col, "bigram", "n", "rank")
     )
+
+
+def grouped_pearson(
+    df: DataFrame,
+    group_col: str = "source",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-group Pearson correlation from EXACT integer moments
+    (Σx, Σy, Σx², Σy², Σxy in one map-side-combinable aggregation).
+
+    Engine-portable by construction: every moment is an integer, the
+    only floats are one fused formula whose sqrt and divide are
+    IEEE-correctly-rounded — native ``corr()``'s running-mean updates
+    are accumulation-order-dependent and would not gate.  Groups with
+    zero x- or y-variance (single row, constant column) return NULL —
+    guarded on the integer variance terms, because Spark 4 ANSI mode
+    raises DIVIDE_BY_ZERO on double 0/0 while DuckDB returns NULL."""
+    m = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x_col).alias("sx"),
+        F.sum(y_col).alias("sy"),
+        F.sum(F.col(x_col) * F.col(x_col)).alias("sxx"),
+        F.sum(F.col(y_col) * F.col(y_col)).alias("syy"),
+        F.sum(F.col(x_col) * F.col(y_col)).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    dx = F.sqrt(vx.cast("double"))
+    dy = F.sqrt(vy.cast("double"))
+    return m.select(
+        group_col,
+        "n",
+        F.when((vx != 0) & (vy != 0), F.round(num / (dx * dy), 6)).alias(
+            "corr"
+        ),
+    )

@@ -10,9 +10,27 @@ derives a state-retention bound per side (watermark + interval width)
 and evicts older rows, so state is O(rate × window), independent of
 stream age.
 
-Correctness oracle: the same join expressed in batch over the same
-files must produce the identical row set once the stream drains
-(Trigger.AvailableNow) — asserted in tests/test_streaming.py.
+The watermark is a CONTRACT, not a tuning knob: streaming output
+equals the batch join ONLY when the watermark covers the source's
+maximum event-time disorder (how far behind the observed max-ts a
+late row can arrive).  Rows later than that are dropped and matching
+state is evicted — by design.  Two consequences worth spelling out:
+
+* a roughly time-ordered production stream needs only a small
+  watermark (minutes-hours) and gets small state;
+* a FULL-HISTORY REPLAY from unordered files is maximally disordered —
+  the micro-batch order can present day-30 data before day-1 — so
+  batch parity there requires a watermark spanning the whole replayed
+  range (equivalently: re-sort the files by event time first).  A
+  small watermark on an unordered replay silently loses matches; the
+  parity test in tests/test_streaming.py replays with
+  ``maxFilesPerTrigger=1`` and a span-covering watermark for exactly
+  this reason.
+
+Correctness oracle: with the watermark sized per the contract above,
+the same join expressed in batch over the same files must produce the
+identical row set once the stream drains (Trigger.AvailableNow) —
+asserted in tests/test_streaming.py.
 """
 
 from __future__ import annotations
@@ -33,10 +51,13 @@ def interval_join(
     """Inner-join ``left`` rows to ``right`` rows with the same ``key``
     whose ``right_ts`` falls in ``[left_ts − lookback, left_ts]``.
 
-    Works identically on streaming and batch DataFrames: watermarks
-    are applied only when the input is streaming (they are what lets
-    Spark evict join state); the join condition is the same either
-    way, which is exactly what makes the batch twin a valid oracle."""
+    ``watermark`` must be ≥ the source's maximum event-time disorder
+    (see module docstring) — state per side is O(rate × (watermark +
+    lookback)), and rows arriving later than the watermark are
+    dropped.  Works identically on streaming and batch DataFrames:
+    watermarks are applied only when the input is streaming (they are
+    what lets Spark evict join state); the join condition is the same
+    either way, which is what makes the batch twin a valid oracle."""
     lk = f"l_{key}"
     rk = f"r_{key}"
     lf = left.withColumnRenamed(key, lk)

@@ -59,3 +59,29 @@ def test_distance_filter(mentions, recs):
     assert distance_filter(mentions, d).count() == want
     # default bound (1e8) is effectively disabled, like the reference
     assert distance_filter(mentions).count() == len(recs)
+
+
+def test_grouped_pearson_matches_numpy_and_guards_zero_variance(spark):
+    import numpy as np
+    from deepie_spark.operators.stats import grouped_pearson
+
+    rng = np.random.RandomState(7)
+    rows = [
+        ("g1", int(x), int(x * 3 + rng.randint(0, 10)))
+        for x in rng.randint(1, 100, 40)
+    ]
+    rows += [("g2", int(x), int(200 - x)) for x in range(1, 21)]
+    rows += [("const_x", 5, i) for i in range(1, 6)]   # zero x-variance
+    rows += [("single", 9, 9)]                          # n = 1
+    df = spark.createDataFrame(rows, "source string, x long, y long")
+    got = {r["source"]: r["corr"] for r in grouped_pearson(df).collect()}
+
+    for g in ("g1", "g2"):
+        xs = np.array([x for s, x, _ in rows if s == g], dtype=float)
+        ys = np.array([y for s, _, y in rows if s == g], dtype=float)
+        want = np.corrcoef(xs, ys)[0, 1]
+        assert got[g] == pytest.approx(round(want, 6), abs=2e-6)
+    assert got["g2"] == -1.0  # exact anticorrelation
+    # zero-variance groups are NULL, not a DIVIDE_BY_ZERO crash
+    assert got["const_x"] is None
+    assert got["single"] is None

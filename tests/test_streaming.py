@@ -213,9 +213,15 @@ def test_streaming_incremental_processing(spark, events_dir, tmp_path):
 def test_stream_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
     """Watermarked stream-stream interval join (streaming/joins.py):
     each error joined to the same user's views in the prior 10 minutes.
-    Once the stream drains, the appended rows must equal the batch twin
-    of the identical join — and the query must carry watermarks on both
-    sides (the state bound at scale)."""
+
+    The fixture's files are UNORDERED in event time (repartition(4)
+    round-robins a 30-day span across every file) and the stream is
+    replayed one file per micro-batch — the maximally-disordered case
+    — so per the operator's watermark contract, batch parity requires
+    a watermark covering the whole replayed span.  With a small
+    watermark this replay MUST lose matches (that is the documented
+    eviction semantics, not a bug); a time-ordered source is what
+    makes small watermarks sound in production."""
     from deepie_spark.streaming.joins import interval_join
 
     schema = spark.read.parquet(events_dir).schema
@@ -234,12 +240,13 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
 
     s_errs, s_views = split(
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", 1)  # strictest replay: 4 batches
         .parquet(events_dir)
     )
     joined = interval_join(
         s_errs, s_views, key="user_id",
         left_ts="err_ts", right_ts="view_ts",
+        watermark="35 days",  # ≥ the unordered replay's full span
     )
     q = (
         joined.writeStream.format("memory")
@@ -261,6 +268,7 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
         for r in interval_join(
             b_errs, b_views, key="user_id",
             left_ts="err_ts", right_ts="view_ts",
+            watermark="35 days",
         ).collect()
     }
     assert got == want
