@@ -2598,6 +2598,132 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_cluster_summary(emb, k=8, iters=2)
 
 
+def q_entity_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS neighborhood expansion (operators/graph.py
+    bfs_hops): hop distance from the lexicographically-first entity of
+    the rule-triple graph, within 3 hops — the subgraph-extraction
+    primitive for per-entity evidence gathering.  The seed is a 1-row
+    aggregate (no driver collect); the DuckDB oracle is a bounded
+    recursive CTE taking min(hop) per node, which equals the BFS layer
+    because layers are explored shortest-first."""
+    from deepie_spark.operators.graph import bfs_hops
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    e = t.filter(F.col("src") != F.col("dst"))
+    nodes = e.select(F.col("src").alias("node")).unionByName(
+        e.select(F.col("dst").alias("node"))
+    )
+    seeds = nodes.agg(F.min("node").alias("node"))
+    return bfs_hops(t, seeds, max_hops=3)
+
+
+_PARA_W = 16  # tokens per non-overlapping pseudo-paragraph
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph-level dedup (Wenzek et al. 2020): split
+    every document into non-overlapping _PARA_W-token chunks
+    ("pseudo-paragraphs" — the fixture corpus has no newlines), keep
+    only the FIRST occurrence of each distinct chunk corpus-wide
+    (order = (doc_id, chunk_id), the crawl order), and report per-doc
+    retained-chunk counts.  Unlike dup_ngram_rate (a symmetric
+    duplication METRIC over overlapping windows) this is the
+    order-dependent keeper FILTER that actually shrinks the corpus.
+
+    Scale shape: the chunk explode is map-only JVM codegen; the
+    first-occurrence pick is min(struct(doc_id, chunk_id)) grouped by
+    chunk text — a partial-aggregable hash agg (the latest_event
+    trick), NOT a row_number window that would sort-shuffle every
+    chunk; per-doc counts are two more map-side-combinable aggs and
+    one un-hinted join back (AQE broadcasts if the kept side is
+    small)."""
+    t = _toks(spark, sf_dir).filter(F.size("toks") >= 1)
+    n_chunks = F.floor((F.size("toks") - 1) / _PARA_W) + 1
+    c = t.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    ch = c.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("chunk_id") * _PARA_W + 1, _PARA_W),
+            " ",
+        ).alias("chunk_text"),
+    )
+    keeper = ch.groupBy("chunk_text").agg(
+        F.min(F.struct("doc_id", "chunk_id")).alias("k")
+    )
+    kept = keeper.groupBy(F.col("k.doc_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+    totals = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    n_kept = F.coalesce(F.col("n_kept"), F.lit(0)).cast("long")
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        n_kept.alias("n_kept"),
+        F.round(n_kept.cast("double") / F.col("n_chunks"), 6).alias(
+            "kept_frac"
+        ),
+    )
+
+
+_MIX_BUDGET = 1_000_000_000  # target training-token budget
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixture planner: given per-source token
+    inventories and per-source mixture weights, compute each source's
+    token target under a _MIX_BUDGET-token training run, the implied
+    epoch count (how many passes over the source the budget needs —
+    >1 means upsampling/repetition), and the sampling rate
+    (min(1, epochs)) a downsampling pass would apply.  This is the
+    static mixture arithmetic behind weighted corpus recipes (The
+    Pile / DoReMi-style fixed weights).
+
+    Weights are derived deterministically from the source id (w_milli
+    = 10 + 7·idx mod 90) so no literal table is shipped and the plan
+    generalizes to any source count.  Engine portability: every
+    displayed float is ONE IEEE division of two exact integers
+    (budget·w_milli over sum_milli resp. sum_milli·n_tokens), so both
+    engines round the identical quotient.  Plan: one map-side
+    combinable agg over the corpus + a broadcast 1-row weight total —
+    no join on data-sized keys at any scale."""
+    d = _docs(spark, sf_dir).select(
+        "source", F.size(tokenize(F.col("text"))).cast("long").alias("n_toks")
+    )
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+    ).withColumn(
+        "w_milli",
+        (
+            F.lit(10)
+            + (F.substring("source", 4, 10).cast("long") * 7) % 90
+        ).cast("long"),
+    )
+    tot = per.agg(F.sum("w_milli").alias("sum_milli"))
+    target = (F.col("w_milli") * _MIX_BUDGET).cast("double") / F.col(
+        "sum_milli"
+    )
+    epochs = (F.col("w_milli") * _MIX_BUDGET).cast("double") / (
+        F.col("sum_milli") * F.col("n_tokens")
+    ).cast("double")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "w_milli",
+        F.round(target, 6).alias("target_tokens"),
+        F.round(epochs, 6).alias("epochs"),
+        F.least(F.lit(1.0), F.round(epochs, 6)).alias("sample_rate"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -2683,6 +2809,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "doc_perplexity": q_doc_perplexity,
         "entity_pagerank": q_entity_pagerank,
+        "entity_bfs": q_entity_bfs,
+        "paragraph_dedup": q_paragraph_dedup,
+        "mixture_plan": q_mixture_plan,
         "cc_components": q_cc_components,
         "triples_canonical": q_triples_canonical,
         "scorer_prf": q_scorer_prf,
@@ -3831,6 +3960,96 @@ def oracle_sql() -> dict[str, str]:
             FROM scored GROUP BY doc_id
         """,
         "entity_pagerank": _pagerank_oracle_sql(),
+        # bfs twin: min(hop) over the bounded recursive walk equals
+        # the BFS layer (layers are shortest-first); UNION (not UNION
+        # ALL) dedups (node, hop) rows per step so path multiplicity
+        # cannot blow up the recursion.
+        "entity_bfs": f"""
+            WITH RECURSIVE
+            {_MENTIONS_SQL.strip()},
+            {_TRIPLE_EDGES_SQL.strip()},
+            bidi AS (SELECT a, b FROM und
+                     UNION ALL SELECT b, a FROM und),
+            seed AS (SELECT min(a) AS node FROM bidi),
+            walk(node, hop) AS (
+              SELECT node, 0 FROM seed
+              UNION
+              SELECT u.b, w.hop + 1
+              FROM walk w JOIN bidi u ON u.a = w.node
+              WHERE w.hop < 3
+            )
+            SELECT node, CAST(min(hop) AS BIGINT) AS hop
+            FROM walk GROUP BY node
+        """,
+        # paragraph_dedup twin: row_number() over (chunk_text ORDER BY
+        # doc_id, chunk_id) = 1 is the same total order as Spark's
+        # min(struct(doc_id, chunk_id)).
+        "paragraph_dedup": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+            ),
+            c AS (
+              SELECT doc_id, toks,
+                     unnest(range(
+                       CAST(floor((len(toks) - 1) / {_PARA_W}) AS BIGINT)
+                       + 1)) AS chunk_id
+              FROM t WHERE len(toks) >= 1
+            ),
+            ch AS (
+              SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                     array_to_string(
+                       toks[chunk_id * {_PARA_W} + 1
+                            : chunk_id * {_PARA_W} + {_PARA_W}], ' ')
+                       AS chunk_text
+              FROM c
+            ),
+            keeper AS (
+              SELECT doc_id FROM (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY chunk_text
+                                          ORDER BY doc_id, chunk_id) AS rn
+                FROM ch)
+              WHERE rn = 1
+            ),
+            kept AS (SELECT doc_id, count(*) AS n_kept
+                     FROM keeper GROUP BY doc_id),
+            totals AS (SELECT doc_id, count(*) AS n_chunks
+                       FROM ch GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(t.n_chunks AS BIGINT) AS n_chunks,
+                   CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+                   round(CAST(coalesce(k.n_kept, 0) AS DOUBLE)
+                         / t.n_chunks, 6) AS kept_frac
+            FROM totals t LEFT JOIN kept k USING (doc_id)
+        """,
+        # mixture_plan twin: every float is one IEEE division of two
+        # exact integers; sums cast to BIGINT (DuckDB SUM promotes).
+        "mixture_plan": f"""
+            WITH t AS (
+              SELECT source, len({_TOKS_SQL}) AS n_toks FROM documents
+            ),
+            per AS (
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                     CAST(10 + (CAST(substr(source, 4) AS BIGINT) * 7) % 90
+                          AS BIGINT) AS w_milli
+              FROM t GROUP BY source
+            ),
+            tot AS (SELECT CAST(sum(w_milli) AS BIGINT) AS sum_milli
+                    FROM per)
+            SELECT source, n_docs, n_tokens, w_milli,
+                   round(CAST(w_milli * {_MIX_BUDGET} AS DOUBLE)
+                         / sum_milli, 6) AS target_tokens,
+                   round(CAST(w_milli * {_MIX_BUDGET} AS DOUBLE)
+                         / CAST(sum_milli * n_tokens AS DOUBLE), 6)
+                     AS epochs,
+                   least(1.0,
+                         round(CAST(w_milli * {_MIX_BUDGET} AS DOUBLE)
+                               / CAST(sum_milli * n_tokens AS DOUBLE), 6))
+                     AS sample_rate
+            FROM per, tot
+        """,
         "cc_components": f"""
             WITH RECURSIVE
             catalog(entity_id, alias, entity_type, subtype, prior) AS (VALUES

@@ -312,6 +312,62 @@ def neighborhood_jaccard(
     )
 
 
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded multi-source BFS over the undirected triple graph:
+    hop distance from the nearest seed for every node within
+    ``max_hops``.  In a KG pipeline this is the neighborhood-expansion
+    primitive — "everything within k hops of these entities" drives
+    subgraph extraction for linking context and per-entity evidence
+    gathering (the graph analog of the reference's sentence-window
+    candidate generation, rnnRE.py pair enumeration).
+
+    ``seeds`` is a 1-column DataFrame of start nodes (column ``node``);
+    output is (node, hop) with hop = the BFS layer, i.e. the exact
+    shortest-path hop count (layers are explored in order, and a node
+    is claimed by the FIRST layer that reaches it via the visited-set
+    anti join, so later longer paths can never overwrite it).
+
+    Plan shape per round (what must hold at 10^12 edges): one shuffle
+    hash join frontier⋈adjacency on the node key, a distinct with
+    map-side combine (hub fan-in collapses before the shuffle), and a
+    left-anti join against the visited set — frontier-sized, not
+    graph-sized, so round k moves O(|layer k|) rows, the frontier
+    never re-expands visited hubs, and total work is O(|E reached|).
+    ``localCheckpoint`` truncates lineage per round exactly like
+    pagerank/cc (without it round k's plan would contain rounds
+    0..k−1 and re-execute the upstream edge pipeline per round)."""
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    adj = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = seeds.select(
+        F.col("node"), F.lit(0).cast("long").alias("hop")
+    ).localCheckpoint(eager=True)
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(h).cast("long").alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return dist
+
+
 def degree_histogram(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

@@ -225,3 +225,53 @@ def test_degree_histogram_semantics(spark):
     got = {r["degree"]: r["n_nodes"] for r in degree_histogram(df).collect()}
     # degrees: a=3 (b,c,d), b=1, c=1, d=1
     assert got == {3: 1, 1: 3}
+
+
+def _python_bfs(edges, seeds, max_hops):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = {
+            n for f in frontier for n in adj[f] if n not in dist
+        }
+        for n in nxt:
+            dist[n] = h
+        frontier = nxt
+    return dist
+
+
+def test_bfs_hops_matches_python_twin(spark, random_graph):
+    from deepie_spark.operators.graph import bfs_hops
+
+    df = spark.createDataFrame(random_graph, "src string, dst string")
+    seed = min(
+        {s for s, _ in random_graph} | {d for _, d in random_graph}
+    )
+    seeds = spark.createDataFrame([(seed,)], "node string")
+    got = {r["node"]: r["hop"] for r in bfs_hops(df, seeds, 3).collect()}
+    assert got == _python_bfs(random_graph, [seed], 3)
+    # repartition invariance (BFS layers are order-free sets)
+    got2 = {
+        r["node"]: r["hop"]
+        for r in bfs_hops(df.repartition(7), seeds, 3).collect()
+    }
+    assert got2 == got
+
+
+def test_bfs_hops_multi_source_min_distance(spark):
+    from deepie_spark.operators.graph import bfs_hops
+
+    # path graph a-b-c-d-e with seeds {a, e}: c is 2 from both,
+    # b claims hop 1 from a, d claims hop 1 from e
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("e",)], "node string")
+    got = {r["node"]: r["hop"] for r in bfs_hops(df, seeds, 3).collect()}
+    assert got == {"a": 0, "e": 0, "b": 1, "d": 1, "c": 2}

@@ -435,3 +435,28 @@ def test_quality_correlation_single_agg_no_join(spark, sf_dir):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") == 1
     assert "partial_sum" in final  # map-side combine confirmed
+
+
+def test_paragraph_dedup_is_aggregate_not_window(spark, sf_dir):
+    """First-occurrence pick must stay min(struct) with a map-side
+    partial (latest_event trick) — a row_number window over chunk_text
+    would sort-shuffle every chunk row.  Three hash exchanges total
+    (chunk-text keeper, keeper per-doc count, per-doc totals); the
+    count join-back is un-hinted and AQE-broadcast at this SF."""
+    plan = executed(entry.q_paragraph_dedup(spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Window" not in final
+    assert "partial_min" in final
+    assert final.count("Exchange hashpartitioning") == 3
+
+
+def test_mixture_plan_no_data_sized_join(spark, sf_dir):
+    """The mixture planner is one corpus agg + a broadcast 1-row
+    weight total: no window, and the only join is the 1-row
+    cross-broadcast (never a shuffle join on a data-sized key)."""
+    plan = executed(entry.q_mixture_plan(spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Window" not in final
+    assert "SortMergeJoin" not in final
+    assert "ShuffledHashJoin" not in final
+    assert final.count("Exchange hashpartitioning") <= 2
