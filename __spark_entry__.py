@@ -2724,6 +2724,97 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style single-pass data profile of the documents table:
+    per column, null count, exact distinct count, and min/max (cast to
+    string for a uniform output schema) — the data-quality summary a
+    pipeline computes before training-data admission.
+
+    Plan shape: ONE aggregation node computes every statistic; the
+    multiple exact count-distincts plan as an Expand (×n_cols row
+    multiplication) with map-side partial aggregation — the standard
+    exact-profiler cost.  At 100 TB the scale path swaps
+    count_distinct for approx_count_distinct (HLL, no Expand growth
+    pain) exactly as sketch_cardinality does; the exact form is kept
+    here because it is the DuckDB-gateable contract.  The wide 1-row
+    result is unpivoted driver-free with stack()."""
+    d = _docs(spark, sf_dir)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
+        ]
+    row = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+    )
+    return row.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(col_name, n_nulls, n_distinct, min_val, max_val)"
+        ),
+    ).select(
+        "col_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_val",
+        "max_val",
+    )
+
+
+_VOCAB_K = 500  # head-vocabulary size for OOV coverage
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage signal: per-source out-of-vocabulary token
+    rate against the corpus head vocabulary (top _VOCAB_K tokens by
+    global count, ties broken by token).  High OOV concentrations per
+    source flag encoding problems / language mismatch before tokens
+    are wasted on training.
+
+    Plan shape: the global token count is one map-side-combinable
+    agg; the head vocabulary is orderBy+limit — planned as
+    TakeOrderedAndProject (per-partition top-k, k-row merge, never a
+    global sort); the vocabulary is BOUNDED by the literal K, so the
+    probe join is a legitimate broadcast hint (the contamination-probe
+    argument); per-source totals and in-vocab counts are two hash
+    aggs and one un-hinted source-keyed join."""
+    occ = _docs(spark, sf_dir).select(
+        "source", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    counts = occ.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        counts.orderBy(F.col("c").desc(), F.col("token"))
+        .limit(_VOCAB_K)
+        .select("token")
+    )
+    totals = occ.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    inv = (
+        occ.join(F.broadcast(vocab), "token")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_inv"))
+    )
+    n_oov = F.col("n_tokens") - F.coalesce(F.col("n_inv"), F.lit(0))
+    return totals.join(inv, "source", "left").select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        n_oov.cast("long").alias("n_oov"),
+        F.round(n_oov.cast("double") / F.col("n_tokens"), 6).alias(
+            "oov_rate"
+        ),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -2812,6 +2903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_bfs": q_entity_bfs,
         "paragraph_dedup": q_paragraph_dedup,
         "mixture_plan": q_mixture_plan,
+        "table_profile": q_table_profile,
+        "oov_rate": q_oov_rate,
         "cc_components": q_cc_components,
         "triples_canonical": q_triples_canonical,
         "scorer_prf": q_scorer_prf,
@@ -4021,6 +4114,50 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(coalesce(k.n_kept, 0) AS DOUBLE)
                          / t.n_chunks, 6) AS kept_frac
             FROM totals t LEFT JOIN kept k USING (doc_id)
+        """,
+        # table_profile twin: one SELECT per column UNION ALL'd; both
+        # engines compare/min/max strings byte-lexicographically
+        # (binary collation) and the fixture is ASCII.
+        "table_profile": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS col_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) FILTER ({c} IS NULL) AS BIGINT)
+                     AS n_nulls,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   CAST(min({c}) AS VARCHAR) AS min_val,
+                   CAST(max({c}) AS VARCHAR) AS max_val
+            FROM documents
+            """
+            for c in _PROFILE_COLS
+        ),
+        # oov_rate twin: head vocabulary ties at the K boundary break
+        # by token asc on both sides.
+        "oov_rate": f"""
+            WITH occ AS (
+              SELECT source, unnest({_TOKS_SQL}) AS token FROM documents
+            ),
+            counts AS (
+              SELECT token, count(*) AS c FROM occ GROUP BY token
+            ),
+            vocab AS (
+              SELECT token FROM counts
+              ORDER BY c DESC, token LIMIT {_VOCAB_K}
+            ),
+            totals AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
+              FROM occ GROUP BY source
+            ),
+            inv AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_inv
+              FROM occ JOIN vocab USING (token) GROUP BY source
+            )
+            SELECT t.source, t.n_tokens,
+                   CAST(t.n_tokens - coalesce(i.n_inv, 0) AS BIGINT)
+                     AS n_oov,
+                   round(CAST(t.n_tokens - coalesce(i.n_inv, 0) AS DOUBLE)
+                         / t.n_tokens, 6) AS oov_rate
+            FROM totals t LEFT JOIN inv i USING (source)
         """,
         # mixture_plan twin: every float is one IEEE division of two
         # exact integers; sums cast to BIGINT (DuckDB SUM promotes).

@@ -62,6 +62,11 @@ EXTRA = [
     "lang_confusion",
     "term_cosine",
     "snapshot_diff",
+    "entity_bfs",
+    "paragraph_dedup",
+    "mixture_plan",
+    "table_profile",
+    "oov_rate",
 ]
 
 HEADLINE = [

@@ -460,3 +460,26 @@ def test_mixture_plan_no_data_sized_join(spark, sf_dir):
     assert "SortMergeJoin" not in final
     assert "ShuffledHashJoin" not in final
     assert final.count("Exchange hashpartitioning") <= 2
+
+
+def test_table_profile_single_pass_no_join(spark, sf_dir):
+    """The profiler is ONE aggregation over the table (the exact
+    count-distincts plan via Expand with map-side partials) and the
+    stack() unpivot — no join, no window, one scan of the input."""
+    plan = executed(entry.q_table_profile(spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in final
+    assert "Window" not in final
+    assert final.count("FileScan") == 1
+    assert "Expand" in final  # the multi-count-distinct shape
+
+
+def test_oov_rate_vocab_probe_is_broadcast(spark, sf_dir):
+    """The head vocabulary is bounded by the literal K: top-k must
+    plan as TakeOrderedAndProject (never a global sort) and the probe
+    join must be a broadcast (contamination-probe argument)."""
+    plan = executed(entry.q_oov_rate(spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in final
+    assert "BroadcastHashJoin" in final
+    assert "Sort " not in final or "SortMergeJoin" not in final
