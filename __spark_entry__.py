@@ -2815,6 +2815,24 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEG_K = 2
+_NEG_CANDS = [alias for _, alias, *_ in ENTITY_CATALOG]
+
+
+def q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG-embedding training prep (operators/negatives.py): each rule
+    triple gains _NEG_K corrupted-object negatives drawn from the
+    catalog aliases by the portable polynomial hash — filtered
+    (neg_obj != obj), map-only, zero shuffle, reproducible across
+    engines/reruns/partitionings."""
+    from deepie_spark.operators.negatives import corrupt_objects
+
+    t = q_triples_rules(spark, sf_dir).select(
+        "doc_id", "pos1", "pos2", "subj", "pred", "obj"
+    )
+    return corrupt_objects(t, _NEG_CANDS, k=_NEG_K)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -2905,6 +2923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": q_mixture_plan,
         "table_profile": q_table_profile,
         "oov_rate": q_oov_rate,
+        "kg_negatives": q_kg_negatives,
         "cc_components": q_cc_components,
         "triples_canonical": q_triples_canonical,
         "scorer_prf": q_scorer_prf,
@@ -4158,6 +4177,56 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(t.n_tokens - coalesce(i.n_inv, 0) AS DOUBLE)
                          / t.n_tokens, 6) AS oov_rate
             FROM totals t LEFT JOIN inv i USING (source)
+        """,
+        # kg_negatives twin: identical hash arithmetic (poly hash of
+        # the same '|'-joined key string, mod n, +1-shift on collision
+        # with the true object) over the same literal candidate list.
+        "kg_negatives": f"""
+            WITH {_MENTIONS_SQL.strip()},
+            rules(type1, type2, label) AS (VALUES
+              {RULES_VALUES}
+            ),
+            pairs AS (
+              SELECT a.doc_id, a.pos AS pos1, b.pos AS pos2,
+                     a.alias AS alias1, b.alias AS alias2,
+                     a.entity_type AS type1, b.entity_type AS type2
+              FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id
+              WHERE a.pos < b.pos AND b.pos - a.pos <= 10
+            ),
+            triples AS (
+              SELECT
+                CASE WHEN label LIKE '%(e2,e1)' THEN alias2
+                     ELSE alias1 END AS subj,
+                regexp_replace(label, '\\(e[12],e[21]\\)$', '') AS pred,
+                CASE WHEN label LIKE '%(e2,e1)' THEN alias1
+                     ELSE alias2 END AS obj,
+                doc_id, pos1, pos2
+              FROM pairs JOIN rules USING (type1, type2)
+              WHERE label != 'NONE'
+            ),
+            cands AS (
+              SELECT [{", ".join(f"'{c}'" for c in _NEG_CANDS)}] AS l
+            ),
+            x AS (
+              SELECT t.doc_id, t.pos1, t.pos2, t.subj, t.pred, t.obj,
+                     CAST(n.neg_id AS BIGINT) AS neg_id,
+                     {_poly_hash_sql(
+                         "concat_ws('|',"
+                         " CAST(t.doc_id AS VARCHAR),"
+                         " CAST(t.pos1 AS VARCHAR),"
+                         " CAST(t.pos2 AS VARCHAR),"
+                         " t.subj, t.pred, t.obj,"
+                         " CAST(n.neg_id AS VARCHAR))"
+                     )} % {len(_NEG_CANDS)} AS idx
+              FROM triples t
+              CROSS JOIN (SELECT unnest(range({_NEG_K})) AS neg_id) n
+            )
+            SELECT doc_id, pos1, pos2, subj, pred, obj, neg_id,
+                   CASE WHEN c.l[CAST(idx AS BIGINT) + 1] = obj
+                        THEN c.l[CAST((idx + 1) % {len(_NEG_CANDS)}
+                                      AS BIGINT) + 1]
+                        ELSE c.l[CAST(idx AS BIGINT) + 1] END AS neg_obj
+            FROM x, cands c
         """,
         # mixture_plan twin: every float is one IEEE division of two
         # exact integers; sums cast to BIGINT (DuckDB SUM promotes).

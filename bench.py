@@ -67,6 +67,7 @@ EXTRA = [
     "mixture_plan",
     "table_profile",
     "oov_rate",
+    "kg_negatives",
 ]
 
 HEADLINE = [
