@@ -273,3 +273,104 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_session_window_batch_matches_lag_twin(spark, events_dir):
+    """Native session_window (streaming/sessions.py) in BATCH equals
+    the lag-based sessionization rule: a new session starts exactly
+    when the gap to the previous event is >= 30 min (session_window
+    intervals are end-exclusive), and session_end = last_ts + gap."""
+    import datetime
+
+    from deepie_spark.streaming.sessions import session_metrics
+
+    batch = spark.read.parquet(events_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {
+        (r["user_id"], r["first_ts"]): (
+            r["n_events"], r["last_ts"], r["session_start"], r["session_end"]
+        )
+        for r in session_metrics(batch, gap="30 minutes").collect()
+    }
+
+    gap = datetime.timedelta(minutes=30)
+    rows = sorted(
+        ((r["user_id"], r["ts"]) for r in batch.select("user_id", "ts").collect()),
+    )
+    want = {}
+    cur = None  # (user, first, last, n)
+    for u, ts in rows:
+        if cur is not None and cur[0] == u and ts - cur[2] < gap:
+            cur = (u, cur[1], ts, cur[3] + 1)
+        else:
+            if cur is not None:
+                want[(cur[0], cur[1])] = (cur[3], cur[2], cur[1], cur[2] + gap)
+            cur = (u, ts, ts, 1)
+    want[(cur[0], cur[1])] = (cur[3], cur[2], cur[1], cur[2] + gap)
+    assert got == want
+
+
+def test_session_window_stream_matches_batch(spark, events_dir, tmp_path):
+    """Streaming session_window drains to EXACT batch parity when the
+    replay ends with per-key FLUSH punctuation records (module
+    docstring): the flush events push the watermark past every real
+    session's close so append mode emits them all; the flush sessions
+    themselves stay open in state and never emit.  The flush file is
+    written last (FileStreamSource replays oldest-mtime first), so the
+    watermark cannot jump ahead and drop real data."""
+    import time as _time
+
+    from deepie_spark.streaming.sessions import session_metrics
+
+    src = spark.read.parquet(events_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    d = str(tmp_path / "sess_src")
+    src.repartition(4).write.mode("overwrite").parquet(d)
+    _time.sleep(1.2)  # flush file must carry a strictly later mtime
+    flush = (
+        src.select("user_id")
+        .distinct()
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.to_timestamp(F.lit("2024-06-01 00:00:00")).alias("ts"),
+            "user_id",
+            F.lit("flush").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+    )
+    flush.coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        session_metrics(stream, gap="30 minutes", watermark="35 days")
+        .writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        tuple(r)
+        for r in spark.sql("select * from sessions_stream").collect()
+    }
+    cutoff = F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+    want = {
+        tuple(r)
+        for r in session_metrics(
+            spark.read.parquet(d), gap="30 minutes"
+        ).filter(F.col("first_ts") < cutoff).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    # the flush sessions are still open — none may have been emitted
+    assert all(r[4].year < 2024 or r[4].month < 6 for r in got)
