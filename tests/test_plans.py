@@ -482,4 +482,4 @@ def test_oov_rate_vocab_probe_is_broadcast(spark, sf_dir):
     final = plan.split("== Initial Plan ==")[0]
     assert "TakeOrderedAndProject" in final
     assert "BroadcastHashJoin" in final
-    assert "Sort " not in final or "SortMergeJoin" not in final
+    assert "GlobalLimit" not in final  # top-k never via global sort+limit
