@@ -2784,9 +2784,11 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg; the head vocabulary is orderBy+limit — planned as
     TakeOrderedAndProject (per-partition top-k, k-row merge, never a
     global sort); the vocabulary is BOUNDED by the literal K, so the
-    probe join is a legitimate broadcast hint (the contamination-probe
-    argument); per-source totals and in-vocab counts are two hash
-    aggs and one un-hinted source-keyed join."""
+    probe is a legitimate broadcast (the contamination-probe
+    argument) — a LEFT broadcast join whose match marker feeds ONE
+    per-source agg computing totals and in-vocab counts together, so
+    the corpus is scanned exactly twice (vocab build + probe) with no
+    source-keyed join at all."""
     occ = _docs(spark, sf_dir).select(
         "source", F.explode(tokenize(F.col("text"))).alias("token")
     )
@@ -2794,18 +2796,15 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (
         counts.orderBy(F.col("c").desc(), F.col("token"))
         .limit(_VOCAB_K)
-        .select("token")
+        .select("token", F.lit(1).alias("inv"))
     )
-    totals = occ.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_tokens")
+    probe = occ.join(F.broadcast(vocab), "token", "left")
+    per = probe.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count("inv").alias("n_inv"),
     )
-    inv = (
-        occ.join(F.broadcast(vocab), "token")
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_inv"))
-    )
-    n_oov = F.col("n_tokens") - F.coalesce(F.col("n_inv"), F.lit(0))
-    return totals.join(inv, "source", "left").select(
+    n_oov = F.col("n_tokens") - F.col("n_inv")
+    return per.select(
         "source",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         n_oov.cast("long").alias("n_oov"),
