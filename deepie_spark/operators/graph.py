@@ -361,10 +361,12 @@ def bfs_hops(
             .distinct()
             .join(dist, "node", "left_anti")
             .select("node", F.lit(h).cast("long").alias("hop"))
-            .localCheckpoint(eager=True)
         )
+        # ONE eager checkpoint per round: the new layer materializes
+        # inside the union, and the next frontier is a filter OVER the
+        # checkpoint (no second job, no lineage growth)
         dist = dist.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt.select("node")
+        frontier = dist.filter(F.col("hop") == h).select("node")
     return dist
 
 
