@@ -1659,6 +1659,27 @@ _CHUNK_W = 32   # tokens per chunk (context-window size)
 _CHUNK_S = 24   # stride — 8-token overlap between adjacent chunks
 
 
+def _chunk_windows(t: DataFrame, width: int, stride: int) -> DataFrame:
+    """(doc_id, toks) → (doc_id, chunk_id, chunk) token windows starting
+    every ``stride`` tokens, ``width`` tokens long (the last window may
+    be short).  Shared by q_doc_chunks (overlapping) and
+    q_paragraph_dedup (non-overlapping); reconstruction invariants are
+    pinned in tests/test_webops.py.  Pure narrow JVM codegen."""
+    n_chunks = F.floor((F.size("toks") - 1) / stride) + 1
+    c = t.filter(F.size("toks") >= 1).select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.slice(
+            F.col("toks"), F.col("chunk_id") * stride + 1, width
+        ).alias("chunk"),
+    )
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (training-data pipeline): each
     document becomes ceil-strided windows of _CHUNK_W tokens every
@@ -1667,19 +1688,12 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenize → in-row sequence/explode/slice, all JVM codegen, zero
     shuffles and zero Python — at 100 TB this is a map-only stage that
     scales with input splits."""
-    t = _toks(spark, sf_dir)
-    n_chunks = F.floor((F.size("toks") - 1) / _CHUNK_S) + 1
-    c = t.filter(F.size("toks") >= 1).select(
-        "doc_id",
-        "toks",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
-    )
-    chunk = F.slice(F.col("toks"), F.col("chunk_id") * _CHUNK_S + 1, _CHUNK_W)
+    c = _chunk_windows(_toks(spark, sf_dir), _CHUNK_W, _CHUNK_S)
     return c.select(
         "doc_id",
-        F.col("chunk_id").cast("long").alias("chunk_id"),
-        F.size(chunk).cast("long").alias("n_chunk_tokens"),
-        F.array_join(chunk, " ").alias("chunk_text"),
+        "chunk_id",
+        F.size("chunk").cast("long").alias("n_chunk_tokens"),
+        F.array_join("chunk", " ").alias("chunk_text"),
     )
 
 
@@ -2639,20 +2653,10 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk; per-doc counts are two more map-side-combinable aggs and
     one un-hinted join back (AQE broadcasts if the kept side is
     small)."""
-    t = _toks(spark, sf_dir).filter(F.size("toks") >= 1)
-    n_chunks = F.floor((F.size("toks") - 1) / _PARA_W) + 1
-    c = t.select(
+    ch = _chunk_windows(_toks(spark, sf_dir), _PARA_W, _PARA_W).select(
         "doc_id",
-        "toks",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
-    )
-    ch = c.select(
-        "doc_id",
-        F.col("chunk_id").cast("long").alias("chunk_id"),
-        F.array_join(
-            F.slice(F.col("toks"), F.col("chunk_id") * _PARA_W + 1, _PARA_W),
-            " ",
-        ).alias("chunk_text"),
+        "chunk_id",
+        F.array_join("chunk", " ").alias("chunk_text"),
     )
     keeper = ch.groupBy("chunk_text").agg(
         F.min(F.struct("doc_id", "chunk_id")).alias("k")

@@ -370,3 +370,44 @@ def test_top_ngrams_short_docs_dropped(spark):
         [(1, "s1", "one"), (2, "s1", "")], "doc_id long, source string, text string"
     )
     assert top_bigrams_per_group(df).count() == 0
+
+
+def test_chunk_windows_reconstruct_original(spark):
+    """Chunking integrity on adversarial token counts (exact multiples
+    of width/stride and their neighbors): non-overlapping windows
+    concatenate back to the original token list; overlapping windows
+    reconstruct via stride-prefixes + the full last window (i.e. no
+    token is dropped or duplicated beyond the declared overlap)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import _chunk_windows
+
+    rng = random.Random(7)
+    lengths = [1, 2, 15, 16, 17, 23, 24, 25, 31, 32, 33, 47, 48, 49] + [
+        rng.randint(1, 100) for _ in range(40)
+    ]
+    rows = [
+        (i, [f"t{rng.randint(0, 9)}" for _ in range(n)])
+        for i, n in enumerate(lengths)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    want = {i: toks for i, toks in rows}
+
+    for width, stride in ((16, 16), (32, 24), (7, 3)):
+        got = {}
+        for r in _chunk_windows(df, width, stride).collect():
+            got.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk"]
+        assert set(got) == set(want)
+        for i, chunks in got.items():
+            ordered = [chunks[k] for k in sorted(chunks)]
+            rebuilt = []
+            for ch in ordered[:-1]:
+                rebuilt.extend(ch[:stride])
+            rebuilt.extend(ordered[-1])
+            assert rebuilt == want[i], (width, stride, i)
+            # non-overlapping: every window except the last is full
+            # (with overlap, tail windows near the end may be short)
+            if width == stride:
+                assert all(len(c) == width for c in ordered[:-1])
