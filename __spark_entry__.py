@@ -645,6 +645,67 @@ def _pagerank_oracle_sql(iterations: int = 3, damping: float = 0.85) -> str:
     """
 
 
+def _ppr_oracle_sql(iterations: int = 3, damping: float = 0.85) -> str:
+    """Personalized-PageRank twin (seed = min node): start vector and
+    teleport are the seed indicator; same unrolled-CTE structure and
+    repr()-shared constants as _pagerank_oracle_sql."""
+    tele = 1.0 - damping
+    its = []
+    prev = "pr0"
+    for i in range(1, iterations + 1):
+        its.append(f"""it{i} AS (
+          SELECT b.node,
+                 b.t + {damping!r} * COALESCE(s.c, 0.0) AS pr
+          FROM base b
+          LEFT JOIN (
+            SELECT e.dst AS node, sum(p.pr / od.od) AS c
+            FROM edges e
+            JOIN {prev} p ON p.node = e.src
+            JOIN od ON od.src = e.src
+            GROUP BY e.dst
+          ) s USING (node)
+        )""")
+        prev = f"it{i}"
+    it_sql = ",\n        ".join(its)
+    return f"""
+        WITH {_MENTIONS_SQL.strip()},
+        rules(type1, type2, label) AS (VALUES
+          {RULES_VALUES}
+        ),
+        pairs AS (
+          SELECT a.alias AS alias1, b.alias AS alias2,
+                 a.entity_type AS type1, b.entity_type AS type2
+          FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id
+          WHERE a.pos < b.pos AND b.pos - a.pos <= 10
+        ),
+        t AS (
+          SELECT
+            CASE WHEN label LIKE '%(e2,e1)' THEN alias2 ELSE alias1 END
+              AS subj,
+            CASE WHEN label LIKE '%(e2,e1)' THEN alias1 ELSE alias2 END
+              AS obj
+          FROM pairs JOIN rules USING (type1, type2)
+          WHERE label != 'NONE'
+        ),
+        edges AS (SELECT DISTINCT subj AS src, obj AS dst FROM t),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        od AS (SELECT src, CAST(count(*) AS DOUBLE) AS od
+               FROM edges GROUP BY src),
+        seed AS (SELECT min(node) AS node FROM nodes),
+        base AS (
+          SELECT n.node,
+                 CASE WHEN n.node = s.node THEN 1.0 ELSE 0.0 END AS p0,
+                 {tele!r} * CASE WHEN n.node = s.node
+                                 THEN 1.0 ELSE 0.0 END AS t
+          FROM nodes n CROSS JOIN seed s
+        ),
+        pr0 AS (SELECT node, p0 AS pr FROM base),
+        {it_sql}
+        SELECT node, round(pr, 6) AS pagerank FROM {prev}
+    """
+
+
 def _media_features_oracle_sql(dim: int = 16) -> str:
     """DuckDB twin of operators.multimodal's byte-histogram features.
 
@@ -2204,6 +2265,23 @@ def q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(t, iterations=3, damping=0.85)
 
 
+def q_entity_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the lexicographically-first entity
+    (same seed rule as entity_bfs): mass decays with hop distance from
+    the seed — the relevance ranking entity linking uses to score
+    context entities (operators/graph.py pagerank with seeds)."""
+    from deepie_spark.operators.graph import pagerank
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    nodes = t.select(F.col("src").alias("node")).unionByName(
+        t.select(F.col("dst").alias("node"))
+    )
+    seeds = nodes.agg(F.min("node").alias("node"))
+    return pagerank(t, iterations=3, damping=0.85, seeds=seeds)
+
+
 def q_entity_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-level entity co-occurrence PMI over the single-token
     gazetteer mentions (operators/graph.py cooccurrence_pmi)."""
@@ -2921,6 +2999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "doc_perplexity": q_doc_perplexity,
         "entity_pagerank": q_entity_pagerank,
+        "entity_ppr": q_entity_ppr,
         "entity_bfs": q_entity_bfs,
         "paragraph_dedup": q_paragraph_dedup,
         "mixture_plan": q_mixture_plan,
@@ -4075,6 +4154,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored GROUP BY doc_id
         """,
         "entity_pagerank": _pagerank_oracle_sql(),
+        "entity_ppr": _ppr_oracle_sql(),
         # bfs twin: min(hop) over the bounded recursive walk equals
         # the BFS layer (layers are shortest-first); UNION (not UNION
         # ALL) dedups (node, hop) rows per step so path multiplicity

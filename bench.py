@@ -68,6 +68,7 @@ EXTRA = [
     "table_profile",
     "oov_rate",
     "kg_negatives",
+    "entity_ppr",
 ]
 
 HEADLINE = [

@@ -35,10 +35,22 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
-    """PageRank after ``iterations`` synchronous updates from the
-    uniform start vector; returns (node, pagerank) with pagerank
-    rounded to 6 decimals (cross-engine summation-order tolerance)."""
+    """PageRank after ``iterations`` synchronous updates; returns
+    (node, pagerank) rounded to 6 decimals (cross-engine
+    summation-order tolerance).
+
+    With ``seeds`` (a bounded 1-column ``node`` DataFrame — e.g. the
+    entities a query links to), this is PERSONALIZED PageRank: the
+    start vector and the teleport both concentrate on the seed set
+    (indicator / |seeds| would be the normalized variant; this uses
+    the 1.0-per-seed indicator, pinned by the oracle), so mass decays
+    with hop distance from the seeds — the standard relevance ranking
+    for entity-linking context.  The seed indicator rides the plan as
+    one broadcast join onto the node table (seeds are bounded, the
+    catalog-broadcast argument); everything else is the same
+    join+agg loop."""
     # checkpoint the edge set ONCE: every iteration joins against it
     # (and against nodes/outdeg, derived from it) — without this the
     # whole upstream pipeline that produced the edges would re-execute
@@ -55,9 +67,27 @@ def pagerank(
     )
     n1 = nodes.agg(F.count("*").cast("double").alias("n"))
     outdeg = e.groupBy("src").agg(F.count("*").cast("double").alias("od"))
-    pr = nodes.crossJoin(F.broadcast(n1)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("pr")
-    )
+    if seeds is None:
+        # teleport = tele / n as ONE division (bit-pinned by the
+        # oracle — tele * (1/n) would differ in the last ulp)
+        base = nodes.crossJoin(F.broadcast(n1)).select(
+            "node",
+            (F.lit(1.0) / F.col("n")).alias("p0"),
+            (F.lit(1.0 - damping) / F.col("n")).alias("t"),
+        )
+    else:
+        ind = F.coalesce(F.col("i"), F.lit(0.0))
+        base = nodes.join(
+            F.broadcast(seeds.select("node", F.lit(1.0).alias("i"))),
+            "node",
+            "left",
+        ).select(
+            "node",
+            ind.alias("p0"),
+            (F.lit(1.0 - damping) * ind).alias("t"),
+        )
+    base = base.localCheckpoint()
+    pr = base.select("node", F.col("p0").alias("pr"))
     for _ in range(iterations):
         contrib = (
             e.join(pr.withColumnRenamed("node", "src"), "src")
@@ -69,12 +99,11 @@ def pagerank(
         )
         sums = contrib.groupBy("node").agg(F.sum("c").alias("c"))
         pr = (
-            nodes.join(sums, "node", "left")
-            .crossJoin(F.broadcast(n1))
+            base.join(sums, "node", "left")
             .select(
                 "node",
                 (
-                    F.lit(1.0 - damping) / F.col("n")
+                    F.col("t")
                     + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
                 ).alias("pr"),
             )

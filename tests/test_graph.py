@@ -275,3 +275,41 @@ def test_bfs_hops_multi_source_min_distance(spark):
     seeds = spark.createDataFrame([("a",), ("e",)], "node string")
     got = {r["node"]: r["hop"] for r in bfs_hops(df, seeds, 3).collect()}
     assert got == {"a": 0, "e": 0, "b": 1, "d": 1, "c": 2}
+
+
+def _numpy_ppr(edges, seed, iterations=3, damping=0.85):
+    """Personalized twin: indicator start vector, teleport to seed."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _ in edges:
+        out[idx[s]] += 1
+    ind = np.zeros(n)
+    ind[idx[seed]] = 1.0
+    pr = ind.copy()
+    for _ in range(iterations):
+        contrib = np.zeros(n)
+        for s, d in edges:
+            contrib[idx[d]] += pr[idx[s]] / out[idx[s]]
+        pr = (1.0 - damping) * ind + damping * contrib
+    return {v: pr[idx[v]] for v in nodes}
+
+
+def test_personalized_pagerank_matches_numpy_twin(spark, random_graph):
+    df = spark.createDataFrame(random_graph, "src string, dst string")
+    seed = min(
+        {s for s, _ in random_graph} | {d for _, d in random_graph}
+    )
+    seeds = spark.createDataFrame([(seed,)], "node string")
+    got = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(df, 3, seeds=seeds).collect()
+    }
+    want = _numpy_ppr(random_graph, seed, 3)
+    assert set(got) == set(want)
+    for v, p in want.items():
+        assert got[v] == pytest.approx(round(p, 6), abs=2e-6)
+    # mass concentrates at/near the seed and decays with distance
+    assert got[seed] == max(got.values())
