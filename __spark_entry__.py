@@ -2914,6 +2914,80 @@ def q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corrupt_objects(t, _NEG_CANDS, k=_NEG_K)
 
 
+def q_corpus_yield_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus yield funnel — the admission-pipeline summary a
+    data team reads first: how many documents survive each filter
+    stage, sequentially: total corpus → quality pass →
+    benchmark-decontaminated (zero eval-shingle overlap) → exact-dedup
+    keeper (bag-of-words first-occurrence).  Composes the already-gated
+    building blocks (gopher_quality, benchmark_contamination,
+    dedup_exact); the dedup keeper is computed over the FULL corpus
+    (crawl-order semantics), not the post-filter survivors —
+    documented and mirrored by the oracle.
+
+    The quality stage is the fixture-SELECTIVE Gopher subset
+    (n_words >= 50 and >= 1 stopword): the synthetic 30-word
+    vocabulary contains exactly one Gopher stopword ('the'), so the
+    production >= 2-stopword rule (kept verbatim in gopher_quality)
+    would zero the funnel; the subset keeps each stage's drop
+    non-trivial so the composition is actually exercised.
+
+    Scale shape: the contamination probe broadcasts the eval shingle
+    set; the keeper map is one hash agg on the dup key; the per-doc
+    flag table folds into ONE final aggregate — no new join patterns
+    beyond the gated components."""
+    from deepie_spark.operators.dedup import contamination_counts
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    contam = contamination_counts(corpus, bench, k=_K_SHINGLE).select(
+        "doc_id", F.lit(1).alias("hit")
+    )
+    toks = tokenize(F.col("text"))
+    n_stop = None
+    for w in GOPHER_STOPWORDS:
+        hit = F.array_contains(toks, w).cast("long")
+        n_stop = hit if n_stop is None else n_stop + hit
+    quality = (F.size(toks) >= 50) & (n_stop >= 1)
+    key = F.concat_ws(" ", F.sort_array(toks))
+    base = corpus.select(
+        "doc_id", key.alias("dup_key"), quality.alias("q")
+    )
+    keep = base.groupBy("dup_key").agg(F.min("doc_id").alias("keep_id"))
+    flags = (
+        base.join(contam, "doc_id", "left")
+        .join(keep, "dup_key")
+        .select(
+            "q",
+            F.col("hit").isNull().alias("clean"),
+            (F.col("doc_id") == F.col("keep_id")).alias("keeper"),
+        )
+    )
+    row = flags.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("q").cast("long")).alias("n_q"),
+        F.sum((F.col("q") & F.col("clean")).cast("long")).alias("n_qc"),
+        F.sum(
+            (F.col("q") & F.col("clean") & F.col("keeper")).cast("long")
+        ).alias("n_qcd"),
+    )
+    return row.select(
+        F.expr(
+            "stack(4, 'a_total', n_total, 'b_quality', n_q,"
+            " 'c_decontaminated', n_qc, 'd_deduped', n_qcd)"
+            " AS (stage, n_docs)"
+        ),
+        F.col("n_total"),
+    ).select(
+        "stage",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(
+            F.col("n_docs").cast("double") / F.col("n_total"), 6
+        ).alias("share"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -3006,6 +3080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "oov_rate": q_oov_rate,
         "kg_negatives": q_kg_negatives,
+        "corpus_yield_funnel": q_corpus_yield_funnel,
         "cc_components": q_cc_components,
         "triples_canonical": q_triples_canonical,
         "scorer_prf": q_scorer_prf,
@@ -4260,6 +4335,59 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(t.n_tokens - coalesce(i.n_inv, 0) AS DOUBLE)
                          / t.n_tokens, 6) AS oov_rate
             FROM totals t LEFT JOIN inv i USING (source)
+        """,
+        # corpus_yield_funnel twin: same stage conjunctions from the
+        # gated components' SQL fragments (gopher thresholds unrounded
+        # int/int, contamination = distinct-shingle probe, keeper =
+        # min doc_id per sorted-token key over the full corpus).
+        "corpus_yield_funnel": f"""
+            WITH t AS (
+              SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+            ),
+            sh AS (SELECT doc_id,
+                          unnest(list_distinct({_SHINGLES_SQL})) AS shingle
+                   FROM t),
+            bench AS (SELECT DISTINCT shingle FROM sh
+                      WHERE doc_id % 97 = 0),
+            contam AS (SELECT DISTINCT doc_id FROM sh
+                       JOIN bench USING (shingle)
+                       WHERE doc_id % 97 != 0),
+            q AS (
+              SELECT doc_id,
+                     array_to_string(list_sort(toks), ' ') AS dup_key,
+                     (len(toks) >= 50
+                      AND ({" + ".join(
+                          f"CAST(list_contains(toks, '{w}') AS BIGINT)"
+                          for w in GOPHER_STOPWORDS
+                      )}) >= 1) AS q
+              FROM t WHERE doc_id % 97 != 0
+            ),
+            keep AS (SELECT dup_key, min(doc_id) AS keep_id
+                     FROM q GROUP BY dup_key),
+            flags AS (
+              SELECT q.q, c.doc_id IS NULL AS clean,
+                     q.doc_id = k.keep_id AS keeper
+              FROM q LEFT JOIN contam c USING (doc_id)
+              JOIN keep k USING (dup_key)
+            ),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_total,
+                     CAST(sum(CAST(q AS BIGINT)) AS BIGINT) AS n_q,
+                     CAST(sum(CAST(q AND clean AS BIGINT)) AS BIGINT)
+                       AS n_qc,
+                     CAST(sum(CAST(q AND clean AND keeper AS BIGINT))
+                          AS BIGINT) AS n_qcd
+              FROM flags
+            )
+            SELECT stage, n_docs,
+                   round(CAST(n_docs AS DOUBLE) / n_total, 6) AS share
+            FROM (
+              SELECT 'a_total' AS stage, n_total AS n_docs, n_total
+              FROM agg
+              UNION ALL SELECT 'b_quality', n_q, n_total FROM agg
+              UNION ALL SELECT 'c_decontaminated', n_qc, n_total FROM agg
+              UNION ALL SELECT 'd_deduped', n_qcd, n_total FROM agg
+            )
         """,
         # kg_negatives twin: identical hash arithmetic (poly hash of
         # the same '|'-joined key string, mod n, +1-shift on collision

@@ -69,6 +69,7 @@ EXTRA = [
     "oov_rate",
     "kg_negatives",
     "entity_ppr",
+    "corpus_yield_funnel",
 ]
 
 HEADLINE = [
