@@ -2782,10 +2782,13 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_toks").alias("n_tokens"),
     ).withColumn(
+        # try_cast: a non-'srcN' source yields NULL weight rows rather
+        # than an ANSI cast crash (same TRY_CAST semantics in the
+        # oracle — the url_normalize ANSI lesson)
         "w_milli",
         (
             F.lit(10)
-            + (F.substring("source", 4, 10).cast("long") * 7) % 90
+            + (F.substring("source", 4, 10).try_cast("long") * 7) % 90
         ).cast("long"),
     )
     tot = per.agg(F.sum("w_milli").alias("sum_milli"))
@@ -4449,8 +4452,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT source,
                      CAST(count(*) AS BIGINT) AS n_docs,
                      CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-                     CAST(10 + (CAST(substr(source, 4) AS BIGINT) * 7) % 90
-                          AS BIGINT) AS w_milli
+                     CAST(10 + (TRY_CAST(substr(source, 4) AS BIGINT) * 7)
+                          % 90 AS BIGINT) AS w_milli
               FROM t GROUP BY source
             ),
             tot AS (SELECT CAST(sum(w_milli) AS BIGINT) AS sum_milli
