@@ -2997,57 +2997,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering note (round 4): the driver's correctness gate evaluates the
+    # FIRST 50 entries in dict order. Rounds 1-3 gated the original first 50;
+    # the 48 queries added later (doc_zscore .. domain_stats) had only
+    # judge-run verification. Round 4 rotates them to the front so
+    # CORRECTNESS_r04.json carries driver-signed rows for the whole
+    # graph/retrieval/curation surface; the previously-gated 50 follow.
     return {
-        "corpus_counts": q_corpus_counts,
-        "vocab_df": q_vocab_df,
-        "first_encounter_ids": q_first_encounter_ids,
-        "max_stats": q_max_stats,
-        "mentions_single": q_mentions_single,
-        "pair_distance_hist": q_pair_distance_hist,
-        "pair_distance_hist_salted": q_pair_distance_hist_salted,
-        "triples_rules": q_triples_rules,
-        "pipeline_triples": q_pipeline_triples,
-        "dedup_exact": q_dedup_exact,
-        "quality_scores": q_quality_scores,
-        "lang_guess": q_lang_guess,
-        "token_counts": q_token_counts,
-        "doc_fingerprint": q_doc_fingerprint,
-        "tpch_pricing": q_tpch_pricing,
-        "top_orders_per_cust": q_top_orders_per_cust,
-        "cust_no_orders": q_cust_no_orders,
-        "events_hourly": q_events_hourly,
-        "entity_linking": q_entity_linking,
-        "props_json_stats": q_props_json_stats,
-        "asof_last_signup": q_asof_last_signup,
-        "error_window_events": q_error_window_events,
-        "user_sessions": q_user_sessions,
-        "regional_revenue": q_regional_revenue,
-        "brand_part_stats": q_brand_part_stats,
-        "label_centroids": q_label_centroids,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "simhash_near": q_simhash_near,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "emb_cosine_dup": q_emb_cosine_dup,
-        "ann_topk": q_ann_topk,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "stratified_sample": q_stratified_sample,
-        "sequence_pack": q_sequence_pack,
-        "corpus_quantiles": q_corpus_quantiles,
-        "pipeline_triples_gated": q_pipeline_triples_gated,
-        "pipeline_triples_deep": q_pipeline_triples_deep,
-        "benchmark_contamination": q_benchmark_contamination,
-        "sketch_cardinality": q_sketch_cardinality,
-        "sketch_quantiles": q_sketch_quantiles,
-        "dedup_canonical": q_dedup_canonical,
-        "set_ops_sources": q_set_ops_sources,
-        "source_lang_rollup": q_source_lang_rollup,
-        "source_lang_cube": q_source_lang_cube,
-        "lang_pivot": q_lang_pivot,
-        "doc_quartiles": q_doc_quartiles,
-        "event_funnel": q_event_funnel,
         "doc_zscore": q_doc_zscore,
         "latest_event": q_latest_event,
         "doc_chunks": q_doc_chunks,
@@ -3096,6 +3052,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": q_repetition_scores,
         "pii_scrub": q_pii_scrub,
         "domain_stats": q_domain_stats,
+        "pipeline_triples_gated": q_pipeline_triples_gated,
+        "pipeline_triples_deep": q_pipeline_triples_deep,
+        "corpus_counts": q_corpus_counts,
+        "vocab_df": q_vocab_df,
+        "first_encounter_ids": q_first_encounter_ids,
+        "max_stats": q_max_stats,
+        "mentions_single": q_mentions_single,
+        "pair_distance_hist": q_pair_distance_hist,
+        "pair_distance_hist_salted": q_pair_distance_hist_salted,
+        "triples_rules": q_triples_rules,
+        "pipeline_triples": q_pipeline_triples,
+        "dedup_exact": q_dedup_exact,
+        "quality_scores": q_quality_scores,
+        "lang_guess": q_lang_guess,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "tpch_pricing": q_tpch_pricing,
+        "top_orders_per_cust": q_top_orders_per_cust,
+        "cust_no_orders": q_cust_no_orders,
+        "events_hourly": q_events_hourly,
+        "entity_linking": q_entity_linking,
+        "props_json_stats": q_props_json_stats,
+        "asof_last_signup": q_asof_last_signup,
+        "error_window_events": q_error_window_events,
+        "user_sessions": q_user_sessions,
+        "regional_revenue": q_regional_revenue,
+        "brand_part_stats": q_brand_part_stats,
+        "label_centroids": q_label_centroids,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "simhash_near": q_simhash_near,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "emb_cosine_dup": q_emb_cosine_dup,
+        "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "stratified_sample": q_stratified_sample,
+        "sequence_pack": q_sequence_pack,
+        "corpus_quantiles": q_corpus_quantiles,
+        "benchmark_contamination": q_benchmark_contamination,
+        "sketch_cardinality": q_sketch_cardinality,
+        "sketch_quantiles": q_sketch_quantiles,
+        "dedup_canonical": q_dedup_canonical,
+        "set_ops_sources": q_set_ops_sources,
+        "source_lang_rollup": q_source_lang_rollup,
+        "source_lang_cube": q_source_lang_cube,
+        "lang_pivot": q_lang_pivot,
+        "doc_quartiles": q_doc_quartiles,
+        "event_funnel": q_event_funnel,
     }
 
 
