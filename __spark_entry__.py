@@ -44,6 +44,7 @@ from deepie_spark.operators.cc import (
     connected_components,
 )
 from deepie_spark.operators.clustering import kmeans_cluster_summary
+from deepie_spark.operators.dictionary import rank_in_order
 from deepie_spark.operators.dedup import (
     _minhash_coeffs,
     dup_ngram_window_rate,
@@ -811,14 +812,16 @@ def q_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_first_encounter_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: first-encounter dense ids over the token stream."""
+    """A2: first-encounter dense ids over the token stream.
+
+    Ranking is range-bucketed prefix-offset (rank_in_order) — identical
+    ids to a global row_number, no single-partition WindowExec."""
     occ = _occ(spark, sf_dir)
     firsts = occ.groupBy("token").agg(
         F.min(F.col("doc_id") * 1_000_000 + F.col("pos")).alias("first_ord")
     )
-    return firsts.select(
-        "token",
-        F.row_number().over(W.orderBy("first_ord")).cast("long").alias("id"),
+    return rank_in_order(firsts, "first_ord", start_id=1).select(
+        "token", F.col("id").cast("long").alias("id")
     )
 
 
@@ -2374,12 +2377,8 @@ def q_token_df_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
     )
     kept = firsts.filter(F.col("n") >= 5)
-    return kept.select(
-        "token",
-        (F.row_number().over(W.orderBy("first_ord")) - 1)
-        .cast("long")
-        .alias("id"),
-        "n",
+    return rank_in_order(kept, "first_ord", start_id=0).select(
+        "token", F.col("id").cast("long").alias("id"), "n"
     )
 
 

@@ -71,6 +71,61 @@ def vocab_document_frequency(mentions: DataFrame) -> DataFrame:
     )
 
 
+def rank_in_order(
+    df: DataFrame,
+    order_col: str,
+    start_id: int = 0,
+    id_col: str = "id",
+    buckets: int | None = None,
+) -> DataFrame:
+    """Global dense rank by a unique ``order_col`` WITHOUT a global sort.
+
+    Exactly ``row_number() OVER (ORDER BY order_col) + start_id - 1``,
+    but scale-safe: an unpartitioned window serializes the whole input
+    through one task, which at a web-scale vocabulary (10⁹+ distinct
+    tokens) is the plan's only non-distributed stage.  Two-level scheme
+    instead (round-3 verdict item 2):
+
+      1. ``repartitionByRange(buckets, order_col)`` — bucket *b* holds
+         keys strictly below bucket *b+1*, equal keys co-located;
+      2. per-bucket ``row_number`` (partitioned window, distributed);
+      3. per-bucket counts → prefix offsets via a ≤buckets²-row
+         triangular broadcast join (no window at all on that path);
+      4. ``id = offset + local_rank``.
+
+    Ids are invariant to bucket boundaries, so the range sampler's
+    choice never affects results.  The range exchange is shared by the
+    rank and count branches (ReusedExchange).  Ties in ``order_col``
+    would be bucket-local but order-unspecified — callers must pass a
+    unique key (all ours are: min-struct / min-ordinal per value).
+    """
+    spark = df.sparkSession
+    if buckets is None:
+        buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bucketed = df.repartitionByRange(buckets, F.col(order_col)).withColumn(
+        "_bkt", F.spark_partition_id()
+    )
+    counts = bucketed.groupBy("_bkt").agg(F.count("*").alias("_cnt"))
+    lower = counts.select(
+        F.col("_bkt").alias("_lo_bkt"), F.col("_cnt").alias("_lo_cnt")
+    )
+    offsets = (
+        counts.join(F.broadcast(lower), F.col("_lo_bkt") < F.col("_bkt"), "left")
+        .groupBy("_bkt")
+        .agg(F.coalesce(F.sum("_lo_cnt"), F.lit(0)).alias("_off"))
+    )
+    w = W.partitionBy("_bkt").orderBy(order_col)
+    return (
+        bucketed.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(offsets), "_bkt")
+        .withColumn(
+            id_col,
+            (F.col("_off") + F.col("_rn") + F.lit(start_id - 1)).cast("int"),
+        )
+        .drop("_bkt", "_rn", "_off")
+    )
+
+
 def first_encounter_ids(
     occurrences: DataFrame,
     start_id: int = 0,
@@ -81,9 +136,9 @@ def first_encounter_ids(
     ``seed`` pre-assigns ids (e.g. ``{'NONE': 0}`` for the label dict,
     ``{'Other': 1}`` for the feature dicts whose id 0 is the pad row);
     remaining values get ``start_id, start_id+1, …`` in order of first
-    occurrence.  The global window is a single-partition sort over the
-    *distinct-value* set — vocabulary-sized, so fine at scale (the big
-    data never passes through it).
+    occurrence.  Ranking is the bucketed prefix-offset scheme
+    (``rank_in_order``) — no single-partition window even at web-scale
+    vocabularies.
     """
     seed = seed or {}
     firsts = occurrences.groupBy("value").agg(
@@ -98,10 +153,8 @@ def first_encounter_ids(
     )
     if seed:
         firsts = firsts.filter(~F.col("value").isin(list(seed.keys())))
-    w = W.orderBy("first_seen")
-    ranked = firsts.select(
-        F.col("value"),
-        (F.row_number().over(w) + F.lit(start_id - 1)).alias("id"),
+    ranked = rank_in_order(firsts, "first_seen", start_id=start_id).select(
+        "value", "id"
     )
     if seed:
         seed_df = occurrences.sparkSession.createDataFrame(
@@ -248,10 +301,7 @@ def collapsed_label_dict(label_dict: DataFrame) -> DataFrame:
         F.col("id").alias("old_id"),
     )
     firsts = stripped.groupBy("value").agg(F.min("old_id").alias("first_id"))
-    w = W.orderBy("first_id")
-    return firsts.select(
-        "value", (F.row_number().over(w) - 1).alias("id")
-    )
+    return rank_in_order(firsts, "first_id", start_id=0).select("value", "id")
 
 
 def binary_feature_dictionary(
@@ -281,7 +331,6 @@ def binary_feature_dictionary(
         ).alias("first_seen"),
     )
     kept = counts.filter(F.col("n") >= cutoff)
-    w = W.orderBy("first_seen")
-    return kept.select(
-        "value", (F.row_number().over(w) - 1).alias("id"), "n"
+    return rank_in_order(kept, "first_seen", start_id=0).select(
+        "value", "id", "n"
     )

@@ -177,3 +177,49 @@ def test_binary_feature_dictionary_cutoff(spark, mentions):
     assert got == gold
     ns = {r["value"]: r["n"] for r in df.collect()}
     assert all(n >= cutoff for n in ns.values())
+
+
+def test_rank_in_order_matches_global_window(spark):
+    """rank_in_order must equal row_number() OVER (ORDER BY key) for any
+    bucket count, including buckets >> rows (empty buckets) and
+    buckets=1 (degenerate single range)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from deepie_spark.operators.dictionary import rank_in_order
+
+    rng = random.Random(41)
+    ordinals = rng.sample(range(10_000_000), 997)
+    rows = [(f"v{i}", o) for i, o in enumerate(ordinals)]
+    df = spark.createDataFrame(rows, "value string, ord long").repartition(13)
+    gold = {
+        v: r + 7
+        for r, (o, v) in enumerate(sorted((o, v) for v, o in rows))
+    }
+    for buckets in (1, 4, 2048):
+        got = {
+            r["value"]: r["id"]
+            for r in rank_in_order(
+                df, "ord", start_id=7, buckets=buckets
+            ).collect()
+        }
+        assert got == gold, f"buckets={buckets}"
+
+
+def test_rank_in_order_plan_has_no_global_window(spark):
+    """The scale guarantee: ranking must never serialize the vocabulary
+    through an unpartitioned window — every Window in the plan is
+    partitioned by the range bucket, and the range exchange is present."""
+    from deepie_spark.operators.dictionary import rank_in_order
+
+    df = spark.range(1000).selectExpr(
+        "CAST(id AS STRING) AS value", "id * 37 % 999983 AS ord"
+    )
+    ranked = rank_in_order(df, "ord", buckets=8)
+    ranked.collect()
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" in plan
+    for frag in plan.split("windowspecdefinition(")[1:]:
+        spec = frag.split(")")[0]
+        assert "_bkt" in spec, f"unpartitioned window spec: {spec}"
