@@ -1419,16 +1419,16 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: in-row coarse-quantizer cell assignment + exact
-    scoring within the query's cell (nprobe=1) — the second scale path
-    beside hyperplane LSH, with a full DuckDB oracle (cells derived from
-    the same seed vectors on both sides)."""
+    scoring within the query's nprobe=2 nearest cells — the second scale
+    path beside hyperplane LSH, with a full DuckDB oracle (cells + probe
+    ranking derived from the same seed vectors on both sides)."""
     from deepie_spark.operators.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    return ivf_topk(emb, q, k=10, n_cells=16)
+    return ivf_topk(emb, q, k=10, n_cells=16, nprobe=2)
 
 
 #: deterministic sampling constants (portable: plain BIGINT arithmetic,
@@ -4683,18 +4683,20 @@ def oracle_sql() -> dict[str, str]:
                           list_dot_product(e.v, s.sv)
                             / sqrt(list_dot_product(s.sv, s.sv)) AS c
                    FROM e CROSS JOIN seeds s),
-            cells AS (
-              SELECT vec_id, cell FROM (
-                SELECT vec_id, cell,
-                       row_number() OVER (PARTITION BY vec_id
-                         ORDER BY c DESC, cell) AS rn
-                FROM sc
-              ) WHERE rn = 1
+            ranked_cells AS (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY c DESC, cell) AS rn
+              FROM sc
             ),
-            ec AS (SELECT e.vec_id, e.v, cells.cell
-                   FROM e JOIN cells USING (vec_id)),
-            q AS (SELECT vec_id AS query_id, v AS qv, cell
-                  FROM ec WHERE vec_id < 5),
+            -- corpus vectors live in exactly one cell (rn = 1)...
+            ec AS (SELECT e.vec_id, e.v, rc.cell
+                   FROM e JOIN ranked_cells rc USING (vec_id)
+                   WHERE rc.rn = 1),
+            -- ...queries probe their nprobe=2 nearest cells
+            q AS (SELECT rc.vec_id AS query_id, e.v AS qv, rc.cell
+                  FROM ranked_cells rc JOIN e USING (vec_id)
+                  WHERE rc.vec_id < 5 AND rc.rn <= 2),
             scored AS (
               SELECT query_id, ec.vec_id,
                      round({_cos_sql('qv', 'ec.v')}, 6) AS cosine

@@ -105,6 +105,7 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 10,
     n_cells: int = 16,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -115,9 +116,16 @@ def ivf_topk(
     them driver-side, which changes only the centroid values, not the
     plan.  Cell assignment is an IN-ROW argmax over the broadcast
     centroid literals (no shuffle, no python); the only shuffle is the
-    cell-key join that replaces the brute-force cross join, candidate
-    count ~N/n_cells (nprobe=1).  Ties pick the smallest cell id (first
-    max), mirrored exactly by the oracle's row_number ordering."""
+    cell-key join that replaces the brute-force cross join.
+
+    ``nprobe`` (round-3 verdict item 3): each query probes its ``nprobe``
+    nearest cells — the standard IVF fix for the boundary-recall failure
+    of nprobe=1 (a query sitting between two cells misses neighbors
+    assigned to the runner-up cell).  Corpus vectors still live in
+    exactly one cell, so probed candidate pairs are naturally unique (no
+    dedup stage); candidate count is ~nprobe·N/n_cells.  Cell ranking
+    ties break on the smaller cell id (mirrored by the oracle's
+    ``row_number ... ORDER BY c DESC, cell``)."""
     e = emb.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )
@@ -136,20 +144,41 @@ def ivf_topk(
             acc += float(x) * float(x)
         return math.sqrt(acc)
 
-    def cell_expr(vcol: Column) -> Column:
-        cs = F.array(
+    def cell_scores(vcol: Column) -> Column:
+        return F.array(
             *[
                 dot(vcol, F.array(*[F.lit(float(x)) for x in r["v"]]))
                 / F.lit(seq_norm(r["v"]))
                 for r in seeds
             ]
         )
+
+    def cell_expr(vcol: Column) -> Column:
+        cs = cell_scores(vcol)
         return (F.array_position(cs, F.array_max(cs)) - 1).cast("long")
+
+    def probe_cells_expr(vcol: Column) -> Column:
+        """Top-``nprobe`` cells by centroid cosine, ties → smaller id.
+        In-row struct sort over ``n_cells`` entries — still no shuffle."""
+        cs = cell_scores(vcol)
+        idx = F.sequence(F.lit(0), F.lit(len(seeds) - 1))
+        pairs = F.zip_with(
+            cs, idx, lambda c, i: F.struct(c.alias("c"), i.alias("i"))
+        )
+        srt = F.array_sort(
+            pairs,
+            lambda l, r: F.when(l["c"] > r["c"], F.lit(-1))
+            .when(l["c"] < r["c"], F.lit(1))
+            .otherwise(l["i"] - r["i"]),
+        )
+        return F.transform(
+            F.slice(srt, 1, nprobe), lambda s: s["i"].cast("long")
+        )
 
     ec = e.withColumn("cell", cell_expr(F.col("v")))
     q = queries.select(
         "query_id", _as_double(F.col("qvec")).alias("qv")
-    ).withColumn("cell", cell_expr(F.col("qv")))
+    ).withColumn("cell", F.explode(probe_cells_expr(F.col("qv"))))
     scored = q.join(ec, "cell").filter(F.col("query_id") != F.col("vec_id"))
     scored = scored.withColumn(
         "cosine", F.round(cosine(F.col("qv"), F.col("v")), 6)

@@ -164,3 +164,52 @@ def test_ivf_topk_recall_vs_exact(spark):
         key = (r["query_id"], r["vec_id"])
         if key in exact_cos:
             assert r["cosine"] == pytest.approx(exact_cos[key], abs=1e-6)
+
+
+def test_ivf_multiprobe_recall_strictly_improves(spark):
+    """Boundary queries (midway between two cluster centers) miss their
+    runner-up-cell neighbors at nprobe=1; nprobe=2 must recover them.
+    Construction: two tight clusters + queries sitting between them, so
+    each query's exact top-k spans both cells."""
+    from deepie_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(11)
+    c0 = rng.randn(12) * 4.0
+    c1 = rng.randn(12) * 4.0  # independent → well-separated in cosine
+    rows = [(0, [float(x) for x in c0]), (1, [float(x) for x in c1])]
+    vid = 2
+    for c in (c0, c1):
+        for _ in range(10):
+            rows.append(
+                (vid, [float(x) for x in c + rng.randn(12) * 0.05])
+            )
+            vid += 1
+    # boundary queries: angular midpoint (sum of unit vectors), perturbed
+    u0 = c0 / np.linalg.norm(c0)
+    u1 = c1 / np.linalg.norm(c1)
+    qrows = []
+    for j in range(6):
+        m = (u0 + u1) + rng.randn(12) * 0.01
+        qrows.append((1000 + j, [float(x) for x in m]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(qrows, "query_id long, qvec array<double>")
+    # k exceeds one cluster's size (11 vectors incl. its centroid), so the
+    # exact top-k necessarily spans BOTH cells — nprobe=1 cannot reach it
+    k = 15
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb, q, k=k).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_topk(
+                emb, q, k=k, n_cells=2, nprobe=nprobe
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 > r1, f"nprobe=2 recall {r2} not above nprobe=1 {r1}"
+    assert r2 == 1.0, f"nprobe=2 over 2 cells must be exhaustive, got {r2}"
