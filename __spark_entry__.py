@@ -1002,6 +1002,20 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", char_poly_hash(F.col("text")).alias("fp"))
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint selection: k-shingle poly hashes,
+    w-window rightmost-minimum — the principled sparse fingerprint set
+    guaranteeing detection of any ≥ w+k-1-token shared substring.
+    In-row integer expressions only → map-only plan, zero shuffle."""
+    from deepie_spark.functions.text import winnow_fingerprints
+
+    t = _toks(spark, sf_dir)
+    sel = winnow_fingerprints(F.col("toks"), k=3, w=4)
+    return t.select(
+        "doc_id", F.explode(sel).alias("s")
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+
+
 def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped aggregation on lineitem."""
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
@@ -3051,6 +3065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": q_repetition_scores,
         "pii_scrub": q_pii_scrub,
         "domain_stats": q_domain_stats,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "pipeline_triples_gated": q_pipeline_triples_gated,
         "pipeline_triples_deep": q_pipeline_triples_deep,
         "corpus_counts": q_corpus_counts,
@@ -4619,6 +4634,27 @@ def oracle_sql() -> dict[str, str]:
               doc_id, pos1, pos2
             FROM pairs JOIN rules USING (type1, type2)
             WHERE label != 'NONE'
+        """,
+        "winnow_fingerprints": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+            h AS (SELECT doc_id,
+                    list_transform({_SHINGLES_SQL},
+                                   s -> {_poly_hash_sql('s')}) AS hs
+                  FROM t),
+            win AS (SELECT doc_id,
+              CASE WHEN len(hs) >= 4 THEN
+                list_transform(range(len(hs) - 3), j ->
+                  struct_pack(pos := CAST(j + 4 - list_position(
+                                list_reverse(hs[j+1:j+4]),
+                                list_min(hs[j+1:j+4])) AS BIGINT),
+                              fp := list_min(hs[j+1:j+4])))
+              ELSE [struct_pack(
+                      pos := CAST(len(hs) - list_position(
+                               list_reverse(hs), list_min(hs)) AS BIGINT),
+                      fp := list_min(hs))] END AS sel
+              FROM h)
+            SELECT DISTINCT doc_id, u.pos AS pos, u.fp AS fp
+            FROM (SELECT doc_id, unnest(sel) AS u FROM win)
         """,
         "media_features": _media_features_oracle_sql(),
         "ann_topk_lsh": _lsh_topk_oracle_sql(),

@@ -210,6 +210,42 @@ def doc_fingerprint(text: Column) -> Column:
 # boilerplate/spam candidates — the Gopher-style repetition signals
 # restated over token n-grams, since the synthetic corpus is one line)
 
+def winnow_fingerprints(tokens: Column, k: int = 3, w: int = 4) -> Column:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS local fingerprinting scheme): hash every k-token shingle,
+    slide a w-hash window, keep the window minimum — RIGHTMOST on ties
+    (robust winnowing) — as ``struct(pos, fp)``, de-duplicated in-row.
+
+    Guarantees: any shared substring of ≥ w+k-1 tokens yields at least
+    one shared fingerprint, with expected density 2/(w+1) — the
+    principled sparsification between "hash everything" (doc_trigrams)
+    and "one hash per doc" (doc_fingerprint).
+
+    Entirely in-row integer expressions over the portable BASE/MOD poly
+    hash → map-only plan, zero shuffle, and a DuckDB twin computes
+    identical values.  Docs shorter than one window keep their single
+    global minimum (shingles() already collapses sub-k docs to one
+    shingle)."""
+    hs = F.transform(shingles(tokens, k), char_poly_hash_str)
+    m = F.size(hs)
+
+    def pick(sl: Column, j: Column) -> Column:
+        v = F.array_min(sl)
+        rpos = F.size(sl) - F.array_position(F.reverse(sl), v) + 1
+        return F.struct(
+            (j + rpos - 1).cast("long").alias("pos"), v.alias("fp")
+        )
+
+    sel = F.when(
+        m >= w,
+        F.transform(
+            F.sequence(F.lit(0), m - w),
+            lambda j: pick(F.slice(hs, j + 1, w), j),
+        ),
+    ).otherwise(F.array(pick(hs, F.lit(0))))
+    return F.array_distinct(sel)
+
+
 def doc_trigrams(tokens: Column) -> Column:
     """Non-distinct token trigrams (same fallback semantics as
     :func:`shingles`: short docs yield the whole text as one gram)."""
