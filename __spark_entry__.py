@@ -1733,6 +1733,43 @@ def q_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from the event stream
+    (warehouse CDC): consecutive same-event_type runs per user collapse
+    to one version row with [valid_from, valid_to) interval; valid_to
+    is NULL for the open (current) version.  Gaps-and-islands: lag to
+    mark changes, running sum for the run id, one agg per run, lead for
+    the interval close — every window PARTITIONED BY user_id (the
+    natural key), so the plan is one user_id shuffle + narrow windows,
+    scale-safe under any user count."""
+    e = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(
+        prev.isNull() | (prev != F.col("event_type")), 1
+    ).otherwise(0)
+    runs = e.withColumn("chg", chg).withColumn(
+        "version",
+        F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    ver = runs.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("event_type"),  # constant within a run
+        F.min("ts").alias("valid_from"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    w2 = W.partitionBy("user_id").orderBy("version")
+    return ver.select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )
+
+
 _CHUNK_W = 32   # tokens per chunk (context-window size)
 _CHUNK_S = 24   # stride — 8-token overlap between adjacent chunks
 
@@ -3066,6 +3103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "domain_stats": q_domain_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "user_scd2": q_user_scd2,
         "pipeline_triples_gated": q_pipeline_triples_gated,
         "pipeline_triples_deep": q_pipeline_triples_deep,
         "corpus_counts": q_corpus_counts,
@@ -3637,6 +3675,36 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts DESC, event_id DESC) AS rn
               FROM events
             ) WHERE rn = 1
+        """,
+        "user_scd2": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(event_type) OVER w IS NULL
+                          OR lag(event_type) OVER w != event_type
+                          THEN 1 ELSE 0 END AS chg
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            runs AS (
+              SELECT *, sum(chg) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS version
+              FROM flagged
+            ),
+            ver AS (
+              SELECT user_id, version,
+                     min(event_type) AS event_type,
+                     min(ts) AS valid_from,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM runs GROUP BY user_id, version
+            )
+            SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+                   valid_from,
+                   lead(valid_from) OVER (PARTITION BY user_id
+                     ORDER BY version) AS valid_to,
+                   n_events
+            FROM ver
         """,
         "doc_chunks": f"""
             WITH t AS (
