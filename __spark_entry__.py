@@ -1733,6 +1733,30 @@ def q_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_BUCKETS = 512
+_DSIR_TARGET = ("src0", "src1")
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023): hashed-bigram
+    bag models for the target slice (head sources standing in for the
+    curated exemplar corpus) vs the full raw pool; per-doc log
+    importance weight under add-one smoothing.  Bit-identical across
+    engines: integer-argument ln + ascending-bucket fold (see
+    operators/curation.py for the 100-TB plan shape)."""
+    from deepie_spark.operators.curation import dsir_log_weights
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", tokenize(F.col("text")).alias("toks")
+    )
+    return dsir_log_weights(
+        d,
+        is_target=F.col("source").isin(list(_DSIR_TARGET)),
+        n_buckets=_DSIR_BUCKETS,
+        k=2,
+    )
+
+
 def q_user_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 slowly-changing-dimension build from the event stream
     (warehouse CDC): consecutive same-event_type runs per user collapse
@@ -3104,6 +3128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
         "user_scd2": q_user_scd2,
+        "dsir_weights": q_dsir_weights,
         "pipeline_triples_gated": q_pipeline_triples_gated,
         "pipeline_triples_deep": q_pipeline_triples_deep,
         "corpus_counts": q_corpus_counts,
@@ -3675,6 +3700,41 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts DESC, event_id DESC) AS rn
               FROM events
             ) WHERE rn = 1
+        """,
+        "dsir_weights": f"""
+            WITH t AS (SELECT doc_id, source, {_TOKS_SQL} AS toks
+                       FROM documents),
+            g AS (SELECT doc_id,
+                    CASE WHEN source IN
+                      ({", ".join(f"'{s}'" for s in _DSIR_TARGET)})
+                      THEN 1 ELSE 0 END AS tgt,
+                    unnest(list_transform(
+                      CASE WHEN len(toks) >= 2 THEN
+                        list_transform(range(len(toks) - 1),
+                          i -> array_to_string(toks[i + 1:i + 2], ' '))
+                      ELSE [array_to_string(toks, ' ')] END,
+                      s -> {_poly_hash_sql('s')} % {_DSIR_BUCKETS})) AS b
+                  FROM t),
+            model AS (SELECT b, CAST(count(*) AS BIGINT) AS cr,
+                             CAST(sum(tgt) AS BIGINT) AS ct
+                      FROM g GROUP BY b),
+            totals AS (SELECT CAST(sum(cr) AS BIGINT) AS tr_tot,
+                              CAST(sum(ct) AS BIGINT) AS tt_tot
+                       FROM model),
+            pdb AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS m
+                    FROM g GROUP BY doc_id, b),
+            folded AS (
+              SELECT doc_id,
+                     list_reduce(list_prepend(0.0,
+                       list(m * (ln(ct + 1.0) - ln(cr + 1.0)) ORDER BY b)),
+                       (acc, x) -> acc + x) AS s,
+                     CAST(sum(m) AS BIGINT) AS n_grams
+              FROM pdb JOIN model USING (b) GROUP BY doc_id)
+            SELECT doc_id, n_grams,
+                   round(s - n_grams * (ln(tt_tot + {_DSIR_BUCKETS}.0)
+                                  - ln(tr_tot + {_DSIR_BUCKETS}.0)), 6)
+                     AS log_weight
+            FROM folded CROSS JOIN totals
         """,
         "user_scd2": """
             WITH flagged AS (

@@ -1,0 +1,124 @@
+"""Data-selection operators for LLM corpus curation.
+
+DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling"): score
+every raw document by how much more likely its hashed-n-gram profile is
+under a small TARGET corpus than under the RAW corpus, then resample the
+raw pool proportional to the importance weight.  The per-doc statistic
+is
+
+    log w(d) = Σ_{g ∈ ngrams(d)} [ ln p_tgt(h(g)) − ln p_raw(h(g)) ]
+
+with n-grams hashed into ``n_buckets`` and add-one smoothing on both
+bag-of-hashed-ngrams models.
+
+Scale shape (the whole point of hashing): the feature space is a FIXED
+``n_buckets``-row table regardless of corpus size, so
+
+  * two hash aggregations (raw / target bucket counts) with map-side
+    combine — output is bounded by n_buckets;
+  * the per-doc profile groups by (doc, bucket) — bounded by doc length;
+  * the bucket-model join-back is a **broadcast by construction**
+    (n_buckets ≤ a few thousand rows — this is the rare case where the
+    hint is justified and scale-safe);
+  * the per-doc reduction folds buckets in ASCENDING BUCKET ORDER with
+    a left fold, never a row-order FP sum — with integer-argument ln()
+    on both engines, log-weights are bit-identical in Spark and DuckDB
+    (the bm25_topk portability rules, reapplied).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deepie_spark.functions.text import char_poly_hash_str, shingles
+
+
+def hashed_ngram_buckets(
+    tokens: Column, n_buckets: int, k: int = 2
+) -> Column:
+    """Per-row array of hashed k-gram bucket ids (portable poly hash
+    mod n_buckets — reproducible in any engine, unlike xxhash64)."""
+    return F.transform(
+        shingles(tokens, k),
+        lambda s: char_poly_hash_str(s) % n_buckets,
+    )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    is_target: Column,
+    n_buckets: int = 1024,
+    k: int = 2,
+    id_col: str = "doc_id",
+    tokens_col: str = "toks",
+) -> DataFrame:
+    """(doc_id, n_grams, log_weight): DSIR importance log-weights of
+    every document against the target slice defined by ``is_target``.
+
+    ``is_target`` marks the in-domain exemplar docs (they stay in the
+    raw model too — raw means the whole pool, as in the paper).
+    Smoothed models: p(b) = (cnt_b + 1) / (total + n_buckets).
+    """
+    g = docs.select(
+        F.col(id_col).alias("doc_id"),
+        is_target.cast("int").alias("tgt"),
+        F.explode(
+            hashed_ngram_buckets(F.col(tokens_col), n_buckets, k)
+        ).alias("b"),
+    )
+    # one pass for both models: raw count + target count per bucket
+    model = g.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.sum("tgt").alias("ct"),
+    )
+    totals = model.agg(
+        F.sum("cr").alias("tr_tot"), F.sum("ct").alias("tt_tot")
+    )
+    per_doc_bucket = g.groupBy("doc_id", "b").agg(
+        F.count("*").alias("m")
+    )
+    j = per_doc_bucket.join(F.broadcast(model), "b").crossJoin(
+        F.broadcast(totals)
+    )
+    # ln of INTEGER arguments only (cnt+1): both engines round the same
+    # libm value; the per-doc combine folds in ascending-bucket order.
+    term = F.struct(
+        F.col("b"),
+        (
+            F.col("m").cast("double")
+            * (
+                F.log(F.col("ct").cast("double") + 1.0)
+                - F.log(F.col("cr").cast("double") + 1.0)
+            )
+        ).alias("t"),
+        F.col("m"),
+    )
+    folded = (
+        j.groupBy("doc_id", "tt_tot", "tr_tot")
+        .agg(F.sort_array(F.collect_list(term)).alias("terms"))
+        .select(
+            "doc_id",
+            F.aggregate(
+                F.col("terms"), F.lit(0.0), lambda acc, x: acc + x["t"]
+            ).alias("s"),
+            F.aggregate(
+                F.col("terms"),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x["m"],
+            ).alias("n_grams"),
+            "tt_tot",
+            "tr_tot",
+        )
+    )
+    norm = F.log(
+        F.col("tt_tot").cast("double") + float(n_buckets)
+    ) - F.log(F.col("tr_tot").cast("double") + float(n_buckets))
+    return folded.select(
+        "doc_id",
+        "n_grams",
+        F.round(
+            F.col("s") - F.col("n_grams").cast("double") * norm, 6
+        ).alias("log_weight"),
+    )

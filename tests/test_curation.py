@@ -1,0 +1,125 @@
+"""DSIR importance-resampling weights: python-twin exactness, the
+importance-direction property, and the bounded-broadcast plan shape.
+"""
+
+import math
+import random
+
+import __spark_entry__ as entry
+from pyspark.sql import functions as F
+
+from deepie_spark.functions.text import BASE, MOD
+from deepie_spark.operators.curation import dsir_log_weights
+
+B = 64
+
+
+def _py_hash(s: str) -> int:
+    h = 0
+    for c in s:
+        h = (h * BASE + ord(c)) % MOD
+    return h
+
+
+def _py_dsir(docs, target_ids, n_buckets=B, k=2):
+    def grams(toks):
+        if len(toks) >= k:
+            sh = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        else:
+            sh = [" ".join(toks)]
+        return [_py_hash(s) % n_buckets for s in sh]
+
+    cr: dict[int, int] = {}
+    ct: dict[int, int] = {}
+    per_doc: dict[int, list[int]] = {}
+    for d, toks in docs:
+        bs = grams(toks)
+        per_doc[d] = bs
+        for b in bs:
+            cr[b] = cr.get(b, 0) + 1
+            if d in target_ids:
+                ct[b] = ct.get(b, 0) + 1
+    tr_tot = sum(cr.values())
+    tt_tot = sum(ct.values())
+    out = {}
+    for d, bs in per_doc.items():
+        m: dict[int, int] = {}
+        for b in bs:
+            m[b] = m.get(b, 0) + 1
+        s = 0.0
+        for b in sorted(m):  # ascending-bucket fold, like the engine
+            s += m[b] * (
+                math.log(ct.get(b, 0) + 1.0) - math.log(cr[b] + 1.0)
+            )
+        norm = math.log(tt_tot + float(n_buckets)) - math.log(
+            tr_tot + float(n_buckets)
+        )
+        out[d] = (len(bs), round(s - len(bs) * norm, 6))
+    return out
+
+
+def _mk_docs(rng, n, vocab_a, vocab_b, mix):
+    """docs drawing `mix` fraction of tokens from vocab_a."""
+    docs = []
+    for d in range(n):
+        toks = [
+            rng.choice(vocab_a if rng.random() < mix else vocab_b)
+            for _ in range(rng.randint(5, 30))
+        ]
+        docs.append((d, toks))
+    return docs
+
+
+def test_dsir_matches_python_twin(spark):
+    rng = random.Random(3)
+    va = [f"a{i}" for i in range(20)]
+    vb = [f"b{i}" for i in range(20)]
+    docs = _mk_docs(rng, 60, va, vb, 0.5)
+    target = {d for d, _ in docs if d % 5 == 0}
+    df = spark.createDataFrame(
+        [(d, toks) for d, toks in docs], "doc_id long, toks array<string>"
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["log_weight"])
+        for r in dsir_log_weights(
+            df, F.col("doc_id") % 5 == 0, n_buckets=B, k=2
+        ).collect()
+    }
+    assert got == _py_dsir(docs, target)
+
+
+def test_dsir_importance_direction(spark):
+    """Docs written in the target slice's vocabulary must score higher
+    than out-of-domain docs."""
+    rng = random.Random(7)
+    va = [f"in{i}" for i in range(15)]
+    vb = [f"out{i}" for i in range(15)]
+    in_domain = _mk_docs(rng, 30, va, vb, 1.0)
+    out_domain = [
+        (100 + d, toks) for d, toks in _mk_docs(rng, 30, va, vb, 0.0)
+    ]
+    df = spark.createDataFrame(
+        in_domain + out_domain, "doc_id long, toks array<string>"
+    )
+    # target exemplars: half the in-domain docs
+    w = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(
+            df, (F.col("doc_id") < 15), n_buckets=256, k=2
+        ).collect()
+    }
+    mean_in = sum(w[d] for d, _ in in_domain if d >= 15) / 15
+    mean_out = sum(w[d] for d, _ in out_domain) / 30
+    assert mean_in > mean_out + 1.0, (mean_in, mean_out)
+
+
+def test_dsir_plan_bounded_broadcast(spark, sf_dir):
+    df = entry.q_dsir_weights(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # the n_buckets-row model and 1-row totals ship broadcast; the only
+    # hash exchanges are the two bounded aggregations
+    assert final.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
