@@ -587,6 +587,72 @@ def _url_normalize_oracle_sql() -> str:
     """
 
 
+def _hits_oracle_sql(iterations: int = 2) -> str:
+    """DuckDB twin of operators.graph.hits: unrolled synchronous
+    half-steps over exact-integer accumulators (sum(BIGINT) is HUGEINT
+    in DuckDB — every aggregate is cast back), end-normalized by max so
+    each emitted value is a ratio of exact integers: bit-identical."""
+    its = []
+    prev_h = "h0"
+    prev_a = None
+    for i in range(1, iterations + 1):
+        its.append(f"""a{i} AS (
+          SELECT nodes.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS a
+          FROM nodes LEFT JOIN (
+            SELECT e.dst AS node, CAST(sum(p.h) AS BIGINT) AS v
+            FROM edges e JOIN {prev_h} p ON p.node = e.src
+            GROUP BY e.dst
+          ) s USING (node)
+        )""")
+        its.append(f"""h{i} AS (
+          SELECT nodes.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS h
+          FROM nodes LEFT JOIN (
+            SELECT e.src AS node, CAST(sum(p.a) AS BIGINT) AS v
+            FROM edges e JOIN a{i} p ON p.node = e.dst
+            GROUP BY e.src
+          ) s USING (node)
+        )""")
+        prev_h, prev_a = f"h{i}", f"a{i}"
+    it_sql = ",\n        ".join(its)
+    return f"""
+        WITH {_MENTIONS_SQL.strip()},
+        rules(type1, type2, label) AS (VALUES
+          {RULES_VALUES}
+        ),
+        pairs AS (
+          SELECT a.alias AS alias1, b.alias AS alias2,
+                 a.entity_type AS type1, b.entity_type AS type2
+          FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id
+          WHERE a.pos < b.pos AND b.pos - a.pos <= 10
+        ),
+        t AS (
+          SELECT
+            CASE WHEN label LIKE '%(e2,e1)' THEN alias2 ELSE alias1 END
+              AS subj,
+            CASE WHEN label LIKE '%(e2,e1)' THEN alias1 ELSE alias2 END
+              AS obj
+          FROM pairs JOIN rules USING (type1, type2)
+          WHERE label != 'NONE'
+        ),
+        edges AS (SELECT DISTINCT subj AS src, obj AS dst FROM t),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        h0 AS (SELECT node, CAST(1 AS BIGINT) AS h FROM nodes),
+        {it_sql},
+        m AS (SELECT greatest(max(h), 1) AS mh FROM {prev_h}),
+        ma AS (SELECT greatest(max(a), 1) AS ma FROM {prev_a})
+        SELECT n.node,
+               round(CAST(hh.h AS DOUBLE) / CAST(m.mh AS DOUBLE), 6)
+                 AS hub,
+               round(CAST(aa.a AS DOUBLE) / CAST(ma.ma AS DOUBLE), 6)
+                 AS authority
+        FROM nodes n
+        JOIN {prev_h} hh USING (node)
+        JOIN {prev_a} aa USING (node)
+        CROSS JOIN m CROSS JOIN ma
+    """
+
+
 def _pagerank_oracle_sql(iterations: int = 3, damping: float = 0.85) -> str:
     """DuckDB twin of operators.graph.pagerank over the rule-triple
     edge set: the iterative join+agg loop unrolls into ``iterations``
@@ -2343,6 +2409,19 @@ def q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(t, iterations=3, damping=0.85)
 
 
+def q_entity_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the rule-triple graph — the spectral
+    salience pair beside PageRank.  Exact-integer accumulators, one
+    end normalization by max (operators/graph.py hits): every value is
+    a ratio of exact integers, so the DuckDB twin is bit-identical."""
+    from deepie_spark.operators.graph import hits
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return hits(t, iterations=2)
+
+
 def q_entity_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank from the lexicographically-first entity
     (same seed rule as entity_bfs): mass decays with hop distance from
@@ -3129,6 +3208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "user_scd2": q_user_scd2,
         "dsir_weights": q_dsir_weights,
+        "entity_hits": q_entity_hits,
         "pipeline_triples_gated": q_pipeline_triples_gated,
         "pipeline_triples_deep": q_pipeline_triples_deep,
         "corpus_counts": q_corpus_counts,
@@ -4380,6 +4460,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored GROUP BY doc_id
         """,
         "entity_pagerank": _pagerank_oracle_sql(),
+        "entity_hits": _hits_oracle_sql(),
         "entity_ppr": _ppr_oracle_sql(),
         # bfs twin: min(hop) over the bounded recursive walk equals
         # the BFS layer (layers are shortest-first); UNION (not UNION

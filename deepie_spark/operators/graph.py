@@ -113,6 +113,93 @@ def pagerank(
     return pr.select("node", F.round("pr", 6).alias("pagerank"))
 
 
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the directed
+    triple graph: (node, hub, authority) after ``iterations``
+    synchronous rounds, each ratio rounded to 6 decimals.
+
+    Engine-portability design: the classic per-step L2 normalization
+    would divide by a whole-graph FP sum whose last ulp depends on
+    summation order — so the accumulators here stay EXACT INTEGERS
+    (h₀ = 1; a ← Σ_in h; h ← Σ_out a) and normalization happens once at
+    the end, dividing by the max (an exact long).  Every emitted value
+    is a ratio of two exact integers — bit-identical in any engine.
+    Growth is bounded by (d_max²)^iterations per value; with longs that
+    is safe for the 2-3 iterations HITS needs to rank.
+
+    Plan per half-step: one edges⋈scores join on the incident key + one
+    hash agg with map-side combine (head-entity skew absorbed exactly
+    as in :func:`pagerank`), lineage truncated by eager
+    ``localCheckpoint`` so iteration k+1's plan never contains k's."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    h = nodes.select("node", F.lit(1).cast("long").alias("h"))
+    a = None
+    for _ in range(iterations):
+        a_sum = (
+            e.join(
+                h.select(F.col("node").alias("src"), F.col("h").alias("hs")),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum("hs").alias("v"))
+            .select(F.col("dst").alias("node"), "v")
+        )
+        a = (
+            nodes.join(a_sum, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_sum = (
+            e.join(
+                a.select(F.col("node").alias("dst"), F.col("a").alias("ad")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.sum("ad").alias("v"))
+            .select(F.col("src").alias("node"), "v")
+        )
+        h = (
+            nodes.join(h_sum, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    scores = h.join(a, "node")
+    m = scores.agg(
+        F.greatest(F.max("h"), F.lit(1)).cast("long").alias("mh"),
+        F.greatest(F.max("a"), F.lit(1)).cast("long").alias("ma"),
+    )
+    return scores.crossJoin(F.broadcast(m)).select(
+        "node",
+        F.round(
+            F.col("h").cast("double") / F.col("mh").cast("double"), 6
+        ).alias("hub"),
+        F.round(
+            F.col("a").cast("double") / F.col("ma").cast("double"), 6
+        ).alias("authority"),
+    )
+
+
 def cooccurrence_pmi(
     mentions: DataFrame,
     id_col: str = "entity_id",

@@ -313,3 +313,52 @@ def test_personalized_pagerank_matches_numpy_twin(spark, random_graph):
         assert got[v] == pytest.approx(round(p, 6), abs=2e-6)
     # mass concentrates at/near the seed and decays with distance
     assert got[seed] == max(got.values())
+
+
+def _numpy_hits(edges, iterations=2):
+    """Integer-accumulator twin of operators.graph.hits."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    h = np.ones(n, dtype=np.int64)
+    a = np.zeros(n, dtype=np.int64)
+    for _ in range(iterations):
+        a = np.zeros(n, dtype=np.int64)
+        for s, d in edges:
+            a[idx[d]] += h[idx[s]]
+        h = np.zeros(n, dtype=np.int64)
+        for s, d in edges:
+            h[idx[s]] += a[idx[d]]
+    mh, ma = max(h.max(), 1), max(a.max(), 1)
+    return {
+        v: (round(h[idx[v]] / mh, 6), round(a[idx[v]] / ma, 6))
+        for v in nodes
+    }
+
+
+def test_hits_matches_numpy_twin(spark, random_graph):
+    from deepie_spark.operators.graph import hits
+
+    df = spark.createDataFrame(random_graph, "src string, dst string")
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(df, 2).collect()
+    }
+    assert got == _numpy_hits(random_graph, 2)
+
+
+def test_hits_handcrafted_star(spark):
+    """Hub-and-spoke sanity: the center of an out-star is the best hub,
+    its targets are the authorities; pure sinks have hub 0."""
+    from deepie_spark.operators.graph import hits
+
+    edges = [("c", "x"), ("c", "y"), ("c", "z"), ("u", "x")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r for r in hits(df, 2).collect()}
+    assert got["c"]["hub"] == 1.0
+    assert got["x"]["authority"] == 1.0  # in-degree 2 target
+    assert got["c"]["authority"] == 0.0
+    for sink in ("y", "z"):
+        assert got[sink]["hub"] == 0.0
+    assert got["u"]["hub"] < got["c"]["hub"]
