@@ -374,3 +374,52 @@ def test_session_window_stream_matches_batch(spark, events_dir, tmp_path):
     assert len(got) > 0
     # the flush sessions are still open — none may have been emitted
     assert all(r[4].year < 2024 or r[4].month < 6 for r in got)
+
+
+def test_stream_dedup_suppresses_redelivery_matches_batch(
+    spark, events_dir, tmp_path
+):
+    """At-least-once simulation: every file delivered TWICE, one file
+    per micro-batch, so each duplicate arrives in a different batch —
+    the suppression must come from keyed state, not batch-local
+    distinct.  With a span-covering watermark the drained stream equals
+    the batch dropDuplicates twin exactly."""
+    from deepie_spark.streaming.dedup import dedup_events
+
+    redeliver = str(tmp_path / "redelivered")
+    os.makedirs(redeliver)
+    n = 0
+    for f in sorted(os.listdir(events_dir)):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(events_dir, f),
+                        os.path.join(redeliver, f"a_{f}"))
+            shutil.copy(os.path.join(events_dir, f),
+                        os.path.join(redeliver, f"b_{f}"))
+            n += 1
+    assert n >= 2
+
+    batch = spark.read.parquet(redeliver)
+    schema = batch.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(redeliver)
+    )
+    q = (
+        dedup_events(stream, keys=("event_id",), watermark="90 days")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "select event_id, ts, user_id, event_type from dedup_stream"
+    ).collect()
+    want = dedup_events(batch, keys=("event_id",)).select(
+        "event_id", "ts", "user_id", "event_type"
+    ).collect()
+    assert len(got) == len(want) == batch.count() // 2
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
