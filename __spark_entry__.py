@@ -1799,6 +1799,18 @@ def q_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking: O(n·w) dedup candidate pairs from
+    a global blocking-key sort — the sort is the range-bucketed
+    rank_in_order, so no single-partition window at any n (operators/
+    dedup.py sorted_neighborhood_pairs)."""
+    from deepie_spark.operators.dedup import sorted_neighborhood_pairs
+
+    t = _toks(spark, sf_dir)
+    key = F.concat_ws(" ", F.slice(F.col("toks"), 1, 2))
+    return sorted_neighborhood_pairs(t, key, window=3)
+
+
 _DSIR_BUCKETS = 512
 _DSIR_TARGET = ("src0", "src1")
 
@@ -3209,6 +3221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_scd2": q_user_scd2,
         "dsir_weights": q_dsir_weights,
         "entity_hits": q_entity_hits,
+        "sorted_neighborhood": q_sorted_neighborhood,
         "pipeline_triples_gated": q_pipeline_triples_gated,
         "pipeline_triples_deep": q_pipeline_triples_deep,
         "corpus_counts": q_corpus_counts,
@@ -3780,6 +3793,17 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts DESC, event_id DESC) AS rn
               FROM events
             ) WHERE rn = 1
+        """,
+        "sorted_neighborhood": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+            k AS (SELECT doc_id, array_to_string(toks[1:2], ' ') AS key
+                  FROM t),
+            r AS (SELECT doc_id,
+                         row_number() OVER (ORDER BY key, doc_id) - 1 AS rk
+                  FROM k),
+            l AS (SELECT doc_id AS a, rk, unnest([1, 2]) AS dist FROM r)
+            SELECT l.a, r2.doc_id AS b, CAST(l.dist AS BIGINT) AS dist
+            FROM l JOIN r r2 ON r2.rk = l.rk + l.dist
         """,
         "dsir_weights": f"""
             WITH t AS (SELECT doc_id, source, {_TOKS_SQL} AS toks

@@ -283,6 +283,50 @@ def containment_pairs(
     )
 
 
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key: Column,
+    window: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995): order
+    records by a blocking key, emit candidate pairs only within a
+    sliding window of ``window`` consecutive records — O(n·window)
+    candidates instead of the O(n²) all-pairs comparison.
+
+    The global sort is :func:`~deepie_spark.operators.dictionary.
+    rank_in_order` (range-bucketed prefix-offset ranking), so there is
+    NO single-partition window even at web-scale n; pairing is one
+    equi-join of the ranked table with its rank-shifted explode
+    (``window − 1`` shifted copies via in-row ``sequence``), shuffled
+    on the rank — uniformly distributed by construction, no skew.
+
+    Ties in ``key`` break on ``id_col``, making ranks — and therefore
+    the emitted pair set — deterministic under any partitioning.
+    Output: (a, b, dist) with a preceding b by ``dist`` ranks,
+    1 ≤ dist < window."""
+    from deepie_spark.operators.dictionary import rank_in_order
+
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.struct(key.alias("k"), F.col(id_col).alias("i")).alias("_ord"),
+    )
+    ranked = rank_in_order(keyed, "_ord", start_id=0, id_col="rk").select(
+        "_id", "rk"
+    )
+    left = ranked.select(
+        F.col("_id").alias("a"),
+        F.col("rk"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(window - 1))
+        ).alias("dist"),
+    ).withColumn("rk_b", F.col("rk") + F.col("dist"))
+    right = ranked.select(F.col("_id").alias("b"), F.col("rk").alias("rk_b"))
+    return left.join(right, "rk_b").select(
+        "a", "b", F.col("dist").cast("long").alias("dist")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     n_hashes: int = 16,

@@ -335,3 +335,38 @@ def test_max_cluster_caps_pair_expansion(spark):
             assert r["jaccard"] == 1.0 and r["inter"] == r["n_a"]
     # the small exact-dup pair outside the cluster survives intact
     assert (5000, 5001) in {(r["a"], r["b"]) for r in got}
+
+
+def test_sorted_neighborhood_candidates(spark):
+    """Window-w blocking over the sorted key: each record pairs with
+    its w-1 successors; near-identical records (same blocking key)
+    always land in one window; candidate count is exactly
+    (n-1) + (n-2) for w=3; invariant under repartitioning."""
+    from deepie_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [
+        (1, "alpha beta one"),
+        (2, "alpha beta two"),      # same key as 1 → adjacent
+        (3, "zulu omega x"),
+        (4, "mike november y"),
+        (5, "alpha beta three"),    # same key as 1,2
+        (6, "zulu omega z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    key = F.concat_ws(" ", F.slice(F.split("text", r"\s+"), 1, 2))
+    got = {
+        (r["a"], r["b"], r["dist"])
+        for r in sorted_neighborhood_pairs(df, key, window=3).collect()
+    }
+    n = len(rows)
+    assert len(got) == (n - 1) + (n - 2)
+    # sort order: (alpha beta: 1,2,5)(mike november: 4)(zulu omega: 3,6)
+    assert (1, 2, 1) in got and (2, 5, 1) in got and (1, 5, 2) in got
+    assert (3, 6, 1) in got
+    got2 = {
+        (r["a"], r["b"], r["dist"])
+        for r in sorted_neighborhood_pairs(
+            df.repartition(5), key, window=3
+        ).collect()
+    }
+    assert got2 == got
