@@ -587,6 +587,75 @@ def _url_normalize_oracle_sql() -> str:
     """
 
 
+def _bpe_round_sql(r: int) -> str:
+    """One unrolled BPE merge round: exact-integer pair counts → top-1
+    (count DESC, lexicographic) → greedy non-overlapping application
+    via gaps-and-islands (runs of consecutive matches take every other
+    position — the closed form of the left-to-right scan, which only
+    differs from per-position matching when s1 == s2)."""
+    return f"""
+            p{r} AS (
+              SELECT s1, s2, CAST(sum(n) AS BIGINT) AS c FROM (
+                SELECT v.n, v.syms[i + 1] AS s1, v.syms[i + 2] AS s2
+                FROM vocab{r} v, unnest(range(len(v.syms) - 1)) AS u(i)
+                WHERE len(v.syms) >= 2
+              ) GROUP BY s1, s2
+            ),
+            top{r} AS (SELECT s1, s2, s1 || s2 AS m FROM p{r}
+                       ORDER BY c DESC, s1, s2 LIMIT 1),
+            e{r} AS (
+              SELECT v.word, v.n, u.i AS i, v.syms[u.i + 1] AS s,
+                     CASE WHEN u.i + 2 <= len(v.syms)
+                          THEN v.syms[u.i + 2] END AS nxt
+              FROM vocab{r} v, unnest(range(len(v.syms))) AS u(i)
+            ),
+            m{r} AS (
+              SELECT e.*, (e.s = t.s1
+                           AND COALESCE(e.nxt = t.s2, false)) AS mt,
+                     t.m AS merged
+              FROM e{r} e CROSS JOIN top{r} t
+            ),
+            i{r} AS (
+              SELECT *, CASE WHEN mt THEN i - row_number()
+                          OVER (PARTITION BY word, mt ORDER BY i) END AS grp
+              FROM m{r}
+            ),
+            tk{r} AS (
+              SELECT *, mt AND ((i - min(i)
+                          OVER (PARTITION BY word, grp)) % 2 = 0) AS taken
+              FROM i{r}
+            ),
+            vocab{r + 1} AS (
+              SELECT word, n,
+                     list(CASE WHEN taken THEN merged ELSE s END
+                          ORDER BY i) AS syms
+              FROM (
+                SELECT tk.*, lag(taken, 1, false)
+                         OVER (PARTITION BY word ORDER BY i) AS prev_taken
+                FROM tk{r} tk
+              )
+              WHERE NOT prev_taken
+              GROUP BY word, n
+            )"""
+
+
+def _bpe_oracle_sql(k: int = 4) -> str:
+    rounds = ",".join(_bpe_round_sql(r) for r in range(k))
+    return f"""
+        WITH tw AS (
+          SELECT unnest({_TOKS_SQL}) AS word FROM documents
+        ),
+        vocab0 AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS n,
+                 string_split(word, '') AS syms
+          FROM tw GROUP BY word
+        ),{rounds}
+        SELECT word, n, array_to_string(syms, '|') AS segmentation,
+               CAST(len(syms) AS BIGINT) AS n_syms
+        FROM vocab{k}
+    """
+
+
 def _hits_oracle_sql(iterations: int = 2) -> str:
     """DuckDB twin of operators.graph.hits: unrolled synchronous
     half-steps over exact-integer accumulators (sum(BIGINT) is HUGEINT
@@ -1797,6 +1866,27 @@ def q_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.event_id").alias("last_event_id"),
         F.col("m.event_type").alias("last_event_type"),
     )
+
+
+_BPE_MERGES = 4
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (first k merges): one corpus
+    pass for word counts, then k vocabulary-sized merge rounds with a
+    bounded 1-row collect each (operators/bpe.py has the full 100-TB
+    argument).  Output is the trained segmentation of the vocabulary —
+    exact-integer counts + lexicographic tie-breaks make it
+    deterministic and DuckDB-twinnable (unrolled islands-merge SQL)."""
+    from deepie_spark.operators.bpe import bpe_segment_corpus
+
+    wc = (
+        _toks(spark, sf_dir)
+        .select(F.explode("toks").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return bpe_segment_corpus(wc, _BPE_MERGES)
 
 
 def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3222,6 +3312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "entity_hits": q_entity_hits,
         "sorted_neighborhood": q_sorted_neighborhood,
+        "bpe_vocab": q_bpe_vocab,
         "pipeline_triples_gated": q_pipeline_triples_gated,
         "pipeline_triples_deep": q_pipeline_triples_deep,
         "corpus_counts": q_corpus_counts,
@@ -4485,6 +4576,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "entity_pagerank": _pagerank_oracle_sql(),
         "entity_hits": _hits_oracle_sql(),
+        "bpe_vocab": _bpe_oracle_sql(_BPE_MERGES),
         "entity_ppr": _ppr_oracle_sql(),
         # bfs twin: min(hop) over the bounded recursive walk equals
         # the BFS layer (layers are shortest-first); UNION (not UNION

@@ -1,0 +1,94 @@
+"""Distributed BPE training vs a pure-python reference trainer."""
+
+import random
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from deepie_spark.operators.bpe import apply_merge, bpe_train
+
+
+def _py_bpe(words: Counter, k: int):
+    vocab = {w: list(w) for w in words}
+    merges = []
+    for _ in range(k):
+        pc: Counter = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += words[w]
+        if not pc:
+            break
+        a, b = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        merges.append((a, b))
+        m = a + b
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(m)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_matches_python_reference(spark):
+    rng = random.Random(23)
+    alphabet = "abcde"
+    words = Counter()
+    for _ in range(300):
+        w = "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(1, 8))
+        )
+        words[w] += rng.randint(1, 5)
+    wc = spark.createDataFrame(
+        list(words.items()), "word string, n long"
+    )
+    got_merges, got_vocab = bpe_train(wc, 6)
+    want_merges, want_vocab = _py_bpe(words, 6)
+    assert got_merges == want_merges
+    got = {
+        r["word"]: r["syms"] for r in got_vocab.collect()
+    }
+    assert got == want_vocab
+
+
+def test_apply_merge_greedy_nonoverlapping(spark):
+    """Overlap semantics (s1 == s2) is where naive matching and greedy
+    BPE diverge: 'a a a' merges (0,1), never (1,2)."""
+    df = spark.createDataFrame(
+        [
+            (["a", "a", "a"],),
+            (["a", "a", "a", "a"],),
+            (["b", "a", "a"],),
+            (["a"],),
+        ],
+        "syms array<string>",
+    )
+    out = [
+        r["m"]
+        for r in df.select(
+            apply_merge(F.col("syms"), "a", "a").alias("m")
+        ).collect()
+    ]
+    assert out == [
+        ["aa", "a"],
+        ["aa", "aa"],
+        ["b", "aa"],
+        ["a"],
+    ]
+
+
+def test_bpe_reconstruction_invariant(spark):
+    """Concatenating a word's symbols always reproduces the word, and
+    merged symbols appear in later rounds' pair counts (compression
+    monotonicity: total symbol count never increases)."""
+    words = Counter({"banana": 4, "bandana": 2, "ananas": 3, "nab": 1})
+    wc = spark.createDataFrame(list(words.items()), "word string, n long")
+    _, vocab = bpe_train(wc, 3)
+    rows = vocab.collect()
+    for r in rows:
+        assert "".join(r["syms"]) == r["word"]
+        assert len(r["syms"]) <= len(r["word"])
