@@ -1352,6 +1352,30 @@ def q_error_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_error_window_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS range join: every event in the 10 minutes before each
+    error, across ALL users — no equi key, so a naive join plans
+    BroadcastNestedLoopJoin (O(|L|·|R|), fatal at scale).  Rewritten as
+    the binned equi-join (plans/rangejoin.py): anchors replicate ×2
+    across time bins, events map to one bin, shuffle hash join + exact
+    band re-check.  Integer-cents sums keep the oracle hash-exact."""
+    from deepie_spark.plans.rangejoin import binned_interval_join
+
+    e = _events(spark, sf_dir)
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("err_ts")
+    )
+    probe = e.select("ts", "value")
+    joined = binned_interval_join(
+        err, probe, "err_ts", "ts", lookback_sec=600
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return joined.groupBy("error_id").agg(
+        F.count("*").alias("n_preceding"),
+        F.sum(cents).cast("long").alias("sum_cents"),
+    )
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: a new session starts after a >30-minute
     silence; per user, session count and longest session (events).
@@ -3313,6 +3337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_hits": q_entity_hits,
         "sorted_neighborhood": q_sorted_neighborhood,
         "bpe_vocab": q_bpe_vocab,
+        "error_window_global": q_error_window_global,
         "pipeline_triples_gated": q_pipeline_triples_gated,
         "pipeline_triples_deep": q_pipeline_triples_deep,
         "corpus_counts": q_corpus_counts,
@@ -3884,6 +3909,20 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts DESC, event_id DESC) AS rn
               FROM events
             ) WHERE rn = 1
+        """,
+        "error_window_global": """
+            WITH err AS (
+              SELECT event_id AS error_id, ts AS err_ts
+              FROM events WHERE event_type = 'error'
+            )
+            SELECT error_id,
+                   CAST(count(*) AS BIGINT) AS n_preceding,
+                   CAST(sum(CAST(round(e.value * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM err JOIN events e
+              ON e.ts >= err.err_ts - INTERVAL 10 MINUTE
+             AND e.ts < err.err_ts
+            GROUP BY error_id
         """,
         "sorted_neighborhood": f"""
             WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),

@@ -483,3 +483,40 @@ def test_oov_rate_vocab_probe_is_broadcast(spark, sf_dir):
     assert "TakeOrderedAndProject" in final
     assert "BroadcastHashJoin" in final
     assert "GlobalLimit" not in final  # top-k never via global sort+limit
+
+
+def test_error_window_global_binned_not_nested_loop(spark, sf_dir):
+    """The keyless range join must plan as a hash equi-join on the time
+    bin — never BroadcastNestedLoopJoin/CartesianProduct (the naive
+    non-equi plan, O(L*R) at scale).  Result parity with the naive plan
+    is asserted on the same input."""
+    df = entry.q_error_window_global(spark, sf_dir)
+    plan = executed(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" not in final
+    assert "CartesianProduct" not in final
+    assert "Join" in final
+
+    import pyspark.sql.functions as F
+
+    e = entry._events(spark, sf_dir)
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("err_ts")
+    )
+    naive = (
+        err.join(
+            e.select("ts", "value"),
+            (F.col("ts") >= F.col("err_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("ts") < F.col("err_ts")),
+        )
+        .groupBy("error_id")
+        .agg(
+            F.count("*").alias("n_preceding"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
