@@ -1352,6 +1352,34 @@ def q_error_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_PRICE_TH = 400000.0
+
+
+def q_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join: lineitem ⋈ high-value orders with a
+    hand-rolled bloom pre-filter on l_orderkey (operators/bloomjoin.py)
+    — at scale the filtered dim is too big to broadcast as rows, but
+    its 8 KB bit fingerprint is not, so the fact side is pruned in-row
+    BEFORE the shuffle.  Result is exactly the plain join (bloom false
+    positives washed by the join), which is what the oracle checks."""
+    from deepie_spark.operators.bloomjoin import bloom_filtered_join
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).filter(
+        F.col("o_totalprice") > _BLOOM_PRICE_TH
+    ).select("o_orderkey", "o_orderpriority")
+    j = bloom_filtered_join(li, o, "l_orderkey", "o_orderkey")
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+    )
+
+
 def q_error_window_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KEYLESS range join: every event in the 10 minutes before each
     error, across ALL users — no equi key, so a naive join plans
@@ -3338,6 +3366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood": q_sorted_neighborhood,
         "bpe_vocab": q_bpe_vocab,
         "error_window_global": q_error_window_global,
+        "bloom_prejoin": q_bloom_prejoin,
         "pipeline_triples_gated": q_pipeline_triples_gated,
         "pipeline_triples_deep": q_pipeline_triples_deep,
         "corpus_counts": q_corpus_counts,
@@ -3909,6 +3938,17 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts DESC, event_id DESC) AS rn
               FROM events
             ) WHERE rn = 1
+        """,
+        "bloom_prejoin": f"""
+            SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents,
+                   CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_totalprice > {_BLOOM_PRICE_TH!r}
+            GROUP BY o.o_orderpriority
         """,
         "error_window_global": """
             WITH err AS (
