@@ -1352,6 +1352,16 @@ def q_error_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: n evenly spaced byte windows per
+    payload, md5-fingerprinted — map-only JVM plan, no Python worker
+    (operators/multimodal.py sample_frames)."""
+    from deepie_spark.operators.multimodal import sample_frames
+
+    media = synthetic_media(_docs(spark, sf_dir))
+    return sample_frames(media, n_frames=4, frame_bytes=16)
+
+
 _BLOOM_PRICE_TH = 400000.0
 
 
@@ -3367,6 +3377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": q_bpe_vocab,
         "error_window_global": q_error_window_global,
         "bloom_prejoin": q_bloom_prejoin,
+        "media_frames": q_media_frames,
         "pipeline_triples_gated": q_pipeline_triples_gated,
         "pipeline_triples_deep": q_pipeline_triples_deep,
         "corpus_counts": q_corpus_counts,
@@ -3938,6 +3949,28 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts DESC, event_id DESC) AS rn
               FROM events
             ) WHERE rn = 1
+        """,
+        "media_frames": """
+            -- ASCII corpus (see _media_features_oracle_sql): byte
+            -- windows over utf-8 payloads == char windows over text
+            WITH m AS (SELECT doc_id AS media_id, text,
+                              CAST(length(text) AS BIGINT) AS ln
+                       FROM documents),
+            s AS (SELECT media_id, text,
+                         greatest(CAST(1 AS BIGINT), (ln - 16) // 3)
+                           AS stride
+                  FROM m),
+            f AS (SELECT media_id, unnest(range(4)) AS frame_idx,
+                         text, stride
+                  FROM s)
+            SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                   md5(substr(text,
+                              CAST(frame_idx * stride + 1 AS INT), 16))
+                     AS frame_md5,
+                   CAST(length(substr(text,
+                          CAST(frame_idx * stride + 1 AS INT), 16))
+                        AS BIGINT) AS n_bytes
+            FROM f
         """,
         "bloom_prejoin": f"""
             SELECT o.o_orderpriority,

@@ -76,6 +76,15 @@ EXTRA = [
     "kg_negatives",
     "entity_ppr",
     "corpus_yield_funnel",
+    # round-4 additions
+    "winnow_fingerprints",
+    "user_scd2",
+    "dsir_weights",
+    "entity_hits",
+    "sorted_neighborhood",
+    "bpe_vocab",
+    "error_window_global",
+    "bloom_prejoin",
 ]
 
 HEADLINE = [

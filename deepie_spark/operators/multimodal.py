@@ -161,6 +161,50 @@ def extract_media_features(
     return narrow.mapInPandas(run, FEATURES_SCHEMA)
 
 
+def sample_frames(
+    media: DataFrame,
+    n_frames: int = 4,
+    frame_bytes: int = 16,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling over opaque media payloads: ``n_frames`` evenly
+    spaced byte windows per payload — the video-pipeline stage shape
+    (decode→frame-sample) with the codec-specific seek replaced by a
+    deterministic byte stride (a real container would seek keyframes;
+    the Spark-side contract — per-frame rows, bounded width, stable
+    ids/hashes — is identical).
+
+    Entirely JVM expressions (substring/md5 on binary): map-only plan,
+    no Python worker, no shuffle — and a DuckDB twin reproduces the
+    frame hashes bit-exactly, which gates the slicing arithmetic."""
+    ln = F.length(F.col(payload_col)).cast("long")
+    stride = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor((ln - frame_bytes) / F.lit(n_frames - 1)).cast("long"),
+    )
+    frames = F.transform(
+        F.sequence(F.lit(0), F.lit(n_frames - 1)),
+        lambda i: F.struct(
+            i.cast("long").alias("frame_idx"),
+            F.substring(
+                F.col(payload_col),
+                (i * stride + 1).cast("int"),
+                frame_bytes,
+            ).alias("frame"),
+        ),
+    )
+    return (
+        media.select(F.col(id_col).alias("media_id"), F.explode(frames).alias("f"))
+        .select(
+            "media_id",
+            F.col("f.frame_idx").alias("frame_idx"),
+            F.md5(F.col("f.frame")).alias("frame_md5"),
+            F.length(F.col("f.frame")).cast("long").alias("n_bytes"),
+        )
+    )
+
+
 def synthetic_media(documents: DataFrame) -> DataFrame:
     """Deterministic media table derived from documents (no external
     data): payload = utf-8 text bytes standing in for encoded media."""

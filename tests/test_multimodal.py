@@ -162,3 +162,32 @@ def test_best_featurizer_contract_whichever_path(spark):
     again = {r["media_id"]: r for r in extract_media_features(
         media, featurizer=kernel).collect()}
     assert all(got[i]["features"] == again[i]["features"] for i in got)
+
+
+def test_sample_frames_plumbing(spark):
+    """Per-frame rows with stable hashes, reconstruction of slicing
+    arithmetic, and a map-only JVM plan (no Python workers)."""
+    import hashlib
+
+    from deepie_spark.operators.multimodal import sample_frames
+
+    rows = [(1, b"0123456789abcdefghijklmnopqrstuv"), (2, b"short")]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = sample_frames(media, n_frames=4, frame_bytes=16)
+    got = {(r["media_id"], r["frame_idx"]): r for r in out.collect()}
+    assert len(got) == 8
+    # doc 1: len 32, stride max(1,(32-16)//3)=5 → offsets 0,5,10,15
+    payload = rows[0][1]
+    for i, off in enumerate((0, 5, 10, 15)):
+        frame = payload[off : off + 16]
+        assert got[(1, i)]["frame_md5"] == hashlib.md5(frame).hexdigest()
+        assert got[(1, i)]["n_bytes"] == len(frame)
+    # doc 2: len 5 < 16 → stride 1, overlapping short frames
+    for i in range(4):
+        frame = rows[1][1][i : i + 16]
+        assert got[(2, i)]["frame_md5"] == hashlib.md5(frame).hexdigest()
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final
+    assert "EvalPython" not in plan
