@@ -1352,6 +1352,49 @@ def q_error_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ALLOC_BUDGET = 1_000_000
+
+
+def q_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a training-token
+    budget across sources, proportional to corpus share: the integer
+    EXECUTION step after mixture_plan's weights.  Pure integer
+    arithmetic — base = (B·n_s) div N, remainder = (B·n_s) mod N, the
+    B − Σbase leftovers go to the largest remainders (ties: source
+    asc) — so allocations sum EXACTLY to B and match any engine
+    bit-for-bit.  The ranking window runs over the per-source aggregate
+    (bounded: one row per source), never over the corpus."""
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    tot = counts.agg(F.sum("n").cast("long").alias("ntot"))
+    q = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        # integer `div`, not `/`: float division would lose exactness
+        # once n*B approaches 2^53 at design scale
+        F.expr(f"(n * {_ALLOC_BUDGET}) div ntot").cast("long").alias("base"),
+        F.pmod(F.col("n") * _ALLOC_BUDGET, F.col("ntot"))
+        .cast("long")
+        .alias("rem"),
+    )
+    left = q.agg(
+        (F.lit(_ALLOC_BUDGET) - F.sum("base")).cast("long").alias("L")
+    )
+    w = W.orderBy(F.col("rem").desc(), "source")
+    return (
+        q.withColumn("rk", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(left))
+        .select(
+            "source",
+            "n",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("L"), 1).otherwise(0)
+            ).cast("long").alias("tokens"),
+        )
+    )
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame sampling: n evenly spaced byte windows per
     payload, md5-fingerprinted — map-only JVM plan, no Python worker
@@ -2622,6 +2665,31 @@ def q_triple_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_histogram(t)
 
 
+def q_edge_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity of the directed triple graph: share of distinct
+    (src→dst) edges whose reverse edge also exists — the KG symmetry
+    health metric (relation directionality check).  One left-semi
+    self-join on the swapped key + exact integer counts; the final
+    ratio is int/int, engine-portable."""
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    e = t.filter(F.col("src") != F.col("dst")).distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    n = e.agg(F.count("*").cast("long").alias("n_edges"))
+    r = recip.agg(F.count("*").cast("long").alias("n_reciprocal"))
+    return n.crossJoin(r).select(
+        "n_edges",
+        "n_reciprocal",
+        F.round(
+            F.col("n_reciprocal").cast("double")
+            / F.col("n_edges").cast("double"),
+            6,
+        ).alias("reciprocity"),
+    )
+
+
 def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle census / transitivity of the rule-triple graph
     (operators/graph.py triangle_stats — degree-ordered orientation
@@ -3378,6 +3446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_window_global": q_error_window_global,
         "bloom_prejoin": q_bloom_prejoin,
         "media_frames": q_media_frames,
+        "edge_reciprocity": q_edge_reciprocity,
+        "mixture_allocation": q_mixture_allocation,
         "pipeline_triples_gated": q_pipeline_triples_gated,
         "pipeline_triples_deep": q_pipeline_triples_deep,
         "corpus_counts": q_corpus_counts,
@@ -3949,6 +4019,58 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts DESC, event_id DESC) AS rn
               FROM events
             ) WHERE rn = 1
+        """,
+        "edge_reciprocity": f"""
+            WITH {_MENTIONS_SQL.strip()},
+            rules(type1, type2, label) AS (VALUES
+              {RULES_VALUES}
+            ),
+            pairs AS (
+              SELECT a.alias AS alias1, b.alias AS alias2,
+                     a.entity_type AS type1, b.entity_type AS type2
+              FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id
+              WHERE a.pos < b.pos AND b.pos - a.pos <= 10
+            ),
+            t AS (
+              SELECT
+                CASE WHEN label LIKE '%(e2,e1)' THEN alias2 ELSE alias1 END
+                  AS subj,
+                CASE WHEN label LIKE '%(e2,e1)' THEN alias1 ELSE alias2 END
+                  AS obj
+              FROM pairs JOIN rules USING (type1, type2)
+              WHERE label != 'NONE'
+            ),
+            e AS (SELECT DISTINCT subj AS src, obj AS dst FROM t
+                  WHERE subj != obj),
+            stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                     CAST(sum(CASE WHEN EXISTS (
+                       SELECT 1 FROM e e2
+                       WHERE e2.src = e.dst AND e2.dst = e.src
+                     ) THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocal
+              FROM e
+            )
+            SELECT n_edges, n_reciprocal,
+                   round(CAST(n_reciprocal AS DOUBLE)
+                         / CAST(n_edges AS DOUBLE), 6) AS reciprocity
+            FROM stats
+        """,
+        "mixture_allocation": f"""
+            WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                       FROM documents GROUP BY source),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM c),
+            q AS (SELECT source, n,
+                         (n * {_ALLOC_BUDGET}) // ntot AS base,
+                         (n * {_ALLOC_BUDGET}) % ntot AS rem
+                  FROM c CROSS JOIN t),
+            l AS (SELECT {_ALLOC_BUDGET} - CAST(sum(base) AS BIGINT) AS L
+                  FROM q),
+            r AS (SELECT *, row_number()
+                    OVER (ORDER BY rem DESC, source) AS rk FROM q)
+            SELECT source, n,
+                   CAST(base + CASE WHEN rk <= l.L THEN 1 ELSE 0 END
+                        AS BIGINT) AS tokens
+            FROM r CROSS JOIN l
         """,
         "media_frames": """
             -- ASCII corpus (see _media_features_oracle_sql): byte

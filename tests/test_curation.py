@@ -123,3 +123,15 @@ def test_dsir_plan_bounded_broadcast(spark, sf_dir):
     assert final.count("BroadcastExchange") >= 2
     assert "SortMergeJoin" not in final
     assert "CartesianProduct" not in final
+
+
+def test_mixture_allocation_sums_to_budget(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    rows = entry.q_mixture_allocation(spark, sf_dir).collect()
+    assert sum(r["tokens"] for r in rows) == entry._ALLOC_BUDGET
+    # proportionality: allocation within 1 token of the exact quota
+    n_tot = sum(r["n"] for r in rows)
+    for r in rows:
+        exact = entry._ALLOC_BUDGET * r["n"] / n_tot
+        assert abs(r["tokens"] - exact) < 1.0
