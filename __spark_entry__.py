@@ -1141,10 +1141,13 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint selection: k-shingle poly hashes,
     w-window rightmost-minimum — the principled sparse fingerprint set
     guaranteeing detection of any ≥ w+k-1-token shared substring.
-    In-row integer expressions only → map-only plan, zero shuffle."""
+    In-row integer expressions only — CPU-heavy narrow stage, so the
+    1-2-split local parquet gets ensure_parallelism (no-op on real
+    many-split tables)."""
     from deepie_spark.functions.text import winnow_fingerprints
+    from deepie_spark.session import ensure_parallelism
 
-    t = _toks(spark, sf_dir)
+    t = ensure_parallelism(_toks(spark, sf_dir))
     sel = winnow_fingerprints(F.col("toks"), k=3, w=4)
     return t.select(
         "doc_id", F.explode(sel).alias("s")

@@ -225,25 +225,65 @@ def winnow_fingerprints(tokens: Column, k: int = 3, w: int = 4) -> Column:
     hash → map-only plan, zero shuffle, and a DuckDB twin computes
     identical values.  Docs shorter than one window keep their single
     global minimum (shingles() already collapses sub-k docs to one
-    shingle)."""
+    shingle).
+
+    Implementation note (round-4 perf fix): the windows must NOT be
+    expressed as ``transform(sequence, j -> f(slice(hs, j, w)))`` with
+    ``hs`` a derived expression — Spark performs no common-subexpression
+    elimination inside higher-order-function lambdas, so ``hs`` (the
+    full shingle+hash pipeline) is re-evaluated PER WINDOW → O(m²) per
+    document (measured 230 s for 5k docs at sf0.1).  Instead this is
+    ONE left fold over ``hs`` (the fold's collection argument is
+    evaluated once) carrying a ring buffer of the last ``w`` hashes:
+    O(m·w) total, ~100× faster on the same corpus.  A switched-away
+    minimum can never be re-picked (the switch target is a ≤-min that
+    stays in the window longer), so duplicate selections are adjacent —
+    dropped by the last-element guard; array_distinct stays as a cheap
+    belt-and-braces."""
     hs = F.transform(shingles(tokens, k), char_poly_hash_str)
-    m = F.size(hs)
+    init = F.struct(
+        F.array().cast("array<long>").alias("buf"),
+        F.lit(0).cast("long").alias("n"),
+        F.expr(
+            "CAST(array() AS array<struct<pos:bigint,fp:bigint>>)"
+        ).alias("out"),
+    )
 
-    def pick(sl: Column, j: Column) -> Column:
-        v = F.array_min(sl)
-        rpos = F.size(sl) - F.array_position(F.reverse(sl), v) + 1
-        return F.struct(
-            (j + rpos - 1).cast("long").alias("pos"), v.alias("fp")
+    def step(acc: Column, x: Column) -> Column:
+        grown = F.concat(acc["buf"], F.array(x))
+        buf = F.when(
+            F.size(grown) > w, F.slice(grown, 2, w)
+        ).otherwise(grown)
+        n = acc["n"] + 1
+        v = F.array_min(buf)
+        rpos = F.size(buf) - F.array_position(F.reverse(buf), v) + 1
+        pick = F.struct(
+            (n - w + rpos - 1).cast("long").alias("pos"),
+            v.alias("fp"),
         )
+        appended = F.when(
+            (F.size(acc["out"]) > 0)
+            & (F.element_at(acc["out"], -1) == pick),
+            acc["out"],
+        ).otherwise(F.concat(acc["out"], F.array(pick)))
+        out = F.when(F.size(buf) >= w, appended).otherwise(acc["out"])
+        return F.struct(buf.alias("buf"), n.alias("n"), out.alias("out"))
 
-    sel = F.when(
-        m >= w,
-        F.transform(
-            F.sequence(F.lit(0), m - w),
-            lambda j: pick(F.slice(hs, j + 1, w), j),
-        ),
-    ).otherwise(F.array(pick(hs, F.lit(0))))
-    return F.array_distinct(sel)
+    def finish(acc: Column) -> Column:
+        # short doc (< w shingles): single global window over buf;
+        # pos = rightmost-min index (0-based) within the whole array
+        v = F.array_min(acc["buf"])
+        rpos = (
+            F.size(acc["buf"])
+            - F.array_position(F.reverse(acc["buf"]), v)
+            + 1
+        )
+        short = F.array(
+            F.struct((rpos - 1).cast("long").alias("pos"), v.alias("fp"))
+        )
+        return F.when(F.size(acc["out"]) > 0, acc["out"]).otherwise(short)
+
+    return F.array_distinct(F.aggregate(hs, init, step, finish))
 
 
 def doc_trigrams(tokens: Column) -> Column:

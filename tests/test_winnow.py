@@ -94,9 +94,12 @@ def test_winnow_detection_guarantee(spark):
 
 
 def test_winnow_query_is_map_only(spark, sf_dir):
+    """Map-only modulo the one ensure_parallelism input rebalance (the
+    local parquet is 1-2 splits): no hash/range shuffle, no Python."""
     df = entry.q_winnow_fingerprints(spark, sf_dir)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
-    assert "Exchange" not in final
+    assert "Exchange hashpartitioning" not in final
+    assert "Exchange rangepartitioning" not in final
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
