@@ -1355,6 +1355,19 @@ def q_error_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA projection of the embedding table onto its top-2
+    principal components (operators/pca.py: one Arrow-batched Gram
+    pass, driver-side d×d eigensolve, JVM-only projection).  FP
+    aggregation order makes this tolerance-verified (pytest numpy
+    twin), not hash-oracle material — rows-only driver check."""
+    from deepie_spark.operators.pca import principal_components, project
+
+    emb = _emb(spark, sf_dir)
+    comps = principal_components(emb, dim=64, n_components=2)
+    return project(emb, comps)
+
+
 _ALLOC_BUDGET = 1_000_000
 
 
@@ -3451,6 +3464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "edge_reciprocity": q_edge_reciprocity,
         "mixture_allocation": q_mixture_allocation,
+        "embedding_pca": q_embedding_pca,
         "pipeline_triples_gated": q_pipeline_triples_gated,
         "pipeline_triples_deep": q_pipeline_triples_deep,
         "corpus_counts": q_corpus_counts,

@@ -1,0 +1,111 @@
+"""Distributed PCA over embedding columns (tree-aggregated Gram).
+
+The scalable shape for tall-skinny PCA (N rows × small d): the N-sized
+work is ONE pass computing the d×d Gram matrix G = Σ vᵀv and the mean —
+each Arrow batch contributes a single d²-vector via numpy matmul
+(``mapInArrow``, the BLAS-speed path), partials combine by elementwise
+sum (map-side combinable, 256 doubles per partition for d=16), and the
+eigendecomposition runs driver-side on the d×d result (microseconds —
+never distribute the small side).  Projection back onto the data is an
+in-row JVM dot fold against the broadcast component literals — no
+second Python stage.
+
+This is the same split k-means uses (operators/clustering.py): per-row
+work distributed and vectorized, model-sized state on the driver.
+
+Determinism: G's elementwise sums are floating-point over an
+aggregation order Spark does not fix, so components are deterministic
+only to ~1 ulp·N — fine for ML use, NOT hash-oracle material.  The
+gated evidence is therefore pytest (numpy twin within tolerance +
+repartition stability), and the sign convention (largest-|coord| entry
+positive) pins the eigenvector orientation.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def gram_and_mean(
+    emb: DataFrame, dim: int, vec_col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """One distributed pass → (G = Σ v vᵀ, Σ v, N) as numpy.
+
+    Each Arrow batch emits one flattened partial (d² + d + 1 doubles);
+    the final reduce is a tiny grouped sum.
+    """
+
+    def partials(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            col = batch.column(0)
+            x = np.array(col.to_pylist(), dtype=np.float64)
+            if x.size == 0:
+                continue
+            g = x.T @ x
+            out = np.concatenate([g.ravel(), x.sum(axis=0), [float(len(x))]])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([out.tolist()], type=pa.list_(pa.float64()))],
+                names=["p"],
+            )
+
+    part = emb.select(vec_col).mapInArrow(partials, "p array<double>")
+    # partials are ≤ #batches rows of d²+d+1 doubles: explode + grouped
+    # sum is a bounded shuffle (map-side combine leaves one row per
+    # partition per index)
+    summed = (
+        part.select(F.posexplode("p").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    )
+    flat = np.zeros(dim * dim + dim + 1)
+    for r in summed:
+        flat[r["i"]] = r["s"]
+    g = flat[: dim * dim].reshape(dim, dim)
+    s = flat[dim * dim : dim * dim + dim]
+    n = int(flat[-1])
+    return g, s, n
+
+
+def principal_components(
+    emb: DataFrame, dim: int, n_components: int = 2, vec_col: str = "embedding"
+) -> np.ndarray:
+    """Top ``n_components`` eigenvectors of the COVARIANCE matrix
+    (centered), sign-fixed so each component's largest-|coord| entry is
+    positive.  Shape: (n_components, dim)."""
+    g, s, n = gram_and_mean(emb, dim, vec_col)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    comps = vecs[:, ::-1][:, :n_components].T
+    for c in comps:
+        j = int(np.argmax(np.abs(c)))
+        if c[j] < 0:
+            c *= -1
+    return comps
+
+
+def project(
+    emb: DataFrame,
+    components: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, pc1, pc2, …): in-row JVM dot folds against the broadcast
+    component literals — no Python stage in the projection."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cols = [F.col(id_col)]
+    for i, c in enumerate(components):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        dot = F.aggregate(
+            F.zip_with(v, lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+        cols.append(F.round(dot, 6).alias(f"pc{i + 1}"))
+    return emb.select(*cols)
