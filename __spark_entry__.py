@@ -1473,6 +1473,20 @@ def q_error_window_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs via PPJoin-style prefix filtering: provably
+    complete candidates from rarest-shingle prefixes — the third
+    candidate-generation family beside LSH banding and sorted-
+    neighborhood (operators/dedup.py prefix_filter_jaccard_pairs).
+    Same output contract as ngram_jaccard (no max_df guard needed: the
+    prefix bound replaces it)."""
+    from deepie_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    return prefix_filter_jaccard_pairs(
+        _docs_dups(spark, sf_dir), threshold=0.5, k=_K_SHINGLE
+    )
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: a new session starts after a >30-minute
     silence; per user, session count and longest session (events).
@@ -3464,6 +3478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "edge_reciprocity": q_edge_reciprocity,
         "mixture_allocation": q_mixture_allocation,
+        "prefix_jaccard": q_prefix_jaccard,
         "embedding_pca": q_embedding_pca,
         "pipeline_triples_gated": q_pipeline_triples_gated,
         "pipeline_triples_deep": q_pipeline_triples_deep,
@@ -3849,6 +3864,29 @@ def oracle_sql() -> dict[str, str]:
             FROM ip JOIN sizes na ON na.id = ip.a
                     JOIN sizes nb ON nb.id = ip.b
             WHERE CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) >= 0.5
+        """,
+        "prefix_jaccard": f"""
+            -- exact all-pairs twin, NO max_df keep-filter: prefix
+            -- filtering is complete, so its output is the unguarded
+            -- exact pair set
+            WITH {_DOCS_DUPS_SQL.strip()},
+            t AS (SELECT doc_id AS id, {_TOKS_SQL} AS toks FROM docs_dups),
+            sh AS (SELECT id, unnest(list_distinct({_SHINGLES_SQL}))
+                       AS shingle
+                   FROM t),
+            sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n_sh
+                      FROM sh GROUP BY id),
+            ip AS (SELECT x.id AS a, y.id AS b,
+                          CAST(count(*) AS BIGINT) AS inter
+                   FROM sh x JOIN sh y USING (shingle)
+                   WHERE x.id < y.id GROUP BY 1, 2)
+            SELECT a, b, inter, na.n_sh AS n_a, nb.n_sh AS n_b,
+                   round(CAST(inter AS DOUBLE)
+                         / (na.n_sh + nb.n_sh - inter), 6) AS jaccard
+            FROM ip JOIN sizes na ON na.id = ip.a
+                    JOIN sizes nb ON nb.id = ip.b
+            WHERE CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter)
+                  >= 0.5
         """,
         "minhash_lsh": _minhash_oracle_sql(),
         "simhash": f"""

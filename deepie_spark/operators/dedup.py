@@ -327,6 +327,93 @@ def sorted_neighborhood_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING (Chaudhuri et al. 2006 /
+    PPJoin): provably complete candidate generation WITHOUT the full
+    shingle self-join.
+
+    Principle: order each doc's distinct shingles by ascending global
+    document frequency (rarest first, ties by shingle); if
+    J(A,B) ≥ t then A and B must share a shingle within each other's
+    first ``⌊(1−t)·|set|⌋ + 1`` shingles — so joining only on PREFIX
+    shingles finds every qualifying pair.  Candidates are verified with
+    the exact intersection (computed by a semi-join-reduced pair count).
+
+    Scale shape: the join fan-out per shingle is bounded by how many
+    docs carry it IN THEIR PREFIX — rare shingles by construction —
+    instead of full df² (the reason ngram_jaccard needs its max_df
+    guard).  Plan: one df-count agg, one sort inside the doc's own row
+    (array_sort on (df, shingle) structs — in-row, no window), prefix
+    explode, equi-join, then exact verification on the candidate set
+    only.  Output matches :func:`ngram_jaccard_pairs` exactly
+    (same (a, b, inter, n_a, n_b, jaccard) rows) — asserted by test and
+    by sharing its oracle."""
+    sh = doc_shingles(df, id_col, text_col, k)  # distinct per doc already
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("df", "shingle"))
+                ),
+                lambda s: s["shingle"],
+            ).alias("ordered")
+        )
+    )
+    n_sh = F.size(F.col("ordered"))
+    plen = (F.floor(n_sh * (1.0 - threshold)) + 1).cast("int")
+    prefixes = ranked.select(
+        F.col("id"),
+        n_sh.alias("n"),
+        F.explode(F.slice(F.col("ordered"), 1, plen)).alias("shingle"),
+    )
+    a = prefixes.select(
+        F.col("id").alias("a"), F.col("n").alias("n_a"), "shingle"
+    )
+    b = prefixes.select(
+        F.col("id").alias("b"), F.col("n").alias("n_b"), "shingle"
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "n_a", "n_b")
+        .distinct()
+    )
+    # exact verification: count shared shingles for candidate pairs only
+    # (semi-join reduction: the shingle table is pruned to candidate ids)
+    cand_ids = (
+        cand.select(F.col("a").alias("id"))
+        .unionByName(cand.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_ids, "id")
+    inter = (
+        sh_c.select(F.col("id").alias("a"), "shingle")
+        .join(sh_c.select(F.col("id").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    j = cand.join(inter, ["a", "b"])
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return j.filter(jac >= threshold).select(
+        "a",
+        "b",
+        "inter",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(jac, 6).alias("jaccard"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     n_hashes: int = 16,

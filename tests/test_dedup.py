@@ -370,3 +370,35 @@ def test_sorted_neighborhood_candidates(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_prefix_filter_equals_exact_jaccard(spark):
+    """Prefix filtering is COMPLETE: its output must equal the
+    unguarded exact all-pairs Jaccard join on any input."""
+    import random
+
+    from deepie_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for d in range(80):
+        docs.append(
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 30))))
+        )
+    # inject near-dups: drop the first token of every 5th doc
+    docs += [
+        (1000 + d, t.split(" ", 1)[1])
+        for d, t in docs
+        if d % 5 == 0 and " " in t
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"]): (r["inter"], r["n_a"], r["n_b"], r["jaccard"])
+        for r in prefix_filter_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    want = {
+        (r["a"], r["b"]): (r["inter"], r["n_a"], r["n_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(df, threshold=0.5, max_df=None).collect()
+    }
+    assert got == want and len(want) > 0
