@@ -85,6 +85,11 @@ EXTRA = [
     "bpe_vocab",
     "error_window_global",
     "bloom_prejoin",
+    "media_frames",
+    "edge_reciprocity",
+    "mixture_allocation",
+    "prefix_jaccard",
+    "embedding_pca",
 ]
 
 HEADLINE = [
