@@ -1355,6 +1355,28 @@ def q_error_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout keys over (user_id, hour-of-epoch): the Morton
+    key whose range partitioning co-locates rows close in BOTH
+    dimensions, giving every file tight min/max stats on user AND time
+    (plans/layout.py — the OPTIMIZE ZORDER analog).  Pure unrolled
+    integer bit arithmetic: map-only, exact in any engine."""
+    from deepie_spark.plans.layout import zorder_key2
+
+    e = _events(spark, sf_dir)
+    hour = F.floor(
+        F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600
+    ).cast("long")
+    x = F.pmod(F.col("user_id"), F.lit(1 << 16))
+    y = F.pmod(hour, F.lit(1 << 16))
+    return e.select(
+        "event_id",
+        x.alias("x"),
+        y.alias("y"),
+        zorder_key2(x, y).alias("zkey"),
+    )
+
+
 def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA projection of the embedding table onto its top-2
     principal components (operators/pca.py: one Arrow-batched Gram
@@ -3479,6 +3501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_reciprocity": q_edge_reciprocity,
         "mixture_allocation": q_mixture_allocation,
         "prefix_jaccard": q_prefix_jaccard,
+        "events_zorder": q_events_zorder,
         "embedding_pca": q_embedding_pca,
         "pipeline_triples_gated": q_pipeline_triples_gated,
         "pipeline_triples_deep": q_pipeline_triples_deep,
@@ -3864,6 +3887,18 @@ def oracle_sql() -> dict[str, str]:
             FROM ip JOIN sizes na ON na.id = ip.a
                     JOIN sizes nb ON nb.id = ip.b
             WHERE CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) >= 0.5
+        """,
+        "events_zorder": """
+            WITH e AS (
+              SELECT event_id,
+                     CAST(user_id % 65536 AS BIGINT) AS x,
+                     CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600)
+                          % 65536 AS BIGINT) AS y
+              FROM events
+            )
+            SELECT event_id, x, y,
+                   CAST(((x // 1) % 2) * 1 + ((y // 1) % 2) * 2 + ((x // 2) % 2) * 4 + ((y // 2) % 2) * 8 + ((x // 4) % 2) * 16 + ((y // 4) % 2) * 32 + ((x // 8) % 2) * 64 + ((y // 8) % 2) * 128 + ((x // 16) % 2) * 256 + ((y // 16) % 2) * 512 + ((x // 32) % 2) * 1024 + ((y // 32) % 2) * 2048 + ((x // 64) % 2) * 4096 + ((y // 64) % 2) * 8192 + ((x // 128) % 2) * 16384 + ((y // 128) % 2) * 32768 + ((x // 256) % 2) * 65536 + ((y // 256) % 2) * 131072 + ((x // 512) % 2) * 262144 + ((y // 512) % 2) * 524288 + ((x // 1024) % 2) * 1048576 + ((y // 1024) % 2) * 2097152 + ((x // 2048) % 2) * 4194304 + ((y // 2048) % 2) * 8388608 + ((x // 4096) % 2) * 16777216 + ((y // 4096) % 2) * 33554432 + ((x // 8192) % 2) * 67108864 + ((y // 8192) % 2) * 134217728 + ((x // 16384) % 2) * 268435456 + ((y // 16384) % 2) * 536870912 + ((x // 32768) % 2) * 1073741824 + ((y // 32768) % 2) * 2147483648 AS BIGINT) AS zkey
+            FROM e
         """,
         "prefix_jaccard": f"""
             -- exact all-pairs twin, NO max_df keep-filter: prefix
