@@ -1355,6 +1355,25 @@ def q_error_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HH_PHI = 0.034
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact φ-heavy-hitter tokens via Misra-Gries candidates + one
+    recount pass (operators/sketches.py heavy_hitters_exact): MG's
+    superset guarantee makes the two-pass output EXACT, so a plain
+    GROUP BY / HAVING oracle gates a sketch operator hash-exactly."""
+    from deepie_spark.operators.sketches import heavy_hitters_exact
+    from deepie_spark.session import ensure_parallelism
+
+    occ = ensure_parallelism(
+        _occ(spark, sf_dir).select(F.col("token").alias("item"))
+    )
+    return heavy_hitters_exact(occ, phi=_HH_PHI, item_col="item").select(
+        F.col("item").alias("token"), "cnt", "n_total"
+    )
+
+
 def q_events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout keys over (user_id, hour-of-epoch): the Morton
     key whose range partitioning co-locates rows close in BOTH
@@ -3502,6 +3521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_allocation": q_mixture_allocation,
         "prefix_jaccard": q_prefix_jaccard,
         "events_zorder": q_events_zorder,
+        "heavy_hitters": q_heavy_hitters,
         "embedding_pca": q_embedding_pca,
         "pipeline_triples_gated": q_pipeline_triples_gated,
         "pipeline_triples_deep": q_pipeline_triples_deep,
@@ -3887,6 +3907,15 @@ def oracle_sql() -> dict[str, str]:
             FROM ip JOIN sizes na ON na.id = ip.a
                     JOIN sizes nb ON nb.id = ip.b
             WHERE CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) >= 0.5
+        """,
+        "heavy_hitters": f"""
+            WITH o AS (SELECT unnest({_TOKS_SQL}) AS token
+                       FROM documents),
+            nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM o),
+            c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+                  FROM o GROUP BY token)
+            SELECT token, cnt, n_total FROM c CROSS JOIN nt
+            WHERE CAST(cnt AS DOUBLE) > {_HH_PHI!r} * n_total
         """,
         "events_zorder": """
             WITH e AS (

@@ -86,3 +86,78 @@ def token_count_min(
     return jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
         bytes(blob)
     )
+
+
+def heavy_hitters_exact(
+    items: DataFrame,
+    phi: float = 0.01,
+    item_col: str = "item",
+    capacity: int | None = None,
+) -> DataFrame:
+    """EXACT φ-heavy hitters in two bounded passes (the classic
+    Misra-Gries + recount scheme): items with frequency > φ·N, with
+    their exact counts.
+
+    Pass 1 — candidate generation: each partition runs a Misra-Gries
+    summary with k = ⌈1/φ⌉ counters (``mapInPandas``, O(k) memory per
+    task).  MG's guarantee: any item with partition-local count
+    > n_p/k survives its partition's summary, and a global φ-heavy
+    hitter must be (1/k)-heavy in at least one partition — so the UNION
+    of per-partition candidates is a SUPERSET of the true heavy hitters
+    (possibly with false candidates, never missing ones).
+
+    Pass 2 — exact recount: one broadcast semi-join of the full stream
+    against the candidate set (bounded: ≤ k per partition) + a hash
+    agg, then the exact φ·N threshold.  False candidates die here, so
+    the OUTPUT is exact — which is what lets a plain GROUP BY/HAVING
+    oracle gate a sketch operator hash-exactly.
+
+    At 100 TB this is the standard pattern: the full-cardinality
+    group-by that a naive top-k would need never happens; both passes
+    carry O(k · partitions) state.
+    """
+    import pandas as pd
+
+    if capacity is None:
+        capacity = int(1.0 / phi) + 1
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[item_col]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < capacity:
+                    counters[v] = 1
+                else:  # decrement-all step
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"cand": list(counters.keys())})
+
+    src = items.select(F.col(item_col).alias(item_col))
+    cands = (
+        src.mapInPandas(mg, f"cand {dict(src.dtypes)[item_col]}")
+        .distinct()
+    )
+    n1 = src.agg(F.count("*").cast("long").alias("n_total"))
+    counted = (
+        src.join(
+            F.broadcast(cands),
+            src[item_col] == cands["cand"],
+            "left_semi",
+        )
+        .groupBy(item_col)
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(n1))
+        .filter(
+            F.col("cnt").cast("double") > F.lit(phi) * F.col("n_total")
+        )
+        .select(item_col, "cnt", "n_total")
+    )

@@ -49,3 +49,40 @@ def test_count_min_sketch_is_mergeable(docs):
         F.explode(F.split(F.col("text"), " ")).alias("t")
     ).count()
     assert merged.totalCount() == full_exact
+
+
+def test_heavy_hitters_exact_two_pass(spark):
+    """MG candidate superset + recount = exact φ-heavy hitters, on a
+    skewed stream whose hitters span partitions; capacity far below the
+    distinct-item count (the whole point)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from deepie_spark.operators.sketches import heavy_hitters_exact
+
+    rng = random.Random(3)
+    items = []
+    for _ in range(20_000):
+        r = rng.random()
+        if r < 0.20:
+            items.append("hot1")
+        elif r < 0.32:
+            items.append("hot2")
+        elif r < 0.40:
+            items.append("hot3")
+        else:
+            items.append(f"cold{rng.randrange(5000)}")
+    df = spark.createDataFrame(
+        [(x,) for x in items], "item string"
+    ).repartition(8)
+    got = {
+        r["item"]: r["cnt"]
+        for r in heavy_hitters_exact(df, phi=0.05, item_col="item").collect()
+    }
+    from collections import Counter
+
+    c = Counter(items)
+    want = {k: v for k, v in c.items() if v > 0.05 * len(items)}
+    assert got == want
+    assert set(got) == {"hot1", "hot2", "hot3"}
