@@ -2736,6 +2736,35 @@ def q_triple_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_histogram(t)
 
 
+def q_predicate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG schema profiling per predicate: triple count, distinct
+    subjects/objects, and (inverse-)functionality ratios — the
+    signals ontology induction and join planning over the KG read
+    first (a functional predicate joins 1:1; a low-functionality one
+    fans out).  One hash agg with exact distinct counts (predicate
+    cardinality is tiny; at web scale swap approx_count_distinct —
+    documented, same plan shape)."""
+    t = q_triples_rules(spark, sf_dir)
+    prof = t.groupBy("pred").agg(
+        F.count("*").cast("long").alias("n_triples"),
+        F.countDistinct("subj").cast("long").alias("n_subj"),
+        F.countDistinct("obj").cast("long").alias("n_obj"),
+        F.countDistinct("subj", "obj").cast("long").alias("n_pairs"),
+    )
+    return prof.select(
+        "pred",
+        "n_triples",
+        "n_subj",
+        "n_obj",
+        F.round(
+            F.col("n_subj").cast("double") / F.col("n_pairs"), 6
+        ).alias("functionality"),
+        F.round(
+            F.col("n_obj").cast("double") / F.col("n_pairs"), 6
+        ).alias("inv_functionality"),
+    )
+
+
 def q_edge_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocity of the directed triple graph: share of distinct
     (src→dst) edges whose reverse edge also exists — the KG symmetry
@@ -3522,6 +3551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_jaccard": q_prefix_jaccard,
         "events_zorder": q_events_zorder,
         "heavy_hitters": q_heavy_hitters,
+        "predicate_profile": q_predicate_profile,
         "embedding_pca": q_embedding_pca,
         "pipeline_triples_gated": q_pipeline_triples_gated,
         "pipeline_triples_deep": q_pipeline_triples_deep,
@@ -3907,6 +3937,39 @@ def oracle_sql() -> dict[str, str]:
             FROM ip JOIN sizes na ON na.id = ip.a
                     JOIN sizes nb ON nb.id = ip.b
             WHERE CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) >= 0.5
+        """,
+        "predicate_profile": f"""
+            WITH {_MENTIONS_SQL.strip()},
+            rules(type1, type2, label) AS (VALUES
+              {RULES_VALUES}
+            ),
+            pairs AS (
+              SELECT a.doc_id, a.alias AS alias1, b.alias AS alias2,
+                     a.entity_type AS type1, b.entity_type AS type2
+              FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id
+              WHERE a.pos < b.pos AND b.pos - a.pos <= 10
+            ),
+            t AS (
+              SELECT
+                CASE WHEN label LIKE '%(e2,e1)' THEN alias2
+                     ELSE alias1 END AS subj,
+                regexp_replace(label, '\\(e[12],e[21]\\)$', '') AS pred,
+                CASE WHEN label LIKE '%(e2,e1)' THEN alias1
+                     ELSE alias2 END AS obj
+              FROM pairs JOIN rules USING (type1, type2)
+              WHERE label != 'NONE'
+            )
+            SELECT pred,
+                   CAST(count(*) AS BIGINT) AS n_triples,
+                   CAST(count(DISTINCT subj) AS BIGINT) AS n_subj,
+                   CAST(count(DISTINCT obj) AS BIGINT) AS n_obj,
+                   round(CAST(count(DISTINCT subj) AS DOUBLE)
+                         / count(DISTINCT (subj, obj)), 6)
+                     AS functionality,
+                   round(CAST(count(DISTINCT obj) AS DOUBLE)
+                         / count(DISTINCT (subj, obj)), 6)
+                     AS inv_functionality
+            FROM t GROUP BY pred
         """,
         "heavy_hitters": f"""
             WITH o AS (SELECT unnest({_TOKS_SQL}) AS token
