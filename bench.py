@@ -90,6 +90,9 @@ EXTRA = [
     "mixture_allocation",
     "prefix_jaccard",
     "embedding_pca",
+    "events_zorder",
+    "heavy_hitters",
+    "predicate_profile",
 ]
 
 HEADLINE = [

@@ -394,7 +394,7 @@ def prefix_filter_jaccard_pairs(
         .unionByName(cand.select(F.col("b").alias("id")))
         .distinct()
     )
-    sh_c = sh.join(cand_ids, "id")
+    sh_c = sh.join(cand_ids, "id", "left_semi")
     inter = (
         sh_c.select(F.col("id").alias("a"), "shingle")
         .join(sh_c.select(F.col("id").alias("b"), "shingle"), "shingle")

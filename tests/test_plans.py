@@ -520,3 +520,35 @@ def test_error_window_global_binned_not_nested_loop(spark, sf_dir):
     assert sorted(map(tuple, df.collect())) == sorted(
         map(tuple, naive.collect())
     )
+
+
+def test_user_scd2_windows_partitioned_by_user(spark, sf_dir):
+    """Every window in the SCD2 build must carry the natural key — an
+    unpartitioned window would serialize the event stream."""
+    df = entry.q_user_scd2(spark, sf_dir)
+    plan = executed(df)
+    for frag in plan.split("windowspecdefinition(")[1:]:
+        spec = frag.split(")")[0]
+        assert "user_id" in spec, f"window without user_id: {spec}"
+
+
+def test_prefix_jaccard_no_cartesian_and_semi_reduced(spark, sf_dir):
+    """Prefix filtering must plan as equi-joins only (candidate join on
+    the prefix shingle, verification join on shingle) — no cartesian,
+    no nested-loop; the verification side is semi-join reduced."""
+    df = entry.q_prefix_jaccard(spark, sf_dir)
+    plan = executed(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+    assert "LeftSemi" in final  # candidate-id reduction of the shingles
+
+
+def test_heavy_hitters_no_full_groupby_before_candidates(spark, sf_dir):
+    """The recount aggregates ONLY candidate-pruned rows: the plan
+    filters via a broadcast semi join before the hash agg on items."""
+    df = entry.q_heavy_hitters(spark, sf_dir)
+    plan = executed(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "LeftSemi" in final
+    assert "CartesianProduct" not in final
