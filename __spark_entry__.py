@@ -1355,7 +1355,7 @@ def q_error_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HH_PHI = 0.034
+_HH_PHI = 0.03
 
 
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -348,7 +348,13 @@ def prefix_filter_jaccard_pairs(
     Scale shape: the join fan-out per shingle is bounded by how many
     docs carry it IN THEIR PREFIX — rare shingles by construction —
     instead of full df² (the reason ngram_jaccard needs its max_df
-    guard).  Plan: one df-count agg, one sort inside the doc's own row
+    guard).  The win scales with the threshold: prefix length is
+    ⌊(1−t)·n⌋+1, so at t=0.9 only ~10% of shingles join, while at
+    t=0.5 half the doc is prefix and the guarded exact twin is
+    competitive (measured: 9.0 s vs ngram_jaccard's 2.6-4 s at sf0.1,
+    t=0.5 — the gated query pins CORRECTNESS at the twin-shared
+    threshold; production near-dup thresholds of 0.8-0.9 are where
+    this operator is the right plan).  Plan: one df-count agg, one sort inside the doc's own row
     (array_sort on (df, shingle) structs — in-row, no window), prefix
     explode, equi-join, then exact verification on the candidate set
     only.  Output matches :func:`ngram_jaccard_pairs` exactly
