@@ -2138,6 +2138,28 @@ def q_user_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension lookup: route each 'purchase' event to the
+    SCD2 version row valid AT its timestamp (ts ∈ [valid_from,
+    valid_to)) — the consumption side of q_user_scd2, i.e. a
+    point-in-time-correct dimension join.  Equi-join on the natural
+    key + interval predicate evaluated in-partition: the classic
+    warehouse plan, no range-join fallback needed because the key
+    carries the shuffle.  Per-version purchase counts keep the output
+    small and exact."""
+    dim = q_user_scd2(spark, sf_dir)
+    fact = _events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts")
+    j = fact.join(dim, "user_id").filter(
+        (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    )
+    return j.groupBy("user_id", "version", "event_type").agg(
+        F.count("*").cast("long").alias("n_purchases")
+    )
+
+
 _CHUNK_W = 32   # tokens per chunk (context-window size)
 _CHUNK_S = 24   # stride — 8-token overlap between adjacent chunks
 
@@ -3505,6 +3527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "predicate_profile": q_predicate_profile,
         "embedding_pca": q_embedding_pca,
+        "scd2_lookup": q_scd2_lookup,
         "doc_zscore": q_doc_zscore,
         "latest_event": q_latest_event,
         "doc_chunks": q_doc_chunks,
@@ -4346,6 +4369,44 @@ def oracle_sql() -> dict[str, str]:
                                   - ln(tr_tot + {_DSIR_BUCKETS}.0)), 6)
                      AS log_weight
             FROM folded CROSS JOIN totals
+        """,
+        "scd2_lookup": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(event_type) OVER w IS NULL
+                          OR lag(event_type) OVER w != event_type
+                          THEN 1 ELSE 0 END AS chg
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            runs AS (
+              SELECT *, sum(chg) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS version
+              FROM flagged
+            ),
+            ver AS (
+              SELECT user_id, version,
+                     min(event_type) AS event_type,
+                     min(ts) AS valid_from
+              FROM runs GROUP BY user_id, version
+            ),
+            dim AS (
+              SELECT user_id, CAST(version AS BIGINT) AS version,
+                     event_type, valid_from,
+                     lead(valid_from) OVER (PARTITION BY user_id
+                       ORDER BY version) AS valid_to
+              FROM ver
+            ),
+            fact AS (SELECT user_id, ts FROM events
+                     WHERE event_type = 'purchase')
+            SELECT d.user_id, d.version, d.event_type,
+                   CAST(count(*) AS BIGINT) AS n_purchases
+            FROM fact f JOIN dim d ON f.user_id = d.user_id
+            WHERE f.ts >= d.valid_from
+              AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+            GROUP BY d.user_id, d.version, d.event_type
         """,
         "user_scd2": """
             WITH flagged AS (

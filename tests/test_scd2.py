@@ -77,3 +77,17 @@ def test_scd2_interval_invariants_on_testdata(spark, sf_dir):
     chained = a.join(b, ["user_id", "version"])
     assert chained.filter(F.col("valid_to") != F.col("next_from")).count() == 0
     out.unpersist()
+
+
+def test_scd2_lookup_point_in_time_unique(spark, sf_dir):
+    """Every purchase event routes to EXACTLY one version row, and that
+    row's type is 'purchase' (a purchase event is inside its own run)."""
+    out = entry.q_scd2_lookup(spark, sf_dir)
+    rows = out.collect()
+    assert rows and all(r["event_type"] == "purchase" for r in rows)
+    n_purchases = (
+        entry._events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r["n_purchases"] for r in rows) == n_purchases
