@@ -93,6 +93,7 @@ EXTRA = [
     "events_zorder",
     "heavy_hitters",
     "predicate_profile",
+    "scd2_lookup",
 ]
 
 HEADLINE = [
