@@ -1520,7 +1520,14 @@ def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-generation family beside LSH banding and sorted-
     neighborhood (operators/dedup.py prefix_filter_jaccard_pairs).
     Same output contract as ngram_jaccard (no max_df guard needed: the
-    prefix bound replaces it)."""
+    prefix bound replaces it).
+
+    Deliberately UNCACHED: measured A/B at sf0.1 (local[32], same
+    session) — uncached 6.97 s vs ShingleCache 12.55 s.  Unlike
+    ngram_jaccard's pairwise core, the three consumers here are cheap
+    JVM shingle recomputes, and persisting the 3.9M-row string table
+    costs more than recomputing it while also blocking whole-stage
+    fusion around the cache boundary."""
     from deepie_spark.operators.dedup import prefix_filter_jaccard_pairs
 
     return prefix_filter_jaccard_pairs(

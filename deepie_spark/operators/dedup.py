@@ -333,6 +333,7 @@ def prefix_filter_jaccard_pairs(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cache: ShingleCache | None = None,
 ) -> DataFrame:
     """Exact Jaccard pairs via PREFIX FILTERING (Chaudhuri et al. 2006 /
     PPJoin): provably complete candidate generation WITHOUT the full
@@ -359,8 +360,18 @@ def prefix_filter_jaccard_pairs(
     explode, equi-join, then exact verification on the candidate set
     only.  Output matches :func:`ngram_jaccard_pairs` exactly
     (same (a, b, inter, n_a, n_b, jaccard) rows) — asserted by test and
-    by sharing its oracle."""
+    by sharing its oracle.
+
+    The shingle table has three consumers (df counts, per-doc ordering,
+    verification); ``cache`` persists it across them, but MEASURE
+    before using it — at sf0.1 the cheap JVM shingle recompute beat the
+    persist by ~1.8x (6.97 s vs 12.55 s: materializing 3.9M string
+    rows costs more than recomputing them, and the cache boundary
+    blocks whole-stage fusion).  Caching pays only when the upstream is
+    expensive (ngram_jaccard's pattern) or re-read many more times."""
     sh = doc_shingles(df, id_col, text_col, k)  # distinct per doc already
+    if cache is not None:
+        sh = cache.hold(sh)
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     ranked = (
         sh.join(dfreq, "shingle")
