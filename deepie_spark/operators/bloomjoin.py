@@ -47,7 +47,15 @@ def _bit_positions(key: Column, m_bits: int) -> list[Column]:
 
 def bloom_build(keys: DataFrame, key_col: str, m_bits: int) -> DataFrame:
     """ONE-ROW DataFrame (bloom array<long> of m_bits/64 words) — the
-    broadcastable fingerprint of the key set."""
+    broadcastable fingerprint of the key set.
+
+    ``m_bits`` must be a multiple of 64: bits land in word
+    ``bit // 64``, so a ragged final word would fall OUTSIDE the
+    densified range, ``element_at`` would return NULL in
+    :func:`bloom_prune`, and genuinely-matching rows would be silently
+    dropped (a wrong join result, not a lost optimization)."""
+    if m_bits % 64 != 0 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
     n_words = m_bits // 64
     bits = keys.select(
         F.explode(F.array(*_bit_positions(F.col(key_col), m_bits))).alias(

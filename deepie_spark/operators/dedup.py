@@ -304,7 +304,11 @@ def sorted_neighborhood_pairs(
     Ties in ``key`` break on ``id_col``, making ranks — and therefore
     the emitted pair set — deterministic under any partitioning.
     Output: (a, b, dist) with a preceding b by ``dist`` ranks,
-    1 ≤ dist < window."""
+    1 ≤ dist < window.  Requires ``window ≥ 2``: Spark's
+    ``sequence(1, 0)`` DESCENDS ([1, 0]), so window=1 would emit
+    dist=0 self-pairs instead of no pairs."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
     from deepie_spark.operators.dictionary import rank_in_order
 
     keyed = df.select(
@@ -342,9 +346,20 @@ def prefix_filter_jaccard_pairs(
     Principle: order each doc's distinct shingles by ascending global
     document frequency (rarest first, ties by shingle); if
     J(A,B) ≥ t then A and B must share a shingle within each other's
-    first ``⌊(1−t)·|set|⌋ + 1`` shingles — so joining only on PREFIX
-    shingles finds every qualifying pair.  Candidates are verified with
-    the exact intersection (computed by a semi-join-reduced pair count).
+    first ``n − ⌈t·n⌉ + 1`` shingles — so joining only on PREFIX
+    shingles finds every qualifying pair.  (The prefix length is
+    computed from ``⌈t·n⌉`` directly, NOT ``⌊(1−t)·n⌋``: for t=0.8/0.9
+    the float ``1−t`` is below the exact value, and floor would yield a
+    prefix one element SHORT of the provable bound, silently dropping
+    J==t boundary pairs.  An ε is subtracted before the ceil so an
+    upward-rounded integral ``t·n`` can only ever LENGTHEN the prefix —
+    longer prefixes stay complete, they just admit a few extra
+    candidates.)  Candidates are verified IN-ROW: the candidate pair
+    joins back to the two per-doc ordered shingle arrays and the exact
+    intersection is ``size(array_intersect(arr_a, arr_b))`` — O(pairs·n)
+    with zero fan-out, matching PPJoin's own verify step.  (The earlier
+    shingle re-join verification paid candidates² rows on any shared
+    stop-shingle — the exact blowup prefix filtering exists to avoid.)
 
     Scale shape: the join fan-out per shingle is bounded by how many
     docs carry it IN THEIR PREFIX — rare shingles by construction —
@@ -362,8 +377,9 @@ def prefix_filter_jaccard_pairs(
     (same (a, b, inter, n_a, n_b, jaccard) rows) — asserted by test and
     by sharing its oracle.
 
-    The shingle table has three consumers (df counts, per-doc ordering,
-    verification); ``cache`` persists it across them, but MEASURE
+    The shingle table has two consumers (df counts, per-doc ordering —
+    verification reads the ordered ARRAYS, not the shingle table);
+    ``cache`` persists it across them, but MEASURE
     before using it — at sf0.1 the cheap JVM shingle recompute beat the
     persist by ~1.8x (6.97 s vs 12.55 s: materializing 3.9M string
     rows costs more than recomputing them, and the cache boundary
@@ -386,45 +402,48 @@ def prefix_filter_jaccard_pairs(
         )
     )
     n_sh = F.size(F.col("ordered"))
-    plen = (F.floor(n_sh * (1.0 - threshold)) + 1).cast("int")
+    # complete prefix length n − ⌈t·n⌉ + 1; ε keeps an upward-rounded
+    # integral t·n from SHORTENING the prefix (see docstring)
+    plen = (
+        n_sh - F.ceil(n_sh * F.lit(threshold) - F.lit(1e-9)) + 1
+    ).cast("int")
     prefixes = ranked.select(
         F.col("id"),
-        n_sh.alias("n"),
         F.explode(F.slice(F.col("ordered"), 1, plen)).alias("shingle"),
     )
-    a = prefixes.select(
-        F.col("id").alias("a"), F.col("n").alias("n_a"), "shingle"
-    )
-    b = prefixes.select(
-        F.col("id").alias("b"), F.col("n").alias("n_b"), "shingle"
-    )
+    a = prefixes.select(F.col("id").alias("a"), "shingle")
+    b = prefixes.select(F.col("id").alias("b"), "shingle")
     cand = (
         a.join(b, "shingle")
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "n_a", "n_b")
+        .select("a", "b")
         .distinct()
     )
-    # exact verification: count shared shingles for candidate pairs only
-    # (semi-join reduction: the shingle table is pruned to candidate ids)
-    cand_ids = (
-        cand.select(F.col("a").alias("id"))
-        .unionByName(cand.select(F.col("b").alias("id")))
-        .distinct()
+    # exact IN-ROW verification: each candidate pair pulls the two
+    # ordered arrays and intersects them inside its own row — no
+    # shingle-keyed self-join, O(pairs·n) total work
+    arr_a = ranked.select(
+        F.col("id").alias("a"), F.col("ordered").alias("arr_a")
     )
-    sh_c = sh.join(cand_ids, "id", "left_semi")
-    inter = (
-        sh_c.select(F.col("id").alias("a"), "shingle")
-        .join(sh_c.select(F.col("id").alias("b"), "shingle"), "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
+    arr_b = ranked.select(
+        F.col("id").alias("b"), F.col("ordered").alias("arr_b")
     )
-    j = cand.join(inter, ["a", "b"])
+    j = (
+        cand.join(arr_a, "a")
+        .join(arr_b, "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("arr_a", "arr_b")).alias("inter"),
+            F.size("arr_a").alias("n_a"),
+            F.size("arr_b").alias("n_b"),
+        )
+    )
     jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     return j.filter(jac >= threshold).select(
         "a",
         "b",
-        "inter",
+        F.col("inter").cast("long").alias("inter"),
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
         F.round(jac, 6).alias("jaccard"),

@@ -120,7 +120,9 @@ def rank_in_order(
         .join(F.broadcast(offsets), "_bkt")
         .withColumn(
             id_col,
-            (F.col("_off") + F.col("_rn") + F.lit(start_id - 1)).cast("int"),
+            # long, not int: the 10⁹+-vocabulary motivation would wrap
+            # a non-ANSI int cast negative past 2³¹−1 rows
+            (F.col("_off") + F.col("_rn") + F.lit(start_id - 1)).cast("long"),
         )
         .drop("_bkt", "_rn", "_off")
     )
@@ -158,7 +160,7 @@ def first_encounter_ids(
     )
     if seed:
         seed_df = occurrences.sparkSession.createDataFrame(
-            sorted(seed.items(), key=lambda kv: kv[1]), "value string, id int"
+            sorted(seed.items(), key=lambda kv: kv[1]), "value string, id long"
         )
         ranked = seed_df.unionByName(ranked)
     return ranked

@@ -402,3 +402,35 @@ def test_prefix_filter_equals_exact_jaccard(spark):
         for r in ngram_jaccard_pairs(df, threshold=0.5, max_df=None).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_prefix_filter_complete_at_boundary_t08(spark):
+    """Completeness at threshold=0.8 with a J == t boundary pair whose
+    shared shingles are globally COMMON (high df, so they sort to the
+    END of the prefix order).  The float-(1−t) prefix length
+    (⌊n·0.19999…⌋+1) is one short of the provable bound n−⌈t·n⌉+1 and
+    would drop this pair; the exact formula keeps it."""
+    from deepie_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    shared = [f"s{i}" for i in range(10)]  # 8 shared shingles
+    doc_b = " ".join(shared)  # n_b = 8, all shared
+    doc_a = " ".join(shared + ["x1", "x2"])  # n_a = 10: 8 shared + 2 rare
+    # filler docs re-use interior runs of the shared tokens (padded with
+    # unique tokens so no filler pair reaches t) → shared shingles get
+    # high df and sort AFTER doc A's two unique bridging shingles
+    docs = [(1, doc_a), (2, doc_b)]
+    for f in range(20):
+        run = " ".join(shared[f % 5 : f % 5 + 5])
+        docs.append((100 + f, f"u{f}a u{f}b {run} u{f}c u{f}d"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"]): (r["inter"], r["jaccard"])
+        for r in prefix_filter_jaccard_pairs(df, threshold=0.8).collect()
+    }
+    assert (1, 2) in got, "J==0.8 boundary pair dropped by prefix filter"
+    assert got[(1, 2)] == (8, 0.8)
+    want = {
+        (r["a"], r["b"]): (r["inter"], r["jaccard"])
+        for r in ngram_jaccard_pairs(df, threshold=0.8, max_df=None).collect()
+    }
+    assert got == want

@@ -532,16 +532,26 @@ def test_user_scd2_windows_partitioned_by_user(spark, sf_dir):
         assert "user_id" in spec, f"window without user_id: {spec}"
 
 
-def test_prefix_jaccard_no_cartesian_and_semi_reduced(spark, sf_dir):
-    """Prefix filtering must plan as equi-joins only (candidate join on
-    the prefix shingle, verification join on shingle) — no cartesian,
-    no nested-loop; the verification side is semi-join reduced."""
+def test_prefix_jaccard_no_cartesian_and_inrow_verify(spark, sf_dir):
+    """Prefix filtering must plan as equi-joins only, and verification
+    must be IN-ROW (array_intersect over the per-doc ordered arrays) —
+    exactly ONE shingle-keyed candidate self-join, never a second
+    shingle re-join for verification (the candidates² blowup the
+    round-4 verdict flagged)."""
     df = entry.q_prefix_jaccard(spark, sf_dir)
     plan = executed(df)
     final = plan.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in final
     assert "BroadcastNestedLoopJoin" not in final
-    assert "LeftSemi" in final  # candidate-id reduction of the shingles
+    assert "array_intersect" in final  # in-row verification
+    # joins keyed on the shingle column: the df-count join that builds
+    # the ordered arrays + the prefix candidate self-join — nothing else
+    shingle_keyed = sum(
+        1
+        for frag in final.split("Join ")[1:]
+        if "shingle" in frag.split("\n")[0]
+    )
+    assert shingle_keyed <= 2, f"extra shingle-keyed join: {shingle_keyed}"
 
 
 def test_heavy_hitters_no_full_groupby_before_candidates(spark, sf_dir):
