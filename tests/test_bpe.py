@@ -46,13 +46,16 @@ def test_bpe_matches_python_reference(spark):
     wc = spark.createDataFrame(
         list(words.items()), "word string, n long"
     )
-    got_merges, got_vocab = bpe_train(wc, 6)
     want_merges, want_vocab = _py_bpe(words, 6)
-    assert got_merges == want_merges
-    got = {
-        r["word"]: r["syms"] for r in got_vocab.collect()
-    }
-    assert got == want_vocab
+    # both paths — driver-local fast path AND distributed merge rounds —
+    # must produce identical merges and segmentations
+    for local_threshold in (500_000, None):
+        got_merges, got_vocab = bpe_train(
+            wc, 6, local_threshold=local_threshold
+        )
+        assert got_merges == want_merges, f"threshold={local_threshold}"
+        got = {r["word"]: r["syms"] for r in got_vocab.collect()}
+        assert got == want_vocab, f"threshold={local_threshold}"
 
 
 def test_apply_merge_greedy_nonoverlapping(spark):
@@ -92,3 +95,49 @@ def test_bpe_reconstruction_invariant(spark):
     for r in rows:
         assert "".join(r["syms"]) == r["word"]
         assert len(r["syms"]) <= len(r["word"])
+
+
+def test_bpe_apply_reconstruction_and_oov(spark):
+    """bpe_apply: concat of subword tokens (ordered by sub_pos) must
+    reproduce every word — in-vocabulary words via their trained
+    segmentation, OOV words via the character-split fallback."""
+    from deepie_spark.operators.bpe import bpe_apply
+
+    words = Counter({"banana": 4, "bandana": 2, "ananas": 3})
+    wc = spark.createDataFrame(list(words.items()), "word string, n long")
+    _, vocab = bpe_train(wc, 3)
+    docs = spark.createDataFrame(
+        [
+            (1, 0, "banana"),
+            (1, 1, "ananas"),
+            (2, 0, "bandana"),
+            (2, 1, "zebra"),  # OOV — char-split fallback
+        ],
+        "doc_id long, pos long, word string",
+    )
+    enc = bpe_apply(docs, vocab)
+    rebuilt = {
+        (r["doc_id"], r["pos"]): r["w2"]
+        for r in enc.groupBy("doc_id", "pos", "word")
+        .agg(
+            F.concat_ws(
+                "",
+                F.array_sort(
+                    F.collect_list(F.struct("sub_pos", "token"))
+                ).getField("token"),
+            ).alias("w2")
+        )
+        .collect()
+    }
+    assert rebuilt == {
+        (1, 0): "banana",
+        (1, 1): "ananas",
+        (2, 0): "bandana",
+        (2, 1): "zebra",
+    }
+    # OOV fallback is the full character split
+    zebra = sorted(
+        (r["sub_pos"], r["token"])
+        for r in enc.filter(F.col("word") == "zebra").collect()
+    )
+    assert [t for _, t in zebra] == list("zebra")
