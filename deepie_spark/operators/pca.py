@@ -13,12 +13,16 @@ second Python stage.
 This is the same split k-means uses (operators/clustering.py): per-row
 work distributed and vectorized, model-sized state on the driver.
 
-Determinism: G's elementwise sums are floating-point over an
-aggregation order Spark does not fix, so components are deterministic
-only to ~1 ulp·N — fine for ML use, NOT hash-oracle material.  The
-gated evidence is therefore pytest (numpy twin within tolerance +
-repartition stability), and the sign convention (largest-|coord| entry
-positive) pins the eigenvector orientation.
+Determinism (round-4 verdict item 4): each task accumulates ONE
+float64 partial across its batches (fixed within-partition order), and
+the driver combines the ≤#partitions partials with ``math.fsum`` —
+exactly rounded, so the result is BIT-DETERMINISTIC for a given
+partitioning no matter how tasks are scheduled or in what order
+partials arrive.  Across different REPARTITIONS the per-partition sums
+themselves regroup, so cross-partitioning equality is tolerance-level
+(~1 ulp·N) — which is why embedding_pca stays a rows-only query with a
+numpy-twin pytest, NOT hash-oracle material.  The sign convention
+(largest-|coord| entry positive) pins the eigenvector orientation.
 """
 
 from __future__ import annotations
@@ -36,36 +40,48 @@ def gram_and_mean(
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """One distributed pass → (G = Σ v vᵀ, Σ v, N) as numpy.
 
-    Each Arrow batch emits one flattened partial (d² + d + 1 doubles);
-    the final reduce is a tiny grouped sum.
+    Each TASK emits one flattened partial (d² + d + 1 doubles),
+    accumulated across its Arrow batches in iterator order; the values
+    buffer reaches numpy ZERO-COPY (``flatten().to_numpy()`` on the
+    list array — no per-element ``to_pylist`` boxing), so the N-sized
+    pass really is BLAS-speed.  The driver combines the ≤#partitions
+    partials with ``math.fsum`` per index — exactly rounded, hence
+    bit-deterministic under task reordering (see module docstring).
     """
 
     def partials(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        acc = np.zeros(dim * dim + dim + 1)
+        seen = False
         for batch in batches:
             col = batch.column(0)
-            x = np.array(col.to_pylist(), dtype=np.float64)
-            if x.size == 0:
+            if len(col) == 0:
                 continue
-            g = x.T @ x
-            out = np.concatenate([g.ravel(), x.sum(axis=0), [float(len(x))]])
+            # zero-copy: list<float> values buffer → (n, dim) view
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            x = np.ascontiguousarray(flat, dtype=np.float64).reshape(
+                -1, dim
+            )
+            seen = True
+            acc[: dim * dim] += (x.T @ x).ravel()
+            acc[dim * dim : dim * dim + dim] += x.sum(axis=0)
+            acc[-1] += float(len(x))
+        if seen:
             yield pa.RecordBatch.from_arrays(
-                [pa.array([out.tolist()], type=pa.list_(pa.float64()))],
+                [pa.array([acc.tolist()], type=pa.list_(pa.float64()))],
                 names=["p"],
             )
 
     part = emb.select(vec_col).mapInArrow(partials, "p array<double>")
-    # partials are ≤ #batches rows of d²+d+1 doubles: explode + grouped
-    # sum is a bounded shuffle (map-side combine leaves one row per
-    # partition per index)
-    summed = (
-        part.select(F.posexplode("p").alias("i", "v"))
-        .groupBy("i")
-        .agg(F.sum("v").alias("s"))
-        .collect()
+    # ≤ #partitions rows of d²+d+1 doubles — bounded collect; fsum per
+    # index is exactly rounded, so arrival order cannot change a bit
+    from math import fsum
+
+    rows = [np.asarray(r["p"]) for r in part.collect()]
+    if not rows:
+        raise ValueError("gram_and_mean: empty input")
+    flat = np.array(
+        [fsum(p[i] for p in rows) for i in range(dim * dim + dim + 1)]
     )
-    flat = np.zeros(dim * dim + dim + 1)
-    for r in summed:
-        flat[r["i"]] = r["s"]
     g = flat[: dim * dim].reshape(dim, dim)
     s = flat[dim * dim : dim * dim + dim]
     n = int(flat[-1])

@@ -74,3 +74,15 @@ def test_projection_plan_is_jvm_only(data):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan  # projection never re-enters Python
+
+
+def test_gram_bit_deterministic_run_to_run(data):
+    """For a FIXED partitioning the Gram pass must be BITWISE identical
+    across runs: per-task partials are combined driver-side with fsum
+    (exactly rounded), so task scheduling / arrival order cannot change
+    a single bit."""
+    _, df = data
+    g1, s1, n1 = gram_and_mean(df, DIM)
+    g2, s2, n2 = gram_and_mean(df, DIM)
+    assert n1 == n2
+    assert (g1 == g2).all() and (s1 == s2).all()  # bitwise, no tolerance
