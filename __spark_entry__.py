@@ -178,6 +178,41 @@ def _km_dist2_sql(v: str, c: str, dim: int = 64) -> str:
     )
 
 
+#: shared k-means twin CTE chain (2 Lloyd iterations, k=8, dim=64):
+#: ``a3`` is the final (vec_id, v, cid) assignment — consumed by the
+#: kmeans_embeddings summary AND the semantic_dedup keeper oracle
+_KMEANS_A3_CTES = f"""WITH {_EMB_DOUBLE_SQL.strip()},
+            c0 AS (SELECT rn - 1 AS cid, v AS c FROM (
+                     SELECT v, row_number() OVER (ORDER BY vec_id) AS rn
+                     FROM e) WHERE rn <= 8),
+            a1 AS (SELECT vec_id, v, cid FROM (
+                     SELECT e.vec_id, e.v, c0.cid,
+                            row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_km_dist2_sql('e.v', 'c0.c')},
+                                       c0.cid) AS rn
+                     FROM e CROSS JOIN c0) WHERE rn = 1),
+            c1 AS (SELECT cid, list(av ORDER BY i) AS c FROM (
+                     SELECT cid, i, avg(v[i]) AS av
+                     FROM a1 CROSS JOIN generate_series(1, 64) AS t(i)
+                     GROUP BY cid, i) GROUP BY cid),
+            a2 AS (SELECT vec_id, v, cid FROM (
+                     SELECT a1.vec_id, a1.v, c1.cid,
+                            row_number() OVER (PARTITION BY a1.vec_id
+                              ORDER BY {_km_dist2_sql('a1.v', 'c1.c')},
+                                       c1.cid) AS rn
+                     FROM a1 CROSS JOIN c1) WHERE rn = 1),
+            c2 AS (SELECT cid, list(av ORDER BY i) AS c FROM (
+                     SELECT cid, i, avg(v[i]) AS av
+                     FROM a2 CROSS JOIN generate_series(1, 64) AS t(i)
+                     GROUP BY cid, i) GROUP BY cid),
+            a3 AS (SELECT vec_id, v, cid FROM (
+                     SELECT a2.vec_id, a2.v, c2.cid,
+                            row_number() OVER (PARTITION BY a2.vec_id
+                              ORDER BY {_km_dist2_sql('a2.v', 'c2.c')},
+                                       c2.cid) AS rn
+                     FROM a2 CROSS JOIN c2) WHERE rn = 1)"""
+
+
 def _minhash_oracle_sql(n_hashes: int = 16, bands: int = 4) -> str:
     """DuckDB twin of operators.dedup.minhash_lsh_pairs, generated from
     the same affine coefficients."""
@@ -3251,6 +3286,20 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_cluster_summary(emb, k=8, iters=2)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup composition (operators/clustering.py semantic_dedup):
+    k-means cluster assignment → within-cluster pairwise cosine →
+    first-occurrence keeper.  The embedding-level dedup a curation
+    pipeline runs AFTER lexical dedup; per-vec keep/drop booleans are
+    engine-portable (rounded sequential-fold cosines), so the full
+    composed operator gates hash-exact against the shared k-means CTE
+    twin."""
+    from deepie_spark.operators.clustering import semantic_dedup
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return semantic_dedup(emb, k=8, iters=2, threshold=0.3)
+
+
 def q_entity_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded BFS neighborhood expansion (operators/graph.py
     bfs_hops): hop distance from the lexicographically-first entity of
@@ -3592,6 +3641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "dup_ngram_rate": q_dup_ngram_rate,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "semantic_dedup": q_semantic_dedup,
         "entity_cooccur_pmi": q_entity_cooccur_pmi,
         "triple_degree_hist": q_triple_degree_hist,
         "triangle_stats": q_triangle_stats,
@@ -4639,36 +4689,7 @@ def oracle_sql() -> dict[str, str]:
         # (last-ulp order differences) → the gated norm rounds to 6 and
         # assignment ties are broken by cid on both sides.
         "kmeans_embeddings": f"""
-            WITH {_EMB_DOUBLE_SQL.strip()},
-            c0 AS (SELECT rn - 1 AS cid, v AS c FROM (
-                     SELECT v, row_number() OVER (ORDER BY vec_id) AS rn
-                     FROM e) WHERE rn <= 8),
-            a1 AS (SELECT vec_id, v, cid FROM (
-                     SELECT e.vec_id, e.v, c0.cid,
-                            row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY {_km_dist2_sql('e.v', 'c0.c')},
-                                       c0.cid) AS rn
-                     FROM e CROSS JOIN c0) WHERE rn = 1),
-            c1 AS (SELECT cid, list(av ORDER BY i) AS c FROM (
-                     SELECT cid, i, avg(v[i]) AS av
-                     FROM a1 CROSS JOIN generate_series(1, 64) AS t(i)
-                     GROUP BY cid, i) GROUP BY cid),
-            a2 AS (SELECT vec_id, v, cid FROM (
-                     SELECT a1.vec_id, a1.v, c1.cid,
-                            row_number() OVER (PARTITION BY a1.vec_id
-                              ORDER BY {_km_dist2_sql('a1.v', 'c1.c')},
-                                       c1.cid) AS rn
-                     FROM a1 CROSS JOIN c1) WHERE rn = 1),
-            c2 AS (SELECT cid, list(av ORDER BY i) AS c FROM (
-                     SELECT cid, i, avg(v[i]) AS av
-                     FROM a2 CROSS JOIN generate_series(1, 64) AS t(i)
-                     GROUP BY cid, i) GROUP BY cid),
-            a3 AS (SELECT vec_id, v, cid FROM (
-                     SELECT a2.vec_id, a2.v, c2.cid,
-                            row_number() OVER (PARTITION BY a2.vec_id
-                              ORDER BY {_km_dist2_sql('a2.v', 'c2.c')},
-                                       c2.cid) AS rn
-                     FROM a2 CROSS JOIN c2) WHERE rn = 1),
+            {_KMEANS_A3_CTES},
             sizes AS (SELECT cid, count(*) AS n_members FROM a3 GROUP BY cid),
             cf AS (SELECT cid, list(av ORDER BY i) AS c FROM (
                      SELECT cid, i, avg(v[i]) AS av
@@ -4679,6 +4700,17 @@ def oracle_sql() -> dict[str, str]:
                      list_transform(cf.c, x -> x * x), (a, b) -> a + b)), 6)
                      AS centroid_norm
             FROM sizes JOIN cf USING (cid)
+        """,
+        "semantic_dedup": f"""
+            {_KMEANS_A3_CTES},
+            dropped AS (
+              SELECT DISTINCT x.vec_id FROM a3 x JOIN a3 y
+                ON x.cid = y.cid AND y.vec_id < x.vec_id
+              WHERE round({_cos_sql('x.v', 'y.v')}, 6) >= 0.3
+            )
+            SELECT a3.vec_id, a3.cid AS cluster_id,
+                   (d.vec_id IS NULL) AS keep
+            FROM a3 LEFT JOIN dropped d ON a3.vec_id = d.vec_id
         """,
         # cooccurrence_pmi twin: both engines hand libm ln() the same
         # exact-integer-derived double (counts << 2^53), rounded to 6.

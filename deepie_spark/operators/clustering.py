@@ -108,6 +108,76 @@ def kmeans_fit(
     return assign_clusters(e, centroids), centroids
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-level near-duplicate
+    removal — cluster the corpus embeddings with k-means, then compare
+    pairs only WITHIN each cluster and drop all but one member of every
+    near-identical group.  Catches paraphrases/translations that
+    lexical dedup (minhash over shingles) cannot see — asserted by the
+    planted-paraphrase test.
+
+    Scale shape: the pairwise stage is bounded per cluster at
+    ~(N/k)² — ``k`` is the operator's scale knob (the paper runs
+    k ≈ 10⁴-10⁵ on web corpora precisely so clusters stay small); the
+    clustering itself is the kmeans_fit plan (in-row assign, k-row
+    update).  The within-cluster self-join shuffles on ``cluster`` —
+    uniform by construction when k is sized to the corpus.
+
+    Keeper rule (deterministic, documented deviation from the paper's
+    lowest-centroid-distance keeper): a vector is DROPPED iff some
+    cluster-mate with a SMALLER id is within ``threshold`` cosine —
+    first-occurrence wins, the same rule as paragraph_dedup.  Cosines
+    are sequential left-to-right double folds rounded to 6, so the
+    keep/drop booleans are engine-portable (the emb_cosine_dup parity
+    pattern).
+
+    Output: (vec_id, cluster_id, keep) for every input vector."""
+    assigned, _ = kmeans_fit(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    x = assigned.select(
+        F.col("vec_id").alias("ia"), F.col("v").alias("va"), "cluster"
+    )
+    y = assigned.select(
+        F.col("vec_id").alias("ib"), F.col("v").alias("vb"), "cluster"
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va")))
+        * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    dropped = (
+        x.join(y, "cluster")
+        .filter(F.col("ib") < F.col("ia"))
+        .filter(F.round(cos, 6) >= F.lit(threshold))
+        .select(F.col("ia").alias("vec_id"))
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").alias("cluster_id"),
+            F.col("_drop").isNull().alias("keep"),
+        )
+    )
+
+
 def kmeans_cluster_summary(
     emb: DataFrame, k: int = 8, iters: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -117,3 +117,39 @@ def test_assign_tie_breaks_to_smaller_cid(spark):
         df, [(3, [0.0]), (7, [2.0])], vec_col="v"
     ).collect()
     assert out[0]["cluster"] == 3  # equidistant → smaller cid
+
+
+def test_semantic_dedup_catches_planted_paraphrase(spark):
+    """SemDeDup removes embedding-level near-dups that lexical dedup
+    cannot see: two docs with DISJOINT shingle sets but near-identical
+    embeddings.  minhash-LSH finds no pair; semantic_dedup drops the
+    later of the two."""
+    import numpy as np
+
+    from deepie_spark.operators.clustering import semantic_dedup
+    from deepie_spark.operators.dedup import minhash_lsh_pairs
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(10, 8)
+    vecs = {i: base[i] / np.linalg.norm(base[i]) for i in range(10)}
+    # planted pair: 10 is a paraphrase of 3 (same direction, tiny noise)
+    v10 = vecs[3] + rng.randn(8) * 0.01
+    vecs[10] = v10 / np.linalg.norm(v10)
+    texts = {
+        i: " ".join(f"w{i}_{j}" for j in range(12)) for i in vecs
+    }  # all-disjoint vocabularies → zero shared shingles
+    docs = spark.createDataFrame(
+        [(i, texts[i]) for i in sorted(vecs)], "doc_id long, text string"
+    )
+    assert minhash_lsh_pairs(docs).count() == 0  # lexical dedup is blind
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in sorted(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(emb, k=4, iters=2, threshold=0.95).collect()
+    }
+    assert out[10] is False  # paraphrase dropped (3 is the keeper)
+    assert out[3] is True
+    assert sum(not v for v in out.values()) == 1  # nothing else dropped
