@@ -2154,6 +2154,36 @@ def _bpe_encode_oracle_sql(k: int = 4) -> str:
     """
 
 
+_PHRASE = ["row", "column", "sort"]
+
+
+def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index build (operators/retrieval.py
+    inverted_postings): one linear groupBy of the token stream into
+    per-(token, doc) posting rows — positions serialized '|'-joined
+    (gated outputs avoid array columns)."""
+    from deepie_spark.operators.retrieval import inverted_postings
+
+    idx = inverted_postings(_occ(spark, sf_dir))
+    return idx.select(
+        "token",
+        "doc_id",
+        F.concat_ws("|", F.col("positions")).alias("positions"),
+        "tf",
+    )
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query via positional-postings intersection
+    (operators/retrieval.py phrase_search): every (doc, start) where
+    the 3-token phrase occurs consecutively — m−1 1:1 semi-joins, each
+    term filter pushed to the scan."""
+    from deepie_spark.operators.retrieval import phrase_search
+
+    hits = phrase_search(_occ(spark, sf_dir), _PHRASE)
+    return hits.select("doc_id", F.col("start").cast("long").alias("start"))
+
+
 def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood blocking: O(n·w) dedup candidate pairs from
     a global blocking-key sort — the sort is the range-bucketed
@@ -3608,19 +3638,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-    # Ordering note (round 4, final): the driver gates the FIRST 50
-    # entries. This window = the 16 round-4 queries + 34 round-3 queries
-    # that have never had a driver-signed row (incl. every one the
-    # round-3 verdict named). The 14 deferred round-3 queries (all
-    # judge-run hash-exact in r3) follow immediately so round 5's
-    # rotation picks them up first.
+    # Ordering note (round 5): the driver gates the FIRST 50 entries.
+    # This window = the 15 round-3 queries deferred from r4's rotation
+    # (incl. the 4 that had never had a driver-signed row: oov_rate,
+    # kg_negatives, corpus_yield_funnel, tagger_gazetteer_gate) + the
+    # round-5 queries + the 33 longest-unsigned queries (last signed in
+    # r2/r3).  After this round every gated query has been driver-signed
+    # at least once.  Queries 51+ were all driver-signed in r3 or r4 and
+    # judge-re-verified each round.
+        "oov_rate": q_oov_rate,
+        "kg_negatives": q_kg_negatives,
+        "corpus_yield_funnel": q_corpus_yield_funnel,
+        "cc_components": q_cc_components,
+        "triples_canonical": q_triples_canonical,
+        "scorer_prf": q_scorer_prf,
+        "token_df_cutoff": q_token_df_cutoff,
+        "semi_join": q_semi_join,
+        "pipeline_triples_model": q_pipeline_triples_model,
+        "mentions_tagged": q_mentions_tagged,
+        "tagger_gazetteer_gate": q_tagger_gazetteer_gate,
+        "media_features": q_media_features,
+        "repetition_scores": q_repetition_scores,
+        "pii_scrub": q_pii_scrub,
+        "domain_stats": q_domain_stats,
+        "bpe_encode": q_bpe_encode,
+        "semantic_dedup": q_semantic_dedup,
+        "inverted_postings": q_inverted_postings,
+        "phrase_search": q_phrase_search,
+        "pipeline_triples_gated": q_pipeline_triples_gated,
+        "pipeline_triples_deep": q_pipeline_triples_deep,
+        "corpus_counts": q_corpus_counts,
+        "vocab_df": q_vocab_df,
+        "first_encounter_ids": q_first_encounter_ids,
+        "max_stats": q_max_stats,
+        "mentions_single": q_mentions_single,
+        "pair_distance_hist": q_pair_distance_hist,
+        "pair_distance_hist_salted": q_pair_distance_hist_salted,
+        "triples_rules": q_triples_rules,
+        "dedup_exact": q_dedup_exact,
+        "quality_scores": q_quality_scores,
+        "lang_guess": q_lang_guess,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "tpch_pricing": q_tpch_pricing,
+        "top_orders_per_cust": q_top_orders_per_cust,
+        "cust_no_orders": q_cust_no_orders,
+        "events_hourly": q_events_hourly,
+        "entity_linking": q_entity_linking,
+        "props_json_stats": q_props_json_stats,
+        "asof_last_signup": q_asof_last_signup,
+        "error_window_events": q_error_window_events,
+        "user_sessions": q_user_sessions,
+        "regional_revenue": q_regional_revenue,
+        "brand_part_stats": q_brand_part_stats,
+        "label_centroids": q_label_centroids,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "simhash_near": q_simhash_near,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "emb_cosine_dup": q_emb_cosine_dup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "user_scd2": q_user_scd2,
         "dsir_weights": q_dsir_weights,
         "entity_hits": q_entity_hits,
         "sorted_neighborhood": q_sorted_neighborhood,
         "bpe_vocab": q_bpe_vocab,
-        "bpe_encode": q_bpe_encode,
         "error_window_global": q_error_window_global,
         "bloom_prejoin": q_bloom_prejoin,
         "media_frames": q_media_frames,
@@ -3641,7 +3724,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "dup_ngram_rate": q_dup_ngram_rate,
         "kmeans_embeddings": q_kmeans_embeddings,
-        "semantic_dedup": q_semantic_dedup,
         "entity_cooccur_pmi": q_entity_cooccur_pmi,
         "triple_degree_hist": q_triple_degree_hist,
         "triangle_stats": q_triangle_stats,
@@ -3666,55 +3748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "mixture_plan": q_mixture_plan,
         "table_profile": q_table_profile,
-        "oov_rate": q_oov_rate,
-        "kg_negatives": q_kg_negatives,
-        "corpus_yield_funnel": q_corpus_yield_funnel,
-        "cc_components": q_cc_components,
-        "triples_canonical": q_triples_canonical,
-        "scorer_prf": q_scorer_prf,
-        "token_df_cutoff": q_token_df_cutoff,
-        "semi_join": q_semi_join,
-        "pipeline_triples_model": q_pipeline_triples_model,
-        "mentions_tagged": q_mentions_tagged,
-        "tagger_gazetteer_gate": q_tagger_gazetteer_gate,
-        "media_features": q_media_features,
-        "repetition_scores": q_repetition_scores,
-        "pii_scrub": q_pii_scrub,
-        "domain_stats": q_domain_stats,
-        "pipeline_triples_gated": q_pipeline_triples_gated,
-        "pipeline_triples_deep": q_pipeline_triples_deep,
-        "corpus_counts": q_corpus_counts,
-        "vocab_df": q_vocab_df,
-        "first_encounter_ids": q_first_encounter_ids,
-        "max_stats": q_max_stats,
-        "mentions_single": q_mentions_single,
-        "pair_distance_hist": q_pair_distance_hist,
-        "pair_distance_hist_salted": q_pair_distance_hist_salted,
-        "triples_rules": q_triples_rules,
         "pipeline_triples": q_pipeline_triples,
-        "dedup_exact": q_dedup_exact,
-        "quality_scores": q_quality_scores,
-        "lang_guess": q_lang_guess,
-        "token_counts": q_token_counts,
-        "doc_fingerprint": q_doc_fingerprint,
-        "tpch_pricing": q_tpch_pricing,
-        "top_orders_per_cust": q_top_orders_per_cust,
-        "cust_no_orders": q_cust_no_orders,
-        "events_hourly": q_events_hourly,
-        "entity_linking": q_entity_linking,
-        "props_json_stats": q_props_json_stats,
-        "asof_last_signup": q_asof_last_signup,
-        "error_window_events": q_error_window_events,
-        "user_sessions": q_user_sessions,
-        "regional_revenue": q_regional_revenue,
-        "brand_part_stats": q_brand_part_stats,
-        "label_centroids": q_label_centroids,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "simhash_near": q_simhash_near,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "emb_cosine_dup": q_emb_cosine_dup,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -5142,6 +5176,23 @@ def oracle_sql() -> dict[str, str]:
         "entity_hits": _hits_oracle_sql(),
         "bpe_vocab": _bpe_oracle_sql(_BPE_MERGES),
         "bpe_encode": _bpe_encode_oracle_sql(_BPE_MERGES),
+        "inverted_postings": f"""
+            WITH {_OCC_SQL.strip()}
+            SELECT token, doc_id,
+                   array_to_string(list(pos ORDER BY pos), '|')
+                     AS positions,
+                   CAST(count(*) AS BIGINT) AS tf
+            FROM occ GROUP BY token, doc_id
+        """,
+        "phrase_search": f"""
+            WITH {_OCC_SQL.strip()}
+            SELECT a.doc_id, a.pos AS start
+            FROM occ a
+            JOIN occ b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            JOIN occ c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+            WHERE a.token = '{_PHRASE[0]}' AND b.token = '{_PHRASE[1]}'
+              AND c.token = '{_PHRASE[2]}'
+        """,
         "entity_ppr": _ppr_oracle_sql(),
         # bfs twin: min(hop) over the bounded recursive walk equals
         # the BFS layer (layers are shortest-first); UNION (not UNION

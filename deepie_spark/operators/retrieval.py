@@ -172,3 +172,56 @@ def term_cosine_pairs(
         .filter(cos >= threshold)
         .select("a", "b", "dot", "n2_a", "n2_b", F.round(cos, 6).alias("cosine"))
     )
+
+
+def inverted_postings(
+    occ: DataFrame,
+    token_col: str = "token",
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Positional inverted index: (token, doc_id, positions, tf).
+
+    One groupBy over the token stream — linear, map-side combinable.
+    Postings stay as per-(token, doc) ROWS, never per-term arrays: a
+    stop term's full posting list at 10^12 docs would be an unbounded
+    in-row array, while rows shard across partitions for free.
+    Positions are sorted in-row so downstream intersection and phrase
+    checks are deterministic."""
+    return occ.groupBy(token_col, id_col).agg(
+        F.array_sort(F.collect_list(F.col(pos_col))).alias("positions"),
+        F.count("*").cast("long").alias("tf"),
+    )
+
+
+def phrase_search(
+    occ: DataFrame,
+    phrase: list[str],
+    token_col: str = "token",
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Exact phrase matches via positional-postings intersection:
+    (doc_id, start) for every occurrence of the consecutive token
+    sequence ``phrase``.
+
+    The classic positional-index query plan (Manning et al., IIR §2.4)
+    restated as m−1 SEMI-joins: anchor on the first token's positions,
+    then keep only anchors whose (doc, start+i) position carries token
+    i.  Each join key (doc_id, start) is unique per side — 1:1 joins,
+    no fan-out even on stop-word phrase terms; each term's filter
+    prunes the scan BEFORE any shuffle (predicate pushdown visible in
+    the plan).  Total work is O(Σ posting sizes of the phrase terms),
+    independent of corpus size."""
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    base = occ.filter(F.col(token_col) == phrase[0]).select(
+        F.col(id_col).alias("doc_id"), F.col(pos_col).alias("start")
+    )
+    for i, t in enumerate(phrase[1:], start=1):
+        nxt = occ.filter(F.col(token_col) == t).select(
+            F.col(id_col).alias("doc_id"),
+            (F.col(pos_col) - F.lit(i)).alias("start"),
+        )
+        base = base.join(nxt, ["doc_id", "start"], "left_semi")
+    return base
