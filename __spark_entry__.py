@@ -2877,6 +2877,61 @@ def q_triple_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_histogram(t)
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the rule-triple graph (operators/graph.py kcore):
+    iterative peeling to the true fixpoint — members + within-core
+    degree.  The unrolled oracle peels 8 rounds; the convergence test
+    asserts the fixture graph reaches fixpoint well inside that."""
+    from deepie_spark.operators.graph import kcore
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return kcore(t, k=2)
+
+
+def _kcore_round_sql(r: int, k: int) -> str:
+    # MATERIALIZED: each und{r} is referenced twice (k{r} and
+    # und{r+1}); plain CTEs inline, doubling the whole subtree per
+    # round — 2^rounds parquet scans ("too many open files")
+    return f"""
+            k{r} AS MATERIALIZED (SELECT a FROM (SELECT a, count(*) AS deg
+                     FROM und{r} GROUP BY a) WHERE deg >= {k}),
+            und{r + 1} AS MATERIALIZED (SELECT u.a, u.b FROM und{r} u
+                           JOIN k{r} x ON u.a = x.a
+                           JOIN k{r} y ON u.b = y.a)"""
+
+
+def _kcore_oracle_sql(k: int = 2, rounds: int = 8) -> str:
+    peels = ",".join(_kcore_round_sql(r, k) for r in range(rounds))
+    return f"""
+            WITH {_MENTIONS_SQL.strip()},
+            rules(type1, type2, label) AS (VALUES
+              {RULES_VALUES}
+            ),
+            pairs AS (
+              SELECT a.doc_id, a.alias AS alias1, b.alias AS alias2,
+                     a.entity_type AS type1, b.entity_type AS type2
+              FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id
+              WHERE a.pos < b.pos AND b.pos - a.pos <= 10
+            ),
+            tr AS (
+              SELECT
+                CASE WHEN label LIKE '%(e2,e1)' THEN alias2
+                     ELSE alias1 END AS a,
+                CASE WHEN label LIKE '%(e2,e1)' THEN alias1
+                     ELSE alias2 END AS b
+              FROM pairs JOIN rules USING (type1, type2)
+              WHERE label != 'NONE'
+            ),
+            und0 AS MATERIALIZED (SELECT a, b FROM tr WHERE a != b
+                     UNION
+                     SELECT b, a FROM tr WHERE a != b),{peels}
+            SELECT a AS entity, CAST(count(*) AS BIGINT) AS degree
+            FROM und{rounds} GROUP BY a
+    """
+
+
 def q_predicate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG schema profiling per predicate: triple count, distinct
     subjects/objects, and (inverse-)functionality ratios — the
@@ -3665,6 +3720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "inverted_postings": q_inverted_postings,
         "phrase_search": q_phrase_search,
+        "kcore": q_kcore,
         "pipeline_triples_gated": q_pipeline_triples_gated,
         "pipeline_triples_deep": q_pipeline_triples_deep,
         "corpus_counts": q_corpus_counts,
@@ -5193,6 +5249,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.token = '{_PHRASE[0]}' AND b.token = '{_PHRASE[1]}'
               AND c.token = '{_PHRASE[2]}'
         """,
+        "kcore": _kcore_oracle_sql(k=2, rounds=8),
         "entity_ppr": _ppr_oracle_sql(),
         # bfs twin: min(hop) over the bounded recursive walk equals
         # the BFS layer (layers are shortest-first); UNION (not UNION

@@ -505,3 +505,54 @@ def degree_histogram(
     ).distinct()
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Batagelj–Zaveršnik
+    restated as bulk rounds): repeatedly delete every node of
+    undirected distinct-neighbor degree < k until a fixpoint — the
+    dense-substructure filter a KG pipeline runs before community or
+    motif analysis (peripheral 1-degree entities drown both).
+
+    Per round: one degree agg + one semi-join edge filter (shuffles on
+    the node key, map-side combinable) + a bounded 1-row count action
+    for the fixpoint test; ``localCheckpoint`` truncates lineage (the
+    iterative-DataFrame rule from PageRank/CC).  Rounds are ≤ the
+    graph's degeneracy ordering depth — small for power-law KGs (the
+    Spark side runs to the TRUE fixpoint; the unrolled-SQL oracle's
+    round count is asserted sufficient by the convergence test).
+
+    Output: (entity, degree) for every k-core member, degree counted
+    within the core."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_prev = und.count()
+    for _ in range(max_rounds):
+        deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("a")
+        und = (
+            und.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_now = und.count()  # bounded driver action: one long per round
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    return (
+        und.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("a").alias("entity"), F.col("degree").cast("long"))
+    )

@@ -362,3 +362,18 @@ def test_hits_handcrafted_star(spark):
     for sink in ("y", "z"):
         assert got[sink]["hub"] == 0.0
     assert got["u"]["hub"] < got["c"]["hub"]
+
+
+def test_kcore_peels_cascade_to_fixpoint(spark):
+    """2-core of clique{1,2,3,4} + pendant path 4-5-6-7: the path peels
+    over THREE cascading rounds (7, then 6, then 5) — a single-round
+    degree filter would leave 5 and 6 behind."""
+    from deepie_spark.operators.graph import kcore
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6), (6, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["entity"]: r["degree"] for r in kcore(df, k=2).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k above the max degree → empty core
+    assert kcore(df, k=4).count() == 0
