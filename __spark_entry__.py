@@ -2877,6 +2877,37 @@ def q_triple_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_histogram(t)
 
 
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level web link graph (operators/graph.py link_graph) over
+    deterministically synthesized pages: each document gets a url on
+    host h(doc_id mod 20) and two outlinks at h(7·id+3 mod 20) /
+    h(13·id+5 mod 20) embedded in real html — the SYNTHESIS is the test
+    harness (documents.parquet has no html column), the extraction
+    (regexp href harvest + host parse + edge agg) is the real
+    operator under test, oracle-mirrored step for step."""
+    from deepie_spark.operators.graph import link_graph
+
+    d = _docs(spark, sf_dir)
+    host = lambda e: F.concat(  # noqa: E731
+        F.lit("https://h"), (e % 20).cast("string"), F.lit(".example.com")
+    )
+    pages = d.select(
+        F.concat(
+            host(F.col("doc_id")), F.lit("/d"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.concat(
+            F.lit('<html><body><p>'),
+            F.col("text"),
+            F.lit('</p><a href="'),
+            host(F.col("doc_id") * 7 + 3),
+            F.lit('/x">l1</a><a href="'),
+            host(F.col("doc_id") * 13 + 5),
+            F.lit('/y">l2</a></body></html>'),
+        ).alias("html"),
+    )
+    return link_graph(pages)
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the rule-triple graph (operators/graph.py kcore):
     iterative peeling to the true fixpoint — members + within-core
@@ -3721,6 +3752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_postings": q_inverted_postings,
         "phrase_search": q_phrase_search,
         "kcore": q_kcore,
+        "link_graph": q_link_graph,
         "pipeline_triples_gated": q_pipeline_triples_gated,
         "pipeline_triples_deep": q_pipeline_triples_deep,
         "corpus_counts": q_corpus_counts,
@@ -5250,6 +5282,32 @@ def oracle_sql() -> dict[str, str]:
               AND c.token = '{_PHRASE[2]}'
         """,
         "kcore": _kcore_oracle_sql(k=2, rounds=8),
+        "link_graph": """
+            WITH p AS (
+              SELECT 'h' || CAST(doc_id % 20 AS VARCHAR)
+                       || '.example.com' AS src_host,
+                     '<html><body><p>' || text || '</p><a href="https://h'
+                       || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+                       || '.example.com/x">l1</a><a href="https://h'
+                       || CAST((doc_id * 13 + 5) % 20 AS VARCHAR)
+                       || '.example.com/y">l2</a></body></html>' AS html
+              FROM documents
+            ),
+            e AS (
+              SELECT src_host,
+                     unnest(regexp_extract_all(html,
+                       'href="([^"]+)"', 1)) AS href
+              FROM p
+            )
+            SELECT src_host,
+                   regexp_extract(href, '^[A-Za-z]+://([^/]+)', 1)
+                     AS dst_host,
+                   CAST(count(*) AS BIGINT) AS n_links
+            FROM e
+            WHERE src_host != ''
+              AND regexp_extract(href, '^[A-Za-z]+://([^/]+)', 1) != ''
+            GROUP BY 1, 2
+        """,
         "entity_ppr": _ppr_oracle_sql(),
         # bfs twin: min(hop) over the bounded recursive walk equals
         # the BFS layer (layers are shortest-first); UNION (not UNION

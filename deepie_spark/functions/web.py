@@ -49,3 +49,17 @@ def normalize_url(u: Column) -> Column:
     return F.when(qs != "", F.concat(cleaned, F.lit("?"), qs)).otherwise(
         cleaned
     )
+
+
+def extract_links(html: Column) -> Column:
+    """All ``href="…"`` targets of a page in document order — one
+    codegen ``regexp_extract_all``, no Python (the link-extraction
+    stage of web-graph construction; DuckDB twin uses the identical
+    pattern)."""
+    return F.regexp_extract_all(html, F.lit('href="([^"]+)"'), 1)
+
+
+def url_host(u: Column) -> Column:
+    """scheme-stripped host of a URL (empty string when no scheme —
+    relative links don't vote in the host graph)."""
+    return F.regexp_extract(u, "^[A-Za-z]+://([^/]+)", 1)

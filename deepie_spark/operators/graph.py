@@ -556,3 +556,32 @@ def kcore(
         .agg(F.count(F.lit(1)).alias("degree"))
         .select(F.col("a").alias("entity"), F.col("degree").cast("long"))
     )
+
+
+def link_graph(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Host-level web link graph from raw pages: extract every
+    ``href`` (functions/web.py extract_links — codegen regexp), keep
+    absolute links, and aggregate (src_host, dst_host, n_links).
+
+    The web-graph construction stage of a crawl pipeline (host-graph
+    PageRank/centrality feeds crawl prioritization and spam scoring —
+    the Common Crawl host-graph recipe).  Plan: extraction + host
+    parsing are in-row, the single shuffle is the final (src, dst)
+    hash agg — map-side combinable, and host-level keys are already
+    ~6 orders of magnitude coarser than page-level, so the hot-host
+    skew that page tables carry is collapsed before the exchange."""
+    from deepie_spark.functions.web import extract_links, url_host
+
+    e = pages.select(
+        url_host(F.col(url_col)).alias("src_host"),
+        F.explode(extract_links(F.col(html_col).cast("string"))).alias(
+            "href"
+        ),
+    ).select("src_host", url_host(F.col("href")).alias("dst_host"))
+    return (
+        e.filter((F.col("src_host") != "") & (F.col("dst_host") != ""))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+    )

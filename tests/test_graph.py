@@ -377,3 +377,25 @@ def test_kcore_peels_cascade_to_fixpoint(spark):
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
     # k above the max degree → empty core
     assert kcore(df, k=4).count() == 0
+
+
+def test_link_graph_extraction(spark):
+    """href harvest: absolute links aggregate per (src,dst) host;
+    relative links and pages without a parseable host don't vote."""
+    from deepie_spark.operators.graph import link_graph
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/p1",
+             '<a href="https://b.com/x">1</a><a href="https://b.com/y">2'
+             '</a><a href="/rel">r</a>'),
+            ("https://a.com/p2", '<a href="http://c.org/z">3</a>'),
+            ("nohost", '<a href="https://b.com/q">4</a>'),
+        ],
+        "url string, html string",
+    )
+    got = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in link_graph(pages).collect()
+    }
+    assert got == {("a.com", "b.com"): 2, ("a.com", "c.org"): 1}
