@@ -2877,6 +2877,73 @@ def q_triple_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_histogram(t)
 
 
+_WALK_LEN = 4
+
+
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic DeepWalk corpus over the directed rule-triple
+    graph (operators/graph.py random_walks): next hop =
+    neighbors[H(walk#step) mod outdeg] with the portable poly hash, so
+    the walk corpus is bit-identical in both engines — no RNG."""
+    from deepie_spark.operators.graph import random_walks
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return random_walks(t, length=_WALK_LEN)
+
+
+def _walks_step_sql(s: int) -> str:
+    pick = _poly_hash_sql(f"w.walk || '#{s}'")
+    return f"""
+            w{s} AS MATERIALIZED (
+              SELECT w.walk, CAST({s} AS BIGINT) AS step, adj.b AS node
+              FROM w{s - 1} w JOIN adj ON adj.a = w.node
+               AND adj.rk = {pick} % adj.deg)"""
+
+
+def _walks_oracle_sql(length: int = 4) -> str:
+    steps = ",".join(_walks_step_sql(s) for s in range(1, length + 1))
+    sel = "\n            UNION ALL ".join(
+        f"SELECT walk, step, node FROM w{s}" for s in range(length + 1)
+    )
+    return f"""
+            WITH {_MENTIONS_SQL.strip()},
+            rules(type1, type2, label) AS (VALUES
+              {RULES_VALUES}
+            ),
+            pairs AS (
+              SELECT a.doc_id, a.alias AS alias1, b.alias AS alias2,
+                     a.entity_type AS type1, b.entity_type AS type2
+              FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id
+              WHERE a.pos < b.pos AND b.pos - a.pos <= 10
+            ),
+            tr AS (
+              SELECT
+                CASE WHEN label LIKE '%(e2,e1)' THEN alias2
+                     ELSE alias1 END AS a,
+                CASE WHEN label LIKE '%(e2,e1)' THEN alias1
+                     ELSE alias2 END AS b
+              FROM pairs JOIN rules USING (type1, type2)
+              WHERE label != 'NONE'
+            ),
+            ed AS MATERIALIZED (SELECT DISTINCT a, b FROM tr
+                                WHERE a != b),
+            adj AS MATERIALIZED (
+              SELECT a, b,
+                     row_number() OVER (PARTITION BY a ORDER BY b) - 1
+                       AS rk,
+                     count(*) OVER (PARTITION BY a) AS deg
+              FROM ed
+            ),
+            w0 AS MATERIALIZED (
+              SELECT DISTINCT a AS walk, CAST(0 AS BIGINT) AS step,
+                     a AS node
+              FROM adj),{steps}
+            {sel}
+    """
+
+
 def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level web link graph (operators/graph.py link_graph) over
     deterministically synthesized pages: each document gets a url on
@@ -3753,6 +3820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "kcore": q_kcore,
         "link_graph": q_link_graph,
+        "random_walks": q_random_walks,
         "pipeline_triples_gated": q_pipeline_triples_gated,
         "pipeline_triples_deep": q_pipeline_triples_deep,
         "corpus_counts": q_corpus_counts,
@@ -5282,6 +5350,7 @@ def oracle_sql() -> dict[str, str]:
               AND c.token = '{_PHRASE[2]}'
         """,
         "kcore": _kcore_oracle_sql(k=2, rounds=8),
+        "random_walks": _walks_oracle_sql(_WALK_LEN),
         "link_graph": """
             WITH p AS (
               SELECT 'h' || CAST(doc_id % 20 AS VARCHAR)

@@ -26,7 +26,10 @@ numpy power-iteration twin in tests.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+
+from deepie_spark.functions.text import char_poly_hash_str
 
 
 def pagerank(
@@ -585,3 +588,70 @@ def link_graph(
         .groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    length: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Hash-deterministic random walks (the DeepWalk/node2vec corpus
+    generator, Perozzi et al. 2014) — one walk per start node, next
+    hop chosen by a PORTABLE hash instead of an engine RNG:
+
+        next = neighbors(cur)[ H(walk_id ⊕ step) mod outdeg(cur) ]
+
+    with H the repo's BASE/MOD poly hash, so the walk corpus is
+    bit-reproducible across engines (DuckDB twin), partitionings, and
+    reruns — the property a training pipeline needs for cacheable walk
+    corpora (RNG walks can't be oracle-gated or resumed consistently).
+
+    Plan: adjacency is ranked once per source (key-partitioned window —
+    distributed), then each step is ONE equi-join of the frontier
+    against the ranked adjacency on (cur, chosen-rank) — 1:1, no
+    fan-out; walks at dangling nodes simply stop extending (the join
+    drops them).  ``length`` joins total; the adjacency is persisted
+    across steps.
+
+    Output: (walk, step, node) rows, step 0 = the start node."""
+    adj = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    w = W.partitionBy("a")
+    ranked = adj.select(
+        "a",
+        "b",
+        (F.row_number().over(w.orderBy("b")) - 1).alias("rk"),
+        F.count(F.lit(1)).over(w).alias("deg"),
+    ).persist()
+    try:
+        frontier = ranked.select(F.col("a").alias("walk")).distinct().select(
+            "walk", F.lit(0).cast("long").alias("step"),
+            F.col("walk").alias("node"),
+        )
+        out = frontier
+        for s in range(1, length + 1):
+            pick = F.pmod(
+                char_poly_hash_str(
+                    F.concat(F.col("walk"), F.lit(f"#{s}"))
+                ),
+                F.col("deg"),
+            )
+            frontier = (
+                frontier.join(
+                    ranked, frontier["node"] == ranked["a"], "inner"
+                )
+                .filter(F.col("rk") == pick)
+                .select(
+                    "walk",
+                    F.lit(s).cast("long").alias("step"),
+                    F.col("b").alias("node"),
+                )
+            )
+            out = out.unionByName(frontier)
+        return out.localCheckpoint(eager=True)
+    finally:
+        ranked.unpersist()

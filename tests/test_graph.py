@@ -399,3 +399,47 @@ def test_link_graph_extraction(spark):
         for r in link_graph(pages).collect()
     }
     assert got == {("a.com", "b.com"): 2, ("a.com", "c.org"): 1}
+
+
+def test_random_walks_deterministic_and_valid(spark):
+    """Every step follows a real edge chosen by the documented hash
+    rule (python twin); walks stop at dangling nodes; two runs are
+    identical."""
+    from deepie_spark.functions.text import BASE, MOD
+    from deepie_spark.operators.graph import random_walks
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+             ("c", "d"), ("d", "e")]  # e is dangling
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r["walk"], r["step"]): r["node"]
+        for r in random_walks(df, length=5).collect()
+    }
+
+    def h(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * BASE + ord(ch)) % MOD
+        return acc
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    for a in adj:
+        adj[a] = sorted(set(adj[a]))
+    want = {}
+    for start in sorted(adj):
+        cur = start
+        want[(start, 0)] = cur
+        for s in range(1, 6):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            cur = nbrs[h(f"{start}#{s}") % len(nbrs)]
+            want[(start, s)] = cur
+    assert got == want
+    again = {
+        (r["walk"], r["step"]): r["node"]
+        for r in random_walks(df, length=5).collect()
+    }
+    assert again == got
