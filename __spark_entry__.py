@@ -2877,6 +2877,24 @@ def q_triple_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_histogram(t)
 
 
+def q_triple_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noisy-OR triple confidence (operators/stats.py
+    triple_confidence): 1 − Π(1−p) over each (subj, pred, obj)'s
+    supporting mentions, the independent-evidence combiner a KG
+    materialization stage attaches before writing triples.  Per-mention
+    prob is synthesized deterministically (0.5 + (pos1 mod 40)/100 —
+    one exact int/int division, engine-portable); the product folds
+    over the SORTED prob array so FP non-commutativity cannot split the
+    engines."""
+    from deepie_spark.operators.stats import triple_confidence
+
+    t = q_triples_rules(spark, sf_dir).withColumn(
+        "prob",
+        F.lit(0.5) + (F.col("pos1") % 40).cast("double") / F.lit(100.0),
+    )
+    return triple_confidence(t)
+
+
 _WALK_LEN = 4
 
 
@@ -3795,10 +3813,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # This window = the 15 round-3 queries deferred from r4's rotation
     # (incl. the 4 that had never had a driver-signed row: oov_rate,
     # kg_negatives, corpus_yield_funnel, tagger_gazetteer_gate) + the
-    # round-5 queries + the 33 longest-unsigned queries (last signed in
-    # r2/r3).  After this round every gated query has been driver-signed
-    # at least once.  Queries 51+ were all driver-signed in r3 or r4 and
-    # judge-re-verified each round.
+    # 7 new round-5 queries (bpe_encode, semantic_dedup,
+    # inverted_postings, phrase_search, kcore, link_graph,
+    # random_walks) + the 28 longest-unsigned queries (last signed in
+    # r2/r3, oldest first).  After this round every gated query has
+    # been driver-signed at least once.  Queries 51+ were all
+    # driver-signed in r3 or r4 and judge-re-verified each round.
         "oov_rate": q_oov_rate,
         "kg_negatives": q_kg_negatives,
         "corpus_yield_funnel": q_corpus_yield_funnel,
@@ -3821,6 +3841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "link_graph": q_link_graph,
         "random_walks": q_random_walks,
+        "triple_confidence": q_triple_confidence,
         "pipeline_triples_gated": q_pipeline_triples_gated,
         "pipeline_triples_deep": q_pipeline_triples_deep,
         "corpus_counts": q_corpus_counts,
@@ -5351,6 +5372,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore": _kcore_oracle_sql(k=2, rounds=8),
         "random_walks": _walks_oracle_sql(_WALK_LEN),
+        "triple_confidence": f"""
+            WITH {_MENTIONS_SQL.strip()},
+            rules(type1, type2, label) AS (VALUES
+              {RULES_VALUES}
+            ),
+            pairs AS (
+              SELECT a.doc_id, a.pos AS pos1, b.pos AS pos2,
+                     a.alias AS alias1, b.alias AS alias2,
+                     a.entity_type AS type1, b.entity_type AS type2
+              FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id
+              WHERE a.pos < b.pos AND b.pos - a.pos <= 10
+            ),
+            tr AS (
+              SELECT
+                CASE WHEN label LIKE '%(e2,e1)' THEN alias2
+                     ELSE alias1 END AS subj,
+                regexp_replace(label, '\\(e[12],e[21]\\)$', '') AS pred,
+                CASE WHEN label LIKE '%(e2,e1)' THEN alias1
+                     ELSE alias2 END AS obj,
+                0.5 + CAST(pos1 % 40 AS DOUBLE) / 100.0 AS prob
+              FROM pairs JOIN rules USING (type1, type2)
+              WHERE label != 'NONE'
+            )
+            SELECT subj, pred, obj,
+                   CAST(count(*) AS BIGINT) AS n_mentions,
+                   round(1.0 - list_reduce(
+                     list_prepend(CAST(1.0 AS DOUBLE),
+                       list_transform(list_sort(list(prob)),
+                                      x -> 1.0 - x)),
+                     (a, b) -> a * b), 6) AS confidence
+            FROM tr GROUP BY subj, pred, obj
+        """,
         "link_graph": """
             WITH p AS (
               SELECT 'h' || CAST(doc_id % 20 AS VARCHAR)

@@ -94,6 +94,14 @@ EXTRA = [
     "heavy_hitters",
     "predicate_profile",
     "scd2_lookup",
+    # round-5 additions (headline stays FROZEN at the r4 16-query set)
+    "bpe_encode",
+    "semantic_dedup",
+    "inverted_postings",
+    "phrase_search",
+    "kcore",
+    "link_graph",
+    "random_walks",
 ]
 
 HEADLINE = [

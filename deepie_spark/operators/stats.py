@@ -133,3 +133,36 @@ def grouped_pearson(
             "corr"
         ),
     )
+
+
+def triple_confidence(
+    triples,
+    prob_col: str = "prob",
+    keys: tuple = ("subj", "pred", "obj"),
+):
+    """Noisy-OR evidence aggregation for KG materialization:
+    ``conf = 1 − Π(1 − p)`` over a triple's supporting mentions — the
+    standard independent-evidence combiner (each extraction is an
+    independent noisy witness; more support → higher confidence).
+
+    FP portability: products do not commute in floating point, so the
+    fold runs over the SORTED probability array in-row (collect_list →
+    array_sort → left fold) — identical multiply sequence in Spark and
+    the DuckDB twin under ANY partitioning.  Group arrays are bounded
+    by mentions-per-triple (the same boundedness the scorer relies on).
+
+    Output: (*keys, n_mentions, confidence)."""
+    from pyspark.sql import functions as F
+
+    g = triples.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_mentions"),
+        F.array_sort(F.collect_list(F.col(prob_col))).alias("_ps"),
+    )
+    prod = F.aggregate(
+        F.col("_ps"),
+        F.lit(1.0),
+        lambda acc, p: acc * (F.lit(1.0) - p),
+    )
+    return g.select(
+        *keys, "n_mentions", F.round(F.lit(1.0) - prod, 6).alias("confidence")
+    )

@@ -85,3 +85,41 @@ def test_grouped_pearson_matches_numpy_and_guards_zero_variance(spark):
     # zero-variance groups are NULL, not a DIVIDE_BY_ZERO crash
     assert got["const_x"] is None
     assert got["single"] is None
+
+
+def test_triple_confidence_noisy_or(spark):
+    """conf = 1 - prod(1-p) with the product folded in sorted order —
+    python twin equality and repartition invariance (bitwise: the fold
+    order is pinned by the sort, not the partitioning)."""
+    from deepie_spark.operators.stats import triple_confidence
+
+    rows = [
+        ("a", "R", "b", 0.9),
+        ("a", "R", "b", 0.5),
+        ("a", "R", "b", 0.75),
+        ("x", "S", "y", 0.25),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, prob double"
+    )
+    got = {
+        (r["subj"], r["pred"], r["obj"]): (r["n_mentions"], r["confidence"])
+        for r in triple_confidence(df).collect()
+    }
+    import math
+
+    def noisy_or(ps):
+        acc = 1.0
+        for p in sorted(ps):
+            acc *= 1.0 - p
+        return round(1.0 - acc, 6)
+
+    assert got == {
+        ("a", "R", "b"): (3, noisy_or([0.9, 0.5, 0.75])),
+        ("x", "S", "y"): (1, noisy_or([0.25])),
+    }
+    got2 = {
+        (r["subj"], r["pred"], r["obj"]): (r["n_mentions"], r["confidence"])
+        for r in triple_confidence(df.repartition(7)).collect()
+    }
+    assert got2 == got
