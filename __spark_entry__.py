@@ -3813,12 +3813,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # This window = the 15 round-3 queries deferred from r4's rotation
     # (incl. the 4 that had never had a driver-signed row: oov_rate,
     # kg_negatives, corpus_yield_funnel, tagger_gazetteer_gate) + the
-    # 7 new round-5 queries (bpe_encode, semantic_dedup,
+    # 8 new round-5 queries (bpe_encode, semantic_dedup,
     # inverted_postings, phrase_search, kcore, link_graph,
-    # random_walks) + the 28 longest-unsigned queries (last signed in
-    # r2/r3, oldest first).  After this round every gated query has
-    # been driver-signed at least once.  Queries 51+ were all
-    # driver-signed in r3 or r4 and judge-re-verified each round.
+    # random_walks, triple_confidence) + the 27 longest-unsigned
+    # queries (last signed in r2/r3, oldest first).  After this round
+    # every gated query has been driver-signed at least once.  Queries
+    # 51+ were all driver-signed in r3 or r4 and judge-re-verified
+    # each round.
         "oov_rate": q_oov_rate,
         "kg_negatives": q_kg_negatives,
         "corpus_yield_funnel": q_corpus_yield_funnel,

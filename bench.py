@@ -102,6 +102,7 @@ EXTRA = [
     "kcore",
     "link_graph",
     "random_walks",
+    "triple_confidence",
 ]
 
 HEADLINE = [
