@@ -2962,6 +2962,53 @@ def _walks_oracle_sql(length: int = 4) -> str:
     """
 
 
+_LPA_ROUNDS = 3
+
+
+def _lpa_round_sql(n: int) -> str:
+    """One synchronous LPA round: count neighbor labels, keep the most
+    frequent with min-label tie-break (row_number's total order ==
+    Spark's min(struct(-cnt, lbl)))."""
+    return f"""
+            l{n} AS MATERIALIZED (
+              SELECT node, lbl FROM (
+                SELECT node, lbl,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY cnt DESC, lbl) AS rn
+                FROM (SELECT u.a AS node, l.lbl, count(*) AS cnt
+                      FROM bidi u JOIN l{n - 1} l ON l.node = u.b
+                      GROUP BY 1, 2))
+              WHERE rn = 1)"""
+
+
+def _lpa_oracle_sql(rounds: int = _LPA_ROUNDS) -> str:
+    steps = ",".join(_lpa_round_sql(n) for n in range(1, rounds + 1))
+    return f"""
+            WITH {{mentions}},
+            {{edges}},
+            bidi AS MATERIALIZED (
+              SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+            l0 AS MATERIALIZED (
+              SELECT DISTINCT a AS node, a AS lbl FROM bidi),{steps}
+            SELECT node AS entity, lbl AS community FROM l{rounds}
+    """
+
+
+def q_entity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the rule-triple entity graph: 3 rounds
+    of SYNCHRONOUS deterministic label propagation (operators/graph.py
+    label_propagation — most-frequent neighbor label, min-label
+    tie-break; the random/async parts of textbook LPA are pinned so
+    both engines compute the identical labeling — the random_walks
+    determinism trade)."""
+    from deepie_spark.operators.graph import label_propagation
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return label_propagation(t, rounds=_LPA_ROUNDS)
+
+
 def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level web link graph (operators/graph.py link_graph) over
     deterministically synthesized pages: each document gets a url on
@@ -3802,6 +3849,60 @@ def q_corpus_yield_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time as-of join (operators/asof.py asof_join): each
+    purchase event picks up the LATEST view event at-or-before it for
+    the same user, within a 1-day tolerance — pandas merge_asof /
+    Flink temporal-join semantics, executed as ONE key-partitioned
+    union+window with zero join nodes (plan-guarded in test_asof; the
+    naive inequality-join rewrite fans out |left|×|right| per key).
+    The DuckDB oracle is the INDEPENDENT native ``ASOF LEFT JOIN``
+    formulation, not a mirror of the Spark plan.  events.ts is
+    TIMESTAMP_NTZ → floor-epoch longs (CLAUDE.md); value carried as
+    integer cents; the view side is pre-aggregated unique per
+    (user_id, es) with max_by on event_id (value has no nulls, so
+    DuckDB arg_max — which skips nulls — and Spark max_by agree)."""
+    from deepie_spark.operators.asof import asof_join
+
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("es"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "es")
+        .agg(
+            F.max("event_id").alias("view_event_id"),
+            F.max_by("cents", "event_id").alias("view_cents"),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "es"
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="es",
+        right_ts="es",
+        payload_cols=["view_event_id", "view_cents"],
+        tolerance=86400,
+        matched_ts_col="view_es",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "es",
+        "view_es",
+        "view_event_id",
+        "view_cents",
+        (F.col("es") - F.col("view_es")).alias("lag_s"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -3943,6 +4044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_pivot": q_lang_pivot,
         "doc_quartiles": q_doc_quartiles,
         "event_funnel": q_event_funnel,
+        "events_asof": q_events_asof,
+        "entity_communities": q_entity_communities,
     }
 
 
@@ -5373,6 +5476,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore": _kcore_oracle_sql(k=2, rounds=8),
         "random_walks": _walks_oracle_sql(_WALK_LEN),
+        # entity_communities twin: unrolled synchronous LPA rounds;
+        # row_number (cnt DESC, lbl) == Spark min(struct(-cnt, lbl)).
+        "entity_communities": _lpa_oracle_sql().format(
+            mentions=_MENTIONS_SQL.strip(),
+            edges=_TRIPLE_EDGES_SQL.strip(),
+        ),
         "triple_confidence": f"""
             WITH {_MENTIONS_SQL.strip()},
             rules(type1, type2, label) AS (VALUES
@@ -5947,5 +6056,39 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(length(text)) AS BIGINT) AS total_chars
             FROM documents GROUP BY 1
+        """,
+        # events_asof twin: DuckDB's NATIVE ASOF LEFT JOIN — an
+        # independent formulation of the same semantics, not a mirror
+        # of the Spark union+window plan.  floor(epoch), not a bare
+        # cast (DuckDB rounds half-even; Spark unix_timestamp floors).
+        "events_asof": """
+            WITH base AS (
+              SELECT event_id, user_id, event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            v AS (
+              SELECT user_id, es,
+                     max(event_id) AS view_event_id,
+                     arg_max(cents, event_id) AS view_cents
+              FROM base WHERE event_type = 'view' GROUP BY 1, 2),
+            p AS (
+              SELECT event_id, user_id, es FROM base
+              WHERE event_type = 'purchase'),
+            j AS (
+              SELECT p.event_id, p.user_id, p.es, v.es AS ves,
+                     v.view_event_id, v.view_cents
+              FROM p ASOF LEFT JOIN v
+                ON p.user_id = v.user_id AND p.es >= v.es)
+            SELECT event_id, user_id, es,
+                   CASE WHEN es - ves <= 86400 THEN ves
+                        END AS view_es,
+                   CASE WHEN es - ves <= 86400 THEN view_event_id
+                        END AS view_event_id,
+                   CASE WHEN es - ves <= 86400 THEN view_cents
+                        END AS view_cents,
+                   CASE WHEN es - ves <= 86400 THEN es - ves
+                        END AS lag_s
+            FROM j
         """,
     }

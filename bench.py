@@ -103,6 +103,8 @@ EXTRA = [
     "link_graph",
     "random_walks",
     "triple_confidence",
+    "events_asof",
+    "entity_communities",
 ]
 
 HEADLINE = [

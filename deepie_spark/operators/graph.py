@@ -655,3 +655,67 @@ def random_walks(
         return out.localCheckpoint(eager=True)
     finally:
         ranked.unpersist()
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS deterministic label
+    propagation (Raghavan et al. 2007, made engine-portable): every
+    node starts labeled with its own id; each round every node adopts
+    the label most frequent among its neighbors, ties broken by the
+    lexicographically SMALLEST label.  The textbook algorithm breaks
+    ties randomly and updates asynchronously — neither is reproducible
+    across engines, partitionings, or reruns, so this pins both (the
+    same determinism trade as ``random_walks``), which is what lets a
+    DuckDB twin gate it hash-exactly.  A FIXED round count replaces the
+    convergence test: synchronous LPA can 2-cycle on bipartite
+    structures, so bounded rounds are the standard cure (and what the
+    unrolled oracle needs anyway).
+
+    Plan shape per round (must hold at 10^12 edges): edges ⋈ labels is
+    ONE shuffle hash join on the neighbor key; the (node, label) count
+    is a map-side-combinable agg; the per-node argmax is ONE
+    ``min(struct(-cnt, label))`` agg — no window, no per-node sort, so
+    hub nodes cost partial-aggregation, not a single-task sort.
+    ``localCheckpoint`` per round truncates lineage (the iterative-
+    DataFrame rule from PageRank/CC).  Isolated nodes never appear in
+    the edge set and are out of scope by construction.
+
+    Output: (entity, community) for every endpoint of the symmetrized
+    distinct edge set."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(rounds):
+        counted = (
+            und.join(labels, und["b"] == labels["node"], "inner")
+            .groupBy("a", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            counted.groupBy("a")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("lbl").alias("l")
+                    )
+                ).alias("best")
+            )
+            .select(F.col("a").alias("node"), F.col("best.l").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        F.col("node").alias("entity"), F.col("lbl").alias("community")
+    )

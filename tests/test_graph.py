@@ -443,3 +443,57 @@ def test_random_walks_deterministic_and_valid(spark):
         for r in random_walks(df, length=5).collect()
     }
     assert again == got
+
+
+def _python_lpa(edges, rounds=3):
+    """Synchronous LPA twin: adopt the most frequent neighbor label,
+    ties to the smallest label."""
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((s, d))
+            und.add((d, s))
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, []).append(b)
+    lbl = {v: v for v in adj}
+    for _ in range(rounds):
+        new = {}
+        for v, nbrs in adj.items():
+            cnt = {}
+            for b in nbrs:
+                cnt[lbl[b]] = cnt.get(lbl[b], 0) + 1
+            new[v] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        lbl = new
+    return lbl
+
+
+def test_label_propagation_matches_python_twin(spark, random_graph):
+    from deepie_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(random_graph, "src string, dst string")
+    got = {
+        r["entity"]: r["community"]
+        for r in label_propagation(df, 3).collect()
+    }
+    assert got == _python_lpa(random_graph, 3)
+
+
+def test_label_propagation_separates_planted_cliques(spark):
+    """Two 5-cliques joined by ONE bridge edge: after 3 synchronous
+    rounds each clique is uniformly labeled by its own min member and
+    the two labels differ (hand-traced: round 1 ripples min ids, round
+    2 consolidates, round 3 is stable)."""
+    from deepie_spark.operators.graph import label_propagation
+
+    c1 = [(f"a{i}", f"a{j}") for i in range(5) for j in range(i + 1, 5)]
+    c2 = [(f"b{i}", f"b{j}") for i in range(5) for j in range(i + 1, 5)]
+    df = spark.createDataFrame(
+        c1 + c2 + [("a0", "b0")], "src string, dst string"
+    )
+    got = {
+        r["entity"]: r["community"]
+        for r in label_propagation(df, 3).collect()
+    }
+    assert {got[f"a{i}"] for i in range(5)} == {"a0"}
+    assert {got[f"b{i}"] for i in range(5)} == {"b0"}
