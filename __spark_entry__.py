@@ -119,6 +119,32 @@ _TRIPLE_EDGES_SQL = f"""
   )"""
 
 
+#: Distinct (subj, pred, obj) projection of the rule-triple table with
+#: self-loops removed — DuckDB twin of kgquality._distinct_triples;
+#: shared by the KG schema-quality oracles (predicate_inverses,
+#: rule_mining).
+_TRIPLE_SPO_SQL = f"""
+  rules(type1, type2, label) AS (VALUES
+    {RULES_VALUES}
+  ),
+  rpairs AS (
+    SELECT a.doc_id, a.alias AS alias1, b.alias AS alias2,
+           a.entity_type AS type1, b.entity_type AS type2
+    FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id
+    WHERE a.pos < b.pos AND b.pos - a.pos <= 10
+  ),
+  tr3 AS (
+    SELECT DISTINCT * FROM (
+      SELECT
+        CASE WHEN label LIKE '%(e2,e1)' THEN alias2 ELSE alias1 END AS s,
+        regexp_replace(label, '\\(e[12],e[21]\\)$', '') AS p,
+        CASE WHEN label LIKE '%(e2,e1)' THEN alias1 ELSE alias2 END AS o
+      FROM rpairs JOIN rules USING (type1, type2)
+      WHERE label != 'NONE')
+    WHERE s != o
+  )"""
+
+
 _K_SHINGLE = 3
 
 #: DuckDB twins of functions.text shingles / char_poly_hash, generated
@@ -3903,6 +3929,75 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_predicate_inverses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-predicate discovery over the rule-triple table
+    (operators/kgquality.py predicate_inverses): for each predicate
+    pair, the AMIE overlap coefficient |p(s,o) ∩ q(o,s)| / min(|p|,|q|)
+    — the schema-cleaning signal that flags predicates to merge.  All
+    counts exact longs; the score divides the same two longs in both
+    engines, rounded to 6 digits."""
+    from deepie_spark.operators.kgquality import predicate_inverses
+
+    return predicate_inverses(q_triples_rules(spark, sf_dir))
+
+
+def q_rule_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMIE-style 2-hop horn rules p(s,x) ∧ q(x,o) ⇒ r(s,o) mined from
+    the rule-triple table (operators/kgquality.py rule_mine_2hop):
+    support / body-size / CWA confidence, all from exact distinct
+    counts.  Unguarded (max_mid_degree=None) — the toy graph has no
+    hubs; the operator's hub guard is the 100-TB path."""
+    from deepie_spark.operators.kgquality import rule_mine_2hop
+
+    return rule_mine_2hop(
+        q_triples_rules(spark, sf_dir), min_support=1, max_mid_degree=None
+    )
+
+
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) pair counts at window ±2 over the
+    documents corpus (operators/skipgram.py) — the word2vec
+    training-corpus builder that feeds the embedding files the
+    pipeline's word2vec reader (sources/embeddings.py) consumes.
+    Spark side is map-only expand + one count agg; the DuckDB twin is
+    the independent position-self-join formulation."""
+    from deepie_spark.operators.skipgram import skipgram_pairs
+
+    return skipgram_pairs(_docs(spark, sf_dir), window=2)
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    sequences: lag(event_type) within each user's (ts, event_id)
+    order, then (prev, next) counts and row-conditional probabilities.
+    Both windows are key-partitioned (user_id; then the event-type
+    marginal over the type²-sized counts table) — no global sort.
+    prob divides the same two longs in both engines, rounded to 6."""
+    e = _events(spark, sf_dir)
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(wu).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wp = W.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(wp).cast("double"),
+            6,
+        ).alias("prob"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -4046,6 +4141,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "events_asof": q_events_asof,
         "entity_communities": q_entity_communities,
+        "predicate_inverses": q_predicate_inverses,
+        "rule_mining": q_rule_mining,
+        "skipgram_pairs": q_skipgram_pairs,
+        "event_transitions": q_event_transitions,
     }
 
 
@@ -6090,5 +6189,84 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN es - ves <= 86400 THEN es - ves
                         END AS lag_s
             FROM j
+        """,
+        # predicate_inverses twin: identical relational formulation —
+        # every value is an exact long or one int/int division both
+        # engines round from the same operands.
+        "predicate_inverses": f"""
+            WITH {_MENTIONS_SQL.strip()},
+            {_TRIPLE_SPO_SQL.strip()},
+            marg AS (SELECT p, count(*) AS n_pairs FROM tr3 GROUP BY p),
+            inv AS (
+              SELECT a.p AS pred_a, b.p AS pred_b, count(*) AS n_inverse
+              FROM tr3 a JOIN tr3 b
+                ON a.s = b.o AND a.o = b.s
+               AND (a.p < b.p OR (a.p = b.p AND a.s < a.o))
+              GROUP BY 1, 2)
+            SELECT pred_a, pred_b, n_inverse,
+                   ma.n_pairs AS n_a, mb.n_pairs AS n_b,
+                   round(CAST(n_inverse AS DOUBLE)
+                         / CAST(least(ma.n_pairs, mb.n_pairs) AS DOUBLE),
+                         6) AS inv_score
+            FROM inv
+            JOIN marg ma ON inv.pred_a = ma.p
+            JOIN marg mb ON inv.pred_b = mb.p
+        """,
+        # rule_mining twin: AMIE 2-hop support/body/confidence from
+        # exact distinct counts.
+        "rule_mining": f"""
+            WITH {_MENTIONS_SQL.strip()},
+            {_TRIPLE_SPO_SQL.strip()},
+            body AS (
+              SELECT DISTINCT l.p AS bp, r.p AS bq, l.s, r.o
+              FROM tr3 l JOIN tr3 r ON l.o = r.s),
+            nb AS (SELECT bp, bq, count(*) AS n_body
+                   FROM body GROUP BY 1, 2),
+            sup AS (
+              SELECT body.bp, body.bq, h.p AS head_r,
+                     count(*) AS support
+              FROM body JOIN tr3 h
+                ON body.s = h.s AND body.o = h.o
+              GROUP BY 1, 2, 3)
+            SELECT sup.bp AS body_p, sup.bq AS body_q, head_r,
+                   support, n_body,
+                   round(CAST(support AS DOUBLE)
+                         / CAST(n_body AS DOUBLE), 6) AS confidence
+            FROM sup JOIN nb ON sup.bp = nb.bp AND sup.bq = nb.bq
+            WHERE support >= 1
+        """,
+        # skipgram_pairs twin: the INDEPENDENT position-self-join
+        # formulation of the ±2 symmetric window (Spark side is
+        # map-only in-row expansion — different plan, same counts).
+        "skipgram_pairs": f"""
+            WITH {_OCC_SQL.strip()}
+            SELECT a.token AS center, b.token AS context,
+                   count(*) AS n
+            FROM occ a JOIN occ b
+              ON a.doc_id = b.doc_id
+             AND b.pos BETWEEN a.pos - 2 AND a.pos + 2
+             AND b.pos != a.pos
+            GROUP BY 1, 2
+        """,
+        # event_transitions twin: lag window + conditional counts;
+        # SUM(BIGINT) re-cast to BIGINT before the double division
+        # (DuckDB widens to HUGEINT).
+        "event_transitions": """
+            WITH seq AS (
+              SELECT event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev_type
+              FROM events),
+            c AS (
+              SELECT prev_type, event_type AS next_type,
+                     count(*) AS n
+              FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+            SELECT prev_type, next_type, n,
+                   round(CAST(n AS DOUBLE)
+                         / CAST(CAST(sum(n) OVER (
+                             PARTITION BY prev_type) AS BIGINT)
+                           AS DOUBLE), 6) AS prob
+            FROM c
         """,
     }

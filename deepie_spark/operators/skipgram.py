@@ -1,0 +1,69 @@
+"""Skip-gram (center, context) pair counts — embedding-training data.
+
+The reference pipeline CONSUMES word2vec embeddings (word2vec binary
+reader, rnn_process_onlyExtra.py:658 loads `vectors.bin`-format files;
+sources/embeddings.py re-expresses it).  This operator closes the loop:
+it PRODUCES the co-occurrence training corpus those embeddings are
+trained from — the (center, context) pair counts of Mikolov et al.
+2013 with a symmetric window — so a single engine can go raw corpus →
+skip-gram pairs → (external trainer) → embeddings → this pipeline.
+
+Plan shape (the 100-TB argument): pair generation is MAP-ONLY — one
+in-row higher-order expression expands each document's token array to
+its O(n·window) (center, context) structs, then ONE explode and ONE
+groupBy count with map-side combine.  No self-join on position (the
+naive formulation shuffles the corpus twice and re-keys on doc_id; the
+oracle uses exactly that join formulation in DuckDB, which makes it an
+INDEPENDENT check, not a transliteration).  Output cardinality is
+bounded by vocab², not corpus size, so the single shuffle carries
+pre-combined partial counts.
+
+HOF-CSE note (the 230s trap, CLAUDE.md): every lambda below indexes
+the PLAIN column ``toks`` — O(1) per access, nothing re-derives a
+collection per element, so per-row cost is the true O(n·window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deepie_spark.functions.text import tokenize
+
+
+def skipgram_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+) -> DataFrame:
+    """(center, context, n) counts over a symmetric ±``window`` token
+    window, summed across the corpus.  Deterministic: counts are exact
+    longs; no sampling or sub-sampling (rate tricks belong to the
+    trainer, not the corpus builder).
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    w = int(window)
+    toks = tokenize(F.col(text_col))
+    pairs = F.explode(
+        F.expr(
+            f"""
+            flatten(transform(sequence(0, size(toks) - 1), i ->
+              transform(
+                filter(sequence(greatest(0, i - {w}),
+                                least(size(toks) - 1, i + {w})),
+                       j -> j != i),
+                j -> struct(toks[i] AS center, toks[j] AS context))))
+            """
+        )
+    )
+    return (
+        docs.select(toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(pairs.alias("pr"))
+        .groupBy(
+            F.col("pr.center").alias("center"),
+            F.col("pr.context").alias("context"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,160 @@
+"""KG schema-quality mining: inverse predicates + AMIE 2-hop rules,
+plus the skip-gram pair builder and event transition matrix added in
+the same batch — each checked against a hand-computed python twin on
+small frames, plus plan-shape assertions (no cartesian products; the
+skip-gram path is join-free)."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepie_spark.operators.kgquality import predicate_inverses, rule_mine_2hop
+from deepie_spark.operators.skipgram import skipgram_pairs
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_predicate_inverses_basic(spark):
+    # parent_of and child_of are exact inverses; likes is one-directional
+    rows = [
+        ("a", "parent_of", "b"),
+        ("b", "child_of", "a"),
+        ("a", "parent_of", "c"),
+        ("c", "child_of", "a"),
+        ("a", "likes", "b"),
+        ("a", "likes", "b"),  # duplicate triple must not double-count
+        ("x", "likes", "x"),  # self-loop excluded up front
+    ]
+    out = {
+        (r.pred_a, r.pred_b): r
+        for r in predicate_inverses(_triples(spark, rows)).collect()
+    }
+    r = out[("child_of", "parent_of")]
+    assert r.n_inverse == 2 and r.n_a == 2 and r.n_b == 2
+    assert r.inv_score == 1.0
+    assert ("likes", "likes") not in out
+    assert ("likes", "parent_of") not in out
+
+
+def test_predicate_inverses_symmetric_counts_once(spark):
+    # symmetric predicate: each unordered pair contributes ONE row
+    rows = [
+        ("a", "spouse", "b"),
+        ("b", "spouse", "a"),
+        ("c", "spouse", "d"),
+        ("d", "spouse", "c"),
+        ("e", "spouse", "f"),  # unreciprocated
+    ]
+    [r] = predicate_inverses(_triples(spark, rows)).collect()
+    assert (r.pred_a, r.pred_b) == ("spouse", "spouse")
+    assert r.n_inverse == 2 and r.n_a == 5
+    assert r.inv_score == pytest.approx(0.4)
+
+
+def test_rule_mine_2hop_confidence(spark):
+    # body: p(s,x) ∧ q(x,o) — 2 body pairs, 1 confirmed by head r
+    rows = [
+        ("s1", "p", "m1"),
+        ("m1", "q", "o1"),
+        ("s2", "p", "m2"),
+        ("m2", "q", "o2"),
+        ("s1", "r", "o1"),
+    ]
+    out = {
+        (r.body_p, r.body_q, r.head_r): r
+        for r in rule_mine_2hop(_triples(spark, rows)).collect()
+    }
+    r = out[("p", "q", "r")]
+    assert r.support == 1 and r.n_body == 2
+    assert r.confidence == pytest.approx(0.5)
+
+
+def test_rule_mine_2hop_hub_guard_drops_hub_paths(spark):
+    rows = [("s%d" % i, "p", "hub") for i in range(5)] + [
+        ("hub", "q", "o%d" % i) for i in range(5)
+    ] + [("s0", "p", "m"), ("m", "q", "t"), ("s0", "r", "t")]
+    unguarded = rule_mine_2hop(_triples(spark, rows), max_mid_degree=None)
+    n_un = {
+        (r.body_p, r.body_q): r.n_body for r in unguarded.collect()
+    }[("p", "q")]
+    assert n_un == 26  # 5×5 through the hub + 1 through m
+    guarded = rule_mine_2hop(_triples(spark, rows), max_mid_degree=3)
+    n_g = {
+        (r.body_p, r.body_q): r.n_body for r in guarded.collect()
+    }[("p", "q")]
+    assert n_g == 1  # only the path through m survives
+
+
+def test_skipgram_pairs_matches_python_twin(spark):
+    texts = [
+        ("the quick brown fox jumps",),
+        ("the the the",),
+        ("one",),  # single token: no pairs
+        ("",),
+    ]
+    df = spark.createDataFrame(texts, "text string")
+    w = 2
+    expected: Counter = Counter()
+    for (t,) in texts:
+        toks = t.split()
+        for i in range(len(toks)):
+            for j in range(max(0, i - w), min(len(toks), i + w + 1)):
+                if j != i:
+                    expected[(toks[i], toks[j])] += 1
+    got = {
+        (r.center, r.context): r.n
+        for r in skipgram_pairs(df, window=w).collect()
+    }
+    assert got == dict(expected)
+
+
+def test_skipgram_window_validation(spark):
+    df = spark.createDataFrame([("a b",)], "text string")
+    with pytest.raises(ValueError):
+        skipgram_pairs(df, window=0)
+
+
+def test_event_transitions_matches_pandas_twin(spark, sf_dir):
+    import os
+
+    from __spark_entry__ import q_event_transitions
+
+    out = q_event_transitions(spark, sf_dir).collect()
+    got = {(r.prev_type, r.next_type): r.n for r in out}
+
+    pdf = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    expected: Counter = Counter()
+    for _, grp in pdf.groupby("user_id"):
+        types = grp["event_type"].tolist()
+        for prev, nxt in zip(types, types[1:]):
+            expected[(prev, nxt)] += 1
+    assert got == dict(expected)
+    # row-conditional probabilities sum to 1 per prev_type
+    sums: Counter = Counter()
+    for r in out:
+        sums[r.prev_type] += r.prob
+    for v in sums.values():
+        assert v == pytest.approx(1.0, abs=1e-5)
+
+
+def test_plan_shapes(spark):
+    rows = [("a", "p", "b"), ("b", "q", "a")]
+    t = _triples(spark, rows)
+    for df in (predicate_inverses(t), rule_mine_2hop(t)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    docs = spark.createDataFrame([("a b c",)], "text string")
+    sg_plan = (
+        skipgram_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    # map-only expansion: the only shuffle is the final count agg
+    assert "Join" not in sg_plan
