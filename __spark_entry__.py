@@ -3998,6 +3998,95 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the rule-triple graph (operators/graph.py ktruss):
+    edges embedded in ≥2 mutually-confirming triangles after iterative
+    peeling to the fixpoint — the edge-level cohesion filter above
+    kcore's node-level one.  The unrolled oracle peels 8 rounds; the
+    Spark side runs to the true fixpoint."""
+    from deepie_spark.operators.graph import ktruss
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return ktruss(t, k=4)
+
+
+def q_entity_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer closeness statistics of every entity in the
+    rule-triple graph within 4 undirected hops (operators/graph.py
+    closeness_stats): (n_reached, total_hops) longs — the two
+    integers every closeness variant is a ratio of, kept undivided so
+    the oracle is hash-exact (Σ 1/h would be FP-order-dependent)."""
+    from deepie_spark.operators.graph import closeness_stats
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return closeness_stats(t, max_hops=4)
+
+
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound anchor-text aggregation per destination host — the
+    classic external-naming signal for entity aliasing (the anchor
+    harvest beside link_graph's edge harvest; functions/web.py
+    extract_anchors).  Pages are synthesized deterministically like
+    link_graph's, with anchors that VARY by doc so the per-host argmax
+    is non-trivial; top anchor via min(struct(-n, anchor)) — partial-
+    agg argmax, no window (the latest_event pattern)."""
+    from deepie_spark.functions.web import extract_anchors, url_host
+
+    d = _docs(spark, sf_dir)
+    host = lambda e: F.concat(  # noqa: E731
+        F.lit("https://h"), (e % 20).cast("string"), F.lit(".example.com")
+    )
+    a1 = F.element_at(
+        F.array(F.lit("visit"), F.lit("see"), F.lit("about")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    a2 = F.element_at(
+        F.array(F.lit("docs"), F.lit("home")),
+        (F.col("doc_id") % 2 + 1).cast("int"),
+    )
+    pages = d.select(
+        F.concat(
+            F.lit('<html><body><a href="'),
+            host(F.col("doc_id") * 7 + 3),
+            F.lit('/x">'),
+            a1,
+            F.lit("</a><p>"),
+            F.col("text"),
+            F.lit('</p><a href="'),
+            host(F.col("doc_id") * 13 + 5),
+            F.lit('/y">'),
+            a2,
+            F.lit("</a></body></html>"),
+        ).alias("html")
+    )
+    pairs = pages.select(
+        F.explode(extract_anchors(F.col("html"))).alias("l")
+    ).select(
+        url_host(F.col("l.href")).alias("dst_host"),
+        F.col("l.anchor").alias("anchor"),
+    )
+    counts = pairs.groupBy("dst_host", "anchor").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.groupBy("dst_host").agg(
+        F.sum("n").alias("n_links"),
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.min(
+            F.struct((-F.col("n")).alias("neg"), F.col("anchor").alias("an"))
+        ).alias("m"),
+    ).select(
+        "dst_host",
+        "n_links",
+        "n_anchors",
+        F.col("m.an").alias("top_anchor"),
+        (-F.col("m.neg")).cast("long").alias("top_n"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -4145,7 +4234,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_mining": q_rule_mining,
         "skipgram_pairs": q_skipgram_pairs,
         "event_transitions": q_event_transitions,
+        "ktruss": q_ktruss,
+        "entity_closeness": q_entity_closeness,
+        "anchor_text": q_anchor_text,
     }
+
+
+def _ktruss_oracle_sql(rounds: int, k: int) -> str:
+    """Unrolled k-truss peeling rounds over the ``und`` canonical edge
+    CTE (id-ordered a<b<c triangle enumeration — an INDEPENDENT
+    orientation from Spark's degree-ordered wedges; same triangles,
+    same supports).  Edge sets are MATERIALIZED per round — each is
+    referenced three times by the next triangle join and plain CTEs
+    would inline exponentially (the kcore oracle lesson)."""
+    parts = ["e0 AS MATERIALIZED (SELECT a, b FROM und)"]
+    for r in range(rounds):
+        parts.append(
+            f"""t{r} AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                     FROM e{r} e1
+                     JOIN e{r} e2 ON e2.a = e1.a AND e2.b > e1.b
+                     JOIN e{r} e3 ON e3.a = e1.b AND e3.b = e2.b),
+            s{r} AS (SELECT a, b, count(*) AS sup FROM (
+                       SELECT x AS a, y AS b FROM t{r}
+                       UNION ALL SELECT x AS a, z AS b FROM t{r}
+                       UNION ALL SELECT y AS a, z AS b FROM t{r})
+                     GROUP BY 1, 2),
+            e{r + 1} AS MATERIALIZED (
+              SELECT e.a, e.b FROM e{r} e JOIN s{r} s USING (a, b)
+              WHERE s.sup >= {k - 2})"""
+        )
+    parts.append(
+        f"""tf AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                   FROM e{rounds} e1
+                   JOIN e{rounds} e2 ON e2.a = e1.a AND e2.b > e1.b
+                   JOIN e{rounds} e3 ON e3.a = e1.b AND e3.b = e2.b),
+            sf AS (SELECT a, b, count(*) AS sup FROM (
+                     SELECT x AS a, y AS b FROM tf
+                     UNION ALL SELECT x AS a, z AS b FROM tf
+                     UNION ALL SELECT y AS a, z AS b FROM tf)
+                   GROUP BY 1, 2)"""
+    )
+    ctes = ",\n            ".join(parts)
+    return (
+        ctes
+        + f"""
+            SELECT e.a, e.b,
+                   CAST(coalesce(s.sup, 0) AS BIGINT) AS support
+            FROM e{rounds} e LEFT JOIN sf s USING (a, b)"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6268,5 +6404,85 @@ def oracle_sql() -> dict[str, str]:
                              PARTITION BY prev_type) AS BIGINT)
                            AS DOUBLE), 6) AS prob
             FROM c
+        """,
+        # ktruss twin: 8 unrolled peeling rounds, id-ordered (a<b<c)
+        # triangle enumeration — independent of Spark's degree-ordered
+        # orientation; edge sets MATERIALIZED (the kcore CTE lesson).
+        "ktruss": f"""
+            WITH {_MENTIONS_SQL.strip()},
+            {_TRIPLE_EDGES_SQL.strip()},
+            {_ktruss_oracle_sql(8, 4)}
+        """,
+        # entity_closeness twin: recursive-CTE min-hop per source
+        # (the entity_bfs pattern with the source carried in the key);
+        # aggregates are exact longs.
+        "entity_closeness": f"""
+            WITH RECURSIVE
+            {_MENTIONS_SQL.strip()},
+            {_TRIPLE_EDGES_SQL.strip()},
+            bidi AS (SELECT a, b FROM und
+                     UNION ALL SELECT b, a FROM und),
+            walk(s, node, hop) AS (
+              SELECT a, a, 0 FROM (SELECT DISTINCT a FROM bidi)
+              UNION
+              SELECT w.s, u.b, w.hop + 1
+              FROM walk w JOIN bidi u ON u.a = w.node
+              WHERE w.hop < 4
+            ),
+            mh AS (SELECT s, node, min(hop) AS hop
+                   FROM walk GROUP BY 1, 2)
+            SELECT s AS entity, count(*) AS n_reached,
+                   CAST(sum(hop) AS BIGINT) AS total_hops
+            FROM mh WHERE hop > 0 GROUP BY 1
+        """,
+        # anchor_text twin: synthesis mirrored from link_graph's, both
+        # regex group passes aligned by position index; per-host argmax
+        # via row_number(n DESC, anchor) == Spark's min(struct(-n, a)).
+        "anchor_text": """
+            WITH p AS (
+              SELECT '<html><body><a href="https://h'
+                       || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+                       || '.example.com/x">'
+                       || (['visit', 'see', 'about'])[(doc_id % 3) + 1]
+                       || '</a><p>' || text || '</p><a href="https://h'
+                       || CAST((doc_id * 13 + 5) % 20 AS VARCHAR)
+                       || '.example.com/y">'
+                       || (['docs', 'home'])[(doc_id % 2) + 1]
+                       || '</a></body></html>' AS html
+              FROM documents
+            ),
+            l AS (
+              SELECT regexp_extract_all(html,
+                       'href="([^"]+)"[^>]*>([^<]*)</a>', 1) AS hs,
+                     regexp_extract_all(html,
+                       'href="([^"]+)"[^>]*>([^<]*)</a>', 2) AS ans
+              FROM p
+            ),
+            e AS (
+              SELECT hs, ans, unnest(range(len(hs))) AS i FROM l
+            ),
+            pairs AS (
+              SELECT regexp_extract(hs[i + 1],
+                       '^[A-Za-z]+://([^/]+)', 1) AS dst_host,
+                     ans[i + 1] AS anchor
+              FROM e
+            ),
+            c AS (
+              SELECT dst_host, anchor, count(*) AS n
+              FROM pairs GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT dst_host, anchor, n,
+                     row_number() OVER (PARTITION BY dst_host
+                                        ORDER BY n DESC, anchor) AS rn,
+                     CAST(sum(n) OVER (PARTITION BY dst_host)
+                          AS BIGINT) AS n_links,
+                     CAST(count(*) OVER (PARTITION BY dst_host)
+                          AS BIGINT) AS n_anchors
+              FROM c
+            )
+            SELECT dst_host, n_links, n_anchors,
+                   anchor AS top_anchor, n AS top_n
+            FROM r WHERE rn = 1
         """,
     }

@@ -63,3 +63,22 @@ def url_host(u: Column) -> Column:
     """scheme-stripped host of a URL (empty string when no scheme —
     relative links don't vote in the host graph)."""
     return F.regexp_extract(u, "^[A-Za-z]+://([^/]+)", 1)
+
+
+#: shared href/anchor pattern — two codegen passes over the same
+#: regex (``regexp_extract_all`` captures ONE group per call), zipped
+#: in-row; the DuckDB twin uses the identical pattern per group.
+_ANCHOR_PATTERN = 'href="([^"]+)"[^>]*>([^<]*)</a>'
+
+
+def extract_anchors(html: Column) -> Column:
+    """All ``<a href="…">text</a>`` links of a page in document order
+    as an array of (href, anchor) structs — the anchor-text harvest of
+    web-graph construction (inbound anchor text is the classic
+    external naming signal for entity aliasing, Craswell et al. 2001).
+    Pure JVM: two ``regexp_extract_all`` + one ``arrays_zip``, no
+    Python, scan-speed at 10^12 pages."""
+    return F.arrays_zip(
+        F.regexp_extract_all(html, F.lit(_ANCHOR_PATTERN), 1).alias("href"),
+        F.regexp_extract_all(html, F.lit(_ANCHOR_PATTERN), 2).alias("anchor"),
+    )

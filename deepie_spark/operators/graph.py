@@ -719,3 +719,184 @@ def label_propagation(
     return labels.select(
         F.col("node").alias("entity"), F.col("lbl").alias("community")
     )
+
+
+def _edge_support(und_c: DataFrame) -> DataFrame:
+    """Per-edge triangle support of a canonical (a < b) edge set, via
+    the same degree-ordered orientation as :func:`triangle_stats`
+    (Cohen / Schank–Wagner forward counting): orient every edge from
+    the smaller (degree, node) rank to the larger, enumerate wedges
+    from each node's oriented out-neighborhood — bounded O(√|E|) per
+    node regardless of skew, Θ(|E|^1.5) total — and close them against
+    oriented edges.  Each triangle is produced exactly once and votes
+    for its three canonical edges; one count agg with map-side combine
+    yields (a, b, sup) for every edge in ≥1 triangle."""
+    deg = (
+        und_c.select(F.col("a").alias("n"))
+        .unionByName(und_c.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("degb"))
+    ka = F.struct(F.col("dega").alias("d"), F.col("a").alias("n"))
+    kb = F.struct(F.col("degb").alias("d"), F.col("b").alias("n"))
+    oriented = (
+        und_c.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(ka < kb, kb).otherwise(ka).alias("kv"),
+        )
+    )
+    w1 = oriented.select(
+        F.col("u"), F.col("v").alias("v1"), F.col("kv").alias("kv1")
+    )
+    w2 = oriented.select(
+        F.col("u"), F.col("v").alias("v2"), F.col("kv").alias("kv2")
+    )
+    closing = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    tri = (
+        w1.join(w2, "u")
+        .filter(F.col("kv1") < F.col("kv2"))
+        .select("u", "v1", "v2")
+        .join(closing, ["v1", "v2"], "left_semi")
+    )
+    votes = (
+        tri.select(
+            F.least("u", "v1").alias("a"), F.greatest("u", "v1").alias("b")
+        )
+        .unionByName(
+            tri.select(
+                F.least("u", "v2").alias("a"),
+                F.greatest("u", "v2").alias("b"),
+            )
+        )
+        .unionByName(
+            tri.select(
+                F.least("v1", "v2").alias("a"),
+                F.greatest("v1", "v2").alias("b"),
+            )
+        )
+    )
+    return votes.groupBy("a", "b").agg(F.count(F.lit(1)).alias("sup"))
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """k-truss decomposition (Cohen 2008) by bulk iterative peeling:
+    repeatedly delete every edge whose triangle support within the
+    surviving subgraph is < k−2, until a fixpoint.  The truss is the
+    EDGE-level strengthening of the k-core (every k-truss is inside
+    the (k−1)-core but not vice versa) — the cohesion filter that
+    keeps only relation edges embedded in mutually-confirming
+    triangles, which is how a KG pipeline separates clique-like
+    entity clusters from extraction-noise stars (stars have no
+    triangles and no support).
+
+    Per round: one :func:`_edge_support` pass (degree-ordered wedges,
+    Θ(|E|^1.5) bound under skew) + one edge filter + a bounded 1-row
+    count action for the fixpoint test; ``localCheckpoint`` per round
+    truncates lineage (the iterative-DataFrame rule).  Round count is
+    bounded by the peeling depth — small for power-law KGs.
+
+    Output: (a, b, support) canonical surviving edges with their
+    support recomputed WITHIN the final truss."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    und_c = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+    n_prev = und_c.count()
+    for _ in range(max_rounds):
+        sup = _edge_support(und_c)
+        und_c = (
+            und_c.join(sup, ["a", "b"], "left")
+            .filter(F.coalesce(F.col("sup"), F.lit(0)) >= F.lit(k - 2))
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_now = und_c.count()  # bounded driver action: one long per round
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    sup = _edge_support(und_c)
+    return (
+        und_c.join(sup, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            F.coalesce(F.col("sup"), F.lit(0)).cast("long").alias("support"),
+        )
+    )
+
+
+def closeness_stats(
+    edges: DataFrame,
+    seeds: DataFrame | None = None,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact-integer closeness statistics: for every source node, the
+    number of nodes reachable within ``max_hops`` undirected hops and
+    the sum of their shortest-path hop counts — the two integers every
+    closeness/centrality variant (Bavelas, Lin, harmonic) is a ratio
+    of.  Emitting the exact longs instead of a pre-divided float keeps
+    the result engine-bit-identical (harmonic's Σ 1/h is FP-order-
+    dependent and could not be oracle-gated; the division belongs to
+    the consumer, like quality_scores' ratio convention).
+
+    This is per-source BFS — state O(|seeds| · reach) — so at KG scale
+    it runs on a bounded seed set (``seeds``: 1-column ``node`` frame,
+    e.g. a sampled or candidate entity list), the same contract as
+    ``bfs_hops``; ``seeds=None`` means all nodes (all-pairs — toy
+    graphs and bounded subgraphs only, which is what the gated query
+    does).  Per round: one frontier⋈adjacency join keyed on the node,
+    a distinct with map-side combine, and a (source, node) visited-set
+    anti join — exactly the bfs_hops plan with the source id carried
+    in the key, plus an empty-frontier early stop (bounded 1-row count
+    per round)."""
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    adj = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if seeds is None:
+        seeds = adj.select(F.col("a").alias("node")).distinct()
+    dist = seeds.select(
+        F.col("node").alias("s"),
+        F.col("node"),
+        F.lit(0).cast("long").alias("hop"),
+    ).localCheckpoint(eager=True)
+    frontier = dist.select("s", "node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["a"])
+            .select("s", F.col("b").alias("node"))
+            .distinct()
+            .join(dist, ["s", "node"], "left_anti")
+            .select("s", "node", F.lit(h).cast("long").alias("hop"))
+        )
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = dist.filter(F.col("hop") == h).select("s", "node")
+        if not frontier.take(1):  # bounded action: ≤1 row per round
+            break
+    return (
+        dist.filter(F.col("hop") > 0)
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum("hop").alias("total_hops"),
+        )
+        .select(F.col("s").alias("entity"), "n_reached", "total_hops")
+    )

@@ -497,3 +497,151 @@ def test_label_propagation_separates_planted_cliques(spark):
     }
     assert {got[f"a{i}"] for i in range(5)} == {"a0"}
     assert {got[f"b{i}"] for i in range(5)} == {"b0"}
+
+
+def _py_truss(edges, k):
+    """Naive python k-truss peeling twin."""
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        sup = {e: 0 for e in es}
+        nodes = {n for e in es for n in e}
+        adj = {n: set() for n in nodes}
+        for a, b in es:
+            adj[a].add(b)
+            adj[b].add(a)
+        for a, b in es:
+            for c in adj[a] & adj[b]:
+                sup[(a, b)] += 1
+        nxt = {e for e in es if sup[e] >= k - 2}
+        if nxt == es:
+            return {e: sup[e] for e in es}
+        es = nxt
+
+
+def test_ktruss_clique_survives(spark):
+    """K5 at k=4: every edge sits in 3 triangles, nothing peels."""
+    from deepie_spark.operators.graph import ktruss
+
+    k5 = [(f"n{i}", f"n{j}") for i in range(5) for j in range(i + 1, 5)]
+    out = {(r.a, r.b): r.support for r in ktruss(
+        spark.createDataFrame(k5, "src string, dst string"), k=4
+    ).collect()}
+    assert len(out) == 10 and set(out.values()) == {3}
+
+
+def test_ktruss_cascade_to_empty(spark):
+    """Two triangles sharing edge (b, c): at k=4 only (b, c) has
+    support 2, but after the first peel it has no triangles left —
+    the cascade must run to the empty fixpoint, not stop after one
+    round."""
+    from deepie_spark.operators.graph import ktruss
+
+    es = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("b", "d")]
+    out = ktruss(
+        spark.createDataFrame(es, "src string, dst string"), k=4
+    ).collect()
+    assert out == []
+
+
+def test_ktruss_matches_python_twin(spark):
+    """Hash-deterministic 28-node random graph, k=3 and k=4."""
+    from deepie_spark.operators.graph import ktruss
+
+    edges = []
+    for i in range(200):
+        a, b = (i * 131 + 7) % 28, (i * 197 + 13) % 28
+        if a != b:
+            edges.append((f"v{a:02d}", f"v{b:02d}"))
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for k in (3, 4):
+        got = {(r.a, r.b): r.support for r in ktruss(df, k=k).collect()}
+        assert got == _py_truss(edges, k)
+
+
+def test_ktruss_validates_k(spark):
+    from deepie_spark.operators.graph import ktruss
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        ktruss(df, k=1)
+
+
+def test_closeness_stats_path_graph(spark):
+    """Path a-b-c-d at max_hops=2: hand-computed reach/hop sums."""
+    from deepie_spark.operators.graph import closeness_stats
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    got = {
+        r.entity: (r.n_reached, r.total_hops)
+        for r in closeness_stats(df, max_hops=2).collect()
+    }
+    assert got == {
+        "a": (2, 3),  # b@1, c@2
+        "b": (3, 4),  # a@1, c@1, d@2
+        "c": (3, 4),
+        "d": (2, 3),
+    }
+
+
+def test_closeness_stats_matches_python_bfs(spark):
+    from collections import deque
+
+    from deepie_spark.operators.graph import closeness_stats
+
+    edges = []
+    for i in range(120):
+        a, b = (i * 37 + 5) % 25, (i * 101 + 11) % 25
+        if a != b:
+            edges.append((f"v{a:02d}", f"v{b:02d}"))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = {}
+    for s in adj:
+        seen = {s: 0}
+        q = deque([s])
+        while q:
+            n = q.popleft()
+            if seen[n] >= 3:
+                continue
+            for m in adj[n]:
+                if m not in seen:
+                    seen[m] = seen[n] + 1
+                    q.append(m)
+        del seen[s]
+        if seen:
+            expected[s] = (len(seen), sum(seen.values()))
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.entity: (r.n_reached, r.total_hops)
+        for r in closeness_stats(df, max_hops=3).collect()
+    }
+    assert got == expected
+
+
+def test_closeness_stats_seed_subset(spark):
+    from deepie_spark.operators.graph import closeness_stats
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = closeness_stats(df, seeds=seeds, max_hops=5).collect()
+    assert len(got) == 1 and got[0].entity == "a"
+    assert (got[0].n_reached, got[0].total_hops) == (2, 3)
+
+
+def test_ktruss_closeness_plan_shapes(spark):
+    from deepie_spark.operators.graph import _edge_support, closeness_stats
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    und = df.selectExpr("src as a", "dst as b")
+    for frame in (_edge_support(und), closeness_stats(df, max_hops=1)):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -411,3 +411,38 @@ def test_chunk_windows_reconstruct_original(spark):
             # (with overlap, tail windows near the end may be short)
             if width == stride:
                 assert all(len(c) == width for c in ordered[:-1])
+
+
+def test_extract_anchors_order_and_pairing(spark):
+    from pyspark.sql import functions as F
+
+    from deepie_spark.functions.web import extract_anchors
+
+    html = (
+        '<html><a href="https://x.com/a" class="big">First</a>'
+        '<p>noise</p><a href="/rel">Relative</a>'
+        '<a href="https://y.com/b">Second</a></html>'
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    [row] = df.select(extract_anchors(F.col("html")).alias("an")).collect()
+    assert [(x.href, x.anchor) for x in row.an] == [
+        ("https://x.com/a", "First"),
+        ("/rel", "Relative"),
+        ("https://y.com/b", "Second"),
+    ]
+
+
+def test_extract_anchors_empty_and_no_anchor_text(spark):
+    from pyspark.sql import functions as F
+
+    from deepie_spark.functions.web import extract_anchors
+
+    df = spark.createDataFrame(
+        [("<p>no links</p>",), ('<a href="https://z.com/">''</a>',)],
+        "html string",
+    )
+    rows = df.select(extract_anchors(F.col("html")).alias("an")).collect()
+    assert rows[0].an == []
+    assert [(x.href, x.anchor) for x in rows[1].an] == [
+        ("https://z.com/", "")
+    ]
