@@ -105,6 +105,13 @@ EXTRA = [
     "triple_confidence",
     "events_asof",
     "entity_communities",
+    "predicate_inverses",
+    "rule_mining",
+    "skipgram_pairs",
+    "event_transitions",
+    "ktruss",
+    "entity_closeness",
+    "anchor_text",
 ]
 
 HEADLINE = [
