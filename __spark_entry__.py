@@ -4087,6 +4087,92 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_predicate_domain_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology induction over the rule-triple table
+    (operators/kgquality.py predicate_domain_range): the modal
+    subject/object type per predicate with coverage ratios — the
+    schema signal read right after predicate_profile.  Argmax via
+    min(struct(-n, type)) (partial agg, no window); every count an
+    exact long, coverage = same two longs divided in both engines."""
+    from deepie_spark.operators.kgquality import predicate_domain_range
+
+    return predicate_domain_range(q_triples_rules(spark, sf_dir))
+
+
+def q_entity_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-centric KG serialization (operators/kgexport.py
+    entity_cards): one row per subject with its distinct pred=obj
+    facts '|'-joined in lexical order — the KG→text corpus shape
+    (KELM-style) and the per-entity spot-check surface.  In-row
+    array_sort after ONE distinct + ONE groupBy; exact strings, so
+    hash-exact regardless of partitioning."""
+    from deepie_spark.operators.kgexport import entity_cards
+
+    return entity_cards(q_triples_rules(spark, sf_dir))
+
+
+def q_entity_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, entity) salience = mention-tf × entity-idf
+    (operators/kgexport.py entity_salience) — the 'what is this page
+    about' weight triple-confidence aggregation consumes.  Exact-long
+    counts; both ln() calls take exact-integer arguments (D from the
+    documents table so mention-free docs count toward IDF)."""
+    from deepie_spark.operators.kgexport import entity_salience
+
+    m = _mentions_single(spark, sf_dir)
+    nd = _docs(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    return entity_salience(m, nd)
+
+
+def q_term_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood keyness of every (source, token)
+    (operators/curation.py term_keyness): which tokens are
+    distinctive for a corpus slice vs the rest — the corpus-comparison
+    audit run before mixing sources.  All eight x·ln x arguments are
+    exact longs combined in fixed written order (the bm25 portability
+    rules); the marginal join-back carries no broadcast hint
+    (vocab-sized — the doc_perplexity rule)."""
+    from deepie_spark.operators.curation import term_keyness
+
+    d = _docs(spark, sf_dir)
+    occ = d.select(
+        "source", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    return term_keyness(occ, group_col="source", token_col="token",
+                        min_count=3)
+
+
+def q_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI over the ±2 skip-gram pair counts (operators/skipgram.py
+    skipgram_pmi) — the PPMI association table count-based embeddings
+    factorize and phrase mining thresholds.  Marginals are exact longs
+    summed from the pair table itself; four integer-argument ln()
+    calls combined in fixed order, rounded to 6."""
+    from deepie_spark.operators.skipgram import skipgram_pairs, skipgram_pmi
+
+    return skipgram_pmi(
+        skipgram_pairs(_docs(spark, sf_dir), window=2), min_count=2
+    )
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the undirected triple graph
+    (operators/graph.py degree_assortativity): Pearson r of end-degree
+    pairs over both edge orientations, from exact integer moments
+    (the quality_correlation rule — sqrt-free here since the
+    symmetric marginals make r a pure ratio of exact longs cast to
+    double).  One degree agg + two entity-keyed join-backs + ONE
+    global agg."""
+    from deepie_spark.operators.graph import degree_assortativity
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return degree_assortativity(t)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -4237,6 +4323,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss": q_ktruss,
         "entity_closeness": q_entity_closeness,
         "anchor_text": q_anchor_text,
+        "predicate_domain_range": q_predicate_domain_range,
+        "entity_cards": q_entity_cards,
+        "entity_salience": q_entity_salience,
+        "term_keyness": q_term_keyness,
+        "skipgram_pmi": q_skipgram_pmi,
+        "graph_assortativity": q_graph_assortativity,
     }
 
 
@@ -6484,5 +6576,205 @@ def oracle_sql() -> dict[str, str]:
             SELECT dst_host, n_links, n_anchors,
                    anchor AS top_anchor, n AS top_n
             FROM r WHERE rn = 1
+        """,
+        # predicate_domain_range twin: type-carrying directed triples
+        # (the _TRIPLE_SPO_SQL derivation with types kept through the
+        # swap), modal type via row_number(n DESC, type) — the
+        # independent window formulation of Spark's min(struct(-n, ty)).
+        "predicate_domain_range": f"""
+            WITH {_MENTIONS_SQL.strip()},
+            rules(type1, type2, label) AS (VALUES
+              {RULES_VALUES}
+            ),
+            rpairs AS (
+              SELECT a.doc_id, a.alias AS alias1, b.alias AS alias2,
+                     a.entity_type AS type1, b.entity_type AS type2
+              FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id
+              WHERE a.pos < b.pos AND b.pos - a.pos <= 10
+            ),
+            t AS (
+              SELECT DISTINCT * FROM (
+                SELECT
+                  CASE WHEN label LIKE '%(e2,e1)' THEN alias2
+                       ELSE alias1 END AS s,
+                  regexp_replace(label, '\\(e[12],e[21]\\)$', '') AS p,
+                  CASE WHEN label LIKE '%(e2,e1)' THEN alias1
+                       ELSE alias2 END AS o,
+                  CASE WHEN label LIKE '%(e2,e1)' THEN type2
+                       ELSE type1 END AS st,
+                  CASE WHEN label LIKE '%(e2,e1)' THEN type1
+                       ELSE type2 END AS ot
+                FROM rpairs JOIN rules USING (type1, type2)
+                WHERE label != 'NONE')
+              WHERE s != o
+            ),
+            tot AS (SELECT p, count(*) AS n_triples FROM t GROUP BY 1),
+            dm AS (SELECT p, st, count(*) AS n FROM t GROUP BY 1, 2),
+            dr AS (SELECT p, st, n, row_number() OVER (
+                     PARTITION BY p ORDER BY n DESC, st) AS rn FROM dm),
+            rm AS (SELECT p, ot, count(*) AS n FROM t GROUP BY 1, 2),
+            rr AS (SELECT p, ot, n, row_number() OVER (
+                     PARTITION BY p ORDER BY n DESC, ot) AS rn FROM rm)
+            SELECT tot.p AS pred, n_triples,
+                   dr.st AS domain_type, dr.n AS domain_n,
+                   round(CAST(dr.n AS DOUBLE)
+                         / CAST(n_triples AS DOUBLE), 6) AS domain_cov,
+                   rr.ot AS range_type, rr.n AS range_n,
+                   round(CAST(rr.n AS DOUBLE)
+                         / CAST(n_triples AS DOUBLE), 6) AS range_cov
+            FROM tot
+            JOIN dr ON dr.p = tot.p AND dr.rn = 1
+            JOIN rr ON rr.p = tot.p AND rr.rn = 1
+        """,
+        # entity_cards twin: tr3's directed-triple derivation WITHOUT
+        # the self-loop filter (a card states every fact), card built
+        # by ordered string_agg — the window-free DuckDB analog of
+        # Spark's in-row array_sort + array_join.
+        "entity_cards": f"""
+            WITH {_MENTIONS_SQL.strip()},
+            rules(type1, type2, label) AS (VALUES
+              {RULES_VALUES}
+            ),
+            rpairs AS (
+              SELECT a.doc_id, a.alias AS alias1, b.alias AS alias2,
+                     a.entity_type AS type1, b.entity_type AS type2
+              FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id
+              WHERE a.pos < b.pos AND b.pos - a.pos <= 10
+            ),
+            facts AS (
+              SELECT DISTINCT
+                CASE WHEN label LIKE '%(e2,e1)' THEN alias2
+                     ELSE alias1 END AS s,
+                regexp_replace(label, '\\(e[12],e[21]\\)$', '') AS p,
+                CASE WHEN label LIKE '%(e2,e1)' THEN alias1
+                     ELSE alias2 END AS o
+              FROM rpairs JOIN rules USING (type1, type2)
+              WHERE label != 'NONE'
+            )
+            SELECT s AS entity, count(*) AS n_facts,
+                   count(DISTINCT p) AS n_preds,
+                   string_agg(p || '=' || o, '|'
+                              ORDER BY p || '=' || o) AS card
+            FROM facts GROUP BY 1
+        """,
+        # entity_salience twin: tf × idf with both ln() args exact
+        # integers; D counts the DOCUMENTS table (mention-free docs
+        # count toward idf on both sides).
+        "entity_salience": f"""
+            WITH {_MENTIONS_SQL.strip()},
+            pd AS (SELECT doc_id, alias, count(*) AS n_mentions,
+                          min(pos) AS first_pos
+                   FROM mentions GROUP BY 1, 2),
+            dfv AS (SELECT alias, count(*) AS df FROM pd GROUP BY 1),
+            nd AS (SELECT count(*) AS d FROM documents)
+            SELECT doc_id, alias, n_mentions, first_pos, df,
+                   round(CAST(n_mentions AS DOUBLE)
+                         * (ln(CAST(d AS DOUBLE))
+                            - ln(CAST(df AS DOUBLE))), 6) AS salience
+            FROM pd JOIN dfv USING (alias) CROSS JOIN nd
+        """,
+        # term_keyness twin: same 2×2 G² with the identical fixed
+        # left-assoc xlnx ordering (integer-argument ln on both sides);
+        # marginals from the unfiltered (source, token) counts, the
+        # min_count filter applied at the end like the Spark side's
+        # pre-join filter (marginals already computed).
+        "term_keyness": f"""
+            WITH {_OCC_SQL.strip()},
+            ot AS (SELECT d.source AS grp, o.token
+                   FROM occ o JOIN documents d USING (doc_id)),
+            gt AS (SELECT grp, token, count(*) AS a
+                   FROM ot GROUP BY 1, 2),
+            tm AS (SELECT token, CAST(sum(a) AS BIGINT) AS tot_t
+                   FROM gt GROUP BY 1),
+            gm AS (SELECT grp, CAST(sum(a) AS BIGINT) AS tot_g
+                   FROM gt GROUP BY 1),
+            nt AS (SELECT CAST(sum(a) AS BIGINT) AS nn FROM gt),
+            cells AS (
+              SELECT grp, token, a, tot_t, tot_g, nn,
+                     tot_t - a AS b, tot_g - a AS c,
+                     nn - tot_t - tot_g + a AS d
+              FROM gt JOIN tm USING (token) JOIN gm USING (grp)
+              CROSS JOIN nt
+              WHERE a >= 3
+            )
+            SELECT grp AS source, token, a, b, c, d,
+                   round(CAST(2 AS DOUBLE) * (
+                     (CASE WHEN a > 0 THEN CAST(a AS DOUBLE)
+                             * ln(CAST(a AS DOUBLE)) ELSE 0.0 END
+                      + CASE WHEN b > 0 THEN CAST(b AS DOUBLE)
+                             * ln(CAST(b AS DOUBLE)) ELSE 0.0 END
+                      + CASE WHEN c > 0 THEN CAST(c AS DOUBLE)
+                             * ln(CAST(c AS DOUBLE)) ELSE 0.0 END
+                      + CASE WHEN d > 0 THEN CAST(d AS DOUBLE)
+                             * ln(CAST(d AS DOUBLE)) ELSE 0.0 END
+                      + CASE WHEN nn > 0 THEN CAST(nn AS DOUBLE)
+                             * ln(CAST(nn AS DOUBLE)) ELSE 0.0 END)
+                     - (CASE WHEN tot_t > 0 THEN CAST(tot_t AS DOUBLE)
+                             * ln(CAST(tot_t AS DOUBLE)) ELSE 0.0 END
+                        + CASE WHEN tot_g > 0 THEN CAST(tot_g AS DOUBLE)
+                             * ln(CAST(tot_g AS DOUBLE)) ELSE 0.0 END
+                        + CASE WHEN nn - tot_g > 0
+                             THEN CAST(nn - tot_g AS DOUBLE)
+                             * ln(CAST(nn - tot_g AS DOUBLE))
+                             ELSE 0.0 END
+                        + CASE WHEN nn - tot_t > 0
+                             THEN CAST(nn - tot_t AS DOUBLE)
+                             * ln(CAST(nn - tot_t AS DOUBLE))
+                             ELSE 0.0 END)), 6) AS g2,
+                   (a * nn > tot_t * tot_g) AS enriched
+            FROM cells
+        """,
+        # skipgram_pmi twin: pair counts via the independent
+        # position-self-join, marginals + 1-row total, four
+        # integer-argument ln() calls in the identical fixed order.
+        "skipgram_pmi": f"""
+            WITH {_OCC_SQL.strip()},
+            prs AS (
+              SELECT a.token AS center, b.token AS context,
+                     count(*) AS n
+              FROM occ a JOIN occ b
+                ON a.doc_id = b.doc_id
+               AND b.pos BETWEEN a.pos - 2 AND a.pos + 2
+               AND b.pos != a.pos
+              GROUP BY 1, 2),
+            cm AS (SELECT center, CAST(sum(n) AS BIGINT) AS n_center
+                   FROM prs GROUP BY 1),
+            xm AS (SELECT context, CAST(sum(n) AS BIGINT) AS n_context
+                   FROM prs GROUP BY 1),
+            tt AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM prs)
+            SELECT center, context, n, n_center, n_context,
+                   round(ln(CAST(n AS DOUBLE)) + ln(CAST(t AS DOUBLE))
+                         - ln(CAST(n_center AS DOUBLE))
+                         - ln(CAST(n_context AS DOUBLE)), 6) AS pmi
+            FROM prs JOIN cm USING (center) JOIN xm USING (context)
+            CROSS JOIN tt
+            WHERE n >= 2
+        """,
+        # graph_assortativity twin: same exact-long moments over both
+        # edge orientations of the canonical undirected edge set; r is
+        # the same longs divided (NULL when the variance is zero).
+        "graph_assortativity": f"""
+            WITH {_MENTIONS_SQL.strip()},
+            {_TRIPLE_EDGES_SQL.strip()},
+            bidi AS (SELECT a, b FROM und
+                     UNION ALL SELECT b, a FROM und),
+            deg AS (SELECT a, count(*) AS dg FROM bidi GROUP BY 1),
+            ends AS (SELECT d1.dg AS x, d2.dg AS y
+                     FROM bidi e
+                     JOIN deg d1 ON d1.a = e.a
+                     JOIN deg d2 ON d2.a = e.b),
+            m AS (SELECT count(*) AS n_ends,
+                         CAST(sum(x) AS BIGINT) AS sum_x,
+                         CAST(sum(x * y) AS BIGINT) AS sum_xy,
+                         CAST(sum(x * x) AS BIGINT) AS sum_xx
+                  FROM ends)
+            SELECT n_ends, sum_x, sum_xy, sum_xx,
+                   CASE WHEN n_ends * sum_xx - sum_x * sum_x > 0 THEN
+                     round(CAST(n_ends * sum_xy - sum_x * sum_x
+                                AS DOUBLE)
+                           / CAST(n_ends * sum_xx - sum_x * sum_x
+                                  AS DOUBLE), 6)
+                   END AS r
+            FROM m
         """,
     }

@@ -112,6 +112,12 @@ EXTRA = [
     "ktruss",
     "entity_closeness",
     "anchor_text",
+    "predicate_domain_range",
+    "entity_cards",
+    "entity_salience",
+    "term_keyness",
+    "skipgram_pmi",
+    "graph_assortativity",
 ]
 
 HEADLINE = [

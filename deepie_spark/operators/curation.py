@@ -122,3 +122,93 @@ def dsir_log_weights(
             F.col("s") - F.col("n_grams").cast("double") * norm, 6
         ).alias("log_weight"),
     )
+
+
+def _xlnx(x: Column) -> Column:
+    """x·ln(x) with the 0·ln 0 = 0 convention.  Every call site passes
+    an exact-integer-valued double, so ln() rounds to the same value
+    in Spark and DuckDB (the repo's integer-argument-ln portability
+    rule) and the product is one identical IEEE multiply."""
+    return F.when(x > 0, x * F.log(x)).otherwise(F.lit(0.0))
+
+
+def term_keyness(
+    occurrences: DataFrame,
+    group_col: str = "source",
+    token_col: str = "token",
+    min_count: int = 3,
+) -> DataFrame:
+    """Dunning log-likelihood (G², Dunning 1993) keyness of every
+    (group, token): how distinctive is the token for that corpus slice
+    vs the rest of the corpus — the standard corpus-comparison signal
+    for domain profiling and for spotting contaminated / boilerplate
+    slices before mixing.
+
+    For each group g and token t the 2×2 contingency table is
+    ``a`` = count(t in g), ``b`` = count(t elsewhere),
+    ``c`` = other tokens in g, ``d`` = other tokens elsewhere, and
+
+        G² = 2·( Σ xlnx(cell) + xlnx(N) − Σ xlnx(margin) )
+
+    ``enriched`` is TRUE when the token is over-represented in the
+    group (a·N > row·col margin product — exact long arithmetic, no
+    FP threshold).
+
+    Engine portability: all eight xlnx arguments are exact longs (the
+    four cells, N, and the four margins), every ln is
+    integer-argument, and the two partial sums fold left-to-right in
+    a FIXED written order on both sides — the bm25 rules.  The final
+    statistic is rounded to 6 digits.
+
+    Plan: one (group, token) count agg (map-side combine), a
+    vocab-sized token-marginal agg joined back WITHOUT a broadcast
+    hint (vocab can be huge — the doc_perplexity rule), a
+    group-count-sized marginal (broadcast by definition) and a 1-row
+    grand total.  No window, no self-join; output is (groups ×
+    vocab)-bounded and pre-filtered by ``min_count``.
+    """
+    gt = occurrences.groupBy(
+        F.col(group_col).alias("grp"), F.col(token_col).alias("token")
+    ).agg(F.count(F.lit(1)).alias("a"))
+    tok_m = gt.groupBy("token").agg(F.sum("a").cast("long").alias("tot_t"))
+    grp_m = gt.groupBy("grp").agg(F.sum("a").cast("long").alias("tot_g"))
+    n = gt.agg(F.sum("a").cast("long").alias("nn"))
+
+    j = (
+        gt.filter(F.col("a") >= F.lit(int(min_count)))
+        .join(tok_m, "token")
+        .join(F.broadcast(grp_m), "grp")
+        .crossJoin(F.broadcast(n))
+    )
+    a = F.col("a").cast("long")
+    b = (F.col("tot_t") - a).alias("b")
+    c = (F.col("tot_g") - a).alias("c")
+    d = (F.col("nn") - F.col("tot_t") - F.col("tot_g") + a).alias("d")
+    j = j.select("grp", "token", a.alias("a"), b, c, d,
+                 "tot_t", "tot_g", "nn")
+
+    dbl = lambda name: F.col(name).cast("double")  # noqa: E731
+    pos = (
+        _xlnx(dbl("a"))
+        + _xlnx(dbl("b"))
+        + _xlnx(dbl("c"))
+        + _xlnx(dbl("d"))
+        + _xlnx(dbl("nn"))
+    )
+    neg = (
+        _xlnx(dbl("tot_t"))
+        + _xlnx(dbl("tot_g"))
+        + _xlnx((F.col("nn") - F.col("tot_g")).cast("double"))
+        + _xlnx((F.col("nn") - F.col("tot_t")).cast("double"))
+    )
+    return j.select(
+        F.col("grp").alias(group_col),
+        "token",
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(F.lit(2.0) * (pos - neg), 6).alias("g2"),
+        (F.col("a") * F.col("nn")
+         > F.col("tot_t") * F.col("tot_g")).alias("enriched"),
+    )

@@ -900,3 +900,51 @@ def closeness_stats(
         )
         .select(F.col("s").alias("entity"), "n_reached", "total_hops")
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient of the undirected graph
+    (Newman 2002): the Pearson correlation of (deg(u), deg(v)) over
+    every edge end-pair — do hubs attach to hubs (r > 0, social
+    graphs) or to leaves (r < 0, the typical web/KG shape)?  One row
+    ``(n_ends, sum_x, sum_xy, sum_xx, r)``.
+
+    Exactness: each edge contributes BOTH orientations, so the x and
+    y marginals coincide and every moment is an exact long (the
+    quality_correlation rule: Pearson from exact integer moments —
+    sqrt is IEEE-exact, so r is engine-bit-identical; rounded to 6).
+    Long moments hold to ~3·10⁹ edge-ends × max-degree² under 2⁶³; at
+    the 100-TB extreme swap the moment columns to DECIMAL(38) — same
+    plan shape.
+
+    Plan: distinct canonical edges → one degree agg → two join-backs
+    on the edge endpoints (entity-keyed, well-spread) → ONE global
+    agg.  No window, no self-join beyond the degree lookups.
+    """
+    und = _canonical_edges(edges, src, dst)
+    bidi = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = bidi.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("dg"))
+    ends = (
+        bidi.join(deg, "a")
+        .withColumnRenamed("dg", "x")
+        .join(deg.select(F.col("a").alias("b"), F.col("dg").alias("y")), "b")
+    )
+    m = ends.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ends"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_xx"),
+    )
+    num = (F.col("n_ends") * F.col("sum_xy")
+           - F.col("sum_x") * F.col("sum_x"))
+    den = (F.col("n_ends") * F.col("sum_xx")
+           - F.col("sum_x") * F.col("sum_x"))
+    r = F.when(
+        den > 0,
+        F.round(num.cast("double") / den.cast("double"), 6),
+    )
+    return m.select("n_ends", "sum_x", "sum_xy", "sum_xx", r.alias("r"))

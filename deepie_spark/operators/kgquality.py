@@ -180,3 +180,82 @@ def rule_mine_2hop(
             F.col("support").cast("double") / F.col("n_body").cast("double"), 6
         ).alias("confidence"),
     )
+
+
+def predicate_domain_range(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    subj_type_col: str = "subj_type",
+    obj_type_col: str = "obj_type",
+) -> DataFrame:
+    """Domain/range induction per predicate: the modal subject type
+    (domain) and modal object type (range) with their coverage ratios
+    — the ontology-induction signal schema cleaning reads right after
+    ``predicate_profile`` (a predicate whose domain coverage is ~1 is
+    type-consistent; a low one flags extraction noise or a predicate
+    to split).  Standard KG-refinement practice (Paulheim 2017 §4.1).
+
+    Plan: distinct (s, p, o[, types]) — types are functionally
+    determined by the entity so the distinct stays (s, p, o)-sized —
+    then two (pred, type)-keyed counting aggregates and a per-pred
+    argmax via ``min(struct(-n, type))`` (partial-agg argmax, no
+    window), joined back to the predicate marginal.  Every aggregate
+    output is predicate-count- or (pred × type)-sized — broadcast by
+    definition; nothing shuffles corpus-scale rows twice.  Counts are
+    exact longs; coverage divides the same two longs in both engines,
+    rounded to 6 digits (repo FP convention).
+    """
+    t = (
+        triples.select(
+            F.col(subj_col).alias("s"),
+            F.col(pred_col).alias("p"),
+            F.col(obj_col).alias("o"),
+            F.col(subj_type_col).alias("st"),
+            F.col(obj_type_col).alias("ot"),
+        )
+        .filter(F.col("s") != F.col("o"))
+        .distinct()
+    )
+    tot = t.groupBy("p").agg(F.count(F.lit(1)).alias("n_triples"))
+
+    def _modal(type_col: str, prefix: str) -> DataFrame:
+        counts = t.groupBy("p", type_col).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        return counts.groupBy("p").agg(
+            F.min(
+                F.struct(
+                    (-F.col("n")).alias("neg"),
+                    F.col(type_col).alias("ty"),
+                )
+            ).alias("m")
+        ).select(
+            "p",
+            F.col("m.ty").alias(f"{prefix}_type"),
+            (-F.col("m.neg")).cast("long").alias(f"{prefix}_n"),
+        )
+
+    out = (
+        tot.join(F.broadcast(_modal("st", "domain")), "p")
+        .join(F.broadcast(_modal("ot", "range")), "p")
+    )
+    return out.select(
+        F.col("p").alias("pred"),
+        "n_triples",
+        "domain_type",
+        "domain_n",
+        F.round(
+            F.col("domain_n").cast("double")
+            / F.col("n_triples").cast("double"),
+            6,
+        ).alias("domain_cov"),
+        "range_type",
+        "range_n",
+        F.round(
+            F.col("range_n").cast("double")
+            / F.col("n_triples").cast("double"),
+            6,
+        ).alias("range_cov"),
+    )

@@ -67,3 +67,55 @@ def skipgram_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def skipgram_pmi(
+    pairs: DataFrame,
+    min_count: int = 1,
+) -> DataFrame:
+    """Pointwise mutual information over a ``(center, context, n)``
+    pair-count table (the `skipgram_pairs` output):
+
+        pmi(x, y) = ln n_xy + ln T − ln n_x − ln n_y
+
+    — the word-association statistic the count-based embedding line
+    (PPMI-SVD, Levy & Goldberg 2014) factorizes, and the standard
+    collocation filter for phrase mining on the way into a KG.
+
+    Engine portability: marginals and the grand total are exact longs
+    summed from exact longs; all four ln() calls take exact-integer
+    arguments and combine in a FIXED written order (the bm25 rules),
+    rounded to 6 digits.
+
+    Plan: two vocab-sized marginal aggs joined back WITHOUT broadcast
+    hints (vocab is unbounded — the doc_perplexity rule), one 1-row
+    total cross-joined.  Everything stays (vocab²)-bounded — corpus
+    size only enters through the upstream pair counting.
+    """
+    cm = pairs.groupBy("center").agg(
+        F.sum("n").cast("long").alias("n_center")
+    )
+    xm = pairs.groupBy("context").agg(
+        F.sum("n").cast("long").alias("n_context")
+    )
+    tot = pairs.agg(F.sum("n").cast("long").alias("t"))
+    j = (
+        pairs.filter(F.col("n") >= F.lit(int(min_count)))
+        .join(cm, "center")
+        .join(xm, "context")
+        .crossJoin(F.broadcast(tot))
+    )
+    pmi = (
+        F.log(F.col("n").cast("double"))
+        + F.log(F.col("t").cast("double"))
+        - F.log(F.col("n_center").cast("double"))
+        - F.log(F.col("n_context").cast("double"))
+    )
+    return j.select(
+        "center",
+        "context",
+        "n",
+        "n_center",
+        "n_context",
+        F.round(pmi, 6).alias("pmi"),
+    )

@@ -135,3 +135,53 @@ def test_mixture_allocation_sums_to_budget(spark, sf_dir):
     for r in rows:
         exact = entry._ALLOC_BUDGET * r["n"] / n_tot
         assert abs(r["tokens"] - exact) < 1.0
+
+
+def test_term_keyness_hand_computed(spark):
+    import math
+
+    from deepie_spark.operators.curation import term_keyness
+
+    # "zz" is wildly enriched in group g1; "the" is background
+    rows = (
+        [("g1", "zz")] * 6
+        + [("g1", "the")] * 4
+        + [("g2", "the")] * 9
+        + [("g2", "zz")] * 1
+    )
+    occ = spark.createDataFrame(rows, "source string, token string")
+    out = {(r.source, r.token): r for r in
+           term_keyness(occ, min_count=1).collect()}
+    r = out[("g1", "zz")]
+    assert (r.a, r.b, r.c, r.d) == (6, 1, 4, 9)
+    assert r.enriched is True
+    assert out[("g2", "zz")].enriched is False
+
+    def xlnx(x):
+        return x * math.log(x) if x > 0 else 0.0
+
+    expect = round(
+        2.0
+        * (
+            (xlnx(6) + xlnx(1) + xlnx(4) + xlnx(9) + xlnx(20))
+            - (xlnx(7) + xlnx(10) + xlnx(10) + xlnx(13))
+        ),
+        6,
+    )
+    assert r.g2 == expect
+    # G² is symmetric across the two groups for the same token
+    assert out[("g2", "zz")].g2 == expect
+
+
+def test_term_keyness_min_count_and_exclusive_token(spark):
+    from deepie_spark.operators.curation import term_keyness
+
+    rows = [("g1", "only")] * 5 + [("g2", "x")] * 5 + [("g1", "rare")]
+    occ = spark.createDataFrame(rows, "source string, token string")
+    out = {(r.source, r.token): r for r in
+           term_keyness(occ, min_count=3).collect()}
+    # below min_count rows are dropped (but counted in marginals)
+    assert ("g1", "rare") not in out
+    # group-exclusive token: b == 0 exercises the xlnx(0) = 0 branch
+    r = out[("g1", "only")]
+    assert r.b == 0 and r.g2 > 0 and r.enriched is True

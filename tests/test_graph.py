@@ -645,3 +645,29 @@ def test_ktruss_closeness_plan_shapes(spark):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_degree_assortativity_star_is_minus_one(spark):
+    from deepie_spark.operators.graph import degree_assortativity
+
+    e = spark.createDataFrame(
+        [("c", "a"), ("c", "b"), ("c", "d"), ("c", "d")],  # dup edge
+        "src string, dst string",
+    )
+    [r] = degree_assortativity(e).collect()
+    # star K1,3: ends are (3,1)×3 + (1,3)×3 → perfectly disassortative
+    assert r.n_ends == 6 and r.sum_x == 12
+    assert (r.sum_xy, r.sum_xx) == (18, 30)
+    assert r.r == -1.0
+
+
+def test_degree_assortativity_regular_graph_is_null(spark):
+    from deepie_spark.operators.graph import degree_assortativity
+
+    cycle = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "src string, dst string",
+    )
+    [r] = degree_assortativity(cycle).collect()
+    # 4-cycle: every degree 2 → zero variance → r undefined (NULL)
+    assert r.r is None

@@ -158,3 +158,65 @@ def test_plan_shapes(spark):
     )
     # map-only expansion: the only shuffle is the final count agg
     assert "Join" not in sg_plan
+
+
+def _typed_triples(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string,"
+        " subj_type string, obj_type string",
+    )
+
+
+def test_predicate_domain_range_modal_types(spark):
+    from deepie_spark.operators.kgquality import predicate_domain_range
+
+    rows = [
+        ("a", "works_at", "x", "PER", "ORG"),
+        ("b", "works_at", "y", "PER", "ORG"),
+        ("c", "works_at", "z", "GPE", "ORG"),
+        ("c", "works_at", "z", "GPE", "ORG"),  # dup triple: counted once
+        ("l", "works_at", "l", "PER", "ORG"),  # self-loop excluded
+    ]
+    [r] = predicate_domain_range(_typed_triples(spark, rows)).collect()
+    assert r.pred == "works_at" and r.n_triples == 3
+    assert (r.domain_type, r.domain_n) == ("PER", 2)
+    assert r.domain_cov == pytest.approx(2 / 3, abs=1e-6)
+    assert (r.range_type, r.range_n) == ("ORG", 3)
+    assert r.range_cov == 1.0
+
+
+def test_predicate_domain_range_tie_breaks_lexically(spark):
+    from deepie_spark.operators.kgquality import predicate_domain_range
+
+    rows = [
+        ("a", "p", "x", "PER", "ORG"),
+        ("b", "p", "y", "GPE", "ORG"),
+    ]
+    [r] = predicate_domain_range(_typed_triples(spark, rows)).collect()
+    # 1-1 tie between GPE and PER: smallest type string wins (matches
+    # the oracle's ORDER BY n DESC, type)
+    assert r.domain_type == "GPE" and r.domain_n == 1
+
+
+def test_skipgram_pmi_hand_computed(spark):
+    import math
+
+    from deepie_spark.operators.skipgram import skipgram_pmi
+
+    pairs = spark.createDataFrame(
+        [("a", "b", 4), ("b", "a", 4), ("a", "c", 1), ("c", "a", 1)],
+        "center string, context string, n long",
+    )
+    out = {(r.center, r.context): r for r in
+           skipgram_pmi(pairs, min_count=1).collect()}
+    r = out[("a", "b")]
+    assert (r.n, r.n_center, r.n_context) == (4, 5, 4)
+    expect = round(
+        math.log(4) + math.log(10) - math.log(5) - math.log(4), 6
+    )
+    assert r.pmi == expect
+    # min_count filters pairs but NOT the marginals
+    out2 = {(r.center, r.context): r for r in
+            skipgram_pmi(pairs, min_count=2).collect()}
+    assert ("a", "c") not in out2 and out2[("a", "b")].n_center == 5

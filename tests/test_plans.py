@@ -562,3 +562,48 @@ def test_heavy_hitters_no_full_groupby_before_candidates(spark, sf_dir):
     final = plan.split("== Initial Plan ==")[0]
     assert "LeftSemi" in final
     assert "CartesianProduct" not in final
+
+
+def test_entity_cards_aggregate_not_window(spark, sf_dir):
+    """Card strings come from in-row array_sort inside ONE aggregate —
+    a per-entity Window sort would serialize hot entities."""
+    plan = executed(entry.q_entity_cards(spark, sf_dir))
+    assert "Window" not in plan
+
+
+def test_predicate_domain_range_argmax_no_window(spark, sf_dir):
+    """Modal domain/range types via min(struct(-n, ty)) partial-agg
+    argmax; the per-predicate row_number formulation lives only in the
+    DuckDB oracle."""
+    plan = executed(entry.q_predicate_domain_range(spark, sf_dir))
+    assert "Window" not in plan
+
+
+def test_term_keyness_vocab_marginal_unhinted(spark, sf_dir):
+    """The token-marginal join-back is vocab-sized — it must never
+    carry a broadcast hint (the tfidf/doc_perplexity rule); the only
+    hinted sides are the group marginal (group-count-sized) and the
+    1-row grand total."""
+    df = entry.q_term_keyness(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("strategy=broadcast") == 2
+    token_joins = [
+        ln for ln in opt.splitlines() if "Join Inner, (token" in ln
+    ]
+    assert token_joins and all("Hint" not in ln for ln in token_joins)
+
+
+def test_skipgram_pmi_marginals_unhinted(spark, sf_dir):
+    """Both PMI marginals are vocab-sized joins — un-hinted; only the
+    1-row pair total broadcasts."""
+    df = entry.q_skipgram_pmi(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("strategy=broadcast") == 1
+
+
+def test_graph_assortativity_no_window_no_cartesian(spark, sf_dir):
+    """Degree join-backs are entity-keyed equi-joins feeding one
+    global agg — no Window, no cartesian product anywhere."""
+    plan = executed(entry.q_graph_assortativity(spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
