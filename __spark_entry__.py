@@ -4026,17 +4026,11 @@ def q_entity_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closeness_stats(t, max_hops=4)
 
 
-def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inbound anchor-text aggregation per destination host — the
-    classic external-naming signal for entity aliasing (the anchor
-    harvest beside link_graph's edge harvest; functions/web.py
-    extract_anchors).  Pages are synthesized deterministically like
-    link_graph's, with anchors that VARY by doc so the per-host argmax
-    is non-trivial; top anchor via min(struct(-n, anchor)) — partial-
-    agg argmax, no window (the latest_event pattern)."""
-    from deepie_spark.functions.web import extract_anchors, url_host
-
-    d = _docs(spark, sf_dir)
+def _anchor_pages(d: DataFrame) -> DataFrame:
+    """Deterministic (doc_id, html) page synthesis shared by
+    q_anchor_text and q_html_density: two anchors per page whose hosts
+    and anchor texts VARY by doc_id (mirrored verbatim in the DuckDB
+    twins)."""
     host = lambda e: F.concat(  # noqa: E731
         F.lit("https://h"), (e % 20).cast("string"), F.lit(".example.com")
     )
@@ -4048,7 +4042,8 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.lit("docs"), F.lit("home")),
         (F.col("doc_id") % 2 + 1).cast("int"),
     )
-    pages = d.select(
+    return d.select(
+        "doc_id",
         F.concat(
             F.lit('<html><body><a href="'),
             host(F.col("doc_id") * 7 + 3),
@@ -4061,8 +4056,21 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit('/y">'),
             a2,
             F.lit("</a></body></html>"),
-        ).alias("html")
+        ).alias("html"),
     )
+
+
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound anchor-text aggregation per destination host — the
+    classic external-naming signal for entity aliasing (the anchor
+    harvest beside link_graph's edge harvest; functions/web.py
+    extract_anchors).  Pages are synthesized deterministically like
+    link_graph's, with anchors that VARY by doc so the per-host argmax
+    is non-trivial; top anchor via min(struct(-n, anchor)) — partial-
+    agg argmax, no window (the latest_event pattern)."""
+    from deepie_spark.functions.web import extract_anchors, url_host
+
+    pages = _anchor_pages(_docs(spark, sf_dir))
     pairs = pages.select(
         F.explode(extract_anchors(F.col("html"))).alias("l")
     ).select(
@@ -4171,6 +4179,81 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("subj").alias("src"), F.col("obj").alias("dst")
     )
     return degree_assortativity(t)
+
+
+_BOILER_DF = 2  # distinct-doc frequency that flags a chunk as boilerplate
+
+
+def q_boilerplate_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate rate per document (operators/curation.py
+    boilerplate_stats): share of a doc's pseudo-paragraphs that appear
+    in ≥ _BOILER_DF distinct documents — the CROSS-doc frequency audit
+    beside paragraph_dedup's keeper filter and dup_ngram_rate's
+    within-doc metric.  Un-hinted chunk-keyed join-back (corpus-sized);
+    exact-long counts, int/int rate."""
+    from deepie_spark.operators.curation import boilerplate_stats
+
+    ch = _chunk_windows(_toks(spark, sf_dir), _PARA_W, _PARA_W).select(
+        "doc_id", F.array_join("chunk", " ").alias("chunk_text")
+    )
+    return boilerplate_stats(ch, min_df=_BOILER_DF)
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension scalar quantization codes (operators/quantize.py
+    scalar_quantize, the SQ8 ANN-compression path): min/max are
+    order-free exact aggregates and the affine map + floor is the same
+    IEEE arithmetic in both engines, so the int codes are bit-exact —
+    the compression stage the ANN family reads at 10⁹+ vectors."""
+    from deepie_spark.operators.quantize import scalar_quantize
+
+    return scalar_quantize(_emb(spark, sf_dir))
+
+
+def q_entity_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-priority Luby maximal independent set over the undirected
+    triple graph (operators/graph.py maximal_independent_set) — the
+    deterministic parallel-scheduling/landmark primitive.  Priorities
+    are the portable poly hash, ties on the id, synchronous rounds to
+    the fixpoint; the oracle unrolls the same rounds in DuckDB with
+    MATERIALIZED per-round edge/node sets (the kcore lesson)."""
+    from deepie_spark.operators.graph import maximal_independent_set
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return maximal_independent_set(t)
+
+
+def q_html_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page link-density / markup stats over the synthesized pages
+    (the boilerpipe/jusText-style content-extraction signal: a page
+    whose visible text is mostly anchor text is navigation, not
+    content).  Everything is exact integer lengths from codegen
+    regexps — one map-only pass, zero shuffles; the density divides
+    the same two longs in both engines."""
+    from deepie_spark.functions.web import extract_anchors
+
+    pages = _anchor_pages(_docs(spark, sf_dir))
+    anchors = extract_anchors(F.col("html"))
+    achars = F.aggregate(
+        anchors,
+        F.lit(0).cast("long"),
+        lambda acc, l: acc + F.length(l["anchor"]),
+    )
+    text_chars = F.length(
+        F.regexp_replace(F.col("html"), "<[^>]+>", "")
+    ).cast("long")
+    return pages.select(
+        "doc_id",
+        F.length("html").cast("long").alias("html_chars"),
+        text_chars.alias("text_chars"),
+        F.size(anchors).cast("long").alias("n_anchors"),
+        achars.alias("anchor_chars"),
+        F.round(
+            achars.cast("double") / text_chars.cast("double"), 6
+        ).alias("link_density"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4329,6 +4412,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_keyness": q_term_keyness,
         "skipgram_pmi": q_skipgram_pmi,
         "graph_assortativity": q_graph_assortativity,
+        "boilerplate_rate": q_boilerplate_rate,
+        "embedding_quantize": q_embedding_quantize,
+        "entity_mis": q_entity_mis,
+        "html_density": q_html_density,
     }
 
 
@@ -4374,6 +4461,54 @@ def _ktruss_oracle_sql(rounds: int, k: int) -> str:
                    CAST(coalesce(s.sup, 0) AS BIGINT) AS support
             FROM e{rounds} e LEFT JOIN sf s USING (a, b)"""
     )
+
+
+def _mis_oracle_sql(rounds: int) -> str:
+    """Unrolled hash-priority Luby MIS rounds over the ``und``
+    canonical edge CTE: round r selects every active node with no
+    active neighbor of smaller (poly-hash, id) priority, then drops
+    the selected nodes and their neighborhoods.  Node/edge sets are
+    MATERIALIZED per round (the kcore/ktruss CTE lesson); the
+    priority is the same portable poly hash the Spark side uses."""
+    parts = [
+        "n0 AS MATERIALIZED (SELECT v, "
+        + _poly_hash_sql("v")
+        + " AS p FROM (SELECT a AS v FROM und"
+        " UNION SELECT b AS v FROM und))",
+        "e0 AS MATERIALIZED (SELECT a, b FROM und)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""b{r} AS (SELECT a AS v, b AS u FROM e{r - 1}
+                 UNION ALL SELECT b AS v, a AS u FROM e{r - 1})"""
+        )
+        parts.append(
+            f"""s{r} AS MATERIALIZED (
+              SELECT n.v FROM n{r - 1} n
+              WHERE NOT EXISTS (
+                SELECT 1 FROM b{r} bb JOIN n{r - 1} nu ON nu.v = bb.u
+                WHERE bb.v = n.v
+                  AND (nu.p < n.p OR (nu.p = n.p AND nu.v < n.v))))"""
+        )
+        parts.append(
+            f"""n{r} AS MATERIALIZED (
+              SELECT n.v, n.p FROM n{r - 1} n
+              WHERE n.v NOT IN (SELECT v FROM s{r})
+                AND n.v NOT IN (SELECT bb.v FROM b{r} bb
+                                JOIN s{r} s ON s.v = bb.u))"""
+        )
+        parts.append(
+            f"""e{r} AS MATERIALIZED (
+              SELECT e.a, e.b FROM e{r - 1} e
+              JOIN n{r} x ON x.v = e.a
+              JOIN n{r} y ON y.v = e.b)"""
+        )
+    ctes = ",\n            ".join(parts)
+    final = "\n            UNION ALL ".join(
+        f"SELECT v AS entity, CAST({r} AS INT) AS mis_round FROM s{r}"
+        for r in range(1, rounds + 1)
+    )
+    return ctes + "\n            " + final
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6776,5 +6911,105 @@ def oracle_sql() -> dict[str, str]:
                                   AS DOUBLE), 6)
                    END AS r
             FROM m
+        """,
+        # boilerplate_rate twin: the paragraph_dedup chunking, one
+        # distinct-doc df agg, FILTER-counted per-doc boilerplate.
+        "boilerplate_rate": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+            ),
+            c AS (
+              SELECT doc_id, toks,
+                     unnest(range(
+                       CAST(floor((len(toks) - 1) / {_PARA_W}) AS BIGINT)
+                       + 1)) AS chunk_id
+              FROM t WHERE len(toks) >= 1
+            ),
+            ch AS (
+              SELECT doc_id,
+                     array_to_string(
+                       toks[chunk_id * {_PARA_W} + 1
+                            : chunk_id * {_PARA_W} + {_PARA_W}], ' ')
+                       AS ct
+              FROM c
+            ),
+            dfc AS (SELECT ct, count(DISTINCT doc_id) AS df
+                    FROM ch GROUP BY 1)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(count(*) FILTER (df >= {_BOILER_DF}) AS BIGINT)
+                     AS n_boiler,
+                   round(CAST(count(*) FILTER (df >= {_BOILER_DF})
+                              AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS boiler_frac
+            FROM ch JOIN dfc USING (ct) GROUP BY 1
+        """,
+        # embedding_quantize twin: identical affine map — min/max are
+        # order-free, the three IEEE ops + floor are bit-identical, so
+        # the int codes hash-match exactly.
+        "embedding_quantize": """
+            WITH x AS (
+              SELECT vec_id, CAST(i AS INTEGER) AS dim,
+                     CAST(embedding[i + 1] AS DOUBLE) AS xv
+              FROM (SELECT vec_id, embedding,
+                           unnest(range(len(embedding))) AS i
+                    FROM embeddings)
+            ),
+            st AS (SELECT dim, min(xv) AS lo, max(xv) AS hi
+                   FROM x GROUP BY 1)
+            SELECT vec_id, dim,
+                   CAST(CASE WHEN hi > lo THEN
+                          least(255, floor((xv - lo) / (hi - lo)
+                                           * 256.0))
+                        ELSE 0 END AS INTEGER) AS code
+            FROM x JOIN st USING (dim)
+        """,
+        # entity_mis twin: 6 unrolled Luby rounds (the toy graph
+        # finishes in <= 3), same poly-hash priorities, MATERIALIZED
+        # per-round node/edge sets.
+        "entity_mis": f"""
+            WITH {_MENTIONS_SQL.strip()},
+            {_TRIPLE_EDGES_SQL.strip()},
+            {_mis_oracle_sql(6)}
+        """,
+        # html_density twin: the anchor_text page synthesis with
+        # doc_id carried; anchor_chars sums exact integer lengths
+        # (order-free), tags stripped with the same regex ('g' flag —
+        # Spark's regexp_replace is global by default).
+        "html_density": """
+            WITH p AS (
+              SELECT doc_id,
+                     '<html><body><a href="https://h'
+                       || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+                       || '.example.com/x">'
+                       || (['visit', 'see', 'about'])[(doc_id % 3) + 1]
+                       || '</a><p>' || text || '</p><a href="https://h'
+                       || CAST((doc_id * 13 + 5) % 20 AS VARCHAR)
+                       || '.example.com/y">'
+                       || (['docs', 'home'])[(doc_id % 2) + 1]
+                       || '</a></body></html>' AS html
+              FROM documents
+            ),
+            a AS (
+              SELECT doc_id, html,
+                     regexp_extract_all(html,
+                       'href="([^"]+)"[^>]*>([^<]*)</a>', 2) AS ans
+              FROM p
+            )
+            SELECT doc_id,
+                   CAST(len(html) AS BIGINT) AS html_chars,
+                   CAST(len(regexp_replace(html, '<[^>]+>', '', 'g'))
+                        AS BIGINT) AS text_chars,
+                   CAST(len(ans) AS BIGINT) AS n_anchors,
+                   CAST(coalesce(list_sum(
+                          list_transform(ans, s -> len(s))), 0)
+                        AS BIGINT) AS anchor_chars,
+                   round(CAST(coalesce(list_sum(
+                            list_transform(ans, s -> len(s))), 0)
+                          AS DOUBLE)
+                         / CAST(len(regexp_replace(html, '<[^>]+>',
+                                                   '', 'g'))
+                                AS DOUBLE), 6) AS link_density
+            FROM a
         """,
     }

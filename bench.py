@@ -118,6 +118,10 @@ EXTRA = [
     "term_keyness",
     "skipgram_pmi",
     "graph_assortativity",
+    "boilerplate_rate",
+    "embedding_quantize",
+    "entity_mis",
+    "html_density",
 ]
 
 HEADLINE = [

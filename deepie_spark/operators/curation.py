@@ -212,3 +212,47 @@ def term_keyness(
         (F.col("a") * F.col("nn")
          > F.col("tot_t") * F.col("tot_g")).alias("enriched"),
     )
+
+
+def boilerplate_stats(
+    chunks: DataFrame,
+    doc_col: str = "doc_id",
+    chunk_col: str = "chunk_text",
+    min_df: int = 3,
+) -> DataFrame:
+    """Boilerplate-paragraph rate per document (the CCNet §4.2 signal,
+    Wenzek et al. 2020): a chunk that appears in ≥ ``min_df`` distinct
+    documents is boilerplate (nav bars, cookie banners, license
+    footers); a page that is mostly boilerplate is a removal
+    candidate.  Complements paragraph_dedup (the keeper FILTER) and
+    dup_ngram_rate (WITHIN-doc repetition): this is the CROSS-doc
+    frequency audit.
+
+    Plan: one (chunk → distinct-doc df) hash agg, one un-hinted
+    join-back on the chunk text (corpus-sized — AQE picks the
+    strategy; the tfidf rule), two per-doc counting aggs.  All counts
+    exact longs; the rate divides the same two longs in both engines.
+    """
+    ch = chunks.select(
+        F.col(doc_col).alias("doc_id"), F.col(chunk_col).alias("ct")
+    )
+    dfc = ch.groupBy("ct").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    j = ch.join(dfc, "ct")
+    out = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(
+            F.when(F.col("df") >= F.lit(int(min_df)), 1).otherwise(0)
+        ).cast("long").alias("n_boiler"),
+    )
+    return out.select(
+        "doc_id",
+        "n_chunks",
+        "n_boiler",
+        F.round(
+            F.col("n_boiler").cast("double")
+            / F.col("n_chunks").cast("double"),
+            6,
+        ).alias("boiler_frac"),
+    )

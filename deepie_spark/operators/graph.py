@@ -948,3 +948,102 @@ def degree_assortativity(
         F.round(num.cast("double") / den.cast("double"), 6),
     )
     return m.select("n_ends", "sum_x", "sum_xy", "sum_xx", r.alias("r"))
+
+
+def maximal_independent_set(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Deterministic maximal independent set via hash-priority Luby
+    rounds (Luby 1986): each round selects every active node whose
+    (portable poly-hash, id) priority beats all its active neighbors',
+    then removes the selected nodes and their neighborhoods.  The MIS
+    is the distributed building block for graph coloring, landmark
+    selection, and conflict-free parallel scheduling over the KG.
+
+    Determinism (what makes it oracle-gateable): the priority is the
+    repo's portable char poly hash (functions.text BASE/MOD — DuckDB
+    reproduces it), ties break on the node id, and rounds are
+    synchronous — no RNG, no partition-order dependence.  Every round
+    selects at least the globally-minimum-priority active node, so
+    termination is guaranteed in ≤ #nodes rounds and O(log n)
+    expected (the hash behaves like Luby's random draw).
+
+    Plan per round: ONE neighbor-priority join (entity-keyed) + ONE
+    min-struct agg + two anti-joins, ``localCheckpoint`` to cut
+    lineage (the pagerank/CC rule), and one bounded 1-row count
+    action.  Returns (entity, mis_round) — the independent set with
+    the round each member was claimed in.
+    """
+    und = _canonical_edges(edges, src, dst)
+    active_n = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .distinct()
+        .select("v", char_poly_hash_str(F.col("v")).alias("p"))
+        .localCheckpoint()
+    )
+    active_e = und.localCheckpoint()
+    picked: DataFrame | None = None
+    for rnd in range(1, int(max_rounds) + 1):
+        if active_n.limit(1).count() == 0:
+            break
+        bidi = active_e.select(
+            F.col("a").alias("v"), F.col("b").alias("u")
+        ).unionByName(
+            active_e.select(F.col("b").alias("v"), F.col("a").alias("u"))
+        )
+        nb_min = (
+            bidi.join(
+                active_n.select(
+                    F.col("v").alias("u"), F.col("p").alias("pu")
+                ),
+                "u",
+            )
+            .groupBy("v")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col("pu").alias("p"), F.col("u").alias("v")
+                    )
+                ).alias("mn")
+            )
+        )
+        cand = active_n.join(nb_min, "v", "left")
+        sel = cand.filter(
+            F.col("mn").isNull()
+            | (F.struct(F.col("p"), F.col("v")) < F.col("mn"))
+        ).select("v").localCheckpoint()
+        sel_out = sel.select(
+            F.col("v").alias("entity"), F.lit(rnd).alias("mis_round")
+        )
+        picked = sel_out if picked is None else picked.unionByName(sel_out)
+        removed = (
+            sel.unionByName(
+                bidi.join(sel, "v", "left_semi").select(
+                    F.col("u").alias("v")
+                )
+            )
+            .distinct()
+        )
+        active_n = active_n.join(removed, "v", "left_anti").localCheckpoint()
+        active_e = (
+            active_e.join(
+                active_n.select(F.col("v").alias("a")), "a", "left_semi"
+            )
+            .join(active_n.select(F.col("v").alias("b")), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    if active_n.limit(1).count() != 0:
+        raise RuntimeError(
+            f"MIS did not converge in {max_rounds} rounds; every round"
+            " removes >= 1 node, so raise max_rounds toward the node"
+            " count (expected O(log n) rounds)"
+        )
+    if picked is None:
+        schema = "entity string, mis_round int"
+        return active_n.sparkSession.createDataFrame([], schema)
+    return picked.localCheckpoint()

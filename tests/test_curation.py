@@ -185,3 +185,28 @@ def test_term_keyness_min_count_and_exclusive_token(spark):
     # group-exclusive token: b == 0 exercises the xlnx(0) = 0 branch
     r = out[("g1", "only")]
     assert r.b == 0 and r.g2 > 0 and r.enriched is True
+
+
+def test_boilerplate_stats_hand_computed(spark):
+    from deepie_spark.operators.curation import boilerplate_stats
+
+    rows = [
+        (1, "cookie banner"),
+        (1, "unique text a"),
+        (2, "cookie banner"),
+        (2, "cookie banner"),  # same doc twice: df counts DISTINCT docs
+        (2, "unique text b"),
+        (3, "cookie banner"),
+        (3, "solo"),
+    ]
+    ch = spark.createDataFrame(rows, "doc_id long, chunk_text string")
+    out = {r.doc_id: r for r in
+           boilerplate_stats(ch, min_df=3).collect()}
+    # 'cookie banner' df = 3 (docs 1,2,3) → boilerplate at min_df=3
+    assert (out[1].n_chunks, out[1].n_boiler) == (2, 1)
+    assert out[2].n_chunks == 3 and out[2].n_boiler == 2
+    assert out[2].boiler_frac == round(2 / 3, 6)
+    assert out[3].n_boiler == 1
+    # at min_df=4 nothing qualifies
+    out4 = boilerplate_stats(ch, min_df=4).collect()
+    assert all(r.n_boiler == 0 and r.boiler_frac == 0.0 for r in out4)

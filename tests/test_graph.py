@@ -671,3 +671,60 @@ def test_degree_assortativity_regular_graph_is_null(spark):
     [r] = degree_assortativity(cycle).collect()
     # 4-cycle: every degree 2 → zero variance → r undefined (NULL)
     assert r.r is None
+
+
+def _mis_check(edges, mis):
+    """Independence + maximality against a python adjacency map."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    m = set(mis)
+    for v in m:
+        assert not (adj.get(v, set()) & m), f"{v} has a MIS neighbor"
+    for v in set(adj) - m:
+        assert adj[v] & m, f"{v} could be added — not maximal"
+
+
+def test_mis_path_graph_hand_case(spark):
+    from deepie_spark.operators.graph import maximal_independent_set
+
+    e = [("a", "b"), ("b", "c"), ("c", "d")]
+    df = spark.createDataFrame(e, "src string, dst string")
+    out = maximal_independent_set(df).collect()
+    _mis_check(e, [r.entity for r in out])
+    assert all(r.mis_round >= 1 for r in out)
+
+
+def test_mis_random_graph_properties(spark):
+    import random
+
+    from deepie_spark.operators.graph import maximal_independent_set
+
+    rng = random.Random(11)
+    nodes = [f"n{i}" for i in range(30)]
+    e = sorted({
+        tuple(sorted(rng.sample(nodes, 2))) for _ in range(70)
+    })
+    df = spark.createDataFrame(e, "src string, dst string")
+    out = maximal_independent_set(df).collect()
+    _mis_check(e, [r.entity for r in out])
+    # determinism: same MIS (and rounds) on a different partitioning
+    out2 = maximal_independent_set(df.repartition(7)).collect()
+    assert sorted((r.entity, r.mis_round) for r in out) == sorted(
+        (r.entity, r.mis_round) for r in out2
+    )
+
+
+def test_mis_max_rounds_raises(spark):
+    from deepie_spark.operators.graph import maximal_independent_set
+
+    # a triangle needs 2 rounds minimum (1 select + survivors)
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError, match="did not converge"):
+        maximal_independent_set(e, max_rounds=1)

@@ -607,3 +607,26 @@ def test_graph_assortativity_no_window_no_cartesian(spark, sf_dir):
     plan = executed(entry.q_graph_assortativity(spark, sf_dir))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_html_density_map_only(spark, sf_dir):
+    """Page stats are one codegen pass over the scan — no shuffle at
+    all (the 100-TB shape: scales with input splits)."""
+    plan = executed(entry.q_html_density(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_embedding_quantize_stats_broadcast(spark, sf_dir):
+    """The per-dim min/max join-back is d-row-sized — must broadcast,
+    never shuffle the exploded corpus twice."""
+    plan = executed(entry.q_embedding_quantize(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_boilerplate_chunk_join_unhinted(spark, sf_dir):
+    """The chunk-df join-back is corpus-sized — no broadcast hint
+    (AQE decides); only exact aggregates upstream."""
+    df = entry.q_boilerplate_rate(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in opt

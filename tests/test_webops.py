@@ -446,3 +446,25 @@ def test_extract_anchors_empty_and_no_anchor_text(spark):
     assert [(x.href, x.anchor) for x in rows[1].an] == [
         ("https://z.com/", "")
     ]
+
+
+def test_html_density_hand_computed(spark, sf_dir):
+    import re
+
+    import __spark_entry__ as entry
+
+    out = {r.doc_id: r for r in
+           entry.q_html_density(spark, sf_dir).collect()}
+    pages = {r.doc_id: r.html for r in
+             entry._anchor_pages(entry._docs(spark, sf_dir)).collect()}
+    pat = re.compile(r'href="([^"]+)"[^>]*>([^<]*)</a>')
+    assert out and set(out) == set(pages)
+    for doc_id, html in list(pages.items())[:25]:
+        r = out[doc_id]
+        anchors = [m[1] for m in pat.findall(html)]
+        text = re.sub(r"<[^>]+>", "", html)
+        assert r.html_chars == len(html)
+        assert r.text_chars == len(text)
+        assert r.n_anchors == len(anchors) == 2
+        assert r.anchor_chars == sum(len(a) for a in anchors)
+        assert r.link_density == round(r.anchor_chars / len(text), 6)
