@@ -4256,6 +4256,53 @@ def q_html_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_alias_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect/alias chain collapse by pointer jumping
+    (operators/aliases.py resolve_aliases — O(log chain) doubling
+    rounds, the Wyllie/CC trick).  The alias forest is synthesized
+    deterministically from doc ids: i → i div 3 for i ≥ 1, with
+    multiples of 11 withheld as extra canonical terminals, giving
+    varied chain depths and many roots.  hops are exact longs; the
+    oracle walks the same chains LINEARLY with a recursive CTE — an
+    independent formulation of the same fixpoint."""
+    from deepie_spark.operators.aliases import resolve_aliases
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    m = d.filter(
+        (F.col("doc_id") >= 1) & (F.col("doc_id") % 11 != 0)
+    ).select(
+        F.concat(F.lit("e"), F.col("doc_id").cast("string")).alias("src"),
+        F.concat(
+            F.lit("e"), F.expr("doc_id div 3").cast("string")
+        ).alias("dst"),
+    )
+    return resolve_aliases(m)
+
+
+def q_source_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth-discovery source reliability (operators/fusion.py
+    truth_discovery, 2 voting rounds) over deterministically
+    conflicting claims: source s_j = doc_id % 7 errs on every
+    (j+2)-th of its docs, so reliability rises with j and the
+    weighted round genuinely re-ranks ties.  Confidence sums fold
+    per-source trusts in sorted source order (the bm25 fixed-order
+    rule), so the doubles — and hence the argmax picks and the final
+    exact-long trust ratios — are bit-identical in both engines."""
+    from deepie_spark.operators.fusion import truth_discovery
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    sid = F.col("doc_id") % 7
+    eid = (F.col("doc_id") * 3) % 40
+    wrong = (F.expr("doc_id div 7") % (sid + 2)) == 0
+    val = F.when(wrong, (eid + 1) % 5).otherwise(eid % 5)
+    claims = d.select(
+        F.concat(F.lit("s"), sid.cast("string")).alias("source"),
+        F.concat(F.lit("q"), eid.cast("string")).alias("entity"),
+        F.concat(F.lit("v"), val.cast("string")).alias("value"),
+    )
+    return truth_discovery(claims, rounds=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -4416,6 +4463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "entity_mis": q_entity_mis,
         "html_density": q_html_density,
+        "alias_resolve": q_alias_resolve,
+        "source_reliability": q_source_reliability,
     }
 
 
@@ -7011,5 +7060,87 @@ def oracle_sql() -> dict[str, str]:
                                                    '', 'g'))
                                 AS DOUBLE), 6) AS link_density
             FROM a
+        """,
+        # alias_resolve twin: LINEAR chain walking via a recursive CTE
+        # — the independent formulation of the Spark side's pointer
+        # doubling; identical synthesis (i → i div 3, multiples of 11
+        # withheld as terminals), exact-long hops.
+        "alias_resolve": """
+            WITH RECURSIVE m AS (
+              SELECT 'e' || CAST(doc_id AS VARCHAR) AS src,
+                     'e' || CAST(doc_id // 3 AS VARCHAR) AS dst
+              FROM documents
+              WHERE doc_id >= 1 AND doc_id % 11 <> 0
+            ),
+            walk(src, cur, hops) AS (
+              SELECT src, dst, CAST(1 AS BIGINT) FROM m
+              UNION ALL
+              SELECT w.src, m2.dst, w.hops + 1
+              FROM walk w JOIN m m2 ON m2.src = w.cur
+            )
+            SELECT src, cur AS canonical, hops
+            FROM walk WHERE cur NOT IN (SELECT src FROM m)
+        """,
+        # source_reliability twin: the same two voting rounds; round-1
+        # confidence is count(*) cast to double (== the fold of 1.0s
+        # bitwise), round-2 folds trusts in sorted source order via
+        # list_reduce (left fold, 0.0-prepended — matches Spark's
+        # aggregate over sort_array); argmax via the independent
+        # row_number(conf DESC, value) window formulation.
+        "source_reliability": """
+            WITH cl AS (
+              SELECT DISTINCT
+                's' || CAST(doc_id % 7 AS VARCHAR) AS source,
+                'q' || CAST((doc_id * 3) % 40 AS VARCHAR) AS entity,
+                'v' || CAST(CASE WHEN (doc_id // 7)
+                                      % ((doc_id % 7) + 2) = 0
+                            THEN ((doc_id * 3) % 40 + 1) % 5
+                            ELSE ((doc_id * 3) % 40) % 5
+                            END AS VARCHAR) AS value
+              FROM documents
+            ),
+            c1 AS (
+              SELECT entity, value, CAST(count(*) AS DOUBLE) AS conf
+              FROM cl GROUP BY 1, 2
+            ),
+            r1 AS (
+              SELECT entity, value AS r_value FROM (
+                SELECT entity, value,
+                       row_number() OVER (PARTITION BY entity
+                                          ORDER BY conf DESC, value)
+                         AS rn
+                FROM c1) WHERE rn = 1
+            ),
+            t1 AS (
+              SELECT source,
+                     CAST(sum(CASE WHEN value = r_value THEN 1
+                              ELSE 0 END) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS trust
+              FROM cl JOIN r1 USING (entity) GROUP BY 1
+            ),
+            c2 AS (
+              SELECT entity, value,
+                     list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                                    list(t.trust ORDER BY cl.source)),
+                       (a, b) -> a + b) AS conf
+              FROM cl JOIN t1 t USING (source) GROUP BY 1, 2
+            ),
+            r2 AS (
+              SELECT entity, value AS r_value FROM (
+                SELECT entity, value,
+                       row_number() OVER (PARTITION BY entity
+                                          ORDER BY conf DESC, value)
+                         AS rn
+                FROM c2) WHERE rn = 1
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_claims,
+                   CAST(sum(CASE WHEN value = r_value THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_correct,
+                   round(CAST(sum(CASE WHEN value = r_value THEN 1
+                                  ELSE 0 END) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS trust
+            FROM cl JOIN r2 USING (entity) GROUP BY 1
         """,
     }

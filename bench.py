@@ -122,6 +122,8 @@ EXTRA = [
     "embedding_quantize",
     "entity_mis",
     "html_density",
+    "alias_resolve",
+    "source_reliability",
 ]
 
 HEADLINE = [
