@@ -4303,6 +4303,33 @@ def q_source_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return truth_discovery(claims, rounds=2)
 
 
+def q_entity_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of a directed relation graph
+    (operators/graph.py strongly_connected_components — Trim +
+    forward coloring + backward confirmation, the Orzan/FW-BW BSP
+    recipe).  The graph is synthesized deterministically from doc
+    ids as 12 disconnected 5-node blocks, each a source → 3-cycle →
+    sink chain, so every phase of the algorithm (trim peels the
+    source/sink singletons, coloring+confirmation claims the cycle)
+    is exercised; the oracle derives mutual reachability from a
+    recursive transitive closure — an independent formulation."""
+    from deepie_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 60)
+    g = lambda c: F.concat(F.lit("g"), c.cast("string"))  # noqa: E731
+    fwd = d.filter(F.col("doc_id") % 5 != 4).select(
+        g(F.col("doc_id")).alias("src"),
+        g(F.col("doc_id") + 1).alias("dst"),
+    )
+    back = d.filter(F.col("doc_id") % 5 == 3).select(
+        g(F.col("doc_id")).alias("src"),
+        g(F.col("doc_id") - 2).alias("dst"),
+    )
+    return strongly_connected_components(fwd.unionByName(back))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -4465,6 +4492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_density": q_html_density,
         "alias_resolve": q_alias_resolve,
         "source_reliability": q_source_reliability,
+        "entity_scc": q_entity_scc,
     }
 
 
@@ -7142,5 +7170,34 @@ def oracle_sql() -> dict[str, str]:
                                   ELSE 0 END) AS DOUBLE)
                          / CAST(count(*) AS DOUBLE), 6) AS trust
             FROM cl JOIN r2 USING (entity) GROUP BY 1
+        """,
+        # entity_scc twin: mutual reachability from a recursive
+        # transitive closure (UNION-dedup) — completely independent
+        # of the Spark side's trim/color/confirm phases.
+        "entity_scc": """
+            WITH RECURSIVE ed AS (
+              SELECT 'g' || CAST(doc_id AS VARCHAR) AS a,
+                     'g' || CAST(doc_id + 1 AS VARCHAR) AS b
+              FROM documents WHERE doc_id < 60 AND doc_id % 5 <> 4
+              UNION ALL
+              SELECT 'g' || CAST(doc_id AS VARCHAR),
+                     'g' || CAST(doc_id - 2 AS VARCHAR)
+              FROM documents WHERE doc_id < 60 AND doc_id % 5 = 3
+            ),
+            n AS (SELECT a AS v FROM ed UNION SELECT b FROM ed),
+            reach(s, t) AS (
+              SELECT a, b FROM ed
+              UNION
+              SELECT r.s, e.b FROM reach r JOIN ed e ON e.a = r.t
+            ),
+            mut AS (
+              SELECT r1.s AS v, r1.t AS u
+              FROM reach r1 JOIN reach r2
+                ON r1.s = r2.t AND r1.t = r2.s
+            )
+            SELECT v AS entity, min(u) AS scc_id
+            FROM (SELECT v, v AS u FROM n
+                  UNION ALL SELECT v, u FROM mut)
+            GROUP BY 1
         """,
     }

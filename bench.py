@@ -124,6 +124,7 @@ EXTRA = [
     "html_density",
     "alias_resolve",
     "source_reliability",
+    "entity_scc",
 ]
 
 HEADLINE = [

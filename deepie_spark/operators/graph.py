@@ -1047,3 +1047,169 @@ def maximal_independent_set(
         schema = "entity string, mis_round int"
         return active_n.sparkSession.createDataFrame([], schema)
     return picked.localCheckpoint()
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_phases: int = 40,
+    max_iter: int = 200,
+) -> DataFrame:
+    """Strongly connected components of the DIRECTED triple graph via
+    Trim + forward coloring + backward confirmation — the distributed
+    SCC recipe of Orzan 2004 / FW-BW (Fleischer et al. 2000), the one
+    used by every BSP graph engine (cc_components covers only the
+    undirected case).  KG use: a directed SCC is a set of entities on
+    a relation CYCLE (mutual ``partOf``, redirect loops, circular
+    ownership) — the canonicalization and cycle-audit unit for
+    directed predicates.
+
+    Per outer phase:
+      1. **Trim** — repeatedly peel nodes with no in-edges or no
+         out-edges in the active subgraph (two anti-joins per round);
+         a source/sink can never sit on a cycle, so each is its own
+         singleton SCC.  Trimming is what makes real KGs cheap — most
+         nodes fall here without any propagation.
+      2. **Forward coloring** — propagate the minimum reachable
+         ancestor id along edges to a fixpoint (one join + min-agg
+         per round); every color class is closed under reachability
+         from its root.
+      3. **Backward confirmation** — BFS from each root along
+         REVERSED edges restricted to the root's color: the nodes
+         reached both ways are exactly SCC(root).  All roots run in
+         the same joins simultaneously (keyed by root).
+    Confirmed SCCs leave the active graph; every phase removes at
+    least each color's root, so ≤ n phases terminate (few, in
+    practice — trimming plus multi-root phases collapse most graphs
+    in 2-3).
+
+    Determinism: ids via min — no RNG, no FP; the result is
+    partition-invariant and oracle-gateable (the DuckDB twin computes
+    mutual reachability from a recursive transitive closure — a
+    completely independent formulation).  Scale notes: every step is
+    a key-equi join/agg with ``localCheckpoint`` per round (the
+    pagerank/CC rule); change detection uses bounded counts over
+    checkpointed frames (at real scale you'd swap these probes for
+    accumulators, the plans are identical).  Returns
+    ``(entity, scc_id)`` with ``scc_id`` the minimum member id.
+    """
+    e0 = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nodes = (
+        e0.select(F.col("a").alias("v"))
+        .unionByName(e0.select(F.col("b").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = e0.localCheckpoint()
+    spark = edges.sparkSession
+    done: DataFrame | None = None
+
+    def _accum(acc: DataFrame | None, part: DataFrame) -> DataFrame:
+        return part if acc is None else acc.unionByName(part)
+
+    for _ in range(int(max_phases)):
+        # 1. Trim: sources/sinks (and isolated nodes) are singletons
+        while True:
+            has_out = e.select(F.col("a").alias("v")).distinct()
+            has_in = e.select(F.col("b").alias("v")).distinct()
+            trimmed = (
+                nodes.join(has_out, "v", "left_anti")
+                .unionByName(nodes.join(has_in, "v", "left_anti"))
+                .distinct()
+                .localCheckpoint()
+            )
+            if trimmed.limit(1).count() == 0:
+                break
+            done = _accum(
+                done,
+                trimmed.select(
+                    F.col("v").alias("entity"), F.col("v").alias("scc_id")
+                ),
+            )
+            nodes = nodes.join(trimmed, "v", "left_anti").localCheckpoint()
+            e = (
+                e.join(nodes.select(F.col("v").alias("a")), "a", "left_semi")
+                .join(nodes.select(F.col("v").alias("b")), "b", "left_semi")
+                .select("a", "b")
+                .localCheckpoint()
+            )
+        if nodes.limit(1).count() == 0:
+            break
+        # 2. Forward coloring to fixpoint: c(v) = min id reaching v
+        c = nodes.select("v", F.col("v").alias("c")).localCheckpoint()
+        for it in range(int(max_iter)):
+            msgs = (
+                e.join(c.select(F.col("v").alias("a"), "c"), "a")
+                .select(F.col("b").alias("v"), "c")
+            )
+            c2 = (
+                c.unionByName(msgs)
+                .groupBy("v")
+                .agg(F.min("c").alias("c"))
+                .localCheckpoint()
+            )
+            if c2.exceptAll(c).limit(1).count() == 0:
+                break
+            c = c2
+        else:
+            raise RuntimeError(
+                f"SCC coloring did not converge in {max_iter} rounds"
+                " — raise max_iter toward the graph diameter"
+            )
+        # 3. Backward confirmation within each color, all roots at once
+        reached = (
+            c.filter(F.col("v") == F.col("c"))
+            .select("v", F.col("c").alias("root"))
+            .localCheckpoint()
+        )
+        frontier = reached
+        for it in range(int(max_iter)):
+            preds = (
+                e.join(
+                    frontier.select(F.col("v").alias("b"), "root"), "b"
+                )
+                .select(F.col("a").alias("v"), "root")
+                .distinct()
+                .join(c, "v")
+                .filter(F.col("c") == F.col("root"))
+                .select("v", "root")
+            )
+            frontier = preds.join(
+                reached, ["v", "root"], "left_anti"
+            ).localCheckpoint()
+            if frontier.limit(1).count() == 0:
+                break
+            reached = reached.unionByName(frontier).localCheckpoint()
+        else:
+            raise RuntimeError(
+                f"SCC backward sweep did not converge in {max_iter}"
+                " rounds — raise max_iter toward the graph diameter"
+            )
+        done = _accum(
+            done,
+            reached.select(
+                F.col("v").alias("entity"), F.col("root").alias("scc_id")
+            ),
+        )
+        nodes = nodes.join(
+            reached.select("v"), "v", "left_anti"
+        ).localCheckpoint()
+        e = (
+            e.join(nodes.select(F.col("v").alias("a")), "a", "left_semi")
+            .join(nodes.select(F.col("v").alias("b")), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    if nodes.limit(1).count() != 0:
+        raise RuntimeError(
+            f"SCC did not finish in {max_phases} phases — every phase"
+            " removes each color root, so raise max_phases"
+        )
+    if done is None:
+        return spark.createDataFrame([], "entity string, scc_id string")
+    return done.localCheckpoint()

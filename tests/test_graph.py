@@ -728,3 +728,84 @@ def test_mis_max_rounds_raises(spark):
 
     with _pt.raises(RuntimeError, match="did not converge"):
         maximal_independent_set(e, max_rounds=1)
+
+
+def _scc_python(nodes, edges):
+    """Brute-force mutual reachability: scc_id = min mutual node."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+
+    def reach(s):
+        seen, stack = {s}, [s]
+        while stack:
+            for n in adj.get(stack.pop(), ()):
+                if n not in seen:
+                    seen.add(n)
+                    stack.append(n)
+        return seen
+
+    fwd = {v: reach(v) for v in nodes}
+    return {
+        v: min([v] + [u for u in fwd[v] if v in fwd[u]]) for v in nodes
+    }
+
+
+def test_scc_hand_case(spark):
+    from deepie_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    # {a,b,c} cycle → bridge → {d,e} cycle, plus a dangling sink f
+    e = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("c", "d"), ("d", "e"), ("e", "d"), ("e", "f"),
+    ]
+    df = spark.createDataFrame(e, "src string, dst string")
+    out = {r.entity: r.scc_id
+           for r in strongly_connected_components(df).collect()}
+    assert out == {
+        "a": "a", "b": "a", "c": "a", "d": "d", "e": "d", "f": "f",
+    }
+
+
+def test_scc_random_graph_python_twin(spark):
+    import random
+
+    from deepie_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    rng = random.Random(13)
+    names = [f"g{i}" for i in range(25)]
+    e = sorted({
+        (rng.choice(names), rng.choice(names)) for _ in range(60)
+    })
+    e = [(a, b) for a, b in e if a != b]
+    nodes = sorted({x for ab in e for x in ab})
+    df = spark.createDataFrame(e, "src string, dst string")
+    out = {r.entity: r.scc_id
+           for r in strongly_connected_components(df).collect()}
+    assert out == _scc_python(nodes, e)
+    # partition invariance
+    out2 = {r.entity: r.scc_id
+            for r in strongly_connected_components(
+                df.repartition(7)).collect()}
+    assert out2 == out
+
+
+def test_scc_guards(spark):
+    import pytest as _pt
+
+    from deepie_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    # a 6-chain of singleton SCCs trims instantly, but a long cycle
+    # needs diameter-many coloring rounds → max_iter guard fires
+    cyc = [(f"c{i}", f"c{(i + 1) % 8}") for i in range(8)]
+    df = spark.createDataFrame(cyc, "src string, dst string")
+    with _pt.raises(RuntimeError, match="coloring did not converge"):
+        strongly_connected_components(df, max_iter=2)
+    out = strongly_connected_components(df).collect()
+    assert {r.scc_id for r in out} == {"c0"} and len(out) == 8
