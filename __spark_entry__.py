@@ -4330,6 +4330,26 @@ def q_entity_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(fwd.unionByName(back))
 
 
+def q_event_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-concurrency sweep over the events table
+    (operators/sweep.py — +1/−1 boundary deltas, then the BUCKETED
+    global prefix sum, the rank_in_order scheme generalized to running
+    totals; no unpartitioned window, no interval self-join).  Interval
+    = [ts, ts + (event_id % 7 + 1)·600 s) in epoch seconds
+    (TIMESTAMP_NTZ cast first; DuckDB floors epoch() explicitly — the
+    events_moving_avg rounding gotcha).  All exact longs; the oracle
+    is the single-window SUM OVER (ORDER BY t) formulation."""
+    from deepie_spark.operators.sweep import interval_concurrency
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    s = F.unix_timestamp(F.col("ts").cast("timestamp")).cast("long")
+    iv = ev.select(
+        s.alias("start_s"),
+        (s + (F.col("event_id") % 7 + 1) * 600).alias("end_s"),
+    )
+    return interval_concurrency(iv)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -4493,6 +4513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alias_resolve": q_alias_resolve,
         "source_reliability": q_source_reliability,
         "entity_scc": q_entity_scc,
+        "event_concurrency": q_event_concurrency,
     }
 
 
@@ -7199,5 +7220,29 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT v, v AS u FROM n
                   UNION ALL SELECT v, u FROM mut)
             GROUP BY 1
+        """,
+        # event_concurrency twin: the single-window running-sum
+        # formulation the bucketed scheme must match bit-for-bit
+        # (exact longs throughout; floor(epoch()) — DuckDB's
+        # double→int cast ROUNDS while Spark unix_timestamp floors).
+        "event_concurrency": """
+            WITH iv AS (
+              SELECT CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                     CAST(floor(epoch(ts)) AS BIGINT)
+                       + (event_id % 7 + 1) * 600 AS e
+              FROM events
+            ),
+            d AS (
+              SELECT s AS t, 1 AS dd FROM iv
+              UNION ALL SELECT e, -1 FROM iv
+            ),
+            n AS (
+              SELECT t, CAST(sum(dd) AS BIGINT) AS net
+              FROM d GROUP BY 1
+            )
+            SELECT t, net,
+                   CAST(sum(net) OVER (ORDER BY t) AS BIGINT)
+                     AS concurrency
+            FROM n
         """,
     }

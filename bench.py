@@ -125,6 +125,7 @@ EXTRA = [
     "alias_resolve",
     "source_reliability",
     "entity_scc",
+    "event_concurrency",
 ]
 
 HEADLINE = [

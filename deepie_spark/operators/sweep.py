@@ -1,0 +1,116 @@
+"""Global ordered prefix sums and the interval-concurrency sweep.
+
+``SUM(x) OVER (ORDER BY t)`` — the running total — is the one window
+shape Spark cannot distribute: an unpartitioned window pulls the whole
+input through a single task, the same serialization point the
+round-3/4 verdicts chased out of global ranking.  This module is the
+prefix-SUM twin of ``dictionary.rank_in_order``'s two-level scheme
+(rank = prefix sum of 1s): range-bucket by the order key, cumulative
+sum per bucket under a KEYED window, then add per-bucket offsets from
+a ≤buckets²-row triangular broadcast join.  With integer values every
+arithmetic step is exact, so results are bit-identical to the
+single-window formulation — which is exactly what the DuckDB oracle
+runs.
+
+On top sits the classic sweep-line consumer: interval concurrency
+(how many sessions/locks/intervals are open at each instant) — the
+capacity-planning signal over the events table, computed as the
+running sum of +1/−1 boundary deltas (McCreight's sweep), never an
+interval self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def prefix_sum_in_order(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    out_col: str = "cum",
+    buckets: int | None = None,
+) -> DataFrame:
+    """Exactly ``SUM(val_col) OVER (ORDER BY order_col)`` without a
+    global sort.
+
+    1. ``repartitionByRange(buckets, order_col)`` — bucket *b* holds
+       keys strictly below bucket *b+1*;
+    2. per-bucket running sum (bucket-KEYED window, distributed);
+    3. per-bucket totals → prefix offsets via the triangular broadcast
+       join (no window on that path);
+    4. ``out = offset + local running sum``.
+
+    Results are invariant to the bucket count (exact integer adds
+    reassociate freely — pass integral ``val_col``; FP would make the
+    answer bucket-dependent).  Ties in ``order_col`` would make the
+    within-tie running values order-unspecified — callers must pass a
+    unique order key (collapse duplicates with a groupBy first, as
+    ``interval_concurrency`` does).
+    """
+    spark = df.sparkSession
+    if buckets is None:
+        buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bucketed = df.repartitionByRange(
+        buckets, F.col(order_col)
+    ).withColumn("_bkt", F.spark_partition_id())
+    sums = bucketed.groupBy("_bkt").agg(
+        F.sum(val_col).cast("long").alias("_s")
+    )
+    lower = sums.select(
+        F.col("_bkt").alias("_lo_bkt"), F.col("_s").alias("_lo_s")
+    )
+    offsets = (
+        sums.join(
+            F.broadcast(lower), F.col("_lo_bkt") < F.col("_bkt"), "left"
+        )
+        .groupBy("_bkt")
+        .agg(F.coalesce(F.sum("_lo_s"), F.lit(0)).cast("long").alias("_off"))
+    )
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.withColumn("_cs", F.sum(val_col).over(w).cast("long"))
+        .join(F.broadcast(offsets), "_bkt")
+        .withColumn(out_col, (F.col("_off") + F.col("_cs")).cast("long"))
+        .drop("_bkt", "_cs", "_off")
+    )
+
+
+def interval_concurrency(
+    intervals: DataFrame,
+    start_col: str = "start_s",
+    end_col: str = "end_s",
+    buckets: int | None = None,
+) -> DataFrame:
+    """Concurrency profile of half-open intervals ``[start, end)``:
+    one row per boundary instant ``(t, net, concurrency)`` where
+    ``net`` is the exact +1/−1 delta balance at ``t`` and
+    ``concurrency`` the number of intervals open immediately AFTER
+    ``t`` — the global running sum of nets.
+
+    Half-open semantics (an interval ending at ``t`` frees its slot
+    before one starting at ``t`` occupies it) fall out of collapsing
+    deltas per instant: within an instant the count only dips then
+    rises, so its running peak is ``max(before, after)`` and the
+    per-instant profile loses nothing.  Collapsing also makes ``t``
+    unique — the precondition of ``prefix_sum_in_order``.  No
+    interval self-join anywhere: O(n) rows end to end.
+    """
+    deltas = intervals.select(
+        F.col(start_col).cast("long").alias("t"),
+        F.lit(1).cast("long").alias("d"),
+    ).unionByName(
+        intervals.select(
+            F.col(end_col).cast("long").alias("t"),
+            F.lit(-1).cast("long").alias("d"),
+        )
+    )
+    net = deltas.groupBy("t").agg(F.sum("d").cast("long").alias("net"))
+    return prefix_sum_in_order(
+        net, "t", "net", out_col="concurrency", buckets=buckets
+    )

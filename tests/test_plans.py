@@ -630,3 +630,14 @@ def test_boilerplate_chunk_join_unhinted(spark, sf_dir):
     df = entry.q_boilerplate_rate(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" not in opt
+
+
+def test_event_concurrency_windows_bucketed(spark, sf_dir):
+    """The running sum must ride the range-bucketed KEYED window —
+    an unpartitioned SUM OVER (ORDER BY t) would serialize the whole
+    boundary stream through one task (the rank_in_order rule)."""
+    plan = executed(entry.q_event_concurrency(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    for frag in plan.split("windowspecdefinition(")[1:]:
+        spec = frag.split(")")[0]
+        assert "_bkt" in spec, f"unpartitioned window: {spec}"
