@@ -4350,6 +4350,37 @@ def q_event_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_concurrency(iv)
 
 
+def q_entity_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source weighted shortest paths (operators/graph.py
+    sssp_weighted — distributed Bellman-Ford, exact positive-long
+    weights so every distance is engine-bit-identical).  Runs over
+    the entity_scc block graph with deterministic weights
+    ((k % 9) + 1 forward, (k % 9) + 2 back) from each block's source
+    node; the cycle inside each block gives the relaxation rounds a
+    genuinely shorter late path to find.  Oracle = recursive-CTE
+    bounded path enumeration + min (the entity_bfs pattern with
+    weights; CAP 64 > the 40 max shortest distance prunes cycle
+    inflation)."""
+    from deepie_spark.operators.graph import sssp_weighted
+
+    d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 60)
+    g = lambda c: F.concat(F.lit("g"), c.cast("string"))  # noqa: E731
+    fwd = d.filter(F.col("doc_id") % 5 != 4).select(
+        g(F.col("doc_id")).alias("src"),
+        g(F.col("doc_id") + 1).alias("dst"),
+        (F.col("doc_id") % 9 + 1).alias("w"),
+    )
+    back = d.filter(F.col("doc_id") % 5 == 3).select(
+        g(F.col("doc_id")).alias("src"),
+        g(F.col("doc_id") - 2).alias("dst"),
+        (F.col("doc_id") % 9 + 2).alias("w"),
+    )
+    seeds = d.filter(F.col("doc_id") % 5 == 0).select(
+        g(F.col("doc_id")).alias("node")
+    )
+    return sssp_weighted(fwd.unionByName(back), seeds)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -4514,6 +4545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_reliability": q_source_reliability,
         "entity_scc": q_entity_scc,
         "event_concurrency": q_event_concurrency,
+        "entity_sssp": q_entity_sssp,
     }
 
 
@@ -7244,5 +7276,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(net) OVER (ORDER BY t) AS BIGINT)
                      AS concurrency
             FROM n
+        """,
+        # entity_sssp twin: bounded recursive path enumeration + min
+        # (the entity_bfs pattern with weights; CAP 64 exceeds the
+        # true 40-max shortest distance, and every in-block cycle
+        # adds >= 3 weight so the enumeration stays finite).
+        "entity_sssp": """
+            WITH RECURSIVE ed AS (
+              SELECT 'g' || CAST(doc_id AS VARCHAR) AS src,
+                     'g' || CAST(doc_id + 1 AS VARCHAR) AS dst,
+                     (doc_id % 9) + 1 AS w
+              FROM documents WHERE doc_id < 60 AND doc_id % 5 <> 4
+              UNION ALL
+              SELECT 'g' || CAST(doc_id AS VARCHAR),
+                     'g' || CAST(doc_id - 2 AS VARCHAR),
+                     (doc_id % 9) + 2
+              FROM documents WHERE doc_id < 60 AND doc_id % 5 = 3
+            ),
+            seeds AS (
+              SELECT 'g' || CAST(doc_id AS VARCHAR) AS node
+              FROM documents WHERE doc_id < 60 AND doc_id % 5 = 0
+            ),
+            walk(node, d) AS (
+              SELECT node, CAST(0 AS BIGINT) FROM seeds
+              UNION
+              SELECT e.dst, w.d + e.w
+              FROM walk w JOIN ed e ON e.src = w.node
+              WHERE w.d + e.w <= 64
+            )
+            SELECT node, CAST(min(d) AS BIGINT) AS dist
+            FROM walk GROUP BY 1
         """,
     }

@@ -126,6 +126,7 @@ EXTRA = [
     "source_reliability",
     "entity_scc",
     "event_concurrency",
+    "entity_sssp",
 ]
 
 HEADLINE = [

@@ -1213,3 +1213,69 @@ def strongly_connected_components(
     if done is None:
         return spark.createDataFrame([], "entity string, scc_id string")
     return done.localCheckpoint()
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_iter: int = 60,
+) -> DataFrame:
+    """Multi-source single-source-shortest-paths over DIRECTED
+    weighted edges — distributed Bellman-Ford (the label-correcting
+    BSP formulation every Pregel engine ships): each round relaxes
+    every edge out of the current tentative-distance table and keeps
+    the per-node minimum.  Converges in ≤ diameter rounds; a round
+    with no improvement is the fixpoint.  bfs_hops is the unweighted
+    special case; this is the evidence-cost path primitive (weighted
+    relation strength, hop-cost neighborhood budgets).
+
+    Weights must be positive integers (``ValueError`` otherwise,
+    checked with one bounded agg): exact-long adds make the result
+    partition-invariant, engine-portable, and oracle-gateable — no FP
+    anywhere.  ``seeds`` is a 1-column ``node`` frame (distance 0).
+
+    Plan per round: ONE node-keyed equi join (tentative table against
+    the out-adjacency), one min agg with map-side combine, one
+    ``localCheckpoint`` + bounded change probe (``exceptAll`` against
+    the prior checkpoint; at real scale swap the probe for an
+    accumulator — the plan is identical).  Returns ``(node, dist)``
+    for every reached node; unreachable nodes are absent.
+    """
+    e = edges.select(
+        F.col(src).alias("a"),
+        F.col(dst).alias("b"),
+        F.col(weight).cast("long").alias("w"),
+    ).localCheckpoint()
+    [mn] = e.agg(F.min("w").alias("mn")).collect()
+    if mn.mn is not None and mn.mn <= 0:
+        raise ValueError(
+            "weights must be positive integers (Bellman-Ford with"
+            " nonpositive weights is not a shortest-path fixpoint)"
+        )
+    dist = seeds.select(
+        F.col("node"), F.lit(0).cast("long").alias("dist")
+    ).distinct().localCheckpoint()
+    for _ in range(int(max_iter)):
+        cand = (
+            dist.join(e, dist["node"] == e["a"])
+            .select(
+                F.col("b").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        nd = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        if nd.exceptAll(dist).limit(1).count() == 0:
+            return nd
+        dist = nd
+    raise RuntimeError(
+        f"SSSP did not converge in {max_iter} rounds — raise max_iter"
+        " toward the graph diameter"
+    )

@@ -809,3 +809,65 @@ def test_scc_guards(spark):
         strongly_connected_components(df, max_iter=2)
     out = strongly_connected_components(df).collect()
     assert {r.scc_id for r in out} == {"c0"} and len(out) == 8
+
+
+def test_sssp_hand_case_and_python_twin(spark):
+    import heapq
+    import random
+
+    from deepie_spark.operators.graph import sssp_weighted
+
+    # hand case: the shorter 2-hop route must beat the direct edge
+    e = [("s", "a", 10), ("s", "b", 2), ("b", "a", 3), ("a", "c", 1)]
+    df = spark.createDataFrame(e, "src string, dst string, w long")
+    seeds = spark.createDataFrame([("s",)], "node string")
+    out = {r.node: r.dist for r in sssp_weighted(df, seeds).collect()}
+    assert out == {"s": 0, "a": 5, "b": 2, "c": 6}
+
+    # random digraph vs dijkstra, multi-source
+    rng = random.Random(29)
+    names = [f"v{i}" for i in range(20)]
+    edges = sorted({
+        (rng.choice(names), rng.choice(names), rng.randrange(1, 10))
+        for _ in range(60)
+    })
+    edges = [(a, b, w) for a, b, w in edges if a != b]
+    sdf = spark.createDataFrame([("v0",), ("v7",)], "node string")
+    adj = {}
+    for a, b, w in edges:
+        adj.setdefault(a, []).append((b, w))
+    best, pq = {}, [(0, "v0"), (0, "v7")]
+    while pq:
+        d, v = heapq.heappop(pq)
+        if v in best:
+            continue
+        best[v] = d
+        for u, w in adj.get(v, ()):
+            if u not in best:
+                heapq.heappush(pq, (d + w, u))
+    df2 = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {r.node: r.dist for r in sssp_weighted(df2, sdf).collect()}
+    assert got == best
+    got2 = {r.node: r.dist
+            for r in sssp_weighted(df2.repartition(7), sdf).collect()}
+    assert got2 == best
+
+
+def test_sssp_guards(spark):
+    import pytest as _pt
+
+    from deepie_spark.operators.graph import sssp_weighted
+
+    seeds = spark.createDataFrame([("a",)], "node string")
+    bad = spark.createDataFrame(
+        [("a", "b", 0)], "src string, dst string, w long"
+    )
+    with _pt.raises(ValueError, match="positive"):
+        sssp_weighted(bad, seeds)
+    chain = spark.createDataFrame(
+        [(f"a{i}", f"a{i + 1}", 1) for i in range(6)],
+        "src string, dst string, w long",
+    )
+    s0 = spark.createDataFrame([("a0",)], "node string")
+    with _pt.raises(RuntimeError, match="converge"):
+        sssp_weighted(chain, s0, max_iter=2)
