@@ -4381,6 +4381,24 @@ def q_entity_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp_weighted(fwd.unionByName(back), seeds)
 
 
+def q_entity_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jones–Plassmann greedy coloring of the undirected triple graph
+    (operators/graph.py greedy_coloring — the MIS sibling: same
+    poly-hash priorities, mex color via an IN-ROW fold over the
+    sorted neighbor-color set).  The color classes are the
+    conflict-free parallel update waves for entity merging; the
+    oracle unrolls the same synchronous rounds with MATERIALIZED
+    per-round sets (the kcore/MIS CTE lesson) and computes the mex
+    with a correlated min-over-range subquery — an independent
+    formulation."""
+    from deepie_spark.operators.graph import greedy_coloring
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return greedy_coloring(t)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -4546,6 +4564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_scc": q_entity_scc,
         "event_concurrency": q_event_concurrency,
         "entity_sssp": q_entity_sssp,
+        "entity_coloring": q_entity_coloring,
     }
 
 
@@ -4639,6 +4658,63 @@ def _mis_oracle_sql(rounds: int) -> str:
         for r in range(1, rounds + 1)
     )
     return ctes + "\n            " + final
+
+
+def _coloring_oracle_sql(rounds: int) -> str:
+    """Unrolled Jones–Plassmann rounds over the ``und`` canonical
+    edge CTE: round r's ready set = uncolored nodes with no
+    smaller-(poly-hash, id)-priority uncolored neighbor (the MIS
+    predicate); each ready node takes the smallest color in
+    [0, 12) unused by its already-colored neighbors via a correlated
+    min-over-range subquery.  Per-round sets MATERIALIZED (the
+    kcore/MIS CTE lesson)."""
+    parts = [
+        "bd AS (SELECT a AS v, b AS u FROM und"
+        " UNION ALL SELECT b AS v, a AS u FROM und)",
+        "u0 AS MATERIALIZED (SELECT v, "
+        + _poly_hash_sql("v")
+        + " AS p FROM (SELECT a AS v FROM und"
+        " UNION SELECT b AS v FROM und))",
+        "call0 AS (SELECT CAST(NULL AS VARCHAR) AS v,"
+        " CAST(NULL AS INTEGER) AS color WHERE false)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""s{r} AS MATERIALIZED (
+              SELECT uu.v FROM u{r - 1} uu
+              WHERE NOT EXISTS (
+                SELECT 1 FROM bd JOIN u{r - 1} nu ON nu.v = bd.u
+                WHERE bd.v = uu.v
+                  AND (nu.p < uu.p
+                       OR (nu.p = uu.p AND nu.v < uu.v))))"""
+        )
+        parts.append(
+            f"""col{r} AS MATERIALIZED (
+              SELECT s.v,
+                     (SELECT CAST(min(k.k) AS INTEGER)
+                      FROM range(0, 12) k(k)
+                      WHERE NOT EXISTS (
+                        SELECT 1 FROM bd JOIN call{r - 1} c
+                          ON c.v = bd.u
+                        WHERE bd.v = s.v
+                          AND c.color = k.k)) AS color
+              FROM s{r} s)"""
+        )
+        parts.append(
+            f"""call{r} AS MATERIALIZED (
+              SELECT v, color FROM call{r - 1}
+              UNION ALL SELECT v, color FROM col{r})"""
+        )
+        parts.append(
+            f"""u{r} AS MATERIALIZED (
+              SELECT v, p FROM u{r - 1}
+              WHERE v NOT IN (SELECT v FROM s{r}))"""
+        )
+    ctes = ",\n            ".join(parts)
+    return (
+        ctes
+        + f"\n            SELECT v AS entity, color FROM call{rounds}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7306,5 +7382,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, CAST(min(d) AS BIGINT) AS dist
             FROM walk GROUP BY 1
+        """,
+        # entity_coloring twin: 8 unrolled Jones–Plassmann rounds
+        # (the toy graph finishes in <= 3), same poly-hash
+        # priorities, correlated min-over-range mex.
+        "entity_coloring": f"""
+            WITH {_MENTIONS_SQL.strip()},
+            {_TRIPLE_EDGES_SQL.strip()},
+            {_coloring_oracle_sql(8)}
         """,
     }

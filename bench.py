@@ -127,6 +127,7 @@ EXTRA = [
     "entity_scc",
     "event_concurrency",
     "entity_sssp",
+    "entity_coloring",
 ]
 
 HEADLINE = [

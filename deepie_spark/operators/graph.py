@@ -1279,3 +1279,124 @@ def sssp_weighted(
         f"SSSP did not converge in {max_iter} rounds — raise max_iter"
         " toward the graph diameter"
     )
+
+
+def greedy_coloring(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Deterministic Jones–Plassmann greedy coloring of the undirected
+    triple graph (Jones & Plassmann 1993): a node claims a color once
+    every UNCOLORED neighbor has lower priority, taking the smallest
+    color unused by its already-colored neighbors (mex).  The result
+    is exactly the sequential greedy coloring along ascending
+    (poly-hash, id) order — a proper coloring with ≤ maxdeg+1 colors —
+    computed in O(log n) expected synchronous rounds.  Coloring is the
+    MIS sibling (maximal_independent_set): the conflict-free BATCH
+    SCHEDULE — all same-color entities can be updated/merged in one
+    parallel wave with no edge inside a wave.
+
+    Same determinism contract as MIS: the priority is the portable
+    char poly hash (DuckDB reproduces it), ties break on the id,
+    rounds are synchronous; no RNG, no FP, partition-invariant.  The
+    mex is an IN-ROW fold over the sorted distinct neighbor-color
+    array (smallest k ≥ 0 missing from a sorted set: bump an
+    accumulator while it matches) — no per-color join.
+
+    Plan per round: the MIS neighbor-priority join + min-struct agg
+    to find ready nodes, ONE join against the colored table for
+    neighbor colors, one collect_set agg, two anti-joins;
+    ``localCheckpoint`` per round, bounded 1-row probes.  Returns
+    ``(entity, color)``.
+    """
+    und = _canonical_edges(edges, src, dst)
+    bidi_all = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
+        .localCheckpoint()
+    )
+    unc = (
+        bidi_all.select("v")
+        .distinct()
+        .select("v", char_poly_hash_str(F.col("v")).alias("p"))
+        .localCheckpoint()
+    )
+    colored: DataFrame | None = None
+    for _ in range(int(max_rounds)):
+        if unc.limit(1).count() == 0:
+            break
+        nb_min = (
+            bidi_all.join(
+                unc.select(F.col("v").alias("u"), F.col("p").alias("pu")),
+                "u",
+            )
+            .groupBy("v")
+            .agg(
+                F.min(
+                    F.struct(F.col("pu").alias("p"), F.col("u").alias("v"))
+                ).alias("mn")
+            )
+        )
+        ready = (
+            unc.join(nb_min, "v", "left")
+            .filter(
+                F.col("mn").isNull()
+                | (F.struct(F.col("p"), F.col("v")) < F.col("mn"))
+            )
+            .select("v")
+            .localCheckpoint()
+        )
+        if colored is None:
+            nbc = ready.select(
+                "v", F.array().cast("array<int>").alias("used")
+            )
+        else:
+            used = (
+                bidi_all.join(ready, "v", "left_semi")
+                .join(
+                    colored.select(
+                        F.col("entity").alias("u"), "color"
+                    ),
+                    "u",
+                )
+                .groupBy("v")
+                .agg(
+                    F.sort_array(F.collect_set("color")).alias("used")
+                )
+            )
+            nbc = ready.join(used, "v", "left").select(
+                "v",
+                F.coalesce(
+                    "used", F.array().cast("array<int>")
+                ).alias("used"),
+            )
+        # mex of a sorted distinct int set: fold, bumping while equal
+        newly = nbc.select(
+            F.col("v").alias("entity"),
+            F.aggregate(
+                "used",
+                F.lit(0).cast("int"),
+                lambda acc, c: F.when(c == acc, acc + 1).otherwise(acc),
+            ).alias("color"),
+        ).localCheckpoint()
+        colored = (
+            newly
+            if colored is None
+            else colored.unionByName(newly).localCheckpoint()
+        )
+        unc = unc.join(
+            newly.select(F.col("entity").alias("v")), "v", "left_anti"
+        ).localCheckpoint()
+    if unc.limit(1).count() != 0:
+        raise RuntimeError(
+            f"coloring did not converge in {max_rounds} rounds — the"
+            " globally-minimum-priority node is always ready, so"
+            " raise max_rounds toward the node count"
+        )
+    if colored is None:
+        return edges.sparkSession.createDataFrame(
+            [], "entity string, color int"
+        )
+    return colored.localCheckpoint()

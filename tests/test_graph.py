@@ -871,3 +871,62 @@ def test_sssp_guards(spark):
     s0 = spark.createDataFrame([("a0",)], "node string")
     with _pt.raises(RuntimeError, match="converge"):
         sssp_weighted(chain, s0, max_iter=2)
+
+
+def _py_poly_hash(s):
+    from deepie_spark.functions.text import BASE, MOD
+
+    h = 0
+    for ch in s:
+        h = (h * BASE + ord(ch)) % MOD
+    return h
+
+
+def test_coloring_proper_and_sequential_greedy_twin(spark):
+    import random
+
+    from deepie_spark.operators.graph import greedy_coloring
+
+    rng = random.Random(31)
+    nodes = [f"n{i}" for i in range(30)]
+    e = sorted({
+        tuple(sorted(rng.sample(nodes, 2))) for _ in range(80)
+    })
+    df = spark.createDataFrame(e, "src string, dst string")
+    out = {r.entity: r.color for r in greedy_coloring(df).collect()}
+    adj = {}
+    for a, b in e:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # proper coloring, bounded by maxdeg + 1
+    for v, c in out.items():
+        assert all(out[u] != c for u in adj[v])
+        assert 0 <= c <= len(adj[v])
+    # JP == sequential greedy along ascending (poly-hash, id)
+    want = {}
+    for v in sorted(adj, key=lambda v: (_py_poly_hash(v), v)):
+        used = {want[u] for u in adj[v] if u in want}
+        c = 0
+        while c in used:
+            c += 1
+        want[v] = c
+    assert out == want
+    # partition invariance
+    out2 = {r.entity: r.color
+            for r in greedy_coloring(df.repartition(7)).collect()}
+    assert out2 == out
+
+
+def test_coloring_guards_and_hand_case(spark):
+    import pytest as _pt
+
+    from deepie_spark.operators.graph import greedy_coloring
+
+    # triangle: 3 colors, one per node
+    tri = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    out = greedy_coloring(tri).collect()
+    assert sorted(r.color for r in out) == [0, 1, 2]
+    with _pt.raises(RuntimeError, match="did not converge"):
+        greedy_coloring(tri, max_rounds=1)
