@@ -4399,6 +4399,36 @@ def q_entity_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return greedy_coloring(t)
 
 
+def q_entity_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest via distributed Borůvka
+    (operators/graph.py minimum_spanning_forest — per-component
+    min-edge argmin + resolve_aliases contraction; the
+    single-linkage clustering backbone).  Runs over the undirected
+    block graph with globally-unique deterministic weights
+    (high·1000 + a unique 2k/2k+1 tiebreak), so each block's 3-cycle
+    drops a DIFFERENT heaviest edge.  The oracle uses the CYCLE
+    PROPERTY instead of any algorithm: an edge is in the forest iff
+    no alternative path between its endpoints uses only strictly
+    lighter edges (recursive minimax-path closure) — a completely
+    independent characterization, valid because weights are unique."""
+    from deepie_spark.operators.graph import minimum_spanning_forest
+
+    d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 60)
+    g = lambda c: F.concat(F.lit("g"), c.cast("string"))  # noqa: E731
+    k = F.col("doc_id")
+    fwd = d.filter(k % 5 != 4).select(
+        g(k).alias("src"),
+        g(k + 1).alias("dst"),
+        (((k * 13) % 29) * 1000 + 2 * k + 1).alias("w"),
+    )
+    back = d.filter(k % 5 == 3).select(
+        g(k).alias("src"),
+        g(k - 2).alias("dst"),
+        (((k * 13 + 7) % 29) * 1000 + 2 * k + 2).alias("w"),
+    )
+    return minimum_spanning_forest(fwd.unionByName(back))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -4565,6 +4595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_concurrency": q_event_concurrency,
         "entity_sssp": q_entity_sssp,
         "entity_coloring": q_entity_coloring,
+        "entity_msf": q_entity_msf,
     }
 
 
@@ -7390,5 +7421,43 @@ def oracle_sql() -> dict[str, str]:
             WITH {_MENTIONS_SQL.strip()},
             {_TRIPLE_EDGES_SQL.strip()},
             {_coloring_oracle_sql(8)}
+        """,
+        # entity_msf twin: the CYCLE PROPERTY, not an algorithm — an
+        # edge is in the unique-weights MSF iff no alternative path
+        # between its endpoints is all-strictly-lighter.  walk is the
+        # minimax-path closure (UNION-dedup keeps states finite:
+        # mw always equals some edge weight); paths THROUGH an edge
+        # have mw >= its weight, so they never veto it.
+        "entity_msf": """
+            WITH RECURSIVE ed AS (
+              SELECT least(s, t) AS a, greatest(s, t) AS b, w FROM (
+                SELECT 'g' || CAST(doc_id AS VARCHAR) AS s,
+                       'g' || CAST(doc_id + 1 AS VARCHAR) AS t,
+                       ((doc_id * 13) % 29) * 1000
+                         + 2 * doc_id + 1 AS w
+                FROM documents WHERE doc_id < 60 AND doc_id % 5 <> 4
+                UNION ALL
+                SELECT 'g' || CAST(doc_id AS VARCHAR),
+                       'g' || CAST(doc_id - 2 AS VARCHAR),
+                       ((doc_id * 13 + 7) % 29) * 1000
+                         + 2 * doc_id + 2
+                FROM documents WHERE doc_id < 60 AND doc_id % 5 = 3)
+            ),
+            bidi AS (
+              SELECT a AS s, b AS t, w FROM ed
+              UNION ALL SELECT b, a, w FROM ed
+            ),
+            walk(s, t, mw) AS (
+              SELECT s, t, w FROM bidi
+              UNION
+              SELECT wk.s, b.t, greatest(wk.mw, b.w)
+              FROM walk wk JOIN bidi b ON b.s = wk.t
+              WHERE b.t <> wk.s
+            )
+            SELECT e.a, e.b, CAST(e.w AS BIGINT) AS w
+            FROM ed e
+            WHERE NOT EXISTS (
+              SELECT 1 FROM walk wk
+              WHERE wk.s = e.a AND wk.t = e.b AND wk.mw < e.w)
         """,
     }

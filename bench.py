@@ -128,6 +128,7 @@ EXTRA = [
     "event_concurrency",
     "entity_sssp",
     "entity_coloring",
+    "entity_msf",
 ]
 
 HEADLINE = [

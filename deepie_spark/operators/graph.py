@@ -1400,3 +1400,146 @@ def greedy_coloring(
             [], "entity string, color int"
         )
     return colored.localCheckpoint()
+
+
+def minimum_spanning_forest(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Minimum spanning forest via distributed Borůvka (1926; the
+    MapReduce/BSP MST everyone ships — Lattanzi et al.'s filtering
+    paper uses it as the base case): each round every component picks
+    its minimum-weight outgoing edge, the picked edges join the
+    forest, and touching components contract to one label.  The MSF
+    is the single-linkage clustering backbone — cutting its heaviest
+    edges yields exactly the single-linkage dendrogram levels over an
+    entity-similarity graph.
+
+    Weights must be globally UNIQUE positive longs (checked; ties
+    would make the forest ill-defined — callers append a tiebreak
+    digit, as q_entity_msf does).  Uniqueness makes the classic
+    guarantees deterministic: the per-component argmin is a plain
+    ``min(struct(w, a, b))``, and the picked-edge pointer graph
+    ``c → partner(c)`` contains only 2-cycles (both endpoints of a
+    globally-min cross edge pick it), broken by keeping the smaller
+    label as terminal — after which the contraction map is functional
+    and acyclic, so component relabeling is EXACTLY
+    ``aliases.resolve_aliases`` (pointer doubling, reused verbatim).
+
+    Plan per round: two label joins to orient cross-component edges,
+    one min-struct agg per endpoint side, one self-join to detect
+    mutual pairs, then the O(log chain) doubling rounds of
+    resolve_aliases; O(log n) Borůvka rounds total — components at
+    least halve each round.  Returns the forest as ``(a, b, w)``
+    with ``a < b``.
+    """
+    e0 = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    [chk] = e0.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("w").alias("nw"),
+        F.min("w").alias("mn"),
+    ).collect()
+    if chk.n and (chk.nw != chk.n or chk.mn <= 0):
+        raise ValueError(
+            "weights must be globally unique positive longs — append"
+            " a per-edge tiebreak digit before calling"
+        )
+    from deepie_spark.operators.aliases import resolve_aliases
+
+    comp = (
+        e0.select(F.col("a").alias("v"))
+        .unionByName(e0.select(F.col("b").alias("v")))
+        .distinct()
+        .select("v", F.col("v").alias("c"))
+        .localCheckpoint()
+    )
+    forest: DataFrame | None = None
+    for _ in range(int(max_rounds)):
+        lab = (
+            e0.join(
+                comp.select(F.col("v").alias("a"), F.col("c").alias("ca")),
+                "a",
+            )
+            .join(
+                comp.select(F.col("v").alias("b"), F.col("c").alias("cb")),
+                "b",
+            )
+        )
+        cross = lab.filter(F.col("ca") != F.col("cb")).localCheckpoint()
+        if cross.limit(1).count() == 0:
+            break
+        sides = cross.select(
+            F.col("ca").alias("c"),
+            F.struct("w", "a", "b", F.col("cb").alias("other")).alias("e"),
+        ).unionByName(
+            cross.select(
+                F.col("cb").alias("c"),
+                F.struct(
+                    "w", "a", "b", F.col("ca").alias("other")
+                ).alias("e"),
+            )
+        )
+        picked = (
+            sides.groupBy("c")
+            .agg(F.min("e").alias("e"))
+            .select(
+                "c",
+                F.col("e.w").alias("w"),
+                F.col("e.a").alias("a"),
+                F.col("e.b").alias("b"),
+                F.col("e.other").alias("p"),
+            )
+            .localCheckpoint()
+        )
+        new_edges = picked.select("a", "b", "w").distinct()
+        forest = (
+            new_edges
+            if forest is None
+            else forest.unionByName(new_edges).localCheckpoint()
+        )
+        # contraction map: c → partner, except the smaller member of a
+        # mutual pair (both picked the same globally-min edge), which
+        # stays terminal — functional and acyclic by unique weights
+        pp = picked.select(
+            F.col("c").alias("p"), F.col("p").alias("pp")
+        )
+        m = (
+            picked.join(pp, "p", "left")
+            .filter(
+                ~((F.col("pp") == F.col("c")) & (F.col("c") < F.col("p")))
+            )
+            .select(F.col("c").alias("src"), F.col("p").alias("dst"))
+        )
+        canon = resolve_aliases(m).select(
+            F.col("src").alias("c"), F.col("canonical")
+        )
+        comp = (
+            comp.join(canon, "c", "left")
+            .select(
+                "v", F.coalesce("canonical", F.col("c")).alias("c")
+            )
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(
+            f"Borůvka did not converge in {max_rounds} rounds —"
+            " components at least halve per round, so raise"
+            " max_rounds toward log2(n_nodes)"
+        )
+    if forest is None:
+        return edges.sparkSession.createDataFrame(
+            [], "a string, b string, w long"
+        )
+    return forest.distinct().localCheckpoint()

@@ -930,3 +930,65 @@ def test_coloring_guards_and_hand_case(spark):
     assert sorted(r.color for r in out) == [0, 1, 2]
     with _pt.raises(RuntimeError, match="did not converge"):
         greedy_coloring(tri, max_rounds=1)
+
+
+def _kruskal(edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = []
+    for a, b, w in sorted(edges, key=lambda e: e[2]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            out.append((min(a, b), max(a, b), w))
+    return sorted(out)
+
+
+def test_msf_hand_and_kruskal_twin(spark):
+    import random
+
+    from deepie_spark.operators.graph import minimum_spanning_forest
+
+    # hand case: triangle drops its heaviest edge, bridge kept
+    e = [("a", "b", 1), ("b", "c", 2), ("a", "c", 5), ("c", "d", 3)]
+    df = spark.createDataFrame(e, "src string, dst string, w long")
+    out = sorted((r.a, r.b, r.w)
+                 for r in minimum_spanning_forest(df).collect())
+    assert out == [("a", "b", 1), ("b", "c", 2), ("c", "d", 3)]
+
+    # random multi-component graph, globally unique weights
+    rng = random.Random(37)
+    nodes = [f"m{i}" for i in range(40)]
+    pairs = sorted({
+        tuple(sorted(rng.sample(nodes[:20], 2))) for _ in range(50)
+    } | {
+        tuple(sorted(rng.sample(nodes[20:], 2))) for _ in range(50)
+    })
+    e2 = [(a, b, i * 7 + 1) for i, (a, b) in enumerate(pairs)]
+    df2 = spark.createDataFrame(e2, "src string, dst string, w long")
+    got = sorted((r.a, r.b, r.w)
+                 for r in minimum_spanning_forest(df2).collect())
+    assert got == _kruskal(e2)
+    got2 = sorted(
+        (r.a, r.b, r.w)
+        for r in minimum_spanning_forest(df2.repartition(7)).collect()
+    )
+    assert got2 == got
+
+
+def test_msf_unique_weight_guard(spark):
+    import pytest as _pt
+
+    from deepie_spark.operators.graph import minimum_spanning_forest
+
+    dup = spark.createDataFrame(
+        [("a", "b", 3), ("b", "c", 3)], "src string, dst string, w long"
+    )
+    with _pt.raises(ValueError, match="unique"):
+        minimum_spanning_forest(dup)
