@@ -4399,6 +4399,27 @@ def q_entity_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return greedy_coloring(t)
 
 
+def _msf_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected block graph with globally-unique deterministic
+    weights (high·1000 + a unique 2k+1 / 2k+2 tiebreak) — shared by
+    q_entity_msf and q_entity_slink, mirrored verbatim in their
+    DuckDB twins (_MSF_CTES)."""
+    d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 60)
+    g = lambda c: F.concat(F.lit("g"), c.cast("string"))  # noqa: E731
+    k = F.col("doc_id")
+    fwd = d.filter(k % 5 != 4).select(
+        g(k).alias("src"),
+        g(k + 1).alias("dst"),
+        (((k * 13) % 29) * 1000 + 2 * k + 1).alias("w"),
+    )
+    back = d.filter(k % 5 == 3).select(
+        g(k).alias("src"),
+        g(k - 2).alias("dst"),
+        (((k * 13 + 7) % 29) * 1000 + 2 * k + 2).alias("w"),
+    )
+    return fwd.unionByName(back)
+
+
 def q_entity_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum spanning forest via distributed Borůvka
     (operators/graph.py minimum_spanning_forest — per-component
@@ -4413,20 +4434,23 @@ def q_entity_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent characterization, valid because weights are unique."""
     from deepie_spark.operators.graph import minimum_spanning_forest
 
-    d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 60)
-    g = lambda c: F.concat(F.lit("g"), c.cast("string"))  # noqa: E731
-    k = F.col("doc_id")
-    fwd = d.filter(k % 5 != 4).select(
-        g(k).alias("src"),
-        g(k + 1).alias("dst"),
-        (((k * 13) % 29) * 1000 + 2 * k + 1).alias("w"),
-    )
-    back = d.filter(k % 5 == 3).select(
-        g(k).alias("src"),
-        g(k - 2).alias("dst"),
-        (((k * 13 + 7) % 29) * 1000 + 2 * k + 2).alias("w"),
-    )
-    return minimum_spanning_forest(fwd.unionByName(back))
+    return minimum_spanning_forest(_msf_edges(spark, sf_dir))
+
+
+_SLINK_T = 14_000  # single-linkage cut level: keeps high-part <= 13
+
+
+def q_entity_slink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-linkage clustering at level _SLINK_T
+    (operators/clustering.py single_linkage_clusters — the Gower &
+    Ross MST⇒dendrogram composition: Borůvka forest, cut heavy
+    edges, CC over the ≤ n−1 survivors instead of |E| edges).  The
+    oracle never builds a forest at all: it thresholds the FULL edge
+    set and takes the reachability closure — the naive formulation
+    the theorem says must agree."""
+    from deepie_spark.operators.clustering import single_linkage_clusters
+
+    return single_linkage_clusters(_msf_edges(spark, sf_dir), _SLINK_T)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4596,6 +4620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_sssp": q_entity_sssp,
         "entity_coloring": q_entity_coloring,
         "entity_msf": q_entity_msf,
+        "entity_slink": q_entity_slink,
     }
 
 
@@ -7459,5 +7484,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (
               SELECT 1 FROM walk wk
               WHERE wk.s = e.a AND wk.t = e.b AND wk.mw < e.w)
+        """,
+        # entity_slink twin: NO forest at all — threshold the FULL
+        # edge set and take the reachability closure (the naive
+        # formulation the Gower-Ross theorem says must equal the
+        # forest-cut clustering).
+        "entity_slink": f"""
+            WITH RECURSIVE ed AS (
+              SELECT least(s, t) AS a, greatest(s, t) AS b, w FROM (
+                SELECT 'g' || CAST(doc_id AS VARCHAR) AS s,
+                       'g' || CAST(doc_id + 1 AS VARCHAR) AS t,
+                       ((doc_id * 13) % 29) * 1000
+                         + 2 * doc_id + 1 AS w
+                FROM documents WHERE doc_id < 60 AND doc_id % 5 <> 4
+                UNION ALL
+                SELECT 'g' || CAST(doc_id AS VARCHAR),
+                       'g' || CAST(doc_id - 2 AS VARCHAR),
+                       ((doc_id * 13 + 7) % 29) * 1000
+                         + 2 * doc_id + 2
+                FROM documents WHERE doc_id < 60 AND doc_id % 5 = 3)
+            ),
+            lb AS (
+              SELECT a AS s, b AS t FROM ed WHERE w <= {_SLINK_T}
+              UNION ALL
+              SELECT b, a FROM ed WHERE w <= {_SLINK_T}
+            ),
+            conn(s, t) AS (
+              SELECT s, t FROM lb
+              UNION
+              SELECT c.s, l.t FROM conn c JOIN lb l ON l.s = c.t
+            ),
+            nds AS (SELECT a AS v FROM ed UNION SELECT b FROM ed)
+            SELECT v AS entity, min(u) AS cluster
+            FROM (SELECT v, v AS u FROM nds
+                  UNION ALL SELECT s, t FROM conn)
+            GROUP BY 1
         """,
     }

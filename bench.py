@@ -129,6 +129,7 @@ EXTRA = [
     "entity_sssp",
     "entity_coloring",
     "entity_msf",
+    "entity_slink",
 ]
 
 HEADLINE = [

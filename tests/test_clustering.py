@@ -153,3 +153,59 @@ def test_semantic_dedup_catches_planted_paraphrase(spark):
     assert out[10] is False  # paraphrase dropped (3 is the keeper)
     assert out[3] is True
     assert sum(not v for v in out.values()) == 1  # nothing else dropped
+
+
+def _cc_naive(nodes, edges):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for v in nodes:
+        if v in out:
+            continue
+        stack, comp = [v], {v}
+        while stack:
+            for u in adj.get(stack.pop(), ()):
+                if u not in comp:
+                    comp.add(u)
+                    stack.append(u)
+        m = min(comp)
+        for u in comp:
+            out[u] = m
+    return out
+
+
+def test_single_linkage_matches_naive_threshold_cc(spark):
+    import random
+
+    from deepie_spark.operators.clustering import single_linkage_clusters
+
+    rng = random.Random(41)
+    nodes = [f"p{i}" for i in range(30)]
+    pairs = sorted({
+        tuple(sorted(rng.sample(nodes, 2))) for _ in range(70)
+    })
+    edges = [(a, b, i * 3 + 1) for i, (a, b) in enumerate(pairs)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    for t in (0, 40, 100, 10_000):
+        got = {r.entity: r.cluster
+               for r in single_linkage_clusters(df, t).collect()}
+        # the theorem under test: forest-cut clusters == naive
+        # threshold-filter-then-CC over ALL edges
+        want = _cc_naive(
+            sorted({x for ab in pairs for x in ab}),
+            [(a, b) for a, b, w in edges if w <= t],
+        )
+        assert got == want, f"threshold {t}"
+
+
+def test_single_linkage_all_cut_is_singletons(spark):
+    from deepie_spark.operators.clustering import single_linkage_clusters
+
+    df = spark.createDataFrame(
+        [("a", "b", 100), ("b", "c", 200)], "src string, dst string, w long"
+    )
+    out = {r.entity: r.cluster
+           for r in single_linkage_clusters(df, 50).collect()}
+    assert out == {"a": "a", "b": "b", "c": "c"}
