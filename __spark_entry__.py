@@ -4453,6 +4453,34 @@ def q_entity_slink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return single_linkage_clusters(_msf_edges(spark, sf_dir), _SLINK_T)
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch–Kincaid grade per document — the
+    classic curation readability signal beside gopher_quality's
+    heuristics.  Counts are exact ints from codegen regexps (words =
+    the shared tokenizer, sentences = non-overlapping [.!?]+ runs
+    clamped to ≥1, syllables ≈ vowel groups — the standard
+    approximation, mirrored verbatim); the two ratios and the fixed
+    left-associative constant chain are the same IEEE ops in both
+    engines, so the doubles are bit-identical.  ONE map-only pass,
+    zero shuffles."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    w = F.size(tokenize(F.col("text")))
+    s = F.greatest(F.lit(1), F.expr("regexp_count(text, '[.!?]+')"))
+    syl = F.expr("regexp_count(lower(text), '[aeiou]+')")
+    a = w.cast("double") / s.cast("double")
+    b = syl.cast("double") / w.cast("double")
+    return d.filter(w >= 1).select(
+        "doc_id",
+        w.cast("long").alias("n_words"),
+        s.cast("long").alias("n_sentences"),
+        syl.cast("long").alias("n_syllables"),
+        F.round(F.lit(206.835) - F.lit(1.015) * a - F.lit(84.6) * b, 6)
+          .alias("flesch"),
+        F.round(F.lit(0.39) * a + F.lit(11.8) * b - F.lit(15.59), 6)
+          .alias("fk_grade"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -4621,6 +4649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_coloring": q_entity_coloring,
         "entity_msf": q_entity_msf,
         "entity_slink": q_entity_slink,
+        "readability": q_readability,
     }
 
 
@@ -7519,5 +7548,33 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT v, v AS u FROM nds
                   UNION ALL SELECT s, t FROM conn)
             GROUP BY 1
+        """,
+        # readability twin: identical exact-int counts and the same
+        # left-associative constant chain — doubles bit-identical.
+        "readability": f"""
+            WITH t AS (
+              SELECT doc_id, len({_TOKS_SQL}) AS w,
+                     greatest(1, len(regexp_extract_all(
+                       text, '[.!?]+'))) AS s,
+                     len(regexp_extract_all(
+                       lower(text), '[aeiou]+')) AS syl
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(w AS BIGINT) AS n_words,
+                   CAST(s AS BIGINT) AS n_sentences,
+                   CAST(syl AS BIGINT) AS n_syllables,
+                   round(206.835
+                         - 1.015 * (CAST(w AS DOUBLE)
+                                    / CAST(s AS DOUBLE))
+                         - 84.6 * (CAST(syl AS DOUBLE)
+                                   / CAST(w AS DOUBLE)), 6)
+                     AS flesch,
+                   round(0.39 * (CAST(w AS DOUBLE)
+                                 / CAST(s AS DOUBLE))
+                         + 11.8 * (CAST(syl AS DOUBLE)
+                                   / CAST(w AS DOUBLE))
+                         - 15.59, 6) AS fk_grade
+            FROM t WHERE w >= 1
         """,
     }

@@ -130,6 +130,7 @@ EXTRA = [
     "entity_coloring",
     "entity_msf",
     "entity_slink",
+    "readability",
 ]
 
 HEADLINE = [

@@ -210,3 +210,27 @@ def test_boilerplate_stats_hand_computed(spark):
     # at min_df=4 nothing qualifies
     out4 = boilerplate_stats(ch, min_df=4).collect()
     assert all(r.n_boiler == 0 and r.boiler_frac == 0.0 for r in out4)
+
+
+def test_readability_python_twin(spark, sf_dir):
+    import re
+
+    import __spark_entry__ as entry
+
+    out = {r.doc_id: r
+           for r in entry.q_readability(spark, sf_dir).collect()}
+    docs = {r.doc_id: r.text for r in
+            entry._docs(spark, sf_dir).select("doc_id", "text")
+            .limit(30).collect()}
+    for doc_id, text in docs.items():
+        r = out[doc_id]
+        w = len([t for t in re.split(r"\s+", text) if t])
+        s = max(1, len(re.findall(r"[.!?]+", text)))
+        syl = len(re.findall(r"[aeiou]+", text.lower()))
+        assert (r.n_words, r.n_sentences, r.n_syllables) == (w, s, syl)
+        assert r.flesch == round(
+            206.835 - 1.015 * (w / s) - 84.6 * (syl / w), 6
+        )
+        assert r.fk_grade == round(
+            0.39 * (w / s) + 11.8 * (syl / w) - 15.59, 6
+        )

@@ -641,3 +641,9 @@ def test_event_concurrency_windows_bucketed(spark, sf_dir):
     for frag in plan.split("windowspecdefinition(")[1:]:
         spec = frag.split(")")[0]
         assert "_bkt" in spec, f"unpartitioned window: {spec}"
+
+
+def test_readability_map_only(spark, sf_dir):
+    """Readability is one codegen pass over the scan — no shuffle."""
+    plan = executed(entry.q_readability(spark, sf_dir))
+    assert "Exchange" not in plan
