@@ -4481,6 +4481,22 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entity_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer stress centrality over the undirected triple
+    graph (operators/graph.py stress_centrality — per-source BFS
+    with path counting + the d(s,v)+d(v,t)=d(s,t) combination
+    identity; the betweenness family member whose every quantity is
+    an exact long).  The oracle enumerates bounded walks with a
+    recursive CTE and counts the minimal-length ones — minimal
+    walks ARE the shortest paths, an independent derivation of σ."""
+    from deepie_spark.operators.graph import stress_centrality
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return stress_centrality(t, max_hops=6)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -4650,6 +4666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_msf": q_entity_msf,
         "entity_slink": q_entity_slink,
         "readability": q_readability,
+        "entity_stress": q_entity_stress,
     }
 
 
@@ -7576,5 +7593,39 @@ def oracle_sql() -> dict[str, str]:
                                    / CAST(w AS DOUBLE))
                          - 15.59, 6) AS fk_grade
             FROM t WHERE w >= 1
+        """,
+        # entity_stress twin: enumerate bounded walks (never returning
+        # to the origin — safe: simple paths never revisit s) and
+        # count the minimal-length ones per pair — minimal walks ARE
+        # the shortest paths, so this derives sigma independently of
+        # the Spark side's BFS layer-sum; then the same combination
+        # identity as two joins.
+        "entity_stress": f"""
+            WITH RECURSIVE
+            {_MENTIONS_SQL.strip()},
+            {_TRIPLE_EDGES_SQL.strip()},
+            bidi AS (SELECT a AS s, b AS t FROM und
+                     UNION ALL SELECT b, a FROM und),
+            wk(s, t, d) AS (
+              SELECT s, t, 1 FROM bidi
+              UNION ALL
+              SELECT w.s, e.t, w.d + 1
+              FROM wk w JOIN bidi e ON e.s = w.t
+              WHERE w.d < 6 AND e.t <> w.s
+            ),
+            sp AS (SELECT s, t, min(d) AS d FROM wk GROUP BY 1, 2),
+            sg AS (
+              SELECT w.s, w.t, p.d, CAST(count(*) AS BIGINT) AS g
+              FROM wk w
+              JOIN sp p ON p.s = w.s AND p.t = w.t AND p.d = w.d
+              GROUP BY 1, 2, 3
+            )
+            SELECT p1.t AS entity,
+                   CAST(sum(p1.g * p2.g) AS BIGINT) AS stress
+            FROM sg p1
+            JOIN sg p2 ON p2.s = p1.t
+            JOIN sg p3 ON p3.s = p1.s AND p3.t = p2.t
+            WHERE p1.s <> p2.t AND p1.d + p2.d = p3.d
+            GROUP BY 1
         """,
     }

@@ -131,6 +131,7 @@ EXTRA = [
     "entity_msf",
     "entity_slink",
     "readability",
+    "entity_stress",
 ]
 
 HEADLINE = [

@@ -1543,3 +1543,98 @@ def minimum_spanning_forest(
             [], "a string, b string, w long"
         )
     return forest.distinct().localCheckpoint()
+
+
+def stress_centrality(
+    edges: DataFrame,
+    seeds: DataFrame | None = None,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact-integer stress centrality (Shimbel 1953) over the
+    undirected triple graph: ``stress(v)`` = the number of shortest
+    paths, over all ORDERED (source, target) pairs within
+    ``max_hops``, that pass through ``v`` as an interior node.  The
+    integer sibling of betweenness (Brandes 2001): betweenness
+    divides each term by σ_st, stress does not — which keeps every
+    quantity an exact long, engine-bit-identical, and oracle-gateable
+    (no FP anywhere; an undirected pair is counted twice, once per
+    direction — halve downstream if the unordered convention is
+    wanted).  The KG reading: high-stress entities are the evidence
+    bottlenecks every relation chain routes through.
+
+    Phase 1 extends closeness_stats' per-source BFS with path
+    COUNTING: σ(s, u) at layer h = Σ σ(s, w) over the layer-(h−1)
+    predecessors — one frontier⋈adjacency join + one (s, u) sum agg +
+    the visited anti-join per round, ``localCheckpoint`` each round.
+    Phase 2 is the combination identity — v lies on a shortest s→t
+    path iff d(s,v) + d(v,t) = d(s,t), contributing σ_sv·σ_vt — two
+    keyed equi-joins (on v, then on (s, t)) and one sum agg; no
+    window, no cartesian.  Like closeness, per-source state means a
+    bounded ``seeds`` set at web scale (``None`` = all-pairs, for toy
+    graphs and bounded subgraphs); Brandes' dependency accumulation
+    is the all-pairs web-scale path and trades the exact-integer
+    contract away.  Nodes no shortest path routes through are absent
+    (stress 0).  Returns ``(entity, stress)``.
+    """
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    adj = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if seeds is None:
+        seeds = adj.select(F.col("a").alias("node")).distinct()
+    paths = seeds.select(
+        F.col("node").alias("s"),
+        F.col("node"),
+        F.lit(0).cast("long").alias("hop"),
+        F.lit(1).cast("long").alias("sig"),
+    ).localCheckpoint(eager=True)
+    frontier = paths.select("s", "node", "sig")
+    for h in range(1, int(max_hops) + 1):
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["a"])
+            .groupBy("s", F.col("b").alias("node"))
+            .agg(F.sum("sig").alias("sig"))
+            .join(paths, ["s", "node"], "left_anti")
+            .select(
+                "s", "node", F.lit(h).cast("long").alias("hop"), "sig"
+            )
+        )
+        paths = paths.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = paths.filter(F.col("hop") == h).select(
+            "s", "node", "sig"
+        )
+        if not frontier.take(1):
+            break
+    p = paths.filter(F.col("hop") > 0)
+    p1 = p.select(
+        "s",
+        F.col("node").alias("v"),
+        F.col("hop").alias("d1"),
+        F.col("sig").alias("g1"),
+    )
+    p2 = p.select(
+        F.col("s").alias("v"),
+        F.col("node").alias("t"),
+        F.col("hop").alias("d2"),
+        F.col("sig").alias("g2"),
+    )
+    p3 = p.select(
+        "s",
+        F.col("node").alias("t"),
+        F.col("hop").alias("d"),
+    )
+    return (
+        p1.join(p2, "v")
+        .filter(F.col("s") != F.col("t"))
+        .join(p3, ["s", "t"])
+        .filter(F.col("d1") + F.col("d2") == F.col("d"))
+        .groupBy("v")
+        .agg(F.sum(F.col("g1") * F.col("g2")).cast("long").alias("stress"))
+        .select(F.col("v").alias("entity"), "stress")
+    )

@@ -992,3 +992,70 @@ def test_msf_unique_weight_guard(spark):
     )
     with _pt.raises(ValueError, match="unique"):
         minimum_spanning_forest(dup)
+
+
+def _stress_python(edges, max_hops=6):
+    """Brute-force: BFS sigma per source + the combination identity."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    dist, sig = {}, {}
+    for s in nodes:
+        d, g = {s: 0}, {s: 1}
+        layer = [s]
+        h = 0
+        while layer and h < max_hops:
+            h += 1
+            nxt = {}
+            for w in layer:
+                for u in adj[w]:
+                    if u not in d:
+                        nxt[u] = nxt.get(u, 0) + g[w]
+            for u, c in nxt.items():
+                d[u], g[u] = h, c
+            layer = list(nxt)
+        for t in d:
+            dist[(s, t)], sig[(s, t)] = d[t], g[t]
+    out = {}
+    for v in nodes:
+        tot = 0
+        for s in nodes:
+            for t in nodes:
+                if s == t or v in (s, t):
+                    continue
+                if (s, v) in dist and (v, t) in dist and (s, t) in dist \
+                        and dist[(s, v)] + dist[(v, t)] == dist[(s, t)]:
+                    tot += sig[(s, v)] * sig[(v, t)]
+        if tot:
+            out[v] = tot
+    return out
+
+
+def test_stress_hand_path_graph(spark):
+    from deepie_spark.operators.graph import stress_centrality
+
+    e = [("a", "b"), ("b", "c"), ("c", "d")]
+    df = spark.createDataFrame(e, "src string, dst string")
+    out = {r.entity: r.stress for r in stress_centrality(df).collect()}
+    # b carries (a,c),(c,a),(a,d),(d,a); c carries (a,d),(d,a),(b,d),(d,b)
+    assert out == {"b": 4, "c": 4}
+
+
+def test_stress_random_graph_python_twin(spark):
+    import random
+
+    from deepie_spark.operators.graph import stress_centrality
+
+    rng = random.Random(43)
+    nodes = [f"s{i}" for i in range(18)]
+    e = sorted({
+        tuple(sorted(rng.sample(nodes, 2))) for _ in range(30)
+    })
+    df = spark.createDataFrame(e, "src string, dst string")
+    got = {r.entity: r.stress for r in stress_centrality(df).collect()}
+    assert got == _stress_python(e)
+    got2 = {r.entity: r.stress
+            for r in stress_centrality(df.repartition(7)).collect()}
+    assert got2 == got
