@@ -4497,6 +4497,88 @@ def q_entity_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stress_centrality(t, max_hops=6)
 
 
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: cumulative distinct-token
+    and total-token counts at 10 doc-id deciles — the corpus-health
+    diagnostic behind tokenizer sizing and dedup-saturation checks
+    (V(n) ≈ K·n^β; emitting the exact longs and leaving the fit to
+    the consumer keeps the row engine-bit-identical, the closeness
+    convention).  Plan: one min-per-token agg (first-occurrence doc),
+    one decile bucketing against a broadcast 1-row max, two ≤10-row
+    aggs, and an IN-ROW sort+fold prefix sum over the 10 decile
+    structs — no window, no driver collect, nothing corpus² anywhere."""
+    occ = _occ(spark, sf_dir)
+    n1 = _docs(spark, sf_dir).agg(
+        (F.max("doc_id") + 1).alias("n")
+    )
+    firsts = occ.groupBy("token").agg(F.min("doc_id").alias("fd"))
+    vb = (
+        firsts.crossJoin(F.broadcast(n1))
+        .select((F.col("fd") * 10).cast("long").alias("x"), "n")
+        .select(F.expr("x div n").cast("int").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    tb = (
+        occ.crossJoin(F.broadcast(n1))
+        .select((F.col("doc_id") * 10).cast("long").alias("x"), "n")
+        .select(F.expr("x div n").cast("int").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    grid = spark.range(10).select(F.col("id").cast("int").alias("b"))
+    both = (
+        grid.join(vb, "b", "left")
+        .join(tb, "b", "left")
+        .select(
+            "b",
+            F.coalesce("v", F.lit(0)).cast("long").alias("v"),
+            F.coalesce("t", F.lit(0)).cast("long").alias("t"),
+        )
+    )
+    # in-row prefix sum over the 10 decile structs (sorted fold — no
+    # window): carry (rows_so_far, cum_v, cum_t)
+    folded = both.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("b", "v", "t"))).alias("a")
+    ).select(
+        F.explode(
+            F.aggregate(
+                "a",
+                F.array().cast(
+                    "array<struct<b:int,vocab_cum:long,tokens_cum:long>>"
+                ),
+                lambda acc, x: F.concat(
+                    acc,
+                    F.array(
+                        F.struct(
+                            x["b"].alias("b"),
+                            (
+                                F.coalesce(
+                                    F.try_element_at(acc, F.lit(-1))["vocab_cum"],
+                                    F.lit(0).cast("long"),
+                                )
+                                + x["v"]
+                            ).alias("vocab_cum"),
+                            (
+                                F.coalesce(
+                                    F.try_element_at(acc, F.lit(-1))["tokens_cum"],
+                                    F.lit(0).cast("long"),
+                                )
+                                + x["t"]
+                            ).alias("tokens_cum"),
+                        )
+                    ),
+                ),
+            )
+        ).alias("r")
+    )
+    return folded.select(
+        F.col("r.b").alias("decile"),
+        F.col("r.vocab_cum").alias("vocab_cum"),
+        F.col("r.tokens_cum").alias("tokens_cum"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -4667,6 +4749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_slink": q_entity_slink,
         "readability": q_readability,
         "entity_stress": q_entity_stress,
+        "vocab_growth": q_vocab_growth,
     }
 
 
@@ -7627,5 +7710,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN sg p3 ON p3.s = p1.s AND p3.t = p2.t
             WHERE p1.s <> p2.t AND p1.d + p2.d = p3.d
             GROUP BY 1
+        """,
+        # vocab_growth twin: same integer decile buckets; the prefix
+        # sum is the independent 10-row window formulation of the
+        # Spark side's in-row sorted fold.
+        "vocab_growth": f"""
+            WITH n1 AS (SELECT max(doc_id) + 1 AS n FROM documents),
+            {_OCC_SQL.strip()},
+            vb AS (
+              SELECT CAST((f.fd * 10) // n1.n AS INTEGER) AS b,
+                     count(*) AS v
+              FROM (SELECT token, min(doc_id) AS fd FROM occ
+                    GROUP BY 1) f, n1
+              GROUP BY 1
+            ),
+            tb AS (
+              SELECT CAST((occ.doc_id * 10) // n1.n AS INTEGER) AS b,
+                     count(*) AS t
+              FROM occ, n1 GROUP BY 1
+            ),
+            grid AS (SELECT unnest(range(10)) AS b)
+            SELECT CAST(g.b AS INTEGER) AS decile,
+                   CAST(sum(coalesce(vb.v, 0))
+                        OVER (ORDER BY g.b) AS BIGINT) AS vocab_cum,
+                   CAST(sum(coalesce(tb.t, 0))
+                        OVER (ORDER BY g.b) AS BIGINT) AS tokens_cum
+            FROM grid g
+            LEFT JOIN vb ON vb.b = g.b
+            LEFT JOIN tb ON tb.b = g.b
         """,
     }

@@ -132,6 +132,7 @@ EXTRA = [
     "entity_slink",
     "readability",
     "entity_stress",
+    "vocab_growth",
 ]
 
 HEADLINE = [

@@ -234,3 +234,31 @@ def test_readability_python_twin(spark, sf_dir):
         assert r.fk_grade == round(
             0.39 * (w / s) + 11.8 * (syl / w) - 15.59, 6
         )
+
+
+def test_vocab_growth_python_twin(spark, sf_dir):
+    import re
+
+    import __spark_entry__ as entry
+
+    out = {r.decile: (r.vocab_cum, r.tokens_cum)
+           for r in entry.q_vocab_growth(spark, sf_dir).collect()}
+    docs = sorted(
+        (r.doc_id, r.text)
+        for r in entry._docs(spark, sf_dir).select("doc_id", "text")
+        .collect()
+    )
+    n = max(d for d, _ in docs) + 1
+    firsts, per_decile_toks = {}, [0] * 10
+    for doc_id, text in docs:
+        b = doc_id * 10 // n
+        for t in (x for x in re.split(r"\s+", text) if x):
+            per_decile_toks[b] += 1
+            firsts.setdefault(t, b)
+    cum_v = cum_t = 0
+    for b in range(10):
+        cum_v += sum(1 for fb in firsts.values() if fb == b)
+        cum_t += per_decile_toks[b]
+        assert out[b] == (cum_v, cum_t), f"decile {b}"
+    # monotone, ends at the full corpus totals
+    assert out[9][0] == len(firsts)
