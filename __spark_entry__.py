@@ -4579,6 +4579,22 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entity_ecc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity eccentricity over the undirected triple graph within
+    4 hops (operators/graph.py eccentricity_stats — the per-source-BFS
+    plan shared with closeness_stats; the final agg takes max(hop)
+    beside the reach count, so min/max over the rows are the graph
+    radius/diameter).  Exact longs only; the oracle is the
+    entity_closeness recursive-CTE min-hop walk with max() in place
+    of sum()."""
+    from deepie_spark.operators.graph import eccentricity_stats
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return eccentricity_stats(t, max_hops=4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -4750,6 +4766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "entity_stress": q_entity_stress,
         "vocab_growth": q_vocab_growth,
+        "entity_ecc": q_entity_ecc,
     }
 
 
@@ -7738,5 +7755,27 @@ def oracle_sql() -> dict[str, str]:
             FROM grid g
             LEFT JOIN vb ON vb.b = g.b
             LEFT JOIN tb ON tb.b = g.b
+        """,
+        # entity_ecc twin: the entity_closeness recursive-CTE min-hop
+        # walk, final agg max(hop) beside the reach count — both exact
+        # longs.
+        "entity_ecc": f"""
+            WITH RECURSIVE
+            {_MENTIONS_SQL.strip()},
+            {_TRIPLE_EDGES_SQL.strip()},
+            bidi AS (SELECT a, b FROM und
+                     UNION ALL SELECT b, a FROM und),
+            walk(s, node, hop) AS (
+              SELECT a, a, 0 FROM (SELECT DISTINCT a FROM bidi)
+              UNION
+              SELECT w.s, u.b, w.hop + 1
+              FROM walk w JOIN bidi u ON u.a = w.node
+              WHERE w.hop < 4
+            ),
+            mh AS (SELECT s, node, min(hop) AS hop
+                   FROM walk GROUP BY 1, 2)
+            SELECT s AS entity, CAST(max(hop) AS BIGINT) AS ecc,
+                   count(*) AS n_reached
+            FROM mh WHERE hop > 0 GROUP BY 1
         """,
     }

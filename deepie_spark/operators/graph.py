@@ -1638,3 +1638,65 @@ def stress_centrality(
         .agg(F.sum(F.col("g1") * F.col("g2")).cast("long").alias("stress"))
         .select(F.col("v").alias("entity"), "stress")
     )
+
+
+def eccentricity_stats(
+    edges: DataFrame,
+    seeds: DataFrame | None = None,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node eccentricity over the undirected triple graph:
+    ``ecc(v)`` = the hop distance to v's FARTHEST reachable node
+    within ``max_hops`` (plus the reach count, so a truncated radius
+    is distinguishable from a true one).  min(ecc) over the output is
+    the graph radius, max(ecc) the diameter — the standard KG
+    compactness row next to degree_histogram and closeness_stats.
+    Exact longs only.
+
+    Same per-source BFS plan and bounded-``seeds`` contract as
+    closeness_stats (one frontier⋈adjacency join + (s, node) visited
+    anti-join per layer, ``localCheckpoint`` per round); the only
+    delta is the final agg taking max(hop) beside the count.  Kept
+    separate from closeness_stats because that query's gated output
+    schema is frozen.  Returns ``(entity, ecc, n_reached)``; isolated
+    seeds (nothing reached) are absent.
+    """
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    adj = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if seeds is None:
+        seeds = adj.select(F.col("a").alias("node")).distinct()
+    dist = seeds.select(
+        F.col("node").alias("s"),
+        F.col("node"),
+        F.lit(0).cast("long").alias("hop"),
+    ).localCheckpoint(eager=True)
+    frontier = dist.select("s", "node")
+    for h in range(1, int(max_hops) + 1):
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["a"])
+            .select("s", F.col("b").alias("node"))
+            .distinct()
+            .join(dist, ["s", "node"], "left_anti")
+            .select("s", "node", F.lit(h).cast("long").alias("hop"))
+        )
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = dist.filter(F.col("hop") == h).select("s", "node")
+        if not frontier.take(1):
+            break
+    return (
+        dist.filter(F.col("hop") > 0)
+        .groupBy("s")
+        .agg(
+            F.max("hop").alias("ecc"),
+            F.count(F.lit(1)).alias("n_reached"),
+        )
+        .select(F.col("s").alias("entity"), "ecc", "n_reached")
+    )

@@ -1059,3 +1059,52 @@ def test_stress_random_graph_python_twin(spark):
     got2 = {r.entity: r.stress
             for r in stress_centrality(df.repartition(7)).collect()}
     assert got2 == got
+
+
+def test_eccentricity_hand_and_twin(spark):
+    from deepie_spark.operators.graph import eccentricity_stats
+
+    # path a-b-c-d: ecc 3,2,2,3; radius 2 (b,c), diameter 3
+    e = [("a", "b"), ("b", "c"), ("c", "d")]
+    df = spark.createDataFrame(e, "src string, dst string")
+    out = {r.entity: (r.ecc, r.n_reached)
+           for r in eccentricity_stats(df).collect()}
+    assert out == {"a": (3, 3), "b": (2, 3), "c": (2, 3), "d": (3, 3)}
+    # max_hops truncation is visible via n_reached
+    out2 = {r.entity: (r.ecc, r.n_reached)
+            for r in eccentricity_stats(df, max_hops=1).collect()}
+    assert out2["a"] == (1, 1) and out2["b"] == (1, 2)
+
+
+def test_eccentricity_random_python_twin(spark):
+    import random
+    from collections import deque
+
+    from deepie_spark.operators.graph import eccentricity_stats
+
+    rng = random.Random(47)
+    nodes = [f"e{i}" for i in range(22)]
+    e = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(30)})
+    adj = {}
+    for a, b in e:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for s in adj:
+        d = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            if d[v] >= 6:
+                continue
+            for u in adj[v]:
+                if u not in d:
+                    d[u] = d[v] + 1
+                    q.append(u)
+        d.pop(s)
+        if d:
+            want[s] = (max(d.values()), len(d))
+    df = spark.createDataFrame(e, "src string, dst string")
+    got = {r.entity: (r.ecc, r.n_reached)
+           for r in eccentricity_stats(df).collect()}
+    assert got == want
