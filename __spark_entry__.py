@@ -4595,6 +4595,22 @@ def q_entity_ecc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eccentricity_stats(t, max_hops=4)
 
 
+def q_entity_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity triangle participation (operators/graph.py
+    local_clustering — degree-ordered Schank–Wagner orientation, the
+    per-node refinement of triangle_stats): (deg, n_tri) exact longs,
+    the two integers the local clustering coefficient is a ratio of.
+    The oracle enumerates triangles with the simpler a<b<c three-way
+    join (orientation-independent count) and explodes each to its
+    three vertices."""
+    from deepie_spark.operators.graph import local_clustering
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return local_clustering(t)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -4767,6 +4783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_stress": q_entity_stress,
         "vocab_growth": q_vocab_growth,
         "entity_ecc": q_entity_ecc,
+        "entity_clustering": q_entity_clustering,
     }
 
 
@@ -7777,5 +7794,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT s AS entity, CAST(max(hop) AS BIGINT) AS ecc,
                    count(*) AS n_reached
             FROM mh WHERE hop > 0 GROUP BY 1
+        """,
+        # entity_clustering twin: a<b<c three-way triangle join (an
+        # INDEPENDENT orientation from Spark's degree-ordered wedges;
+        # same triangles), each exploded to its three vertices, then
+        # one count per vertex against the degree table.
+        "entity_clustering": f"""
+            WITH {_MENTIONS_SQL.strip()},
+            {_TRIPLE_EDGES_SQL.strip()},
+            deg AS (
+              SELECT node, count(*) AS deg FROM (
+                SELECT a AS node FROM und
+                UNION ALL SELECT b FROM und
+              ) GROUP BY 1
+            ),
+            tris AS (
+              SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+              FROM und e1
+              JOIN und e2 ON e2.a = e1.b
+              JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            tn AS (
+              SELECT node, count(*) AS c FROM (
+                SELECT unnest([v1, v2, v3]) AS node FROM tris
+              ) GROUP BY 1
+            )
+            SELECT d.node AS entity,
+                   CAST(d.deg AS BIGINT) AS deg,
+                   CAST(coalesce(tn.c, 0) AS BIGINT) AS n_tri
+            FROM deg d LEFT JOIN tn ON tn.node = d.node
         """,
     }

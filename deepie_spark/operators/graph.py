@@ -362,6 +362,75 @@ def triangle_stats(
     )
 
 
+def local_clustering(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation over the undirected triple
+    graph: ``(entity, deg, n_tri)`` exact longs, the two integers the
+    LOCAL clustering coefficient ``2·n_tri / (deg·(deg−1))`` is a
+    ratio of (kept undivided so the oracle is hash-exact — the
+    closeness_stats convention).  Star-center entities produced by a
+    spurious extraction rule show deg ≫ 0 with n_tri = 0; dense alias
+    cliques show n_tri ≈ deg·(deg−1)/2 — the per-entity refinement of
+    triangle_stats' global transitivity row.
+
+    Scale plan: same degree-ordered orientation as triangle_stats
+    (Cohen / Schank–Wagner — wedge stage bounded Θ(|E|^1.5) under any
+    skew); the only delta is keeping the wedge apex ``u`` through the
+    closing-edge join and exploding each found triangle to its three
+    vertices before ONE count agg.  Explode factor is exactly 3 —
+    never quadratic.  Isolated-from-triangles nodes still get a row
+    via the left join against the degree table (n_tri = 0).
+    """
+    und = _canonical_edges(edges, src, dst).localCheckpoint()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    low_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    ).localCheckpoint()
+    w1 = oriented.select("u", F.col("v").alias("p"))
+    w2 = oriented.select("u", F.col("v").alias("q"))
+    wedges = (
+        w1.join(w2, "u")
+        .filter(F.col("p") < F.col("q"))
+        .select(
+            "u",
+            F.least("p", "q").alias("a"),
+            F.greatest("p", "q").alias("b"),
+        )
+    )
+    tri_nodes = (
+        wedges.join(und, ["a", "b"])
+        .select(
+            F.explode(F.array("u", "a", "b")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.join(tri_nodes, "node", "left")
+        .select(
+            F.col("node").alias("entity"),
+            F.col("deg").cast("long").alias("deg"),
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+        )
+    )
+
+
 def neighborhood_jaccard(
     edges: DataFrame,
     src: str = "src",

@@ -1108,3 +1108,48 @@ def test_eccentricity_random_python_twin(spark):
     got = {r.entity: (r.ecc, r.n_reached)
            for r in eccentricity_stats(df).collect()}
     assert got == want
+
+
+def test_local_clustering_hand(spark):
+    from deepie_spark.operators.graph import local_clustering
+
+    # triangle a-b-c plus pendant d on a: tri(a)=tri(b)=tri(c)=1,
+    # tri(d)=0; deg a=3, b=c=2, d=1
+    e = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]
+    df = spark.createDataFrame(e, "src string, dst string")
+    got = {r.entity: (r.deg, r.n_tri)
+           for r in local_clustering(df).collect()}
+    assert got == {"a": (3, 1), "b": (2, 1), "c": (2, 1), "d": (1, 0)}
+
+
+def test_local_clustering_random_python_twin(spark):
+    import itertools
+    import random
+
+    from deepie_spark.operators.graph import local_clustering
+
+    rng = random.Random(53)
+    nodes = [f"e{i}" for i in range(18)]
+    e = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(60)})
+    adj = {}
+    for a, b in e:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for v in adj:
+        tri = sum(
+            1
+            for p, q in itertools.combinations(sorted(adj[v]), 2)
+            if q in adj[p]
+        )
+        want[v] = (len(adj[v]), tri)
+    df = spark.createDataFrame(e, "src string, dst string")
+    got = {r.entity: (r.deg, r.n_tri)
+           for r in local_clustering(df).collect()}
+    assert got == want
+    # sum of per-node triangles == 3 * global count (each counted at
+    # all three vertices), and partition-invariant
+    assert sum(t for _, t in got.values()) % 3 == 0
+    got2 = {r.entity: (r.deg, r.n_tri)
+            for r in local_clustering(df.repartition(7)).collect()}
+    assert got2 == got
