@@ -4611,6 +4611,40 @@ def q_entity_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_clustering(t)
 
 
+def q_entity_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological stratification of a cyclic directed relation graph
+    (operators/graph.py condensation_layers — SCC contraction +
+    longest-path DAG levels, the ASAP-scheduling layering with cycles
+    absorbed into components).  Graph = the entity_scc 12-block
+    source→3-cycle→sink synthesis PLUS chain edges linking blocks in
+    groups of three (sink g(5k+4) → source g(5k+5) for k%3≠2), so the
+    condensation is a real multi-level DAG (layers 0..8) and the
+    max-plus rounds do genuine work.  The oracle recomputes SCCs from
+    mutual reachability and layers from a recursive walk-length max —
+    both formulations independent of the Spark side's."""
+    from deepie_spark.operators.graph import condensation_layers
+
+    d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 60)
+    g = lambda c: F.concat(F.lit("g"), c.cast("string"))  # noqa: E731
+    fwd = d.filter(F.col("doc_id") % 5 != 4).select(
+        g(F.col("doc_id")).alias("src"),
+        g(F.col("doc_id") + 1).alias("dst"),
+    )
+    back = d.filter(F.col("doc_id") % 5 == 3).select(
+        g(F.col("doc_id")).alias("src"),
+        g(F.col("doc_id") - 2).alias("dst"),
+    )
+    chain = d.filter(
+        (F.col("doc_id") % 5 == 4)
+        & (F.col("doc_id") < 59)
+        & (F.expr("doc_id div 5") % 3 != 2)
+    ).select(
+        g(F.col("doc_id")).alias("src"),
+        g(F.col("doc_id") + 1).alias("dst"),
+    )
+    return condensation_layers(fwd.unionByName(back).unionByName(chain))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -4784,6 +4818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "entity_ecc": q_entity_ecc,
         "entity_clustering": q_entity_clustering,
+        "entity_layers": q_entity_layers,
     }
 
 
@@ -7823,5 +7858,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d.deg AS BIGINT) AS deg,
                    CAST(coalesce(tn.c, 0) AS BIGINT) AS n_tri
             FROM deg d LEFT JOIN tn ON tn.node = d.node
+        """,
+        # entity_layers twin: SCCs from mutual reachability (the
+        # entity_scc closure) over the chained block graph, then the
+        # layer as the max recursive walk length ending at each
+        # condensation component — both independent of the Spark
+        # side's trim/color phases and max-plus rounds.
+        "entity_layers": """
+            WITH RECURSIVE ed AS (
+              SELECT 'g' || CAST(doc_id AS VARCHAR) AS a,
+                     'g' || CAST(doc_id + 1 AS VARCHAR) AS b
+              FROM documents WHERE doc_id < 60 AND doc_id % 5 <> 4
+              UNION ALL
+              SELECT 'g' || CAST(doc_id AS VARCHAR),
+                     'g' || CAST(doc_id - 2 AS VARCHAR)
+              FROM documents WHERE doc_id < 60 AND doc_id % 5 = 3
+              UNION ALL
+              SELECT 'g' || CAST(doc_id AS VARCHAR),
+                     'g' || CAST(doc_id + 1 AS VARCHAR)
+              FROM documents
+              WHERE doc_id < 59 AND doc_id % 5 = 4
+                AND (doc_id // 5) % 3 <> 2
+            ),
+            n AS (SELECT a AS v FROM ed UNION SELECT b FROM ed),
+            reach(s, t) AS (
+              SELECT a, b FROM ed
+              UNION
+              SELECT r.s, e.b FROM reach r JOIN ed e ON e.a = r.t
+            ),
+            mut AS (
+              SELECT r1.s AS v, r1.t AS u
+              FROM reach r1 JOIN reach r2
+                ON r1.s = r2.t AND r1.t = r2.s
+            ),
+            scc AS (
+              SELECT v AS entity, min(u) AS scc_id
+              FROM (SELECT v, v AS u FROM n
+                    UNION ALL SELECT v, u FROM mut)
+              GROUP BY 1
+            ),
+            cond AS (
+              SELECT DISTINCT s1.scc_id AS cs, s2.scc_id AS ct
+              FROM ed
+              JOIN scc s1 ON s1.entity = ed.a
+              JOIN scc s2 ON s2.entity = ed.b
+              WHERE s1.scc_id <> s2.scc_id
+            ),
+            wk(c, d) AS (
+              SELECT ct, 1 FROM cond
+              UNION
+              SELECT c2.ct, wk.d + 1
+              FROM wk JOIN cond c2 ON c2.cs = wk.c
+            ),
+            lay AS (SELECT c, max(d) AS d FROM wk GROUP BY 1)
+            SELECT s.entity, s.scc_id,
+                   CAST(coalesce(lay.d, 0) AS BIGINT) AS layer
+            FROM scc s LEFT JOIN lay ON lay.c = s.scc_id
         """,
     }

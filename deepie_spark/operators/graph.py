@@ -1284,6 +1284,74 @@ def strongly_connected_components(
     return done.localCheckpoint()
 
 
+def condensation_layers(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 200,
+) -> DataFrame:
+    """Topological stratification of the directed triple graph: SCC-
+    contract (``strongly_connected_components``) and assign every
+    condensation component its LONGEST-path-from-a-source level — the
+    standard DAG layering (Coffman–Graham / ASAP scheduling level).
+    KG use: a dependency ordering over cyclic relation data —
+    ``layer`` orders ontology strata / ownership chains while the SCC
+    step absorbs the cycles that would make a plain toposort
+    undefined.  Returns ``(entity, scc_id, layer)``; layers are exact
+    longs, every member of a component shares its component's layer.
+
+    Plan: the condensation edge set (endpoints mapped to scc ids,
+    same-component edges dropped, distinct) is built with two hash
+    joins and checkpointed once; then Bellman-Ford-style max-plus
+    rounds — ``layer(c) = max(layer(c), layer(pred)+1)`` as one join
+    + one max-agg per round, ``localCheckpoint`` each — converge in
+    exactly DAG-depth rounds (the condensation is acyclic by
+    construction, so termination is structural, not assumed).  Same
+    bounded-round contract as sssp_weighted; nothing ever collects.
+    """
+    scc = strongly_connected_components(edges, src=src, dst=dst)
+    e = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .join(scc.select(F.col("entity").alias("x"),
+                         F.col("scc_id").alias("cs")), "x")
+        .join(scc.select(F.col("entity").alias("y"),
+                         F.col("scc_id").alias("ct")), "y")
+        .filter(F.col("cs") != F.col("ct"))
+        .select("cs", "ct")
+        .distinct()
+        .localCheckpoint()
+    )
+    lvl = (
+        scc.select(F.col("scc_id").alias("c"))
+        .distinct()
+        .select("c", F.lit(0).cast("long").alias("layer"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(int(max_iter)):
+        cand = (
+            e.join(lvl.select(F.col("c").alias("cs"), "layer"), "cs")
+            .select(F.col("ct").alias("c"),
+                    (F.col("layer") + 1).alias("layer"))
+        )
+        nxt = (
+            lvl.unionByName(cand)
+            .groupBy("c")
+            .agg(F.max("layer").alias("layer"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.exceptAll(lvl).limit(1).count() == 0:
+            break
+        lvl = nxt
+    else:
+        raise RuntimeError(
+            f"condensation layering did not converge in {max_iter}"
+            " rounds — raise max_iter toward the condensation depth"
+        )
+    return scc.join(
+        lvl.select(F.col("c").alias("scc_id"), "layer"), "scc_id"
+    ).select("entity", "scc_id", "layer")
+
+
 def sssp_weighted(
     edges: DataFrame,
     seeds: DataFrame,

@@ -1153,3 +1153,56 @@ def test_local_clustering_random_python_twin(spark):
     got2 = {r.entity: (r.deg, r.n_tri)
             for r in local_clustering(df.repartition(7)).collect()}
     assert got2 == got
+
+
+def test_condensation_layers_hand(spark):
+    from deepie_spark.operators.graph import condensation_layers
+
+    # a -> (b <-> c) -> d -> e : comps {a},{b,c},{d},{e},
+    # layers 0,1,2,3; plus isolated pair f -> g at layers 0,1
+    e = [("a", "b"), ("b", "c"), ("c", "b"), ("c", "d"), ("d", "e"),
+         ("f", "g")]
+    df = spark.createDataFrame(e, "src string, dst string")
+    got = {r.entity: (r.scc_id, r.layer)
+           for r in condensation_layers(df).collect()}
+    assert got == {
+        "a": ("a", 0), "b": ("b", 1), "c": ("b", 1),
+        "d": ("d", 2), "e": ("e", 3), "f": ("f", 0), "g": ("g", 1),
+    }
+
+
+def test_condensation_layers_random_python_twin(spark):
+    import random
+
+    from deepie_spark.operators.graph import condensation_layers
+
+    rng = random.Random(59)
+    # random DAG over int-ordered nodes + planted 3-cycles: node ids
+    # i<j edges keep the condensation acyclic even after the cycles
+    n = 15
+    dag = sorted({tuple(sorted(rng.sample(range(n), 2)))
+                  for _ in range(25)})
+    edges = [(f"v{a:02d}", f"v{b:02d}") for a, b in dag]
+    # plant a 3-cycle hanging off node 3: 3 -> x -> y -> 3's cycle
+    edges += [("v03", "cx"), ("cx", "cy"), ("cy", "v03")]
+    # python twin: contract SCCs (only the planted cycle), then
+    # longest path by relaxation to fixpoint
+    comp = {f"v{i:02d}": f"v{i:02d}" for i in range(n)}
+    comp["cx"] = comp["cy"] = comp["v03"] = "cx" if "cx" < "v03" else "v03"
+    cond = {(comp[a], comp[b]) for a, b in edges if comp[a] != comp[b]}
+    lvl = {c: 0 for c in set(comp.values())}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in cond:
+            if lvl[a] + 1 > lvl[b]:
+                lvl[b] = lvl[a] + 1
+                changed = True
+    want = {v: (comp[v], lvl[comp[v]]) for v in comp}
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.entity: (r.scc_id, r.layer)
+           for r in condensation_layers(df).collect()}
+    assert got == want
+    got2 = {r.entity: (r.scc_id, r.layer)
+            for r in condensation_layers(df.repartition(5)).collect()}
+    assert got2 == got
