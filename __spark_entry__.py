@@ -4645,6 +4645,20 @@ def q_entity_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return condensation_layers(fwd.unionByName(back).unionByName(chain))
 
 
+def q_kn_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser–Ney continuation counts per token (operators/lm.py
+    kn_continuation_counts): raw count c(w), left continuation
+    N1+(·w), right fan-out N1+(w·) — the three exact-integer
+    statistics KN smoothing (the KenLM default) is built from, kept
+    undivided so the row is engine-bit-identical.  Spark builds
+    bigrams IN-ROW from the token arrays (zero joins); the oracle
+    uses the positional self-join formulation — independent plans,
+    same distinct-bigram set."""
+    from deepie_spark.operators.lm import kn_continuation_counts
+
+    return kn_continuation_counts(_toks(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -4819,6 +4833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_ecc": q_entity_ecc,
         "entity_clustering": q_entity_clustering,
         "entity_layers": q_entity_layers,
+        "kn_counts": q_kn_counts,
     }
 
 
@@ -7914,5 +7929,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.entity, s.scc_id,
                    CAST(coalesce(lay.d, 0) AS BIGINT) AS layer
             FROM scc s LEFT JOIN lay ON lay.c = s.scc_id
+        """,
+        # kn_counts twin: positional self-join bigram formulation
+        # (independent of Spark's in-row transform over the arrays).
+        "kn_counts": f"""
+            WITH {_OCC_SQL.strip()},
+            uni AS (SELECT token, count(*) AS c FROM occ GROUP BY 1),
+            bg AS (
+              SELECT DISTINCT o1.token AS w1, o2.token AS w2
+              FROM occ o1 JOIN occ o2
+                ON o2.doc_id = o1.doc_id AND o2.pos = o1.pos + 1
+            ),
+            nr AS (SELECT w1, count(*) AS n FROM bg GROUP BY 1),
+            nl AS (SELECT w2, count(*) AS n FROM bg GROUP BY 1)
+            SELECT u.token, CAST(u.c AS BIGINT) AS c,
+                   CAST(coalesce(nl.n, 0) AS BIGINT) AS n_left,
+                   CAST(coalesce(nr.n, 0) AS BIGINT) AS n_right
+            FROM uni u
+            LEFT JOIN nl ON nl.w2 = u.token
+            LEFT JOIN nr ON nr.w1 = u.token
         """,
     }
