@@ -4659,6 +4659,44 @@ def q_kn_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kn_continuation_counts(_toks(spark, sf_dir))
 
 
+def _suffix_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared char-table slice for the suffix-array queries: docs < 30
+    truncated to 48 chars, '|'-separated, concatenated in doc_id order
+    (mirrored verbatim in the DuckDB twins)."""
+    from deepie_spark.operators.suffix import corpus_chars
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 30).select(
+        "doc_id", "text"
+    )
+    return corpus_chars(d, max_chars=48, sep="|")
+
+
+def q_suffix_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed suffix array of the corpus concatenation
+    (operators/suffix.py — Manber–Myers/Larsson–Sadakane prefix
+    doubling, every dense rank via the bucketed rank_in_order scheme,
+    O(log n) rounds of hash joins; the primitive under Lee et al.'s
+    exact substring dedup).  The missing-context sentinel ranks −1,
+    which makes the order identical to plain binary-collation ORDER
+    BY suffix — exactly how the oracle ranks them brute-force."""
+    from deepie_spark.operators.suffix import suffix_array
+
+    return suffix_array(_suffix_chars(spark, sf_dir))
+
+
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring span index (operators/suffix.py
+    repeated_substring_pairs): adjacent-suffix LCPs ≥ 8 over the same
+    corpus slice — any substring repeated anywhere implies an adjacent
+    SA pair with lcp ≥ its length, so this is the complete Lee-et-al.
+    duplicated-span table.  LCP via the retained power-of-two rank
+    tables (descending greedy walk, bounded joins); the oracle
+    recomputes every adjacent LCP by brute-force prefix comparison."""
+    from deepie_spark.operators.suffix import repeated_substring_pairs
+
+    return repeated_substring_pairs(_suffix_chars(spark, sf_dir), min_len=8)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -4834,6 +4872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_clustering": q_entity_clustering,
         "entity_layers": q_entity_layers,
         "kn_counts": q_kn_counts,
+        "suffix_ranks": q_suffix_ranks,
+        "repeated_spans": q_repeated_spans,
     }
 
 
@@ -7948,5 +7988,67 @@ def oracle_sql() -> dict[str, str]:
             FROM uni u
             LEFT JOIN nl ON nl.w2 = u.token
             LEFT JOIN nr ON nr.w1 = u.token
+        """,
+        # suffix_ranks twin: brute-force — materialize every suffix of
+        # the (identically constructed) concatenation and rank with
+        # ORDER BY suffix under binary collation; the Spark side's
+        # −1 sentinel makes prefix doubling produce the same order.
+        "suffix_ranks": """
+            WITH doc AS (
+              SELECT doc_id, substr(text, 1, 48) || '|' AS t
+              FROM documents WHERE doc_id < 30
+            ),
+            s AS (SELECT string_agg(t, '' ORDER BY doc_id) AS str
+                  FROM doc),
+            sfx AS (
+              SELECT CAST(u - 1 AS BIGINT) AS gpos, substr(str, u) AS suf
+              FROM (SELECT unnest(range(1, len(str) + 1)) AS u, str
+                    FROM s)
+            )
+            SELECT gpos,
+                   CAST(row_number() OVER (ORDER BY suf) - 1 AS BIGINT)
+                     AS rank
+            FROM sfx
+        """,
+        # repeated_spans twin: every adjacent pair in brute-force
+        # suffix order, LCP as the max prefix length at which the two
+        # suffixes compare equal (prefix equality is monotone in j,
+        # so max over the equality indicator is exact).
+        "repeated_spans": """
+            WITH doc AS (
+              SELECT doc_id, substr(text, 1, 48) || '|' AS t
+              FROM documents WHERE doc_id < 30
+            ),
+            s AS (SELECT string_agg(t, '' ORDER BY doc_id) AS str
+                  FROM doc),
+            sfx AS (
+              SELECT CAST(u - 1 AS BIGINT) AS gpos, substr(str, u) AS suf
+              FROM (SELECT unnest(range(1, len(str) + 1)) AS u, str
+                    FROM s)
+            ),
+            ord AS (
+              SELECT gpos, suf,
+                     row_number() OVER (ORDER BY suf) AS t
+              FROM sfx
+            ),
+            adj AS (
+              SELECT a.gpos AS ga, b.gpos AS gb, a.suf AS sa, b.suf AS sb
+              FROM ord a JOIN ord b ON b.t = a.t + 1
+            ),
+            lc AS (
+              SELECT ga, gb,
+                     coalesce(max(CASE WHEN substr(sa, 1, CAST(j AS INTEGER))
+                                        = substr(sb, 1, CAST(j AS INTEGER))
+                                  THEN j END), 0) AS lcp
+              FROM (SELECT ga, gb, sa, sb,
+                           unnest(range(1, least(len(sa), len(sb)) + 1))
+                             AS j
+                    FROM adj)
+              GROUP BY 1, 2
+            )
+            SELECT CAST(ga AS BIGINT) AS gpos_a,
+                   CAST(gb AS BIGINT) AS gpos_b,
+                   CAST(lcp AS BIGINT) AS lcp
+            FROM lc WHERE lcp >= 8
         """,
     }
