@@ -4697,6 +4697,30 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_substring_pairs(_suffix_chars(spark, sf_dir), min_len=8)
 
 
+def q_corpus_bwt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows–Wheeler transform of the corpus slice
+    (operators/suffix.py bwt — the char preceding each suffix in SA
+    order, cyclic at rank of the whole string): the classic
+    repetitiveness-measure column (BWT run-length collapses where the
+    corpus repeats).  One join beyond the prefix-doubling SA; the
+    oracle reads the preceding char off the brute-force suffix sort."""
+    from deepie_spark.operators.suffix import bwt
+
+    return bwt(_suffix_chars(spark, sf_dir))
+
+
+def q_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-substring count of the corpus slice
+    (operators/suffix.py distinct_substring_stats — the identity
+    #distinct = n(n+1)/2 − Σ adjacent-LCP over the suffix array; all
+    exact longs).  The duplication-saturation scalar tracked per
+    shard; oracle = the same identity over the brute-force adjacent
+    LCP table (the formulations share only the theorem)."""
+    from deepie_spark.operators.suffix import distinct_substring_stats
+
+    return distinct_substring_stats(_suffix_chars(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -4874,6 +4898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_counts": q_kn_counts,
         "suffix_ranks": q_suffix_ranks,
         "repeated_spans": q_repeated_spans,
+        "corpus_bwt": q_corpus_bwt,
+        "substring_stats": q_substring_stats,
     }
 
 
@@ -8050,5 +8076,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(gb AS BIGINT) AS gpos_b,
                    CAST(lcp AS BIGINT) AS lcp
             FROM lc WHERE lcp >= 8
+        """,
+        # corpus_bwt twin: preceding char read straight off the
+        # brute-force suffix sort (cyclic at gpos 0).
+        "corpus_bwt": """
+            WITH doc AS (
+              SELECT doc_id, substr(text, 1, 48) || '|' AS t
+              FROM documents WHERE doc_id < 30
+            ),
+            s AS (SELECT string_agg(t, '' ORDER BY doc_id) AS str
+                  FROM doc),
+            sfx AS (
+              SELECT CAST(u - 1 AS BIGINT) AS gpos, substr(str, u) AS suf,
+                     str
+              FROM (SELECT unnest(range(1, len(str) + 1)) AS u, str
+                    FROM s)
+            )
+            SELECT CAST(row_number() OVER (ORDER BY suf) - 1 AS BIGINT)
+                     AS rank,
+                   substr(str,
+                          CASE WHEN gpos = 0 THEN len(str)
+                               ELSE CAST(gpos AS INTEGER) END, 1) AS ch
+            FROM sfx
+        """,
+        # substring_stats twin: same identity, adjacent LCPs from the
+        # brute-force prefix comparison (only the theorem is shared).
+        "substring_stats": """
+            WITH doc AS (
+              SELECT doc_id, substr(text, 1, 48) || '|' AS t
+              FROM documents WHERE doc_id < 30
+            ),
+            s AS (SELECT string_agg(t, '' ORDER BY doc_id) AS str
+                  FROM doc),
+            sfx AS (
+              SELECT CAST(u - 1 AS BIGINT) AS gpos, substr(str, u) AS suf
+              FROM (SELECT unnest(range(1, len(str) + 1)) AS u, str
+                    FROM s)
+            ),
+            ord AS (
+              SELECT gpos, suf,
+                     row_number() OVER (ORDER BY suf) AS t
+              FROM sfx
+            ),
+            adj AS (
+              SELECT a.suf AS sa, b.suf AS sb
+              FROM ord a JOIN ord b ON b.t = a.t + 1
+            ),
+            lc AS (
+              SELECT coalesce(max(CASE
+                       WHEN substr(sa, 1, CAST(j AS INTEGER))
+                          = substr(sb, 1, CAST(j AS INTEGER))
+                       THEN j END), 0) AS lcp
+              FROM (SELECT sa, sb,
+                           unnest(range(1, least(len(sa), len(sb)) + 1))
+                             AS j
+                    FROM adj)
+              GROUP BY sa, sb
+            ),
+            tot AS (SELECT CAST(coalesce(sum(lcp), 0) AS BIGINT) AS tl
+                    FROM lc)
+            SELECT CAST(len(s.str) AS BIGINT) AS n_chars,
+                   tot.tl AS total_lcp,
+                   CAST(len(s.str) * (len(s.str) + 1) // 2 - tot.tl
+                        AS BIGINT) AS n_distinct_substrings
+            FROM s, tot
         """,
     }

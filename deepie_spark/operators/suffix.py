@@ -165,6 +165,56 @@ def suffix_array(
     return r.select("gpos", F.col("r").alias("rank"))
 
 
+def bwt(chars: DataFrame, pos: str = "gpos", ch: str = "ch") -> DataFrame:
+    """Burrows–Wheeler transform column ``(rank, ch)`` — the character
+    PRECEDING each suffix in suffix-array order (cyclic: rank of the
+    whole string takes the last character).  The suffix-array BWT
+    variant (equals the rotation BWT when the text ends in a unique
+    sentinel; our corpus separator plays that role per document).
+    BWT run-length is the standard compressibility/repetitiveness
+    measure next to the distinct-substring count.  One join against
+    the char table — nothing beyond the SA construction itself.
+    """
+    _, levels, n = suffix_array_levels(chars, pos=pos, ch=ch)
+    sa = levels[max(levels)]
+    prev = chars.select(
+        ((F.col(pos) + 1) % n).cast("long").alias("gpos"),
+        F.col(ch).alias("_pc"),
+    )
+    return (
+        sa.join(prev, "gpos")
+        .select(F.col("r").alias("rank"), F.col("_pc").alias("ch"))
+    )
+
+
+def distinct_substring_stats(
+    chars: DataFrame, pos: str = "gpos", ch: str = "ch"
+) -> DataFrame:
+    """One-row corpus-repetitiveness summary from the suffix array:
+    ``(n_chars, total_lcp, n_distinct_substrings)`` exact longs, via
+    the classic identity  #distinct substrings = n(n+1)/2 − Σ
+    LCP(adjacent suffixes)  (every substring is a prefix of exactly
+    one suffix; the LCP sum counts the prefixes already contributed
+    by the previous suffix in SA order).  The duplication-saturation
+    scalar a curation pipeline tracks per shard — falls as boilerplate
+    grows.  Cost: the adjacent-LCP table (O(log n) joins) + one agg.
+    """
+    pairs = repeated_substring_pairs(chars, min_len=0, pos=pos, ch=ch)
+    n_row = chars.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        pairs.agg(F.coalesce(F.sum("lcp"), F.lit(0)).alias("total_lcp"))
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            F.col("_n").cast("long").alias("n_chars"),
+            F.col("total_lcp").cast("long").alias("total_lcp"),
+            (
+                # integer div keeps the count exact past 2^53
+                F.expr("_n * (_n + 1) div 2") - F.col("total_lcp")
+            ).cast("long").alias("n_distinct_substrings"),
+        )
+    )
+
+
 def repeated_substring_pairs(
     chars: DataFrame,
     min_len: int,

@@ -97,3 +97,32 @@ def test_suffix_array_plan_no_global_window(spark):
     df = _chars_df(spark, s)
     plan = suffix_array(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_bwt_banana_twin(spark):
+    from deepie_spark.operators.suffix import bwt
+
+    s = "banana"
+    ranks = _sa_twin(s)
+    order = sorted(ranks, key=ranks.get)
+    want = {t: s[(p - 1) % len(s)] for t, p in enumerate(order)}
+    got = {r.rank: r.ch for r in bwt(_chars_df(spark, s)).collect()}
+    assert got == want
+    # suffix-BWT of banana: suffixes a,ana,anana,banana,na,nana ->
+    # preceding chars n,n,b,a(cyclic),a,a
+    assert "".join(got[i] for i in range(6)) == "nnbaaa"
+
+
+def test_distinct_substring_stats_twin(spark):
+    import random
+
+    from deepie_spark.operators.suffix import distinct_substring_stats
+
+    rng = random.Random(73)
+    s = "".join(rng.choice("ab") for _ in range(40))
+    want_distinct = len({s[i:j] for i in range(len(s))
+                         for j in range(i + 1, len(s) + 1)})
+    row = distinct_substring_stats(_chars_df(spark, s)).collect()[0]
+    assert row.n_chars == 40
+    assert row.n_distinct_substrings == want_distinct
+    assert row.total_lcp == 40 * 41 // 2 - want_distinct
