@@ -4721,6 +4721,33 @@ def q_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_substring_stats(_suffix_chars(spark, sf_dir))
 
 
+def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting earliest-arrival reachability over an
+    interaction graph derived from events (operators/temporal.py
+    earliest_arrival — bounded-horizon Bellman relaxation, the
+    temporal analog of entity_bfs; exact epoch-second longs).  Edge
+    (u_user → u_(user·7+event)%150) at the event's timestamp, events
+    < 300; seeds u0..u9 at t=0, horizon 6.  The oracle enumerates
+    bounded time-respecting walks recursively and takes the min —
+    the formulation the min-domination argument equates."""
+    from deepie_spark.operators.temporal import earliest_arrival
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).filter(
+        F.col("event_id") < 300
+    )
+    u = lambda c: F.concat(F.lit("u"), c.cast("string"))  # noqa: E731
+    e = ev.select(
+        u(F.col("user_id")).alias("src"),
+        u((F.col("user_id") * 7 + F.col("event_id")) % 150).alias("dst"),
+        F.unix_timestamp(F.col("ts").cast("timestamp")).cast("long")
+         .alias("t"),
+    )
+    seeds = spark.range(10).select(
+        u(F.col("id")).alias("node"), F.lit(0).cast("long").alias("arr")
+    )
+    return earliest_arrival(e, seeds, max_hops=6)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -4900,6 +4927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": q_repeated_spans,
         "corpus_bwt": q_corpus_bwt,
         "substring_stats": q_substring_stats,
+        "temporal_reach": q_temporal_reach,
     }
 
 
@@ -8140,5 +8168,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(s.str) * (len(s.str) + 1) // 2 - tot.tl
                         AS BIGINT) AS n_distinct_substrings
             FROM s, tot
+        """,
+        # temporal_reach twin: recursive bounded time-respecting walk
+        # enumeration + min (floor(epoch()) — DuckDB's double→int
+        # cast ROUNDS while Spark unix_timestamp floors).
+        "temporal_reach": """
+            WITH RECURSIVE ed AS (
+              SELECT 'u' || CAST(user_id AS VARCHAR) AS a,
+                     'u' || CAST((user_id * 7 + event_id) % 150
+                                 AS VARCHAR) AS b,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS t
+              FROM events WHERE event_id < 300
+            ),
+            wk(v, arr, h) AS (
+              SELECT 'u' || CAST(u AS VARCHAR), CAST(0 AS BIGINT), 0
+              FROM range(10) r(u)
+              UNION ALL
+              SELECT e.b, e.t, w.h + 1
+              FROM wk w JOIN ed e ON e.a = w.v AND e.t >= w.arr
+              WHERE w.h < 6
+            )
+            SELECT v AS entity, CAST(min(arr) AS BIGINT) AS arrival
+            FROM wk GROUP BY 1
         """,
     }
