@@ -4748,6 +4748,21 @@ def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return earliest_arrival(e, seeds, max_hops=6)
 
 
+def q_entity_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weisfeiler–Leman structural labels after 3 refinement rounds
+    over the rule-triple graph (operators/graph.py wl_refinement —
+    the 1-WL color-refinement signature behind WL graph kernels and
+    structural role discovery; portable BASE/MOD poly fold over
+    [own] ++ sorted neighbor labels, degree init).  Oracle = 3
+    unrolled MATERIALIZED rounds of the same deterministic fold."""
+    from deepie_spark.operators.graph import wl_refinement
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return wl_refinement(t, rounds=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -4928,7 +4943,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bwt": q_corpus_bwt,
         "substring_stats": q_substring_stats,
         "temporal_reach": q_temporal_reach,
+        "entity_wl": q_entity_wl,
     }
+
+
+def _wl_oracle_sql(rounds: int) -> str:
+    """Unrolled Weisfeiler–Leman rounds over the ``und`` canonical
+    edge CTE — the same portable BASE/MOD poly fold as the Spark side
+    (the greedy_coloring/entity_mis deterministic-unroll convention).
+    ``list_prepend(0, …)`` makes DuckDB's init-less list_reduce match
+    Spark's zero-initialized aggregate exactly.  MATERIALIZED per
+    round (each table is read twice by the next round)."""
+    parts = [
+        "bidi AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und)",
+        "l0 AS MATERIALIZED (SELECT a AS v,"
+        " CAST(count(*) % 2147483647 AS BIGINT) AS lab"
+        " FROM bidi GROUP BY 1)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""l{r} AS MATERIALIZED (
+          SELECT l.v,
+                 CAST(list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_prepend(l.lab, n.nls)),
+                   (acc, x) -> (acc * 131 + x) % 2147483647)
+                 AS BIGINT) AS lab
+          FROM l{r - 1} l JOIN (
+            SELECT bd.a AS v, list(ll.lab ORDER BY ll.lab) AS nls
+            FROM bidi bd JOIN l{r - 1} ll ON ll.v = bd.b GROUP BY 1
+          ) n ON n.v = l.v
+        )""")
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT v AS entity, lab AS wl_label FROM l{rounds}"
+    )
 
 
 def _ktruss_oracle_sql(rounds: int, k: int) -> str:
@@ -8190,5 +8238,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT v AS entity, CAST(min(arr) AS BIGINT) AS arrival
             FROM wk GROUP BY 1
+        """,
+        # entity_wl twin: unrolled WL rounds (deterministic poly
+        # fold — the coloring/MIS unroll convention).
+        "entity_wl": f"""
+            WITH {_MENTIONS_SQL.strip()},
+            {_TRIPLE_EDGES_SQL.strip()},
+            {_wl_oracle_sql(3)}
         """,
     }

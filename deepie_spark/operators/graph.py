@@ -1284,6 +1284,72 @@ def strongly_connected_components(
     return done.localCheckpoint()
 
 
+def wl_refinement(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Weisfeiler–Leman (1-WL / color refinement) structural labels
+    over the undirected triple graph: ``(entity, wl_label)`` where
+    ``wl_label`` after r rounds fingerprints the entity's radius-r
+    neighborhood SHAPE.  Two entities get equal labels iff 1-WL
+    cannot distinguish their neighborhoods — the standard structural
+    signature for graph dedup, role discovery ("is this node a hub, a
+    bridge, a leaf of a star?") and graph-isomorphism screening
+    (Shervashidze et al. 2011's WL kernel is a histogram of exactly
+    these labels).
+
+    Determinism (the oracle-gating requirement): the relabeling hash
+    is the portable BASE/MOD poly fold (functions/text.py) over
+    ``[own_label] ++ sorted(neighbor multiset)`` — no engine hash, no
+    RNG, so the DuckDB twin unrolls the same rounds bit-identically
+    (the greedy_coloring/entity_mis oracle convention).  Initial
+    label = degree mod M (the unlabeled-graph WL convention).
+
+    Plan: per round ONE neighbor join + ONE groupBy with an in-row
+    sorted fold — collect_list is per-NEIGHBORHOOD (bounded by max
+    degree, the same bound every WL implementation carries), never
+    per-partition; ``localCheckpoint`` per round.
+    """
+    from deepie_spark.functions.text import BASE, MOD
+
+    e = _canonical_edges(edges, src, dst)
+    bidi = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint()
+    )
+    lbl = (
+        bidi.groupBy(F.col("a").alias("v"))
+        .agg((F.count(F.lit(1)) % MOD).cast("long").alias("lab"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(int(rounds)):
+        msgs = (
+            bidi.join(
+                lbl.select(F.col("v").alias("b"), F.col("lab").alias("nl")),
+                "b",
+            )
+            .select(F.col("a").alias("v"), "nl")
+        )
+        nbr = msgs.groupBy("v").agg(
+            F.sort_array(F.collect_list("nl")).alias("nls")
+        )
+        lbl = (
+            lbl.join(nbr, "v")
+            .select(
+                "v",
+                F.aggregate(
+                    F.concat(F.array(F.col("lab")), F.col("nls")),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: (acc * BASE + x) % MOD,
+                ).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return lbl.select(F.col("v").alias("entity"), F.col("lab").alias("wl_label"))
+
+
 def condensation_layers(
     edges: DataFrame,
     src: str = "src",

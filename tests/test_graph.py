@@ -1206,3 +1206,54 @@ def test_condensation_layers_random_python_twin(spark):
     got2 = {r.entity: (r.scc_id, r.layer)
             for r in condensation_layers(df.repartition(5)).collect()}
     assert got2 == got
+
+
+def _wl_twin(edges, rounds):
+    MOD, BASE = 2_147_483_647, 131
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {v: len(adj[v]) % MOD for v in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for v in adj:
+            acc = 0
+            for x in [lab[v]] + sorted(lab[u] for u in adj[v]):
+                acc = (acc * BASE + x) % MOD
+            nxt[v] = acc
+        lab = nxt
+    return lab
+
+
+def test_wl_distinguishes_roles(spark):
+    from deepie_spark.operators.graph import wl_refinement
+
+    # star center vs leaves vs a path midpoint: three structural roles
+    e = [("c", "l1"), ("c", "l2"), ("c", "l3"),
+         ("p1", "p2"), ("p2", "p3")]
+    df = spark.createDataFrame(e, "src string, dst string")
+    got = {r.entity: r.wl_label for r in wl_refinement(df, 2).collect()}
+    assert got == _wl_twin(e, 2)
+    # symmetric leaves share a label; the center does not
+    assert got["l1"] == got["l2"] == got["l3"] != got["c"]
+    # path endpoints symmetric, midpoint distinct
+    assert got["p1"] == got["p3"] != got["p2"]
+    # degree-1 nodes in different contexts diverge after refinement
+    assert got["l1"] != got["p1"]
+
+
+def test_wl_random_python_twin(spark):
+    import random
+
+    from deepie_spark.operators.graph import wl_refinement
+
+    rng = random.Random(83)
+    nodes = [f"e{i}" for i in range(20)]
+    e = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(40)})
+    df = spark.createDataFrame(e, "src string, dst string")
+    got = {r.entity: r.wl_label for r in wl_refinement(df, 3).collect()}
+    assert got == _wl_twin(e, 3)
+    got2 = {r.entity: r.wl_label
+            for r in wl_refinement(df.repartition(7), 3).collect()}
+    assert got2 == got
