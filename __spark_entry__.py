@@ -4763,6 +4763,25 @@ def q_entity_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wl_refinement(t, rounds=3)
 
 
+def q_exact_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quartiles of order price in integer cents
+    (operators/selection.py — distributed radix selection: ≤8 bucket-
+    histogram passes per rank, ≤256 rows ever collected, NO global
+    sort and no single-partition window; the exact counterpart of
+    sketch_quantiles' approximation).  floor(×100) on both engines
+    (the double→int cast-rounding gotcha); the oracle reads the same
+    ranks off a brute-force row_number sort."""
+    from deepie_spark.operators.selection import exact_quantiles
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cents = o.select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    n = cents.count()
+    ks = [max(1, n // 4), max(1, n // 2), max(1, (3 * n) // 4)]
+    return exact_quantiles(cents, "cents", ks)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -4944,6 +4963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_stats": q_substring_stats,
         "temporal_reach": q_temporal_reach,
         "entity_wl": q_entity_wl,
+        "exact_order_stats": q_exact_order_stats,
     }
 
 
@@ -8245,5 +8265,23 @@ def oracle_sql() -> dict[str, str]:
             WITH {_MENTIONS_SQL.strip()},
             {_TRIPLE_EDGES_SQL.strip()},
             {_wl_oracle_sql(3)}
+        """,
+        # exact_order_stats twin: brute-force row_number sort (the
+        # value at a rank is well-defined under ties even though the
+        # row is not).
+        "exact_order_stats": """
+            WITH v AS (
+              SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS x
+              FROM orders
+            ),
+            n AS (SELECT count(*) AS n FROM v),
+            ks AS (
+              SELECT unnest([greatest(1, n // 4), greatest(1, n // 2),
+                             greatest(1, (3 * n) // 4)]) AS k
+              FROM n
+            ),
+            r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v)
+            SELECT CAST(ks.k AS BIGINT) AS k, CAST(r.x AS BIGINT) AS value
+            FROM ks JOIN r ON r.rn = ks.k
         """,
     }

@@ -1,0 +1,91 @@
+"""Exact distributed order statistics without a global sort.
+
+The textbook way to get an exact median/percentile in SQL is a global
+sort (``row_number() OVER (ORDER BY x)``) — a single-partition window
+that serializes 100 TB through one task, the exact plan shape this
+repo's rank_in_order work exists to avoid.  ``approx_percentile``
+avoids the sort but is, well, approximate.
+
+This module gives EXACT selection in O(log_B range) passes — the
+distributed radix-selection scheme (the BFPRT/quickselect idea with a
+B-ary histogram instead of a pivot): each pass computes a ≤B-row
+bucket histogram of the candidate value range (one map-side-combinable
+groupBy), the driver picks the bucket containing the target rank
+(≤B rows collected — bounded and documented), and the range narrows
+by a factor of B.  For 64-bit longs and B=256 that is ≤8 passes over
+the data, each a full-scan agg that AQE/codegen handles at any scale;
+no shuffle ever carries more than B rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_kth(
+    vals: DataFrame,
+    col: str,
+    k: int,
+    n_buckets: int = 256,
+) -> int:
+    """The k-th smallest (1-based, duplicates counted) of a long
+    column, exact.  Raises ``ValueError`` if ``k`` is out of range.
+
+    Each pass: one filtered histogram agg over the current candidate
+    range ``[lo, hi]`` → ≤``n_buckets`` rows to the driver → pick the
+    bucket whose cumulative count reaches ``k`` → recurse into it.
+    Bucket ids use integer div only; all arithmetic is exact longs.
+    """
+    v = vals.select(F.col(col).cast("long").alias("x")).filter(
+        F.col("x").isNotNull()
+    )
+    row = v.agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    if row["n"] == 0 or not (1 <= k <= row["n"]):
+        raise ValueError(f"k={k} out of range for n={row['n']}")
+    lo, hi = int(row["lo"]), int(row["hi"])
+    k_rem = int(k)
+    while lo < hi:
+        width = (hi - lo + n_buckets) // n_buckets  # ceil ≥ 1
+        hist = (
+            v.filter((F.col("x") >= lo) & (F.col("x") <= hi))
+            .groupBy(
+                F.expr(f"(x - {lo}) div {width}").cast("long").alias("b")
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy("b")
+            .collect()  # ≤ n_buckets rows — the documented bound
+        )
+        for r in hist:
+            if k_rem <= r["c"]:
+                lo2 = lo + int(r["b"]) * width
+                hi2 = min(hi, lo2 + width - 1)
+                lo, hi = max(lo, lo2), hi2
+                break
+            k_rem -= int(r["c"])
+        else:  # pragma: no cover — guarded by the range check above
+            raise AssertionError("rank walked past the histogram")
+    return lo
+
+
+def exact_quantiles(
+    vals: DataFrame,
+    col: str,
+    ks: list[int],
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Exact values at the given 1-based ranks, as a DataFrame
+    ``(k, value)`` (one ``exact_kth`` walk per rank; the input is
+    checkpointed once so the passes share the materialized column).
+    """
+    spark = vals.sparkSession
+    v = (
+        vals.select(F.col(col).cast("long").alias("x"))
+        .filter(F.col("x").isNotNull())
+        .localCheckpoint()
+    )
+    out = [(int(k), exact_kth(v, "x", int(k), n_buckets)) for k in ks]
+    return spark.createDataFrame(out, "k long, value long")

@@ -1,0 +1,43 @@
+import random
+
+import pytest
+
+from deepie_spark.operators.selection import exact_kth, exact_quantiles
+
+
+def test_exact_kth_hand(spark):
+    df = spark.createDataFrame([(x,) for x in [5, 1, 9, 1, 7]], "x long")
+    assert exact_kth(df, "x", 1) == 1
+    assert exact_kth(df, "x", 2) == 1  # duplicates counted
+    assert exact_kth(df, "x", 3) == 5
+    assert exact_kth(df, "x", 5) == 9
+    with pytest.raises(ValueError):
+        exact_kth(df, "x", 6)
+    with pytest.raises(ValueError):
+        exact_kth(df, "x", 0)
+
+
+def test_exact_kth_random_wide_range(spark):
+    rng = random.Random(89)
+    # wide 64-bit-ish range forces multiple narrowing passes
+    xs = [rng.randrange(-(2**40), 2**40) for _ in range(500)]
+    xs += [xs[0]] * 7  # duplicate block
+    df = spark.createDataFrame([(x,) for x in xs], "x long").repartition(9)
+    s = sorted(xs)
+    for k in [1, 2, 17, len(xs) // 2, len(xs)]:
+        assert exact_kth(df, "x", k) == s[k - 1]
+
+
+def test_exact_kth_small_buckets(spark):
+    # n_buckets=2 degenerates to binary search — exercises many passes
+    xs = list(range(100, 0, -1))
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    assert exact_kth(df, "x", 37, n_buckets=2) == 37
+
+
+def test_exact_quantiles_frame(spark):
+    xs = list(range(1, 101))
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    got = {r.k: r.value
+           for r in exact_quantiles(df, "x", [25, 50, 75, 90]).collect()}
+    assert got == {25: 25, 50: 50, 75: 75, 90: 90}
