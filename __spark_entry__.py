@@ -4782,6 +4782,20 @@ def q_exact_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles(cents, "cents", ks)
 
 
+def q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk training pairs (operators/skipgram.py
+    walk_skipgram_pairs over q_random_walks' hash-deterministic walk
+    corpus): skip-gram (center, context) counts within ±2 steps —
+    the walks→word2vec composition of Perozzi et al. 2014, closing
+    the loop from triple graph to embedding-training data.  Spark
+    folds each short walk to an array and expands pairs in-row; the
+    oracle re-derives the SAME walk corpus (the random_walks oracle
+    CTE) and pairs by positional self-join."""
+    from deepie_spark.operators.skipgram import walk_skipgram_pairs
+
+    return walk_skipgram_pairs(q_random_walks(spark, sf_dir), window=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -4964,6 +4978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reach": q_temporal_reach,
         "entity_wl": q_entity_wl,
         "exact_order_stats": q_exact_order_stats,
+        "walk_skipgrams": q_walk_skipgrams,
     }
 
 
@@ -8283,5 +8298,19 @@ def oracle_sql() -> dict[str, str]:
             r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v)
             SELECT CAST(ks.k AS BIGINT) AS k, CAST(r.x AS BIGINT) AS value
             FROM ks JOIN r ON r.rn = ks.k
+        """,
+        # walk_skipgrams twin: the random_walks oracle as a nested
+        # CTE, paired by positional self-join (independent of Spark's
+        # per-walk in-row expansion).
+        "walk_skipgrams": f"""
+            WITH wcorpus AS (
+              {_walks_oracle_sql(_WALK_LEN)}
+            )
+            SELECT i.node AS center, j.node AS context,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM wcorpus i JOIN wcorpus j
+              ON j.walk = i.walk AND j.step <> i.step
+             AND abs(j.step - i.step) <= 2
+            GROUP BY 1, 2
         """,
     }

@@ -119,3 +119,51 @@ def skipgram_pmi(
         "n_context",
         F.round(pmi, 6).alias("pmi"),
     )
+
+
+def walk_skipgram_pairs(
+    walks: DataFrame, window: int = 2
+) -> DataFrame:
+    """DeepWalk training pairs: skip-gram ``(center, context, n)``
+    counts over a WALK corpus (rows ``(walk, step, node)`` as produced
+    by operators/graph.random_walks) — the exact composition Perozzi
+    et al. 2014 feed to word2vec: treat each walk as a sentence, pair
+    nodes within a symmetric ±``window`` of steps.
+
+    Plan: walks are SHORT (length+1 rows) so each is folded to one
+    sorted array (per-walk collect_list — bounded by walk length, the
+    same bound as the WL neighborhood fold), then the pair expansion
+    is the same map-only in-row transform as skipgram_pairs and ONE
+    count agg.  Steps within a walk are contiguous from 0, so array
+    positions equal step values even for walks that stopped early at
+    dangling nodes.  The oracle uses the positional self-join
+    formulation — independent plan, same pair multiset.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    w = int(window)
+    arr = walks.groupBy("walk").agg(
+        F.sort_array(F.collect_list(F.struct("step", "node"))).alias("s")
+    )
+    pairs = F.explode(
+        F.expr(
+            f"""
+            flatten(transform(sequence(0, size(s) - 1), i ->
+              transform(
+                filter(sequence(greatest(0, i - {w}),
+                                least(size(s) - 1, i + {w})),
+                       j -> j != i),
+                j -> struct(s[i].node AS center,
+                            s[j].node AS context))))
+            """
+        )
+    )
+    return (
+        arr.filter(F.size("s") >= 2)
+        .select(pairs.alias("pr"))
+        .groupBy(
+            F.col("pr.center").alias("center"),
+            F.col("pr.context").alias("context"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

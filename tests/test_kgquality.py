@@ -220,3 +220,42 @@ def test_skipgram_pmi_hand_computed(spark):
     out2 = {(r.center, r.context): r for r in
             skipgram_pmi(pairs, min_count=2).collect()}
     assert ("a", "c") not in out2 and out2[("a", "b")].n_center == 5
+
+
+def test_walk_skipgram_pairs_twin(spark):
+    from deepie_spark.operators.skipgram import walk_skipgram_pairs
+
+    walks = [
+        ("wa", 0, "a"), ("wa", 1, "b"), ("wa", 2, "c"), ("wa", 3, "a"),
+        ("wb", 0, "x"), ("wb", 1, "y"),
+        ("wc", 0, "z"),  # stopped walk: no pairs
+    ]
+    df = spark.createDataFrame(walks, "walk string, step long, node string")
+    want = {}
+    by_walk = {}
+    for wk, st, nd in walks:
+        by_walk.setdefault(wk, []).append((st, nd))
+    for seq in by_walk.values():
+        seq = [n for _, n in sorted(seq)]
+        for i, c in enumerate(seq):
+            for j in range(max(0, i - 2), min(len(seq), i + 3)):
+                if j != i:
+                    k = (c, seq[j])
+                    want[k] = want.get(k, 0) + 1
+    got = {(r.center, r.context): r.n
+           for r in walk_skipgram_pairs(df, window=2).collect()}
+    assert got == want
+    got2 = {(r.center, r.context): r.n
+            for r in walk_skipgram_pairs(df.repartition(5), 2).collect()}
+    assert got2 == got
+
+
+def test_walk_skipgram_window_validation(spark):
+    import pytest
+
+    from deepie_spark.operators.skipgram import walk_skipgram_pairs
+
+    df = spark.createDataFrame([("w", 0, "a")],
+                               "walk string, step long, node string")
+    with pytest.raises(ValueError):
+        walk_skipgram_pairs(df, window=0)
