@@ -4796,6 +4796,32 @@ def q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walk_skipgram_pairs(q_random_walks(spark, sf_dir), window=2)
 
 
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (operators/
+    retrieval.py rrf_fuse, Cormack et al. 2009): the BM25 top-50
+    lexical list fused with the exact-cosine top-50 semantic list for
+    the vec_id-0 query embedding — THE standard lexical+dense
+    combiner.  Ranks are exact longs (0 = absent); the rrf double is
+    a fixed-order two-term chain of 1/(60+rank) on exact integers,
+    IEEE-identical on both engines.  The oracle nests the gated bm25
+    oracle and the ann cosine formulation and fuses in SQL."""
+    from deepie_spark.operators.retrieval import rrf_fuse
+    from deepie_spark.operators.similarity import brute_force_topk
+
+    lex = q_bm25_topk(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("bm25").alias("score")
+    )
+    emb = _emb(spark, sf_dir)
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    sem = brute_force_topk(emb, q0, k=50).select(
+        F.col("vec_id").alias("id"), F.col("cosine").alias("score")
+    )
+    return rrf_fuse({"lex": lex, "sem": sem})
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -4979,6 +5005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_wl": q_entity_wl,
         "exact_order_stats": q_exact_order_stats,
         "walk_skipgrams": q_walk_skipgrams,
+        "hybrid_rrf": q_hybrid_rrf,
     }
 
 
@@ -5175,7 +5202,7 @@ def oracle_sql() -> dict[str, str]:
         )
         for lang, arr in sw_arrays.items()
     }
-    return {
+    d = {
         "corpus_counts": (
             "SELECT source, count(*) AS n_instances FROM documents"
             " GROUP BY source"
@@ -8314,3 +8341,47 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
     }
+    # hybrid_rrf twin is composed AFTER the literal so it can nest the
+    # gated bm25 oracle verbatim (one source of truth for the lexical
+    # list); the semantic list is the ann cosine formulation for the
+    # vec_id-0 query, and the fusion is the same fixed-order
+    # 1/(60+rank) chain on exact-integer ranks.
+    d["hybrid_rrf"] = f"""
+        WITH lex AS (
+          {d["bm25_topk"]}
+        ),
+        sem AS (
+          WITH {_EMB_DOUBLE_SQL.strip()},
+          q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+          scored AS (
+            SELECT vec_id, round({_cos_sql('qv', 'v')}, 6) AS cosine
+            FROM q CROSS JOIN e WHERE vec_id != 0
+          ),
+          r AS (
+            SELECT vec_id,
+                   row_number() OVER (ORDER BY cosine DESC, vec_id)
+                     AS rank
+            FROM scored
+          )
+          SELECT vec_id, rank FROM r WHERE rank <= 50
+        ),
+        lr AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                   AS rank_lex
+          FROM lex
+        ),
+        sr AS (SELECT vec_id AS doc_id, rank AS rank_sem FROM sem)
+        SELECT doc_id,
+               CAST(coalesce(rank_lex, 0) AS BIGINT) AS rank_lex,
+               CAST(coalesce(rank_sem, 0) AS BIGINT) AS rank_sem,
+               round(
+                 (CASE WHEN rank_lex IS NOT NULL
+                       THEN CAST(1 AS DOUBLE) / (60 + rank_lex)
+                       ELSE CAST(0 AS DOUBLE) END)
+                 + (CASE WHEN rank_sem IS NOT NULL
+                         THEN CAST(1 AS DOUBLE) / (60 + rank_sem)
+                         ELSE CAST(0 AS DOUBLE) END), 6) AS rrf
+        FROM lr FULL OUTER JOIN sr USING (doc_id)
+    """
+    return d

@@ -225,3 +225,58 @@ def phrase_search(
         )
         base = base.join(nxt, ["doc_id", "start"], "left_semi")
     return base
+
+
+def rrf_fuse(
+    lists: dict[str, DataFrame],
+    const: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of top-k result
+    lists: ``rrf(d) = Σ_list 1/(const + rank_list(d))``, the standard
+    score-free hybrid-retrieval combiner (lexical BM25 + semantic
+    cosine being THE pairing).  Each input is ``(id, score)``; ranks
+    are 1-based by (score DESC, id) within each list; a document
+    absent from a list contributes nothing and reports rank 0.
+
+    Contract: inputs are TOP-K LISTS — bounded by construction (the
+    oov_rate bounded-K precedent), so the per-list ranking window is
+    over ≤k rows, never corpus-sized; fusing full corpora through
+    this operator is a caller bug.  FP portability: each term is
+    ``1/(const+rank)`` on exact integers and terms add in SORTED list-
+    name order — a fixed-length, fixed-order double chain, identical
+    IEEE ops on both engines (the BM25 convention).
+
+    Output: ``(id_col, rank_<name>..., rrf)`` with names sorted.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window as W
+
+    ranked = []
+    for name in sorted(lists):
+        df = lists[name]
+        w = W.orderBy(F.desc("score"), "id")
+        ranked.append(
+            df.select(
+                F.col("id"),
+                F.row_number().over(w).cast("long").alias(f"rank_{name}"),
+            )
+        )
+    joined = reduce(lambda a, b: a.join(b, "id", "full_outer"), ranked)
+    rrf = None
+    for name in sorted(lists):
+        term = F.when(
+            F.col(f"rank_{name}").isNotNull(),
+            F.lit(1.0) / (F.lit(const) + F.col(f"rank_{name}")),
+        ).otherwise(F.lit(0.0))
+        rrf = term if rrf is None else rrf + term
+    return joined.select(
+        F.col("id").alias(id_col),
+        *[
+            F.coalesce(f"rank_{n}", F.lit(0)).cast("long")
+             .alias(f"rank_{n}")
+            for n in sorted(lists)
+        ],
+        F.round(rrf, 6).alias("rrf"),
+    )

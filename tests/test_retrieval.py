@@ -118,3 +118,34 @@ def test_term_cosine_hot_term_guard(spark):
     rows = full.collect()
     assert len(rows) == 6  # all pairs share 'the'
     assert all(r["dot"] == 1 and r["cosine"] == round(1 / 3, 6) for r in rows)
+
+
+def test_rrf_fuse_hand(spark):
+    from deepie_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "id long, score double")
+    sem = spark.createDataFrame(
+        [(2, 0.9), (4, 0.8)], "id long, score double")
+    got = {r.doc_id: (r.rank_lex, r.rank_sem, r.rrf)
+           for r in rrf_fuse({"lex": lex, "sem": sem}).collect()}
+    assert got[1] == (1, 0, round(1 / 61, 6))
+    assert got[2] == (2, 1, round(1 / 62 + 1 / 61, 6))
+    assert got[3] == (3, 0, round(1 / 63, 6))
+    assert got[4] == (0, 2, round(1 / 62, 6))
+    # doc 2 (in both lists) must outrank every single-list doc
+    assert got[2][2] == max(v[2] for v in got.values())
+
+
+def test_rrf_fuse_tie_break_and_invariance(spark):
+    from deepie_spark.operators.retrieval import rrf_fuse
+
+    # equal scores: rank by id ascending
+    a = spark.createDataFrame(
+        [(7, 1.0), (3, 1.0), (5, 2.0)], "id long, score double")
+    got = {r.doc_id: r.rank_a
+           for r in rrf_fuse({"a": a}).collect()}
+    assert got == {5: 1, 3: 2, 7: 3}
+    got2 = {r.doc_id: r.rank_a
+            for r in rrf_fuse({"a": a.repartition(4)}).collect()}
+    assert got2 == got
