@@ -4822,6 +4822,48 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse({"lex": lex, "sem": sem})
 
 
+def q_join_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-cardinality + skew profile of orders ⋈ lineitem on
+    orderkey WITHOUT executing the join (plans/joinstats.py —
+    Σ cA(k)·cB(k) over the per-key count tables; max_key_rows is the
+    number the salting decision reads).  Two scans + a key-sized join
+    instead of the join itself — the planner measurement every
+    broadcast/salt choice at 100 TB starts from.  All exact longs."""
+    from deepie_spark.plans.joinstats import join_size_profile
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    l = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return join_size_profile(o, l, "o_orderkey", "l_orderkey")
+
+
+def q_budget_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: keep documents in doc_id order
+    while the running token total stays within 60% of the corpus —
+    the budget-limited ingest every fixed-token-count training run
+    performs.  The running sum is the BUCKETED global prefix sum
+    (operators/sweep.py prefix_sum_in_order — no single-partition
+    window even at corpus scale); the budget test is the exact
+    integer comparison cum·10 ≤ total·6 (scale-free, no FP).  Oracle
+    = the single-window SUM OVER formulation."""
+    from deepie_spark.operators.sweep import prefix_sum_in_order
+
+    nt = (
+        _toks(spark, sf_dir)
+        .select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        # zero-token docs carry no budget and are absent from the
+        # oracle's occurrence-based counts — drop them on both sides
+        .filter(F.col("n_tokens") >= 1)
+    )
+    cum = prefix_sum_in_order(nt, "doc_id", "n_tokens",
+                              out_col="cum_tokens")
+    total = nt.agg(F.sum("n_tokens").cast("long").alias("_total"))
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .filter(F.col("cum_tokens") * 10 <= F.col("_total") * 6)
+        .select("doc_id", "n_tokens", "cum_tokens")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5006,6 +5048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_order_stats": q_exact_order_stats,
         "walk_skipgrams": q_walk_skipgrams,
         "hybrid_rrf": q_hybrid_rrf,
+        "join_size_stats": q_join_size_stats,
+        "budget_cutoff": q_budget_cutoff,
     }
 
 
@@ -8339,6 +8383,46 @@ def oracle_sql() -> dict[str, str]:
               ON j.walk = i.walk AND j.step <> i.step
              AND abs(j.step - i.step) <= 2
             GROUP BY 1, 2
+        """,
+        # join_size_stats twin: the same count-table identity written
+        # independently (|A⋈B| = Σ cA·cB over matching keys).
+        "join_size_stats": """
+            WITH cl AS (SELECT o_orderkey AS k, count(*) AS c
+                        FROM orders WHERE o_orderkey IS NOT NULL
+                        GROUP BY 1),
+            cr AS (SELECT l_orderkey AS k, count(*) AS c
+                   FROM lineitem WHERE l_orderkey IS NOT NULL
+                   GROUP BY 1),
+            p AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_matching_keys,
+                     CAST(coalesce(sum(cl.c * cr.c), 0) AS BIGINT)
+                       AS join_rows,
+                     CAST(coalesce(max(cl.c * cr.c), 0) AS BIGINT)
+                       AS max_key_rows
+              FROM cl JOIN cr USING (k)
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders)
+                     AS left_rows,
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem)
+                     AS right_rows,
+                   n_matching_keys, join_rows, max_key_rows
+            FROM p
+        """,
+        # budget_cutoff twin: single-window running sum + the same
+        # exact integer budget comparison.
+        "budget_cutoff": f"""
+            WITH {_OCC_SQL.strip()},
+            nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+                   FROM occ GROUP BY 1),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     CAST(sum(n_tokens) OVER (ORDER BY doc_id)
+                          AS BIGINT) AS cum_tokens
+              FROM nt
+            ),
+            t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM nt)
+            SELECT doc_id, n_tokens, cum_tokens
+            FROM c, t WHERE cum_tokens * 10 <= total * 6
         """,
     }
     # hybrid_rrf twin is composed AFTER the literal so it can nest the

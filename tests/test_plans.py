@@ -647,3 +647,30 @@ def test_readability_map_only(spark, sf_dir):
     """Readability is one codegen pass over the scan — no shuffle."""
     plan = executed(entry.q_readability(spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_join_size_profile_twin(spark):
+    from deepie_spark.plans.joinstats import join_size_profile
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (None,)], "k long")
+    right = spark.createDataFrame(
+        [(1,), (2,), (2,), (2,), (4,), (None,)], "k long")
+    row = join_size_profile(left, right, "k", "k").collect()[0]
+    # true join: key 1 -> 2*1, key 2 -> 1*3; nulls never match
+    assert (row.left_rows, row.right_rows) == (5, 6)
+    assert row.n_matching_keys == 2
+    assert row.join_rows == 2 * 1 + 1 * 3
+    assert row.max_key_rows == 3
+    # the profile must equal the executed join's count
+    executed = left.join(right, "k").count()
+    assert row.join_rows == executed
+
+
+def test_join_size_profile_empty_intersection(spark):
+    from deepie_spark.plans.joinstats import join_size_profile
+
+    left = spark.createDataFrame([(1,)], "k long")
+    right = spark.createDataFrame([(2,)], "k long")
+    row = join_size_profile(left, right, "k", "k").collect()[0]
+    assert (row.n_matching_keys, row.join_rows, row.max_key_rows) == (0, 0, 0)
