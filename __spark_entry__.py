@@ -4864,6 +4864,44 @@ def q_budget_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality scorecard of the MinHash-LSH candidate stage
+    against the exact-Jaccard truth (the reduction-ratio /
+    pair-completeness pair every entity-resolution text reports,
+    Christen 2012): one row (n_docs, n_possible, n_candidates,
+    n_true, n_found), all exact longs — RR = 1 − cand/possible and
+    PC = found/true left to the consumer (the undivided-ints
+    convention).  Composes the two gated stages verbatim; the oracle
+    nests both gated oracles and counts in SQL."""
+    from deepie_spark.operators.dedup import minhash_lsh_pairs
+
+    cand = minhash_lsh_pairs(
+        _docs_dups(spark, sf_dir), n_hashes=16, bands=4, k=_K_SHINGLE
+    ).localCheckpoint()
+    truth = q_ngram_jaccard(spark, sf_dir).select("a", "b")
+    n = _docs_dups(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    nf = cand.join(truth, ["a", "b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_found")
+    )
+    return (
+        n.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nf))
+        .select(
+            "n_docs",
+            F.expr("n_docs * (n_docs - 1) div 2").cast("long")
+             .alias("n_possible"),
+            "n_candidates",
+            "n_true",
+            "n_found",
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5050,6 +5088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "join_size_stats": q_join_size_stats,
         "budget_cutoff": q_budget_cutoff,
+        "blocking_quality": q_blocking_quality,
     }
 
 
@@ -8467,5 +8506,28 @@ def oracle_sql() -> dict[str, str]:
                          THEN CAST(1 AS DOUBLE) / (60 + rank_sem)
                          ELSE CAST(0 AS DOUBLE) END), 6) AS rrf
         FROM lr FULL OUTER JOIN sr USING (doc_id)
+    """
+    # blocking_quality twin nests the two gated stage oracles verbatim
+    # (one source of truth for candidates and exact pairs); truth has
+    # unique (a, b) rows, so the inner join counts exactly the matched
+    # candidates (== Spark's left_semi multiplicity).
+    d["blocking_quality"] = f"""
+        WITH cand AS (
+          {d["minhash_lsh"]}
+        ),
+        truth AS (
+          {d["ngram_jaccard"]}
+        ),
+        {_DOCS_DUPS_SQL.strip()},
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM docs_dups)
+        SELECT n.n_docs,
+               CAST(n.n_docs * (n.n_docs - 1) // 2 AS BIGINT)
+                 AS n_possible,
+               (SELECT CAST(count(*) AS BIGINT) FROM cand)
+                 AS n_candidates,
+               (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM cand JOIN truth USING (a, b)) AS n_found
+        FROM n
     """
     return d
