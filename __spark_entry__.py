@@ -4902,6 +4902,22 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic node2vec biased walks over the rule-triple
+    graph (operators/graph.py node2vec_walks — second-order p/q walks
+    with exact INTEGER weights 1/2/4 = return/common/explore, i.e.
+    p=2, q=0.5; draw = portable poly hash mod cumulative weight, the
+    random_walks determinism convention extended to weighted choice).
+    Oracle = unrolled MATERIALIZED steps with the same draw (min(cand)
+    over the cum>r suffix == the Spark fold's first-pick)."""
+    from deepie_spark.operators.graph import node2vec_walks
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return node2vec_walks(t, length=4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5089,7 +5105,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_stats": q_join_size_stats,
         "budget_cutoff": q_budget_cutoff,
         "blocking_quality": q_blocking_quality,
+        "node2vec_walks": q_node2vec_walks,
     }
+
+
+def _node2vec_oracle_sql(
+    length: int = 4, wr: int = 1, wc: int = 2, we: int = 4
+) -> str:
+    """Unrolled node2vec steps over the ``und`` canonical edge CTE —
+    same deterministic draw as the Spark side (H(walk#s) mod Σw
+    against cand-ordered cumulative integer weights; the chosen hop
+    is min(cand) among rows with cum > r, a suffix in cand order).
+    MATERIALIZED per step (each state is read by candidates AND the
+    walk-corpus union)."""
+    parts = [
+        "bidi AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und)",
+        "dg AS (SELECT a, count(*) AS deg FROM bidi GROUP BY 1)",
+        """adj AS MATERIALIZED (
+          SELECT bidi.a, bidi.b,
+                 row_number() OVER (PARTITION BY bidi.a
+                                    ORDER BY bidi.b) - 1 AS rk,
+                 dg.deg
+          FROM bidi JOIN dg USING (a))""",
+        f"""s1 AS MATERIALIZED (
+          SELECT a AS walk, a AS prev, b AS cur
+          FROM adj
+          WHERE rk = {_poly_hash_sql("a || '#1'")} % deg)""",
+    ]
+    for s in range(2, length + 1):
+        r = _poly_hash_sql(f"walk || '#{s}'")
+        parts.append(f"""c{s} AS (
+          SELECT st.walk, st.prev, st.cur, bd.b AS cand,
+                 CASE WHEN bd.b = st.prev THEN {wr}
+                      WHEN f.a IS NOT NULL THEN {wc}
+                      ELSE {we} END AS w
+          FROM s{s - 1} st
+          JOIN bidi bd ON bd.a = st.cur
+          LEFT JOIN bidi f ON f.a = st.prev AND f.b = bd.b)""")
+        parts.append(f"""k{s} AS (
+          SELECT walk, cur, cand, w,
+                 sum(w) OVER (PARTITION BY walk ORDER BY cand) AS cum,
+                 sum(w) OVER (PARTITION BY walk) AS tot
+          FROM c{s})""")
+        parts.append(f"""s{s} AS MATERIALIZED (
+          SELECT walk, max(cur) AS prev,
+                 min(CASE WHEN cum > {r} % tot THEN cand END) AS cur
+          FROM k{s} GROUP BY walk)""")
+    sel = "\n            UNION ALL ".join(
+        ["SELECT DISTINCT a AS walk, CAST(0 AS BIGINT) AS step,"
+         " a AS node FROM adj"]
+        + [f"SELECT walk, CAST({s} AS BIGINT), cur FROM s{s}"
+           for s in range(1, length + 1)]
+    )
+    return ",\n".join(parts) + "\n" + sel
 
 
 def _wl_oracle_sql(rounds: int) -> str:
@@ -8462,6 +8530,13 @@ def oracle_sql() -> dict[str, str]:
             t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM nt)
             SELECT doc_id, n_tokens, cum_tokens
             FROM c, t WHERE cum_tokens * 10 <= total * 6
+        """,
+        # node2vec_walks twin: unrolled biased steps (deterministic
+        # weighted draw — the random_walks/coloring unroll convention).
+        "node2vec_walks": f"""
+            WITH {_MENTIONS_SQL.strip()},
+            {_TRIPLE_EDGES_SQL.strip()},
+            {_node2vec_oracle_sql(4)}
         """,
     }
     # hybrid_rrf twin is composed AFTER the literal so it can nest the

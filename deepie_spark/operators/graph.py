@@ -726,6 +726,133 @@ def random_walks(
         ranked.unpersist()
 
 
+def node2vec_walks(
+    edges: DataFrame,
+    length: int = 4,
+    w_return: int = 1,
+    w_common: int = 2,
+    w_explore: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Hash-deterministic node2vec walks (Grover & Leskovec 2016) —
+    SECOND-order biased walks over the undirected graph: the next hop
+    is drawn with weight ``w_return`` for returning to the previous
+    node (node2vec's 1/p), ``w_common`` for a common neighbor of prev
+    and cur (distance 1), and ``w_explore`` otherwise (1/q).  Integer
+    weights instead of FP ratios keep every draw exact; the defaults
+    (1, 2, 4) encode p=2, q=0.5 — the outward/DFS-ish regime.
+
+    Determinism: the draw is ``H(walk#step) mod Σw`` against the
+    cumulative weight of candidates in sorted order (H = the portable
+    BASE/MOD poly hash, the random_walks convention) — the walk
+    corpus is bit-reproducible, partition-invariant, and
+    oracle-gateable, which RNG walks are not.
+
+    Plan per step: ONE join of the walk frontier (one row per walk)
+    against the bidirectional adjacency on the current node, ONE
+    broadcast-free left-semi-style flag join marking common neighbors
+    (prev, cand) ∈ E, then a per-walk in-row sorted fold (bounded by
+    max degree — the WL-neighborhood bound) picking the hop.  Walks
+    start at every node; step 0 is the start node.
+    Output: ``(walk, step, node)``.
+    """
+    from deepie_spark.functions.text import char_poly_hash_str
+
+    e = _canonical_edges(edges, src, dst)
+    bidi = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint()
+    )
+    deg = bidi.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    wnd = W.partitionBy("a").orderBy("b")
+    ranked = bidi.select(
+        "a", "b", (F.row_number().over(wnd) - 1).alias("rk")
+    ).join(deg, "a").localCheckpoint()
+    # step 1: first-order uniform hop (no prev yet), the random_walks rule
+    start = ranked.select(F.col("a").alias("walk")).distinct()
+    out = start.select(
+        "walk", F.lit(0).cast("long").alias("step"),
+        F.col("walk").alias("node"),
+    )
+    pick1 = F.pmod(
+        char_poly_hash_str(F.concat(F.col("walk"), F.lit("#1"))),
+        F.col("deg"),
+    )
+    state = (
+        start.join(ranked, start["walk"] == ranked["a"])
+        .filter(F.col("rk") == pick1)
+        .select("walk", F.col("a").alias("prev"), F.col("b").alias("cur"))
+        .localCheckpoint(eager=True)
+    )
+    out = out.unionByName(
+        state.select(
+            "walk", F.lit(1).cast("long").alias("step"),
+            F.col("cur").alias("node"),
+        )
+    )
+    flag = bidi.select(
+        F.col("a").alias("prev"), F.col("b").alias("cand"),
+        F.lit(1).alias("_common"),
+    )
+    for s in range(2, int(length) + 1):
+        cands = (
+            state.join(
+                bidi.select(F.col("a").alias("cur"),
+                            F.col("b").alias("cand")),
+                "cur",
+            )
+            .join(flag, ["prev", "cand"], "left")
+            .select(
+                "walk",
+                "prev",
+                "cur",
+                "cand",
+                F.when(F.col("cand") == F.col("prev"), F.lit(w_return))
+                .when(F.col("_common").isNotNull(), F.lit(w_common))
+                .otherwise(F.lit(w_explore))
+                .cast("long")
+                .alias("w"),
+            )
+        )
+        grouped = cands.groupBy("walk", "prev", "cur").agg(
+            F.sort_array(F.collect_list(F.struct("cand", "w"))).alias("cs"),
+            F.sum("w").alias("tot"),
+        )
+        r = F.pmod(
+            char_poly_hash_str(F.concat(F.col("walk"), F.lit(f"#{s}"))),
+            F.col("tot"),
+        )
+        chosen = F.aggregate(
+            "cs",
+            F.struct(
+                F.lit(0).cast("long").alias("cum"),
+                F.lit(None).cast("string").alias("pick"),
+            ),
+            lambda acc, x: F.struct(
+                (acc["cum"] + x["w"]).alias("cum"),
+                F.when(
+                    acc["pick"].isNull() & (acc["cum"] + x["w"] > r),
+                    x["cand"],
+                )
+                .otherwise(acc["pick"])
+                .alias("pick"),
+            ),
+        )["pick"]
+        state = grouped.select(
+            "walk",
+            F.col("cur").alias("prev"),
+            chosen.alias("cur"),
+        ).localCheckpoint(eager=True)
+        out = out.unionByName(
+            state.select(
+                "walk", F.lit(s).cast("long").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    return out.localCheckpoint(eager=True)
+
+
 def label_propagation(
     edges: DataFrame,
     rounds: int = 3,

@@ -1257,3 +1257,72 @@ def test_wl_random_python_twin(spark):
     got2 = {r.entity: r.wl_label
             for r in wl_refinement(df.repartition(7), 3).collect()}
     assert got2 == got
+
+
+def _poly_hash_py(s):
+    MOD, BASE = 2_147_483_647, 131
+    h = 0
+    for ch in s:
+        h = (h * BASE + ord(ch)) % MOD
+    return h
+
+
+def test_node2vec_walks_python_twin(spark):
+    import random
+
+    from deepie_spark.operators.graph import node2vec_walks
+
+    rng = random.Random(97)
+    nodes = [f"n{i}" for i in range(12)]
+    e = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(25)})
+    adj = {}
+    for a, b in e:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    WR, WC, WE = 1, 2, 4
+
+    def twin(length=4):
+        rows = []
+        for start in sorted(adj):
+            walk = [start]
+            nbrs = sorted(adj[start])
+            cur = nbrs[_poly_hash_py(f"{start}#1") % len(nbrs)]
+            prev = start
+            walk.append(cur)
+            for s in range(2, length + 1):
+                cands = sorted(adj[cur])
+                ws = [WR if c == prev
+                      else WC if c in adj[prev]
+                      else WE for c in cands]
+                r = _poly_hash_py(f"{start}#{s}") % sum(ws)
+                cum = 0
+                for c, w in zip(cands, ws):
+                    cum += w
+                    if cum > r:
+                        nxt = c
+                        break
+                prev, cur = cur, nxt
+                walk.append(cur)
+            rows += [(start, i, n) for i, n in enumerate(walk)]
+        return {(w, s): n for w, s, n in rows}
+
+    df = spark.createDataFrame(e, "src string, dst string")
+    got = {(r.walk, r.step): r.node
+           for r in node2vec_walks(df, length=4).collect()}
+    assert got == twin(4)
+    got2 = {(r.walk, r.step): r.node
+            for r in node2vec_walks(df.repartition(5), length=4).collect()}
+    assert got2 == got
+
+
+def test_node2vec_return_bias(spark):
+    from deepie_spark.operators.graph import node2vec_walks
+
+    # two-node graph: the only candidate is always the previous node,
+    # so the walk must oscillate regardless of weights
+    e = [("a", "b")]
+    df = spark.createDataFrame(e, "src string, dst string")
+    got = {(r.walk, r.step): r.node
+           for r in node2vec_walks(df, length=3).collect()}
+    assert got[("a", 0)] == "a" and got[("a", 1)] == "b"
+    assert got[("a", 2)] == "a" and got[("a", 3)] == "b"
