@@ -239,6 +239,59 @@ _KMEANS_A3_CTES = f"""WITH {_EMB_DOUBLE_SQL.strip()},
                      FROM a2 CROSS JOIN c2) WHERE rn = 1)"""
 
 
+def _pq_oracle_sql(m: int = 4, k: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of operators.quantize.product_quantize: per
+    subspace the SAME unrolled 2-iteration Lloyd chain as the gated
+    k-means oracle (_KMEANS_A3_CTES), over the 1-based-inclusive list
+    slice v[off+1 : off+sd] (== Spark's slice(v, off+1, sd))."""
+    sd = dim // m
+    parts, sels = [], []
+    for s in range(m):
+        off = s * sd
+        d2 = lambda v, c: _km_dist2_sql(v, c, dim=sd)  # noqa: E731
+        parts.append(f"""e{s} AS (
+              SELECT vec_id, v[{off + 1}:{off + sd}] AS v FROM e),
+            c0_{s} AS (SELECT rn - 1 AS cid, v AS c FROM (
+                 SELECT v, row_number() OVER (ORDER BY vec_id) AS rn
+                 FROM e{s}) WHERE rn <= {k}),
+            a1_{s} AS (SELECT vec_id, v, cid FROM (
+                 SELECT e{s}.vec_id, e{s}.v, c0_{s}.cid,
+                        row_number() OVER (PARTITION BY e{s}.vec_id
+                          ORDER BY {d2(f'e{s}.v', f'c0_{s}.c')},
+                                   c0_{s}.cid) AS rn
+                 FROM e{s} CROSS JOIN c0_{s}) WHERE rn = 1),
+            c1_{s} AS (SELECT cid, list(av ORDER BY i) AS c FROM (
+                 SELECT cid, i, avg(v[i]) AS av
+                 FROM a1_{s} CROSS JOIN generate_series(1, {sd}) AS t(i)
+                 GROUP BY cid, i) GROUP BY cid),
+            a2_{s} AS (SELECT vec_id, v, cid FROM (
+                 SELECT a1_{s}.vec_id, a1_{s}.v, c1_{s}.cid,
+                        row_number() OVER (PARTITION BY a1_{s}.vec_id
+                          ORDER BY {d2(f'a1_{s}.v', f'c1_{s}.c')},
+                                   c1_{s}.cid) AS rn
+                 FROM a1_{s} CROSS JOIN c1_{s}) WHERE rn = 1),
+            c2_{s} AS (SELECT cid, list(av ORDER BY i) AS c FROM (
+                 SELECT cid, i, avg(v[i]) AS av
+                 FROM a2_{s} CROSS JOIN generate_series(1, {sd}) AS t(i)
+                 GROUP BY cid, i) GROUP BY cid),
+            a3_{s} AS (SELECT vec_id, cid FROM (
+                 SELECT a2_{s}.vec_id, c2_{s}.cid,
+                        row_number() OVER (PARTITION BY a2_{s}.vec_id
+                          ORDER BY {d2(f'a2_{s}.v', f'c2_{s}.c')},
+                                   c2_{s}.cid) AS rn
+                 FROM a2_{s} CROSS JOIN c2_{s}) WHERE rn = 1)""")
+        sels.append(
+            f"SELECT vec_id, CAST({s} AS INTEGER) AS sub,"
+            f" CAST(cid AS BIGINT) AS code FROM a3_{s}"
+        )
+    return (
+        f"WITH {_EMB_DOUBLE_SQL.strip()},\n            "
+        + ",\n            ".join(parts)
+        + "\n            "
+        + "\n            UNION ALL ".join(sels)
+    )
+
+
 def _minhash_oracle_sql(n_hashes: int = 16, bands: int = 4) -> str:
     """DuckDB twin of operators.dedup.minhash_lsh_pairs, generated from
     the same affine coefficients."""
@@ -4918,6 +4971,20 @@ def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return node2vec_walks(t, length=4)
 
 
+def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes over the embeddings table
+    (operators/quantize.py product_quantize — m=4 subspaces of 16
+    dims, k=4 codebook per subspace via the gated deterministic
+    Lloyd; Jégou et al. 2011, the FAISS standard beside the SQ8
+    scalar codes of embedding_quantize).  Oracle = the k-means twin
+    chain unrolled per subspace over the 1-based list slices."""
+    from deepie_spark.operators.quantize import product_quantize
+
+    return product_quantize(
+        _emb(spark, sf_dir), m=4, k=4, iters=2, dim=64
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5106,6 +5173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_cutoff": q_budget_cutoff,
         "blocking_quality": q_blocking_quality,
         "node2vec_walks": q_node2vec_walks,
+        "embedding_pq": q_embedding_pq,
     }
 
 
@@ -8538,6 +8606,8 @@ def oracle_sql() -> dict[str, str]:
             {_TRIPLE_EDGES_SQL.strip()},
             {_node2vec_oracle_sql(4)}
         """,
+        # embedding_pq twin: the k-means oracle chain per subspace.
+        "embedding_pq": _pq_oracle_sql(m=4, k=4, dim=64),
     }
     # hybrid_rrf twin is composed AFTER the literal so it can nest the
     # gated bm25 oracle verbatim (one source of truth for the lexical

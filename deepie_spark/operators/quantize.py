@@ -68,3 +68,52 @@ def scalar_quantize(
     return x.join(F.broadcast(stats), "dim").select(
         "vec_id", "dim", code.alias("code")
     )
+
+
+def product_quantize(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codes (Jégou et al. 2011 — the FAISS
+    standard beside SQ8): split each vector into ``m`` contiguous
+    subspaces of ``dim/m`` dimensions, fit a k-means codebook per
+    subspace (operators/clustering.kmeans_fit — deterministic
+    first-k-by-id seeding, Lloyd ``iters`` rounds), and emit
+    ``(vec_id, sub, code)`` — the nearest-centroid id per subspace.
+    Compression: dim·4 bytes → m·⌈log₂k⌉ bits.
+
+    Portability: the argmin is over squared distances computed as the
+    same left-to-right in-row fold in both engines (the kmeans gate's
+    `_km_dist2_sql` identity), so codes are engine-bit-identical.
+    Scale shape: per subspace the corpus-sized work is ``iters+1``
+    assignment passes (in-row argmin against k broadcast-literal
+    centroids) and ``iters`` k-row centroid aggs; the m subspaces are
+    m independent column slices of ONE scan each — nothing corpus².
+    """
+    from deepie_spark.operators.clustering import kmeans_fit
+
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sd = dim // m
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).localCheckpoint()
+    out = None
+    for s in range(int(m)):
+        sub = e.select(
+            "vec_id", F.slice("v", s * sd + 1, sd).alias("embedding")
+        )
+        assigned, _ = kmeans_fit(sub, k=k, iters=iters)
+        part = assigned.select(
+            "vec_id",
+            F.lit(s).cast("int").alias("sub"),
+            F.col("cluster").cast("long").alias("code"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

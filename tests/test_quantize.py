@@ -47,3 +47,45 @@ def test_scalar_quantize_extremes_and_constant_dim(spark):
 def test_scalar_quantize_levels_guard(spark):
     with pytest.raises(ValueError, match="levels"):
         scalar_quantize(_emb_df(spark, [[0.0]]), levels=1)
+
+
+def test_product_quantize_structure_and_consistency(spark):
+    import random
+
+    from deepie_spark.operators.clustering import kmeans_fit
+    from deepie_spark.operators.quantize import product_quantize
+
+    rng = random.Random(101)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = product_quantize(df, m=4, k=3, iters=2, dim=16)
+    rowsc = got.collect()
+    # one code per (vec, subspace), codes within range
+    assert len(rowsc) == 40 * 4
+    assert all(0 <= r.code < 3 for r in rowsc)
+    # subspace 1 codes equal a direct kmeans_fit on that slice
+    from pyspark.sql import functions as F
+
+    sub1 = df.select(
+        "vec_id", F.slice("embedding", 5, 4).alias("embedding")
+    )
+    direct, _ = kmeans_fit(sub1, k=3, iters=2)
+    want = {r.vec_id: r.cluster for r in direct.collect()}
+    got1 = {r.vec_id: r.code for r in rowsc if r.sub == 1}
+    assert got1 == want
+    # partition invariance
+    got2 = {(r.vec_id, r.sub): r.code
+            for r in product_quantize(
+                df.repartition(7), m=4, k=3, iters=2, dim=16).collect()}
+    assert got2 == {(r.vec_id, r.sub): r.code for r in rowsc}
+
+
+def test_product_quantize_validates_dim(spark):
+    import pytest
+
+    from deepie_spark.operators.quantize import product_quantize
+
+    df = spark.createDataFrame([(0, [0.0] * 10)],
+                               "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        product_quantize(df, m=4, dim=10)
