@@ -239,11 +239,12 @@ _KMEANS_A3_CTES = f"""WITH {_EMB_DOUBLE_SQL.strip()},
                      FROM a2 CROSS JOIN c2) WHERE rn = 1)"""
 
 
-def _pq_oracle_sql(m: int = 4, k: int = 4, dim: int = 64) -> str:
-    """DuckDB twin of operators.quantize.product_quantize: per
-    subspace the SAME unrolled 2-iteration Lloyd chain as the gated
-    k-means oracle (_KMEANS_A3_CTES), over the 1-based-inclusive list
-    slice v[off+1 : off+sd] (== Spark's slice(v, off+1, sd))."""
+def _pq_chain_parts(
+    m: int = 4, k: int = 4, dim: int = 64
+) -> tuple[list, list]:
+    """Per-subspace unrolled Lloyd CTE chains (the k-means oracle
+    pattern over 1-based list slices); returns (cte_parts,
+    code_selects) — shared by the PQ-codes and ADC-search twins."""
     sd = dim // m
     parts, sels = [], []
     for s in range(m):
@@ -284,12 +285,72 @@ def _pq_oracle_sql(m: int = 4, k: int = 4, dim: int = 64) -> str:
             f"SELECT vec_id, CAST({s} AS INTEGER) AS sub,"
             f" CAST(cid AS BIGINT) AS code FROM a3_{s}"
         )
+    return parts, sels
+
+
+def _pq_oracle_sql(m: int = 4, k: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of operators.quantize.product_quantize: per
+    subspace the SAME unrolled 2-iteration Lloyd chain as the gated
+    k-means oracle (_KMEANS_A3_CTES), over the 1-based-inclusive list
+    slice v[off+1 : off+sd] (== Spark's slice(v, off+1, sd))."""
+    parts, sels = _pq_chain_parts(m, k, dim)
     return (
         f"WITH {_EMB_DOUBLE_SQL.strip()},\n            "
         + ",\n            ".join(parts)
         + "\n            "
         + "\n            UNION ALL ".join(sels)
     )
+
+
+def _pq_adc_oracle_sql(
+    m: int = 4, k: int = 4, dim: int = 64, n_queries: int = 3,
+    topk: int = 10,
+) -> str:
+    """DuckDB twin of operators.quantize.pq_topk: the PQ chains give
+    codes (a3_s) and final codebooks (c2_s); the LUT is the same
+    in-row distance fold over query sub-slices, and the per-vector
+    ADC folds the m entries in subspace order (list_prepend-0.0
+    list_reduce == Spark's zero-init aggregate)."""
+    sd = dim // m
+    parts, sels = _pq_chain_parts(m, k, dim)
+    lut_sels = []
+    for s in range(m):
+        off = s * sd
+        d2 = _km_dist2_sql(f"q.qv[{off + 1}:{off + sd}]", "c.c", dim=sd)
+        lut_sels.append(
+            f"SELECT q.query_id, CAST({s} AS INTEGER) AS sub,"
+            f" CAST(c.cid AS BIGINT) AS code, {d2} AS d2"
+            f" FROM q CROSS JOIN c2_{s} c"
+        )
+    codes = "\n              UNION ALL ".join(sels)
+    luts = "\n              UNION ALL ".join(lut_sels)
+    return f"""
+        WITH {_EMB_DOUBLE_SQL.strip()},
+            {",".join(parts)},
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e
+                  WHERE vec_id < {n_queries}),
+            codes AS ({codes}),
+            lut AS ({luts}),
+            j AS (SELECT query_id, vec_id, sub, d2
+                  FROM codes JOIN lut USING (sub, code)
+                  WHERE query_id <> vec_id),
+            sc AS (
+              SELECT query_id, vec_id,
+                     round(list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                                    list(d2 ORDER BY sub)),
+                       (a, b) -> a + b), 6) AS adc
+              FROM j GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT query_id, vec_id, adc,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc, vec_id) AS rank
+              FROM sc
+            )
+        SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, adc
+        FROM r WHERE rank <= {topk}
+    """
 
 
 def _minhash_oracle_sql(n_hashes: int = 16, bands: int = 4) -> str:
@@ -4985,6 +5046,23 @@ def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance ANN (operators/quantize.py pq_topk —
+    Jégou et al. ADC): corpus-sized work touches only the m-byte code
+    table; queries (vec_id < 3) score via a Q·m·k LUT of exact
+    in-row distance folds summed in subspace order.  Completes the
+    ANN family: brute force / LSH / IVF / PQ.  Oracle = the PQ chain
+    twins + the same LUT-and-fold formulation in SQL."""
+    from deepie_spark.operators.quantize import pq_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    return pq_topk(emb, q, m=4, k_codebook=4, iters=2, dim=64, k=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5174,6 +5252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_quality": q_blocking_quality,
         "node2vec_walks": q_node2vec_walks,
         "embedding_pq": q_embedding_pq,
+        "ann_topk_pq": q_ann_topk_pq,
     }
 
 
@@ -8608,6 +8687,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # embedding_pq twin: the k-means oracle chain per subspace.
         "embedding_pq": _pq_oracle_sql(m=4, k=4, dim=64),
+        # ann_topk_pq twin: same chains + LUT ADC in SQL.
+        "ann_topk_pq": _pq_adc_oracle_sql(m=4, k=4, dim=64),
     }
     # hybrid_rrf twin is composed AFTER the literal so it can nest the
     # gated bm25 oracle verbatim (one source of truth for the lexical

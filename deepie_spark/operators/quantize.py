@@ -117,3 +117,126 @@ def product_quantize(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def pq_fit(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Like :func:`product_quantize` but ALSO returns the fitted
+    codebooks: ``(codes_df, books)`` with ``books[s]`` the subspace-s
+    centroid list ``[(cid, vector), ...]`` — the piece ADC search
+    (pq_topk) needs.  Codes and books are mutually consistent (the
+    final assignment runs against the returned centroids)."""
+    from deepie_spark.operators.clustering import kmeans_fit
+
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sd = dim // m
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).localCheckpoint()
+    out, books = None, []
+    for s in range(int(m)):
+        sub = e.select(
+            "vec_id", F.slice("v", s * sd + 1, sd).alias("embedding")
+        )
+        assigned, centroids = kmeans_fit(sub, k=k, iters=iters)
+        books.append(centroids)
+        part = assigned.select(
+            "vec_id",
+            F.lit(s).cast("int").alias("sub"),
+            F.col("cluster").cast("long").alias("code"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out, books
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    m: int = 4,
+    k_codebook: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance computation (ADC,
+    Jégou et al. 2011): per query, the subspace lookup table holds the
+    exact squared distance from the query's sub-vector to each
+    codebook centroid; a corpus vector's ADC distance is the sum of
+    its m code lookups.  ``queries`` is ``(query_id, qvec)``.
+
+    The 100-TB shape: the corpus-sized work touches only the CODE
+    table (m small ints per vector — the point of PQ); the LUT is
+    Q·m·k_codebook rows built from broadcast centroid literals and
+    joined on (sub, code).  FP portability: each LUT entry is the
+    same in-row left-to-right distance fold as the k-means gate, and
+    the per-vector sum folds the m entries in SUBSPACE ORDER (a
+    sorted in-row fold — never sum() over arbitrary row order).
+    Output: ``(query_id, vec_id, rank, adc)`` with adc rounded to 6dp,
+    rank ties broken by vec_id; self-matches excluded (the
+    brute_force_topk convention).
+    """
+    from deepie_spark.operators.clustering import _sq_dist
+
+    codes, books = pq_fit(
+        emb, m=m, k=k_codebook, iters=iters, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    sd = dim // m
+    q = queries.select(
+        F.col("query_id"),
+        F.transform(F.col("qvec"), lambda x: x.cast("double")).alias("qv"),
+    )
+    lut = None
+    for s, book in enumerate(books):
+        qs = F.slice("qv", s * sd + 1, sd)
+        cells = F.array(*[
+            F.struct(
+                F.lit(int(cid)).cast("long").alias("code"),
+                _sq_dist(qs, c).alias("d2"),
+            )
+            for cid, c in book
+        ])
+        part = q.select(
+            "query_id", F.lit(s).cast("int").alias("sub"),
+            F.explode(cells).alias("cell"),
+        ).select(
+            "query_id", "sub",
+            F.col("cell.code").alias("code"), F.col("cell.d2").alias("d2"),
+        )
+        lut = part if lut is None else lut.unionByName(part)
+    scored = (
+        codes.join(lut, ["sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sort_array(F.collect_list(F.struct("sub", "d2"))).alias("ds"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                F.aggregate(
+                    "ds", F.lit(0.0),
+                    lambda acc, x: acc + x["d2"],
+                ),
+                6,
+            ).alias("adc"),
+        )
+        .filter(F.col("query_id") != F.col("vec_id"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("adc").asc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "vec_id", "rank", "adc")
+    )

@@ -89,3 +89,44 @@ def test_product_quantize_validates_dim(spark):
                                "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         product_quantize(df, m=4, dim=10)
+
+
+def test_pq_topk_matches_python_adc(spark):
+    import random
+
+    from deepie_spark.operators.quantize import pq_fit, pq_topk
+
+    rng = random.Random(103)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(0, rows[0][1]), (5, rows[5][1])],
+        "query_id long, qvec array<double>")
+    got = {(r.query_id, r.vec_id): (r.rank, r.adc)
+           for r in pq_topk(df, q, m=2, k_codebook=3, iters=2,
+                            dim=8, k=5).collect()}
+    # python twin from the SAME fitted codebooks/codes
+    codes_df, books = pq_fit(df, m=2, k=3, iters=2, dim=8)
+    codes = {}
+    for r in codes_df.collect():
+        codes.setdefault(r.vec_id, {})[r.sub] = r.code
+    want = {}
+    for qid, qv in [(0, rows[0][1]), (5, rows[5][1])]:
+        scored = []
+        for vid, _ in rows:
+            if vid == qid:
+                continue
+            adc = 0.0
+            for s in range(2):
+                qs = qv[s * 4:(s + 1) * 4]
+                cid = codes[vid][s]
+                c = dict(books[s])[cid]
+                d2 = 0.0
+                for a, b in zip(qs, c):
+                    d2 += (a - b) * (a - b)
+                adc += d2
+            scored.append((round(adc, 6), vid))
+        for rank, (adc, vid) in enumerate(sorted(scored), 1):
+            if rank <= 5:
+                want[(qid, vid)] = (rank, adc)
+    assert got == want
