@@ -5063,6 +5063,83 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, q, m=4, k_codebook=4, iters=2, dim=64, k=10)
 
 
+def q_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value over time from EXACT integer
+    moments: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with x = hours
+    since the corpus start and y = integer cents — numerator and
+    denominator emitted as exact longs (the quality_correlation
+    convention: never gate native FP regression aggs), the rounded
+    slope derived from them by ONE division.  Hour-granularity x and
+    cent-granularity y keep every product far from long overflow."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    t0 = ev.agg(
+        F.min(F.unix_timestamp(F.col("ts").cast("timestamp")))
+         .cast("long").alias("t0")
+    )
+    base = ev.crossJoin(F.broadcast(t0)).select(
+        "event_type",
+        F.expr(
+            "(unix_timestamp(cast(ts as timestamp)) - t0) div 3600"
+        ).cast("long").alias("x"),
+        F.floor(F.col("value") * 100).cast("long").alias("y"),
+    )
+    m = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select(
+        "event_type", "n",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.round(num.cast("double") / den.cast("double"), 6)
+         .alias("slope_cents_per_hour"),
+    )
+
+
+def q_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade audit: for a deletion set of
+    customers (custkey % 97 == 0), count the rows each table would
+    lose — customers directly, orders via custkey, lineitems via the
+    order chain, events via user_id — BEFORE any destructive write
+    (the dry-run every GDPR pipeline runs first).  Pure anti-join /
+    semi-join counts, all exact longs; the deletion set flows through
+    joins, never to the driver."""
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    victims = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    o_hit = orders.join(
+        victims, orders["o_custkey"] == victims["k"], "left_semi"
+    ).localCheckpoint()
+    l_hit = li.join(
+        o_hit.select("o_orderkey"),
+        li["l_orderkey"] == o_hit["o_orderkey"],
+        "left_semi",
+    )
+    e_hit = ev.join(victims, ev["user_id"] == victims["k"], "left_semi")
+    counts = [
+        ("customer", victims),
+        ("orders", o_hit),
+        ("lineitem", l_hit),
+        ("events", e_hit),
+    ]
+    out = None
+    for name, df in counts:
+        row = df.agg(F.count(F.lit(1)).cast("long").alias("n_rows")).select(
+            F.lit(name).alias("tbl"), "n_rows"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5253,6 +5330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_walks": q_node2vec_walks,
         "embedding_pq": q_embedding_pq,
         "ann_topk_pq": q_ann_topk_pq,
+        "value_trend": q_value_trend,
+        "forget_cascade": q_forget_cascade,
     }
 
 
@@ -8689,6 +8768,51 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pq": _pq_oracle_sql(m=4, k=4, dim=64),
         # ann_topk_pq twin: same chains + LUT ADC in SQL.
         "ann_topk_pq": _pq_adc_oracle_sql(m=4, k=4, dim=64),
+        # value_trend twin: same exact-integer moments (floor(epoch())
+        # — the cast-rounding gotcha; DuckDB HUGEINT sums cast back).
+        "value_trend": """
+            WITH t0 AS (SELECT CAST(min(floor(epoch(ts))) AS BIGINT)
+                          AS t0 FROM events),
+            b AS (
+              SELECT event_type,
+                     CAST((CAST(floor(epoch(ts)) AS BIGINT) - t0.t0)
+                          // 3600 AS BIGINT) AS x,
+                     CAST(floor(value * 100) AS BIGINT) AS y
+              FROM events, t0
+            ),
+            m AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(x * y) AS BIGINT) AS sxy
+              FROM b GROUP BY 1
+            )
+            SELECT event_type, n,
+                   CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+                   CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+                     AS slope_cents_per_hour
+            FROM m
+        """,
+        # forget_cascade twin: IN-subquery semi joins.
+        "forget_cascade": """
+            WITH v AS (SELECT c_custkey AS k FROM customer
+                       WHERE c_custkey % 97 = 0),
+            o AS (SELECT o_orderkey FROM orders
+                  WHERE o_custkey IN (SELECT k FROM v)),
+            l AS (SELECT 1 AS x FROM lineitem
+                  WHERE l_orderkey IN (SELECT o_orderkey FROM o)),
+            e AS (SELECT 1 AS x FROM events
+                  WHERE user_id IN (SELECT k FROM v))
+            SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS n_rows
+            FROM v
+            UNION ALL SELECT 'orders', CAST(count(*) AS BIGINT) FROM o
+            UNION ALL SELECT 'lineitem', CAST(count(*) AS BIGINT) FROM l
+            UNION ALL SELECT 'events', CAST(count(*) AS BIGINT) FROM e
+        """,
     }
     # hybrid_rrf twin is composed AFTER the literal so it can nest the
     # gated bm25 oracle verbatim (one source of truth for the lexical
