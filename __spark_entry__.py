@@ -5147,17 +5147,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-    # Ordering note (round 5): the driver gates the FIRST 50 entries.
-    # This window = the 15 round-3 queries deferred from r4's rotation
-    # (incl. the 4 that had never had a driver-signed row: oov_rate,
+    # Ordering note (round 5, final): the driver gates the FIRST 50
+    # entries.  Window = the 15 round-3 queries deferred from r4's
+    # rotation (incl. the 4 never-driver-signed: oov_rate,
     # kg_negatives, corpus_yield_funnel, tagger_gazetteer_gate) + the
-    # 8 new round-5 queries (bpe_encode, semantic_dedup,
-    # inverted_postings, phrase_search, kcore, link_graph,
-    # random_walks, triple_confidence) + the 27 longest-unsigned
-    # queries (last signed in r2/r3, oldest first).  After this round
-    # every gated query has been driver-signed at least once.  Queries
-    # 51+ were all driver-signed in r3 or r4 and judge-re-verified
-    # each round.
+    # 8 round-5 queries (bpe_encode .. triple_confidence) + the 21
+    # final-session queries (entity_ecc .. forget_cascade) + the 6
+    # longest-unsigned (pipeline_triples_gated .. max_stats, signed
+    # r2/r3).  Every entry past 50 has a prior driver-signed row
+    # (r1-r4) and is judge-re-verifiable via scripts/check_oracle.py
+    # (full sweep this session: FAILURES none).
         "oov_rate": q_oov_rate,
         "kg_negatives": q_kg_negatives,
         "corpus_yield_funnel": q_corpus_yield_funnel,
@@ -5181,6 +5180,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "random_walks": q_random_walks,
         "triple_confidence": q_triple_confidence,
+        "entity_ecc": q_entity_ecc,
+        "entity_clustering": q_entity_clustering,
+        "entity_layers": q_entity_layers,
+        "kn_counts": q_kn_counts,
+        "suffix_ranks": q_suffix_ranks,
+        "repeated_spans": q_repeated_spans,
+        "corpus_bwt": q_corpus_bwt,
+        "substring_stats": q_substring_stats,
+        "temporal_reach": q_temporal_reach,
+        "entity_wl": q_entity_wl,
+        "exact_order_stats": q_exact_order_stats,
+        "walk_skipgrams": q_walk_skipgrams,
+        "hybrid_rrf": q_hybrid_rrf,
+        "join_size_stats": q_join_size_stats,
+        "budget_cutoff": q_budget_cutoff,
+        "blocking_quality": q_blocking_quality,
+        "node2vec_walks": q_node2vec_walks,
+        "embedding_pq": q_embedding_pq,
+        "ann_topk_pq": q_ann_topk_pq,
+        "value_trend": q_value_trend,
+        "forget_cascade": q_forget_cascade,
         "pipeline_triples_gated": q_pipeline_triples_gated,
         "pipeline_triples_deep": q_pipeline_triples_deep,
         "corpus_counts": q_corpus_counts,
@@ -5311,27 +5331,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "entity_stress": q_entity_stress,
         "vocab_growth": q_vocab_growth,
-        "entity_ecc": q_entity_ecc,
-        "entity_clustering": q_entity_clustering,
-        "entity_layers": q_entity_layers,
-        "kn_counts": q_kn_counts,
-        "suffix_ranks": q_suffix_ranks,
-        "repeated_spans": q_repeated_spans,
-        "corpus_bwt": q_corpus_bwt,
-        "substring_stats": q_substring_stats,
-        "temporal_reach": q_temporal_reach,
-        "entity_wl": q_entity_wl,
-        "exact_order_stats": q_exact_order_stats,
-        "walk_skipgrams": q_walk_skipgrams,
-        "hybrid_rrf": q_hybrid_rrf,
-        "join_size_stats": q_join_size_stats,
-        "budget_cutoff": q_budget_cutoff,
-        "blocking_quality": q_blocking_quality,
-        "node2vec_walks": q_node2vec_walks,
-        "embedding_pq": q_embedding_pq,
-        "ann_topk_pq": q_ann_topk_pq,
-        "value_trend": q_value_trend,
-        "forget_cascade": q_forget_cascade,
     }
 
 
