@@ -5140,6 +5140,21 @@ def q_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG-completion candidates: common-neighbor / Jaccard /
+    Adamic-Adar / resource-allocation scores for non-adjacent entity
+    pairs of the rule-triple graph (operators/graph.py
+    link_prediction).  AA/RA ride EXACT fixed-point long accumulators
+    (floor(2^40/ln deg), floor(2^40/deg)) so the gated values are
+    bit-identical across engines — no FP-sum-order tolerance."""
+    from deepie_spark.operators.graph import link_prediction
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return link_prediction(t, min_common=2, max_degree=1000)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5331,6 +5346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "entity_stress": q_entity_stress,
         "vocab_growth": q_vocab_growth,
+        "link_prediction": q_link_prediction,
     }
 
 
@@ -8855,6 +8871,41 @@ def oracle_sql() -> dict[str, str]:
                          THEN CAST(1 AS DOUBLE) / (60 + rank_sem)
                          ELSE CAST(0 AS DOUBLE) END), 6) AS rrf
         FROM lr FULL OUTER JOIN sr USING (doc_id)
+    """
+    # link_prediction twin: neighbor_jaccard's wedge formulation plus
+    # the fixed-point AA/RA accumulators — floor(2^40/ln(deg)) and
+    # floor(2^40/deg) are single-IEEE-op exact-integer-argument terms
+    # (the PMI ln precedent), summed as BIGINTs (order-free), so every
+    # gated value is bit-identical with Spark; the non-adjacency test
+    # is an anti-join there and NOT EXISTS here (independent
+    # formulations of the same set).
+    d["link_prediction"] = f"""
+        WITH {_MENTIONS_SQL.strip()},
+        {_TRIPLE_EDGES_SQL.strip()},
+        nb AS (SELECT a AS node, b AS nbr FROM und
+               UNION ALL SELECT b, a FROM und),
+        deg AS (SELECT node, count(*) AS deg FROM nb GROUP BY node),
+        wed AS (SELECT nb.nbr AS n, nb.node AS m, d.deg AS deg_n
+                FROM nb JOIN deg d ON d.node = nb.nbr
+                WHERE d.deg <= 1000),
+        com AS (SELECT x.m AS ent_a, y.m AS ent_b,
+                       count(*) AS common,
+                       CAST(sum(CAST(floor(1099511627776.0
+                            / ln(CAST(x.deg_n AS DOUBLE))) AS BIGINT))
+                         AS BIGINT) AS aa_fp,
+                       CAST(sum(CAST(floor(1099511627776.0 / x.deg_n)
+                            AS BIGINT)) AS BIGINT) AS ra_fp
+                FROM wed x JOIN wed y ON x.n = y.n AND x.m < y.m
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+        cand AS (SELECT * FROM com
+                 WHERE NOT EXISTS (SELECT 1 FROM und
+                                   WHERE und.a = com.ent_a
+                                     AND und.b = com.ent_b))
+        SELECT ent_a, ent_b, common, aa_fp, ra_fp,
+               round(common / (d1.deg + d2.deg - common), 6) AS jaccard,
+               round(aa_fp / 1099511627776.0, 6) AS adamic_adar
+        FROM cand JOIN deg d1 ON d1.node = cand.ent_a
+                  JOIN deg d2 ON d2.node = cand.ent_b
     """
     # blocking_quality twin nests the two gated stage oracles verbatim
     # (one source of truth for candidates and exact pairs); truth has

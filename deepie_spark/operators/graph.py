@@ -500,6 +500,98 @@ def neighborhood_jaccard(
     )
 
 
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 1,
+    max_degree: int | None = 1000,
+    scale_bits: int = 40,
+) -> DataFrame:
+    """Link-prediction scores for NON-ADJACENT node pairs sharing at
+    least ``min_common`` neighbors — the classic missing-edge candidate
+    set of Liben-Nowell & Kleinberg (2003), the KG-completion signal a
+    triple-extraction pipeline ranks before human review or negative
+    sampling (operators/negatives.py picks its corruptions from the
+    complement of exactly this candidate set's top ranks).
+
+    Per pair (a < b, ``(a,b)`` NOT an edge): ``common`` = |N(a) ∩ N(b)|,
+    ``jaccard`` = common / (|N(a)| + |N(b)| − common), and two
+    degree-weighted indices accumulated as EXACT FIXED-POINT LONGS so
+    the result is bit-identical across engines, partitionings and
+    aggregation orders (the entity_hits exact-integer-accumulator
+    pattern, NOT pagerank's round-6 FP-sum tolerance):
+
+    - ``aa_fp`` = Σ_z floor(2^scale_bits / ln(deg(z)))  (Adamic-Adar)
+    - ``ra_fp`` = Σ_z floor(2^scale_bits / deg(z))      (resource alloc.)
+
+    Each term is a single IEEE divide of exact-integer-valued doubles
+    (and one libm ``ln`` of an exact integer — the PMI precedent), so
+    both engines floor the same value; the SUM is integer, hence
+    order-free.  ``adamic_adar`` = aa_fp / 2^scale_bits (division by a
+    power of two — exact) differs from the true Σ 1/ln(deg) by less
+    than common · 2^−scale_bits.  A wedge center z has deg(z) ≥ 2 by
+    construction (it neighbors both a and b), so ln(deg) > 0.
+
+    Scale plan: identical to neighborhood_jaccard — the wedge stage is
+    the Θ(deg²)-per-center self-join, hub-guarded by ``max_degree``
+    (degrees keep full counts); the adjacency test is one left_anti
+    join on the canonical edge key, NOT a NOT-EXISTS per row.
+    """
+    e = _canonical_edges(edges, src, dst).localCheckpoint()
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    wed = und.select(F.col("b").alias("n"), F.col("a").alias("m"))
+    cdeg = deg.select(F.col("a").alias("n"), F.col("deg").alias("deg_n"))
+    if max_degree is not None:
+        cdeg = cdeg.filter(F.col("deg_n") <= max_degree)
+    wed = wed.join(cdeg, "n")
+    scale = F.lit(float(1 << scale_bits))
+    p1 = wed.select("n", F.col("m").alias("ent_a"), "deg_n")
+    p2 = wed.select("n", F.col("m").alias("ent_b"))
+    pairs = (
+        p1.join(p2, "n")
+        .filter(F.col("ent_a") < F.col("ent_b"))
+        .groupBy("ent_a", "ent_b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum(
+                F.floor(scale / F.log(F.col("deg_n").cast("double")))
+            ).cast("long").alias("aa_fp"),
+            F.sum(F.floor(scale / F.col("deg_n"))).cast("long").alias(
+                "ra_fp"
+            ),
+        )
+        .filter(F.col("common") >= min_common)
+    )
+    cand = pairs.join(
+        e.select(F.col("a").alias("ent_a"), F.col("b").alias("ent_b")),
+        ["ent_a", "ent_b"],
+        "left_anti",
+    )
+    out = cand.join(
+        deg.select(F.col("a").alias("ent_a"), F.col("deg").alias("deg_a")),
+        "ent_a",
+    ).join(
+        deg.select(F.col("a").alias("ent_b"), F.col("deg").alias("deg_b")),
+        "ent_b",
+    )
+    jac = F.col("common") / (
+        F.col("deg_a") + F.col("deg_b") - F.col("common")
+    )
+    return out.select(
+        "ent_a",
+        "ent_b",
+        "common",
+        "aa_fp",
+        "ra_fp",
+        F.round(jac, 6).alias("jaccard"),
+        F.round(F.col("aa_fp") / scale, 6).alias("adamic_adar"),
+    )
+
+
 def bfs_hops(
     edges: DataFrame,
     seeds: DataFrame,

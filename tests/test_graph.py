@@ -1326,3 +1326,104 @@ def test_node2vec_return_bias(spark):
            for r in node2vec_walks(df, length=3).collect()}
     assert got[("a", 0)] == "a" and got[("a", 1)] == "b"
     assert got[("a", 2)] == "a" and got[("a", 3)] == "b"
+
+
+# ---------------------------------------------------------------------------
+# link_prediction (common-neighbors / Jaccard / fixed-point AA & RA)
+# ---------------------------------------------------------------------------
+
+
+def _numpy_link_prediction(edges, min_common=1, scale_bits=40):
+    """Brute-force twin of the documented semantics: undirected distinct
+    edges, candidate = non-adjacent pair with >= min_common shared
+    neighbors, AA/RA as exact fixed-point longs."""
+    import math
+
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    scale = float(1 << scale_bits)
+    out = {}
+    nodes = sorted(nbrs)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            if (a, b) in und:
+                continue
+            cn = nbrs[a] & nbrs[b]
+            if len(cn) < min_common:
+                continue
+            aa = sum(int(scale // math.log(len(nbrs[z]))) for z in cn)
+            ra = sum(int(scale // len(nbrs[z])) for z in cn)
+            da, db = len(nbrs[a]), len(nbrs[b])
+            out[(a, b)] = (
+                len(cn),
+                aa,
+                ra,
+                round(len(cn) / (da + db - len(cn)), 6),
+                round(aa / scale, 6),
+            )
+    return out
+
+
+def test_link_prediction_random_python_twin(spark):
+    from deepie_spark.operators.graph import link_prediction
+
+    rng = np.random.RandomState(23)
+    edges = sorted(
+        {
+            (f"v{rng.randint(40)}", f"v{rng.randint(40)}")
+            for _ in range(160)
+        }
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        (r.ent_a, r.ent_b): (
+            r.common,
+            r.aa_fp,
+            r.ra_fp,
+            r.jaccard,
+            r.adamic_adar,
+        )
+        for r in link_prediction(df, min_common=1).collect()
+    }
+    assert got == _numpy_link_prediction(edges, min_common=1)
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    from deepie_spark.operators.graph import link_prediction
+
+    # triangle plus a pendant: (a,c) IS an edge so only the pendant's
+    # wedge pairs may appear
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = {
+        (r.ent_a, r.ent_b): r.common
+        for r in link_prediction(df, min_common=1).collect()
+    }
+    # d shares neighbor c with a and with b; (a,b),(a,c),(b,c) all edges
+    assert rows == {("a", "d"): 1, ("b", "d"): 1}
+
+
+def test_link_prediction_hub_guard_drops_wedges_only(spark):
+    from deepie_spark.operators.graph import link_prediction
+
+    # star: hub h connects to 5 leaves; with max_degree=4 the hub is
+    # excluded as a wedge CENTER, so no candidate pairs at all — but
+    # leaf degrees would still count h if another center existed
+    edges = [("h", f"l{i}") for i in range(5)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    assert link_prediction(df, max_degree=4).count() == 0
+    # unguarded: all C(5,2) leaf pairs share exactly the hub
+    full = link_prediction(df, max_degree=None).collect()
+    assert len(full) == 10
+    # each leaf pair shares only the hub; leaves have degree 1 so
+    # jaccard = 1 / (1 + 1 - 1) = 1.0 and ra_fp = floor(2^40 / 5)
+    assert all(
+        r.common == 1 and r.jaccard == 1.0 and r.ra_fp == (1 << 40) // 5
+        for r in full
+    )
