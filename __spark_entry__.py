@@ -5155,6 +5155,28 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction(t, min_common=2, max_degree=1000)
 
 
+def q_doc_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-criteria document frontier: the skyline (Pareto-optimal
+    set) of documents maximizing (n_tokens, n_distinct, n_chars) —
+    the preference-query analog of top-k that needs no weight vector
+    (operators/skyline.py: per-batch SFS prune + broadcast dominance
+    anti-join; the result is a set, partition-invariant).  All
+    criteria are exact longs; the oracle is the independent
+    NOT-EXISTS formulation."""
+    from deepie_spark.operators.skyline import skyline
+
+    d = _docs(spark, sf_dir)
+    m = d.select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tokenize(F.col("text"))))
+        .cast("long")
+        .alias("n_distinct"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    return skyline(m, ["n_tokens", "n_distinct", "n_chars"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5347,6 +5369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_stress": q_entity_stress,
         "vocab_growth": q_vocab_growth,
         "link_prediction": q_link_prediction,
+        "doc_skyline": q_doc_skyline,
     }
 
 
@@ -8906,6 +8929,33 @@ def oracle_sql() -> dict[str, str]:
                round(aa_fp / 1099511627776.0, 6) AS adamic_adar
         FROM cand JOIN deg d1 ON d1.node = cand.ent_a
                   JOIN deg d2 ON d2.node = cand.ent_b
+    """
+    # doc_skyline twin: the textbook NOT-EXISTS dominance test — an
+    # INDEPENDENT formulation of the same set the two-stage
+    # prune+anti-join plan computes (skylines are unique); all
+    # criteria exact longs so the gate is engine-portable.
+    d["doc_skyline"] = """
+        WITH m AS (
+          SELECT doc_id,
+            CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                 x -> x != '')) AS BIGINT) AS n_tokens,
+            CAST(len(list_distinct(list_filter(
+                 string_split_regex(text, '\\s+'), x -> x != '')))
+              AS BIGINT) AS n_distinct,
+            CAST(n_chars AS BIGINT) AS n_chars
+          FROM documents
+        )
+        SELECT doc_id, n_tokens, n_distinct, n_chars
+        FROM m a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM m b
+          WHERE b.n_tokens >= a.n_tokens
+            AND b.n_distinct >= a.n_distinct
+            AND b.n_chars >= a.n_chars
+            AND (b.n_tokens > a.n_tokens
+                 OR b.n_distinct > a.n_distinct
+                 OR b.n_chars > a.n_chars)
+        )
     """
     # blocking_quality twin nests the two gated stage oracles verbatim
     # (one source of truth for candidates and exact pairs); truth has
