@@ -5177,6 +5177,45 @@ def q_doc_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline(m, ["n_tokens", "n_distinct", "n_chars"])
 
 
+def q_entity_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent entity itemsets (distributed a-priori,
+    operators/itemsets.py): the 1/2/3-entity sets co-mentioned in ≥ 5
+    documents — the support-thresholded complement of pairwise PMI
+    that relation-rule induction consumes.  Candidate generation is
+    in-row over per-doc frequent-item arrays (no transaction
+    self-join); the oracle is the naive three-way-join formulation
+    (equal by support monotonicity)."""
+    from deepie_spark.operators.itemsets import frequent_itemsets
+
+    m = _mentions_single(spark, sf_dir).select("doc_id", "alias")
+    # scale-free RELATIVE support: 55% of transactions, as the exact
+    # integer ceil (support·20 ≥ 11·N ⟺ support ≥ ⌈11N/20⌉) — a
+    # fixed absolute count would saturate or empty out across sf dirs.
+    # One bounded driver action (a 1-row count), same as the kmeans
+    # centroid collects.
+    n = m.select("doc_id").distinct().count()
+    return frequent_itemsets(
+        m,
+        key="doc_id",
+        item="alias",
+        min_support=(11 * n + 19) // 20,
+        max_size=3,
+    )
+
+
+def q_entity_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules A → B over frequent entity pairs
+    (operators/itemsets.py association_rules): confidence and lift as
+    single IEEE divisions of exact-long counts (engine-portable)."""
+    from deepie_spark.operators.itemsets import association_rules
+
+    m = _mentions_single(spark, sf_dir).select("doc_id", "alias")
+    n = m.select("doc_id").distinct().count()
+    return association_rules(
+        m, key="doc_id", item="alias", min_support=(11 * n + 19) // 20
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5370,6 +5409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "link_prediction": q_link_prediction,
         "doc_skyline": q_doc_skyline,
+        "entity_itemsets": q_entity_itemsets,
+        "entity_assoc_rules": q_entity_assoc_rules,
     }
 
 
@@ -8956,6 +8997,63 @@ def oracle_sql() -> dict[str, str]:
                  OR b.n_distinct > a.n_distinct
                  OR b.n_chars > a.n_chars)
         )
+    """
+    # entity_itemsets twin: the NAIVE a-priori formulation — self-joins
+    # of the distinct transaction table restricted to frequent items —
+    # which equals the in-row candidate-array plan by support
+    # monotonicity (every subset of a frequent set is frequent, so the
+    # pair-frequent array narrowing and L2 sub-pair semi-joins never
+    # drop a true L3 member).
+    # relative support (55%% of transactions) in pure integer
+    # arithmetic: support*20 >= 11*N  ⟺  support >= ceil(11N/20),
+    # exactly the (11n+19)//20 threshold the Spark side computes.
+    _ITEMSETS_CORE = f"""
+        tx AS (SELECT DISTINCT doc_id, alias FROM mentions),
+        nn AS (SELECT count(DISTINCT doc_id) AS n FROM tx),
+        l1 AS (SELECT alias AS item, CAST(count(*) AS BIGINT) AS support
+               FROM tx GROUP BY 1
+               HAVING count(*) * 20 >= 11 * (SELECT n FROM nn)),
+        p2 AS (SELECT x.doc_id, x.alias AS a, y.alias AS b
+               FROM tx x JOIN tx y
+                 ON x.doc_id = y.doc_id AND x.alias < y.alias
+               JOIN l1 ia ON ia.item = x.alias
+               JOIN l1 ib ON ib.item = y.alias),
+        l2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS support
+               FROM p2 GROUP BY 1, 2
+               HAVING count(*) * 20 >= 11 * (SELECT n FROM nn))"""
+    d["entity_itemsets"] = f"""
+        WITH {_MENTIONS_SQL.strip()},
+        {_ITEMSETS_CORE.strip()},
+        p3 AS (SELECT x.doc_id, x.alias AS a, y.alias AS b, z.alias AS c
+               FROM tx x
+               JOIN tx y ON x.doc_id = y.doc_id AND x.alias < y.alias
+               JOIN tx z ON x.doc_id = z.doc_id AND y.alias < z.alias
+               JOIN l1 ia ON ia.item = x.alias
+               JOIN l1 ib ON ib.item = y.alias
+               JOIN l1 ic ON ic.item = z.alias),
+        l3 AS (SELECT a, b, c, CAST(count(*) AS BIGINT) AS support
+               FROM p3 GROUP BY 1, 2, 3
+               HAVING count(*) * 20 >= 11 * (SELECT n FROM nn))
+        SELECT item AS itemset, CAST(1 AS INT) AS size, support FROM l1
+        UNION ALL
+        SELECT a || '|' || b, CAST(2 AS INT), support FROM l2
+        UNION ALL
+        SELECT a || '|' || b || '|' || c, CAST(3 AS INT), support FROM l3
+    """
+    d["entity_assoc_rules"] = f"""
+        WITH {_MENTIONS_SQL.strip()},
+        {_ITEMSETS_CORE.strip()},
+        n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_tx
+              FROM tx),
+        bi AS (SELECT a, b, support FROM l2
+                 UNION ALL SELECT b, a, support FROM l2)
+        SELECT bi.a AS antecedent, bi.b AS consequent, bi.support,
+               round(bi.support / ia.support, 6) AS confidence,
+               round((bi.support * n.n_tx)
+                     / (ia.support * ib.support), 6) AS lift
+        FROM bi JOIN l1 ia ON ia.item = bi.a
+                  JOIN l1 ib ON ib.item = bi.b
+        CROSS JOIN n
     """
     # blocking_quality twin nests the two gated stage oracles verbatim
     # (one source of truth for candidates and exact pairs); truth has
