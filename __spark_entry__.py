@@ -5216,6 +5216,44 @@ def q_entity_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate: per-query recall@10 of the IVF scale path
+    against the exact brute-force top-10 — the acceptance metric run
+    before swapping an approximate index into the retrieval pipeline.
+    Pure integer set-overlap counts (both top-k sets are
+    deterministically tie-broken by their gated stages) plus one
+    int/int division; the oracle nests the two stage twins verbatim
+    (one source of truth)."""
+    ex = q_ann_topk(spark, sf_dir).select("query_id", "vec_id")
+    iv = q_ann_topk_ivf(spark, sf_dir).select("query_id", "vec_id")
+    ce = ex.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    ci = iv.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ivf")
+    )
+    co = (
+        ex.join(iv, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    return (
+        ce.join(ci, "query_id")
+        .join(co, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            "n_ivf",
+            F.coalesce(F.col("n_overlap"), F.lit(0))
+            .cast("long")
+            .alias("n_overlap"),
+        )
+        .withColumn(
+            "recall", F.round(F.col("n_overlap") / F.col("n_exact"), 6)
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5411,6 +5449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_skyline": q_doc_skyline,
         "entity_itemsets": q_entity_itemsets,
         "entity_assoc_rules": q_entity_assoc_rules,
+        "ann_recall": q_ann_recall,
     }
 
 
@@ -9054,6 +9093,29 @@ def oracle_sql() -> dict[str, str]:
         FROM bi JOIN l1 ia ON ia.item = bi.a
                   JOIN l1 ib ON ib.item = bi.b
         CROSS JOIN n
+    """
+    # ann_recall twin nests the exact and IVF stage twins verbatim —
+    # integer overlap counts, one int/int divide.
+    d["ann_recall"] = f"""
+        WITH ex AS (
+          {d["ann_topk"]}
+        ),
+        iv AS (
+          {d["ann_topk_ivf"]}
+        ),
+        ce AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+               FROM ex GROUP BY 1),
+        ci AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_ivf
+               FROM iv GROUP BY 1),
+        co AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+               FROM ex JOIN iv ON ex.query_id = iv.query_id
+                              AND ex.vec_id = iv.vec_id
+               GROUP BY 1)
+        SELECT ce.query_id, ce.n_exact, ci.n_ivf,
+               CAST(coalesce(co.n_overlap, 0) AS BIGINT) AS n_overlap,
+               round(coalesce(co.n_overlap, 0) / ce.n_exact, 6) AS recall
+        FROM ce JOIN ci ON ci.query_id = ce.query_id
+        LEFT JOIN co ON co.query_id = ce.query_id
     """
     # blocking_quality twin nests the two gated stage oracles verbatim
     # (one source of truth for candidates and exact pairs); truth has

@@ -213,3 +213,18 @@ def test_ivf_multiprobe_recall_strictly_improves(spark):
     r1, r2 = recall(1), recall(2)
     assert r2 > r1, f"nprobe=2 recall {r2} not above nprobe=1 {r1}"
     assert r2 == 1.0, f"nprobe=2 over 2 cells must be exhaustive, got {r2}"
+
+
+def test_ann_recall_query_bounds(spark):
+    """ann_recall composes the exact and IVF gated stages: overlap is
+    a subset count, so 0 <= n_overlap <= n_exact = k, and nprobe=2
+    multi-probe must find SOMETHING for at least one query."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["ann_recall"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert all(
+        0.0 <= r.recall <= 1.0 and 0 <= r.n_overlap <= r.n_exact == 10
+        for r in rows
+    )
+    assert any(r.n_overlap > 0 for r in rows)
