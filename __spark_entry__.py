@@ -5254,6 +5254,32 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scores (Mihalcea & Tarau 2004): PageRank over
+    the DISTINCT token co-occurrence graph (symmetric ±2 window) — the
+    unsupervised keyword ranking the keyword variant of the paper
+    defines.  Composes two gated cores: the map-only skip-gram pair
+    expansion (operators/skipgram.py) supplies the edge list (its
+    symmetric window makes both directions present, so out-degree =
+    undirected degree) and operators/graph.py pagerank ranks it.
+    Round-6 output, the pagerank cross-engine tolerance."""
+    from deepie_spark.operators.graph import pagerank
+    from deepie_spark.operators.skipgram import skipgram_pairs
+
+    p = skipgram_pairs(_docs(spark, sf_dir), window=2).filter(
+        F.col("center") != F.col("context")
+    )
+    pr = pagerank(
+        p.select(
+            F.col("center").alias("src"), F.col("context").alias("dst")
+        ),
+        iterations=3,
+    )
+    return pr.select(
+        F.col("node").alias("token"), F.col("pagerank").alias("textrank")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5450,6 +5476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_itemsets": q_entity_itemsets,
         "entity_assoc_rules": q_entity_assoc_rules,
         "ann_recall": q_ann_recall,
+        "textrank_keywords": q_textrank_keywords,
     }
 
 
@@ -9093,6 +9120,45 @@ def oracle_sql() -> dict[str, str]:
         FROM bi JOIN l1 ia ON ia.item = bi.a
                   JOIN l1 ib ON ib.item = bi.b
         CROSS JOIN n
+    """
+    # textrank_keywords twin: the word co-occurrence graph via the
+    # POSITION SELF-JOIN formulation (independent of Spark's in-row
+    # window expansion) + the entity_pagerank unrolled-iteration
+    # scheme (same damping constant repr, round-6 at the end only).
+    _TR_IT = """
+        it{k} AS (
+          SELECT nodes.node,
+                 0.15000000000000002 / nn.n
+                   + 0.85 * COALESCE(s.c, 0.0) AS pr
+          FROM nodes CROSS JOIN nn
+          LEFT JOIN (
+            SELECT e.dst AS node, sum(p.pr / od.od) AS c
+            FROM edges e
+            JOIN it{p} p ON p.node = e.src
+            JOIN od ON od.src = e.src
+            GROUP BY e.dst
+          ) s USING (node)
+        )"""
+    d["textrank_keywords"] = f"""
+        WITH {_OCC_SQL.strip()},
+        edges AS (
+          SELECT DISTINCT x.token AS src, y.token AS dst
+          FROM occ x JOIN occ y
+            ON x.doc_id = y.doc_id
+           AND y.pos BETWEEN x.pos - 2 AND x.pos + 2
+           AND y.pos != x.pos
+          WHERE x.token != y.token
+        ),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        od AS (SELECT src, CAST(count(*) AS DOUBLE) AS od
+               FROM edges GROUP BY src),
+        it0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+        {_TR_IT.format(k=1, p=0).strip()},
+        {_TR_IT.format(k=2, p=1).strip()},
+        {_TR_IT.format(k=3, p=2).strip()}
+        SELECT node AS token, round(pr, 6) AS textrank FROM it3
     """
     # ann_recall twin nests the exact and IVF stage twins verbatim —
     # integer overlap counts, one int/int divide.

@@ -1427,3 +1427,36 @@ def test_link_prediction_hub_guard_drops_wedges_only(spark):
         r.common == 1 and r.jaccard == 1.0 and r.ra_fp == (1 << 40) // 5
         for r in full
     )
+
+
+def test_textrank_hub_word_ranks_first(spark):
+    """TextRank composition: a token co-occurring with everything must
+    outrank peripheral tokens; symmetric co-occurrence graph has no
+    dangling nodes, so total mass stays 1 (within FP tolerance)."""
+    import __spark_entry__ as entry_mod
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hub alpha hub beta hub gamma hub delta"),
+            (1, "hub epsilon hub zeta hub eta"),
+            (2, "theta iota theta iota"),
+        ],
+        ["doc_id", "text"],
+    ).withColumn("n_chars", F.length("text")).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("s"))
+
+    from deepie_spark.operators.graph import pagerank
+    from deepie_spark.operators.skipgram import skipgram_pairs
+
+    p = skipgram_pairs(docs, window=2).filter(
+        F.col("center") != F.col("context")
+    )
+    pr = pagerank(
+        p.select(F.col("center").alias("src"),
+                 F.col("context").alias("dst")),
+        iterations=3,
+    ).collect()
+    scores = {r.node: r.pagerank for r in pr}
+    assert max(scores, key=scores.get) == "hub"
+    assert abs(sum(scores.values()) - 1.0) < 1e-4
