@@ -5280,6 +5280,31 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution-drift monitor: Population Stability
+    Index of each source's n_chars distribution vs the rest of the
+    corpus (operators/curation.py psi_drift — fixed 64-wide bins,
+    Laplace smoothing, fixed-order term chain; every value
+    engine-portable by construction)."""
+    from deepie_spark.operators.curation import psi_drift
+
+    return psi_drift(
+        _docs(spark, sf_dir), "source", "n_chars", n_bins=10, width=64
+    )
+
+
+def q_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration audit: Gini index of per-user event counts
+    (operators/stats.py gini_concentration — exact-long rank·count
+    sums over rank_in_order, two IEEE divisions, engine-portable)."""
+    from deepie_spark.operators.stats import gini_concentration
+
+    c = _events(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    return gini_concentration(c, "n_events", "user_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5477,6 +5502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_assoc_rules": q_entity_assoc_rules,
         "ann_recall": q_ann_recall,
         "textrank_keywords": q_textrank_keywords,
+        "source_drift_psi": q_source_drift_psi,
+        "activity_gini": q_activity_gini,
     }
 
 
@@ -9159,6 +9186,60 @@ def oracle_sql() -> dict[str, str]:
         {_TR_IT.format(k=2, p=1).strip()},
         {_TR_IT.format(k=3, p=2).strip()}
         SELECT node AS token, round(pr, 6) AS textrank FROM it3
+    """
+    # source_drift_psi twin: same fixed-bin conditional-agg pivot, the
+    # 10 smoothed terms added in the SAME written order (bm25
+    # constant-chain rule) — every ln argument one division of
+    # exact-integer products.
+    _PSI_A = ", ".join(
+        f"coalesce(max(CASE WHEN bin = {i} THEN cnt END), 0) AS a{i}"
+        for i in range(10)
+    )
+    _PSI_T = ", ".join(
+        f"CAST(coalesce(sum(CASE WHEN bin = {i} THEN cnt END), 0)"
+        f" AS BIGINT) AS t{i}"
+        for i in range(10)
+    )
+    _PSI_TERMS = " + ".join(
+        f"((a{i} + 1) / (n_a + 10) - (t{i} - a{i} + 1) / (n_b + 10))"
+        f" * ln(((a{i} + 1) * (n_b + 10))"
+        f" / ((t{i} - a{i} + 1) * (n_a + 10)))"
+        for i in range(10)
+    )
+    d["source_drift_psi"] = f"""
+        WITH b AS (SELECT source AS g,
+                          least(9, n_chars // 64) AS bin
+                   FROM documents),
+        ct AS (SELECT g, bin, CAST(count(*) AS BIGINT) AS cnt
+               FROM b GROUP BY 1, 2),
+        pg AS (SELECT g, {_PSI_A} FROM ct GROUP BY g),
+        gl AS (SELECT {_PSI_T} FROM ct),
+        j AS (SELECT pg.*, gl.*,
+                     CAST({' + '.join(f'a{i}' for i in range(10))}
+                       AS BIGINT) AS n_a,
+                     CAST(({' + '.join(f't{i}' for i in range(10))})
+                       - ({' + '.join(f'a{i}' for i in range(10))})
+                       AS BIGINT) AS n_b
+              FROM pg CROSS JOIN gl)
+        SELECT g AS source, n_a, n_b,
+               round({_PSI_TERMS}, 6) AS psi
+        FROM j
+    """
+    # activity_gini twin: row_number window formulation (the naive
+    # plan rank_in_order replaces) — tied counts ordered by user_id on
+    # both sides; all sums exact BIGINTs, two IEEE divisions.
+    d["activity_gini"] = """
+        WITH c AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS x
+                   FROM events GROUP BY 1),
+        r AS (SELECT x, row_number() OVER (ORDER BY x, k) AS i FROM c),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS total,
+                     CAST(sum(i * x) AS BIGINT) AS rank_sum
+              FROM r)
+        SELECT n, total, rank_sum,
+               round((2 * rank_sum) / (n * total) - (n + 1) / n, 6)
+                 AS gini
+        FROM a
     """
     # ann_recall twin nests the exact and IVF stage twins verbatim —
     # integer overlap counts, one int/int divide.

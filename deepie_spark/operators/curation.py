@@ -256,3 +256,92 @@ def boilerplate_stats(
             6,
         ).alias("boiler_frac"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_bins: int = 10,
+    width: int = 64,
+) -> DataFrame:
+    """Population Stability Index of each group's ``value_col``
+    distribution against the REST of the corpus — the standard
+    drift/shift monitor a curation pipeline runs per source (and per
+    time slice) before mixing:
+
+        PSI = Σ_i (p_i − q_i) · ln(p_i / q_i)
+
+    over ``n_bins`` fixed-width value bins (``bin = min(n_bins−1,
+    value div width)``), with Laplace +1 smoothing so empty bins stay
+    finite.  PSI < 0.1 is conventionally "no shift", > 0.25 "major
+    shift" (the credit-scoring rule of thumb).
+
+    Engine portability is by construction, not tolerance: all bin
+    counts are exact longs; each term's ln argument is ONE division of
+    exact-integer products ((a_i+1)(B+k) / (b_i+1)(A+k) — the PMI
+    integer-argument rule), each p−q is two exact-int divisions and a
+    subtract, and the ``n_bins`` terms are added in FIXED left-to-right
+    bin order (the bm25 constant-chain rule) — never an FP SUM over
+    rows.  The products must fit int64 (counts up to ~3·10⁹ per side —
+    beyond that, swap the ln argument to the two-division form).
+
+    Plan: one (group, bin) count aggregation, one conditional-agg
+    pivot per group, one broadcast 1-row global-bin aggregate — no
+    joins keyed on data values, no window, map-side combinable
+    everywhere.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    b = df.select(
+        F.col(group_col).alias("g"),
+        F.least(
+            F.lit(n_bins - 1),
+            (F.col(value_col).cast("long") / F.lit(width)).cast("long"),
+        ).alias("bin"),
+    )
+    ct = b.groupBy("g", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    per_g = ct.groupBy("g").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("bin") == i, F.col("cnt"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"a{i}")
+            for i in range(n_bins)
+        ]
+    )
+    glob = ct.groupBy().agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("bin") == i, F.col("cnt"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"t{i}")
+            for i in range(n_bins)
+        ]
+    )
+    j = per_g.crossJoin(F.broadcast(glob))
+    n_a = F.col("a0")
+    n_t = F.col("t0")
+    for i in range(1, n_bins):
+        n_a = n_a + F.col(f"a{i}")
+        n_t = n_t + F.col(f"t{i}")
+    j = j.withColumn("n_a", n_a.cast("long")).withColumn(
+        "n_b", (n_t - n_a).cast("long")
+    )
+    k = F.lit(n_bins)
+    psi = None
+    for i in range(n_bins):
+        a1 = F.col(f"a{i}") + F.lit(1)
+        b1 = (F.col(f"t{i}") - F.col(f"a{i}")) + F.lit(1)
+        term = (
+            a1 / (F.col("n_a") + k) - b1 / (F.col("n_b") + k)
+        ) * F.log((a1 * (F.col("n_b") + k)) / (b1 * (F.col("n_a") + k)))
+        psi = term if psi is None else psi + term
+    return j.select(
+        F.col("g").alias(group_col),
+        "n_a",
+        "n_b",
+        F.round(psi, 6).alias("psi"),
+    )

@@ -262,3 +262,60 @@ def test_vocab_growth_python_twin(spark, sf_dir):
         assert out[b] == (cum_v, cum_t), f"decile {b}"
     # monotone, ends at the full corpus totals
     assert out[9][0] == len(firsts)
+
+
+def test_psi_drift_matches_python_twin(spark):
+    import math
+
+    import numpy as np
+
+    from deepie_spark.operators.curation import psi_drift
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (f"s{rng.randint(4)}", int(v))
+        for v in rng.gamma(4.0, 60.0, size=800)
+    ]
+    df = spark.createDataFrame(rows, ["source", "n_chars"])
+    got = {
+        r.source: (r.n_a, r.n_b, r.psi)
+        for r in psi_drift(df, "source", "n_chars", 10, 64).collect()
+    }
+
+    def bin_of(v):
+        return min(9, v // 64)
+
+    from collections import Counter
+
+    per = {}
+    for s, v in rows:
+        per.setdefault(s, Counter())[bin_of(v)] += 1
+    glob = Counter()
+    for c in per.values():
+        glob.update(c)
+    expect = {}
+    for s, c in per.items():
+        A = sum(c.values())
+        B = sum(glob.values()) - A
+        psi = 0.0
+        for i in range(10):  # FIXED bin order, like both engines
+            a1 = c.get(i, 0) + 1
+            b1 = glob.get(i, 0) - c.get(i, 0) + 1
+            psi += (a1 / (A + 10) - b1 / (B + 10)) * math.log(
+                (a1 * (B + 10)) / (b1 * (A + 10))
+            )
+        expect[s] = (A, B, round(psi, 6))
+    assert got == expect
+
+
+def test_psi_drift_zero_for_identical_halves(spark):
+    from deepie_spark.operators.curation import psi_drift
+
+    # two groups with IDENTICAL value multisets → symmetric smoothing,
+    # p == q in every bin → psi exactly 0 for both
+    vals = [10, 70, 70, 130, 200, 200, 640, 1000]
+    rows = [("a", v) for v in vals] + [("b", v) for v in vals]
+    df = spark.createDataFrame(rows, ["source", "n_chars"])
+    got = {r.source: r.psi for r in
+           psi_drift(df, "source", "n_chars", 10, 64).collect()}
+    assert got == {"a": 0.0, "b": 0.0}

@@ -123,3 +123,36 @@ def test_triple_confidence_noisy_or(spark):
         for r in triple_confidence(df.repartition(7)).collect()
     }
     assert got2 == got
+
+
+def test_gini_concentration_python_twin(spark):
+    import numpy as np
+
+    from deepie_spark.operators.stats import gini_concentration
+
+    rng = np.random.RandomState(5)
+    vals = [int(v) for v in rng.zipf(1.7, 200).clip(1, 10_000)]
+    df = spark.createDataFrame(
+        [(f"u{i}", v) for i, v in enumerate(vals)], ["k", "x"]
+    )
+    row = gini_concentration(df, "x", "k").collect()[0]
+    xs = sorted(vals)
+    n, total = len(xs), sum(xs)
+    s = sum((i + 1) * x for i, x in enumerate(xs))
+    assert (row.n, row.total, row.rank_sum) == (n, total, s)
+    assert row.gini == round((2 * s) / (n * total) - (n + 1) / n, 6)
+
+
+def test_gini_extremes(spark):
+    from deepie_spark.operators.stats import gini_concentration
+
+    # perfectly equal → 0; one holder of all mass → 1 − 1/n
+    eq = spark.createDataFrame(
+        [(f"u{i}", 7) for i in range(50)], ["k", "x"]
+    )
+    assert gini_concentration(eq, "x", "k").collect()[0].gini == 0.0
+    onehot = spark.createDataFrame(
+        [("rich", 1000)] + [(f"u{i}", 0) for i in range(9)], ["k", "x"]
+    )
+    row = gini_concentration(onehot, "x", "k").collect()[0]
+    assert row.gini == round(2 * 10 * 1000 / (10 * 1000) - 11 / 10, 6)
