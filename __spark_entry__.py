@@ -5305,6 +5305,59 @@ def q_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gini_concentration(c, "n_events", "user_id")
 
 
+def q_er_match_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter record-linkage weights over the dedup surface:
+    LSH candidates (q_minhash_lsh) labeled by the verified exact-
+    Jaccard duplicate set (q_ngram_jaccard), compared on three
+    deterministic features — length-within-20%, first-token equality,
+    last-token equality (the planted dups drop the FIRST token, so
+    f_first is the discriminative one).  All conditional rates are
+    exact-long counts; weights are single-division integer-product
+    ln arguments (operators/linking.py fellegi_sunter_weights)."""
+    from deepie_spark.operators.linking import fellegi_sunter_weights
+
+    cand = q_minhash_lsh(spark, sf_dir)
+    truth = q_ngram_jaccard(spark, sf_dir).select("a", "b").withColumn(
+        "is_true", F.lit(True)
+    )
+    dd = _docs_dups(spark, sf_dir).select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    )
+    fa = dd.select(
+        F.col("doc_id").alias("a"),
+        F.size("toks").cast("long").alias("la"),
+        F.element_at("toks", 1).alias("first_a"),
+        F.element_at("toks", -1).alias("last_a"),
+    )
+    fb = dd.select(
+        F.col("doc_id").alias("b"),
+        F.size("toks").cast("long").alias("lb"),
+        F.element_at("toks", 1).alias("first_b"),
+        F.element_at("toks", -1).alias("last_b"),
+    )
+    p = (
+        cand.join(fa, "a")
+        .join(fb, "b")
+        .join(truth, ["a", "b"], "left")
+        .select(
+            F.coalesce(F.col("is_true"), F.lit(False)).alias("is_match"),
+            (
+                F.abs(F.col("la") - F.col("lb")) * 5
+                <= F.greatest("la", "lb")
+            ).alias("f_len"),
+            F.coalesce(
+                F.col("first_a") == F.col("first_b"), F.lit(False)
+            ).alias("f_first"),
+            F.coalesce(
+                F.col("last_a") == F.col("last_b"), F.lit(False)
+            ).alias("f_last"),
+        )
+    )
+    return fellegi_sunter_weights(
+        p, "is_match", ["f_len", "f_first", "f_last"]
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5504,6 +5557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": q_textrank_keywords,
         "source_drift_psi": q_source_drift_psi,
         "activity_gini": q_activity_gini,
+        "er_match_weights": q_er_match_weights,
     }
 
 
@@ -9263,6 +9317,63 @@ def oracle_sql() -> dict[str, str]:
                round(coalesce(co.n_overlap, 0) / ce.n_exact, 6) AS recall
         FROM ce JOIN ci ON ci.query_id = ce.query_id
         LEFT JOIN co ON co.query_id = ce.query_id
+    """
+    # er_match_weights twin: nests the candidate and truth stage
+    # oracles verbatim; one conditional aggregation + a UNION ALL
+    # unpivot (the stack() twin); weight ln arguments are single
+    # divisions of exact-integer products.
+    _FS_FEATS = ("f_len", "f_first", "f_last")
+    _FS_ROWS = "\n        UNION ALL\n".join(
+        f"""
+        SELECT '{f}' AS feature, m_{f} AS m_num, m_den,
+               u_{f} AS u_num, u_den,
+               round(ln(((m_{f} + 1) * (u_den + 2))
+                        / ((u_{f} + 1) * (m_den + 2))), 6) AS w_agree,
+               round(ln(((m_den - m_{f} + 1) * (u_den + 2))
+                        / ((u_den - u_{f} + 1) * (m_den + 2))), 6)
+                 AS w_disagree
+        FROM agg"""
+        for f in _FS_FEATS
+    )
+    _FS_SUMS = ",\n".join(
+        f"""               CAST(sum(CASE WHEN is_match AND {f}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS m_{f},
+               CAST(sum(CASE WHEN (NOT is_match) AND {f}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS u_{f}"""
+        for f in _FS_FEATS
+    )
+    d["er_match_weights"] = f"""
+        WITH cand AS (
+          {d["minhash_lsh"]}
+        ),
+        truth AS (
+          {d["ngram_jaccard"]}
+        ),
+        {_DOCS_DUPS_SQL.strip()},
+        dd AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x != '') AS toks
+               FROM docs_dups),
+        ft AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS l,
+                      toks[1] AS first_t, toks[len(toks)] AS last_t
+               FROM dd),
+        p AS (SELECT (t.a IS NOT NULL) AS is_match,
+                     (abs(xa.l - xb.l) * 5
+                          <= greatest(xa.l, xb.l)) AS f_len,
+                     coalesce(xa.first_t = xb.first_t, false) AS f_first,
+                     coalesce(xa.last_t = xb.last_t, false) AS f_last
+              FROM cand
+              JOIN ft xa ON xa.doc_id = cand.a
+              JOIN ft xb ON xb.doc_id = cand.b
+              LEFT JOIN truth t ON t.a = cand.a AND t.b = cand.b),
+        agg AS (SELECT
+               CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END)
+                 AS BIGINT) AS m_den,
+               CAST(sum(CASE WHEN is_match THEN 0 ELSE 1 END)
+                 AS BIGINT) AS u_den,
+{_FS_SUMS}
+               FROM p)
+        {_FS_ROWS}
     """
     # blocking_quality twin nests the two gated stage oracles verbatim
     # (one source of truth for candidates and exact pairs); truth has

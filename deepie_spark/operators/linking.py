@@ -79,3 +79,76 @@ def link_mentions(
             "doc_id", "pos", "alias", "entity_id", "entity_type", "score"
         )
     )
+
+
+def fellegi_sunter_weights(
+    pairs: DataFrame, label_col: str, feature_cols: list[str]
+) -> DataFrame:
+    """Fellegi–Sunter record-linkage weights (JASA 1969): for each
+    boolean comparison feature, the conditional agreement rates
+
+        m = P(agree | match)      u = P(agree | non-match)
+
+    and the log-likelihood-ratio weights the classic ER decision rule
+    sums per pair (agreement adds ln(m/u), disagreement adds
+    ln((1−m)/(1−u))).  Input: one row per LABELED candidate pair
+    (``label_col`` boolean — e.g. membership in a verified-duplicate
+    set), one boolean column per feature.
+
+    Output: one row per feature — exact-long counts (m_num, m_den,
+    u_num, u_den, +1/+2 Laplace-smoothed so zero cells stay finite)
+    and round-6 weights.  Every weight's ln argument is ONE division
+    of exact-integer products (the PMI rule), so values are
+    engine-portable with no FP-sum tolerance.
+
+    Plan: ONE aggregation over the pair table (2·k+2 conditional
+    sums, map-side combinable), then a k-row in-plan unpivot (the
+    table_profile stack pattern) — no shuffle keyed on data, no
+    window, no driver collect.
+    """
+    if not feature_cols:
+        raise ValueError("need at least one feature column")
+    lab = F.col(label_col).cast("boolean")
+    aggs = [
+        F.sum(F.when(lab, 1).otherwise(0)).cast("long").alias("m_den"),
+        F.sum(F.when(~lab, 1).otherwise(0)).cast("long").alias("u_den"),
+    ]
+    for f in feature_cols:
+        fc = F.col(f).cast("boolean")
+        aggs.append(
+            F.sum(F.when(lab & fc, 1).otherwise(0))
+            .cast("long")
+            .alias(f"m_{f}")
+        )
+        aggs.append(
+            F.sum(F.when(~lab & fc, 1).otherwise(0))
+            .cast("long")
+            .alias(f"u_{f}")
+        )
+    one = pairs.agg(*aggs)
+    stack = ", ".join(
+        f"'{f}', m_{f}, u_{f}" for f in feature_cols
+    )
+    rows = one.selectExpr(
+        "m_den",
+        "u_den",
+        f"stack({len(feature_cols)}, {stack})"
+        " AS (feature, m_num, u_num)",
+    )
+    w_agree = F.log(
+        ((F.col("m_num") + 1) * (F.col("u_den") + 2))
+        / ((F.col("u_num") + 1) * (F.col("m_den") + 2))
+    )
+    w_disagree = F.log(
+        ((F.col("m_den") - F.col("m_num") + 1) * (F.col("u_den") + 2))
+        / ((F.col("u_den") - F.col("u_num") + 1) * (F.col("m_den") + 2))
+    )
+    return rows.select(
+        "feature",
+        "m_num",
+        "m_den",
+        "u_num",
+        "u_den",
+        F.round(w_agree, 6).alias("w_agree"),
+        F.round(w_disagree, 6).alias("w_disagree"),
+    )

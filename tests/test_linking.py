@@ -92,3 +92,61 @@ def test_deterministic_tiebreak(spark):
     )
     got = links(spark, cat, ["x alone"])
     assert got[(0, 0)][0] == 4  # equal scores → min entity_id
+
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter weights
+# ---------------------------------------------------------------------------
+
+
+def test_fellegi_sunter_weights_hand_counts(spark):
+    import math
+
+    from deepie_spark.operators.linking import fellegi_sunter_weights
+
+    # 4 matches, 6 non-matches; f1 agrees on 3 matches + 1 non-match,
+    # f2 agrees on 1 match + 5 non-matches
+    rows = []
+    for i in range(4):
+        rows.append((True, i < 3, i < 1))
+    for i in range(6):
+        rows.append((False, i < 1, i < 5))
+    df = spark.createDataFrame(rows, ["is_match", "f1", "f2"])
+    got = {
+        r.feature: (r.m_num, r.m_den, r.u_num, r.u_den,
+                    r.w_agree, r.w_disagree)
+        for r in fellegi_sunter_weights(
+            df, "is_match", ["f1", "f2"]
+        ).collect()
+    }
+
+    def w(mn, md, un, ud):
+        return (
+            round(math.log(((mn + 1) * (ud + 2)) / ((un + 1) * (md + 2))), 6),
+            round(
+                math.log(
+                    ((md - mn + 1) * (ud + 2)) / ((ud - un + 1) * (md + 2))
+                ),
+                6,
+            ),
+        )
+
+    assert got == {
+        "f1": (3, 4, 1, 6) + w(3, 4, 1, 6),
+        "f2": (1, 4, 5, 6) + w(1, 4, 5, 6),
+    }
+    # f1 is match-indicative (positive agreement weight), f2 the reverse
+    assert got["f1"][4] > 0 > got["f2"][4]
+
+
+def test_fellegi_sunter_zero_cells_stay_finite(spark):
+    from deepie_spark.operators.linking import fellegi_sunter_weights
+
+    rows = [(True, True), (True, True), (False, False)]
+    df = spark.createDataFrame(rows, ["is_match", "f"])
+    r = fellegi_sunter_weights(df, "is_match", ["f"]).collect()[0]
+    # u_num = 0 and m disagreements = 0 → smoothing keeps both finite
+    assert (r.m_num, r.m_den, r.u_num, r.u_den) == (2, 2, 0, 1)
+    import math
+
+    assert math.isfinite(r.w_agree) and math.isfinite(r.w_disagree)
