@@ -5358,6 +5358,20 @@ def q_er_match_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spelling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-spelling vocabulary pairs within Levenshtein ≤ 2 via the
+    SymSpell deletion-neighborhood join (operators/dedup.py
+    symspell_pairs) — complete by the deletion-intersection guarantee;
+    the oracle is the naive vocab×vocab levenshtein cross join the
+    operator exists to avoid."""
+    from deepie_spark.operators.dedup import symspell_pairs
+
+    v = _toks(spark, sf_dir).select(
+        F.explode("toks").alias("token")
+    )
+    return symspell_pairs(v, max_dist=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5558,6 +5572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_drift_psi": q_source_drift_psi,
         "activity_gini": q_activity_gini,
         "er_match_weights": q_er_match_weights,
+        "spelling_pairs": q_spelling_pairs,
     }
 
 
@@ -9278,6 +9293,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT g AS source, n_a, n_b,
                round({_PSI_TERMS}, 6) AS psi
         FROM j
+    """
+    # spelling_pairs twin: the naive vocab² levenshtein cross join —
+    # exactly the plan the SymSpell deletion join replaces, so the two
+    # formulations are fully independent.
+    d["spelling_pairs"] = f"""
+        WITH {_OCC_SQL.strip()},
+        v AS (SELECT DISTINCT token FROM occ)
+        SELECT x.token AS a, y.token AS b,
+               CAST(levenshtein(x.token, y.token) AS BIGINT) AS dist
+        FROM v x JOIN v y ON x.token < y.token
+        WHERE levenshtein(x.token, y.token) <= 2
     """
     # activity_gini twin: row_number window formulation (the naive
     # plan rank_in_order replaces) — tied counts ordered by user_id on

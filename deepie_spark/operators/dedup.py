@@ -703,3 +703,65 @@ def dup_ngram_window_rate(
             F.round(F.col("n_dup_windows").cast("double") / F.col("n_windows"), 6),
         )
     )
+
+
+def symspell_pairs(
+    vocab: DataFrame,
+    token_col: str = "token",
+    max_dist: int = 2,
+) -> DataFrame:
+    """All DISTINCT vocabulary pairs within Levenshtein distance
+    ``max_dist`` (1 or 2) via SymSpell deletion-neighborhood joins
+    (Garbe's symmetric-delete algorithm) — the scale path for fuzzy
+    vocabulary matching: fuzzy_alias_match's catalog broadcast works
+    for a bounded alias list, but vocab×vocab edit distance at 10⁹
+    tokens needs a candidate generator.
+
+    Guarantee: if lev(a, b) ≤ d then the depth-d deletion
+    neighborhoods D_d(a) and D_d(b) intersect (every edit script can
+    be replayed as ≤ d deletions on each side), so the equi-join on
+    deletion variants produces a COMPLETE candidate set; a final
+    ``levenshtein() ≤ d`` verify (JVM codegen) removes false
+    positives.  Work per token is in-row O(len^d) variant generation
+    (d ≤ 2), and the join is an equi-join on the variant string —
+    never a cross product.
+
+    Both engines implement classic Levenshtein (no transposition), so
+    the verified distances are engine-identical exact ints.
+    """
+    if max_dist not in (1, 2):
+        raise ValueError("max_dist must be 1 or 2")
+    t = vocab.select(F.col(token_col).alias("tok")).distinct()
+    d1 = (
+        "transform(filter(sequence(1, greatest(length(tok), 1)),"
+        " i -> i <= length(tok)),"
+        " i -> concat(substring(tok, 1, i - 1),"
+        " substring(tok, i + 1, length(tok))))"
+    )
+    parts = ["array(tok)", d1]
+    if max_dist == 2:
+        parts.append(
+            "flatten(transform(filter(sequence(1, greatest(length(tok),"
+            " 1)), i -> i <= length(tok)), i ->"
+            " transform(filter(sequence(1, greatest(length(tok), 1)),"
+            " j -> j > i),"
+            " j -> concat(substring(tok, 1, i - 1),"
+            " substring(tok, i + 1, j - i - 1),"
+            " substring(tok, j + 1, length(tok))))))"
+        )
+    variants = F.expr(
+        "array_distinct(concat(" + ", ".join(parts) + "))"
+    )
+    ex = t.select("tok", F.explode(variants).alias("v"))
+    a = ex.select(F.col("v"), F.col("tok").alias("a"))
+    b = ex.select(F.col("v"), F.col("tok").alias("b"))
+    cand = (
+        a.join(b, "v")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    dist = F.levenshtein("a", "b")
+    return cand.filter(dist <= max_dist).select(
+        "a", "b", dist.cast("long").alias("dist")
+    )

@@ -434,3 +434,61 @@ def test_prefix_filter_complete_at_boundary_t08(spark):
         for r in ngram_jaccard_pairs(df, threshold=0.8, max_df=None).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# SymSpell deletion-neighborhood pairs
+# ---------------------------------------------------------------------------
+
+
+def _lev(a, b):
+    """Classic Levenshtein (no transposition) — both engines' variant."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_symspell_pairs_complete_vs_naive(spark):
+    import random
+
+    from deepie_spark.operators.dedup import symspell_pairs
+
+    rng = random.Random(19)
+    base = ["spark", "shuffle", "hash", "join", "merge", "sort",
+            "table", "scan"]
+    vocab = set(base)
+    # planted 1- and 2-edit variants: deletions, substitutions, inserts
+    for w in base:
+        i = rng.randrange(len(w))
+        vocab.add(w[:i] + w[i + 1:])                     # dist 1
+        vocab.add(w[:i] + "x" + w[i:])                   # dist 1
+        vocab.add(("z" + w[:i] + w[i + 1:] + "q")[:12])  # dist ≤ 3
+    vocab = sorted(v for v in vocab if v)
+    df = spark.createDataFrame([(v,) for v in vocab], ["token"])
+    for d in (1, 2):
+        got = {
+            (r.a, r.b, r.dist)
+            for r in symspell_pairs(df, max_dist=d).collect()
+        }
+        want = {
+            (a, b, _lev(a, b))
+            for i, a in enumerate(vocab)
+            for b in vocab[i + 1:]
+            if _lev(a, b) <= d
+        }
+        assert got == want and want
+
+
+def test_symspell_rejects_bad_depth(spark):
+    import pytest as _pytest
+
+    from deepie_spark.operators.dedup import symspell_pairs
+
+    df = spark.createDataFrame([("a",)], ["token"])
+    with _pytest.raises(ValueError):
+        symspell_pairs(df, max_dist=3)
