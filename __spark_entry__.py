@@ -5372,6 +5372,33 @@ def q_spelling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return symspell_pairs(v, max_dist=2)
 
 
+def q_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-driven corpus subsetting: greedy max-coverage pick of
+    4 documents maximizing marginal vocabulary coverage
+    (operators/selection.py greedy_max_coverage — the (1−1/e)
+    submodular greedy).  Oracle = 4 unrolled MATERIALIZED rounds of
+    the argmax-then-remove recurrence (the kcore/entity_mis unrolled-
+    iteration scheme)."""
+    from deepie_spark.operators.selection import greedy_max_coverage
+
+    sh = (
+        _toks(spark, sf_dir)
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 3),"
+                    " i -> concat_ws(' ', slice(toks, i + 1, 3)))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    return greedy_max_coverage(
+        sh, k=4, set_col="doc_id", elem_col="shingle"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5573,6 +5600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_gini": q_activity_gini,
         "er_match_weights": q_er_match_weights,
         "spelling_pairs": q_spelling_pairs,
+        "coverage_selection": q_coverage_selection,
     }
 
 
@@ -9293,6 +9321,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT g AS source, n_a, n_b,
                round({_PSI_TERMS}, 6) AS psi
         FROM j
+    """
+    # coverage_selection twin: 4 unrolled MATERIALIZED greedy rounds —
+    # per round an ORDER BY gain DESC, s LIMIT 1 argmax (the unrolled
+    # scheme; plain CTEs would inline exponentially).
+    _COV_ROUNDS = "".join(
+        f""",
+        w{r} AS MATERIALIZED (
+          SELECT s, CAST(count(*) AS BIGINT) AS gain
+          FROM it{r - 1} GROUP BY 1
+          ORDER BY count(*) DESC, s LIMIT 1),
+        it{r} AS MATERIALIZED (
+          SELECT i.* FROM it{r - 1} i
+          WHERE NOT EXISTS (
+            SELECT 1 FROM it{r - 1} c JOIN w{r} ON c.s = w{r}.s
+            WHERE c.e = i.e))"""
+        for r in range(1, 5)
+    )
+    d["coverage_selection"] = f"""
+        WITH tt AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                     x -> x != '') AS toks
+          FROM documents),
+        it0 AS MATERIALIZED (
+          SELECT DISTINCT doc_id AS s,
+                 toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]
+                   AS e
+          FROM (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS i
+                FROM tt)){_COV_ROUNDS}
+        SELECT CAST(1 AS INT) AS round, s AS doc_id, gain FROM w1
+        UNION ALL SELECT CAST(2 AS INT), s, gain FROM w2
+        UNION ALL SELECT CAST(3 AS INT), s, gain FROM w3
+        UNION ALL SELECT CAST(4 AS INT), s, gain FROM w4
     """
     # spelling_pairs twin: the naive vocab² levenshtein cross join —
     # exactly the plan the SymSpell deletion join replaces, so the two

@@ -89,3 +89,71 @@ def exact_quantiles(
     )
     out = [(int(k), exact_kth(v, "x", int(k), n_buckets)) for k in ks]
     return spark.createDataFrame(out, "k long, value long")
+
+
+def greedy_max_coverage(
+    items: DataFrame,
+    k: int,
+    set_col: str = "set_id",
+    elem_col: str = "element",
+) -> DataFrame:
+    """Greedy maximum-coverage selection: pick ``k`` sets (documents)
+    one at a time, each maximizing the count of NOT-yet-covered
+    elements (vocabulary terms, entities, eval shingles …) — the
+    classic (1 − 1/e)-approximate submodular selection (Nemhauser,
+    Wolsey & Fisher 1978) behind coverage-driven corpus subset
+    curation ("which k documents maximize vocabulary/topic
+    coverage?").
+
+    Deterministic: marginal gains are exact longs; the per-round
+    winner is argmax by (gain DESC, set_id ASC) via ONE 1-row
+    ``min(struct(-gain, set_id))`` aggregate (the latest_event
+    pattern, no window); rounds where every remaining set has zero
+    marginal gain emit nothing and the selection stops.  Returns
+    (round, set_id, gain) — round is 1-based pick order.
+
+    Plan per round: one left_anti join of the (set, element) table
+    against the covered-element table (both keyed on the element),
+    one map-side-combinable count aggregation, one broadcast 1-row
+    winner join; ``localCheckpoint`` per round truncates iterative
+    lineage (the pagerank/CC rule).  k is a small constant (the
+    caller's budget), so the job count is bounded.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    it = (
+        items.select(
+            F.col(set_col).alias("s"), F.col(elem_col).alias("e")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    covered = None
+    out = None
+    for r in range(1, k + 1):
+        remaining = (
+            it if covered is None else it.join(covered, "e", "left_anti")
+        )
+        gains = remaining.groupBy("s").agg(
+            F.count(F.lit(1)).cast("long").alias("gain")
+        )
+        win = gains.agg(
+            F.min(F.struct((-F.col("gain")).alias("ng"), F.col("s"))).alias(
+                "w"
+            )
+        ).select(
+            F.col("w.s").alias("s"), (-F.col("w.ng")).cast("long").alias("gain")
+        ).where(F.col("s").isNotNull())
+        row = win.select(
+            F.lit(r).alias("round"), F.col("s").alias(set_col), "gain"
+        ).localCheckpoint(eager=True)
+        out = row if out is None else out.unionByName(row)
+        newly = it.join(
+            F.broadcast(win.select("s")), "s", "left_semi"
+        ).select("e")
+        covered = (
+            newly
+            if covered is None
+            else covered.unionByName(newly).distinct()
+        ).localCheckpoint(eager=True)
+    return out

@@ -41,3 +41,49 @@ def test_exact_quantiles_frame(spark):
     got = {r.k: r.value
            for r in exact_quantiles(df, "x", [25, 50, 75, 90]).collect()}
     assert got == {25: 25, 50: 50, 75: 75, 90: 90}
+
+
+def test_greedy_max_coverage_python_twin(spark):
+    import random
+
+    from deepie_spark.operators.selection import greedy_max_coverage
+
+    rng = random.Random(13)
+    universe = [f"e{i}" for i in range(40)]
+    sets = {
+        f"s{j}": set(rng.sample(universe, rng.randint(3, 15)))
+        for j in range(25)
+    }
+    rows = [(s, e) for s, es in sets.items() for e in sorted(es)]
+    df = spark.createDataFrame(rows, ["set_id", "element"])
+    got = [
+        (r["round"], r.set_id, r.gain)
+        for r in sorted(
+            greedy_max_coverage(df, k=5).collect(),
+            key=lambda r: r["round"],
+        )
+    ]
+
+    covered, expect = set(), []
+    for r in range(1, 6):
+        gains = {s: len(es - covered) for s, es in sets.items()}
+        best = min(sorted(gains), key=lambda s: (-gains[s], s))
+        if gains[best] == 0:
+            break
+        expect.append((r, best, gains[best]))
+        covered |= sets[best]
+    assert got == expect
+
+
+def test_greedy_max_coverage_stops_when_covered(spark):
+    from deepie_spark.operators.selection import greedy_max_coverage
+
+    # 2 sets cover everything; rounds 3+ have zero gain rows on the
+    # Spark side (left_anti leaves nothing) → exactly 2 output rows
+    rows = [("a", 1), ("a", 2), ("b", 3), ("c", 1)]
+    df = spark.createDataFrame(rows, ["set_id", "element"])
+    got = sorted(
+        (r["round"], r.set_id, r.gain)
+        for r in greedy_max_coverage(df, k=4).collect()
+    )
+    assert got == [(1, "a", 2), (2, "b", 1)]
