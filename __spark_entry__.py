@@ -5399,6 +5399,36 @@ def q_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order sequential patterns: (t1, t2, t3) event-type
+    trigram counts per user sequence (two lags over the
+    event_transitions window) with the second-order conditional
+    p(t3 | t1, t2) — row-conditional exact-long ratio, round 6.
+    All windows key-partitioned; no global sort."""
+    e = _events(spark, sf_dir)
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.lag("event_type", 2).over(wu).alias("t1"),
+        F.lag("event_type", 1).over(wu).alias("t2"),
+        F.col("event_type").alias("t3"),
+    ).filter(F.col("t1").isNotNull())
+    counts = seq.groupBy("t1", "t2", "t3").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wp = W.partitionBy("t1", "t2")
+    return counts.select(
+        "t1",
+        "t2",
+        "t3",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(wp).cast("long").cast("double"),
+            6,
+        ).alias("prob"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5601,6 +5631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_match_weights": q_er_match_weights,
         "spelling_pairs": q_spelling_pairs,
         "coverage_selection": q_coverage_selection,
+        "event_trigrams": q_event_trigrams,
     }
 
 
@@ -9353,6 +9384,25 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT CAST(2 AS INT), s, gain FROM w2
         UNION ALL SELECT CAST(3 AS INT), s, gain FROM w3
         UNION ALL SELECT CAST(4 AS INT), s, gain FROM w4
+    """
+    # event_trigrams twin: the event_transitions lag scheme one order
+    # deeper — identical (ts, event_id) ordering, exact-long ratio.
+    d["event_trigrams"] = """
+        WITH seq AS (
+          SELECT lag(event_type, 2) OVER w AS t1,
+                 lag(event_type, 1) OVER w AS t2,
+                 event_type AS t3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        c AS (
+          SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+          FROM seq WHERE t1 IS NOT NULL GROUP BY 1, 2, 3)
+        SELECT t1, t2, t3, n,
+               round(CAST(n AS DOUBLE)
+                     / CAST(CAST(sum(n) OVER (
+                         PARTITION BY t1, t2) AS BIGINT)
+                       AS DOUBLE), 6) AS prob
+        FROM c
     """
     # spelling_pairs twin: the naive vocab² levenshtein cross join —
     # exactly the plan the SymSpell deletion join replaces, so the two

@@ -259,3 +259,30 @@ def test_walk_skipgram_window_validation(spark):
                                "walk string, step long, node string")
     with pytest.raises(ValueError):
         walk_skipgram_pairs(df, window=0)
+
+
+def test_event_trigrams_matches_pandas_twin(spark, sf_dir):
+    import os
+
+    from __spark_entry__ import q_event_trigrams
+
+    out = q_event_trigrams(spark, sf_dir).collect()
+    got = {(r.t1, r.t2, r.t3): r.n for r in out}
+
+    pdf = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    expected: Counter = Counter()
+    for _, grp in pdf.groupby("user_id"):
+        types = grp["event_type"].tolist()
+        for a, b, c in zip(types, types[1:], types[2:]):
+            expected[(a, b, c)] += 1
+    assert got == dict(expected)
+    sums: Counter = Counter()
+    for r in out:
+        sums[(r.t1, r.t2)] += r.prob
+    for v in sums.values():
+        assert v == pytest.approx(1.0, abs=1e-5)
