@@ -5429,6 +5429,33 @@ def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wavelet synopsis of event-rate shape: unnormalized Haar
+    coefficients of each event type's 32-bucket time-binned count
+    vector (operators/sketches.py haar_synopsis) — the classic
+    range-count synopsis (keep the B largest coefficients per type).
+    Bins are pure integer arithmetic over epoch seconds
+    ((e−lo)·32 div span, the vocab_growth decile rule); every
+    coefficient is an exact long."""
+    from deepie_spark.operators.sketches import haar_synopsis
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("es"),
+    )
+    rng = e.agg(
+        F.min("es").alias("lo"),
+        (F.max("es") - F.min("es") + 1).alias("span"),
+    )
+    # integer DIV, never float-divide-then-truncate (an exact-integer
+    # quotient can land at x−ε in FP and truncate one bin low)
+    binned = e.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        F.expr("CAST(((es - lo) * 32) DIV span AS LONG)").alias("bin"),
+    )
+    return haar_synopsis(binned, "event_type", "bin", n_bins=32)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5632,6 +5659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spelling_pairs": q_spelling_pairs,
         "coverage_selection": q_coverage_selection,
         "event_trigrams": q_event_trigrams,
+        "events_haar": q_events_haar,
     }
 
 
@@ -9384,6 +9412,40 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT CAST(2 AS INT), s, gain FROM w2
         UNION ALL SELECT CAST(3 AS INT), s, gain FROM w3
         UNION ALL SELECT CAST(4 AS INT), s, gain FROM w4
+    """
+    # events_haar twin: the SAME coefficient enumeration
+    # (haar_coefficient_signs — shared like the bm25 repr constants)
+    # rendered as conditional integer sums; bins by integer DIV.
+    from deepie_spark.operators.sketches import haar_coefficient_signs
+
+    _HAAR_SUMS = ",\n".join(
+        f"""            CAST(coalesce(sum(CASE
+              WHEN b IN ({', '.join(str(k) for k, s in signs.items()
+                                    if s == 1)}) THEN cnt
+              WHEN b IN ({', '.join(str(k) for k, s in signs.items()
+                                    if s == -1) or 'NULL'}) THEN -cnt
+              ELSE 0 END), 0) AS BIGINT) AS {name}"""
+        for name, signs in haar_coefficient_signs(32)
+    )
+    _HAAR_ROWS = "\n        UNION ALL ".join(
+        f"SELECT g, '{name}' AS coef, {name} AS value FROM one"
+        for name, _ in haar_coefficient_signs(32)
+    )
+    d["events_haar"] = f"""
+        WITH base AS (SELECT event_type AS g,
+                             CAST(floor(epoch(ts)) AS BIGINT) AS es
+                      FROM events),
+        rng AS (SELECT min(es) AS lo,
+                       max(es) - min(es) + 1 AS span FROM base),
+        bn AS (SELECT g, ((es - lo) * 32) // span AS b
+               FROM base CROSS JOIN rng),
+        ct AS (SELECT g, b, CAST(count(*) AS BIGINT) AS cnt
+               FROM bn GROUP BY 1, 2),
+        one AS (SELECT g,
+{_HAAR_SUMS}
+                FROM ct GROUP BY g)
+        SELECT u.g AS event_type, u.coef, u.value
+        FROM ({_HAAR_ROWS}) u
     """
     # event_trigrams twin: the event_transitions lag scheme one order
     # deeper — identical (ts, event_id) ordering, exact-long ratio.

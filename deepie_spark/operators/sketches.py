@@ -207,3 +207,83 @@ def heavy_hitters_exact(
         )
         .select(item_col, "cnt", "n_total")
     )
+
+
+def haar_synopsis(
+    df: DataFrame,
+    group_col: str,
+    bin_col: str,
+    n_bins: int = 32,
+) -> DataFrame:
+    """Unnormalized Haar wavelet decomposition of each group's
+    ``n_bins``-bucket count vector — the classic wavelet synopsis for
+    range-count approximation (Matias, Vitter & Wang, SIGMOD 1998):
+    keep the B largest coefficients and any range count reconstructs
+    with bounded error; the synopsis is (#groups · n_bins) rows
+    regardless of input size.
+
+    ``bin_col`` must already hold integer bins in [0, n_bins);
+    ``n_bins`` must be a power of two.  Coefficients are UNNORMALIZED
+    (±1 filters): ``a`` = total count, ``d_b_i`` = (sum of left half)
+    − (sum of right half) of block i at block size b — ALL EXACT
+    LONGS, so the gate needs no FP tolerance anywhere.
+
+    Plan: one (group, bin) count aggregation, then ONE conditional-sum
+    aggregation per group producing all n_bins coefficients
+    (map-side combinable), unpivoted in-plan with ``stack`` (the
+    table_profile pattern).  No window, no join, no driver collect.
+    """
+    if n_bins < 2 or (n_bins & (n_bins - 1)) != 0:
+        raise ValueError("n_bins must be a power of two >= 2")
+    ct = (
+        df.select(F.col(group_col).alias("g"), F.col(bin_col).alias("b"))
+        .groupBy("g", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # coefficient enumeration: ('a', sign=+1 everywhere), then details
+    # per block size — the SAME enumeration renders the DuckDB twin
+    coefs = haar_coefficient_signs(n_bins)
+    aggs = []
+    for name, signs in coefs:
+        expr = F.sum(
+            F.when(
+                F.col("b").isin(*[k for k, s in signs.items() if s == 1]),
+                F.col("cnt"),
+            )
+            .when(
+                F.col("b").isin(
+                    *[k for k, s in signs.items() if s == -1]
+                ),
+                -F.col("cnt"),
+            )
+            .otherwise(F.lit(0))
+        )
+        aggs.append(F.coalesce(expr, F.lit(0)).cast("long").alias(name))
+    one = ct.groupBy("g").agg(*aggs)
+    stack = ", ".join(f"'{name}', {name}" for name, _ in coefs)
+    return one.selectExpr(
+        "g",
+        f"stack({len(coefs)}, {stack}) AS (coef, value)",
+    ).select(
+        F.col("g").alias(group_col), "coef", F.col("value").cast("long")
+        .alias("value")
+    )
+
+
+def haar_coefficient_signs(n_bins: int) -> list[tuple[str, dict[int, int]]]:
+    """The (name → bin-sign map) enumeration haar_synopsis aggregates
+    with — exposed so twins (tests, the DuckDB oracle) render the
+    SAME coefficient definitions."""
+    coefs: list[tuple[str, dict[int, int]]] = [
+        ("a", {i: 1 for i in range(n_bins)})
+    ]
+    size = n_bins
+    while size >= 2:
+        half = size // 2
+        for i in range(n_bins // size):
+            signs = {}
+            for j in range(size):
+                signs[i * size + j] = 1 if j < half else -1
+            coefs.append((f"d{size}_{i}", signs))
+        size //= 2
+    return coefs

@@ -86,3 +86,55 @@ def test_heavy_hitters_exact_two_pass(spark):
     want = {k: v for k, v in c.items() if v > 0.05 * len(items)}
     assert got == want
     assert set(got) == {"hot1", "hot2", "hot3"}
+
+
+def test_haar_synopsis_exact_reconstruction(spark):
+    """The defining invariant: the inverse Haar transform of ALL
+    coefficients reproduces each group's bin-count vector exactly
+    (orthogonal basis, computed in rationals — no FP)."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from deepie_spark.operators.sketches import (
+        haar_coefficient_signs,
+        haar_synopsis,
+    )
+
+    rng = np.random.RandomState(3)
+    n_bins = 16
+    rows = [
+        (g, int(b))
+        for g in ("x", "y")
+        for b in rng.randint(0, n_bins, size=200)
+    ]
+    df = spark.createDataFrame(rows, ["g", "b"])
+    out = haar_synopsis(df, "g", "b", n_bins=n_bins).collect()
+    coefs = {}
+    for r in out:
+        coefs.setdefault(r.g, {})[r.coef] = r.value
+
+    from collections import Counter
+
+    truth = {"x": Counter(), "y": Counter()}
+    for g, b in rows:
+        truth[g][b] += 1
+
+    signs = dict(haar_coefficient_signs(n_bins))
+    for g, cs in coefs.items():
+        for j in range(n_bins):
+            v = Fraction(0)
+            for name, smap in signs.items():
+                if j in smap:
+                    v += Fraction(cs[name] * smap[j], len(smap))
+            assert v == truth[g][j], (g, j)
+
+
+def test_haar_synopsis_rejects_bad_bins(spark):
+    import pytest as _pytest
+
+    from deepie_spark.operators.sketches import haar_synopsis
+
+    df = spark.createDataFrame([("g", 0)], ["g", "b"])
+    with _pytest.raises(ValueError):
+        haar_synopsis(df, "g", "b", n_bins=12)
