@@ -5456,6 +5456,20 @@ def q_events_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return haar_synopsis(binned, "event_type", "bin", n_bins=32)
 
 
+def q_entity_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality within 4 undirected hops over the
+    rule-triple graph (operators/graph.py harmonic_centrality):
+    Σ 1/hop as EXACT fixed-point longs (floor(2^40/hop) summed), so —
+    unlike the earlier closeness-only claim — the harmonic variant IS
+    hash-gateable with no FP-sum tolerance."""
+    from deepie_spark.operators.graph import harmonic_centrality
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return harmonic_centrality(t, max_hops=4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5660,6 +5674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_selection": q_coverage_selection,
         "event_trigrams": q_event_trigrams,
         "events_haar": q_events_haar,
+        "entity_harmonic": q_entity_harmonic,
     }
 
 
@@ -9446,6 +9461,32 @@ def oracle_sql() -> dict[str, str]:
                 FROM ct GROUP BY g)
         SELECT u.g AS event_type, u.coef, u.value
         FROM ({_HAAR_ROWS}) u
+    """
+    # entity_harmonic twin: the entity_closeness recursive min-hop
+    # walk with the fixed-point Σ floor(2^40/hop) accumulator —
+    # integer sum, order-free, no FP tolerance.
+    d["entity_harmonic"] = f"""
+        WITH RECURSIVE
+        {_MENTIONS_SQL.strip()},
+        {_TRIPLE_EDGES_SQL.strip()},
+        bidi AS (SELECT a, b FROM und
+                 UNION ALL SELECT b, a FROM und),
+        walk(s, node, hop) AS (
+          SELECT a, a, 0 FROM (SELECT DISTINCT a FROM bidi)
+          UNION
+          SELECT w.s, u.b, w.hop + 1
+          FROM walk w JOIN bidi u ON u.a = w.node
+          WHERE w.hop < 4
+        ),
+        mh AS (SELECT s, node, min(hop) AS hop
+               FROM walk GROUP BY 1, 2),
+        ag AS (SELECT s AS entity, count(*) AS n_reached,
+                      CAST(sum(CAST(floor(1099511627776.0 / hop)
+                        AS BIGINT)) AS BIGINT) AS harmonic_fp
+               FROM mh WHERE hop > 0 GROUP BY 1)
+        SELECT entity, n_reached, harmonic_fp,
+               round(harmonic_fp / 1099511627776.0, 6) AS harmonic
+        FROM ag
     """
     # event_trigrams twin: the event_transitions lag scheme one order
     # deeper — identical (ts, event_id) ordering, exact-long ratio.

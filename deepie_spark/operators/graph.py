@@ -1137,9 +1137,10 @@ def closeness_stats(
     the sum of their shortest-path hop counts — the two integers every
     closeness/centrality variant (Bavelas, Lin, harmonic) is a ratio
     of.  Emitting the exact longs instead of a pre-divided float keeps
-    the result engine-bit-identical (harmonic's Σ 1/h is FP-order-
-    dependent and could not be oracle-gated; the division belongs to
-    the consumer, like quality_scores' ratio convention).
+    the result engine-bit-identical (the division belongs to the
+    consumer, like quality_scores' ratio convention; harmonic's
+    Σ 1/h is gated separately via the fixed-point accumulator in
+    ``harmonic_centrality``).
 
     This is per-source BFS — state O(|seeds| · reach) — so at KG scale
     it runs on a bounded seed set (``seeds``: 1-column ``node`` frame,
@@ -1151,6 +1152,28 @@ def closeness_stats(
     anti join — exactly the bfs_hops plan with the source id carried
     in the key, plus an empty-frontier early stop (bounded 1-row count
     per round)."""
+    dist = _pairwise_hops(edges, seeds, max_hops, src, dst)
+    return (
+        dist.filter(F.col("hop") > 0)
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum("hop").alias("total_hops"),
+        )
+        .select(F.col("s").alias("entity"), "n_reached", "total_hops")
+    )
+
+
+def _pairwise_hops(
+    edges: DataFrame,
+    seeds: DataFrame | None,
+    max_hops: int,
+    src: str,
+    dst: str,
+) -> DataFrame:
+    """Shared per-source BFS of closeness_stats / harmonic_centrality:
+    (s, node, hop) exact shortest-hop rows for every source in
+    ``seeds`` (None = all nodes) up to ``max_hops``."""
     e = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).filter(F.col("a") != F.col("b"))
@@ -1179,14 +1202,46 @@ def closeness_stats(
         frontier = dist.filter(F.col("hop") == h).select("s", "node")
         if not frontier.take(1):  # bounded action: ≤1 row per round
             break
+    return dist
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    seeds: DataFrame | None = None,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    scale_bits: int = 40,
+) -> DataFrame:
+    """Harmonic centrality H(s) = Σ_{t ≠ s reachable} 1/d(s, t) within
+    ``max_hops`` (Boldi & Vigna 2014's recommended closeness variant —
+    well-defined on disconnected graphs), accumulated as EXACT
+    FIXED-POINT LONGS: ``harmonic_fp = Σ floor(2^scale_bits / hop)``
+    (the link_prediction accumulator pattern), so the gate needs no
+    FP-sum tolerance — each term is one IEEE divide of exact-integer
+    doubles, the sum is integer and order-free.  ``harmonic`` =
+    harmonic_fp / 2^scale_bits (power-of-two division — exact),
+    within n·2^−scale_bits of the true value.
+
+    Same per-source BFS state/plan contract as closeness_stats
+    (bounded seed set at KG scale)."""
+    dist = _pairwise_hops(edges, seeds, max_hops, src, dst)
+    scale = F.lit(float(1 << scale_bits))
     return (
         dist.filter(F.col("hop") > 0)
         .groupBy("s")
         .agg(
             F.count(F.lit(1)).alias("n_reached"),
-            F.sum("hop").alias("total_hops"),
+            F.sum(F.floor(scale / F.col("hop")))
+            .cast("long")
+            .alias("harmonic_fp"),
         )
-        .select(F.col("s").alias("entity"), "n_reached", "total_hops")
+        .select(
+            F.col("s").alias("entity"),
+            "n_reached",
+            "harmonic_fp",
+            F.round(F.col("harmonic_fp") / scale, 6).alias("harmonic"),
+        )
     )
 
 

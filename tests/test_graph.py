@@ -1460,3 +1460,42 @@ def test_textrank_hub_word_ranks_first(spark):
     scores = {r.node: r.pagerank for r in pr}
     assert max(scores, key=scores.get) == "hub"
     assert abs(sum(scores.values()) - 1.0) < 1e-4
+
+
+def test_harmonic_centrality_python_twin(spark):
+    from collections import deque
+
+    from deepie_spark.operators.graph import harmonic_centrality
+
+    rng = np.random.RandomState(29)
+    edges = sorted(
+        {(f"v{rng.randint(30)}", f"v{rng.randint(30)}") for _ in range(70)}
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r.entity: (r.n_reached, r.harmonic_fp, r.harmonic)
+        for r in harmonic_centrality(df, max_hops=4).collect()
+    }
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {}
+    for s in adj:
+        hops = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if hops[u] >= 4:
+                continue
+            for v in adj[u]:
+                if v not in hops:
+                    hops[v] = hops[u] + 1
+                    q.append(v)
+        reached = [h for n, h in hops.items() if n != s]
+        fp = sum(int((1 << 40) // h) for h in reached)
+        if reached:
+            expect[s] = (len(reached), fp, round(fp / (1 << 40), 6))
+    assert got == expect
