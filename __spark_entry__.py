@@ -5470,6 +5470,29 @@ def q_entity_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic_centrality(t, max_hops=4)
 
 
+def q_host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): trust
+    propagation from a 3-host trusted seed set over the harvested
+    host link graph — personalized PageRank with the seed-indicator
+    start/teleport (operators/graph.py pagerank(seeds=…), the
+    entity_ppr machinery) on q_link_graph's distinct edges
+    (unweighted variant; the seed list is the bounded whitelist every
+    web-spam pipeline maintains)."""
+    from deepie_spark.operators.graph import pagerank
+
+    lg = q_link_graph(spark, sf_dir)
+    edges = lg.select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    seeds = spark.createDataFrame(
+        [(f"h{i}.example.com",) for i in range(3)], ["node"]
+    )
+    pr = pagerank(edges, iterations=3, seeds=seeds)
+    return pr.select(
+        F.col("node").alias("host"), F.col("pagerank").alias("trust")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5675,6 +5698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_trigrams": q_event_trigrams,
         "events_haar": q_events_haar,
         "entity_harmonic": q_entity_harmonic,
+        "host_trustrank": q_host_trustrank,
     }
 
 
@@ -9461,6 +9485,50 @@ def oracle_sql() -> dict[str, str]:
                 FROM ct GROUP BY g)
         SELECT u.g AS event_type, u.coef, u.value
         FROM ({_HAAR_ROWS}) u
+    """
+    # host_trustrank twin: nests the link_graph edge oracle + the
+    # entity_ppr seeded unrolled-iteration scheme (3-host indicator
+    # seed set, same damping constant repr).
+    _TRUST_SEEDS = (
+        "('h0.example.com', 'h1.example.com', 'h2.example.com')"
+    )
+    _TRUST_IT = """
+        it{k} AS (
+          SELECT b.node,
+                 b.t + 0.85 * COALESCE(s.c, 0.0) AS pr
+          FROM base b
+          LEFT JOIN (
+            SELECT e.dst AS node, sum(p.pr / od.od) AS c
+            FROM edges e
+            JOIN it{p} p ON p.node = e.src
+            JOIN od ON od.src = e.src
+            GROUP BY e.dst
+          ) s USING (node)
+        )"""
+    d["host_trustrank"] = f"""
+        WITH lg AS (
+          {d["link_graph"]}
+        ),
+        edges AS (SELECT DISTINCT src_host AS src, dst_host AS dst
+                  FROM lg),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        od AS (SELECT src, CAST(count(*) AS DOUBLE) AS od
+               FROM edges GROUP BY src),
+        base AS (
+          SELECT n.node,
+                 CASE WHEN n.node IN {_TRUST_SEEDS}
+                      THEN 1.0 ELSE 0.0 END AS p0,
+                 0.15000000000000002
+                   * CASE WHEN n.node IN {_TRUST_SEEDS}
+                          THEN 1.0 ELSE 0.0 END AS t
+          FROM nodes n
+        ),
+        it0 AS (SELECT node, p0 AS pr FROM base),
+        {_TRUST_IT.format(k=1, p=0).strip()},
+        {_TRUST_IT.format(k=2, p=1).strip()},
+        {_TRUST_IT.format(k=3, p=2).strip()}
+        SELECT node AS host, round(pr, 6) AS trust FROM it3
     """
     # entity_harmonic twin: the entity_closeness recursive min-hop
     # walk with the fixed-point Σ floor(2^40/hop) accumulator —

@@ -1499,3 +1499,18 @@ def test_harmonic_centrality_python_twin(spark):
         if reached:
             expect[s] = (len(reached), fp, round(fp / (1 << 40), 6))
     assert got == expect
+
+
+def test_trustrank_seeds_concentrate_mass(spark):
+    """Trust decays with distance from seeds: a host reachable only
+    through long chains gets less trust than a directly-seeded one,
+    and unreachable hosts get exactly 0 (seed-indicator teleport)."""
+    edges = [
+        ("seed", "near"), ("near", "far"), ("far", "farther"),
+        ("island_a", "island_b"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([("seed",)], ["node"])
+    got = {r.node: r.pagerank for r in pagerank(df, 3, seeds=seeds).collect()}
+    assert got["seed"] > got["near"] > got["far"] > 0
+    assert got["island_a"] == 0.0 and got["island_b"] == 0.0
