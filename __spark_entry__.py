@@ -5493,6 +5493,21 @@ def q_host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency conformance over documents and events
+    (operators/kgquality.py fd_profile): which columns are safe
+    deterministic attributes (doc_id→source holds; source→lang and
+    user_id→event_type are violated, with exact violation counts)."""
+    from deepie_spark.operators.kgquality import fd_profile
+
+    d = fd_profile(
+        _docs(spark, sf_dir),
+        [("source", "lang"), ("lang", "source"), ("doc_id", "source")],
+    )
+    e = fd_profile(_events(spark, sf_dir), [("user_id", "event_type")])
+    return d.unionByName(e)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5699,6 +5714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_haar": q_events_haar,
         "entity_harmonic": q_entity_harmonic,
         "host_trustrank": q_host_trustrank,
+        "fd_profile": q_fd_profile,
     }
 
 
@@ -9486,6 +9502,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT u.g AS event_type, u.coef, u.value
         FROM ({_HAAR_ROWS}) u
     """
+    # fd_profile twin: one distinct-agg per FD, UNION ALL — same
+    # exact-long counts, one int/int divide.
+    _FD_ROW = """
+        SELECT '{lhs}->{rhs}' AS fd,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_violating,
+               CAST(max(n_rhs) AS BIGINT) AS max_branching,
+               round((count(*) - sum(CASE WHEN n_rhs > 1 THEN 1
+                                          ELSE 0 END)) / count(*), 6)
+                 AS conformance
+        FROM (SELECT {lhs} AS k, count(DISTINCT {rhs}) AS n_rhs
+              FROM {tbl} GROUP BY 1)"""
+    d["fd_profile"] = "\n        UNION ALL".join(
+        _FD_ROW.format(lhs=lhs, rhs=rhs, tbl=tbl)
+        for lhs, rhs, tbl in (
+            ("source", "lang", "documents"),
+            ("lang", "source", "documents"),
+            ("doc_id", "source", "documents"),
+            ("user_id", "event_type", "events"),
+        )
+    )
     # host_trustrank twin: nests the link_graph edge oracle + the
     # entity_ppr seeded unrolled-iteration scheme (3-host indicator
     # seed set, same damping constant repr).

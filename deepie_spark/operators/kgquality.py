@@ -259,3 +259,45 @@ def predicate_domain_range(
             6,
         ).alias("range_cov"),
     )
+
+
+def fd_profile(
+    df: DataFrame, fds: list[tuple[str, str]]
+) -> DataFrame:
+    """Functional-dependency conformance profile: for each candidate
+    FD ``lhs → rhs``, how many lhs keys exist, how many VIOLATE the
+    dependency (more than one distinct rhs), and the worst branching
+    factor — the data-cleaning discovery signal (Ilyas & Chu, "Data
+    Cleaning", ch. 7) a KG pipeline runs to decide which columns are
+    safe merge keys / deterministic attributes.
+
+    Exact-long counts; ``conformance`` = (n_keys − n_violating) /
+    n_keys is one int/int IEEE divide (engine-portable).  One
+    distinct-aggregation per FD over a bounded FD list, unioned —
+    each is two map-side-combinable shuffles keyed on the lhs.
+    """
+    if not fds:
+        raise ValueError("need at least one (lhs, rhs) pair")
+    out = None
+    for lhs, rhs in fds:
+        per_key = df.groupBy(F.col(lhs).alias("k")).agg(
+            F.countDistinct(F.col(rhs)).alias("n_rhs")
+        )
+        row = per_key.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating"),
+            F.max("n_rhs").cast("long").alias("max_branching"),
+        ).select(
+            F.lit(f"{lhs}->{rhs}").alias("fd"),
+            "n_keys",
+            "n_violating",
+            "max_branching",
+            F.round(
+                (F.col("n_keys") - F.col("n_violating")) / F.col("n_keys"),
+                6,
+            ).alias("conformance"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -286,3 +286,29 @@ def test_event_trigrams_matches_pandas_twin(spark, sf_dir):
         sums[(r.t1, r.t2)] += r.prob
     for v in sums.values():
         assert v == pytest.approx(1.0, abs=1e-5)
+
+
+def test_fd_profile_hand_counts(spark):
+    from deepie_spark.operators.kgquality import fd_profile
+
+    rows = [
+        ("k1", "a"), ("k1", "a"), ("k2", "a"), ("k2", "b"),
+        ("k3", "c"), ("k3", "c"), ("k3", "d"), ("k3", "e"),
+    ]
+    df = spark.createDataFrame(rows, ["lhs", "rhs"])
+    got = {
+        r.fd: (r.n_keys, r.n_violating, r.max_branching, r.conformance)
+        for r in fd_profile(df, [("lhs", "rhs"), ("rhs", "lhs")]).collect()
+    }
+    # lhs→rhs: k1 ok, k2 (2 rhs) and k3 (3 rhs) violate
+    assert got["lhs->rhs"] == (3, 2, 3, round(1 / 3, 6))
+    # rhs→lhs: a maps to {k1,k2} → violating; b,c,d,e fine
+    assert got["rhs->lhs"] == (5, 1, 2, round(4 / 5, 6))
+
+
+def test_fd_profile_rejects_empty(spark):
+    from deepie_spark.operators.kgquality import fd_profile
+
+    df = spark.createDataFrame([("a", "b")], ["x", "y"])
+    with pytest.raises(ValueError):
+        fd_profile(df, [])
