@@ -5508,6 +5508,21 @@ def q_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(e)
 
 
+def q_embedding_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based embedding clustering: DBSCAN with cosine ≥ 0.3
+    neighborhoods and min_pts = 4 (operators/clustering.py
+    dbscan_embeddings) — core/border/noise roles and min-id cluster
+    labels; the oracle recomputes the eps-graph and takes the
+    transitive closure with a recursive CTE (the dedup_canonical
+    formulation), fully independent of the small/large-star CC
+    rounds."""
+    from deepie_spark.operators.clustering import dbscan_embeddings
+
+    return dbscan_embeddings(
+        _emb(spark, sf_dir), eps_cosine=0.3, min_pts=4
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5715,6 +5730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_harmonic": q_entity_harmonic,
         "host_trustrank": q_host_trustrank,
         "fd_profile": q_fd_profile,
+        "embedding_dbscan": q_embedding_dbscan,
     }
 
 
@@ -9501,6 +9517,49 @@ def oracle_sql() -> dict[str, str]:
                 FROM ct GROUP BY g)
         SELECT u.g AS event_type, u.coef, u.value
         FROM ({_HAAR_ROWS}) u
+    """
+    # embedding_dbscan twin: same eps-graph (the emb_cosine_dup cosine
+    # expression), cores by degree, clusters via a recursive-CTE
+    # transitive closure + min label, border = min core-neighbor
+    # cluster — independent of the star-contraction CC rounds.
+    _DB_COS = (
+        "round(list_dot_product(a.v, b.v)"
+        " / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(b.v, b.v))), 6)"
+    )
+    d["embedding_dbscan"] = f"""
+        WITH RECURSIVE
+        e AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE))
+                       AS v
+              FROM embeddings),
+        p AS (SELECT a.vec_id AS a, b.vec_id AS b
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+              WHERE {_DB_COS} >= 0.3),
+        und AS (SELECT a AS node, b AS nbr FROM p
+                UNION ALL SELECT b, a FROM p),
+        deg AS (SELECT node, count(*) AS n FROM und GROUP BY 1),
+        core AS (SELECT node FROM deg WHERE n + 1 >= 4),
+        ceu AS (SELECT u.node AS a, u.nbr AS b FROM und u
+                WHERE u.node IN (SELECT node FROM core)
+                  AND u.nbr IN (SELECT node FROM core)),
+        walk(s, n) AS (
+          SELECT node, node FROM core
+          UNION
+          SELECT w.s, c.b FROM walk w JOIN ceu c ON c.a = w.n
+        ),
+        comp AS (SELECT s AS node, min(n) AS cluster
+                 FROM walk GROUP BY 1),
+        border AS (SELECT u.node, min(cm.cluster) AS cluster
+                   FROM und u JOIN comp cm ON cm.node = u.nbr
+                   WHERE u.node NOT IN (SELECT node FROM core)
+                   GROUP BY 1),
+        lab AS (SELECT node, 'core' AS role, cluster FROM comp
+                UNION ALL
+                SELECT node, 'border', cluster FROM border)
+        SELECT e.vec_id, coalesce(l.role, 'noise') AS role,
+               CAST(coalesce(l.cluster, -1) AS BIGINT) AS cluster
+        FROM e LEFT JOIN lab l ON l.node = e.vec_id
     """
     # fd_profile twin: one distinct-agg per FD, UNION ALL — same
     # exact-long counts, one int/int divide.

@@ -256,3 +256,87 @@ def single_linkage_clusters(
         F.col("v").alias("entity"),
         F.coalesce("component", F.col("v")).alias("cluster"),
     )
+
+
+def dbscan_embeddings(
+    emb: DataFrame,
+    eps_cosine: float = 0.3,
+    min_pts: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. KDD 1996) over an
+    embedding column with cosine ≥ ``eps_cosine`` as the neighborhood
+    relation — the clustering that finds arbitrarily-shaped dense
+    regions and labels sparse points NOISE, complementing k-means
+    (fixed k, convex cells) and single-linkage (no density gate).
+
+    Semantics (exactly the paper's, deterministic by construction):
+    - CORE: |N_eps(p)| ≥ min_pts (neighborhood INCLUDES p itself);
+    - cluster = connected component of the core-core eps-graph
+      (labels = min member id via operators/cc.py); an isolated core
+      point is its own singleton cluster;
+    - BORDER: non-core with ≥ 1 core neighbor — attached to the
+      MINIMUM cluster label among its core neighbors (the paper
+      leaves multi-assignment ambiguous; min is the pinned rule);
+    - NOISE: everything else, cluster = −1.
+
+    The neighbor stage here is the exact brute-force pair generator
+    (embedding_cosine_pairs — the verification baseline); at scale the
+    SAME downstream (degree gate → CC → border attach) runs unchanged
+    over LSH/IVF candidate pairs (operators/similarity.py), which
+    approximates only the eps-graph, not the algorithm.
+    """
+    from deepie_spark.operators.cc import connected_components
+    from deepie_spark.operators.dedup import embedding_cosine_pairs
+
+    ids = emb.select(F.col(id_col).alias("node")).distinct()
+    pairs = embedding_cosine_pairs(
+        emb, threshold=eps_cosine, id_col=id_col, vec_col=vec_col
+    ).select("a", "b").localCheckpoint()
+    und = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).withColumnsRenamed({"a": "node", "b": "nbr"})
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("n_nbrs"))
+    core = deg.filter(F.col("n_nbrs") + 1 >= min_pts).select("node")
+    core = core.localCheckpoint()
+    ce = (
+        pairs.join(core.withColumnRenamed("node", "a"), "a", "left_semi")
+        .join(core.withColumnRenamed("node", "b"), "b", "left_semi")
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    comp = connected_components(ce)
+    core_lbl = (
+        core.join(comp, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("component"), F.col("node")).alias("cluster"),
+        )
+        .localCheckpoint()
+    )
+    border = (
+        und.join(
+            core_lbl.select(
+                F.col("node").alias("nbr"), F.col("cluster").alias("c")
+            ),
+            "nbr",
+        )
+        .join(core, "node", "left_anti")
+        .groupBy("node")
+        .agg(F.min("c").alias("cluster"))
+    )
+    labeled = core_lbl.select(
+        "node", F.lit("core").alias("role"), "cluster"
+    ).unionByName(
+        border.select("node", F.lit("border").alias("role"), "cluster")
+    )
+    return (
+        ids.join(labeled, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("role"), F.lit("noise")).alias("role"),
+            F.coalesce(F.col("cluster"), F.lit(-1))
+            .cast("long")
+            .alias("cluster"),
+        )
+    )

@@ -209,3 +209,69 @@ def test_single_linkage_all_cut_is_singletons(spark):
     out = {r.entity: r.cluster
            for r in single_linkage_clusters(df, 50).collect()}
     assert out == {"a": "a", "b": "b", "c": "c"}
+
+
+def test_dbscan_embeddings_python_twin(spark):
+    import numpy as np
+
+    from deepie_spark.operators.clustering import dbscan_embeddings
+
+    rng = np.random.RandomState(7)
+    # three dense blobs + scattered noise, unit-ish 8-d vectors
+    pts = []
+    for c in range(3):
+        center = rng.randn(8)
+        for _ in range(12):
+            pts.append(center + 0.05 * rng.randn(8))
+    for _ in range(10):
+        pts.append(rng.randn(8) * 3)
+    rows = [
+        (i, [float(x) for x in v]) for i, v in enumerate(pts)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    eps, min_pts = 0.9, 4
+    got = {
+        r.vec_id: (r.role, r.cluster)
+        for r in dbscan_embeddings(
+            df, eps_cosine=eps, min_pts=min_pts
+        ).collect()
+    }
+
+    # brute-force twin with the SAME rounded-cosine neighborhood rule
+    X = np.array(pts, dtype=np.float64)
+    nrm = np.sqrt((X * X).sum(1))
+    cos = (X @ X.T) / np.outer(nrm, nrm)
+    n = len(pts)
+    nbrs = {
+        i: {j for j in range(n) if j != i and round(cos[i, j], 6) >= eps}
+        for i in range(n)
+    }
+    core = {i for i in range(n) if len(nbrs[i]) + 1 >= min_pts}
+    # components of the core-core graph (min-id labels)
+    lbl = {}
+    for s in sorted(core):
+        if s in lbl:
+            continue
+        stack, seen = [s], {s}
+        while stack:
+            u = stack.pop()
+            for v in nbrs[u] & core:
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        m = min(seen)
+        for u in seen:
+            lbl[u] = m
+    expect = {}
+    for i in range(n):
+        if i in core:
+            expect[i] = ("core", lbl[i])
+        else:
+            cn = nbrs[i] & core
+            if cn:
+                expect[i] = ("border", min(lbl[c] for c in cn))
+            else:
+                expect[i] = ("noise", -1)
+    assert got == expect
+    roles = {r for r, _ in got.values()}
+    assert roles == {"core", "border", "noise"} or "core" in roles
