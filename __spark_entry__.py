@@ -5523,6 +5523,19 @@ def q_embedding_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_activity_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of per-user event counts at decile grid points
+    (operators/stats.py lorenz_deciles) — the distribution behind
+    activity_gini's single number; exact cumulative longs + one
+    int/int divide per row."""
+    from deepie_spark.operators.stats import lorenz_deciles
+
+    c = _events(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    return lorenz_deciles(c, "n_events", "user_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5731,6 +5744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_trustrank": q_host_trustrank,
         "fd_profile": q_fd_profile,
         "embedding_dbscan": q_embedding_dbscan,
+        "activity_lorenz": q_activity_lorenz,
     }
 
 
@@ -9517,6 +9531,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM ct GROUP BY g)
         SELECT u.g AS event_type, u.coef, u.value
         FROM ({_HAAR_ROWS}) u
+    """
+    # activity_lorenz twin: row_number ranking + integer-DIV deciles +
+    # window cumulative sum — same exact longs, one divide per row.
+    d["activity_lorenz"] = """
+        WITH c AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS x
+                   FROM events GROUP BY 1),
+        r AS (SELECT x, row_number() OVER (ORDER BY x, k) AS i FROM c),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS BIGINT) AS total FROM r),
+        dec AS (SELECT CAST(((i - 1) * 10) // n AS INT) AS decile,
+                       CAST(sum(x) AS BIGINT) AS bucket_value
+                FROM r CROSS JOIN nt GROUP BY 1),
+        cum AS (SELECT decile,
+                       CAST(sum(bucket_value) OVER (ORDER BY decile)
+                         AS BIGINT) AS cum_value
+                FROM dec)
+        SELECT decile, cum_value, nt.total,
+               round(cum_value / nt.total, 6) AS cum_share
+        FROM cum CROSS JOIN nt
     """
     # embedding_dbscan twin: same eps-graph (the emb_cosine_dup cosine
     # expression), cores by degree, clusters via a recursive-CTE

@@ -7,6 +7,7 @@ outputs; they hold at any scale.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -204,3 +205,52 @@ def gini_concentration(
         F.col("n") * F.col("total")
     ) - (F.col("n") + F.lit(1)) / F.col("n")
     return agg.select("n", "total", "rank_sum", F.round(gini, 6).alias("gini"))
+
+
+def lorenz_deciles(
+    df: DataFrame, value_col: str, key_col: str
+) -> DataFrame:
+    """Lorenz curve at decile grid points — the distribution companion
+    to gini_concentration: for each decile d (1..10 by ascending
+    value), the EXACT cumulative share of total mass held by the
+    bottom d/10 of holders.  "bottom 90% of users generate 4% of
+    events" is this table's row 9.
+
+    Ranks ride rank_in_order (no single-partition window); decile of
+    rank i among n = ((i−1)·10) div n (the vocab_growth integer-DIV
+    rule, never float-divide-then-truncate).  cum_value/total is one
+    int/int IEEE divide, round 6.
+    """
+    from deepie_spark.operators.dictionary import rank_in_order
+
+    t = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(value_col).cast("long").alias("_x"),
+    ).withColumn("_ord", F.struct(F.col("_x"), F.col("_k")))
+    ranked = rank_in_order(t, "_ord", start_id=1, id_col="_i")
+    nt = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_x").cast("long").alias("total"),
+    )
+    dec = (
+        ranked.crossJoin(F.broadcast(nt))
+        .select(
+            F.expr("CAST(((_i - 1) * 10) DIV n AS INT)").alias("decile"),
+            "_x",
+        )
+        .groupBy("decile")
+        .agg(F.sum("_x").cast("long").alias("bucket_value"))
+    )
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    # ≤10 rows — the one place a keyless window is fine (bounded input,
+    # same as the triangular offsets inside rank_in_order)
+    cum = dec.select(
+        "decile",
+        F.sum("bucket_value").over(w).cast("long").alias("cum_value"),
+    )
+    return cum.crossJoin(F.broadcast(nt)).select(
+        "decile",
+        "cum_value",
+        "total",
+        F.round(F.col("cum_value") / F.col("total"), 6).alias("cum_share"),
+    )

@@ -156,3 +156,33 @@ def test_gini_extremes(spark):
     )
     row = gini_concentration(onehot, "x", "k").collect()[0]
     assert row.gini == round(2 * 10 * 1000 / (10 * 1000) - 11 / 10, 6)
+
+
+def test_lorenz_deciles_python_twin(spark):
+    import numpy as np
+
+    from deepie_spark.operators.stats import lorenz_deciles
+
+    rng = np.random.RandomState(9)
+    vals = [int(v) for v in rng.zipf(1.8, 137).clip(1, 5000)]
+    df = spark.createDataFrame(
+        [(f"u{i}", v) for i, v in enumerate(vals)], ["k", "x"]
+    )
+    got = {
+        r.decile: (r.cum_value, r.total, r.cum_share)
+        for r in lorenz_deciles(df, "x", "k").collect()
+    }
+    xs = sorted(vals)
+    n, total = len(xs), sum(xs)
+    expect = {}
+    cum = {}
+    for i, x in enumerate(xs, 1):
+        d = ((i - 1) * 10) // n
+        cum[d] = cum.get(d, 0) + x
+    run = 0
+    for d in sorted(cum):
+        run += cum[d]
+        expect[d] = (run, total, round(run / total, 6))
+    assert got == expect
+    # the curve is convex-increasing and ends at share 1.0
+    assert got[max(got)][2] == 1.0
