@@ -5536,6 +5536,21 @@ def q_activity_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lorenz_deciles(c, "n_events", "user_id")
 
 
+def q_bootstrap_value_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap uncertainty for the mean event value
+    (operators/stats.py poisson_bootstrap_mean): 20 deterministic
+    hash-weighted replicates, each reduced to two exact-long sums and
+    one IEEE divide — the distributed bootstrap (no engine RNG, no
+    coordinated resampling).  Values ride as exact integer cents."""
+    from deepie_spark.operators.stats import poisson_bootstrap_mean
+
+    e = _events(spark, sf_dir).select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return poisson_bootstrap_mean(e, "cents", "event_id", n_reps=20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5745,6 +5760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_profile": q_fd_profile,
         "embedding_dbscan": q_embedding_dbscan,
         "activity_lorenz": q_activity_lorenz,
+        "bootstrap_value_mean": q_bootstrap_value_mean,
     }
 
 
@@ -9531,6 +9547,51 @@ def oracle_sql() -> dict[str, str]:
                 FROM ct GROUP BY g)
         SELECT u.g AS event_type, u.coef, u.value
         FROM ({_HAAR_ROWS}) u
+    """
+    # bootstrap_value_mean twin: SAME integer hash + threshold
+    # literals (rendered from _poisson_thresholds — the bm25
+    # shared-constant rule), 2 conditional sums per replicate, UNION
+    # ALL unpivot.
+    from deepie_spark.operators.stats import (
+        _POIS_A,
+        _POIS_B,
+        _POIS_MOD,
+        _poisson_thresholds,
+    )
+
+    _PT = _poisson_thresholds()
+    _BOOT_W = (
+        "(CASE WHEN {h} < " + str(_PT[0]) + " THEN 0"
+        " WHEN {h} < " + str(_PT[1]) + " THEN 1"
+        " WHEN {h} < " + str(_PT[2]) + " THEN 2"
+        " WHEN {h} < " + str(_PT[3]) + " THEN 3"
+        " ELSE 4 END)"
+    )
+    _BOOT_AGGS = ",\n".join(
+        "            CAST(sum({w}) AS BIGINT) AS w{r},"
+        " CAST(sum({w} * cents) AS BIGINT) AS wx{r}".format(
+            r=r,
+            w=_BOOT_W.format(
+                h=f"((event_id % {_POIS_MOD}) * {_POIS_A}"
+                f" + {r + 1} * {_POIS_B}) % {_POIS_MOD}"
+            ),
+        )
+        for r in range(20)
+    )
+    _BOOT_ROWS = "\n        UNION ALL ".join(
+        f"SELECT {r} AS rep, w{r} AS sum_w, wx{r} AS sum_wx FROM one"
+        for r in range(20)
+    )
+    d["bootstrap_value_mean"] = f"""
+        WITH base AS (SELECT event_id,
+                             CAST(round(value * 100) AS BIGINT) AS cents
+                      FROM events),
+        one AS (SELECT
+{_BOOT_AGGS}
+                FROM base)
+        SELECT CAST(rep AS INT) AS rep, sum_w, sum_wx,
+               round(sum_wx / sum_w, 6) AS mean
+        FROM ({_BOOT_ROWS})
     """
     # activity_lorenz twin: row_number ranking + integer-DIV deciles +
     # window cumulative sum — same exact longs, one divide per row.

@@ -254,3 +254,76 @@ def lorenz_deciles(
         "total",
         F.round(F.col("cum_value") / F.col("total"), 6).alias("cum_share"),
     )
+
+
+#: integer Poisson(1) CDF thresholds over [0, MOD): a draw h ∈ [0, MOD)
+#: maps to the smallest k with h < _POIS_T[k] (truncated at 4 —
+#: P(K > 4) ≈ 0.0037 folds into w = 4).  Pure int literals, so both
+#: engines compare exactly the same numbers.
+_POIS_MOD = 1_000_000_007
+_POIS_A = 1_315_423_911
+_POIS_B = 2_654_435_761
+
+
+def _poisson_thresholds(mod: int = _POIS_MOD) -> list[int]:
+    import math
+
+    cdf, acc = [], 0.0
+    for k in range(4):
+        acc += math.exp(-1.0) / math.factorial(k)
+        cdf.append(int(acc * mod))
+    return cdf
+
+
+def poisson_bootstrap_mean(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    n_reps: int = 20,
+) -> DataFrame:
+    """Poisson bootstrap of a mean (Chamandy, Muralidharan, Najmi &
+    Naidu, "Estimating uncertainty for massive data streams", Google
+    2012): resampling-with-replacement is impossible distributed (it
+    needs N up front and coordinated draws), but giving each row an
+    independent Poisson(1) weight per replicate converges to the same
+    bootstrap distribution — and each replicate's mean becomes TWO
+    exact-long sums (Σw, Σw·x) plus one IEEE divide.
+
+    Draws are DETERMINISTIC integer hashes (h = (key·A + rep·B) mod
+    p, inverse-CDF via integer thresholds — no engine RNG, the
+    weighted_sample rule), so replicates are reproducible, resumable
+    and oracle-gateable.  Output: one row per replicate (rep, sum_w,
+    sum_wx, mean) — the caller derives SE/CI from the ≤n_reps means
+    (a bounded list; pytest covers the coverage property).
+
+    Plan: ONE pass — 2·n_reps conditional aggregates (no explode
+    row-blowup), then an in-plan stack unpivot (table_profile
+    pattern).
+    """
+    if n_reps < 2:
+        raise ValueError("n_reps must be >= 2")
+    t = _poisson_thresholds()
+    key = F.col(key_col).cast("long")
+    x = F.col(value_col).cast("long")
+    aggs = []
+    for r in range(n_reps):
+        h = (key % _POIS_MOD * _POIS_A + (r + 1) * _POIS_B) % _POIS_MOD
+        w = (
+            F.when(h < t[0], 0)
+            .when(h < t[1], 1)
+            .when(h < t[2], 2)
+            .when(h < t[3], 3)
+            .otherwise(4)
+        )
+        aggs.append(F.sum(w).cast("long").alias(f"w{r}"))
+        aggs.append(F.sum(w * x).cast("long").alias(f"wx{r}"))
+    one = df.agg(*aggs)
+    stack = ", ".join(f"{r}, w{r}, wx{r}" for r in range(n_reps))
+    return one.selectExpr(
+        f"stack({n_reps}, {stack}) AS (rep, sum_w, sum_wx)"
+    ).select(
+        F.col("rep").cast("int").alias("rep"),
+        "sum_w",
+        "sum_wx",
+        F.round(F.col("sum_wx") / F.col("sum_w"), 6).alias("mean"),
+    )

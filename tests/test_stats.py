@@ -186,3 +186,47 @@ def test_lorenz_deciles_python_twin(spark):
     assert got == expect
     # the curve is convex-increasing and ends at share 1.0
     assert got[max(got)][2] == 1.0
+
+
+def test_poisson_bootstrap_python_twin_and_se(spark):
+    import math
+
+    import numpy as np
+
+    from deepie_spark.operators.stats import (
+        _POIS_A,
+        _POIS_B,
+        _POIS_MOD,
+        _poisson_thresholds,
+        poisson_bootstrap_mean,
+    )
+
+    rng = np.random.RandomState(21)
+    vals = [int(v) for v in rng.normal(500, 80, size=600)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], ["k", "x"]
+    )
+    out = poisson_bootstrap_mean(df, "x", "k", n_reps=20).collect()
+    got = {r.rep: (r.sum_w, r.sum_wx, r.mean) for r in out}
+
+    t = _poisson_thresholds()
+
+    def w_of(key, rep):
+        h = (key % _POIS_MOD * _POIS_A + (rep + 1) * _POIS_B) % _POIS_MOD
+        for k, th in enumerate(t):
+            if h < th:
+                return k
+        return 4
+
+    expect = {}
+    for rep in range(20):
+        sw = sum(w_of(i, rep) for i in range(len(vals)))
+        swx = sum(w_of(i, rep) * v for i, v in enumerate(vals))
+        expect[rep] = (sw, swx, round(swx / sw, 6))
+    assert got == expect
+
+    # statistical sanity: bootstrap SE of the mean tracks s/sqrt(n)
+    means = [m for _, _, m in got.values()]
+    boot_se = np.std(means, ddof=1)
+    classical = np.std(vals, ddof=1) / math.sqrt(len(vals))
+    assert classical / 3 < boot_se < classical * 3
