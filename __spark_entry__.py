@@ -5551,6 +5551,36 @@ def q_bootstrap_value_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poisson_bootstrap_mean(e, "cents", "event_id", n_reps=20)
 
 
+def q_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the per-event-type value rollup
+    maintained by merging a delta batch (event_id % 10 == 0) into the
+    base state (plans/ivm.py agg_state ⊕ merge_agg_state) — O(state +
+    delta), never a base rescan.  The oracle aggregates base ∪ delta
+    from scratch, so the hash gate IS the self-maintainability
+    invariant.  avg derives from the exact longs at read time."""
+    from deepie_spark.plans.ivm import agg_state, merge_agg_state
+
+    e = _events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    base = e.filter(F.col("event_id") % 10 != 0)
+    delta = e.filter(F.col("event_id") % 10 == 0)
+    merged = merge_agg_state(
+        agg_state(base, "event_type", "cents"),
+        agg_state(delta, "event_type", "cents"),
+    )
+    return merged.select(
+        F.col("g").alias("event_type"),
+        "n",
+        "total",
+        "mn",
+        "mx",
+        F.round(F.col("total") / F.col("n"), 6).alias("avg_cents"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5761,6 +5791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dbscan": q_embedding_dbscan,
         "activity_lorenz": q_activity_lorenz,
         "bootstrap_value_mean": q_bootstrap_value_mean,
+        "ivm_rollup": q_ivm_rollup,
     }
 
 
@@ -9547,6 +9578,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM ct GROUP BY g)
         SELECT u.g AS event_type, u.coef, u.value
         FROM ({_HAAR_ROWS}) u
+    """
+    # ivm_rollup twin: aggregate base ∪ delta from scratch — the very
+    # recompute the merge plan avoids, so hash equality IS the
+    # self-maintainability invariant.
+    d["ivm_rollup"] = """
+        WITH e AS (SELECT event_type,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS total,
+               CAST(min(cents) AS BIGINT) AS mn,
+               CAST(max(cents) AS BIGINT) AS mx,
+               round(CAST(sum(cents) AS BIGINT)
+                     / CAST(count(*) AS BIGINT), 6) AS avg_cents
+        FROM e GROUP BY 1
     """
     # bootstrap_value_mean twin: SAME integer hash + threshold
     # literals (rendered from _poisson_thresholds — the bm25
