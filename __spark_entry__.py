@@ -5581,6 +5581,52 @@ def q_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Benford first-digit expected shares log10(1+1/d) — repr-rendered
+#: into BOTH engines (the bm25 shared-constant rule).
+_BENFORD = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def q_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of event values —
+    the digit-distribution data-quality/fraud screen (Nigrini): exact
+    digit counts, share = one int/int divide, lift vs the Benford
+    expectation = one divide by (total · constant).  The synthetic
+    values are NOT Benford-distributed — the audit's job is to
+    report that, with engine-portable numbers."""
+    e = _events(spark, sf_dir).select(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).filter(F.col("cents") > 0)
+    dg = e.select(
+        F.substring(F.col("cents").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    ct = dg.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = ct.agg(F.sum("n").cast("long").alias("total"))
+    expected = F.element_at(
+        F.create_map(
+            *[
+                x
+                for d in range(1, 10)
+                for x in (F.lit(d), F.lit(_BENFORD[d]))
+            ]
+        ),
+        F.col("digit"),
+    )
+    return ct.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        "total",
+        F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        F.round(expected, 6).alias("benford"),
+        F.round(
+            F.col("n") / (F.col("total") * expected), 6
+        ).alias("lift"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5792,6 +5838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_lorenz": q_activity_lorenz,
         "bootstrap_value_mean": q_bootstrap_value_mean,
         "ivm_rollup": q_ivm_rollup,
+        "value_benford": q_value_benford,
     }
 
 
@@ -9578,6 +9625,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM ct GROUP BY g)
         SELECT u.g AS event_type, u.coef, u.value
         FROM ({_HAAR_ROWS}) u
+    """
+    # value_benford twin: same repr-rendered log10(1+1/d) constants,
+    # digit via string head of the positive integer cents.
+    _BEN_CASE = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {_BENFORD[d]!r}" for d in range(1, 10)
+    ) + " END"
+    d["value_benford"] = f"""
+        WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        dg AS (SELECT CAST(left(CAST(cents AS VARCHAR), 1) AS INT)
+                 AS digit
+               FROM e WHERE cents > 0),
+        ct AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+               FROM dg GROUP BY 1),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM ct)
+        SELECT digit, n, total,
+               round(n / total, 6) AS share,
+               round({_BEN_CASE}, 6) AS benford,
+               round(n / (total * ({_BEN_CASE})), 6) AS lift
+        FROM ct CROSS JOIN tot
     """
     # ivm_rollup twin: aggregate base ∪ delta from scratch — the very
     # recompute the merge plan avoids, so hash equality IS the

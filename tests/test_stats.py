@@ -230,3 +230,37 @@ def test_poisson_bootstrap_python_twin_and_se(spark):
     boot_se = np.std(means, ddof=1)
     classical = np.std(vals, ddof=1) / math.sqrt(len(vals))
     assert classical / 3 < boot_se < classical * 3
+
+
+def test_value_benford_python_twin(spark):
+    import math
+    from collections import Counter
+
+    from __spark_entry__ import q_value_benford
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.digit: (r.n, r.total, r.share, r.benford, r.lift)
+        for r in q_value_benford(spark, sf).collect()
+    }
+    import pandas as pd
+
+    cents = (
+        (pd.read_parquet(f"{sf}/events.parquet")["value"] * 100)
+        .round()
+        .astype("int64")
+    )
+    cents = cents[cents > 0]
+    c = Counter(int(str(v)[0]) for v in cents)
+    total = sum(c.values())
+    expect = {}
+    for d, n in c.items():
+        ben = math.log10(1.0 + 1.0 / d)
+        expect[d] = (
+            n,
+            total,
+            round(n / total, 6),
+            round(ben, 6),
+            round(n / (total * ben), 6),
+        )
+    assert got == expect
