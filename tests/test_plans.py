@@ -674,3 +674,55 @@ def test_join_size_profile_empty_intersection(spark):
     right = spark.createDataFrame([(2,)], "k long")
     row = join_size_profile(left, right, "k", "k").collect()[0]
     assert (row.n_matching_keys, row.join_rows, row.max_key_rows) == (0, 0, 0)
+
+
+def test_skyline_final_pass_is_broadcast_non_equi(spark, sf_dir):
+    """The dominance test is inherently non-equi, so the correct plan
+    is a BROADCAST nested-loop anti-join over the PRUNED local-skyline
+    superset (bounded) — never a cartesian product, and never a
+    shuffled BNLJ."""
+    plan = executed(entry.q_doc_skyline(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin BuildRight, LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_itemsets_have_no_transaction_self_join(spark, sf_dir):
+    """A-priori candidates are generated IN-ROW from per-transaction
+    frequent-item arrays: no SortMergeJoin anywhere (every join is a
+    broadcast against L1/L2-sized frames), no cartesian."""
+    plan = executed(entry.q_entity_itemsets(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_symspell_join_is_equi(spark, sf_dir):
+    """The deletion-neighborhood join must stay an equi-join on the
+    variant string — the whole point vs the naive levenshtein cross
+    join."""
+    plan = executed(entry.q_spelling_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bootstrap_and_haar_are_single_pass(spark, sf_dir):
+    """Both reduce to conditional aggregates — no Window, no shuffle
+    join; haar's ONLY join is the 1-row epoch-range broadcast cross
+    (IdentityBroadcastMode), bootstrap has no join at all."""
+    plan = executed(entry.q_bootstrap_value_mean(spark, sf_dir))
+    assert "Join" not in plan.replace("BroadcastExchange", "")
+    assert "Window" not in plan
+    plan = executed(entry.q_events_haar(spark, sf_dir))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # every BNLJ is the broadcast 1-row range (Cross + Identity build)
+    assert plan.count("BroadcastNestedLoopJoin BuildRight, Cross") == \
+        plan.count("BroadcastNestedLoopJoin")
+
+
+def test_psi_drift_no_shuffle_join(spark, sf_dir):
+    """PSI = two aggregations + a 1-row broadcast: no SortMergeJoin,
+    no Window."""
+    plan = executed(entry.q_source_drift_psi(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
