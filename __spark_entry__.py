@@ -5627,6 +5627,19 @@ def q_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B readout: Welch's t between purchase and click event values
+    (operators/stats.py welch_ttest) — exact integer-cents moments,
+    a fixed identical IEEE chain for t and the Welch df."""
+    from deepie_spark.operators.stats import welch_ttest
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return welch_ttest(e, "event_type", "cents", "purchase", "click")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5839,6 +5852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_value_mean": q_bootstrap_value_mean,
         "ivm_rollup": q_ivm_rollup,
         "value_benford": q_value_benford,
+        "value_ab_test": q_value_ab_test,
     }
 
 
@@ -9625,6 +9639,51 @@ def oracle_sql() -> dict[str, str]:
                 FROM ct GROUP BY g)
         SELECT u.g AS event_type, u.coef, u.value
         FROM ({_HAAR_ROWS}) u
+    """
+    # value_ab_test twin: identical exact-moment aggregation and the
+    # SAME written FP op tree for t / Welch df (grouped_pearson rule).
+    _AB_SE2 = (
+        "(({p}n * {p}sxx - {p}sx * {p}sx)"
+        " / ({p}n * ({p}n - 1)) / {p}n)"
+    )
+    _se2a, _se2b = _AB_SE2.format(p="a_"), _AB_SE2.format(p="b_")
+    _ab_s = f"({_se2a} + {_se2b})"
+    d["value_ab_test"] = f"""
+        WITH e AS (SELECT event_type,
+                          CAST(round(value * 100) AS BIGINT) AS x
+                   FROM events
+                   WHERE event_type IN ('purchase', 'click')),
+        agg AS (SELECT
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS a_n,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN x ELSE 0 END)
+            AS BIGINT) AS a_sx,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN x * x
+                        ELSE 0 END) AS BIGINT) AS a_sxx,
+          CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS b_n,
+          CAST(sum(CASE WHEN event_type = 'click' THEN x ELSE 0 END)
+            AS BIGINT) AS b_sx,
+          CAST(sum(CASE WHEN event_type = 'click' THEN x * x
+                        ELSE 0 END) AS BIGINT) AS b_sxx
+          FROM e)
+        SELECT 'purchase' AS group_a, 'click' AS group_b,
+               a_n AS n_a, a_sx AS sx_a, a_sxx AS sxx_a,
+               b_n AS n_b, b_sx AS sx_b, b_sxx AS sxx_b,
+               CASE WHEN a_n > 1 AND b_n > 1
+                     AND ((a_n * a_sxx - a_sx * a_sx) != 0
+                          OR (b_n * b_sxx - b_sx * b_sx) != 0)
+                 THEN round((a_sx / a_n - b_sx / b_n)
+                            / sqrt({_ab_s}), 6)
+               END AS t_stat,
+               CASE WHEN a_n > 1 AND b_n > 1
+                     AND ((a_n * a_sxx - a_sx * a_sx) != 0
+                          OR (b_n * b_sxx - b_sx * b_sx) != 0)
+                 THEN round(({_ab_s} * {_ab_s})
+                            / (({_se2a} * {_se2a}) / (a_n - 1)
+                               + ({_se2b} * {_se2b}) / (b_n - 1)), 6)
+               END AS welch_df
+        FROM agg
     """
     # value_benford twin: same repr-rendered log10(1+1/d) constants,
     # digit via string head of the positive integer cents.

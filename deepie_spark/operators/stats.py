@@ -327,3 +327,83 @@ def poisson_bootstrap_mean(
         "sum_wx",
         F.round(F.col("sum_wx") / F.col("sum_w"), 6).alias("mean"),
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's two-sample t statistic (unequal variances) between two
+    groups — the A/B-experiment readout — computed ENTIRELY from exact
+    integer moments (n, Σx, Σx² per group, one map-side-combinable
+    aggregation), so the only floats are a fixed chain of IEEE ops
+    written identically in both engines (the grouped_pearson rule;
+    native stddev/avg are accumulation-order-dependent and would not
+    gate):
+
+        t  = (m_a − m_b) / sqrt(va/na + vb/nb)
+        df = (va/na + vb/nb)² / ((va/na)²/(na−1) + (vb/nb)²/(nb−1))
+
+    with m = Σx/n and v the unbiased variance (n·Σx² − (Σx)²) /
+    (n·(n−1)).  Emits the exact moments beside the statistic, one row.
+    Degenerate inputs (n < 2 or both variances zero) yield NULL t/df
+    (guarded on the INTEGER variance numerators — Spark 4 ANSI raises
+    on double 0/0 where DuckDB returns NULL).
+    """
+    g = F.col(group_col)
+    x = F.col(value_col).cast("long")
+    agg = df.filter(g.isin(group_a, group_b)).agg(
+        *[
+            f
+            for name, cond in (("a", g == group_a), ("b", g == group_b))
+            for f in (
+                F.sum(F.when(cond, 1).otherwise(0))
+                .cast("long")
+                .alias(f"n_{name}"),
+                F.sum(F.when(cond, x).otherwise(0))
+                .cast("long")
+                .alias(f"sx_{name}"),
+                F.sum(F.when(cond, x * x).otherwise(0))
+                .cast("long")
+                .alias(f"sxx_{name}"),
+            )
+        ]
+    )
+
+    def _vn(name):  # integer variance numerator n·Σx² − (Σx)²
+        return F.col(f"n_{name}") * F.col(f"sxx_{name}") - F.col(
+            f"sx_{name}"
+        ) * F.col(f"sx_{name}")
+
+    def _se2(name):  # v/n as one chain: vn / (n·(n−1)) / n
+        n = F.col(f"n_{name}")
+        return _vn(name) / (n * (n - 1)) / n
+
+    m_a = F.col("sx_a") / F.col("n_a")
+    m_b = F.col("sx_b") / F.col("n_b")
+    s = _se2("a") + _se2("b")
+    t = (m_a - m_b) / F.sqrt(s)
+    dof = (s * s) / (
+        (_se2("a") * _se2("a")) / (F.col("n_a") - 1)
+        + (_se2("b") * _se2("b")) / (F.col("n_b") - 1)
+    )
+    ok = (
+        (F.col("n_a") > 1)
+        & (F.col("n_b") > 1)
+        & ((_vn("a") != 0) | (_vn("b") != 0))
+    )
+    return agg.select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        "n_a",
+        "sx_a",
+        "sxx_a",
+        "n_b",
+        "sx_b",
+        "sxx_b",
+        F.when(ok, F.round(t, 6)).alias("t_stat"),
+        F.when(ok, F.round(dof, 6)).alias("welch_df"),
+    )

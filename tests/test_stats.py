@@ -264,3 +264,47 @@ def test_value_benford_python_twin(spark):
             round(n / (total * ben), 6),
         )
     assert got == expect
+
+
+def test_welch_ttest_python_twin(spark):
+    import math
+
+    import numpy as np
+
+    from deepie_spark.operators.stats import welch_ttest
+
+    rng = np.random.RandomState(33)
+    a = [int(v) for v in rng.normal(520, 60, size=180)]
+    b = [int(v) for v in rng.normal(495, 90, size=240)]
+    rows = [("A", v) for v in a] + [("B", v) for v in b] + [("C", 1)]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    r = welch_ttest(df, "g", "x", "A", "B").collect()[0]
+    assert (r.n_a, r.sx_a, r.n_b, r.sx_b) == (
+        len(a), sum(a), len(b), sum(b)
+    )
+
+    def se2(xs):
+        n, sx, sxx = len(xs), sum(xs), sum(v * v for v in xs)
+        return (n * sxx - sx * sx) / (n * (n - 1)) / n
+
+    s = se2(a) + se2(b)
+    t = (sum(a) / len(a) - sum(b) / len(b)) / math.sqrt(s)
+    dof = (s * s) / (
+        (se2(a) * se2(a)) / (len(a) - 1) + (se2(b) * se2(b)) / (len(b) - 1)
+    )
+    assert r.t_stat == round(t, 6) and r.welch_df == round(dof, 6)
+    # df must land between min(n)-1 and n_a+n_b-2 (Welch bounds)
+    assert min(len(a), len(b)) - 1 <= r.welch_df <= len(a) + len(b) - 2
+
+
+def test_welch_ttest_degenerate_null(spark):
+    from deepie_spark.operators.stats import welch_ttest
+
+    df = spark.createDataFrame(
+        [("A", 5), ("A", 5), ("B", 5), ("B", 5)], ["g", "x"]
+    )
+    r = welch_ttest(df, "g", "x", "A", "B").collect()[0]
+    assert r.t_stat is None and r.welch_df is None
+    one = spark.createDataFrame([("A", 1), ("B", 2), ("B", 3)], ["g", "x"])
+    r = welch_ttest(one, "g", "x", "A", "B").collect()[0]
+    assert r.t_stat is None
