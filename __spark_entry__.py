@@ -5640,6 +5640,36 @@ def q_value_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return welch_ttest(e, "event_type", "cents", "purchase", "click")
 
 
+def q_user_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hirsch index per user over daily activity: h = the largest h
+    such that the user has ≥ h days with ≥ h events — the impact
+    index generalized to any (key, bucket, count) table.  Pure
+    integers: per-(user, day) counts, a user-keyed rank window over
+    the day counts (descending, day tie-break), h = max(rank with
+    count ≥ rank); users whose busiest day is below 1 event cannot
+    occur, and a user with no qualifying rank gets h = 0 via the
+    coalesce."""
+    e = _events(spark, sf_dir).select(
+        "user_id", F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    )
+    per_day = e.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("day"))
+    ranked = per_day.select(
+        "user_id", "n", F.row_number().over(w).cast("long").alias("r")
+    )
+    return ranked.groupBy("user_id").agg(
+        F.coalesce(
+            F.max(F.when(F.col("n") >= F.col("r"), F.col("r"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("h_index"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5853,6 +5883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_rollup": q_ivm_rollup,
         "value_benford": q_value_benford,
         "value_ab_test": q_value_ab_test,
+        "user_hindex": q_user_hindex,
     }
 
 
@@ -9639,6 +9670,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM ct GROUP BY g)
         SELECT u.g AS event_type, u.coef, u.value
         FROM ({_HAAR_ROWS}) u
+    """
+    # user_hindex twin: same day-count ranking, all integers.
+    d["user_hindex"] = """
+        WITH pd AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM events GROUP BY 1, 2),
+        r AS (SELECT user_id, n,
+                     CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY n DESC, day)
+                       AS BIGINT) AS r
+              FROM pd)
+        SELECT user_id,
+               CAST(coalesce(max(CASE WHEN n >= r THEN r END), 0)
+                 AS BIGINT) AS h_index,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(n) AS BIGINT) AS n_events
+        FROM r GROUP BY 1
     """
     # value_ab_test twin: identical exact-moment aggregation and the
     # SAME written FP op tree for t / Welch df (grouped_pearson rule).

@@ -308,3 +308,28 @@ def test_welch_ttest_degenerate_null(spark):
     one = spark.createDataFrame([("A", 1), ("B", 2), ("B", 3)], ["g", "x"])
     r = welch_ttest(one, "g", "x", "A", "B").collect()[0]
     assert r.t_stat is None
+
+
+def test_user_hindex_python_twin(spark):
+    from collections import Counter
+
+    import pandas as pd
+
+    from __spark_entry__ import q_user_hindex
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.user_id: (r.h_index, r.n_days, r.n_events)
+        for r in q_user_hindex(spark, sf).collect()
+    }
+    pdf = pd.read_parquet(f"{sf}/events.parquet")
+    per = {}
+    for u, ts in zip(pdf["user_id"], pdf["ts"]):
+        per.setdefault(int(u), Counter())[ts.date()] += 1
+    expect = {}
+    for u, c in per.items():
+        counts = sorted(c.values(), reverse=True)
+        h = max((r for r, n in enumerate(counts, 1) if n >= r),
+                default=0)
+        expect[u] = (h, len(c), sum(c.values()))
+    assert got == expect
