@@ -5670,6 +5670,19 @@ def q_user_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score of the LPA partition: Newman modularity in the
+    exact-integer form (operators/graph.py modularity — q_num/q_den
+    longs, one IEEE divide), composing the gated entity_communities
+    labels with the rule-triple edge set."""
+    from deepie_spark.operators.graph import modularity
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return modularity(t, q_entity_communities(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5884,6 +5897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_benford": q_value_benford,
         "value_ab_test": q_value_ab_test,
         "user_hindex": q_user_hindex,
+        "community_modularity": q_community_modularity,
     }
 
 
@@ -9670,6 +9684,40 @@ def oracle_sql() -> dict[str, str]:
                 FROM ct GROUP BY g)
         SELECT u.g AS event_type, u.coef, u.value
         FROM ({_HAAR_ROWS}) u
+    """
+    # community_modularity twin: nests the unrolled-LPA label oracle,
+    # same exact-integer Q = Σ(4m·L_c − D_c²) / 4m² formulation.
+    d["community_modularity"] = f"""
+        WITH lab AS (
+          {d["entity_communities"]}
+        ),
+        {_MENTIONS_SQL.strip()},
+        {_TRIPLE_EDGES_SQL.strip()},
+        m1 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+        intra AS (SELECT la.community AS c,
+                         CAST(count(*) AS BIGINT) AS l_c
+                  FROM und
+                  JOIN lab la ON la.entity = und.a
+                  JOIN lab lb ON lb.entity = und.b
+                  WHERE la.community = lb.community
+                  GROUP BY 1),
+        nb AS (SELECT a AS node FROM und
+               UNION ALL SELECT b FROM und),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                FROM nb GROUP BY 1),
+        dc AS (SELECT l.community AS c, CAST(sum(deg) AS BIGINT) AS d_c
+               FROM deg JOIN lab l ON l.entity = deg.node
+               GROUP BY 1),
+        per AS (SELECT dc.c, coalesce(intra.l_c, 0) AS l_c, dc.d_c
+                FROM dc LEFT JOIN intra ON intra.c = dc.c),
+        comb AS (SELECT CAST(sum(4 * m1.m * l_c - d_c * d_c) AS BIGINT)
+                   AS q_num,
+                        CAST(count(*) AS BIGINT) AS n_communities
+                 FROM per CROSS JOIN m1)
+        SELECT n_communities, m1.m AS n_edges, q_num,
+               CAST(4 * m1.m * m1.m AS BIGINT) AS q_den,
+               round(q_num / (4 * m1.m * m1.m), 6) AS modularity
+        FROM comb CROSS JOIN m1
     """
     # user_hindex twin: same day-count ranking, all integers.
     d["user_hindex"] = """

@@ -2177,3 +2177,76 @@ def eccentricity_stats(
         )
         .select(F.col("s").alias("entity"), "ecc", "n_reached")
     )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "entity",
+    label_col: str = "community",
+) -> DataFrame:
+    """Newman modularity Q of a node partition over the undirected
+    distinct edge set — the standard community-quality score
+    (Newman & Girvan 2004), here in the EXACT-INTEGER form
+
+        Q = q_num / q_den,  q_num = Σ_c (4m·L_c − D_c²),  q_den = 4m²
+
+    (m = edge count, L_c = intra-community edges, D_c = total degree
+    of community c; algebraically identical to Σ e_cc/m − (D_c/2m)²).
+    Every accumulator is an exact long (overflow bound: D_c ≤ 2m, so
+    q_den ≤ 4m² must fit int64 — m < ~1.5·10⁹; beyond that shift to
+    the per-community fraction form), so the single output row is
+    engine-portable with ONE final IEEE divide.
+
+    Plan: one degree agg, two label join-backs on the node key, two
+    community-keyed aggs, one 1-row full-outer combine — no window,
+    no driver collect.
+    """
+    e = _canonical_edges(edges, src, dst).localCheckpoint()
+    lab = labels.select(
+        F.col(node_col).alias("node"), F.col(label_col).alias("c")
+    )
+    m1 = e.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    la = lab.select(F.col("node").alias("a"), F.col("c").alias("ca"))
+    lb = lab.select(F.col("node").alias("b"), F.col("c").alias("cb"))
+    intra = (
+        e.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("l_c"))
+    )
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    d_c = (
+        deg.join(lab.withColumnRenamed("node", "a"), "a")
+        .groupBy("c")
+        .agg(F.sum("deg").cast("long").alias("d_c"))
+    )
+    per_c = d_c.join(intra, "c", "left").select(
+        "c",
+        F.coalesce(F.col("l_c"), F.lit(0)).cast("long").alias("l_c"),
+        "d_c",
+    )
+    comb = per_c.crossJoin(F.broadcast(m1)).agg(
+        F.sum(
+            F.lit(4) * F.col("m") * F.col("l_c")
+            - F.col("d_c") * F.col("d_c")
+        )
+        .cast("long")
+        .alias("q_num"),
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+    )
+    return comb.crossJoin(F.broadcast(m1)).select(
+        "n_communities",
+        F.col("m").alias("n_edges"),
+        "q_num",
+        (F.lit(4) * F.col("m") * F.col("m")).cast("long").alias("q_den"),
+        F.round(
+            F.col("q_num") / (F.lit(4) * F.col("m") * F.col("m")), 6
+        ).alias("modularity"),
+    )

@@ -1514,3 +1514,51 @@ def test_trustrank_seeds_concentrate_mass(spark):
     got = {r.node: r.pagerank for r in pagerank(df, 3, seeds=seeds).collect()}
     assert got["seed"] > got["near"] > got["far"] > 0
     assert got["island_a"] == 0.0 and got["island_b"] == 0.0
+
+
+def test_modularity_python_twin(spark):
+    from deepie_spark.operators.graph import label_propagation, modularity
+
+    # two near-cliques joined by one bridge — a clearly modular graph
+    edges = (
+        [(f"a{i}", f"a{j}") for i in range(4) for j in range(i + 1, 4)]
+        + [(f"b{i}", f"b{j}") for i in range(4) for j in range(i + 1, 4)]
+        + [("a0", "b0")]
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    labels = label_propagation(df, rounds=3)
+    row = modularity(df, labels).collect()[0]
+
+    lbl = {r.entity: r.community for r in labels.collect()}
+    und = {tuple(sorted(e)) for e in edges}
+    m = len(und)
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    from collections import Counter
+
+    l_c, d_c = Counter(), Counter()
+    for a, b in und:
+        if lbl[a] == lbl[b]:
+            l_c[lbl[a]] += 1
+    for n, dg in deg.items():
+        d_c[lbl[n]] += dg
+    q_num = sum(4 * m * l_c[c] - d_c[c] * d_c[c] for c in d_c)
+    assert (row.n_edges, row.q_num, row.q_den) == (m, q_num, 4 * m * m)
+    assert row.modularity == round(q_num / (4 * m * m), 6)
+    # a 2-clique + bridge partition is strongly modular
+    assert row.modularity > 0.3
+
+
+def test_modularity_single_community_is_zero(spark):
+    from deepie_spark.operators.graph import modularity
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    labels = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "x")], ["entity", "community"]
+    )
+    row = modularity(df, labels).collect()[0]
+    # all edges intra, D_c = 2m → q_num = 4m·m − 4m² = 0
+    assert row.q_num == 0 and row.modularity == 0.0
