@@ -5683,6 +5683,24 @@ def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity(t, q_entity_communities(spark, sf_dir))
 
 
+def q_type_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical assortativity of the rule-triple graph by entity
+    type (operators/graph.py attribute_assortativity — Newman mixing
+    matrix, exact-long numerator/denominator, one divide).  Relation
+    rules connect DIFFERENT types by construction, so the expected
+    reading is strongly disassortative."""
+    from deepie_spark.operators.graph import attribute_assortativity
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    cat = catalog_df(spark).filter(~F.col("alias").contains(" ")).select(
+        F.col("alias").alias("node"),
+        F.col("entity_type").alias("attr"),
+    )
+    return attribute_assortativity(t, cat)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5898,6 +5916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_ab_test": q_value_ab_test,
         "user_hindex": q_user_hindex,
         "community_modularity": q_community_modularity,
+        "type_assortativity": q_type_assortativity,
     }
 
 
@@ -9684,6 +9703,37 @@ def oracle_sql() -> dict[str, str]:
                 FROM ct GROUP BY g)
         SELECT u.g AS event_type, u.coef, u.value
         FROM ({_HAAR_ROWS}) u
+    """
+    # type_assortativity twin: same mixing-matrix integers over the
+    # und edge set + the catalog's (alias, entity_type).
+    d["type_assortativity"] = f"""
+        WITH {_MENTIONS_SQL.strip()},
+        {_TRIPLE_EDGES_SQL.strip()},
+        bidi AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+        at AS (SELECT DISTINCT alias AS node, entity_type AS t
+               FROM catalog WHERE alias NOT LIKE '% %'),
+        typed AS (SELECT xa.t AS ta, xb.t AS tb
+                  FROM bidi JOIN at xa ON xa.node = bidi.a
+                            JOIN at xb ON xb.node = bidi.b),
+        cells AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS n
+                  FROM typed GROUP BY 1, 2),
+        rs AS (SELECT ta, CAST(sum(n) AS BIGINT) AS r
+               FROM cells GROUP BY 1),
+        cs AS (SELECT tb, CAST(sum(n) AS BIGINT) AS c
+               FROM cells GROUP BY 1),
+        rc AS (SELECT CAST(sum(rs.r * cs.c) AS BIGINT) AS sum_rc
+               FROM rs JOIN cs ON cs.tb = rs.ta),
+        trc AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS trace
+               FROM cells WHERE ta = tb),
+        mm AS (SELECT CAST(sum(n) AS BIGINT) AS m_ends FROM cells),
+        na AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM bidi)
+        SELECT m_ends, trace, sum_rc,
+               CAST(n_all - m_ends AS BIGINT) AS n_dropped,
+               CASE WHEN m_ends * m_ends - sum_rc != 0
+                 THEN round((m_ends * trace - sum_rc)
+                            / (m_ends * m_ends - sum_rc), 6)
+               END AS assortativity
+        FROM mm CROSS JOIN trc CROSS JOIN rc CROSS JOIN na
     """
     # community_modularity twin: nests the unrolled-LPA label oracle,
     # same exact-integer Q = Σ(4m·L_c − D_c²) / 4m² formulation.

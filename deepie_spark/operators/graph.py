@@ -2250,3 +2250,69 @@ def modularity(
             F.col("q_num") / (F.lit(4) * F.col("m") * F.col("m")), 6
         ).alias("modularity"),
     )
+
+
+def attribute_assortativity(
+    edges: DataFrame,
+    attrs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    attr_col: str = "attr",
+) -> DataFrame:
+    """Newman attribute (categorical) assortativity coefficient — do
+    edges connect like-typed nodes (PER–PER) or cross types (PER–ORG)?
+    The mixing-matrix form (Newman 2003, eq. 2) in EXACT integers over
+    the symmetrized distinct edge set (each undirected edge counted in
+    both orientations, so marginals are symmetric):
+
+        r = (M·Tr − Σ_i R_i·C_i) / (M² − Σ_i R_i·C_i)
+
+    with M ordered typed edge-ends, Tr = Σ same-type ordered pairs,
+    R/C the row/column sums per type (equal by symmetry).  Numerator
+    and denominator are exact longs; one IEEE divide.  r = 1 is
+    perfect mixing by type, r < 0 disassortative (the KG shape —
+    relations connect DIFFERENT types by construction, so the gated
+    query expects strongly negative r).  Edges whose endpoint lacks an
+    attribute row are dropped (inner joins) — counted in n_dropped.
+    """
+    e = _canonical_edges(edges, src, dst)
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    at = attrs.select(
+        F.col(node_col).alias("node"), F.col(attr_col).alias("t")
+    ).distinct()
+    typed = (
+        und.join(at.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("t", "ta")
+        .join(at.withColumnRenamed("node", "b"), "b")
+        .withColumnRenamed("t", "tb")
+    )
+    n_all = und.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    cells = typed.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    row_sums = cells.groupBy("ta").agg(F.sum("n").cast("long").alias("r"))
+    col_sums = cells.groupBy("tb").agg(F.sum("n").cast("long").alias("c"))
+    rc = row_sums.join(
+        col_sums, row_sums["ta"] == col_sums["tb"]
+    ).agg(F.sum(F.col("r") * F.col("c")).cast("long").alias("sum_rc"))
+    tr = cells.filter(F.col("ta") == F.col("tb")).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("trace")
+    )
+    m = cells.agg(F.sum("n").cast("long").alias("m_ends"))
+    out = (
+        m.crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(rc))
+        .crossJoin(F.broadcast(n_all))
+    )
+    num = F.col("m_ends") * F.col("trace") - F.col("sum_rc")
+    den = F.col("m_ends") * F.col("m_ends") - F.col("sum_rc")
+    return out.select(
+        "m_ends",
+        "trace",
+        "sum_rc",
+        (F.col("n_all") - F.col("m_ends")).cast("long").alias("n_dropped"),
+        F.when(den != 0, F.round(num / den, 6)).alias("assortativity"),
+    )

@@ -1562,3 +1562,65 @@ def test_modularity_single_community_is_zero(spark):
     row = modularity(df, labels).collect()[0]
     # all edges intra, D_c = 2m → q_num = 4m·m − 4m² = 0
     assert row.q_num == 0 and row.modularity == 0.0
+
+
+def test_attribute_assortativity_extremes(spark):
+    from deepie_spark.operators.graph import attribute_assortativity
+
+    # perfectly assortative: two mono-typed components
+    edges = [("a1", "a2"), ("a2", "a3"), ("b1", "b2")]
+    attrs = spark.createDataFrame(
+        [("a1", "A"), ("a2", "A"), ("a3", "A"), ("b1", "B"), ("b2", "B")],
+        ["node", "attr"],
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    r = attribute_assortativity(df, attrs).collect()[0]
+    assert r.assortativity == 1.0 and r.n_dropped == 0
+    # perfectly disassortative bipartite: r = -1 for two equal types
+    edges2 = [("x1", "y1"), ("x1", "y2"), ("x2", "y1"), ("x2", "y2")]
+    attrs2 = spark.createDataFrame(
+        [("x1", "X"), ("x2", "X"), ("y1", "Y"), ("y2", "Y")],
+        ["node", "attr"],
+    )
+    r2 = attribute_assortativity(
+        spark.createDataFrame(edges2, ["src", "dst"]), attrs2
+    ).collect()[0]
+    assert r2.assortativity == -1.0
+
+
+def test_attribute_assortativity_python_twin(spark):
+    from collections import Counter
+
+    from deepie_spark.operators.graph import attribute_assortativity
+
+    rng = np.random.RandomState(37)
+    nodes = [f"n{i}" for i in range(25)]
+    attrs = {n: ("P" if rng.rand() < 0.5 else "O") for n in nodes}
+    edges = sorted(
+        {
+            (nodes[rng.randint(25)], nodes[rng.randint(25)])
+            for _ in range(80)
+        }
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    adf = spark.createDataFrame(
+        sorted(attrs.items()), ["node", "attr"]
+    )
+    row = attribute_assortativity(df, adf).collect()[0]
+    und = {tuple(sorted(e)) for e in edges}
+    cells = Counter()
+    for a, b in und:
+        cells[(attrs[a], attrs[b])] += 1
+        cells[(attrs[b], attrs[a])] += 1
+    M = sum(cells.values())
+    trace = sum(n for (i, j), n in cells.items() if i == j)
+    rsum, csum = Counter(), Counter()
+    for (i, j), n in cells.items():
+        rsum[i] += n
+        csum[j] += n
+    sum_rc = sum(rsum[t] * csum[t] for t in rsum)
+    assert (row.m_ends, row.trace, row.sum_rc) == (M, trace, sum_rc)
+    assert row.assortativity == round(
+        (M * trace - sum_rc) / (M * M - sum_rc), 6
+    )
