@@ -5701,6 +5701,22 @@ def q_type_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribute_assortativity(t, cat)
 
 
+def q_entity_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Betweenness centrality within 6 hops (operators/graph.py
+    betweenness_centrality): the fractional σ_sv·σ_vt/σ_st terms ride
+    fixed-point long accumulators (floor(2^40·…)), so — like
+    entity_harmonic vs closeness — the FRACTIONAL member of the
+    betweenness family becomes hash-gateable, next to entity_stress's
+    integer member.  Oracle = the entity_stress bounded-walk σ
+    derivation with the same fixed-point term."""
+    from deepie_spark.operators.graph import betweenness_centrality
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return betweenness_centrality(t, max_hops=6)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5917,6 +5933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_hindex": q_user_hindex,
         "community_modularity": q_community_modularity,
         "type_assortativity": q_type_assortativity,
+        "entity_betweenness": q_entity_betweenness,
     }
 
 
@@ -9703,6 +9720,44 @@ def oracle_sql() -> dict[str, str]:
                 FROM ct GROUP BY g)
         SELECT u.g AS event_type, u.coef, u.value
         FROM ({_HAAR_ROWS}) u
+    """
+    # entity_betweenness twin: the entity_stress bounded-walk σ
+    # derivation + the fixed-point floor term (identical IEEE op
+    # tree), integer sum.
+    d["entity_betweenness"] = f"""
+        WITH RECURSIVE
+        {_MENTIONS_SQL.strip()},
+        {_TRIPLE_EDGES_SQL.strip()},
+        bidi AS (SELECT a AS s, b AS t FROM und
+                 UNION ALL SELECT b, a FROM und),
+        wk(s, t, d) AS (
+          SELECT s, t, 1 FROM bidi
+          UNION ALL
+          SELECT w.s, e.t, w.d + 1
+          FROM wk w JOIN bidi e ON e.s = w.t
+          WHERE w.d < 6 AND e.t <> w.s
+        ),
+        sp AS (SELECT s, t, min(d) AS d FROM wk GROUP BY 1, 2),
+        sg AS (
+          SELECT w.s, w.t, p.d, CAST(count(*) AS BIGINT) AS g
+          FROM wk w
+          JOIN sp p ON p.s = w.s AND p.t = w.t AND p.d = w.d
+          GROUP BY 1, 2, 3
+        ),
+        ag AS (
+          SELECT p1.t AS entity,
+                 CAST(sum(CAST(floor(CAST(p1.g * p2.g AS DOUBLE)
+                      * 1099511627776.0 / p3.g) AS BIGINT))
+                   AS BIGINT) AS bw_fp
+          FROM sg p1
+          JOIN sg p2 ON p2.s = p1.t
+          JOIN sg p3 ON p3.s = p1.s AND p3.t = p2.t
+          WHERE p1.s <> p2.t AND p1.d + p2.d = p3.d
+          GROUP BY 1
+        )
+        SELECT entity, bw_fp,
+               round(bw_fp / 1099511627776.0, 6) AS betweenness
+        FROM ag
     """
     # type_assortativity twin: same mixing-matrix integers over the
     # und edge set + the catalog's (alias, entity_type).

@@ -2022,39 +2022,17 @@ def minimum_spanning_forest(
     return forest.distinct().localCheckpoint()
 
 
-def stress_centrality(
+def _sigma_paths(
     edges: DataFrame,
-    seeds: DataFrame | None = None,
-    max_hops: int = 6,
-    src: str = "src",
-    dst: str = "dst",
+    seeds: DataFrame | None,
+    max_hops: int,
+    src: str,
+    dst: str,
 ) -> DataFrame:
-    """Exact-integer stress centrality (Shimbel 1953) over the
-    undirected triple graph: ``stress(v)`` = the number of shortest
-    paths, over all ORDERED (source, target) pairs within
-    ``max_hops``, that pass through ``v`` as an interior node.  The
-    integer sibling of betweenness (Brandes 2001): betweenness
-    divides each term by σ_st, stress does not — which keeps every
-    quantity an exact long, engine-bit-identical, and oracle-gateable
-    (no FP anywhere; an undirected pair is counted twice, once per
-    direction — halve downstream if the unordered convention is
-    wanted).  The KG reading: high-stress entities are the evidence
-    bottlenecks every relation chain routes through.
-
-    Phase 1 extends closeness_stats' per-source BFS with path
-    COUNTING: σ(s, u) at layer h = Σ σ(s, w) over the layer-(h−1)
-    predecessors — one frontier⋈adjacency join + one (s, u) sum agg +
-    the visited anti-join per round, ``localCheckpoint`` each round.
-    Phase 2 is the combination identity — v lies on a shortest s→t
-    path iff d(s,v) + d(v,t) = d(s,t), contributing σ_sv·σ_vt — two
-    keyed equi-joins (on v, then on (s, t)) and one sum agg; no
-    window, no cartesian.  Like closeness, per-source state means a
-    bounded ``seeds`` set at web scale (``None`` = all-pairs, for toy
-    graphs and bounded subgraphs); Brandes' dependency accumulation
-    is the all-pairs web-scale path and trades the exact-integer
-    contract away.  Nodes no shortest path routes through are absent
-    (stress 0).  Returns ``(entity, stress)``.
-    """
+    """Shared per-source BFS WITH path counting (stress_centrality /
+    betweenness_centrality): (s, node, hop, sig) rows — hop the
+    shortest distance, sig = σ(s, node) the exact-long number of
+    shortest paths."""
     e = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).filter(F.col("a") != F.col("b"))
@@ -2088,7 +2066,45 @@ def stress_centrality(
         )
         if not frontier.take(1):
             break
-    p = paths.filter(F.col("hop") > 0)
+    return paths
+
+
+def stress_centrality(
+    edges: DataFrame,
+    seeds: DataFrame | None = None,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact-integer stress centrality (Shimbel 1953) over the
+    undirected triple graph: ``stress(v)`` = the number of shortest
+    paths, over all ORDERED (source, target) pairs within
+    ``max_hops``, that pass through ``v`` as an interior node.  The
+    integer sibling of betweenness (Brandes 2001): betweenness
+    divides each term by σ_st, stress does not — which keeps every
+    quantity an exact long, engine-bit-identical, and oracle-gateable
+    (no FP anywhere; an undirected pair is counted twice, once per
+    direction — halve downstream if the unordered convention is
+    wanted).  The KG reading: high-stress entities are the evidence
+    bottlenecks every relation chain routes through.
+
+    Phase 1 extends closeness_stats' per-source BFS with path
+    COUNTING: σ(s, u) at layer h = Σ σ(s, w) over the layer-(h−1)
+    predecessors — one frontier⋈adjacency join + one (s, u) sum agg +
+    the visited anti-join per round, ``localCheckpoint`` each round.
+    Phase 2 is the combination identity — v lies on a shortest s→t
+    path iff d(s,v) + d(v,t) = d(s,t), contributing σ_sv·σ_vt — two
+    keyed equi-joins (on v, then on (s, t)) and one sum agg; no
+    window, no cartesian.  Like closeness, per-source state means a
+    bounded ``seeds`` set at web scale (``None`` = all-pairs, for toy
+    graphs and bounded subgraphs); Brandes' dependency accumulation
+    is the all-pairs web-scale path and trades the exact-integer
+    contract away.  Nodes no shortest path routes through are absent
+    (stress 0).  Returns ``(entity, stress)``.
+    """
+    p = _sigma_paths(edges, seeds, max_hops, src, dst).filter(
+        F.col("hop") > 0
+    )
     p1 = p.select(
         "s",
         F.col("node").alias("v"),
@@ -2315,4 +2331,69 @@ def attribute_assortativity(
         "sum_rc",
         (F.col("n_all") - F.col("m_ends")).cast("long").alias("n_dropped"),
         F.when(den != 0, F.round(num / den, 6)).alias("assortativity"),
+    )
+
+
+def betweenness_centrality(
+    edges: DataFrame,
+    seeds: DataFrame | None = None,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    scale_bits: int = 40,
+) -> DataFrame:
+    """Shortest-path betweenness (Freeman 1977) within ``max_hops``,
+    gate-able without FP-sum tolerance: each (s, t, v) term
+    σ_sv·σ_vt/σ_st is FRACTIONAL, so it is accumulated as the
+    fixed-point long ``floor(2^scale_bits · σ_sv·σ_vt / σ_st)`` — the
+    term is one identical IEEE expression in both engines (products
+    are exact longs; the bound σ_sv·σ_vt ≤ σ_st·σ_max must fit the
+    double mantissa for exactness, but DETERMINISM needs only the
+    identical op tree), and the SUM is integer, hence order-free.
+    ``betweenness`` = bw_fp / 2^scale_bits, within
+    #pairs·2^−scale_bits of the exact value.  Ordered (s, t) pairs —
+    halve for the undirected convention.
+
+    Same σ-BFS and combination-identity plan as stress_centrality
+    (shared ``_sigma_paths``); the same bounded-``seeds`` contract at
+    web scale.  Brandes' dependency accumulation remains the
+    all-pairs alternative and trades the order-free-gate contract
+    away."""
+    p = _sigma_paths(edges, seeds, max_hops, src, dst).filter(
+        F.col("hop") > 0
+    )
+    p1 = p.select(
+        "s",
+        F.col("node").alias("v"),
+        F.col("hop").alias("d1"),
+        F.col("sig").alias("g1"),
+    )
+    p2 = p.select(
+        F.col("s").alias("v"),
+        F.col("node").alias("t"),
+        F.col("hop").alias("d2"),
+        F.col("sig").alias("g2"),
+    )
+    p3 = p.select(
+        "s",
+        F.col("node").alias("t"),
+        F.col("hop").alias("d"),
+        F.col("sig").alias("g"),
+    )
+    scale = F.lit(float(1 << scale_bits))
+    term = F.floor(
+        (F.col("g1") * F.col("g2")).cast("double") * scale / F.col("g")
+    )
+    return (
+        p1.join(p2, "v")
+        .filter(F.col("s") != F.col("t"))
+        .join(p3, ["s", "t"])
+        .filter(F.col("d1") + F.col("d2") == F.col("d"))
+        .groupBy("v")
+        .agg(F.sum(term).cast("long").alias("bw_fp"))
+        .select(
+            F.col("v").alias("entity"),
+            "bw_fp",
+            F.round(F.col("bw_fp") / scale, 6).alias("betweenness"),
+        )
     )

@@ -1624,3 +1624,63 @@ def test_attribute_assortativity_python_twin(spark):
     assert row.assortativity == round(
         (M * trace - sum_rc) / (M * M - sum_rc), 6
     )
+
+
+def test_betweenness_python_twin(spark):
+    from collections import deque
+
+    from deepie_spark.operators.graph import betweenness_centrality
+
+    rng = np.random.RandomState(43)
+    edges = sorted(
+        {(f"v{rng.randint(16)}", f"v{rng.randint(16)}") for _ in range(34)}
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r.entity: (r.bw_fp, r.betweenness)
+        for r in betweenness_centrality(df, max_hops=6).collect()
+    }
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def bfs(s):
+        hops, sig = {s: 0}, {s: 1}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if hops[u] >= 6:
+                continue
+            for v in adj[u]:
+                if v not in hops:
+                    hops[v] = hops[u] + 1
+                    sig[v] = 0
+                    q.append(v)
+                if hops[v] == hops[u] + 1:
+                    sig[v] += sig[u]
+        return hops, sig
+
+    walks = {s: bfs(s) for s in adj}
+    fp = {}
+    S = float(1 << 40)
+    for s in adj:
+        hs, gs = walks[s]
+        for v in adj:
+            if v == s or v not in hs:
+                continue
+            hv, gv = walks[v]
+            for t in adj:
+                if t == s or t == v or t not in hv or t not in hs:
+                    continue
+                if hs[v] + hv[t] == hs[t]:
+                    # SAME IEEE op tree as both engines
+                    fp[v] = fp.get(v, 0) + int(
+                        float(gs[v] * gv[t]) * S / walks[s][1][t] // 1
+                    )
+    expect = {
+        v: (x, round(x / S, 6)) for v, x in fp.items()
+    }
+    assert got == expect and got
