@@ -5717,6 +5717,18 @@ def q_entity_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return betweenness_centrality(t, max_hops=6)
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: MMR (λ=1/2) over the query-0 cosine
+    top-30 pool, 5 greedy picks (operators/retrieval.py mmr_rerank) —
+    relevance and pool similarities as fixed-point longs
+    (floor(cos·2^40), the bit-identical dot-product fold), so every
+    greedy argmax compares exact integers.  Oracle = unrolled
+    MATERIALIZED rounds with NOT-IN selected sets."""
+    from deepie_spark.operators.retrieval import mmr_rerank
+
+    return mmr_rerank(_emb(spark, sf_dir), query_id=0, k=5, pool=30)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5934,6 +5946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_modularity": q_community_modularity,
         "type_assortativity": q_type_assortativity,
         "entity_betweenness": q_entity_betweenness,
+        "mmr_rerank": q_mmr_rerank,
     }
 
 
@@ -9720,6 +9733,52 @@ def oracle_sql() -> dict[str, str]:
                 FROM ct GROUP BY g)
         SELECT u.g AS event_type, u.coef, u.value
         FROM ({_HAAR_ROWS}) u
+    """
+    # mmr_rerank twin: same fixed-point cosines, unrolled greedy
+    # rounds with NOT-IN selected sets (argmax = ORDER BY + LIMIT 1).
+    _MMR_COS = (
+        "CAST(floor(list_dot_product({x}, {y})"
+        " / (sqrt(list_dot_product({x}, {x}))"
+        " * sqrt(list_dot_product({y}, {y})))"
+        " * 1099511627776.0) AS BIGINT)"
+    )
+    _MMR_ROUNDS = []
+    for r in range(2, 6):
+        sel = " UNION ALL ".join(
+            f"SELECT id FROM w{i}" for i in range(1, r)
+        )
+        _MMR_ROUNDS.append(f"""
+        w{r} AS MATERIALIZED (
+          SELECT c.id, c.rel_fp, c.rel_fp - mx.m AS mmr_fp
+          FROM cand c
+          JOIN (SELECT ia AS id, CAST(max(sim_fp) AS BIGINT) AS m
+                FROM sims WHERE ib IN ({sel}) GROUP BY 1) mx
+            ON mx.id = c.id
+          WHERE c.id NOT IN ({sel})
+          ORDER BY mmr_fp DESC, c.id LIMIT 1)""")
+    d["mmr_rerank"] = f"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding,
+                                         x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        cand AS MATERIALIZED (
+          SELECT vec_id AS id, v,
+                 {_MMR_COS.format(x='v', y='qv')} AS rel_fp
+          FROM e CROSS JOIN q WHERE vec_id != 0
+          ORDER BY rel_fp DESC, id LIMIT 30),
+        sims AS MATERIALIZED (
+          SELECT x.id AS ia, y.id AS ib,
+                 {_MMR_COS.format(x='x.v', y='y.v')} AS sim_fp
+          FROM cand x JOIN cand y ON x.id != y.id),
+        w1 AS MATERIALIZED (
+          SELECT id, rel_fp, rel_fp AS mmr_fp FROM cand
+          ORDER BY rel_fp DESC, id LIMIT 1),{','.join(_MMR_ROUNDS)}
+        SELECT CAST(1 AS INT) AS pick_rank, id, rel_fp, mmr_fp FROM w1
+        UNION ALL SELECT 2, id, rel_fp, mmr_fp FROM w2
+        UNION ALL SELECT 3, id, rel_fp, mmr_fp FROM w3
+        UNION ALL SELECT 4, id, rel_fp, mmr_fp FROM w4
+        UNION ALL SELECT 5, id, rel_fp, mmr_fp FROM w5
     """
     # entity_betweenness twin: the entity_stress bounded-walk σ
     # derivation + the fixed-point floor term (identical IEEE op

@@ -280,3 +280,127 @@ def rrf_fuse(
         ],
         F.round(rrf, 6).alias("rrf"),
     )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 5,
+    pool: int = 30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_bits: int = 40,
+) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein,
+    SIGIR 1998) with λ = 1/2: greedily pick ``k`` results from the
+    top-``pool`` cosine candidates, each round maximizing
+    ``relevance − max similarity to the already-picked set`` — the
+    standard diversification pass between ANN retrieval and a RAG
+    context window.
+
+    Engine-portable by the fixed-point rule: relevance and pairwise
+    similarity ride ``floor(cosine · 2^scale_bits)`` LONGS (the
+    cosine expression is the ann_topk one — bit-identical in both
+    engines — and floor of one more identical IEEE multiply stays
+    identical), so every round's argmax compares exact integers with
+    an id tie-break.  Returns (pick_rank, id, rel_fp, mmr_fp).
+
+    Plan: one broadcast query row, one cosine pass +
+    TakeOrderedAndProject for the pool (bounded), a pool² in-pool
+    similarity table (broadcast-scale by construction), then k
+    bounded rounds of one anti-join + max-agg + 1-row argmax with
+    ``localCheckpoint`` (the greedy_max_coverage shape).
+    """
+    if k < 1 or pool < k:
+        raise ValueError("need k >= 1 and pool >= k")
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    scale = F.lit(float(1 << scale_bits))
+
+    def cos_fp(x, y):
+        return F.floor(
+            dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y))) * scale
+        ).cast("long")
+
+    q = v.filter(F.col("id") == query_id).select(
+        F.col("v").alias("qv")
+    )
+    cand = (
+        v.filter(F.col("id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .select("id", "v", cos_fp(F.col("v"), F.col("qv")).alias("rel_fp"))
+        .orderBy(F.col("rel_fp").desc(), F.col("id"))
+        .limit(pool)
+        .localCheckpoint(eager=True)
+    )
+    a = cand.select(F.col("id").alias("ia"), F.col("v").alias("va"))
+    b = cand.select(F.col("id").alias("ib"), F.col("v").alias("vb"))
+    sims = (
+        a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
+        .select(
+            "ia", "ib", cos_fp(F.col("va"), F.col("vb")).alias("sim_fp")
+        )
+        .localCheckpoint(eager=True)
+    )
+    pool_df = cand.select("id", "rel_fp")
+    selected = None
+    out = None
+    for r in range(1, k + 1):
+        remaining = (
+            pool_df
+            if selected is None
+            else pool_df.join(selected, "id", "left_anti")
+        )
+        if selected is None:
+            scored = remaining.select(
+                "id", "rel_fp", F.col("rel_fp").alias("mmr_fp")
+            )
+        else:
+            mx = (
+                sims.join(
+                    selected.withColumnRenamed("id", "ib"), "ib", "left_semi"
+                )
+                .groupBy(F.col("ia").alias("id"))
+                .agg(F.max("sim_fp").alias("max_sim"))
+            )
+            scored = remaining.join(mx, "id").select(
+                "id",
+                "rel_fp",
+                (F.col("rel_fp") - F.col("max_sim")).alias("mmr_fp"),
+            )
+        win = (
+            scored.agg(
+                F.min(
+                    F.struct(
+                        (-F.col("mmr_fp")).alias("ns"), F.col("id")
+                    )
+                ).alias("w")
+            )
+            .select(F.col("w.id").alias("id"))
+            .where(F.col("id").isNotNull())
+        )
+        pick = (
+            scored.join(F.broadcast(win), "id")
+            .select(
+                F.lit(r).alias("pick_rank"), "id", "rel_fp", "mmr_fp"
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = pick if out is None else out.unionByName(pick)
+        sel_new = pick.select("id")
+        selected = (
+            sel_new
+            if selected is None
+            else selected.unionByName(sel_new)
+        ).localCheckpoint(eager=True)
+    return out

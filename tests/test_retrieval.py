@@ -149,3 +149,68 @@ def test_rrf_fuse_tie_break_and_invariance(spark):
     got2 = {r.doc_id: r.rank_a
             for r in rrf_fuse({"a": a.repartition(4)}).collect()}
     assert got2 == got
+
+
+def test_mmr_rerank_python_twin(spark):
+    import math
+
+    import numpy as np
+
+    from deepie_spark.operators.retrieval import mmr_rerank
+
+    rng = np.random.RandomState(47)
+    # 2 tight clusters near the query + singles: MMR must alternate
+    # across clusters instead of taking one cluster's top-k
+    q = rng.randn(8)
+    pts = {0: q}
+    i = 1
+    for c in range(2):
+        center = q + 0.4 * rng.randn(8)
+        for _ in range(6):
+            pts[i] = center + 0.03 * rng.randn(8)
+            i += 1
+    for _ in range(8):
+        pts[i] = rng.randn(8)
+        i += 1
+    rows = [(k, [float(x) for x in v]) for k, v in pts.items()]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = [
+        (r.pick_rank, r.vec_id if hasattr(r, "vec_id") else r.id,
+         r.rel_fp, r.mmr_fp)
+        for r in sorted(
+            mmr_rerank(df, query_id=0, k=4, pool=10).collect(),
+            key=lambda r: r.pick_rank,
+        )
+    ]
+
+    S = float(1 << 40)
+
+    def cos_fp(a, b):
+        va, vb = np.array(pts[a]), np.array(pts[b])
+        # same left-to-right fold order as both engines (dot over
+        # doubles is associativity-sensitive only beyond these dims)
+        d = float(sum(float(x) * float(y) for x, y in zip(va, vb)))
+        na = math.sqrt(sum(float(x) * float(x) for x in va))
+        nb = math.sqrt(sum(float(y) * float(y) for y in vb))
+        return int(math.floor(d / (na * nb) * S))
+
+    rel = {k: cos_fp(k, 0) for k in pts if k != 0}
+    pool = sorted(rel, key=lambda k: (-rel[k], k))[:10]
+    sel, expect = [], []
+    for r in range(1, 5):
+        if not sel:
+            scores = {k: rel[k] for k in pool}
+        else:
+            scores = {
+                k: rel[k] - max(cos_fp(k, s) for s in sel)
+                for k in pool
+                if k not in sel
+            }
+        best = min(scores, key=lambda k: (-scores[k], k))
+        expect.append((r, best, rel[best], scores[best]))
+        sel.append(best)
+    assert got == expect
+    # diversification actually kicked in: picks span both clusters
+    c1 = {k for k in range(1, 7)}
+    picked = {p[1] for p in expect}
+    assert picked - c1 and picked & c1
