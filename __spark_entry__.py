@@ -5729,6 +5729,19 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(_emb(spark, sf_dir), query_id=0, k=5, pool=30)
 
 
+def q_corpus_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the token frequency table (operators/stats.py
+    zipf_fit): OLS of ln freq on ln rank with fixed-point integer
+    moments — the corpus-law audit beside vocab_growth's Heaps
+    curve."""
+    from deepie_spark.operators.stats import zipf_fit
+
+    tf = _occ(spark, sf_dir).groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return zipf_fit(tf, "token", "n")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5947,6 +5960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_assortativity": q_type_assortativity,
         "entity_betweenness": q_entity_betweenness,
         "mmr_rerank": q_mmr_rerank,
+        "corpus_zipf": q_corpus_zipf,
     }
 
 
@@ -9733,6 +9747,40 @@ def oracle_sql() -> dict[str, str]:
                 FROM ct GROUP BY g)
         SELECT u.g AS event_type, u.coef, u.value
         FROM ({_HAAR_ROWS}) u
+    """
+    # corpus_zipf twin: row_number ranking, same fixed-point ln terms
+    # (floor(2^20·ln)), exact integer moments, identical OLS op tree.
+    d["corpus_zipf"] = f"""
+        WITH {_OCC_SQL.strip()},
+        tf AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+               FROM occ GROUP BY 1),
+        r AS (SELECT n, CAST(row_number() OVER (ORDER BY n DESC, token)
+                AS BIGINT) AS rk
+              FROM tf),
+        t AS (SELECT n,
+                CAST(floor(ln(CAST(rk AS DOUBLE)) * 1048576.0)
+                  AS BIGINT) AS x,
+                CAST(floor(ln(CAST(n AS DOUBLE)) * 1048576.0)
+                  AS BIGINT) AS y
+              FROM r),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+                CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_hapax,
+                CAST(sum(x) AS BIGINT) AS sx,
+                CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * x) AS BIGINT) AS sxx,
+                CAST(sum(x * y) AS BIGINT) AS sxy
+              FROM t),
+        s AS (SELECT *,
+                CAST(n_items * sxy - sx * sy AS DOUBLE)
+                / CAST(n_items * sxx - sx * sx AS DOUBLE) AS slope
+              FROM m)
+        SELECT n_items, n_hapax, sx, sy, sxx, sxy,
+               round(slope, 6) AS zipf_slope,
+               round(sy / n_items / 1048576.0
+                     - slope * (sx / n_items / 1048576.0), 6)
+                 AS zipf_intercept
+        FROM s
     """
     # mmr_rerank twin: same fixed-point cosines, unrolled greedy
     # rounds with NOT-IN selected sets (argmax = ORDER BY + LIMIT 1).

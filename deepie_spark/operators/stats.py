@@ -407,3 +407,71 @@ def welch_ttest(
         F.when(ok, F.round(t, 6)).alias("t_stat"),
         F.when(ok, F.round(dof, 6)).alias("welch_df"),
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    item_col: str,
+    count_col: str,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Zipf-law fit of a frequency table: OLS slope/intercept of
+    ln(freq) on ln(rank) (rank 1 = most frequent; ties broken by the
+    item for a deterministic ranking) — the corpus-law audit beside
+    Heaps' vocabulary growth (vocab_growth).  A healthy natural-
+    language corpus fits slope ≈ −1; template/boilerplate corpora
+    flatten it.
+
+    Engine-portable without FP-sum tolerance: each regression term
+    rides the fixed-point rule — x = floor(2^scale_bits · ln rank),
+    y = floor(2^scale_bits · ln freq), both ln's of exact integers —
+    and the five OLS moments are integer sums.  Slope and intercept
+    are then fixed chains over exact longs (grouped_pearson rule);
+    quantization bias is O(2^−scale_bits) per term.  Overflow bound:
+    n_items · (2^scale_bits · ln max_rank)² must fit int64 — the
+    default 20 bits holds to ~10⁷ items; drop to 12 bits for 10⁹
+    (coarser but still a 4-digit-exact fit).  Also reports n_hapax
+    (freq = 1 items — the Zipf tail mass).
+
+    Ranks ride rank_in_order (no single-partition window).
+    """
+    from deepie_spark.operators.dictionary import rank_in_order
+
+    t = df.select(
+        F.col(item_col).alias("_it"),
+        F.col(count_col).cast("long").alias("_n"),
+    ).withColumn(
+        "_ord", F.struct((-F.col("_n")).alias("nn"), F.col("_it"))
+    )
+    ranked = rank_in_order(t, "_ord", start_id=1, id_col="_r")
+    scale = F.lit(float(1 << scale_bits))
+    x = F.floor(F.log(F.col("_r").cast("double")) * scale).cast("long")
+    y = F.floor(F.log(F.col("_n").cast("double")) * scale).cast("long")
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.when(F.col("_n") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(x * y).cast("long").alias("sxy"),
+    )
+    n = F.col("n_items")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    scale2 = F.lit(float(1 << scale_bits))
+    intercept = (
+        F.col("sy") / n / scale2 - slope * (F.col("sx") / n / scale2)
+    )
+    return m.select(
+        "n_items",
+        "n_hapax",
+        "sx",
+        "sy",
+        "sxx",
+        "sxy",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )

@@ -333,3 +333,35 @@ def test_user_hindex_python_twin(spark):
                 default=0)
         expect[u] = (h, len(c), sum(c.values()))
     assert got == expect
+
+
+def test_zipf_fit_python_twin_and_slope(spark):
+    import math
+
+    import numpy as np
+
+    from deepie_spark.operators.stats import zipf_fit
+
+    # true Zipf frequencies: f(r) = round(C / r) → slope must fit ≈ −1
+    C = 12000
+    rows = [(f"w{r}", max(1, round(C / r))) for r in range(1, 400)]
+    df = spark.createDataFrame(rows, ["item", "n"])
+    out = zipf_fit(df, "item", "n").collect()[0]
+
+    S = float(1 << 20)
+    ranked = sorted(rows, key=lambda kv: (-kv[1], kv[0]))
+    xs = [int(math.floor(math.log(i + 1) * S)) for i in range(len(ranked))]
+    ys = [int(math.floor(math.log(n) * S)) for _, n in ranked]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = sy / n / S - slope * (sx / n / S)
+    assert (out.n_items, out.sx, out.sy, out.sxx, out.sxy) == (
+        n, sx, sy, sxx, sxy
+    )
+    assert out.zipf_slope == round(slope, 6)
+    assert out.zipf_intercept == round(intercept, 6)
+    assert -1.05 < out.zipf_slope < -0.95
+    assert out.n_hapax == sum(1 for _, c in rows if c == 1)
