@@ -5742,6 +5742,40 @@ def q_corpus_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(tf, "token", "n")
 
 
+def q_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion audit per event type: the Fano factor
+    (variance-to-mean ratio) of counts over the fixed 32-bin time
+    grid that events_haar uses — F ≈ 1 is Poisson-like arrivals,
+    F ≫ 1 bursty.  EMPTY bins count as zeros (B is the constant 32),
+    so the population form needs only two exact longs per type:
+    F = (B·Σn² − T²) / (B·T), one IEEE divide."""
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("es"),
+    )
+    rng = e.agg(
+        F.min("es").alias("lo"),
+        (F.max("es") - F.min("es") + 1).alias("span"),
+    )
+    binned = e.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        F.expr("CAST(((es - lo) * 32) DIV span AS LONG)").alias("bin"),
+    )
+    ct = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    g = ct.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("total"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"),
+    )
+    fano = (F.lit(32) * F.col("sum_sq") - F.col("total") * F.col("total")) / (
+        F.lit(32) * F.col("total")
+    )
+    return g.select(
+        "event_type", "total", "sum_sq", F.round(fano, 6).alias("fano")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5961,6 +5995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_betweenness": q_entity_betweenness,
         "mmr_rerank": q_mmr_rerank,
         "corpus_zipf": q_corpus_zipf,
+        "event_burstiness": q_event_burstiness,
     }
 
 
@@ -9747,6 +9782,27 @@ def oracle_sql() -> dict[str, str]:
                 FROM ct GROUP BY g)
         SELECT u.g AS event_type, u.coef, u.value
         FROM ({_HAAR_ROWS}) u
+    """
+    # event_burstiness twin: same integer bins (events_haar's), same
+    # population Fano identity over two exact longs.
+    d["event_burstiness"] = """
+        WITH base AS (SELECT event_type,
+                             CAST(floor(epoch(ts)) AS BIGINT) AS es
+                      FROM events),
+        rng AS (SELECT min(es) AS lo,
+                       max(es) - min(es) + 1 AS span FROM base),
+        bn AS (SELECT event_type, ((es - lo) * 32) // span AS b
+               FROM base CROSS JOIN rng),
+        ct AS (SELECT event_type, b, CAST(count(*) AS BIGINT) AS n
+               FROM bn GROUP BY 1, 2),
+        g AS (SELECT event_type,
+                     CAST(sum(n) AS BIGINT) AS total,
+                     CAST(sum(n * n) AS BIGINT) AS sum_sq
+              FROM ct GROUP BY 1)
+        SELECT event_type, total, sum_sq,
+               round((32 * sum_sq - total * total)
+                     / (32 * total), 6) AS fano
+        FROM g
     """
     # corpus_zipf twin: row_number ranking, same fixed-point ln terms
     # (floor(2^20·ln)), exact integer moments, identical OLS op tree.

@@ -365,3 +365,32 @@ def test_zipf_fit_python_twin_and_slope(spark):
     assert out.zipf_intercept == round(intercept, 6)
     assert -1.05 < out.zipf_slope < -0.95
     assert out.n_hapax == sum(1 for _, c in rows if c == 1)
+
+
+def test_event_burstiness_identity(spark):
+    """Fano = Var/Mean over the 32-bin grid WITH empty bins as zeros:
+    check the (B·Σn² − T²)/(B·T) identity against numpy on the gated
+    query's own output inputs, plus the Poisson≈1 / bursty≫1 contrast
+    on synthetic extremes."""
+    import numpy as np
+
+    from __spark_entry__ import q_event_burstiness
+
+    rows = q_event_burstiness(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        # identity on the emitted exact longs
+        assert r.fano == round(
+            (32 * r.sum_sq - r.total * r.total) / (32 * r.total), 6
+        )
+        assert r.fano >= 0.0
+
+    # contrast: all mass in one bin (max burst) vs perfectly uniform
+    # fano_uniform → variance 0 when total % 32 == 0
+    counts_burst = np.zeros(32, dtype=np.int64)
+    counts_burst[0] = 320
+    counts_uni = np.full(32, 10, dtype=np.int64)
+    for counts, expect_zero in ((counts_burst, False), (counts_uni, True)):
+        T, S = int(counts.sum()), int((counts * counts).sum())
+        fano = (32 * S - T * T) / (32 * T)
+        assert (fano == 0.0) == expect_zero
