@@ -5776,6 +5776,20 @@ def q_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over documents (operators/dedup.py
+    cdc_chunks — rolling-poly-hash cut points, min 16 / max 128 /
+    divisor 64): the storage-dedup primitive whose boundaries survive
+    edits.  The oracle re-derives every boundary RELATIONALLY — prefix
+    hashes + a bounded powers table give any chunk hash as
+    (P(e) − P(s)·B^(e−s)) mod M without re-folding — and walks the
+    cut recurrence with a recursive CTE (the alias_resolve linear-walk
+    pattern), a formulation sharing no code with the in-row fold."""
+    from deepie_spark.operators.dedup import cdc_chunks
+
+    return cdc_chunks(_docs(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -5996,6 +6010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "corpus_zipf": q_corpus_zipf,
         "event_burstiness": q_event_burstiness,
+        "cdc_chunks": q_cdc_chunks,
     }
 
 
@@ -9782,6 +9797,71 @@ def oracle_sql() -> dict[str, str]:
                 FROM ct GROUP BY g)
         SELECT u.g AS event_type, u.coef, u.value
         FROM ({_HAAR_ROWS}) u
+    """
+    # cdc_chunks twin: boundaries re-derived RELATIONALLY — prefix
+    # hashes P(i) (one linear recursion), a ≤128-row powers table,
+    # chunk hash = ((P(e) − P(s)·B^(e−s)) mod M + M) mod M, candidate
+    # cut points as a bounded range join, and the cut recurrence as a
+    # recursive linear walk over the precomputed next-boundary table
+    # (no correlated subqueries in the recursive term).
+    d["cdc_chunks"] = """
+        WITH RECURSIVE
+        dd AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L
+               FROM documents WHERE length(text) > 0),
+        pw(k, v) AS (
+          SELECT 0, CAST(1 AS BIGINT)
+          UNION ALL
+          SELECT k + 1, (v * 131) % 2147483647 FROM pw WHERE k < 128
+        ),
+        ph(doc_id, i, p) AS (
+          SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM dd
+          UNION ALL
+          SELECT ph.doc_id, ph.i + 1,
+                 (ph.p * 131
+                  + ascii(substr(dd.text, CAST(ph.i AS INT) + 1, 1)))
+                 % 2147483647
+          FROM ph JOIN dd ON dd.doc_id = ph.doc_id
+          WHERE ph.i < dd.L
+        ),
+        cut AS (
+          SELECT a.doc_id, a.i AS p
+          FROM ph a
+          JOIN ph b ON b.doc_id = a.doc_id AND b.i = a.i - 16
+          JOIN pw ON pw.k = 16
+          WHERE a.i >= 16
+            AND ((((a.p - b.p * pw.v) % 2147483647) + 2147483647)
+                 % 2147483647) % 64 = 0
+        ),
+        nxt AS (SELECT c.doc_id, s.i AS s, min(c.p) AS div_p
+                FROM ph s
+                JOIN cut c ON c.doc_id = s.doc_id
+                          AND c.p >= s.i + 16 AND c.p <= s.i + 127
+                GROUP BY 1, 2),
+        walk(doc_id, s, e) AS (
+          SELECT dd.doc_id, CAST(0 AS BIGINT),
+                 least(coalesce(n.div_p, 128), dd.L)
+          FROM dd LEFT JOIN nxt n
+            ON n.doc_id = dd.doc_id AND n.s = 0
+          UNION ALL
+          SELECT w.doc_id, w.e,
+                 least(coalesce(n.div_p, w.e + 128), dd.L)
+          FROM walk w
+          JOIN dd ON dd.doc_id = w.doc_id
+          LEFT JOIN nxt n ON n.doc_id = w.doc_id AND n.s = w.e
+          WHERE w.e < dd.L
+        )
+        SELECT w.doc_id,
+               CAST(row_number() OVER (PARTITION BY w.doc_id
+                                       ORDER BY w.s) - 1 AS BIGINT)
+                 AS chunk_idx,
+               CAST(w.s + 1 AS BIGINT) AS start,
+               CAST(w.e - w.s AS BIGINT) AS length,
+               CAST((((pe.p - ps.p * pw.v) % 2147483647) + 2147483647)
+                    % 2147483647 AS BIGINT) AS chunk_hash
+        FROM walk w
+        JOIN ph pe ON pe.doc_id = w.doc_id AND pe.i = w.e
+        JOIN ph ps ON ps.doc_id = w.doc_id AND ps.i = w.s
+        JOIN pw ON pw.k = w.e - w.s
     """
     # event_burstiness twin: same integer bins (events_haar's), same
     # population Fano identity over two exact longs.

@@ -765,3 +765,130 @@ def symspell_pairs(
     return cand.filter(dist <= max_dist).select(
         "a", "b", dist.cast("long").alias("dist")
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 16,
+    max_len: int = 128,
+    divisor: int = 64,
+    window: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (the LBFS/FastCDC rolling-window
+    family, Muthitacharoen et al. SOSP 2001): cut each document at
+    positions where the poly hash of the LAST ``window`` characters
+    satisfies ``h mod divisor == 0`` (subject to min/max chunk
+    lengths, forced cut at ``max_len``).  The cut decision depends
+    only on a local window of content — NOT on the chunk start — so
+    after an insertion/deletion the downstream boundaries re-align
+    and most chunk hashes dedup against the unedited original (the
+    property fixed-width blocks lack; asserted by the prefix-edit
+    test).  Expected chunk size ≈ min_len + divisor.
+
+    Two accumulators ride one in-row ``aggregate`` fold over
+    (position, char, lagged-char) structs (collection evaluated once
+    — the winnow HOF-CSE rule): the sliding hash
+    ``h' = (h·B + c − c_lag·B^w) mod M`` (= the window poly hash once
+    p ≥ w, the full prefix before that) decides cuts; a second
+    chunk-anchored hash resets at cuts and is emitted as
+    ``chunk_hash`` (the chunk's own char_poly_hash — the dedup key).
+    With ``min_len ≥ window`` every cut position has a full window,
+    which is what lets the DuckDB twin derive cut points per-position
+    from prefix hashes.  Map-only: zero shuffles, O(len) per row.
+
+    Returns (id, chunk_idx, start, length, chunk_hash), 1-based
+    ``start``; a non-empty tail emits a final partial chunk.
+    """
+    if not (0 < window <= min_len <= max_len):
+        raise ValueError("need 0 < window <= min_len <= max_len")
+    from deepie_spark.functions.text import BASE, MOD
+
+    bw = pow(BASE, window, MOD)
+    fold = F.aggregate(
+        F.expr(
+            f"transform(sequence(1, length({text_col})),"
+            f" i -> struct(CAST(i AS LONG) AS p,"
+            f" CAST(ascii(substring({text_col}, i, 1)) AS LONG) AS c,"
+            f" CAST(CASE WHEN i > {window} THEN"
+            f" ascii(substring({text_col}, i - {window}, 1))"
+            f" ELSE 0 END AS LONG) AS lag))"
+        ),
+        F.struct(
+            F.lit(0).cast("long").alias("s"),
+            F.lit(0).cast("long").alias("hw"),
+            F.lit(0).cast("long").alias("hc"),
+            F.expr(
+                "CAST(array() AS"
+                " array<struct<start: long, len: long, h: long>>)"
+            ).alias("cs"),
+        ),
+        lambda acc, e: _cdc_step(acc, e, min_len, max_len, divisor, bw),
+        lambda fin: F.when(
+            F.length(F.col(text_col)) > fin["s"],
+            F.concat(
+                fin["cs"],
+                F.array(
+                    F.struct(
+                        (fin["s"] + 1).alias("start"),
+                        (F.length(F.col(text_col)) - fin["s"])
+                        .cast("long")
+                        .alias("len"),
+                        fin["hc"].alias("h"),
+                    )
+                ),
+            ),
+        ).otherwise(fin["cs"]),
+    )
+    base = docs.filter(F.length(F.col(text_col)) > 0).select(
+        F.col(id_col), fold.alias("chunks")
+    )
+    return base.select(
+        id_col, F.posexplode("chunks").alias("chunk_idx", "ch")
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("ch.start").alias("start"),
+        F.col("ch.len").alias("length"),
+        F.col("ch.h").alias("chunk_hash"),
+    )
+
+
+def _cdc_step(acc, e, min_len, max_len, divisor, bw):
+    """One fold step: advance both hashes, cut when the sliding hash
+    divides (length permitting) or max_len forces it."""
+    from deepie_spark.functions.text import BASE, MOD
+
+    hw = (
+        (acc["hw"] * BASE + e["c"] - e["lag"] * bw) % MOD + MOD
+    ) % MOD
+    hc = (acc["hc"] * BASE + e["c"]) % MOD
+    cut = (
+        (e["p"] - acc["s"] >= min_len) & (hw % divisor == 0)
+    ) | (e["p"] - acc["s"] >= max_len)
+    return F.when(
+        cut,
+        F.struct(
+            e["p"].alias("s"),
+            hw.alias("hw"),
+            F.lit(0).cast("long").alias("hc"),
+            F.concat(
+                acc["cs"],
+                F.array(
+                    F.struct(
+                        (acc["s"] + 1).alias("start"),
+                        (e["p"] - acc["s"]).alias("len"),
+                        hc.alias("h"),
+                    )
+                ),
+            ).alias("cs"),
+        ),
+    ).otherwise(
+        F.struct(
+            acc["s"].alias("s"),
+            hw.alias("hw"),
+            hc.alias("hc"),
+            acc["cs"].alias("cs"),
+        )
+    )

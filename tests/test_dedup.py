@@ -492,3 +492,82 @@ def test_symspell_rejects_bad_depth(spark):
     df = spark.createDataFrame([("a",)], ["token"])
     with _pytest.raises(ValueError):
         symspell_pairs(df, max_dist=3)
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking
+# ---------------------------------------------------------------------------
+
+
+def _py_cdc(text, min_len=16, max_len=128, divisor=64, window=16):
+    BASE, MOD = 131, 2_147_483_647
+    bw = pow(BASE, window, MOD)
+    s, hw, hc, out = 0, 0, 0, []
+    for p, ch in enumerate(text, 1):
+        lag = ord(text[p - window - 1]) if p > window else 0
+        hw = ((hw * BASE + ord(ch) - lag * bw) % MOD + MOD) % MOD
+        hc = (hc * BASE + ord(ch)) % MOD
+        if (p - s >= min_len and hw % divisor == 0) or p - s >= max_len:
+            out.append((s + 1, p - s, hc))
+            s, hc = p, 0
+    if len(text) > s:
+        out.append((s + 1, len(text) - s, hc))
+    return out
+
+
+def test_cdc_chunks_python_twin(spark):
+    import random
+
+    rng = random.Random(51)
+    texts = [
+        "".join(rng.choice("abcdefgh ") for _ in range(rng.randint(1, 400)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    from deepie_spark.operators.dedup import cdc_chunks
+
+    got = {}
+    for r in cdc_chunks(df).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.start, r.length, r.chunk_hash)
+        )
+    for i, t in enumerate(texts):
+        want = [
+            (j, st, ln, h) for j, (st, ln, h) in enumerate(_py_cdc(t))
+        ]
+        assert sorted(got.get(i, [])) == want, i
+
+
+def test_cdc_boundaries_survive_prefix_edit(spark):
+    """The defining CDC property: prepending text shifts only the
+    EARLY boundaries — chunk hashes re-align downstream, so most
+    chunks dedup against the unedited original (fixed-width blocks
+    would share none)."""
+    import random
+
+    rng = random.Random(7)
+    body = "".join(rng.choice("abcdefgh ") for _ in range(2000))
+    edited = "ZZZ " + body
+    a = {h for _, _, h in _py_cdc(body)}
+    b = {h for _, _, h in _py_cdc(edited)}
+    assert len(a & b) >= 0.8 * len(a)
+
+
+def test_cdc_chunks_respect_length_bounds(spark):
+    from deepie_spark.operators.dedup import cdc_chunks
+
+    df = spark.createDataFrame(
+        [(0, "x" * 1000)], ["doc_id", "text"]
+    )
+    rows = cdc_chunks(df).collect()
+    # reconstruction: contiguous, covers the doc
+    rows = sorted(rows, key=lambda r: r.start)
+    assert rows[0].start == 1
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.start == prev.start + prev.length
+    assert rows[-1].start + rows[-1].length - 1 == 1000
+    # every non-final chunk within [min,max]
+    for r in rows[:-1]:
+        assert 16 <= r.length <= 128
