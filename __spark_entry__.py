@@ -5790,6 +5790,38 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunks(_docs(spark, sf_dir))
 
 
+def q_cdc_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-dedup savings report over the planted-duplicate corpus:
+    CDC-chunk the docs_dups table, then count unique vs duplicate
+    chunk bytes — the number a content-addressable store actually
+    saves.  One groupBy(chunk_hash, length) agg over the cdc_chunks
+    output; all exact longs + one ratio divide."""
+    from deepie_spark.operators.dedup import cdc_chunks
+
+    ch = cdc_chunks(_docs_dups(spark, sf_dir))
+    per = ch.groupBy("chunk_hash", "length").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique_chunks"),
+        F.sum("n").cast("long").alias("n_chunks"),
+        F.sum(F.col("n") * F.col("length")).cast("long").alias(
+            "total_bytes"
+        ),
+        F.sum("length").cast("long").alias("unique_bytes"),
+    ).select(
+        "n_unique_chunks",
+        "n_chunks",
+        "total_bytes",
+        "unique_bytes",
+        F.round(
+            (F.col("total_bytes") - F.col("unique_bytes"))
+            / F.col("total_bytes"),
+            6,
+        ).alias("savings"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -6011,6 +6043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_zipf": q_corpus_zipf,
         "event_burstiness": q_event_burstiness,
         "cdc_chunks": q_cdc_chunks,
+        "cdc_dedup_stats": q_cdc_dedup_stats,
     }
 
 
@@ -9804,10 +9837,9 @@ def oracle_sql() -> dict[str, str]:
     # cut points as a bounded range join, and the cut recurrence as a
     # recursive linear walk over the precomputed next-boundary table
     # (no correlated subqueries in the recursive term).
-    d["cdc_chunks"] = """
-        WITH RECURSIVE
+    _CDC_BODY = """
         dd AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L
-               FROM documents WHERE length(text) > 0),
+               FROM {src} WHERE length(text) > 0),
         pw(k, v) AS (
           SELECT 0, CAST(1 AS BIGINT)
           UNION ALL
@@ -9862,6 +9894,37 @@ def oracle_sql() -> dict[str, str]:
         JOIN ph pe ON pe.doc_id = w.doc_id AND pe.i = w.e
         JOIN ph ps ON ps.doc_id = w.doc_id AND ps.i = w.s
         JOIN pw ON pw.k = w.e - w.s
+    """
+    d["cdc_chunks"] = "WITH RECURSIVE " + _CDC_BODY.format(
+        src="documents"
+    )
+    # cdc_dedup_stats twin: the SAME relational chunker over the
+    # planted-duplicate corpus, wrapped in the savings aggregation.
+    d["cdc_dedup_stats"] = (
+        "WITH RECURSIVE "
+        + _DOCS_DUPS_SQL.strip()
+        + ", "
+        + _CDC_BODY.format(src="docs_dups").replace(
+            "SELECT w.doc_id,", "SELECT w.doc_id AS doc_id,", 1
+        )
+        .replace("WITH RECURSIVE ", "", 1)
+    )
+    d["cdc_dedup_stats"] = f"""
+        WITH ch AS (
+          {d["cdc_dedup_stats"]}
+        ),
+        per AS (SELECT chunk_hash, length,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM ch GROUP BY 1, 2),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n_unique_chunks,
+                       CAST(sum(n) AS BIGINT) AS n_chunks,
+                       CAST(sum(n * length) AS BIGINT) AS total_bytes,
+                       CAST(sum(length) AS BIGINT) AS unique_bytes
+                FROM per)
+        SELECT n_unique_chunks, n_chunks, total_bytes, unique_bytes,
+               round((total_bytes - unique_bytes) / total_bytes, 6)
+                 AS savings
+        FROM agg
     """
     # event_burstiness twin: same integer bins (events_haar's), same
     # population Fano identity over two exact longs.
