@@ -5822,6 +5822,56 @@ def q_cdc_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: theoretical LSH s-curve P(candidate | jaccard = s) = 1 − (1 − s^r)^b
+#: for the gated banding (16 hashes, b = 4 bands, r = 4 rows), at the
+#: decile-bucket midpoints — repr-shared into both engines.
+_LSH_SCURVE = {
+    bkt: 1.0 - (1.0 - ((bkt + 0.5) / 10.0) ** 4) ** 4
+    for bkt in range(5, 10)
+}
+_LSH_SCURVE[10] = 1.0  # jaccard exactly 1 ⇒ every band collides
+
+
+def q_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH tuning table: measured candidate recall of the gated
+    minhash banding per exact-Jaccard decile bucket, next to the
+    theoretical s-curve 1−(1−s^r)^b at the bucket midpoint — the
+    table an engineer reads before picking (bands, rows) for a
+    corpus.  Buckets come from the exact INTEGER intersection/union
+    counts ((inter·10) div union — no float-boundary risk); recall is
+    one int/int divide."""
+    truth = q_ngram_jaccard(spark, sf_dir)
+    cand = q_minhash_lsh(spark, sf_dir).withColumn("found", F.lit(1))
+    j = truth.join(cand, ["a", "b"], "left")
+    per = j.groupBy(
+        F.expr("CAST((inter * 10) DIV (n_a + n_b - inter) AS INT)").alias(
+            "bucket"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum(F.coalesce(F.col("found"), F.lit(0)))
+        .cast("long")
+        .alias("n_found"),
+    )
+    theo = F.element_at(
+        F.create_map(
+            *[
+                x
+                for bkt, p in sorted(_LSH_SCURVE.items())
+                for x in (F.lit(bkt), F.lit(p))
+            ]
+        ),
+        F.col("bucket"),
+    )
+    return per.select(
+        "bucket",
+        "n_true",
+        "n_found",
+        F.round(F.col("n_found") / F.col("n_true"), 6).alias("recall"),
+        F.round(theo, 6).alias("s_curve"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -6044,6 +6094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_burstiness": q_event_burstiness,
         "cdc_chunks": q_cdc_chunks,
         "cdc_dedup_stats": q_cdc_dedup_stats,
+        "lsh_calibration": q_lsh_calibration,
     }
 
 
@@ -10552,6 +10603,31 @@ def oracle_sql() -> dict[str, str]:
 {_FS_SUMS}
                FROM p)
         {_FS_ROWS}
+    """
+    # lsh_calibration twin: nests the truth + candidate oracles, same
+    # integer decile buckets, same repr-shared s-curve constants.
+    _LSH_CASE = "CASE bucket " + " ".join(
+        f"WHEN {b} THEN {p!r}" for b, p in sorted(_LSH_SCURVE.items())
+    ) + " END"
+    d["lsh_calibration"] = f"""
+        WITH truth AS (
+          {d["ngram_jaccard"]}
+        ),
+        cand AS (
+          {d["minhash_lsh"]}
+        ),
+        j AS (SELECT CAST((t.inter * 10) // (t.n_a + t.n_b - t.inter)
+                       AS INT) AS bucket,
+                     CASE WHEN c.a IS NULL THEN 0 ELSE 1 END AS found
+              FROM truth t
+              LEFT JOIN cand c ON c.a = t.a AND c.b = t.b),
+        per AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_true,
+                       CAST(sum(found) AS BIGINT) AS n_found
+                FROM j GROUP BY 1)
+        SELECT bucket, n_true, n_found,
+               round(n_found / n_true, 6) AS recall,
+               round({_LSH_CASE}, 6) AS s_curve
+        FROM per
     """
     # blocking_quality twin nests the two gated stage oracles verbatim
     # (one source of truth for candidates and exact pairs); truth has

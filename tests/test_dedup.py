@@ -571,3 +571,17 @@ def test_cdc_chunks_respect_length_bounds(spark):
     # every non-final chunk within [min,max]
     for r in rows[:-1]:
         assert 16 <= r.length <= 128
+
+
+def test_lsh_calibration_buckets(spark):
+    from __spark_entry__ import _LSH_SCURVE, q_lsh_calibration
+
+    rows = q_lsh_calibration(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.recall <= 1.0
+        assert 0 <= r.n_found <= r.n_true
+        assert r.s_curve == round(_LSH_SCURVE[r.bucket], 6)
+    # the theoretical curve itself is strictly increasing in s
+    vals = [v for _, v in sorted(_LSH_SCURVE.items())]
+    assert all(a < b or b == 1.0 for a, b in zip(vals, vals[1:]))
