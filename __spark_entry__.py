@@ -5872,6 +5872,27 @@ def q_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_influence_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independent-cascade influence of the {spark, customer} seed
+    set over the DIRECTED rule-triple graph (operators/graph.py
+    influence_spread): 8 deterministic hash-draw trials at edge
+    probability 1/4 — reproducible 'Monte Carlo' with zero engine
+    RNG.  The oracle replays every trial relationally: the same
+    integer edge draws (list_reduce poly hash), ONE recursive
+    reachability walk KEYED BY TRIAL, hop-capped like the BFS."""
+    from deepie_spark.operators.graph import influence_spread
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    seeds = spark.createDataFrame(
+        [("spark",), ("customer",)], ["node"]
+    )
+    return influence_spread(
+        t, seeds, n_trials=8, prob_num=1, prob_den=4, max_rounds=8
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -6095,6 +6116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,
         "cdc_dedup_stats": q_cdc_dedup_stats,
         "lsh_calibration": q_lsh_calibration,
+        "influence_spread": q_influence_spread,
     }
 
 
@@ -10451,6 +10473,47 @@ def oracle_sql() -> dict[str, str]:
         {_TRUST_IT.format(k=2, p=1).strip()},
         {_TRUST_IT.format(k=3, p=2).strip()}
         SELECT node AS host, round(pr, 6) AS trust FROM it3
+    """
+    # influence_spread twin: same integer edge draws (list_reduce poly
+    # hash — the doc_fingerprint fold), one trial-keyed hop-capped
+    # recursive reachability walk.
+    d["influence_spread"] = f"""
+        WITH RECURSIVE
+        {_MENTIONS_SQL.strip()},
+        {_TRIPLE_EDGES_SQL.strip()},
+        de AS (SELECT DISTINCT s AS a, d AS b FROM tr WHERE s != d),
+        eh AS (SELECT a, b,
+                 (list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(a || '|' || b, ''),
+                                     c -> CAST(ascii(c) AS BIGINT))),
+                    (acc, x) -> (acc * 131 + x) % 2147483647)
+                  * 1315423911) % 1000000007 AS h
+               FROM de),
+        trials AS (SELECT CAST(unnest(range(1, 9)) AS BIGINT) AS t),
+        act AS (SELECT t.t, e.a, e.b
+                FROM eh e CROSS JOIN trials t
+                WHERE ((e.h + t.t * 2654435761) % 1000000007) * 4
+                      < 1000000007),
+        sd(node) AS (VALUES ('spark'), ('customer')),
+        walk(t, node, hop) AS (
+          SELECT t.t, s.node, 0 FROM sd s CROSS JOIN trials t
+          UNION
+          SELECT w.t, a.b, w.hop + 1
+          FROM walk w JOIN act a ON a.t = w.t AND a.a = w.node
+          WHERE w.hop < 8
+        ),
+        na AS (SELECT t, CAST(count(*) AS BIGINT) AS n_activated_edges
+               FROM act GROUP BY 1),
+        sp AS (SELECT t, CAST(count(DISTINCT node) AS BIGINT) AS spread
+               FROM walk GROUP BY 1)
+        SELECT CAST(tr2.t AS INT) AS trial,
+               CAST(coalesce(na.n_activated_edges, 0) AS BIGINT)
+                 AS n_activated_edges,
+               sp.spread
+        FROM trials tr2
+        JOIN sp ON sp.t = tr2.t
+        LEFT JOIN na ON na.t = tr2.t
     """
     # entity_harmonic twin: the entity_closeness recursive min-hop
     # walk with the fixed-point Σ floor(2^40/hop) accumulator —

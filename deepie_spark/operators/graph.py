@@ -2397,3 +2397,90 @@ def betweenness_centrality(
             F.round(F.col("bw_fp") / scale, 6).alias("betweenness"),
         )
     )
+
+
+def influence_spread(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_trials: int = 8,
+    prob_num: int = 1,
+    prob_den: int = 4,
+    max_rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Influence-spread estimation under the Independent Cascade model
+    (Kempe, Kleinberg & Tardos, KDD 2003): each DIRECTED edge
+    activates with probability ``prob_num/prob_den``, and the spread
+    of a seed set is the count of nodes reachable through activated
+    edges.  The expectation is estimated over ``n_trials``
+    "simulations" — but instead of engine RNG, each trial's activated
+    edge set is a DETERMINISTIC integer-hash draw
+    (``poly(src)·A ⊕-ish mix with trial index, threshold compare`` —
+    the poisson_bootstrap_mean rule), so trials are reproducible,
+    partition-invariant and oracle-gateable.
+
+    Per trial the plan is bounded-round frontier BFS over the
+    PRE-FILTERED activated edge table (one hash filter, no RNG):
+    reachability = the entity_bfs shape.  Output: one row per trial
+    (trial, n_seeds, n_activated_edges, spread) — exact longs; the
+    mean/CI over the ≤n_trials rows belongs to the caller.
+    """
+    if n_trials < 1:
+        raise ValueError("n_trials must be >= 1")
+    from deepie_spark.functions.text import char_poly_hash_str
+
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .select(
+            "a",
+            "b",
+            (
+                (
+                    char_poly_hash_str(F.concat_ws("|", "a", "b"))
+                    * F.lit(1_315_423_911)
+                )
+                % F.lit(1_000_000_007)
+            ).alias("eh"),
+        )
+        .localCheckpoint()
+    )
+    sd = seeds.select(F.col("node")).distinct().localCheckpoint()
+    out = None
+    for t in range(1, n_trials + 1):
+        # trial draw: (eh + t·B) mod p < p·prob — integer threshold
+        act = e.filter(
+            (F.col("eh") + F.lit(t) * F.lit(2_654_435_761))
+            % F.lit(1_000_000_007)
+            * prob_den
+            < F.lit(1_000_000_007) * prob_num
+        ).select("a", "b")
+        act = act.localCheckpoint(eager=True)
+        n_act = act.count()  # bounded: one long per trial
+        reached = sd
+        frontier = sd
+        for _ in range(max_rounds):
+            nxt = (
+                frontier.join(act, frontier["node"] == act["a"])
+                .select(F.col("b").alias("node"))
+                .distinct()
+                .join(reached, "node", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if not nxt.take(1):
+                break
+            reached = reached.unionByName(nxt).localCheckpoint(
+                eager=True
+            )
+            frontier = nxt
+        row = reached.agg(
+            F.count(F.lit(1)).cast("long").alias("spread")
+        ).select(
+            F.lit(t).alias("trial"),
+            F.lit(n_act).cast("long").alias("n_activated_edges"),
+            "spread",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

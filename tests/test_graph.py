@@ -1684,3 +1684,56 @@ def test_betweenness_python_twin(spark):
         v: (x, round(x / S, 6)) for v, x in fp.items()
     }
     assert got == expect and got
+
+
+def test_influence_spread_python_twin(spark):
+    from collections import deque
+
+    from deepie_spark.functions.text import BASE, MOD
+    from deepie_spark.operators.graph import influence_spread
+
+    rng = np.random.RandomState(53)
+    edges = sorted(
+        {(f"n{rng.randint(20)}", f"n{rng.randint(20)}") for _ in range(50)}
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([("n0",), ("n1",)], ["node"])
+    got = {
+        r.trial: (r.n_activated_edges, r.spread)
+        for r in influence_spread(
+            df, seeds, n_trials=4, prob_num=1, prob_den=4
+        ).collect()
+    }
+
+    def poly(s):
+        h = 0
+        for c in s:
+            h = (h * BASE + ord(c)) % MOD
+        return h
+
+    P, A, B2 = 1_000_000_007, 1_315_423_911, 2_654_435_761
+    expect = {}
+    for t in range(1, 5):
+        act = [
+            (a, b)
+            for a, b in set(edges)
+            if ((poly(f"{a}|{b}") * A) % P + t * B2) % P * 4 < P
+        ]
+        adj = {}
+        for a, b in act:
+            adj.setdefault(a, set()).add(b)
+        reached = {"n0", "n1"}
+        q = deque([("n0", 0), ("n1", 0)])
+        while q:
+            u, h = q.popleft()
+            if h >= 8:
+                continue
+            for v in adj.get(u, ()):
+                if v not in reached:
+                    reached.add(v)
+                    q.append((v, h + 1))
+        expect[t] = (len(act), len(reached))
+    assert got == expect
+    # trials genuinely differ (different draws)
+    assert len({v for v in got.values()}) > 1
