@@ -726,3 +726,11 @@ def test_psi_drift_no_shuffle_join(spark, sf_dir):
     plan = executed(entry.q_source_drift_psi(spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_cdc_chunks_is_map_only(spark, sf_dir):
+    """The CDC fold is one narrow pass: filter → fold → posexplode,
+    ZERO Exchange anywhere in the plan."""
+    plan = executed(entry.q_cdc_chunks(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "Window" not in plan
