@@ -5893,6 +5893,24 @@ def q_influence_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_rank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the harvested host link graph using
+    n_links edge weights (operators/graph.py pagerank_weighted) — a
+    host linking somewhere 50× pushes 50× the mass; each contribution
+    is pr·(w/W) with w/W one exact-long IEEE divide."""
+    from deepie_spark.operators.graph import pagerank_weighted
+
+    lg = q_link_graph(spark, sf_dir)
+    return pagerank_weighted(
+        lg.select(
+            F.col("src_host").alias("src"),
+            F.col("dst_host").alias("dst"),
+            F.col("n_links").alias("weight"),
+        ),
+        iterations=3,
+    ).select(F.col("node").alias("host"), F.col("pagerank").alias("wrank"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -6117,6 +6135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup_stats": q_cdc_dedup_stats,
         "lsh_calibration": q_lsh_calibration,
         "influence_spread": q_influence_spread,
+        "host_rank_weighted": q_host_rank_weighted,
     }
 
 
@@ -10430,6 +10449,43 @@ def oracle_sql() -> dict[str, str]:
             ("user_id", "event_type", "events"),
         )
     )
+    # host_rank_weighted twin: the trustrank scheme with weighted
+    # contributions pr·(w/tw) and a uniform start/teleport.
+    _WPR_IT = """
+        it{k} AS (
+          SELECT b.node,
+                 b.t + 0.85 * COALESCE(s.c, 0.0) AS pr
+          FROM base b
+          LEFT JOIN (
+            SELECT e.dst AS node, sum(p.pr * (e.w / tw.tw)) AS c
+            FROM edges e
+            JOIN it{p} p ON p.node = e.src
+            JOIN tw ON tw.src = e.src
+            GROUP BY e.dst
+          ) s USING (node)
+        )"""
+    d["host_rank_weighted"] = f"""
+        WITH lg AS (
+          {d["link_graph"]}
+        ),
+        edges AS (SELECT src_host AS src, dst_host AS dst,
+                         CAST(sum(n_links) AS BIGINT) AS w
+                  FROM lg GROUP BY 1, 2),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        tw AS (SELECT src, CAST(sum(w) AS BIGINT) AS tw
+               FROM edges GROUP BY src),
+        base AS (SELECT n2.node,
+                        1.0 / nn.n AS p0,
+                        0.15000000000000002 / nn.n AS t
+                 FROM nodes n2 CROSS JOIN nn),
+        it0 AS (SELECT node, p0 AS pr FROM base),
+        {_WPR_IT.format(k=1, p=0).strip()},
+        {_WPR_IT.format(k=2, p=1).strip()},
+        {_WPR_IT.format(k=3, p=2).strip()}
+        SELECT node AS host, round(pr, 6) AS wrank FROM it3
+    """
     # host_trustrank twin: nests the link_graph edge oracle + the
     # entity_ppr seeded unrolled-iteration scheme (3-host indicator
     # seed set, same damping constant repr).

@@ -2484,3 +2484,73 @@ def influence_spread(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Weighted PageRank: mass flows along each out-edge in proportion
+    to its weight — ``pr' = (1−d)/N + d·Σ pr(u)·w(u,v)/W(u)`` with
+    W(u) the total out-weight — the host-graph variant where a host
+    linking somewhere 50 times should push 50× the mass of a single
+    link (unweighted pagerank treats them equally).
+
+    Weights must be positive; they enter as EXACT LONGS so each
+    contribution is pr·(w/W) with w/W one int/int IEEE divide (same
+    portability class as unweighted's pr/outdeg).  Plan per iteration
+    is identical to pagerank: one join on src, one map-side-combined
+    sum, localCheckpoint; round-6 output under the same cross-engine
+    summation tolerance."""
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint()
+    )
+    if e.filter(F.col("w") <= 0).take(1):
+        raise ValueError("weights must be positive")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n1 = nodes.agg(F.count("*").cast("double").alias("n"))
+    outw = e.groupBy("src").agg(F.sum("w").cast("long").alias("tw"))
+    base = nodes.crossJoin(F.broadcast(n1)).select(
+        "node",
+        (F.lit(1.0) / F.col("n")).alias("p0"),
+        (F.lit(1.0 - damping) / F.col("n")).alias("t"),
+    ).localCheckpoint()
+    pr = base.select("node", F.col("p0").alias("pr"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(outw, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("pr") * (F.col("w") / F.col("tw"))).alias("c"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("c"))
+        pr = (
+            base.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.col("t")
+                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.select("node", F.round("pr", 6).alias("pagerank"))

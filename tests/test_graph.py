@@ -1737,3 +1737,49 @@ def test_influence_spread_python_twin(spark):
     assert got == expect
     # trials genuinely differ (different draws)
     assert len({v for v in got.values()}) > 1
+
+
+def test_pagerank_weighted_python_twin(spark):
+    from deepie_spark.operators.graph import pagerank_weighted
+
+    rng = np.random.RandomState(59)
+    edges = {}
+    for _ in range(60):
+        k = (f"v{rng.randint(12)}", f"v{rng.randint(12)}")
+        if k[0] != k[1]:
+            edges[k] = edges.get(k, 0) + int(rng.randint(1, 9))
+    rows = [(a, b, w) for (a, b), w in sorted(edges.items())]
+    df = spark.createDataFrame(rows, ["src", "dst", "weight"])
+    got = {
+        r.node: r.pagerank for r in pagerank_weighted(df, 3).collect()
+    }
+
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    tw = {}
+    for (a, _), w in edges.items():
+        tw[a] = tw.get(a, 0) + w
+    n = len(nodes)
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(3):
+        c = {v: 0.0 for v in nodes}
+        for (a, b), w in edges.items():
+            c[b] += pr[a] * (w / tw[a])
+        pr = {v: 0.15000000000000002 / n + 0.85 * c[v] for v in nodes}
+    for v in nodes:
+        assert got[v] == pytest.approx(round(pr[v], 6), abs=2e-6)
+
+
+def test_pagerank_weighted_heavier_edge_wins(spark):
+    from deepie_spark.operators.graph import pagerank_weighted
+
+    # s sends 9/10 of its mass to h, 1/10 to l
+    rows = [("s", "h", 9), ("s", "l", 1)]
+    df = spark.createDataFrame(rows, ["src", "dst", "weight"])
+    got = {r.node: r.pagerank for r in pagerank_weighted(df, 2).collect()}
+    assert got["h"] > got["l"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pagerank_weighted(
+            spark.createDataFrame([("a", "b", 0)], ["src", "dst", "weight"])
+        ).collect()
