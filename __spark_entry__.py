@@ -5911,6 +5911,41 @@ def q_host_rank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("node").alias("host"), F.col("pagerank").alias("wrank"))
 
 
+def q_host_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation and bibliographic coupling over the DIRECTED host
+    graph (Small 1973 / Kessler 1963 — the similarity signals HITS
+    formalizes): cocite(a,b) = shared IN-linkers, couple(a,b) =
+    shared OUT-targets, per unordered host pair.  Two wedge counts
+    (self-join on the shared endpoint, a<b), exact longs, one
+    full-outer combine."""
+    lg = q_link_graph(spark, sf_dir).select(
+        F.col("src_host").alias("s"), F.col("dst_host").alias("d")
+    ).distinct()
+    x1 = lg.select("s", F.col("d").alias("a"))
+    x2 = lg.select("s", F.col("d").alias("b"))
+    cocite = (
+        x1.join(x2, "s")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cocitation"))
+    )
+    y1 = lg.select("d", F.col("s").alias("a"))
+    y2 = lg.select("d", F.col("s").alias("b"))
+    couple = (
+        y1.join(y2, "d")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("coupling"))
+    )
+    z = F.lit(0).cast("long")
+    return cocite.join(couple, ["a", "b"], "full_outer").select(
+        F.col("a").alias("host_a"),
+        F.col("b").alias("host_b"),
+        F.coalesce("cocitation", z).cast("long").alias("cocitation"),
+        F.coalesce("coupling", z).cast("long").alias("coupling"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -6136,6 +6171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_calibration": q_lsh_calibration,
         "influence_spread": q_influence_spread,
         "host_rank_weighted": q_host_rank_weighted,
+        "host_cocitation": q_host_cocitation,
     }
 
 
@@ -10449,6 +10485,27 @@ def oracle_sql() -> dict[str, str]:
             ("user_id", "event_type", "events"),
         )
     )
+    # host_cocitation twin: the same two wedge counts in SQL.
+    d["host_cocitation"] = f"""
+        WITH lg AS (
+          {d["link_graph"]}
+        ),
+        e AS (SELECT DISTINCT src_host AS s, dst_host AS d FROM lg),
+        cocite AS (SELECT x.d AS a, y.d AS b,
+                          CAST(count(*) AS BIGINT) AS cocitation
+                   FROM e x JOIN e y ON x.s = y.s AND x.d < y.d
+                   GROUP BY 1, 2),
+        couple AS (SELECT x.s AS a, y.s AS b,
+                          CAST(count(*) AS BIGINT) AS coupling
+                   FROM e x JOIN e y ON x.d = y.d AND x.s < y.s
+                   GROUP BY 1, 2)
+        SELECT coalesce(cocite.a, couple.a) AS host_a,
+               coalesce(cocite.b, couple.b) AS host_b,
+               CAST(coalesce(cocitation, 0) AS BIGINT) AS cocitation,
+               CAST(coalesce(coupling, 0) AS BIGINT) AS coupling
+        FROM cocite FULL OUTER JOIN couple
+          ON couple.a = cocite.a AND couple.b = cocite.b
+    """
     # host_rank_weighted twin: the trustrank scheme with weighted
     # contributions pr·(w/tw) and a uniform start/teleport.
     _WPR_IT = """

@@ -1783,3 +1783,33 @@ def test_pagerank_weighted_heavier_edge_wins(spark):
         pagerank_weighted(
             spark.createDataFrame([("a", "b", 0)], ["src", "dst", "weight"])
         ).collect()
+
+
+def test_cocitation_coupling_hand_case(spark):
+    import __spark_entry__  # noqa: F401  (module import parity)
+
+    # x→a, x→b (cocited); a→t, b→t (coupled); c isolated-ish
+    rows = [("x", "a"), ("x", "b"), ("a", "t"), ("b", "t"), ("c", "a")]
+    lg = spark.createDataFrame(rows, ["s", "d"])
+    x1 = lg.select("s", F.col("d").alias("a"))
+    x2 = lg.select("s", F.col("d").alias("b"))
+    cocite = {
+        (r.a, r.b): r.n
+        for r in x1.join(x2, "s")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert cocite == {("a", "b"): 1}
+    y1 = lg.select("d", F.col("s").alias("a"))
+    y2 = lg.select("d", F.col("s").alias("b"))
+    couple = {
+        (r.a, r.b): r.n
+        for r in y1.join(y2, "d")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert couple == {("a", "b"): 1, ("c", "x"): 1}
