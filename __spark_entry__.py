@@ -5991,6 +5991,20 @@ def q_lang_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence of each source's token distribution
+    vs the rest (operators/curation.py jsd_drift): the unbinned
+    info-theoretic drift companion to source_drift_psi, gated via
+    per-token FIXED-POINT term accumulators (floor(2^30·term) longs —
+    order-free over the unordered vocabulary)."""
+    from deepie_spark.operators.curation import jsd_drift
+
+    t = _docs(spark, sf_dir).select(
+        "source", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    return jsd_drift(t, "source", "token")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -6218,6 +6232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rank_weighted": q_host_rank_weighted,
         "host_cocitation": q_host_cocitation,
         "lang_kappa": q_lang_kappa,
+        "source_drift_jsd": q_source_drift_jsd,
     }
 
 
@@ -10531,6 +10546,62 @@ def oracle_sql() -> dict[str, str]:
             ("user_id", "event_type", "events"),
         )
     )
+    # source_drift_jsd twin: same exact-integer count tables and the
+    # same per-token fixed-point term trees (incl. the group-absent
+    # (b/B)·ln2 mass), integer sums.
+    d["source_drift_jsd"] = """
+        WITH t AS (SELECT source AS g,
+                          unnest(list_filter(
+                            string_split_regex(text, '\\s+'),
+                            x -> x != '')) AS tok
+                   FROM documents),
+        ct AS (SELECT g, tok, CAST(count(*) AS BIGINT) AS a
+               FROM t GROUP BY 1, 2),
+        gt AS (SELECT tok, CAST(count(*) AS BIGINT) AS tot
+               FROM t GROUP BY 1),
+        totals AS (SELECT g, CAST(count(*) AS BIGINT) AS n_a
+                   FROM t GROUP BY 1),
+        grand AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM t),
+        j AS (SELECT ct.g, totals.n_a,
+                     grand.n_all - totals.n_a AS n_b,
+                     ct.a, gt.tot - ct.a AS b
+              FROM ct JOIN gt USING (tok)
+              JOIN totals ON totals.g = ct.g
+              CROSS JOIN grand),
+        m AS (SELECT g, n_a, n_b,
+                CAST(sum(CASE WHEN a > 0 THEN
+                  CAST(floor(((a / n_a)
+                    * ln((2 * (a * n_b))
+                         / ((a * n_b) + (b * n_a))))
+                    * 1073741824.0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS kl_p_fp,
+                CAST(sum(CASE WHEN b > 0 THEN
+                  CAST(floor(((b / n_b)
+                    * ln((2 * (b * n_a))
+                         / ((a * n_b) + (b * n_a))))
+                    * 1073741824.0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS kl_q_fp
+              FROM j GROUP BY 1, 2, 3),
+        absent AS (SELECT tl.g, gt.tot AS b, tl.n_a,
+                          grand.n_all - tl.n_a AS n_b
+                   FROM gt CROSS JOIN totals tl
+                   CROSS JOIN grand
+                   WHERE NOT EXISTS (SELECT 1 FROM ct
+                                     WHERE ct.g = tl.g
+                                       AND ct.tok = gt.tok)),
+        qo AS (SELECT g,
+                 CAST(sum(CAST(floor(((b / n_b) * ln(2.0))
+                   * 1073741824.0) AS BIGINT)) AS BIGINT)
+                   AS kl_q_extra
+               FROM absent GROUP BY 1)
+        SELECT m.g AS source, m.n_a, m.n_b, m.kl_p_fp,
+               CAST(m.kl_q_fp + coalesce(qo.kl_q_extra, 0) AS BIGINT)
+                 AS kl_q_fp,
+               round((m.kl_p_fp + (m.kl_q_fp
+                      + coalesce(qo.kl_q_extra, 0)))
+                     / 2147483648.0, 6) AS jsd
+        FROM m LEFT JOIN qo ON qo.g = m.g
+    """
     # lang_kappa twin: nests the confusion-matrix oracle, same exact
     # longs and the same written kappa chain.
     d["lang_kappa"] = f"""

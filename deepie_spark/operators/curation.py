@@ -345,3 +345,118 @@ def psi_drift(
         "n_b",
         F.round(psi, 6).alias("psi"),
     )
+
+
+def jsd_drift(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    scale_bits: int = 30,
+) -> DataFrame:
+    """Jensen–Shannon divergence of each group's TOKEN distribution
+    against the rest of the corpus — the symmetric, bounded (≤ ln 2)
+    information-theoretic drift measure beside psi_drift's binned PSI
+    (JSD works on the full unbinned vocabulary).
+
+        JSD(p‖q) = ½·Σ p_i·ln(2p_i/(p_i+q_i)) + ½·Σ q_i·ln(2q_i/(p_i+q_i))
+
+    With count tables a_i (group) and b_i (rest), totals A and B:
+    2p_i/(p_i+q_i) = 2·a_i·B / (a_i·B + b_i·A) — a single division of
+    exact-integer products — so every per-token term is ONE identical
+    IEEE expression, and each is accumulated as the FIXED-POINT long
+    ``floor(2^scale_bits · term)`` (order-free integer sums — the
+    vocabulary is unordered, which rules out the bm25 fixed-chain
+    trick and makes this the fixed-point rule's natural home).
+    Zero-count sides contribute 0 (the 0·ln 0 convention).  Products
+    a_i·B must fit int64 (counts to ~3·10⁹ a side).
+
+    Output per group: exact n_a/n_b totals, the two fixed-point term
+    sums, and jsd = (kl_p_fp + kl_q_fp) / 2^(scale_bits+1) rounded —
+    the division by a power of two is exact.
+    """
+    t = df.select(
+        F.col(group_col).alias("g"), F.col(token_col).alias("tok")
+    )
+    ct = t.groupBy("g", "tok").agg(F.count(F.lit(1)).alias("a"))
+    gt = t.groupBy("tok").agg(F.count(F.lit(1)).alias("tot"))
+    totals = t.groupBy("g").agg(F.count(F.lit(1)).alias("n_a"))
+    grand = t.agg(F.count(F.lit(1)).alias("n_all"))
+    j = (
+        ct.join(gt, "tok")
+        .join(totals, "g")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "g",
+            "n_a",
+            (F.col("n_all") - F.col("n_a")).alias("n_b"),
+            F.col("a"),
+            (F.col("tot") - F.col("a")).alias("b"),
+        )
+    )
+    scale = F.lit(float(1 << scale_bits))
+    aB = F.col("a") * F.col("n_b")
+    bA = F.col("b") * F.col("n_a")
+    term_p = (F.col("a") / F.col("n_a")) * F.log(
+        (F.lit(2) * aB) / (aB + bA)
+    )
+    term_q = (F.col("b") / F.col("n_b")) * F.log(
+        (F.lit(2) * bA) / (aB + bA)
+    )
+    kl_p = F.when(F.col("a") > 0, F.floor(term_p * scale)).otherwise(
+        F.lit(0)
+    )
+    kl_q = F.when(F.col("b") > 0, F.floor(term_q * scale)).otherwise(
+        F.lit(0)
+    )
+    out = j.groupBy("g", "n_a", "n_b").agg(
+        F.sum(kl_p).cast("long").alias("kl_p_fp"),
+        F.sum(kl_q).cast("long").alias("kl_q_fp"),
+    )
+    # NOTE: tokens the group never uses (a = 0 for this g) have no ct
+    # row, contributing 0 to kl_p (correct) but MISSING from kl_q —
+    # add the rest-only mass back via the group-absent token table.
+    absent = (
+        gt.crossJoin(totals.select("g", "n_a"))
+        .join(ct.select("g", "tok", "a"), ["g", "tok"], "left_anti")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "g",
+            F.col("tot").alias("b"),
+            F.col("n_a"),
+            (F.col("n_all") - F.col("n_a")).alias("n_b"),
+        )
+    )
+    # a = 0 ⇒ term_q = (b/B)·ln(2bA/(bA)) = (b/B)·ln(2) exactly
+    q_only = absent.groupBy("g").agg(
+        F.sum(
+            F.floor(
+                (F.col("b") / F.col("n_b")) * F.log(F.lit(2.0)) * scale
+            )
+        )
+        .cast("long")
+        .alias("kl_q_extra")
+    )
+    final = out.join(q_only, "g", "left").select(
+        F.col("g").alias(group_col),
+        "n_a",
+        "n_b",
+        "kl_p_fp",
+        (
+            F.col("kl_q_fp")
+            + F.coalesce(F.col("kl_q_extra"), F.lit(0))
+        )
+        .cast("long")
+        .alias("kl_q_fp"),
+    )
+    return final.select(
+        group_col,
+        "n_a",
+        "n_b",
+        "kl_p_fp",
+        "kl_q_fp",
+        F.round(
+            (F.col("kl_p_fp") + F.col("kl_q_fp"))
+            / F.lit(float(1 << (scale_bits + 1))),
+            6,
+        ).alias("jsd"),
+    )

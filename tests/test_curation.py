@@ -319,3 +319,55 @@ def test_psi_drift_zero_for_identical_halves(spark):
     got = {r.source: r.psi for r in
            psi_drift(df, "source", "n_chars", 10, 64).collect()}
     assert got == {"a": 0.0, "b": 0.0}
+
+
+def test_jsd_drift_python_twin_and_bounds(spark):
+    import math
+    from collections import Counter
+
+    from deepie_spark.operators.curation import jsd_drift
+
+    rng = __import__("numpy").random.RandomState(61)
+    vocab_a = ["x", "y", "z", "common"]
+    vocab_b = ["p", "q", "common"]
+    rows = []
+    for _ in range(500):
+        g = "A" if rng.rand() < 0.5 else "B"
+        v = vocab_a if g == "A" else vocab_b
+        rows.append((g, v[rng.randint(len(v))]))
+    df = spark.createDataFrame(rows, ["source", "token"])
+    got = {
+        r.source: (r.n_a, r.n_b, r.kl_p_fp, r.kl_q_fp, r.jsd)
+        for r in jsd_drift(df, "source", "token").collect()
+    }
+
+    S = float(1 << 30)
+    per = {"A": Counter(), "B": Counter()}
+    for g, tok in rows:
+        per[g][tok] += 1
+    allc = per["A"] + per["B"]
+    expect = {}
+    for g in ("A", "B"):
+        A = sum(per[g].values())
+        B = len(rows) - A
+        klp = klq = 0
+        for tok, tot in allc.items():
+            a = per[g].get(tok, 0)
+            b = tot - a
+            aB, bA = a * B, b * A
+            if a > 0:
+                klp += math.floor(
+                    ((a / A) * math.log((2 * aB) / (aB + bA))) * S
+                )
+            if b > 0:
+                if a > 0:
+                    klq += math.floor(
+                        ((b / B) * math.log((2 * bA) / (aB + bA))) * S
+                    )
+                else:
+                    klq += math.floor(((b / B) * math.log(2.0)) * S)
+        expect[g] = (A, B, klp, klq, round((klp + klq) / (2 * S), 6))
+    assert got == expect
+    # JSD is bounded by ln 2 and positive for genuinely different mixes
+    for _, _, _, _, jsd in got.values():
+        assert 0.0 < jsd <= math.log(2.0) + 1e-9
