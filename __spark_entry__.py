@@ -6005,6 +6005,46 @@ def q_source_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jsd_drift(t, "source", "token")
 
 
+def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity audit per source: Simpson concentration
+    (Σn_i²/N² — EXACT integers, one divide; inverse = effective
+    vocabulary) and Shannon entropy accumulated as fixed-point longs
+    (floor(2^30·(n_i/N)·ln(N/n_i)) — the JSD rule: order-free over
+    the unordered vocabulary; ln argument N/n_i is one exact-int
+    divide).  Template-heavy sources show low entropy / high Simpson
+    before any model ever sees them."""
+    t = _docs(spark, sf_dir).select(
+        "source", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    ct = t.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    scale = F.lit(float(1 << 30))
+    tot = ct.groupBy("source").agg(F.sum("n").cast("long").alias("nt"))
+    j = ct.join(tot, "source")
+    ent_term = F.floor(
+        (F.col("n") / F.col("nt"))
+        * F.log(F.col("nt") / F.col("n"))
+        * scale
+    )
+    out = j.groupBy("source", "nt").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"),
+        F.sum(ent_term).cast("long").alias("entropy_fp"),
+    )
+    return out.select(
+        "source",
+        F.col("nt").alias("n_tokens"),
+        "vocab",
+        "sum_sq",
+        "entropy_fp",
+        F.round(
+            F.col("sum_sq") / (F.col("nt") * F.col("nt")), 6
+        ).alias("simpson"),
+        F.round(F.col("entropy_fp") / scale, 6).alias("entropy"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -6233,6 +6273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cocitation": q_host_cocitation,
         "lang_kappa": q_lang_kappa,
         "source_drift_jsd": q_source_drift_jsd,
+        "source_diversity": q_source_diversity,
     }
 
 
@@ -10546,6 +10587,32 @@ def oracle_sql() -> dict[str, str]:
             ("user_id", "event_type", "events"),
         )
     )
+    # source_diversity twin: same integer counts, same fixed-point
+    # entropy term tree.
+    d["source_diversity"] = """
+        WITH t AS (SELECT source,
+                          unnest(list_filter(
+                            string_split_regex(text, '\\s+'),
+                            x -> x != '')) AS token
+                   FROM documents),
+        ct AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n
+               FROM t GROUP BY 1, 2),
+        tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS nt
+                FROM ct GROUP BY 1),
+        j AS (SELECT ct.source, ct.n, tot.nt
+              FROM ct JOIN tot ON tot.source = ct.source),
+        g AS (SELECT source, nt,
+                     CAST(count(*) AS BIGINT) AS vocab,
+                     CAST(sum(n * n) AS BIGINT) AS sum_sq,
+                     CAST(sum(CAST(floor((n / nt) * ln(nt / n)
+                       * 1073741824.0) AS BIGINT)) AS BIGINT)
+                       AS entropy_fp
+              FROM j GROUP BY 1, 2)
+        SELECT source, nt AS n_tokens, vocab, sum_sq, entropy_fp,
+               round(sum_sq / (nt * nt), 6) AS simpson,
+               round(entropy_fp / 1073741824.0, 6) AS entropy
+        FROM g
+    """
     # source_drift_jsd twin: same exact-integer count tables and the
     # same per-token fixed-point term trees (incl. the group-absent
     # (b/B)·ln2 mass), integer sums.

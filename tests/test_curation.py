@@ -371,3 +371,39 @@ def test_jsd_drift_python_twin_and_bounds(spark):
     # JSD is bounded by ln 2 and positive for genuinely different mixes
     for _, _, _, _, jsd in got.values():
         assert 0.0 < jsd <= math.log(2.0) + 1e-9
+
+
+def test_source_diversity_python_twin(spark):
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from __spark_entry__ import q_source_diversity
+
+    rows = q_source_diversity(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    import pandas as pd
+
+    pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    per = {}
+    for s, text in zip(pdf["source"], pdf["text"]):
+        per.setdefault(s, Counter()).update(
+            t for t in __import__("re").split(r"\s+", text) if t
+        )
+    S = float(1 << 30)
+    for r in rows:
+        c = per[r.source]
+        N = sum(c.values())
+        assert (r.n_tokens, r.vocab) == (N, len(c))
+        assert r.sum_sq == sum(n * n for n in c.values())
+        efp = sum(
+            math.floor((n / N) * math.log(N / n) * S)
+            for n in c.values()
+        )
+        assert r.entropy_fp == efp
+        assert r.simpson == round(r.sum_sq / (N * N), 6)
+        assert r.entropy == round(efp / S, 6)
+        # entropy ≤ ln(vocab); simpson ≥ 1/vocab (uniform bound)
+        assert r.entropy <= math.log(r.vocab) + 1e-6
+        assert r.simpson >= 1.0 / r.vocab - 1e-9
