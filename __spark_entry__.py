@@ -6045,6 +6045,59 @@ def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the undirected triple graph (Zhou &
+    Mondragón 2004): for each degree cutoff k in a fixed 1..6 grid,
+    φ(k) = 2·E_k / (N_k·(N_k−1)) over the subgraph of nodes with
+    degree > k — do hubs preferentially interlink?  All exact longs
+    (node/edge counts per cutoff via one broadcast grid cross), one
+    divide; cutoffs with fewer than 2 qualifying nodes yield NULL φ
+    (integer-guarded)."""
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    e = t.filter(F.col("src") != F.col("dst")).select(
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b"),
+    ).distinct().localCheckpoint()
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    grid = spark.range(1, 7).select(F.col("id").cast("int").alias("k"))
+    nodes_k = (
+        deg.crossJoin(F.broadcast(grid))
+        .filter(F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rich"))
+    )
+    da = deg.select(F.col("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("a").alias("b"), F.col("deg").alias("deg_b"))
+    ek = (
+        e.join(da, "a")
+        .join(db, "b")
+        .crossJoin(F.broadcast(grid))
+        .filter((F.col("deg_a") > F.col("k")) & (F.col("deg_b") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("e_rich"))
+    )
+    z = F.lit(0).cast("long")
+    out = grid.join(nodes_k, "k", "left").join(ek, "k", "left").select(
+        "k",
+        F.coalesce("n_rich", z).cast("long").alias("n_rich"),
+        F.coalesce("e_rich", z).cast("long").alias("e_rich"),
+    )
+    phi = (F.lit(2) * F.col("e_rich")) / (
+        F.col("n_rich") * (F.col("n_rich") - 1)
+    )
+    return out.select(
+        "k",
+        "n_rich",
+        "e_rich",
+        F.when(F.col("n_rich") >= 2, F.round(phi, 6)).alias("phi"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -6274,6 +6327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_kappa": q_lang_kappa,
         "source_drift_jsd": q_source_drift_jsd,
         "source_diversity": q_source_diversity,
+        "rich_club": q_rich_club,
     }
 
 
@@ -10587,6 +10641,37 @@ def oracle_sql() -> dict[str, str]:
             ("user_id", "event_type", "events"),
         )
     )
+    # rich_club twin: same grid cross + integer counts over und/deg.
+    d["rich_club"] = f"""
+        WITH {_MENTIONS_SQL.strip()},
+        {_TRIPLE_EDGES_SQL.strip()},
+        nb AS (SELECT a AS node, b AS nbr FROM und
+               UNION ALL SELECT b, a FROM und),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                FROM nb GROUP BY 1),
+        grid AS (SELECT CAST(unnest(range(1, 7)) AS INT) AS k),
+        nk AS (SELECT g.k, CAST(count(*) AS BIGINT) AS n_rich
+               FROM deg CROSS JOIN grid g
+               WHERE deg.deg > g.k GROUP BY 1),
+        ek AS (SELECT g.k, CAST(count(*) AS BIGINT) AS e_rich
+               FROM und
+               JOIN deg da ON da.node = und.a
+               JOIN deg db ON db.node = und.b
+               CROSS JOIN grid g
+               WHERE da.deg > g.k AND db.deg > g.k
+               GROUP BY 1)
+        SELECT g.k,
+               CAST(coalesce(nk.n_rich, 0) AS BIGINT) AS n_rich,
+               CAST(coalesce(ek.e_rich, 0) AS BIGINT) AS e_rich,
+               CASE WHEN coalesce(nk.n_rich, 0) >= 2
+                 THEN round((2 * coalesce(ek.e_rich, 0))
+                            / (coalesce(nk.n_rich, 0)
+                               * (coalesce(nk.n_rich, 0) - 1)), 6)
+               END AS phi
+        FROM grid g
+        LEFT JOIN nk ON nk.k = g.k
+        LEFT JOIN ek ON ek.k = g.k
+    """
     # source_diversity twin: same integer counts, same fixed-point
     # entropy term tree.
     d["source_diversity"] = """

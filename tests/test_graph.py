@@ -1813,3 +1813,29 @@ def test_cocitation_coupling_hand_case(spark):
         .collect()
     }
     assert couple == {("a", "b"): 1, ("c", "x"): 1}
+
+
+def test_rich_club_hand_case(spark):
+    """K4 core + pendant leaves: at k=1 only the clique nodes qualify
+    and they are fully interlinked (phi = 1)."""
+    import __spark_entry__  # noqa: F401
+
+    core = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+            ("b", "d"), ("c", "d")]
+    pend = [("a", "p1"), ("b", "p2")]
+    df = spark.createDataFrame(core + pend, ["src", "dst"])
+    e = df.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = {r.a: r.n for r in und.groupBy("a").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # python twin over the same definitions
+    edges = {tuple(sorted(x)) for x in core + pend}
+    for k in range(1, 5):
+        rich = {n for n, d in deg.items() if d > k}
+        e_rich = sum(1 for a, b in edges if a in rich and b in rich)
+        if len(rich) >= 2:
+            phi = 2 * e_rich / (len(rich) * (len(rich) - 1))
+            if k == 1:
+                assert rich == {"a", "b", "c", "d"} and phi == 1.0
