@@ -6098,6 +6098,79 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percolation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bond-percolation robustness audit of the undirected triple
+    graph: for each retention probability p in {0.2, 0.4, 0.6, 0.8},
+    keep edges via the DETERMINISTIC integer-hash draw (the
+    influence_spread rule, threshold compare — no RNG) and report the
+    surviving edge count, component count and giant-component size
+    (TRUE connected components via operators/cc.py per threshold —
+    node ids mapped through the portable poly hash to longs).  The
+    onset of a giant component vs p is the graph's resilience curve
+    under extraction-noise ablation."""
+    from deepie_spark.functions.text import char_poly_hash_str
+    from deepie_spark.operators.cc import connected_components
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    e = (
+        t.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .select(
+            "a",
+            "b",
+            (
+                (
+                    char_poly_hash_str(F.concat_ws("|", "a", "b"))
+                    * F.lit(1_315_423_911)
+                )
+                % F.lit(1_000_000_007)
+            ).alias("eh"),
+        )
+        .localCheckpoint()
+    )
+    out = None
+    for pk in (2, 4, 6, 8):
+        kept = e.filter(
+            F.col("eh") * 10 < F.lit(1_000_000_007).cast("long") * pk
+        ).select(
+            char_poly_hash_str(F.col("a")).alias("src"),
+            char_poly_hash_str(F.col("b")).alias("dst"),
+        ).localCheckpoint(eager=True)
+        comp = connected_components(kept)
+        sizes = comp.groupBy("component").agg(
+            F.count(F.lit(1)).cast("long").alias("sz")
+        )
+        row = (
+            kept.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+            .crossJoin(
+                F.broadcast(
+                    sizes.agg(
+                        F.count(F.lit(1)).cast("long").alias(
+                            "n_components"
+                        ),
+                        F.coalesce(F.max("sz"), F.lit(0))
+                        .cast("long")
+                        .alias("giant_size"),
+                    )
+                )
+            )
+            .select(
+                F.lit(pk).alias("p10"),
+                "n_edges",
+                "n_components",
+                "giant_size",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -6328,6 +6401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_drift_jsd": q_source_drift_jsd,
         "source_diversity": q_source_diversity,
         "rich_club": q_rich_club,
+        "percolation_profile": q_percolation_profile,
     }
 
 
@@ -10641,6 +10715,54 @@ def oracle_sql() -> dict[str, str]:
             ("user_id", "event_type", "events"),
         )
     )
+    # percolation_profile twin: same integer edge draws + hashed node
+    # ids (list_reduce poly folds), TRUE components via a
+    # threshold-keyed recursive closure (min reachable hashed id).
+    _PC_POLY = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        " list_transform(string_split({s}, ''),"
+        " c -> CAST(ascii(c) AS BIGINT))),"
+        " (acc, x) -> (acc * 131 + x) % 2147483647)"
+    )
+    d["percolation_profile"] = f"""
+        WITH RECURSIVE
+        {_MENTIONS_SQL.strip()},
+        {_TRIPLE_EDGES_SQL.strip()},
+        eh AS (SELECT ({_PC_POLY.format(s="a || '|' || b")}
+                       * 1315423911) % 1000000007 AS h,
+                      {_PC_POLY.format(s='a')} AS ha,
+                      {_PC_POLY.format(s='b')} AS hb
+               FROM und),
+        ps AS (SELECT CAST(unnest([2, 4, 6, 8]) AS INT) AS pk),
+        kept AS (SELECT ps.pk, e.ha, e.hb
+                 FROM eh e CROSS JOIN ps
+                 WHERE e.h * 10 < CAST(1000000007 AS BIGINT) * ps.pk),
+        bidi AS (SELECT pk, ha AS x, hb AS y FROM kept
+                 UNION ALL SELECT pk, hb, ha FROM kept),
+        nodes AS (SELECT DISTINCT pk, x AS node FROM bidi),
+        walk(pk, s, n) AS (
+          SELECT pk, node, node FROM nodes
+          UNION
+          SELECT w.pk, w.s, b.y
+          FROM walk w JOIN bidi b ON b.pk = w.pk AND b.x = w.n
+        ),
+        comp AS (SELECT pk, s, min(n) AS lbl FROM walk GROUP BY 1, 2),
+        sizes AS (SELECT pk, lbl, CAST(count(*) AS BIGINT) AS sz
+                  FROM comp GROUP BY 1, 2),
+        agg AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_components,
+                       CAST(max(sz) AS BIGINT) AS giant_size
+                FROM sizes GROUP BY 1),
+        ne AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_edges
+               FROM kept GROUP BY 1)
+        SELECT ps.pk AS p10,
+               CAST(coalesce(ne.n_edges, 0) AS BIGINT) AS n_edges,
+               CAST(coalesce(agg.n_components, 0) AS BIGINT)
+                 AS n_components,
+               CAST(coalesce(agg.giant_size, 0) AS BIGINT)
+                 AS giant_size
+        FROM ps LEFT JOIN ne ON ne.pk = ps.pk
+        LEFT JOIN agg ON agg.pk = ps.pk
+    """
     # rich_club twin: same grid cross + integer counts over und/deg.
     d["rich_club"] = f"""
         WITH {_MENTIONS_SQL.strip()},

@@ -1839,3 +1839,20 @@ def test_rich_club_hand_case(spark):
             phi = 2 * e_rich / (len(rich) * (len(rich) - 1))
             if k == 1:
                 assert rich == {"a", "b", "c", "d"} and phi == 1.0
+
+
+def test_percolation_profile_monotone(spark):
+    """More retained edges can only grow the giant component and
+    shrink (or keep) the per-edge component count; at p10=8 most of
+    the graph survives."""
+    from __spark_entry__ import q_percolation_profile
+
+    rows = sorted(
+        q_percolation_profile(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.p10,
+    )
+    assert [r.p10 for r in rows] == [2, 4, 6, 8]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_edges <= b.n_edges
+        assert a.giant_size <= b.giant_size
+    assert rows[-1].n_edges > 0 and rows[-1].giant_size >= 2
