@@ -6171,6 +6171,71 @@ def q_percolation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_source_drift_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earth mover's (Wasserstein-1) drift per source vs rest over the
+    PSI bin grid — the third drift lens beside source_drift_psi and
+    source_drift_jsd.  On 1-D binned data W₁ = mean |CDF_p − CDF_q|
+    (in bin-width units), and with integer counts the numerator is
+    EXACT: Σ_i |cumA_i·B − cumB_i·A| is an exact-long sum (ordered
+    CDF differences are data, not FP), divided once by A·B·n_bins.
+    Zero FP anywhere before the final divide."""
+    b = _docs(spark, sf_dir).select(
+        F.col("source").alias("g"),
+        F.least(F.lit(9), F.expr("n_chars DIV 64")).alias("bin"),
+    )
+    ct = b.groupBy("g", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    per_g = ct.groupBy("g").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("bin") == i, F.col("cnt"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"a{i}")
+            for i in range(10)
+        ]
+    )
+    glob = ct.groupBy().agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("bin") == i, F.col("cnt"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"t{i}")
+            for i in range(10)
+        ]
+    )
+    j = per_g.crossJoin(F.broadcast(glob))
+    n_a = F.col("a0")
+    n_t = F.col("t0")
+    for i in range(1, 10):
+        n_a = n_a + F.col(f"a{i}")
+        n_t = n_t + F.col(f"t{i}")
+    j = j.withColumn("n_a", n_a.cast("long")).withColumn(
+        "n_b", (n_t - n_a).cast("long")
+    )
+    emd_num = None
+    cum_a = None
+    cum_b = None
+    for i in range(10):
+        ai = F.col(f"a{i}")
+        bi = F.col(f"t{i}") - F.col(f"a{i}")
+        cum_a = ai if cum_a is None else cum_a + ai
+        cum_b = bi if cum_b is None else cum_b + bi
+        term = F.abs(cum_a * F.col("n_b") - cum_b * F.col("n_a"))
+        emd_num = term if emd_num is None else emd_num + term
+    return j.select(
+        F.col("g").alias("source"),
+        "n_a",
+        "n_b",
+        emd_num.cast("long").alias("emd_num"),
+        F.round(
+            emd_num
+            / (F.col("n_a") * F.col("n_b") * F.lit(10)),
+            6,
+        ).alias("emd"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -6402,6 +6467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_diversity": q_source_diversity,
         "rich_club": q_rich_club,
         "percolation_profile": q_percolation_profile,
+        "source_drift_emd": q_source_drift_emd,
     }
 
 
@@ -10793,6 +10859,36 @@ def oracle_sql() -> dict[str, str]:
         FROM grid g
         LEFT JOIN nk ON nk.k = g.k
         LEFT JOIN ek ON ek.k = g.k
+    """
+    # source_drift_emd twin: the PSI pivot + exact cumulative-CDF
+    # cross-difference terms, one divide.
+    _EMD_TERMS = " + ".join(
+        "abs(({ca}) * n_b - ({cb}) * n_a)".format(
+            ca=" + ".join(f"a{k}" for k in range(i + 1)),
+            cb=" + ".join(f"(t{k} - a{k})" for k in range(i + 1)),
+        )
+        for i in range(10)
+    )
+    d["source_drift_emd"] = f"""
+        WITH b AS (SELECT source AS g,
+                          least(9, n_chars // 64) AS bin
+                   FROM documents),
+        ct AS (SELECT g, bin, CAST(count(*) AS BIGINT) AS cnt
+               FROM b GROUP BY 1, 2),
+        pg AS (SELECT g, {_PSI_A} FROM ct GROUP BY g),
+        gl AS (SELECT {_PSI_T} FROM ct),
+        j AS (SELECT pg.*, gl.*,
+                     CAST({' + '.join(f'a{i}' for i in range(10))}
+                       AS BIGINT) AS n_a,
+                     CAST(({' + '.join(f't{i}' for i in range(10))})
+                       - ({' + '.join(f'a{i}' for i in range(10))})
+                       AS BIGINT) AS n_b
+              FROM pg CROSS JOIN gl)
+        SELECT g AS source, n_a, n_b,
+               CAST({_EMD_TERMS} AS BIGINT) AS emd_num,
+               round(({_EMD_TERMS})
+                     / (n_a * n_b * 10), 6) AS emd
+        FROM j
     """
     # source_diversity twin: same integer counts, same fixed-point
     # entropy term tree.

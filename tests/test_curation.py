@@ -407,3 +407,32 @@ def test_source_diversity_python_twin(spark):
         # entropy ≤ ln(vocab); simpson ≥ 1/vocab (uniform bound)
         assert r.entropy <= math.log(r.vocab) + 1e-6
         assert r.simpson >= 1.0 / r.vocab - 1e-9
+
+
+def test_source_drift_emd_python_twin(spark):
+    from collections import Counter
+
+    import pandas as pd
+
+    from __spark_entry__ import q_source_drift_emd
+
+    rows = q_source_drift_emd(spark, "/root/testdata/sf0.001").collect()
+    pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    per, glob = {}, Counter()
+    for s, n in zip(pdf["source"], pdf["n_chars"]):
+        b = min(9, int(n) // 64)
+        per.setdefault(s, Counter())[b] += 1
+        glob[b] += 1
+    for r in rows:
+        A = sum(per[r.source].values())
+        B = sum(glob.values()) - A
+        ca = cb = num = 0
+        for i in range(10):
+            a = per[r.source].get(i, 0)
+            ca += a
+            cb += glob.get(i, 0) - a
+            num += abs(ca * B - cb * A)
+        assert (r.n_a, r.n_b, r.emd_num) == (A, B, num)
+        assert r.emd == round(num / (A * B * 10), 6)
+        # W1 on a unit-width 10-bin grid is bounded by 1 (in grid units)
+        assert 0.0 <= r.emd <= 1.0
