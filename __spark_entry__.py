@@ -6236,6 +6236,51 @@ def q_source_drift_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-overlap near-dup pairs over the planted-dup corpus: docs
+    sharing ≥ 2 distinct CDC chunk hashes, with exact containment
+    ratios (shared / own distinct chunks per side).  The equi-join on
+    chunk_hash is the storage-dedup index reused as a similarity
+    signal — boundaries realign after edits, so edited copies still
+    share most chunks (the property the prefix-edit test pins)."""
+    from deepie_spark.operators.dedup import cdc_chunks
+
+    ch = cdc_chunks(_docs_dups(spark, sf_dir)).select(
+        "doc_id", "chunk_hash"
+    ).distinct().localCheckpoint()
+    x1 = ch.select(F.col("chunk_hash"), F.col("doc_id").alias("a"))
+    x2 = ch.select(F.col("chunk_hash"), F.col("doc_id").alias("b"))
+    shared = (
+        x1.join(x2, "chunk_hash")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= 2)
+    )
+    per = ch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks")
+    )
+    return (
+        shared.join(
+            per.select(F.col("doc_id").alias("a"),
+                       F.col("n_chunks").alias("n_a")), "a"
+        )
+        .join(
+            per.select(F.col("doc_id").alias("b"),
+                       F.col("n_chunks").alias("n_b")), "b"
+        )
+        .select(
+            "a",
+            "b",
+            "shared",
+            "n_a",
+            "n_b",
+            F.round(F.col("shared") / F.col("n_a"), 6).alias("cont_a"),
+            F.round(F.col("shared") / F.col("n_b"), 6).alias("cont_b"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -6468,6 +6513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": q_rich_club,
         "percolation_profile": q_percolation_profile,
         "source_drift_emd": q_source_drift_emd,
+        "cdc_dup_pairs": q_cdc_dup_pairs,
     }
 
 
@@ -10859,6 +10905,35 @@ def oracle_sql() -> dict[str, str]:
         FROM grid g
         LEFT JOIN nk ON nk.k = g.k
         LEFT JOIN ek ON ek.k = g.k
+    """
+    # cdc_dup_pairs twin: nests the docs_dups relational chunker, same
+    # distinct-chunk join + containment ratios.
+    _CDC_DUPS_BODY = (
+        "WITH RECURSIVE "
+        + _DOCS_DUPS_SQL.strip()
+        + ", "
+        + _CDC_BODY.format(src="docs_dups")
+    )
+    d["cdc_dup_pairs"] = f"""
+        WITH ch AS (
+          {_CDC_DUPS_BODY}
+        ),
+        dch AS (SELECT DISTINCT doc_id, chunk_hash FROM ch),
+        shared AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                          CAST(count(*) AS BIGINT) AS shared
+                   FROM dch x JOIN dch y
+                     ON x.chunk_hash = y.chunk_hash
+                    AND x.doc_id < y.doc_id
+                   GROUP BY 1, 2 HAVING count(*) >= 2),
+        per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+                FROM dch GROUP BY 1)
+        SELECT s.a, s.b, s.shared, pa.n_chunks AS n_a,
+               pb.n_chunks AS n_b,
+               round(s.shared / pa.n_chunks, 6) AS cont_a,
+               round(s.shared / pb.n_chunks, 6) AS cont_b
+        FROM shared s
+        JOIN per pa ON pa.doc_id = s.a
+        JOIN per pb ON pb.doc_id = s.b
     """
     # source_drift_emd twin: the PSI pivot + exact cumulative-CDF
     # cross-difference terms, one divide.

@@ -585,3 +585,23 @@ def test_lsh_calibration_buckets(spark):
     # the theoretical curve itself is strictly increasing in s
     vals = [v for _, v in sorted(_LSH_SCURVE.items())]
     assert all(a < b or b == 1.0 for a, b in zip(vals, vals[1:]))
+
+
+def test_cdc_dup_pairs_find_planted_duplicates(spark):
+    """The planted near-dups (doc_id+1000000 = doc with the first
+    token dropped) must surface as high-containment chunk-overlap
+    pairs."""
+    from __spark_entry__ import q_cdc_dup_pairs
+
+    rows = q_cdc_dup_pairs(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    planted = {
+        (r.a, r.b): (r.cont_a, r.cont_b)
+        for r in rows
+        if r.b == r.a + 1_000_000
+    }
+    assert planted  # at least some planted pairs found
+    # edited copies share MOST chunks (boundary realignment)
+    assert any(ca >= 0.5 or cb >= 0.5 for ca, cb in planted.values())
+    for r in rows:
+        assert 0 < r.shared <= min(r.n_a, r.n_b)
