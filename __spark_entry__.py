@@ -6281,6 +6281,48 @@ def q_cdc_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival statistics over each user's event
+    sequence: exact-long delta moments (n, Σδ, Σδ²) and the
+    coefficient of variation — CV ≈ 1 is the memoryless/Poisson
+    signature, CV ≫ 1 bursty (the burstiness lens at the
+    per-gap level, complementing event_burstiness' binned Fano).
+    Deltas via the (ts, event_id) per-user lag window; CV =
+    sqrt(n·Σδ² − (Σδ)²) / Σδ · … kept as ONE written chain over
+    exact longs (grouped_pearson rule); n < 2 or zero-mean guarded
+    on integers."""
+    e = _events(spark, sf_dir)
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        (
+            F.unix_timestamp(F.col("ts").cast("timestamp"))
+            - F.unix_timestamp(
+                F.lag(F.col("ts")).over(wu).cast("timestamp")
+            )
+        ).alias("delta"),
+    ).filter(F.col("delta").isNotNull())
+    m = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("delta").cast("long").alias("sd"),
+        F.sum(F.col("delta") * F.col("delta")).cast("long").alias("sdd"),
+    )
+    var_num = F.col("n") * F.col("sdd") - F.col("sd") * F.col("sd")
+    cv = (
+        F.sqrt(var_num.cast("double"))
+        / F.col("sd")
+        * F.sqrt((F.col("n") / (F.col("n") - 1)).cast("double"))
+    )
+    return m.select(
+        "event_type",
+        "n",
+        "sd",
+        "sdd",
+        F.when((F.col("n") > 1) & (F.col("sd") > 0), F.round(cv, 6))
+        .alias("cv"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -6514,6 +6556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolation_profile": q_percolation_profile,
         "source_drift_emd": q_source_drift_emd,
         "cdc_dup_pairs": q_cdc_dup_pairs,
+        "interarrival_stats": q_interarrival_stats,
     }
 
 
@@ -10905,6 +10948,28 @@ def oracle_sql() -> dict[str, str]:
         FROM grid g
         LEFT JOIN nk ON nk.k = g.k
         LEFT JOIN ek ON ek.k = g.k
+    """
+    # interarrival_stats twin: same per-user lag deltas and the same
+    # written CV chain over exact longs.
+    d["interarrival_stats"] = """
+        WITH seq AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch(lag(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id)))
+                   AS BIGINT) AS delta
+          FROM events),
+        m AS (SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(delta) AS BIGINT) AS sd,
+                     CAST(sum(delta * delta) AS BIGINT) AS sdd
+              FROM seq WHERE delta IS NOT NULL GROUP BY 1)
+        SELECT event_type, n, sd, sdd,
+               CASE WHEN n > 1 AND sd > 0
+                 THEN round((sqrt(CAST(n * sdd - sd * sd AS DOUBLE))
+                             / sd) * sqrt(n / (n - 1)), 6)
+               END AS cv
+        FROM m
     """
     # cdc_dup_pairs twin: nests the docs_dups relational chunker, same
     # distinct-chunk join + containment ratios.

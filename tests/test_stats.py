@@ -409,3 +409,39 @@ def test_cohens_kappa_hand_case(spark):
     assert r.po == round(po, 6)
     assert r.kappa == round((po - pe) / (1.0 - pe), 6)
     assert r.kappa <= r.po + 1e-9
+
+
+def test_interarrival_stats_python_twin(spark):
+    import math
+
+    import pandas as pd
+
+    from __spark_entry__ import q_interarrival_stats
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.event_type: (r.n, r.sd, r.sdd, r.cv)
+        for r in q_interarrival_stats(spark, sf).collect()
+    }
+    pdf = (
+        pd.read_parquet(f"{sf}/events.parquet")
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    per = {}
+    for _, grp in pdf.groupby("user_id"):
+        es = (grp["ts"].astype("int64") // 10**9).tolist()
+        types = grp["event_type"].tolist()
+        for i in range(1, len(es)):
+            per.setdefault(types[i], []).append(es[i] - es[i - 1])
+    expect = {}
+    for t, ds in per.items():
+        n, sd, sdd = len(ds), sum(ds), sum(d * d for d in ds)
+        cv = None
+        if n > 1 and sd > 0:
+            cv = round(
+                (math.sqrt(n * sdd - sd * sd) / sd)
+                * math.sqrt(n / (n - 1)),
+                6,
+            )
+        expect[t] = (n, sd, sdd, cv)
+    assert got == expect
