@@ -429,7 +429,11 @@ def test_interarrival_stats_python_twin(spark):
     )
     per = {}
     for _, grp in pdf.groupby("user_id"):
-        es = (grp["ts"].astype("int64") // 10**9).tolist()
+        # pandas 2 loads parquet timestamps as datetime64[us] — pin ns
+        # before the epoch division or the deltas come out 1000× small
+        es = (
+            grp["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+        ).tolist()
         types = grp["event_type"].tolist()
         for i in range(1, len(es)):
             per.setdefault(types[i], []).append(es[i] - es[i - 1])
