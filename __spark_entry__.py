@@ -6323,6 +6323,58 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter quality gate for the runtime-filter join: measured
+    false-positive rate of the 4096-bit / 3-hash bloom over the
+    distinct fact keys — n_dim, n_probes, n_pass, n_true exact longs,
+    fpr = (pass − true)/(probes − true) one divide.  The theoretical
+    (1−e^{−kn/m})^k curve lives in the pytest (exp has no cross-engine
+    bit-parity precedent, so it stays out of the hash gate)."""
+    from deepie_spark.operators.bloomjoin import bloom_build, bloom_prune
+
+    m_bits = 4096
+    o = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .filter(F.col("o_totalprice") > _BLOOM_PRICE_TH)
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+        .localCheckpoint()
+    )
+    probes = (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .select(F.col("l_orderkey").alias("k"))
+        .distinct()
+        .localCheckpoint()
+    )
+    bloom = bloom_build(o, "k", m_bits)
+    passed = bloom_prune(probes, bloom, "k", m_bits)
+    nd = o.agg(F.count(F.lit(1)).cast("long").alias("n_dim"))
+    npr = probes.agg(F.count(F.lit(1)).cast("long").alias("n_probes"))
+    nps = passed.agg(F.count(F.lit(1)).cast("long").alias("n_pass"))
+    ntr = probes.join(o, "k", "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    j = (
+        nd.crossJoin(F.broadcast(npr))
+        .crossJoin(F.broadcast(nps))
+        .crossJoin(F.broadcast(ntr))
+    )
+    return j.select(
+        "n_dim",
+        "n_probes",
+        "n_pass",
+        "n_true",
+        F.when(
+            F.col("n_probes") > F.col("n_true"),
+            F.round(
+                (F.col("n_pass") - F.col("n_true"))
+                / (F.col("n_probes") - F.col("n_true")),
+                6,
+            ),
+        ).alias("fpr"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -6557,6 +6609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_drift_emd": q_source_drift_emd,
         "cdc_dup_pairs": q_cdc_dup_pairs,
         "interarrival_stats": q_interarrival_stats,
+        "bloom_fpr": q_bloom_fpr,
     }
 
 
@@ -10948,6 +11001,42 @@ def oracle_sql() -> dict[str, str]:
         FROM grid g
         LEFT JOIN nk ON nk.k = g.k
         LEFT JOIN ek ON ek.k = g.k
+    """
+    # bloom_fpr twin: SET-SEMANTICS bloom membership — a probe passes
+    # iff every one of its 3 bit positions appears among the dim key
+    # bit positions (exactly the dense bit array's content, derived
+    # relationally from the SAME hash constants).
+    from deepie_spark.operators.bloomjoin import _BLOOM_HASHES
+
+    _BF_M = 2147483647
+    _BF_BIT = "(((k % {M}) * {a} + {b}) % {M}) % 4096"
+    _BF_DIMBITS = "\n              UNION ALL ".join(
+        "SELECT " + _BF_BIT.format(M=_BF_M, a=a, b=b) + " AS bit FROM dimk"
+        for a, b in _BLOOM_HASHES
+    )
+    _BF_PASS = " AND ".join(
+        "(" + _BF_BIT.format(M=_BF_M, a=a, b=b).replace("k %", "p.k %")
+        + ") IN (SELECT bit FROM dim_bits)"
+        for a, b in _BLOOM_HASHES
+    )
+    d["bloom_fpr"] = f"""
+        WITH dimk AS (SELECT DISTINCT o_orderkey AS k FROM orders
+                      WHERE o_totalprice > {_BLOOM_PRICE_TH!r}),
+        probes AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+        dim_bits AS (SELECT DISTINCT bit FROM (
+              {_BF_DIMBITS})),
+        agg AS (SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM dimk) AS n_dim,
+          (SELECT CAST(count(*) AS BIGINT) FROM probes) AS n_probes,
+          (SELECT CAST(count(*) AS BIGINT) FROM probes p
+            WHERE {_BF_PASS}) AS n_pass,
+          (SELECT CAST(count(*) AS BIGINT) FROM probes p
+            WHERE p.k IN (SELECT k FROM dimk)) AS n_true)
+        SELECT n_dim, n_probes, n_pass, n_true,
+               CASE WHEN n_probes > n_true
+                 THEN round((n_pass - n_true) / (n_probes - n_true), 6)
+               END AS fpr
+        FROM agg
     """
     # interarrival_stats twin: same per-user lag deltas and the same
     # written CV chain over exact longs.

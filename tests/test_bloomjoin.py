@@ -50,3 +50,18 @@ def test_bloom_join_equals_plain_join(spark, sf_dir):
     survived = bloom_prune(li, bloom, "l_orderkey", 1 << 16).count()
     assert survived < li.count() * 0.5
     assert survived >= want.count()
+
+
+def test_bloom_fpr_matches_theory(spark):
+    """Measured FPR tracks (1 − e^{−kn/m})^k within sampling noise;
+    true keys ALWAYS pass (n_pass >= n_true — no false negatives)."""
+    import math
+
+    from __spark_entry__ import q_bloom_fpr
+
+    r = q_bloom_fpr(spark, "/root/testdata/sf0.01").collect()[0]
+    assert r.n_true <= r.n_pass <= r.n_probes
+    k, m = 3, 4096
+    theo = (1.0 - math.exp(-k * r.n_dim / m)) ** k
+    if r.fpr is not None and r.n_probes - r.n_true > 50:
+        assert theo / 4 <= max(r.fpr, 1e-6) <= theo * 4 + 0.01
