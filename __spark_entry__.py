@@ -6375,6 +6375,31 @@ def q_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_er_type_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-safety audit of canonicalization: per alias-overlap CC
+    cluster (singletons included), the member count, distinct entity
+    types and a '|'-joined sorted type list — a cluster spanning
+    PER|ORG is a merge the pipeline must NOT apply blindly.  The very
+    check run before triples_canonical rewrites anything."""
+    cat = catalog_df(spark)
+    comp = connected_components(alias_overlap_edges(cat))
+    full = cat.join(
+        comp.withColumnRenamed("node", "entity_id"), "entity_id", "left"
+    ).select(
+        F.coalesce(F.col("component"), F.col("entity_id"))
+        .cast("long")
+        .alias("component"),
+        "entity_type",
+    )
+    return full.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.countDistinct("entity_type").cast("long").alias("n_types"),
+        F.concat_ws(
+            "|", F.array_sort(F.collect_set("entity_type"))
+        ).alias("types"),
+    ).withColumn("conflict", F.col("n_types") > 1)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -6610,6 +6635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dup_pairs": q_cdc_dup_pairs,
         "interarrival_stats": q_interarrival_stats,
         "bloom_fpr": q_bloom_fpr,
+        "er_type_conflicts": q_er_type_conflicts,
     }
 
 
@@ -11001,6 +11027,30 @@ def oracle_sql() -> dict[str, str]:
         FROM grid g
         LEFT JOIN nk ON nk.k = g.k
         LEFT JOIN ek ON ek.k = g.k
+    """
+    # er_type_conflicts twin: nests the cc closure + catalog types,
+    # singletons via the same coalesce rule.
+    d["er_type_conflicts"] = f"""
+        WITH RECURSIVE comp AS (
+          {d["cc_components"]}
+        ),
+        catalog(entity_id, alias, entity_type, subtype, prior) AS (
+          VALUES
+          {CATALOG_VALUES}
+        ),
+        full0 AS (SELECT
+                    CAST(coalesce(comp.component, c.entity_id)
+                      AS BIGINT) AS component,
+                    c.entity_type
+                  FROM catalog c
+                  LEFT JOIN comp ON comp.node = c.entity_id)
+        SELECT component,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(count(DISTINCT entity_type) AS BIGINT) AS n_types,
+               string_agg(DISTINCT entity_type, '|'
+                          ORDER BY entity_type) AS types,
+               count(DISTINCT entity_type) > 1 AS conflict
+        FROM full0 GROUP BY 1
     """
     # bloom_fpr twin: SET-SEMANTICS bloom membership — a probe passes
     # iff every one of its 3 bit positions appears among the dim key

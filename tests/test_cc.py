@@ -105,3 +105,50 @@ def test_canonicalize_triples_rewrites_to_component_min(spark):
     assert ("table", "customer") in out
     # 'spark'(2) has no overlap edges → unchanged
     assert ("spark", "row") in out
+
+
+def test_er_type_conflicts_audit(spark):
+    """Every catalog entity lands in exactly one cluster (singletons
+    included), and the known multi-token overlaps produce at least
+    one cross-type cluster — the merge-safety red flag."""
+    from __spark_entry__ import q_er_type_conflicts
+    from deepie_spark.datagen.catalog import ENTITY_CATALOG
+
+    rows = q_er_type_conflicts(spark, "/root/testdata/sf0.001").collect()
+    assert sum(r.n_members for r in rows) == len(ENTITY_CATALOG)
+    assert all(
+        (r.n_types > 1) == r.conflict
+        and len(r.types.split("|")) == r.n_types
+        for r in rows
+    )
+    # this catalog is merge-safe: its one multi-member cluster
+    # ('table' + 'table scan') is same-typed — the audit must say so
+    two = [r for r in rows if r.n_members == 2]
+    assert two and two[0].types == "FAC" and not two[0].conflict
+    assert not any(r.conflict for r in rows)
+    # and a constructed cross-type overlap DOES flag
+    from pyspark.sql import functions as F2
+
+    from deepie_spark.operators.cc import (
+        alias_overlap_edges,
+        connected_components,
+    )
+
+    cat = spark.createDataFrame(
+        [(1, "acme corp", "ORG"), (2, "acme", "PER"), (3, "zed", "GPE")],
+        ["entity_id", "alias", "entity_type"],
+    )
+    comp = connected_components(alias_overlap_edges(cat))
+    full = cat.join(
+        comp.withColumnRenamed("node", "entity_id"), "entity_id", "left"
+    ).select(
+        F2.coalesce(F2.col("component"), F2.col("entity_id")).alias("c"),
+        "entity_type",
+    )
+    agg = {
+        r.c: r.n
+        for r in full.groupBy("c")
+        .agg(F2.countDistinct("entity_type").alias("n"))
+        .collect()
+    }
+    assert 2 in agg.values()  # the acme ORG/PER cluster conflicts
