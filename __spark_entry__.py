@@ -6400,6 +6400,53 @@ def q_er_type_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("conflict", F.col("n_types") > 1)
 
 
+def q_user_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between per-user activity (event
+    count) and monetary mass (cents sum): ranks are tie-broken by
+    user_id (a deterministic permutation, the variant both engines
+    compute identically), so ρ = 1 − 6·Σd² / (n·(n²−1)) is EXACT
+    integers with one divide.  Ranks ride rank_in_order — no
+    single-partition window; n³ must fit int64 (n ≤ ~2·10⁶ keys —
+    beyond that, sample or bucket).  Also emits Σd² and n."""
+    from deepie_spark.operators.dictionary import rank_in_order
+
+    m = _events(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    ).localCheckpoint()
+    r1 = rank_in_order(
+        m.withColumn("_ord", F.struct("n_events", "user_id")),
+        "_ord",
+        start_id=1,
+        id_col="r1",
+    ).select("user_id", "r1")
+    r2 = rank_in_order(
+        m.withColumn("_ord", F.struct("cents", "user_id")),
+        "_ord",
+        start_id=1,
+        id_col="r2",
+    ).select("user_id", "r2")
+    j = r1.join(r2, "user_id").select(
+        ((F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2"))).alias(
+            "d2"
+        )
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d2").cast("long").alias("sum_d2"),
+    )
+    rho = F.lit(1.0) - (F.lit(6) * F.col("sum_d2")) / (
+        F.col("n") * (F.col("n") * F.col("n") - 1)
+    )
+    return agg.select(
+        "n",
+        "sum_d2",
+        F.when(F.col("n") > 1, F.round(rho, 6)).alias("spearman"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -6636,6 +6683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival_stats": q_interarrival_stats,
         "bloom_fpr": q_bloom_fpr,
         "er_type_conflicts": q_er_type_conflicts,
+        "user_rank_corr": q_user_rank_corr,
     }
 
 
@@ -11027,6 +11075,30 @@ def oracle_sql() -> dict[str, str]:
         FROM grid g
         LEFT JOIN nk ON nk.k = g.k
         LEFT JOIN ek ON ek.k = g.k
+    """
+    # user_rank_corr twin: two row_number rankings with the same
+    # tie-breaks, exact Σd², same ρ chain.
+    d["user_rank_corr"] = """
+        WITH m AS (SELECT user_id,
+                          CAST(count(*) AS BIGINT) AS n_events,
+                          CAST(sum(CAST(round(value * 100) AS BIGINT))
+                            AS BIGINT) AS cents
+                   FROM events GROUP BY 1),
+        r AS (SELECT user_id,
+                     CAST(row_number() OVER (
+                       ORDER BY n_events, user_id) AS BIGINT) AS r1,
+                     CAST(row_number() OVER (
+                       ORDER BY cents, user_id) AS BIGINT) AS r2
+              FROM m),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT)
+                         AS sum_d2
+                FROM r)
+        SELECT n, sum_d2,
+               CASE WHEN n > 1
+                 THEN round(1.0 - (6 * sum_d2) / (n * (n * n - 1)), 6)
+               END AS spearman
+        FROM agg
     """
     # er_type_conflicts twin: nests the cc closure + catalog types,
     # singletons via the same coalesce rule.

@@ -449,3 +449,33 @@ def test_interarrival_stats_python_twin(spark):
             )
         expect[t] = (n, sd, sdd, cv)
     assert got == expect
+
+
+def test_spearman_rank_corr_extremes(spark):
+    """Identical orderings → ρ = 1; exact reversal → ρ = −1; the
+    gated query's value on testdata matches a python twin."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from __spark_entry__ import q_user_rank_corr
+
+    r = q_user_rank_corr(spark, "/root/testdata/sf0.001").collect()[0]
+    pdf = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    per_n, per_c = Counter(), Counter()
+    for u, v in zip(pdf["user_id"], pdf["value"]):
+        per_n[int(u)] += 1
+        per_c[int(u)] += int(round(v * 100))
+    users = sorted(per_n)
+    r1 = {u: i for i, u in enumerate(
+        sorted(users, key=lambda u: (per_n[u], u)), 1)}
+    r2 = {u: i for i, u in enumerate(
+        sorted(users, key=lambda u: (per_c[u], u)), 1)}
+    n = len(users)
+    sd2 = sum((r1[u] - r2[u]) ** 2 for u in users)
+    assert (r.n, r.sum_d2) == (n, sd2)
+    assert r.spearman == round(1.0 - (6 * sd2) / (n * (n * n - 1)), 6)
+    # extremes sanity in pure python (the formula itself)
+    assert 1.0 - (6 * 0) / (5 * 24) == 1.0
+    rev = sum((i - (6 - i)) ** 2 for i in range(1, 6))
+    assert round(1.0 - 6 * rev / (5 * 24), 6) == -1.0
