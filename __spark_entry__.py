@@ -6447,6 +6447,60 @@ def q_user_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across the k event types — the
+    k-sample sibling of value_ab_test.  The group term Σ_g S_g²/n_g
+    is a sum of per-group divisions over an UNORDERED group set, so
+    it rides the fixed-point rule: ssb_fp = Σ_g floor(2^20·S_g²/n_g)
+    is an order-free exact long.  Then SSB = ssb_fp/2^20 − S²/N and
+    SSW = ΣX² − ssb_fp/2^20 (quantization < k·2^−20), and
+    F = (SSB/(k−1)) / (SSW/(N−k)) — single IEEE ops on
+    exact-int-derived doubles, written identically in both engines.
+    Overflow bound: S_g² must fit int64 (|S_g| < 3·10⁹ cents —
+    pre-scale the unit beyond that)."""
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("x").cast("long").alias("s_g"),
+    )
+    scale = F.lit(float(1 << 20))
+    per_g = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum(
+            F.floor(
+                (F.col("s_g") * F.col("s_g")) / F.col("n_g") * scale
+            )
+        )
+        .cast("long")
+        .alias("ssb_fp"),
+    )
+    tot = e.agg(
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx")
+    )
+    j = per_g.crossJoin(F.broadcast(tot))
+    ssb = F.col("ssb_fp") / scale - (F.col("s") * F.col("s")) / F.col("n")
+    ssw = (
+        F.col("sxx") - F.col("ssb_fp") / scale
+    )
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return j.select(
+        "k",
+        "n",
+        "s",
+        "sxx",
+        "ssb_fp",
+        F.when(
+            (F.col("k") > 1) & (F.col("n") > F.col("k")),
+            F.round(f_stat, 6),
+        ).alias("f_stat"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -6684,6 +6738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_fpr": q_bloom_fpr,
         "er_type_conflicts": q_er_type_conflicts,
         "user_rank_corr": q_user_rank_corr,
+        "value_anova": q_value_anova,
     }
 
 
@@ -11075,6 +11130,32 @@ def oracle_sql() -> dict[str, str]:
         FROM grid g
         LEFT JOIN nk ON nk.k = g.k
         LEFT JOIN ek ON ek.k = g.k
+    """
+    # value_anova twin: same integer moments + fixed-point group term
+    # + identical F chain.
+    d["value_anova"] = """
+        WITH e AS (SELECT event_type,
+                          CAST(round(value * 100) AS BIGINT) AS x
+                   FROM events),
+        g AS (SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n_g,
+                     CAST(sum(x) AS BIGINT) AS s_g
+              FROM e GROUP BY 1),
+        pg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                      CAST(sum(n_g) AS BIGINT) AS n,
+                      CAST(sum(s_g) AS BIGINT) AS s,
+                      CAST(sum(CAST(floor((s_g * s_g) / n_g
+                        * 1048576.0) AS BIGINT)) AS BIGINT) AS ssb_fp
+               FROM g),
+        tot AS (SELECT CAST(sum(x * x) AS BIGINT) AS sxx FROM e)
+        SELECT k, n, s, sxx, ssb_fp,
+               CASE WHEN k > 1 AND n > k
+                 THEN round(((ssb_fp / 1048576.0 - (s * s) / n)
+                             / (k - 1))
+                            / ((sxx - ssb_fp / 1048576.0)
+                               / (n - k)), 6)
+               END AS f_stat
+        FROM pg CROSS JOIN tot
     """
     # user_rank_corr twin: two row_number rankings with the same
     # tie-breaks, exact Σd², same ρ chain.

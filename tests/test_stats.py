@@ -479,3 +479,55 @@ def test_spearman_rank_corr_extremes(spark):
     assert 1.0 - (6 * 0) / (5 * 24) == 1.0
     rev = sum((i - (6 - i)) ** 2 for i in range(1, 6))
     assert round(1.0 - 6 * rev / (5 * 24), 6) == -1.0
+
+
+def test_value_anova_python_twin(spark):
+    import math
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from __spark_entry__ import q_value_anova
+
+    r = q_value_anova(spark, "/root/testdata/sf0.001").collect()[0]
+    pdf = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    per = defaultdict(list)
+    for t, v in zip(pdf["event_type"], pdf["value"]):
+        per[t].append(int(round(v * 100)))
+    k = len(per)
+    n = sum(len(xs) for xs in per.values())
+    s = sum(sum(xs) for xs in per.values())
+    sxx = sum(x * x for xs in per.values() for x in xs)
+    S = float(1 << 20)
+    ssb_fp = sum(
+        math.floor((sum(xs) * sum(xs)) / len(xs) * S)
+        for xs in per.values()
+    )
+    assert (r.k, r.n, r.s, r.sxx, r.ssb_fp) == (k, n, s, sxx, ssb_fp)
+    ssb = ssb_fp / S - (s * s) / n
+    ssw = sxx - ssb_fp / S
+    assert r.f_stat == round((ssb / (k - 1)) / (ssw / (n - k)), 6)
+    # the between-group SS is nonnegative up to quantization
+    assert ssb >= -k
+
+
+def test_anova_separated_groups_give_large_f(spark):
+    from __spark_entry__ import _events  # noqa: F401 (import parity)
+    from deepie_spark.operators.stats import welch_ttest  # noqa: F401
+
+    # direct formula check: two well-separated groups → F ≫ 1
+    import math
+
+    groups = {"a": [100] * 30, "b": [500] * 30}
+    k, n = 2, 60
+    s = sum(sum(v) for v in groups.values())
+    sxx = sum(x * x for v in groups.values() for x in v)
+    S = float(1 << 20)
+    ssb_fp = sum(
+        math.floor((sum(v) * sum(v)) / len(v) * S)
+        for v in groups.values()
+    )
+    ssb = ssb_fp / S - (s * s) / n
+    ssw = sxx - ssb_fp / S
+    # zero within-group variance → SSW ≈ 0 (quantization only)
+    assert ssb > 1e6 and abs(ssw) < 1.0
