@@ -6501,6 +6501,42 @@ def q_value_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_lang_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of source × lang: per-cell terms
+    (O − RC/N)² / (RC/N) are identical IEEE trees over exact-long
+    counts, accumulated as fixed-point longs (floor(2^20·term) — the
+    unordered-cell case, like JSD/ANOVA), plus exact df = (r−1)(c−1).
+    Completes the classical inferential suite beside value_ab_test
+    (t), value_anova (F), lang_kappa (κ) and user_rank_corr (ρ)."""
+    cm = _docs(spark, sf_dir).groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rs = cm.groupBy("source").agg(F.sum("o").cast("long").alias("r"))
+    cs = cm.groupBy("lang").agg(F.sum("o").cast("long").alias("c"))
+    nn = cm.agg(F.sum("o").cast("long").alias("n"))
+    j = (
+        cm.join(rs, "source")
+        .join(cs, "lang")
+        .crossJoin(F.broadcast(nn))
+    )
+    scale = F.lit(float(1 << 20))
+    exp = (F.col("r") * F.col("c")) / F.col("n")
+    term = ((F.col("o") - exp) * (F.col("o") - exp)) / exp
+    agg = j.agg(
+        F.sum(F.floor(term * scale)).cast("long").alias("chi2_fp"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    dims = rs.agg(F.count(F.lit(1)).cast("long").alias("nr")).crossJoin(
+        F.broadcast(cs.agg(F.count(F.lit(1)).cast("long").alias("nc")))
+    )
+    return agg.crossJoin(F.broadcast(dims)).select(
+        "n_cells",
+        "chi2_fp",
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("df"),
+        F.round(F.col("chi2_fp") / scale, 6).alias("chi2"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -6739,6 +6775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_type_conflicts": q_er_type_conflicts,
         "user_rank_corr": q_user_rank_corr,
         "value_anova": q_value_anova,
+        "source_lang_chi2": q_source_lang_chi2,
     }
 
 
@@ -11130,6 +11167,36 @@ def oracle_sql() -> dict[str, str]:
         FROM grid g
         LEFT JOIN nk ON nk.k = g.k
         LEFT JOIN ek ON ek.k = g.k
+    """
+    # source_lang_chi2 twin: same exact marginals + fixed-point cell
+    # terms ((o − rc/n)²/(rc/n)).
+    d["source_lang_chi2"] = """
+        WITH cm AS (SELECT source, lang,
+                           CAST(count(*) AS BIGINT) AS o
+                    FROM documents GROUP BY 1, 2),
+        rs AS (SELECT source, CAST(sum(o) AS BIGINT) AS r
+               FROM cm GROUP BY 1),
+        cs AS (SELECT lang, CAST(sum(o) AS BIGINT) AS c
+               FROM cm GROUP BY 1),
+        nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cm),
+        j AS (SELECT cm.o, rs.r, cs.c, nn.n
+              FROM cm JOIN rs USING (source) JOIN cs USING (lang)
+              CROSS JOIN nn),
+        agg AS (SELECT
+                  CAST(sum(CAST(floor(((o - (r * c) / n)
+                        * (o - (r * c) / n))
+                       / ((r * c) / n) * 1048576.0) AS BIGINT))
+                    AS BIGINT) AS chi2_fp,
+                  CAST(count(*) AS BIGINT) AS n_cells
+                FROM j),
+        dims AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM rs)
+                   AS nr,
+                        (SELECT CAST(count(*) AS BIGINT) FROM cs)
+                   AS nc)
+        SELECT n_cells, chi2_fp,
+               CAST((nr - 1) * (nc - 1) AS BIGINT) AS df,
+               round(chi2_fp / 1048576.0, 6) AS chi2
+        FROM agg CROSS JOIN dims
     """
     # value_anova twin: same integer moments + fixed-point group term
     # + identical F chain.

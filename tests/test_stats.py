@@ -531,3 +531,30 @@ def test_anova_separated_groups_give_large_f(spark):
     ssw = sxx - ssb_fp / S
     # zero within-group variance → SSW ≈ 0 (quantization only)
     assert ssb > 1e6 and abs(ssw) < 1.0
+
+
+def test_chi2_python_twin(spark):
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from __spark_entry__ import q_source_lang_chi2
+
+    r = q_source_lang_chi2(spark, "/root/testdata/sf0.001").collect()[0]
+    pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    cm = Counter(zip(pdf["source"], pdf["lang"]))
+    rs = Counter()
+    cs = Counter()
+    for (s, l), o in cm.items():
+        rs[s] += o
+        cs[l] += o
+    N = sum(cm.values())
+    S = float(1 << 20)
+    fp = 0
+    for (s, l), o in cm.items():
+        e = (rs[s] * cs[l]) / N
+        fp += math.floor(((o - e) * (o - e)) / e * S)
+    assert (r.n_cells, r.chi2_fp) == (len(cm), fp)
+    assert r.df == (len(rs) - 1) * (len(cs) - 1)
+    assert r.chi2 == round(fp / S, 6) and r.chi2 >= 0.0
