@@ -6537,6 +6537,61 @@ def q_source_lang_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between purchase and click event values
+    (operators/stats.py mann_whitney_u) — the nonparametric sibling
+    of value_ab_test: exact-long doubled midranks over the distinct
+    cents grid (prefix_sum_in_order, no single-partition window),
+    exact tie correction, one identical IEEE z chain."""
+    from deepie_spark.operators.stats import mann_whitney_u
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return mann_whitney_u(e, "event_type", "cents", "purchase", "click")
+
+
+def q_value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS distance between purchase and click value
+    distributions (operators/stats.py ks_2sample): the statistic's
+    numerator max|cum_a·n_b − cum_b·n_a| is an EXACT long (ECDFs
+    compared by cross-multiplication, never as floats), with the
+    argmax location tie-broken to the smallest value."""
+    from deepie_spark.operators.stats import ks_2sample
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return ks_2sample(e, "event_type", "cents", "purchase", "click")
+
+
+def q_value_mk_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend of daily total cents per event type
+    (operators/stats.py mann_kendall) — the nonparametric sibling of
+    value_trend's OLS slope: exact-integer S over the calendar-bounded
+    daily grid (pairs are Θ(days²), never Θ(rows²)), exact tie-
+    corrected var18, z = S/sqrt(var18/18) identical in both engines."""
+    from deepie_spark.operators.stats import mann_kendall
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.datediff(
+            F.to_date(F.col("ts").cast("timestamp")), F.lit("1970-01-01")
+        )
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.sum("cents").cast("long").alias("y")
+    )
+    return mann_kendall(daily, "event_type", "day", "y").orderBy(
+        "event_type"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -6776,6 +6831,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_rank_corr": q_user_rank_corr,
         "value_anova": q_value_anova,
         "source_lang_chi2": q_source_lang_chi2,
+        "value_mwu": q_value_mwu,
+        "value_ks_test": q_value_ks_test,
+        "value_mk_trend": q_value_mk_trend,
     }
 
 
@@ -11842,5 +11900,109 @@ def oracle_sql() -> dict[str, str]:
                (SELECT CAST(count(*) AS BIGINT)
                 FROM cand JOIN truth USING (a, b)) AS n_found
         FROM n
+    """
+    # value_mwu twin: same doubled-midrank integers (a window cumsum
+    # is fine in the oracle — prefix_sum_in_order is the Spark-side
+    # scale plan, not a semantics difference), same z op tree.
+    _MW_VAR = (
+        "(CAST(n_a * n_b AS DOUBLE) / 12"
+        " * (((n_a + n_b) + 1)"
+        "    - tie_sum / ((n_a + n_b) * ((n_a + n_b) - 1))))"
+    )
+    d["value_mwu"] = f"""
+        WITH e AS (SELECT
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS a,
+                     CAST(round(value * 100) AS BIGINT) AS x
+                   FROM events
+                   WHERE event_type IN ('purchase', 'click')),
+        pv AS (SELECT x, CAST(sum(a) AS BIGINT) AS na,
+                      CAST(count(*) AS BIGINT) AS t
+               FROM e GROUP BY 1),
+        c AS (SELECT x, na, t,
+                     CAST(sum(t) OVER (ORDER BY x) AS BIGINT) AS hi
+              FROM pv),
+        agg AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+                       CAST(sum(t - na) AS BIGINT) AS n_b,
+                       CAST(sum(na * (hi - t + 1 + hi)) AS BIGINT)
+                         AS r2_a,
+                       CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+                FROM c)
+        SELECT 'purchase' AS group_a, 'click' AS group_b,
+               n_a, n_b, r2_a,
+               CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+               tie_sum,
+               CASE WHEN n_a > 0 AND n_b > 0
+                     AND tie_sum < (n_a + n_b) * (n_a + n_b)
+                                   * (n_a + n_b) - (n_a + n_b)
+                 THEN round(((r2_a - n_a * (n_a + 1)) - n_a * n_b)
+                            / (2 * sqrt({_MW_VAR})), 6)
+               END AS z_stat
+        FROM agg
+    """
+    # value_ks_test twin: exact cross-multiplied ECDF numerator, the
+    # same smallest-value argmax tie-break via min(x) at the max.
+    d["value_ks_test"] = """
+        WITH e AS (SELECT
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS a,
+                     CAST(round(value * 100) AS BIGINT) AS x
+                   FROM events
+                   WHERE event_type IN ('purchase', 'click')),
+        pv AS (SELECT x, CAST(sum(a) AS BIGINT) AS ca,
+                      CAST(sum(1 - a) AS BIGINT) AS cb
+               FROM e GROUP BY 1),
+        c AS (SELECT x,
+                     CAST(sum(ca) OVER (ORDER BY x) AS BIGINT) AS cuma,
+                     CAST(sum(cb) OVER (ORDER BY x) AS BIGINT) AS cumb
+              FROM pv),
+        tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                       CAST(sum(cb) AS BIGINT) AS n_b
+                FROM pv),
+        dv AS (SELECT x, abs(cuma * n_b - cumb * n_a) AS d
+               FROM c, tot)
+        SELECT n_a, n_b,
+               CAST((SELECT max(d) FROM dv) AS BIGINT) AS d_num,
+               CAST((SELECT min(x) FROM dv
+                     WHERE d = (SELECT max(d) FROM dv)) AS BIGINT)
+                 AS at_x,
+               CASE WHEN n_a > 0 AND n_b > 0
+                 THEN round((SELECT max(d) FROM dv) / (n_a * n_b), 6)
+               END AS ks_d
+        FROM tot
+    """
+    # value_mk_trend twin: same calendar-day binning, the independent
+    # pair-join formulation of S, same exact var18 and z op tree.
+    d["value_mk_trend"] = """
+        WITH d0 AS (SELECT event_type,
+                           CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                             AS BIGINT) AS o,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events),
+        srs AS (SELECT event_type, o, CAST(sum(cents) AS BIGINT) AS y
+                FROM d0 GROUP BY 1, 2),
+        s AS (SELECT a.event_type,
+                     CAST(sum(sign(b.y - a.y)) AS BIGINT) AS s_stat
+              FROM srs a JOIN srs b
+                ON a.event_type = b.event_type AND a.o < b.o
+              GROUP BY 1),
+        nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+               FROM srs GROUP BY 1),
+        t1 AS (SELECT event_type, y, CAST(count(*) AS BIGINT) AS t
+               FROM srs GROUP BY 1, 2),
+        ties AS (SELECT event_type,
+                        CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                          AS tie18
+                 FROM t1 GROUP BY 1)
+        SELECT s.event_type, n, s_stat,
+               CAST(n * (n - 1) * (2 * n + 5) - tie18 AS BIGINT)
+                 AS var18,
+               CASE WHEN n * (n - 1) * (2 * n + 5) - tie18 > 0
+                 THEN round(s_stat
+                            / sqrt((n * (n - 1) * (2 * n + 5) - tie18)
+                                   / 18.0), 6)
+               END AS z_stat
+        FROM s JOIN nn USING (event_type) JOIN ties USING (event_type)
+        ORDER BY event_type
     """
     return d

@@ -475,3 +475,201 @@ def zipf_fit(
         F.round(slope, 6).alias("zipf_slope"),
         F.round(intercept, 6).alias("zipf_intercept"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between two groups — the
+    nonparametric sibling of welch_ttest, over EXACT integers only:
+    midranks of a tie group [lo, hi] contribute (lo + hi) per member,
+    so 2·R_a = Σ_v n_a(v)·(lo(v) + hi(v)) is an exact long (no .5
+    fractions ever materialize), and 2·U_a = 2·R_a − n_a·(n_a+1).
+    The cumulative count hi(v) rides prefix_sum_in_order over the
+    DISTINCT value grid (no single-partition window); the tie
+    correction Σ t³−t is an exact long (bound: the largest tie group
+    must satisfy t³ < 2⁶³, t < 2·10⁶ — pre-bucket beyond that).
+    The only floats are the final z chain written identically in both
+    engines:
+
+        z = (2U_a − n_a·n_b) / (2·sqrt(var)),
+        var = n_a·n_b/12 · ((n+1) − tie_sum/(n·(n−1)))
+
+    NULL z when every pooled value is tied (var = 0, guarded on
+    integers).
+    """
+    from deepie_spark.operators.sweep import prefix_sum_in_order
+
+    g = F.col(group_col)
+    base = df.filter(g.isin(group_a, group_b)).select(
+        F.when(g == group_a, 1).otherwise(0).alias("_a"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    per_v = base.groupBy("_x").agg(
+        F.sum("_a").cast("long").alias("_na"),
+        F.count(F.lit(1)).cast("long").alias("_t"),
+    )
+    cum = prefix_sum_in_order(per_v, "_x", "_t", out_col="_hi")
+    agg = cum.agg(
+        F.sum("_na").cast("long").alias("n_a"),
+        F.sum(F.col("_t") - F.col("_na")).cast("long").alias("n_b"),
+        F.sum(
+            F.col("_na") * (F.col("_hi") - F.col("_t") + 1 + F.col("_hi"))
+        )
+        .cast("long")
+        .alias("r2_a"),
+        F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t"))
+        .cast("long")
+        .alias("tie_sum"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    n = na + nb
+    u2 = F.col("r2_a") - na * (na + 1)
+    var = (
+        (na * nb).cast("double")
+        / 12
+        * ((n + 1) - F.col("tie_sum") / (n * (n - 1)))
+    )
+    ok = (na > 0) & (nb > 0) & (F.col("tie_sum") < n * n * n - n)
+    return agg.select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        "n_a",
+        "n_b",
+        "r2_a",
+        u2.cast("long").alias("u2_a"),
+        "tie_sum",
+        F.when(
+            ok, F.round((u2 - na * nb) / (F.lit(2) * F.sqrt(var)), 6)
+        ).alias("z_stat"),
+    )
+
+
+def ks_2sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic as an EXACT rational:
+    D = max_v |cum_a(v)·n_b − cum_b(v)·n_a| / (n_a·n_b), where the
+    numerator is an exact long (cross-multiplied ECDFs — no float
+    ECDF ever compared), the max an order-free integer aggregate, and
+    the location the SMALLEST value attaining it (max(struct(d, −v))
+    argmax, deterministic under ties).  Cumulatives ride
+    prefix_sum_in_order over the distinct pooled value grid — two
+    passes joined on the value, no single-partition window.  Overflow
+    bound: n_a·n_b < 2⁶³ (n < 3·10⁹ rows)."""
+    from deepie_spark.operators.sweep import prefix_sum_in_order
+
+    g = F.col(group_col)
+    base = df.filter(g.isin(group_a, group_b)).select(
+        F.when(g == group_a, 1).otherwise(0).alias("_a"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    per_v = base.groupBy("_x").agg(
+        F.sum("_a").cast("long").alias("_ca"),
+        F.sum(1 - F.col("_a")).cast("long").alias("_cb"),
+    )
+    ca = prefix_sum_in_order(
+        per_v.select("_x", "_ca"), "_x", "_ca", out_col="_cuma"
+    ).select("_x", "_cuma")
+    cb = prefix_sum_in_order(
+        per_v.select("_x", "_cb"), "_x", "_cb", out_col="_cumb"
+    ).select("_x", "_cumb")
+    tot = per_v.agg(
+        F.sum("_ca").cast("long").alias("n_a"),
+        F.sum("_cb").cast("long").alias("n_b"),
+    )
+    j = ca.join(cb, "_x").crossJoin(F.broadcast(tot))
+    d_v = F.abs(
+        F.col("_cuma") * F.col("n_b") - F.col("_cumb") * F.col("n_a")
+    )
+    best = j.agg(
+        F.max(
+            F.struct(d_v.alias("d"), (-F.col("_x")).alias("negx"))
+        ).alias("m"),
+        F.first(F.col("n_a"), ignorenulls=True).alias("n_a"),
+        F.first(F.col("n_b"), ignorenulls=True).alias("n_b"),
+    )
+    return best.select(
+        "n_a",
+        "n_b",
+        F.col("m.d").cast("long").alias("d_num"),
+        (-F.col("m.negx")).cast("long").alias("at_x"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(F.col("m.d") / (F.col("n_a") * F.col("n_b")), 6),
+        ).alias("ks_d"),
+    )
+
+
+def mann_kendall(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group Mann-Kendall trend test — the nonparametric sibling
+    of the OLS slope (value_trend): S = Σ_{i<j} sign(y_j − y_i) over
+    the group's series ordered by ``order_col``, an exact integer via
+    a within-group pair join (Θ(B²) pairs for B series points — B is
+    calendar-bounded, so callers MUST pre-bin to a bounded grid, e.g.
+    daily totals, before calling).  Tie-corrected variance as the
+    exact long var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5); the only
+    floats are z = S / sqrt(var18 / 18.0) — two IEEE ops written
+    identically in both engines (no continuity correction, a
+    documented definition choice).  NULL z when var18 = 0."""
+    a = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(order_col).cast("long").alias("_o"),
+        F.col(value_col).cast("long").alias("_y"),
+    )
+    b = a.select(
+        F.col("_g"),
+        F.col("_o").alias("_o2"),
+        F.col("_y").alias("_y2"),
+    )
+    s = (
+        a.join(b, "_g")
+        .filter(F.col("_o") < F.col("_o2"))
+        .groupBy("_g")
+        .agg(
+            F.sum(F.signum(F.col("_y2") - F.col("_y")).cast("long"))
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    nn = a.groupBy("_g").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        a.groupBy("_g", "_y")
+        .agg(F.count(F.lit(1)).cast("long").alias("_t"))
+        .groupBy("_g")
+        .agg(
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            )
+            .cast("long")
+            .alias("tie18")
+        )
+    )
+    j = s.join(nn, "_g").join(ties, "_g")
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie18")
+    )
+    return j.select(
+        F.col("_g").alias(group_col),
+        "n",
+        "s_stat",
+        var18.cast("long").alias("var18"),
+        F.when(
+            var18 > 0,
+            F.round(F.col("s_stat") / F.sqrt(var18 / F.lit(18.0)), 6),
+        ).alias("z_stat"),
+    )

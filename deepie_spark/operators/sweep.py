@@ -35,26 +35,51 @@ def prefix_sum_in_order(
     """Exactly ``SUM(val_col) OVER (ORDER BY order_col)`` without a
     global sort.
 
-    1. ``repartitionByRange(buckets, order_col)`` — bucket *b* holds
-       keys strictly below bucket *b+1*;
+    1. bucket by a DETERMINISTIC range key: quantile boundaries are
+       collected ONCE driver-side (``approxQuantile``, ≤ buckets−1
+       values) and applied as a literal in-row count-of-boundaries-≤x,
+       so bucket *b* holds keys strictly below bucket *b+1* and —
+       crucially — every plan branch computes the SAME bucket for the
+       same key;
     2. per-bucket running sum (bucket-KEYED window, distributed);
     3. per-bucket totals → prefix offsets via the triangular broadcast
        join (no window on that path);
     4. ``out = offset + local running sum``.
 
-    Results are invariant to the bucket count (exact integer adds
+    Results are invariant to the bucket boundaries (exact integer adds
     reassociate freely — pass integral ``val_col``; FP would make the
     answer bucket-dependent).  Ties in ``order_col`` would make the
     within-tie running values order-unspecified — callers must pass a
     unique order key (collapse duplicates with a groupBy first, as
     ``interval_concurrency`` does).
+
+    Why not ``repartitionByRange`` + ``spark_partition_id()`` (the
+    original formulation): the range exchange SAMPLES its boundaries,
+    and when column pruning specializes the offsets branch and the
+    window branch into structurally different subplans, ReusedExchange
+    cannot deduplicate them — each branch re-samples, the two ``_bkt``
+    assignments diverge, and offsets no longer match the local sums
+    (observed as a nondeterministically wrong total at 8 cores under
+    load).  Driver-pinned literal boundaries make the bucket a pure
+    function of the key: no branch can disagree, at the cost of one
+    extra bounded pass (the quantile sketch).  ``order_col`` must be
+    numeric; the double cast inside the comparison stays monotone for
+    any long, so bucketing always respects key order even past 2⁵³.
     """
     spark = df.sparkSession
     if buckets is None:
         buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    bucketed = df.repartitionByRange(
-        buckets, F.col(order_col)
-    ).withColumn("_bkt", F.spark_partition_id())
+    bounds: list[float] = []
+    if buckets > 1:
+        probs = [i / buckets for i in range(1, buckets)]
+        bounds = sorted(set(df.stat.approxQuantile(order_col, probs, 0.001)))
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        xd = F.col(order_col).cast("double")
+        bkt = F.size(F.filter(barr, lambda b: b <= xd))
+    else:
+        bkt = F.lit(0)
+    bucketed = df.withColumn("_bkt", bkt.cast("int"))
     sums = bucketed.groupBy("_bkt").agg(
         F.sum(val_col).cast("long").alias("_s")
     )

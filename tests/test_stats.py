@@ -558,3 +558,112 @@ def test_chi2_python_twin(spark):
     assert (r.n_cells, r.chi2_fp) == (len(cm), fp)
     assert r.df == (len(rs) - 1) * (len(cs) - 1)
     assert r.chi2 == round(fp / S, 6) and r.chi2 >= 0.0
+
+
+def test_mwu_python_twin(spark):
+    import pandas as pd
+
+    from __spark_entry__ import q_value_mwu
+
+    r = q_value_mwu(spark, "/root/testdata/sf0.001").collect()[0]
+    pdf = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    pdf = pdf[pdf["event_type"].isin(["purchase", "click"])]
+    cents = (pdf["value"] * 100).round().astype("int64")
+    a = sorted(cents[pdf["event_type"] == "purchase"])
+    b = sorted(cents[pdf["event_type"] == "click"])
+    pooled = sorted(a + b)
+    # doubled midrank of value v: lo + hi of its tie run (1-based)
+    from collections import Counter
+
+    cnt = Counter(pooled)
+    lo, r2 = {}, 0
+    pos = 1
+    for v in sorted(cnt):
+        lo[v] = pos
+        pos += cnt[v]
+    for v in a:
+        r2 += lo[v] + (lo[v] + cnt[v] - 1)
+    na, nb = len(a), len(b)
+    n = na + nb
+    tie = sum(t * t * t - t for t in cnt.values())
+    assert (r.n_a, r.n_b, r.r2_a, r.tie_sum) == (na, nb, r2, tie)
+    assert r.u2_a == r2 - na * (na + 1)
+    # U_a + U_b = n_a·n_b (the rank-sum identity, doubled)
+    r2_b = sum(
+        lo[v] + (lo[v] + cnt[v] - 1) for v in b
+    )
+    assert (r2 - na * (na + 1)) + (r2_b - nb * (nb + 1)) == 2 * na * nb
+    var = (na * nb) / 12 * ((n + 1) - tie / (n * (n - 1)))
+    assert r.z_stat == round(
+        ((r2 - na * (na + 1)) - na * nb) / (2 * var**0.5), 6
+    )
+
+
+def test_ks_python_twin(spark):
+    import numpy as np
+    import pandas as pd
+
+    from __spark_entry__ import q_value_ks_test
+
+    r = q_value_ks_test(spark, "/root/testdata/sf0.001").collect()[0]
+    pdf = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    pdf = pdf[pdf["event_type"].isin(["purchase", "click"])]
+    cents = (pdf["value"] * 100).round().astype("int64")
+    a = np.sort(cents[pdf["event_type"] == "purchase"].to_numpy())
+    b = np.sort(cents[pdf["event_type"] == "click"].to_numpy())
+    grid = np.unique(np.concatenate([a, b]))
+    ca = np.searchsorted(a, grid, side="right")
+    cb = np.searchsorted(b, grid, side="right")
+    d = np.abs(ca * len(b) - cb * len(a))
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    assert r.d_num == int(d.max())
+    assert r.at_x == int(grid[np.argmax(d)])  # argmax = first/smallest
+    assert r.ks_d == round(int(d.max()) / (len(a) * len(b)), 6)
+    # KS distance is a probability distance: 0 < D <= 1
+    assert 0.0 < r.ks_d <= 1.0
+
+
+def test_mann_kendall_python_twin(spark):
+    import pandas as pd
+
+    from __spark_entry__ import q_value_mk_trend
+
+    rows = {
+        r.event_type: r
+        for r in q_value_mk_trend(spark, "/root/testdata/sf0.001").collect()
+    }
+    pdf = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    pdf["day"] = pd.to_datetime(pdf["ts"]).dt.floor("D")
+    pdf["cents"] = (pdf["value"] * 100).round().astype("int64")
+    for et, g in pdf.groupby("event_type"):
+        srs = g.groupby("day")["cents"].sum().sort_index().to_list()
+        n = len(srs)
+        s = sum(
+            (srs[j] > srs[i]) - (srs[j] < srs[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        from collections import Counter
+
+        tie18 = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(srs).values()
+        )
+        var18 = n * (n - 1) * (2 * n + 5) - tie18
+        r = rows[et]
+        assert (r.n, r.s_stat, r.var18) == (n, s, var18)
+        if var18 > 0:
+            assert r.z_stat == round(s / (var18 / 18.0) ** 0.5, 6)
+
+
+def test_mann_kendall_monotone_series(spark):
+    from deepie_spark.operators.stats import mann_kendall
+
+    n = 40
+    df = spark.createDataFrame(
+        [("g", i, 10 * i + 3) for i in range(n)], "g string, o int, y int"
+    )
+    r = mann_kendall(df, "g", "o", "y").collect()[0]
+    # strictly increasing, no ties: S = n(n−1)/2, var18 full
+    assert r.s_stat == n * (n - 1) // 2
+    assert r.var18 == n * (n - 1) * (2 * n + 5)
+    assert r.z_stat > 5.0

@@ -84,3 +84,31 @@ def test_interval_concurrency_invariants(spark):
         run += c[t]
         want[t] = (c[t], run)
     assert {r.t: (r.net, r.concurrency) for r in rows} == want
+
+
+def test_prefix_sum_deterministic_buckets(spark):
+    """Regression for the sampled-range-exchange divergence: the
+    bucket key must be a pure function of the order key (literal
+    driver-pinned boundaries), never ``spark_partition_id()`` after a
+    sampled ``repartitionByRange`` — column pruning can specialize the
+    offsets branch and the window branch into different subplans,
+    ReusedExchange then fails to deduplicate them, and each branch
+    re-samples its own boundaries (observed: nondeterministically
+    wrong totals at 8 cores).  Guard: no rangepartitioning exchange
+    anywhere in the plan, and the result equals the single-window
+    formulation on a shuffled input."""
+    import random
+
+    from deepie_spark.operators.sweep import prefix_sum_in_order
+
+    rng = random.Random(7)
+    rows = [(k, rng.randrange(1, 100)) for k in rng.sample(range(10_000), 500)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(7)
+    out = prefix_sum_in_order(df, "k", "v", out_col="cum", buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan
+    want, run = {}, 0
+    for k, v in sorted(rows):
+        run += v
+        want[k] = run
+    assert {r.k: r.cum for r in out.collect()} == want
