@@ -6592,6 +6592,59 @@ def q_value_mk_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hourly_dense_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled GLOBAL hourly event counts with a dense 1..n index:
+    (hs, idx, y) where hs = epoch-hours (unix seconds DIV 3600 — the
+    integer-DIV rule), idx the 1-based position on the calendar grid,
+    and y the count (0 for silent hours).  Grid bounds come from one
+    1-row aggregate, so the sequence explode is broadcast-sized."""
+    e = _events(spark, sf_dir).select(
+        F.expr(
+            "unix_timestamp(cast(ts as timestamp)) div 3600"
+        ).cast("long").alias("hs")
+    )
+    counts = e.groupBy("hs").agg(F.count(F.lit(1)).cast("long").alias("y"))
+    grid = (
+        e.agg(F.min("hs").alias("h0"), F.max("hs").alias("h1"))
+        .select(
+            "h0",
+            F.explode(
+                F.sequence(F.lit(0), F.col("h1") - F.col("h0"))
+            ).alias("i"),
+        )
+        .select(
+            (F.col("h0") + F.col("i")).cast("long").alias("hs"),
+            (F.col("i") + 1).cast("long").alias("idx"),
+        )
+    )
+    return grid.join(counts, "hs", "left").select(
+        "hs", "idx", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+
+
+def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the dense global hourly event-count series
+    at lags 1..6 (operators/stats.py acf_exact): the seasonality probe
+    behind event_burstiness — exact integer moments per lag, one
+    equi-join per the lag set, the grouped_pearson IEEE chain."""
+    from deepie_spark.operators.stats import acf_exact
+
+    return acf_exact(
+        _hourly_dense_counts(spark, sf_dir), "idx", "y", max_lag=6
+    )
+
+
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift changepoint over the dense hourly count
+    series (operators/stats.py cusum_changepoint): the split hour
+    maximizing the exact long |n·S_k − k·S_n|, smallest-index
+    tie-break — the monitoring alarm over the same grid events_acf
+    reads."""
+    from deepie_spark.operators.stats import cusum_changepoint
+
+    return cusum_changepoint(_hourly_dense_counts(spark, sf_dir), "idx", "y")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -6834,6 +6887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_mwu": q_value_mwu,
         "value_ks_test": q_value_ks_test,
         "value_mk_trend": q_value_mk_trend,
+        "events_acf": q_events_acf,
+        "events_cusum": q_events_cusum,
     }
 
 
@@ -12004,5 +12059,71 @@ def oracle_sql() -> dict[str, str]:
                END AS z_stat
         FROM s JOIN nn USING (event_type) JOIN ties USING (event_type)
         ORDER BY event_type
+    """
+    # shared dense hourly grid for the acf/cusum twins: epoch-hours
+    # via floor(epoch(ts)) then integer division (the double→int
+    # cast-rounding gotcha + the integer-DIV rule).
+    _HOURLY_SRS = """
+        e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hs
+              FROM events),
+        b AS (SELECT min(hs) AS h0, max(hs) AS h1 FROM e),
+        grid AS (SELECT CAST(h0 + i AS BIGINT) AS hs,
+                        CAST(i + 1 AS BIGINT) AS idx
+                 FROM b, unnest(generate_series(0, h1 - h0)) AS t(i)),
+        counts AS (SELECT hs, CAST(count(*) AS BIGINT) AS y
+                   FROM e GROUP BY 1),
+        srs AS (SELECT g.hs, g.idx,
+                       CAST(coalesce(c.y, 0) AS BIGINT) AS y
+                FROM grid g LEFT JOIN counts c USING (hs))
+    """
+    # events_acf twin: same dense grid, same per-lag exact moments and
+    # the grouped_pearson IEEE chain.
+    d["events_acf"] = f"""
+        WITH {_HOURLY_SRS},
+        lags AS (SELECT unnest([1, 2, 3, 4, 5, 6]) AS lag),
+        p AS (SELECT l.lag, a.y AS x, b2.y AS y2
+              FROM lags l
+              JOIN srs a ON true
+              JOIN srs b2 ON b2.idx = a.idx + l.lag),
+        m AS (SELECT lag,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y2) AS BIGINT) AS sy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y2 * y2) AS BIGINT) AS syy,
+                     CAST(sum(x * y2) AS BIGINT) AS sxy
+              FROM p GROUP BY 1)
+        SELECT lag, n, sx, sy, sxx, syy, sxy,
+               CASE WHEN (n * sxx - sx * sx) != 0
+                     AND (n * syy - sy * sy) != 0
+                 THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                               * sqrt(CAST(n * syy - sy * sy AS DOUBLE))),
+                            6)
+               END AS acf
+        FROM m ORDER BY lag
+    """
+    # events_cusum twin: single-window cumsum (the Spark side rides
+    # prefix_sum_in_order), same exact cross-multiplied statistic and
+    # the smallest-index argmax.
+    d["events_cusum"] = f"""
+        WITH {_HOURLY_SRS},
+        cum AS (SELECT idx,
+                       CAST(sum(y) OVER (ORDER BY idx) AS BIGINT) AS cs
+                FROM srs),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(y) AS BIGINT) AS total
+                FROM srs),
+        g AS (SELECT idx, abs(n * cs - idx * total) AS gv
+              FROM cum, tot)
+        SELECT n, total,
+               CAST((SELECT max(gv) FROM g) AS BIGINT) AS g_num,
+               CAST((SELECT min(idx) FROM g
+                     WHERE gv = (SELECT max(gv) FROM g)) AS BIGINT)
+                 AS at_idx,
+               CASE WHEN total > 0
+                 THEN round((SELECT max(gv) FROM g) / (n * total), 6)
+               END AS cusum_norm
+        FROM tot
     """
     return d

@@ -673,3 +673,108 @@ def mann_kendall(
             F.round(F.col("s_stat") / F.sqrt(var18 / F.lit(18.0)), 6),
         ).alias("z_stat"),
     )
+
+
+def acf_exact(
+    series: DataFrame,
+    idx_col: str,
+    val_col: str,
+    max_lag: int = 6,
+) -> DataFrame:
+    """Autocorrelation function of an integer-valued series at lags
+    1..max_lag, each lag a Pearson correlation over the overlapping
+    pairs (y_i, y_{i+k}) computed from EXACT integer moments (the
+    grouped_pearson rule — native corr() is accumulation-order-
+    dependent and would not gate).  The caller passes a DENSE 1..n
+    integer index (gap-filled series — silent bins are real zeros,
+    not missing rows); the lag join is one equi-join on idx+k per
+    lag, Θ(n·max_lag) rows total, no window anywhere.  Lags with
+    zero x- or y-variance yield NULL acf (integer-guarded)."""
+    lags = F.explode(
+        F.array(*[F.lit(k) for k in range(1, max_lag + 1)])
+    ).alias("lag")
+    a = series.select(
+        F.col(idx_col).cast("long").alias("_i"),
+        F.col(val_col).cast("long").alias("_x"),
+    )
+    b = series.select(
+        F.col(idx_col).cast("long").alias("_i2"),
+        F.col(val_col).cast("long").alias("_y"),
+    )
+    pairs = (
+        a.select("_i", "_x", lags)
+        .withColumn("_key", F.col("_i") + F.col("lag"))
+        .join(b, F.col("_key") == F.col("_i2"))
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_x").cast("long").alias("sx"),
+        F.sum("_y").cast("long").alias("sy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).cast("long").alias("syy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "lag",
+        "n",
+        "sx",
+        "sy",
+        "sxx",
+        "syy",
+        "sxy",
+        F.when(
+            (vx != 0) & (vy != 0),
+            F.round(
+                num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+                6,
+            ),
+        ).alias("acf"),
+    ).orderBy("lag")
+
+
+def cusum_changepoint(
+    series: DataFrame, idx_col: str, val_col: str
+) -> DataFrame:
+    """CUSUM mean-shift changepoint over a 1..n indexed integer
+    series: the split k maximizing |S_k − (k/n)·S_n|, located via the
+    EXACT long g_k = |n·S_k − k·S_n| (cross-multiplied — no float
+    CUSUM path ever compared), argmax tie-broken to the SMALLEST
+    index.  Prefix sums ride prefix_sum_in_order (no single-partition
+    window); overflow bound n·S_n < 2⁶³.  Emits the exact witnesses
+    (n, total, g_num, at_idx) plus the normalized statistic
+    g_num/(n·total) — NULL when the series total is zero."""
+    from deepie_spark.operators.sweep import prefix_sum_in_order
+
+    s = series.select(
+        F.col(idx_col).cast("long").alias("_i"),
+        F.col(val_col).cast("long").alias("_y"),
+    )
+    cum = prefix_sum_in_order(s, "_i", "_y", out_col="_cum")
+    tot = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_y").cast("long").alias("total"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    g = F.abs(F.col("n") * F.col("_cum") - F.col("_i") * F.col("total"))
+    best = j.agg(
+        F.max(F.struct(g.alias("g"), (-F.col("_i")).alias("negi"))).alias(
+            "m"
+        ),
+        F.first("n", ignorenulls=True).alias("n"),
+        F.first("total", ignorenulls=True).alias("total"),
+    )
+    return best.select(
+        "n",
+        "total",
+        F.col("m.g").cast("long").alias("g_num"),
+        (-F.col("m.negi")).cast("long").alias("at_idx"),
+        F.when(
+            F.col("total") > 0,
+            F.round(F.col("m.g") / (F.col("n") * F.col("total")), 6),
+        ).alias("cusum_norm"),
+    )

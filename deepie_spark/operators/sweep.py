@@ -66,6 +66,11 @@ def prefix_sum_in_order(
     numeric; the double cast inside the comparison stays monotone for
     any long, so bucketing always respects key order even past 2⁵³.
     """
+    if out_col in ("_bkt", "_cs", "_off"):
+        raise ValueError(
+            f"out_col {out_col!r} collides with an internal column "
+            "(_bkt/_cs/_off) and would be dropped"
+        )
     spark = df.sparkSession
     if buckets is None:
         buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))

@@ -667,3 +667,68 @@ def test_mann_kendall_monotone_series(spark):
     assert r.s_stat == n * (n - 1) // 2
     assert r.var18 == n * (n - 1) * (2 * n + 5)
     assert r.z_stat > 5.0
+
+
+def test_acf_python_twin(spark):
+    import numpy as np
+    import pandas as pd
+
+    from __spark_entry__ import q_events_acf
+
+    rows = {r.lag: r for r in q_events_acf(spark, "/root/testdata/sf0.001").collect()}
+    pdf = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    hs = (pd.to_datetime(pdf["ts"]).astype("datetime64[ns]").astype("int64")
+          // 10**9 // 3600).to_numpy()
+    lo, hi = hs.min(), hs.max()
+    y = np.bincount(hs - lo, minlength=hi - lo + 1).astype("int64")
+    for k in range(1, 7):
+        a, b = y[:-k], y[k:]
+        r = rows[k]
+        assert (r.n, r.sx, r.sy) == (len(a), int(a.sum()), int(b.sum()))
+        assert (r.sxx, r.syy, r.sxy) == (
+            int((a * a).sum()),
+            int((b * b).sum()),
+            int((a * b).sum()),
+        )
+        n = len(a)
+        num = float(n * int((a * b).sum()) - int(a.sum()) * int(b.sum()))
+        vx = n * int((a * a).sum()) - int(a.sum()) ** 2
+        vy = n * int((b * b).sum()) - int(b.sum()) ** 2
+        if vx and vy:
+            assert r.acf == round(num / (float(vx) ** 0.5 * float(vy) ** 0.5), 6)
+        # ACF is a correlation: |r| <= 1
+        assert r.acf is None or abs(r.acf) <= 1.0
+
+
+def test_cusum_planted_shift(spark):
+    from deepie_spark.operators.stats import cusum_changepoint
+
+    # level 10 for 50 bins then level 40: argmax must sit at the shift
+    rows = [(i, 10) for i in range(1, 51)] + [(i, 40) for i in range(51, 101)]
+    df = spark.createDataFrame(rows, "idx long, y long")
+    r = cusum_changepoint(df, "idx", "y").collect()[0]
+    assert (r.n, r.total) == (100, 50 * 10 + 50 * 40)
+    assert r.at_idx == 50
+    # exact witness: g at k=50 is |100*500 - 50*2500|
+    assert r.g_num == abs(100 * 500 - 50 * 2500)
+    assert r.cusum_norm == round(r.g_num / (100 * 2500), 6)
+
+
+def test_cusum_python_twin(spark):
+    import numpy as np
+    import pandas as pd
+
+    from __spark_entry__ import q_events_cusum
+
+    r = q_events_cusum(spark, "/root/testdata/sf0.001").collect()[0]
+    pdf = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    hs = (pd.to_datetime(pdf["ts"]).astype("datetime64[ns]").astype("int64")
+          // 10**9 // 3600).to_numpy()
+    lo, hi = hs.min(), hs.max()
+    y = np.bincount(hs - lo, minlength=hi - lo + 1).astype("int64")
+    n, total = len(y), int(y.sum())
+    cs = np.cumsum(y)
+    g = np.abs(n * cs - np.arange(1, n + 1) * total)
+    assert (r.n, r.total) == (n, total)
+    assert r.g_num == int(g.max())
+    assert r.at_idx == int(np.argmax(g)) + 1  # numpy argmax = first
