@@ -6645,6 +6645,45 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoint(_hourly_dense_counts(spark, sf_dir), "idx", "y")
 
 
+_QL_MU = 2000
+
+
+def q_ql_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 documents by Dirichlet-smoothed query likelihood for the
+    bm25 query terms (operators/retrieval.py dirichlet_ql_scores) —
+    the language-model retrieval twin of bm25_topk: integer μ keeps
+    both ln arguments exact longs, per-term adds in fixed written
+    order, top-k via TakeOrderedAndProject on the unrounded score."""
+    from deepie_spark.operators.retrieval import dirichlet_ql_scores
+
+    s = dirichlet_ql_scores(
+        _toks(spark, sf_dir), _BM25_TERMS, mu=_QL_MU
+    )
+    return (
+        s.orderBy(F.desc("score"), "doc_id")
+        .limit(50)
+        .select("doc_id", "n_terms", "dl", F.round("score", 6).alias("ql"))
+    )
+
+
+def q_bm25_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the bm25 ranking against deterministic pseudo-
+    relevance labels (rel = distinct query terms matched, 0..3) —
+    the ranking-quality evaluation operator
+    (operators/retrieval.py ndcg_at_k): repr-shared 1/log2(i+1)
+    discount literals, fixed-position addition chains, both top
+    slices via TakeOrderedAndProject with (…, doc_id) tie-breaks."""
+    from deepie_spark.operators.retrieval import bm25_scores, ndcg_at_k
+
+    s = bm25_scores(
+        _toks(spark, sf_dir), _BM25_TERMS, k1=_BM25_K1, b=_BM25_B
+    )
+    cand = s.select(
+        "doc_id", "score", F.col("n_terms").cast("long").alias("rel")
+    )
+    return ndcg_at_k(cand, k=10, rel_col="rel", score_col="score")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -6889,6 +6928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_mk_trend": q_value_mk_trend,
         "events_acf": q_events_acf,
         "events_cusum": q_events_cusum,
+        "ql_dirichlet": q_ql_dirichlet,
+        "bm25_ndcg": q_bm25_ndcg,
     }
 
 
@@ -12125,5 +12166,113 @@ def oracle_sql() -> dict[str, str]:
                  THEN round((SELECT max(gv) FROM g) / (n * total), 6)
                END AS cusum_norm
         FROM tot
+    """
+    # ql_dirichlet twin: same exact-integer ln arguments (μ literal
+    # int), the same fixed written-order per-term chain.
+    _QL_TERMS_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    _QL_TF = ", ".join(
+        f"coalesce(max(CASE WHEN token = '{t}' THEN tf END), 0) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    _QL_CF = ", ".join(
+        f"max(CASE WHEN token = '{t}' THEN cf END) AS cf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    _QL_CHAIN = " + ".join(
+        f"(ln(CAST(tf{i} * c_len + {_QL_MU} * cf{i} AS DOUBLE))"
+        f" - ln(CAST(c_len * (dl + {_QL_MU}) AS DOUBLE)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    d["ql_dirichlet"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        st AS (SELECT CAST(sum(dl) AS BIGINT) AS c_len FROM dl),
+        tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+               FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+               WHERE token IN ({_QL_TERMS_IN})
+               GROUP BY 1, 2),
+        cf AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cf
+               FROM tf GROUP BY 1),
+        cfs AS (SELECT {_QL_CF} FROM cf),
+        g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                     {_QL_TF}
+              FROM tf GROUP BY 1),
+        sc AS (SELECT g.doc_id, g.n_terms, dl.dl,
+                      {_QL_CHAIN} AS score
+               FROM g JOIN dl USING (doc_id)
+               CROSS JOIN st CROSS JOIN cfs)
+        SELECT doc_id, n_terms, dl, round(score, 6) AS ql
+        FROM sc ORDER BY score DESC, doc_id LIMIT 50
+    """
+    # bm25_ndcg twin: the bm25_topk score CTEs verbatim, rel =
+    # n_terms, repr-shared discounts, fixed-position chains, the
+    # same (…, doc_id) tie-broken top slices.
+    import math as _math
+
+    _NDCG_K = 10
+    _NDCG_D = [1.0 / _math.log2(i + 1) for i in range(1, _NDCG_K + 1)]
+    _ND_G = ", ".join(
+        f"coalesce(max(CASE WHEN r = {i + 1} THEN rel END), 0) AS g{i}"
+        for i in range(_NDCG_K)
+    )
+    _ND_H = ", ".join(
+        f"coalesce(max(CASE WHEN r = {i + 1} THEN rel END), 0) AS h{i}"
+        for i in range(_NDCG_K)
+    )
+    _ND_DCG = " + ".join(
+        f"CAST(g{i} AS DOUBLE) * {_NDCG_D[i]!r}" for i in range(_NDCG_K)
+    )
+    _ND_IDCG = " + ".join(
+        f"CAST(h{i} AS DOUBLE) * {_NDCG_D[i]!r}" for i in range(_NDCG_K)
+    )
+    _ND_S = " + ".join(f"s{i}" for i in range(len(_BM25_TERMS)))
+    d["bm25_ndcg"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        st AS (SELECT count(*) AS n_docs,
+                      CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM (
+                 SELECT doc_id, unnest(toks) AS token FROM t)
+               WHERE token IN ({_QL_TERMS_IN})
+               GROUP BY 1, 2),
+        dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        sc AS (SELECT tf.doc_id, tf.token,
+                 (ln(CAST(2 * st.n_docs + 2 AS DOUBLE))
+                  - ln(CAST(2 * dft.df + 1 AS DOUBLE)))
+                 * ((CAST(tf.tf AS DOUBLE)
+                     * {_BM25_K1 + 1.0!r})
+                    / (CAST(tf.tf AS DOUBLE)
+                       + {_BM25_K1 * (1.0 - _BM25_B)!r}
+                       + ({_BM25_K1 * _BM25_B!r}
+                          * CAST(dl.dl AS DOUBLE)
+                          * CAST(st.n_docs AS DOUBLE)
+                          / CAST(st.total_len AS DOUBLE)))) AS s
+               FROM tf JOIN dft USING (token)
+               JOIN dl USING (doc_id) CROSS JOIN st),
+        gp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS rel,
+                 {", ".join(
+                   f"coalesce(max(CASE WHEN token = '{t}' THEN s"
+                   f" END), 0.0) AS s{i}"
+                   for i, t in enumerate(_BM25_TERMS))}
+               FROM sc GROUP BY doc_id),
+        cand AS (SELECT doc_id, rel, {_ND_S} AS score FROM gp),
+        top AS (SELECT row_number() OVER (ORDER BY score DESC, doc_id)
+                         AS r, rel
+                FROM (SELECT * FROM cand
+                      ORDER BY score DESC, doc_id LIMIT {_NDCG_K})),
+        ideal AS (SELECT row_number() OVER (ORDER BY rel DESC, doc_id)
+                           AS r, rel
+                  FROM (SELECT * FROM cand
+                        ORDER BY rel DESC, doc_id LIMIT {_NDCG_K})),
+        gt AS (SELECT {_ND_G} FROM top),
+        ht AS (SELECT {_ND_H} FROM ideal),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand)
+        SELECT {_NDCG_K} AS k, n_candidates,
+               round({_ND_DCG}, 6) AS dcg,
+               round({_ND_IDCG}, 6) AS idcg,
+               CASE WHEN ({_ND_IDCG}) != 0.0
+                 THEN round(({_ND_DCG}) / ({_ND_IDCG}), 6)
+               END AS ndcg
+        FROM gt, ht, n
     """
     return d

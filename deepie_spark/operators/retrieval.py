@@ -404,3 +404,153 @@ def mmr_rerank(
             else selected.unionByName(sel_new)
         ).localCheckpoint(eager=True)
     return out
+
+
+def dirichlet_ql_scores(
+    docs: DataFrame,
+    terms: list[str],
+    mu: int = 2000,
+    id_col: str = "doc_id",
+    toks_col: str = "toks",
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty) over documents matching ≥ 1 query term::
+
+        score(d) = Σ_t ln((tf + μ·cf_t/C) / (dl + μ))
+                 = Σ_t [ln(tf·C + μ·cf_t) − ln(C·(dl + μ))]
+
+    Engine-portability is the bm25_scores playbook: μ is an INTEGER,
+    so both ln arguments are exact longs widened to double (libm gets
+    the identical argument on both engines), and the per-term sum is
+    a fixed written-order chain, never a row-order FP aggregate.
+    Scale plan identical to bm25: literal term list → broadcast cf/df
+    tables, explode filters to query-term matches before any shuffle.
+    Docs with no match are not scored (the standard candidate-set
+    convention); query terms absent from the corpus (cf = 0) are a
+    caller error and yield NULL scores.
+    """
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks_col).cast("long").alias("dl"),
+    )
+    stats = dl.agg(F.sum("dl").cast("long").alias("c_len"))
+    matches = F.filter(F.col(toks_col), lambda t: t.isin(terms))
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(matches).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    cf = tf.groupBy("token").agg(F.sum("tf").cast("long").alias("cf"))
+    cfs = cf.agg(
+        *[
+            F.max(F.when(F.col("token") == t, F.col("cf"))).alias(f"cf_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    g = tf.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("token") == t, F.col("tf"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    j = (
+        g.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(cfs))
+    )
+    mu_l = F.lit(int(mu))
+    base = F.log(
+        (F.col("c_len") * (F.col("dl") + mu_l)).cast("double")
+    )
+    total = None
+    for i in range(len(terms)):
+        term = (
+            F.log(
+                (
+                    F.col(f"tf_{i}") * F.col("c_len")
+                    + mu_l * F.col(f"cf_{i}")
+                ).cast("double")
+            )
+            - base
+        )
+        total = term if total is None else total + term
+    return j.select("doc_id", "n_terms", "dl", total.alias("score"))
+
+
+def ndcg_at_k(
+    scored: DataFrame,
+    k: int = 10,
+    rel_col: str = "rel",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """NDCG@k of a ranking against integer relevance labels: DCG =
+    Σ_{i≤k} rel_i / log2(i+1) with the discounts 1/log2(i+1)
+    precomputed as repr-shared python-float literals (both engines
+    multiply the identical doubles) and the position sum a FIXED
+    left-associative chain, never a row-order FP aggregate.  The
+    ranking and the ideal ranking are both top-k via
+    TakeOrderedAndProject ((score desc, id) / (rel desc, id) —
+    deterministic tie-breaks); the only window is over the ≤k-row
+    top slices (the lorenz_deciles bounded-input precedent).  NULL
+    ndcg when every candidate has zero relevance (idcg exactly 0.0 —
+    a sum of exact zero products)."""
+    import math
+
+    from pyspark.sql import Window as W
+
+    disc = [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+
+    def _top_chain(df, order, prefix):
+        top = df.orderBy(*order).limit(k)
+        w = W.orderBy(*order)
+        # ≤k rows — bounded keyless window, the lorenz precedent
+        ranked = top.select(
+            F.row_number().over(w).alias("_r"),
+            F.col(rel_col).cast("long").alias("_rel"),
+        )
+        cols = [
+            F.coalesce(
+                F.max(F.when(F.col("_r") == i + 1, F.col("_rel"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"{prefix}{i}")
+            for i in range(k)
+        ]
+        return ranked.agg(*cols)
+
+    dcg_row = _top_chain(
+        scored, [F.desc(score_col), F.col(id_col)], "g_"
+    )
+    ideal_row = _top_chain(
+        scored, [F.desc(rel_col), F.col(id_col)], "h_"
+    )
+    n = scored.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+
+    def _chain(prefix):
+        tot = None
+        for i in range(k):
+            term = F.col(f"{prefix}{i}").cast("double") * F.lit(disc[i])
+            tot = term if tot is None else tot + term
+        return tot
+
+    j = dcg_row.crossJoin(F.broadcast(ideal_row)).crossJoin(
+        F.broadcast(n)
+    )
+    dcg, idcg = _chain("g_"), _chain("h_")
+    return j.select(
+        F.lit(k).alias("k"),
+        "n_candidates",
+        F.round(dcg, 6).alias("dcg"),
+        F.round(idcg, 6).alias("idcg"),
+        F.when(idcg != 0.0, F.round(dcg / idcg, 6)).alias("ndcg"),
+    )

@@ -214,3 +214,90 @@ def test_mmr_rerank_python_twin(spark):
     c1 = {k for k in range(1, 7)}
     picked = {p[1] for p in expect}
     assert picked - c1 and picked & c1
+
+
+def _python_ql(docs, terms, mu=2000):
+    toks = {d: t.split() for d, t in docs}
+    c_len = sum(map(len, toks.values()))
+    cf = {t: sum(ws.count(t) for ws in toks.values()) for t in terms}
+    out = {}
+    for d, ws in toks.items():
+        matched = sum(1 for t in terms if t in ws)
+        if not matched:
+            continue
+        score = None
+        for t in terms:  # fixed term order, like the operator
+            tf = ws.count(t)
+            term = math.log(tf * c_len + mu * cf[t]) - math.log(
+                c_len * (len(ws) + mu)
+            )
+            score = term if score is None else score + term
+        out[d] = (matched, len(ws), round(score, 6))
+    return out
+
+
+def test_ql_dirichlet_python_twin(spark):
+    from deepie_spark.operators.retrieval import dirichlet_ql_scores
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    toks = df.select("doc_id", F.split("text", " ").alias("toks"))
+    got = {
+        r["doc_id"]: (r["n_terms"], r["dl"], round(r["score"], 6))
+        for r in dirichlet_ql_scores(toks, TERMS).collect()
+    }
+    assert got == _python_ql(DOCS, TERMS)
+    assert 4 not in got  # candidate-set convention
+    # smoothing sanity: all scores are log-probabilities < 0
+    assert all(s < 0 for _, _, s in got.values())
+
+
+def test_ql_dirichlet_repartition_invariant(spark):
+    from deepie_spark.operators.retrieval import dirichlet_ql_scores
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    toks = df.select("doc_id", F.split("text", " ").alias("toks"))
+    a = sorted(map(tuple, dirichlet_ql_scores(toks, TERMS).collect()))
+    b = sorted(
+        map(
+            tuple,
+            dirichlet_ql_scores(toks.repartition(7), TERMS).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_ndcg_hand_case(spark):
+    from deepie_spark.operators.retrieval import ndcg_at_k
+
+    # 5 candidates; ranking by score puts rel (3,0,2,1,0) at the top
+    rows = [
+        (1, 3, 9.0),
+        (2, 0, 8.0),
+        (3, 2, 7.0),
+        (4, 1, 6.0),
+        (5, 0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, rel long, score double")
+    r = ndcg_at_k(df, k=3).collect()[0]
+    d = [1.0 / math.log2(i + 1) for i in (1, 2, 3)]
+    dcg = 3 * d[0] + 0 * d[1] + 2 * d[2]
+    idcg = 3 * d[0] + 2 * d[1] + 1 * d[2]
+    assert (r.k, r.n_candidates) == (3, 5)
+    assert r.dcg == round(dcg, 6)
+    assert r.idcg == round(idcg, 6)
+    assert r.ndcg == round(dcg / idcg, 6)
+
+
+def test_ndcg_perfect_and_zero(spark):
+    from deepie_spark.operators.retrieval import ndcg_at_k
+
+    # score order == relevance order: ndcg is exactly 1
+    rows = [(i, 10 - i, float(100 - i)) for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "doc_id long, rel long, score double")
+    assert ndcg_at_k(df, k=5).collect()[0].ndcg == 1.0
+    # all-zero relevance: idcg = 0 exactly -> NULL ndcg
+    z = spark.createDataFrame(
+        [(i, 0, float(i)) for i in range(1, 6)],
+        "doc_id long, rel long, score double",
+    )
+    assert ndcg_at_k(z, k=5).collect()[0].ndcg is None
