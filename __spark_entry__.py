@@ -6684,6 +6684,43 @@ def q_bm25_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ndcg_at_k(cand, k=10, rel_col="rel", score_col="score")
 
 
+def q_token_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-moment sketch of the token stream
+    (operators/sketches.py ams_f2): 16 exact-long ±1-hash counters
+    beside the exact F2 — the self-join-size/skew estimator, fully
+    integer and hash-gated unlike the FP sketch families."""
+    from deepie_spark.operators.sketches import ams_f2
+
+    occ = _occ(spark, sf_dir).select("token")
+    return ams_f2(occ, "token", n_counters=16)
+
+
+def q_user_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival over per-user lifetimes (first→last
+    event day; users still active on the corpus max day are right-
+    censored) — operators/stats.py kaplan_meier: exact at-risk and
+    death counts, fixed-point exact-long cumulative ln-survival, exp
+    left client-side."""
+    from deepie_spark.operators.stats import kaplan_meier
+
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+    )
+    pu = e.groupBy("user_id").agg(
+        F.min("day").alias("f"), F.max("day").alias("l")
+    )
+    mx = pu.agg(F.max("l").alias("maxd"))
+    du = pu.crossJoin(F.broadcast(mx)).select(
+        F.datediff("l", "f").cast("long").alias("dur"),
+        F.when(F.col("l") < F.col("maxd"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ev"),
+    )
+    return kaplan_meier(du, "dur", "ev")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -6930,6 +6967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum": q_events_cusum,
         "ql_dirichlet": q_ql_dirichlet,
         "bm25_ndcg": q_bm25_ndcg,
+        "token_ams_f2": q_token_ams_f2,
+        "user_survival_km": q_user_survival_km,
     }
 
 
@@ -12274,5 +12313,68 @@ def oracle_sql() -> dict[str, str]:
                  THEN round(({_ND_DCG}) / ({_ND_IDCG}), 6)
                END AS ndcg
         FROM gt, ht, n
+    """
+    # token_ams_f2 twin: same poly hash, the same literal per-counter
+    # affine coefficients, sign from the identical parity expression.
+    from deepie_spark.operators.sketches import ams_coeffs
+
+    _AMS_JS = ",\n          ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(ams_coeffs(16))
+    )
+    d["token_ams_f2"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        occ AS (SELECT unnest(toks) AS token FROM t),
+        freq AS (SELECT token, CAST(count(*) AS BIGINT) AS f
+                 FROM occ GROUP BY 1),
+        h AS (SELECT f, {_poly_hash_sql('token')} AS h0 FROM freq),
+        js(j, a, b) AS (VALUES
+          {_AMS_JS}),
+        e AS (SELECT js.j, h.f,
+                     CAST(1 - 2 * (((h.h0 * js.a + js.b) % {MOD}) % 2)
+                       AS BIGINT) AS s
+              FROM h CROSS JOIN js),
+        z AS (SELECT j, CAST(sum(f * s) AS BIGINT) AS z
+              FROM e GROUP BY 1),
+        f2 AS (SELECT CAST(sum(f * f) AS BIGINT) AS exact_f2 FROM freq)
+        SELECT j, z, CAST(z * z AS BIGINT) AS z2, exact_f2,
+               round((z * z) / exact_f2, 6) AS ratio
+        FROM z, f2 ORDER BY j
+    """
+    # user_survival_km twin: window cumsums (the Spark side rides
+    # prefix_sum_in_order), identical exact-integer ln args and the
+    # same 2^40 fixed-point floor.
+    _KM_SCALE = repr(float(1 << 40))
+    d["user_survival_km"] = f"""
+        WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        pu AS (SELECT user_id, min(day) AS f, max(day) AS l
+               FROM e GROUP BY 1),
+        mx AS (SELECT max(l) AS maxd FROM pu),
+        du AS (SELECT CAST(l - f AS BIGINT) AS t,
+                      CASE WHEN l < maxd THEN 1 ELSE 0 END AS ev
+               FROM pu, mx),
+        pt AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+                      CAST(sum(1 - ev) AS BIGINT) AS c,
+                      CAST(count(*) AS BIGINT) AS m
+               FROM du GROUP BY 1),
+        tot AS (SELECT CAST(sum(m) AS BIGINT) AS nn FROM pt),
+        cm AS (SELECT t, d, c, m,
+                      CAST(sum(m) OVER (ORDER BY t) AS BIGINT) AS cum
+               FROM pt),
+        rk AS (SELECT t, d, c,
+                      CAST(nn - (cum - m) AS BIGINT) AS n_risk
+               FROM cm, tot),
+        tm AS (SELECT t, n_risk, d, c,
+                 CASE WHEN n_risk > d THEN
+                   CAST(floor((ln(CAST(n_risk - d AS DOUBLE))
+                               - ln(CAST(n_risk AS DOUBLE)))
+                              * {_KM_SCALE}) AS BIGINT)
+                 END AS term_fp,
+                 CASE WHEN n_risk = d THEN 1 ELSE 0 END AS ab
+               FROM rk)
+        SELECT t, n_risk, d AS d_deaths, c AS c_censored, term_fp,
+               CAST(sum(coalesce(term_fp, 0)) OVER (ORDER BY t)
+                 AS BIGINT) AS surv_fp,
+               CAST(sum(ab) OVER (ORDER BY t) AS BIGINT) AS absorbed
+        FROM tm ORDER BY t
     """
     return d

@@ -287,3 +287,78 @@ def haar_coefficient_signs(n_bins: int) -> list[tuple[str, dict[int, int]]]:
             coefs.append((f"d{size}_{i}", signs))
         size //= 2
     return coefs
+
+
+#: per-counter affine coefficients for the AMS ±1 hash — literal ints
+#: shared with the DuckDB twin (the minhash-coefficient convention).
+def ams_coeffs(n_counters: int) -> list[tuple[int, int]]:
+    return [
+        (1_103_515_245 + 2 * j + 1, 12_345 + 789 * j)
+        for j in range(n_counters)
+    ]
+
+
+def ams_f2(
+    items: DataFrame, item_col: str = "token", n_counters: int = 16
+) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) second-frequency-moment sketch:
+    counter j holds Z_j = Σ_x f_x·s_j(x) with s_j(x) = ±1 from the
+    parity of an affine transform of the portable poly hash — EVERY
+    value in the sketch is an exact long (the ±1 draws are integer
+    hash parities, the accumulation a plain integer sum), so the
+    whole sketch is hash-gateable, unlike FP sketch families.
+    E[Z_j²] = F2 = Σ f²; the caller medians the Z² column for the
+    classic estimate.  One frequency agg + one vocab×J agg — the
+    J-fold expansion touches the VOCABULARY, never the corpus.
+    Emits per-counter rows (j, z, z2) with the exact F2 and the
+    per-counter ratio alongside.  Overflow: |Z_j| ≤ N (stream
+    length); Z² needs N² < 2⁶³."""
+    from deepie_spark.functions.text import MOD, char_poly_hash_str
+
+    freq = items.groupBy(F.col(item_col).alias("_x")).agg(
+        F.count(F.lit(1)).cast("long").alias("_f")
+    )
+    h = freq.withColumn("_h", char_poly_hash_str(F.col("_x")))
+    jc = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.lit(a).alias("a"),
+                    F.lit(b).alias("b"),
+                )
+                for j, (a, b) in enumerate(ams_coeffs(n_counters))
+            ]
+        )
+    ).alias("_jc")
+    e = h.select("_f", "_h", jc).select(
+        "_f",
+        F.col("_jc.j").alias("j"),
+        (
+            F.lit(1)
+            - F.lit(2)
+            * (
+                ((F.col("_h") * F.col("_jc.a") + F.col("_jc.b")) % MOD)
+                % 2
+            )
+        ).alias("_s"),
+    )
+    z = e.groupBy("j").agg(
+        F.sum(F.col("_f") * F.col("_s")).cast("long").alias("z")
+    )
+    f2 = freq.agg(
+        F.sum(F.col("_f") * F.col("_f")).cast("long").alias("exact_f2")
+    )
+    return (
+        z.crossJoin(F.broadcast(f2))
+        .select(
+            "j",
+            "z",
+            (F.col("z") * F.col("z")).cast("long").alias("z2"),
+            "exact_f2",
+            F.round(
+                (F.col("z") * F.col("z")) / F.col("exact_f2"), 6
+            ).alias("ratio"),
+        )
+        .orderBy("j")
+    )

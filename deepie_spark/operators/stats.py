@@ -778,3 +778,84 @@ def cusum_changepoint(
             F.round(F.col("m.g") / (F.col("n") * F.col("total")), 6),
         ).alias("cusum_norm"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame, dur_col: str, event_col: str
+) -> DataFrame:
+    """Kaplan-Meier survival table from per-subject (duration, event)
+    rows (event 1 = observed, 0 = right-censored): one row per
+    distinct duration t with the at-risk count n_t = #{dur ≥ t}, the
+    death/censor counts, and the log-survival as an exact-long
+    fixed-point cumulative ln S(t) = Σ_{t'≤t} ln((n−d)/n) — each term
+    ln(n−d) − ln(n) has exact-integer libm arguments (the PMI rule)
+    and the fixed-point floor (2⁴⁰ scale) makes the running sum an
+    order-free integer (the link_prediction rule); exp stays OUT of
+    the gated surface (no cross-engine precedent — callers exponentiate
+    client-side).  When a step absorbs the whole risk set (n = d,
+    S → 0) its term is NULL and the ``absorbed`` counter marks every
+    later row; at-risk and both cumulatives ride prefix_sum_in_order
+    (no single-partition window)."""
+    from deepie_spark.operators.sweep import prefix_sum_in_order
+
+    per_t = df.groupBy(
+        F.col(dur_col).cast("long").alias("_t")
+    ).agg(
+        F.sum(F.col(event_col).cast("long")).cast("long").alias("_d"),
+        F.sum(F.lit(1) - F.col(event_col).cast("long"))
+        .cast("long")
+        .alias("_c"),
+        F.count(F.lit(1)).cast("long").alias("_m"),
+    )
+    cm = prefix_sum_in_order(per_t, "_t", "_m", out_col="_cm")
+    tot = per_t.agg(F.sum("_m").cast("long").alias("_n"))
+    rk = cm.crossJoin(F.broadcast(tot)).select(
+        "_t",
+        "_d",
+        "_c",
+        (F.col("_n") - (F.col("_cm") - F.col("_m")))
+        .cast("long")
+        .alias("_nr"),
+    )
+    scale = F.lit(float(1 << 40))
+    term = F.floor(
+        (
+            F.log((F.col("_nr") - F.col("_d")).cast("double"))
+            - F.log(F.col("_nr").cast("double"))
+        )
+        * scale
+    ).cast("long")
+    tm = rk.select(
+        "_t",
+        "_nr",
+        "_d",
+        "_c",
+        F.when(F.col("_nr") > F.col("_d"), term).alias("_term"),
+        F.when(F.col("_nr") == F.col("_d"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("_ab"),
+    )
+    s1 = prefix_sum_in_order(
+        tm.select("_t", F.coalesce("_term", F.lit(0)).alias("_tz")),
+        "_t",
+        "_tz",
+        out_col="_surv",
+    ).select("_t", "_surv")
+    s2 = prefix_sum_in_order(
+        tm.select("_t", "_ab"), "_t", "_ab", out_col="_abc"
+    ).select("_t", "_abc")
+    return (
+        tm.join(s1, "_t")
+        .join(s2, "_t")
+        .select(
+            F.col("_t").alias("t"),
+            F.col("_nr").alias("n_risk"),
+            F.col("_d").alias("d_deaths"),
+            F.col("_c").alias("c_censored"),
+            F.col("_term").alias("term_fp"),
+            F.col("_surv").alias("surv_fp"),
+            F.col("_abc").alias("absorbed"),
+        )
+        .orderBy("t")
+    )

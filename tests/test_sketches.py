@@ -138,3 +138,36 @@ def test_haar_synopsis_rejects_bad_bins(spark):
     df = spark.createDataFrame([("g", 0)], ["g", "b"])
     with _pytest.raises(ValueError):
         haar_synopsis(df, "g", "b", n_bins=12)
+
+
+def test_ams_f2_python_twin_and_estimate(spark):
+    from collections import Counter
+
+    from deepie_spark.functions.text import BASE, MOD
+    from deepie_spark.operators.sketches import ams_coeffs, ams_f2
+
+    # Zipf-ish stream: token k appears ~N/k times
+    stream = [f"tok{k}" for k in range(1, 40) for _ in range(200 // k)]
+    df = spark.createDataFrame([(t,) for t in stream], "token string")
+    rows = {r.j: r for r in ams_f2(df, "token", 16).collect()}
+
+    def ph(s):
+        h = 0
+        for ch in s:
+            h = (h * BASE + ord(ch)) % MOD
+        return h
+
+    freq = Counter(stream)
+    f2 = sum(f * f for f in freq.values())
+    for j, (a, b) in enumerate(ams_coeffs(16)):
+        z = sum(
+            f * (1 - 2 * (((ph(x) * a + b) % MOD) % 2))
+            for x, f in freq.items()
+        )
+        r = rows[j]
+        assert (r.z, r.z2, r.exact_f2) == (z, z * z, f2)
+        assert r.ratio == round(z * z / f2, 6)
+    # median-of-counters estimate lands within a small constant factor
+    z2s = sorted(r.z2 for r in rows.values())
+    est = (z2s[7] + z2s[8]) / 2
+    assert f2 / 4 < est < f2 * 4

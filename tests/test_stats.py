@@ -732,3 +732,57 @@ def test_cusum_python_twin(spark):
     assert (r.n, r.total) == (n, total)
     assert r.g_num == int(g.max())
     assert r.at_idx == int(np.argmax(g)) + 1  # numpy argmax = first
+
+
+def test_kaplan_meier_hand_case(spark):
+    import math
+
+    from deepie_spark.operators.stats import kaplan_meier
+
+    # classic toy: durations 1,1,2,3+,4 (3 censored at t=3)
+    rows = [(1, 1), (1, 1), (2, 1), (3, 0), (4, 1)]
+    df = spark.createDataFrame(rows, "dur long, ev long")
+    out = {r.t: r for r in kaplan_meier(df, "dur", "ev").collect()}
+    # t=1: n=5, d=2 ; t=2: n=3, d=1 ; t=3: n=2, d=0 (censor only) ;
+    # t=4: n=1, d=1 -> absorbed
+    assert (out[1].n_risk, out[1].d_deaths, out[1].c_censored) == (5, 2, 0)
+    assert (out[2].n_risk, out[2].d_deaths) == (3, 1)
+    assert (out[3].n_risk, out[3].d_deaths, out[3].c_censored) == (2, 0, 1)
+    assert (out[4].n_risk, out[4].d_deaths) == (1, 1)
+    assert out[4].term_fp is None and out[4].absorbed == 1
+    assert out[3].absorbed == 0
+    S = float(1 << 40)
+    t1 = math.floor((math.log(3) - math.log(5)) * S)
+    t2 = math.floor((math.log(2) - math.log(3)) * S)
+    t3 = math.floor((math.log(2) - math.log(2)) * S)
+    assert out[1].term_fp == t1 and out[2].term_fp == t2
+    assert out[3].term_fp == t3 == 0
+    assert out[3].surv_fp == t1 + t2 + t3
+    # survival after t=2 recovers the exact product 3/5 * 2/3 = 0.4
+    assert abs(math.exp(out[2].surv_fp / S) - 0.4) < 1e-9
+
+
+def test_km_query_counts(spark):
+    import pandas as pd
+
+    from __spark_entry__ import q_user_survival_km
+
+    out = q_user_survival_km(spark, "/root/testdata/sf0.001").collect()
+    pdf = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    pdf["day"] = pd.to_datetime(pdf["ts"]).dt.floor("D")
+    g = pdf.groupby("user_id")["day"].agg(["min", "max"])
+    maxd = g["max"].max()
+    dur = (g["max"] - g["min"]).dt.days
+    ev = (g["max"] < maxd).astype(int)
+    import collections
+
+    per = collections.Counter(zip(dur, ev))
+    n_users = len(g)
+    # at-risk counts and death counts match the pandas twin
+    for r in out:
+        assert r.d_deaths == per.get((r.t, 1), 0)
+        assert r.c_censored == per.get((r.t, 0), 0)
+        assert r.n_risk == sum(
+            c for (t, _), c in per.items() if t >= r.t
+        )
+    assert sum(r.d_deaths + r.c_censored for r in out) == n_users
