@@ -6721,6 +6721,22 @@ def q_user_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kaplan_meier(du, "dur", "ev")
 
 
+def q_embedding_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """±1 random projection of the SQ8 codes to 8 dims
+    (operators/quantize.py random_project_codes): every projected
+    value an exact long (integer codes × hash-parity signs), the JL
+    matrix never materialized — the cheap-sketch companion to
+    embedding_pq for coarse distance screening."""
+    from deepie_spark.operators.quantize import (
+        random_project_codes,
+        scalar_quantize,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    codes = scalar_quantize(emb)
+    return random_project_codes(codes, m_dims=8)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -6969,6 +6985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_ndcg": q_bm25_ndcg,
         "token_ams_f2": q_token_ams_f2,
         "user_survival_km": q_user_survival_km,
+        "embedding_rp": q_embedding_rp,
     }
 
 
@@ -12376,5 +12393,35 @@ def oracle_sql() -> dict[str, str]:
                  AS BIGINT) AS surv_fp,
                CAST(sum(ab) OVER (ORDER BY t) AS BIGINT) AS absorbed
         FROM tm ORDER BY t
+    """
+    # embedding_rp twin: the embedding_quantize code CTE verbatim,
+    # the same literal affine sign hash.
+    from deepie_spark.operators.quantize import RP_A, RP_B, RP_C
+
+    d["embedding_rp"] = f"""
+        WITH x AS (
+          SELECT vec_id, CAST(i AS INTEGER) AS dim,
+                 CAST(embedding[i + 1] AS DOUBLE) AS xv
+          FROM (SELECT vec_id, embedding,
+                       unnest(range(len(embedding))) AS i
+                FROM embeddings)
+        ),
+        st AS (SELECT dim, min(xv) AS lo, max(xv) AS hi
+               FROM x GROUP BY 1),
+        codes AS (SELECT vec_id, CAST(dim AS BIGINT) AS d,
+                         CAST(CASE WHEN hi > lo THEN
+                                least(255, floor((xv - lo) / (hi - lo)
+                                                 * 256.0))
+                              ELSE 0 END AS BIGINT) AS c
+                  FROM x JOIN st USING (dim)),
+        os AS (SELECT unnest(generate_series(0, 7)) AS o),
+        e AS (SELECT vec_id, o,
+                     c * CAST(1 - 2 * (((d * {RP_A} + o * {RP_B}
+                                         + {RP_C}) % {MOD}) % 2)
+                              AS BIGINT) AS cy
+              FROM codes CROSS JOIN os)
+        SELECT vec_id, CAST(o AS INTEGER) AS o,
+               CAST(sum(cy) AS BIGINT) AS y
+        FROM e GROUP BY 1, 2
     """
     return d

@@ -240,3 +240,50 @@ def pq_topk(
         .filter(F.col("rank") <= int(k))
         .select("query_id", "vec_id", "rank", "adc")
     )
+
+
+#: affine sign-hash coefficients for the JL projection — literal ints
+#: shared with the DuckDB twin.
+RP_A, RP_B, RP_C = 2_654_435_761, 40_503, 97
+
+
+def random_project_codes(
+    codes: DataFrame,
+    m_dims: int = 8,
+    id_col: str = "vec_id",
+    dim_col: str = "dim",
+    code_col: str = "code",
+) -> DataFrame:
+    """Johnson-Lindenstrauss-style ±1 random projection over INTEGER
+    quantization codes (the scalar_quantize output): output dim o of
+    vector v is y_o = Σ_d code_d · s(d, o) with s(d, o) = ±1 from the
+    parity of an affine hash of (d, o) — the projection matrix is
+    never materialized, and because the inputs are ints every
+    projected value is an EXACT long (Achlioptas' database-friendly
+    variant, made hash-gateable by quantizing first).  Plan: the
+    m-fold expansion rides a literal array explode, one hash agg on
+    (id, o) — shuffle is N·m rows, independent of the input dim.
+    Distance preservation: E[‖y_u − y_v‖²] = m·‖code_u − code_v‖²
+    (callers divide by m)."""
+    from deepie_spark.functions.text import MOD
+
+    os_ = F.explode(
+        F.array(*[F.lit(o) for o in range(m_dims)])
+    ).alias("o")
+    e = codes.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(dim_col).cast("long").alias("_d"),
+        F.col(code_col).cast("long").alias("_c"),
+    ).select("vec_id", "_d", "_c", os_)
+    sign = F.lit(1) - F.lit(2) * (
+        (
+            (F.col("_d") * F.lit(RP_A) + F.col("o") * F.lit(RP_B) + F.lit(RP_C))
+            % F.lit(MOD)
+        )
+        % 2
+    )
+    return (
+        e.groupBy("vec_id", "o")
+        .agg(F.sum(F.col("_c") * sign).cast("long").alias("y"))
+        .select("vec_id", F.col("o").cast("int").alias("o"), "y")
+    )

@@ -130,3 +130,51 @@ def test_pq_topk_matches_python_adc(spark):
             if rank <= 5:
                 want[(qid, vid)] = (rank, adc)
     assert got == want
+
+
+def test_rp_python_twin_and_distance_preservation(spark):
+    import numpy as np
+
+    from deepie_spark.functions.text import MOD
+    from deepie_spark.operators.quantize import (
+        RP_A,
+        RP_B,
+        RP_C,
+        random_project_codes,
+    )
+
+    rng = np.random.default_rng(11)
+    d, m, n = 32, 8, 30
+    codes = rng.integers(0, 256, size=(n, d))
+    rows = [
+        (int(v), int(dim), int(codes[v, dim]))
+        for v in range(n)
+        for dim in range(d)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, dim int, code int")
+    got = {
+        (r.vec_id, r.o): r.y
+        for r in random_project_codes(df, m_dims=m).collect()
+    }
+    sign = np.array(
+        [
+            [1 - 2 * (((dim * RP_A + o * RP_B + RP_C) % MOD) % 2) for o in range(m)]
+            for dim in range(d)
+        ]
+    )
+    y = codes @ sign
+    assert got == {
+        (v, o): int(y[v, o]) for v in range(n) for o in range(m)
+    }
+    # JL sanity: mean over pairs of ||yu-yv||^2/(m*||cu-cv||^2) near 1
+    ratios = []
+    for u in range(0, n, 3):
+        for v in range(1, n, 7):
+            if u == v:
+                continue
+            d2 = ((codes[u] - codes[v]) ** 2).sum()
+            p2 = ((y[u] - y[v]) ** 2).sum()
+            if d2:
+                ratios.append(p2 / (m * d2))
+    r = float(np.mean(ratios))
+    assert 0.5 < r < 2.0
