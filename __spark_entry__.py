@@ -6737,6 +6737,119 @@ def q_embedding_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_project_codes(codes, m_dims=8)
 
 
+def q_value_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of order totals in integer cents: ranks ride
+    rank_in_order over (cents, o_orderkey) (no single-partition
+    window), the trim depth k = N div 10 is an integer DIV (the
+    vocab_growth rule), and the kept mass is an exact long — the
+    robust-location companion to robust_outliers' median/MAD."""
+    from deepie_spark.operators.dictionary import rank_in_order
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    c = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).withColumn("_ord", F.struct("cents", "k"))
+    ranked = rank_in_order(c, "_ord", start_id=1, id_col="r")
+    nn = c.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = ranked.crossJoin(F.broadcast(nn))
+    kept = j.filter(
+        (F.col("r") > F.expr("n div 10"))
+        & (F.col("r") <= F.col("n") - F.expr("n div 10"))
+    )
+    agg = kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("cents").cast("long").alias("kept_sum"),
+        F.first("n", ignorenulls=True).alias("n"),
+    )
+    return agg.select(
+        "n",
+        "n_kept",
+        "kept_sum",
+        F.round(F.col("kept_sum") / F.col("n_kept"), 6).alias(
+            "trimmed_mean"
+        ),
+    )
+
+
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types: |users_a ∩
+    users_b| and Jaccard over the DISTINCT (type, user) sets — the
+    segment-overlap audit.  The self-join keys on user_id (never on
+    the bounded type dimension), pairs are ordered a < b, and every
+    count is an exact long with one final divide."""
+    ut = (
+        _events(spark, sf_dir)
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    per = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    b = ut.select(
+        F.col("event_type").alias("type_b"), "user_id"
+    )
+    common = (
+        ut.join(b, "user_id")
+        .filter(F.col("event_type") < F.col("type_b"))
+        .groupBy(
+            F.col("event_type").alias("type_a"), "type_b"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    pa = per.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n_users").alias("n_a"),
+    )
+    pb = per.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n_users").alias("n_b"),
+    )
+    return (
+        common.join(pa, "type_a")
+        .join(pb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("n_a") + F.col("n_b") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility (subword tokens per word, chars
+    per subword token) from the REAL bpe_encode output — the
+    tokenizer-quality audit a curation run reads before fixing a
+    vocab: exact integer sums, two final divides."""
+    enc = q_bpe_encode(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    g = enc.join(d, "doc_id").groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("words"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "words",
+        "tokens",
+        "chars",
+        F.round(F.col("tokens") / F.col("words"), 6).alias("fertility"),
+        F.round(F.col("chars") / F.col("tokens"), 6).alias(
+            "chars_per_token"
+        ),
+    ).orderBy("source")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -6986,6 +7099,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_ams_f2": q_token_ams_f2,
         "user_survival_km": q_user_survival_km,
         "embedding_rp": q_embedding_rp,
+        "value_trimmed_mean": q_value_trimmed_mean,
+        "audience_overlap": q_audience_overlap,
+        "bpe_fertility": q_bpe_fertility,
     }
 
 
@@ -12423,5 +12539,66 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, CAST(o AS INTEGER) AS o,
                CAST(sum(cy) AS BIGINT) AS y
         FROM e GROUP BY 1, 2
+    """
+    # value_trimmed_mean twin: row_number ranking with the same
+    # (cents, key) tie-break, the same integer-DIV trim depth.
+    d["value_trimmed_mean"] = """
+        WITH c AS (SELECT o_orderkey AS k,
+                          CAST(floor(o_totalprice * 100) AS BIGINT)
+                            AS cents
+                   FROM orders),
+        r AS (SELECT cents,
+                     CAST(row_number() OVER (ORDER BY cents, k)
+                       AS BIGINT) AS r
+              FROM c),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+        kept AS (SELECT cents FROM r, nn
+                 WHERE r > n // 10 AND r <= n - n // 10)
+        SELECT n,
+               CAST((SELECT count(*) FROM kept) AS BIGINT) AS n_kept,
+               CAST((SELECT sum(cents) FROM kept) AS BIGINT)
+                 AS kept_sum,
+               round((SELECT sum(cents) FROM kept)
+                     / (SELECT count(*) FROM kept), 6) AS trimmed_mean
+        FROM nn
+    """
+    # audience_overlap twin: same distinct (type, user) sets, ordered
+    # pairs, one divide.
+    d["audience_overlap"] = """
+        WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+        per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                FROM ut GROUP BY 1),
+        com AS (SELECT a.event_type AS type_a,
+                       b.event_type AS type_b,
+                       CAST(count(*) AS BIGINT) AS common
+                FROM ut a JOIN ut b
+                  ON a.user_id = b.user_id
+                 AND a.event_type < b.event_type
+                GROUP BY 1, 2)
+        SELECT type_a, type_b,
+               pa.n AS n_a, pb.n AS n_b, common,
+               round(common / (pa.n + pb.n - common), 6) AS jaccard
+        FROM com
+        JOIN per pa ON pa.event_type = type_a
+        JOIN per pb ON pb.event_type = type_b
+        ORDER BY type_a, type_b
+    """
+    # bpe_fertility twin: the full bpe_encode oracle nested as a
+    # subquery, then the per-source exact-integer rollup.
+    d["bpe_fertility"] = f"""
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(enc.n_words) AS BIGINT) AS words,
+               CAST(sum(enc.n_tokens) AS BIGINT) AS tokens,
+               CAST(sum(d.n_chars) AS BIGINT) AS chars,
+               round(CAST(sum(enc.n_tokens) AS BIGINT)
+                     / CAST(sum(enc.n_words) AS BIGINT), 6)
+                 AS fertility,
+               round(CAST(sum(d.n_chars) AS BIGINT)
+                     / CAST(sum(enc.n_tokens) AS BIGINT), 6)
+                 AS chars_per_token
+        FROM ({_bpe_encode_oracle_sql(_BPE_MERGES)}) enc
+        JOIN documents d USING (doc_id)
+        GROUP BY 1 ORDER BY 1
     """
     return d

@@ -93,18 +93,29 @@ def rank_in_order(
          triangular broadcast join (no window at all on that path);
       4. ``id = offset + local_rank``.
 
-    Ids are invariant to bucket boundaries, so the range sampler's
-    choice never affects results.  The range exchange is shared by the
-    rank and count branches (ReusedExchange).  Ties in ``order_col``
-    would be bucket-local but order-unspecified — callers must pass a
-    unique key (all ours are: min-struct / min-ordinal per value).
+    Ids are invariant to bucket boundaries, so the boundary choice
+    never affects results — PROVIDED every plan branch computes the
+    same bucket for the same key.  The original sampled
+    ``repartitionByRange`` + ``spark_partition_id()`` formulation
+    violated that silently: column pruning specializes the count
+    branch and the rank branch into different subplans, ReusedExchange
+    fails to deduplicate them, each branch re-samples its own
+    boundaries, and the offsets no longer match the local ranks
+    (observed as nondeterministically wrong rank sets at 8 cores on a
+    15k-row input).  Buckets therefore come from
+    ``sweep.pinned_range_bucket`` — driver-pinned literal quantile
+    boundaries (first numeric field for struct keys), or a
+    localCheckpoint-pinned sampled partitioning for non-numeric keys.
+    Ties in ``order_col`` would be bucket-local but order-unspecified —
+    callers must pass a unique key (all ours are: min-struct /
+    min-ordinal per value).
     """
+    from deepie_spark.operators.sweep import pinned_range_bucket
+
     spark = df.sparkSession
     if buckets is None:
         buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    bucketed = df.repartitionByRange(buckets, F.col(order_col)).withColumn(
-        "_bkt", F.spark_partition_id()
-    )
+    bucketed = pinned_range_bucket(df, order_col, buckets)
     counts = bucketed.groupBy("_bkt").agg(F.count("*").alias("_cnt"))
     lower = counts.select(
         F.col("_bkt").alias("_lo_bkt"), F.col("_cnt").alias("_lo_cnt")

@@ -25,6 +25,66 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def pinned_range_bucket(
+    df: DataFrame, order_col: str, buckets: int
+) -> DataFrame:
+    """Attach a ``_bkt`` column that range-buckets rows by
+    ``order_col`` such that every row in bucket *b* orders ≤ every row
+    in bucket *b+1* — with the bucket a DETERMINISTIC function of the
+    key, never ``spark_partition_id()`` after a sampled
+    ``repartitionByRange``.
+
+    Why: the sampled range exchange re-samples its boundaries on every
+    materialization, and when column pruning specializes two plan
+    branches into different subplans ReusedExchange cannot deduplicate
+    them — each branch then gets its OWN boundaries and the branches'
+    ``_bkt`` assignments disagree (observed: nondeterministically
+    wrong global ranks/prefix sums at 8 cores on a 15k-row input).
+
+    Scheme: quantile boundaries are collected ONCE driver-side
+    (``approxQuantile``, ≤ buckets−1 doubles) over the order column —
+    or, for a struct key, over its FIRST numeric field (a monotone
+    coarsening of the struct order, so bucket monotonicity still
+    holds; ties on the first field share a bucket) — and applied as a
+    literal in-row count-of-boundaries-≤x.  When the key has no
+    numeric prefix (e.g. a string sort key), the sampled
+    repartitionByRange result is pinned with ``localCheckpoint`` so
+    every branch reads the SAME materialization.  The double cast
+    inside the comparison is monotone for any long, so bucketing
+    respects key order even past 2⁵³."""
+    from pyspark.sql.types import DateType, NumericType, StructType, TimestampType
+
+    field = next(f for f in df.schema.fields if f.name == order_col)
+    dt = field.dataType
+    ordered_types = (NumericType, DateType, TimestampType)
+    qcol = None
+    if isinstance(dt, ordered_types):
+        qcol = F.col(order_col)
+    elif (
+        isinstance(dt, StructType)
+        and dt.fields
+        and isinstance(dt.fields[0].dataType, ordered_types)
+    ):
+        qcol = F.col(f"{order_col}.{dt.fields[0].name}")
+    if qcol is None:
+        # non-numeric key: pin ONE sampled materialization — eager,
+        # but correct for any orderable type
+        return df.repartitionByRange(
+            buckets, F.col(order_col)
+        ).withColumn("_bkt", F.spark_partition_id()).localCheckpoint()
+    bounds: list[float] = []
+    if buckets > 1:
+        qdf = df.select(qcol.cast("double").alias("_q"))
+        bounds = sorted(set(qdf.stat.approxQuantile("_q", [i / buckets for i in range(1, buckets)], 0.001)))
+    if not bounds:
+        return df.withColumn("_bkt", F.lit(0))
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    xd = qcol.cast("double")
+    return df.withColumn(
+        "_bkt", F.size(F.filter(barr, lambda b: b <= xd)).cast("int")
+    )
+
+
 def prefix_sum_in_order(
     df: DataFrame,
     order_col: str,
@@ -74,17 +134,7 @@ def prefix_sum_in_order(
     spark = df.sparkSession
     if buckets is None:
         buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    bounds: list[float] = []
-    if buckets > 1:
-        probs = [i / buckets for i in range(1, buckets)]
-        bounds = sorted(set(df.stat.approxQuantile(order_col, probs, 0.001)))
-    if bounds:
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
-        xd = F.col(order_col).cast("double")
-        bkt = F.size(F.filter(barr, lambda b: b <= xd))
-    else:
-        bkt = F.lit(0)
-    bucketed = df.withColumn("_bkt", bkt.cast("int"))
+    bucketed = pinned_range_bucket(df, order_col, buckets)
     sums = bucketed.groupBy("_bkt").agg(
         F.sum(val_col).cast("long").alias("_s")
     )

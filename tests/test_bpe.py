@@ -141,3 +141,29 @@ def test_bpe_apply_reconstruction_and_oov(spark):
         for r in enc.filter(F.col("word") == "zebra").collect()
     )
     assert [t for _, t in zebra] == list("zebra")
+
+
+def test_bpe_fertility_rollup(spark):
+    from __spark_entry__ import q_bpe_encode, q_bpe_fertility
+
+    sf = "/root/testdata/sf0.001"
+    fert = {r.source: r for r in q_bpe_fertility(spark, sf).collect()}
+    enc = {r.doc_id: r for r in q_bpe_encode(spark, sf).collect()}
+    import pandas as pd
+
+    d = pd.read_parquet(f"{sf}/documents.parquet")
+    for src, g in d.groupby("source"):
+        ids = [i for i in g["doc_id"] if i in enc]
+        words = sum(enc[i].n_words for i in ids)
+        toks = sum(enc[i].n_tokens for i in ids)
+        chars = int(g.set_index("doc_id").loc[ids, "n_chars"].sum())
+        r = fert[src]
+        assert (r.n_docs, r.words, r.tokens, r.chars) == (
+            len(ids),
+            words,
+            toks,
+            chars,
+        )
+        assert r.fertility == round(toks / words, 6)
+        # BPE with few merges splits words: fertility >= 1
+        assert r.fertility >= 1.0
