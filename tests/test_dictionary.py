@@ -219,7 +219,28 @@ def test_rank_in_order_plan_has_no_global_window(spark):
     ranked = rank_in_order(df, "ord", buckets=8)
     ranked.collect()
     plan = ranked._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange rangepartitioning" in plan
+    # numeric key: the bucket is a literal-boundary pure function of
+    # the key — no sampled range exchange anywhere (its per-branch
+    # re-sampling was the rank-divergence bug), windows bucket-keyed
+    assert "rangepartitioning" not in plan
+    assert "windowspecdefinition" in plan
     for frag in plan.split("windowspecdefinition(")[1:]:
         spec = frag.split(")")[0]
         assert "_bkt" in spec, f"unpartitioned window spec: {spec}"
+
+
+def test_rank_in_order_consistent_at_scaleish_input(spark):
+    """Regression for the branch-divergence bug: on a 15k-row input
+    the rank set must be EXACTLY 1..n on every evaluation (the
+    sampled-exchange formulation returned nondeterministic duplicate/
+    missing ranks at 8 cores)."""
+    from deepie_spark.operators.dictionary import rank_in_order
+
+    df = spark.range(15_000).selectExpr(
+        "id AS k", "(id * 2654435761) % 1000003 AS v"
+    ).selectExpr("k", "named_struct('v', v, 'k', k) AS ord")
+    for _ in range(3):
+        ranks = [
+            r.r for r in rank_in_order(df, "ord", start_id=1, id_col="r").collect()
+        ]
+        assert sorted(ranks) == list(range(1, 15_001))
