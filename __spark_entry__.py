@@ -6850,6 +6850,69 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def q_value_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily total cents per event type
+    (operators/stats.py theil_sen_slope) — the slope companion to
+    value_mk_trend over the SAME calendar-bounded daily grid:
+    fixed-point pair slopes, lower-median pick by pure integer rank
+    with a deterministic tie-break."""
+    from deepie_spark.operators.stats import theil_sen_slope
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.datediff(
+            F.to_date(F.col("ts").cast("timestamp")), F.lit("1970-01-01")
+        )
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.sum("cents").cast("long").alias("y")
+    )
+    return theil_sen_slope(daily, "event_type", "day", "y").orderBy(
+        "event_type"
+    )
+
+
+def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token burstiness (Church-Gale Fano factor over documents,
+    zeros included): fano = sc2/tf − tf/N from exact integer moments —
+    two IEEE divides and a subtract, engine-identical.  Tokens with
+    df ≥ 20 (bounded output); fano ≈ 1 is Poisson scatter, ≫ 1 the
+    clumpy content words a stopword list must NOT catch."""
+    occ = _occ(spark, sf_dir)
+    per_doc = occ.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_tok = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("tf"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sc2"),
+    )
+    nn = _docs(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    j = per_tok.filter(F.col("df") >= 20).crossJoin(F.broadcast(nn))
+    fano = F.col("sc2") / F.col("tf") - F.col("tf") / F.col("n_docs")
+    return j.select(
+        "token", "df", "tf", "sc2", "n_docs", F.round(fano, 6).alias("fano")
+    ).orderBy("token")
+
+
+def q_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of token-frequency mass across the
+    vocabulary (operators/stats.py gini_concentration — the
+    activity_gini machinery pointed at the Zipfian surface corpus_zipf
+    fits): exact rank_in_order ranking, two final divides."""
+    from deepie_spark.operators.stats import gini_concentration
+
+    freq = _occ(spark, sf_dir).groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    return gini_concentration(freq, "f", "token")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -7102,6 +7165,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_trimmed_mean": q_value_trimmed_mean,
         "audience_overlap": q_audience_overlap,
         "bpe_fertility": q_bpe_fertility,
+        "value_theilsen": q_value_theilsen,
+        "token_burstiness": q_token_burstiness,
+        "token_gini": q_token_gini,
     }
 
 
@@ -12600,5 +12666,67 @@ def oracle_sql() -> dict[str, str]:
         FROM ({_bpe_encode_oracle_sql(_BPE_MERGES)}) enc
         JOIN documents d USING (doc_id)
         GROUP BY 1 ORDER BY 1
+    """
+    # value_theilsen twin: same daily grid and fixed-point slopes,
+    # lower-median by the identical (slope_fp, o_i, o_j) rank.
+    _TS_SCALE = repr(float(1 << 20))
+    d["value_theilsen"] = f"""
+        WITH d0 AS (SELECT event_type,
+                           CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                             AS BIGINT) AS o,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events),
+        srs AS (SELECT event_type, o, CAST(sum(cents) AS BIGINT) AS y
+                FROM d0 GROUP BY 1, 2),
+        p AS (SELECT a.event_type, a.o AS o1, b.o AS o2,
+                     CAST(floor((b.y - a.y) / (b.o - a.o)
+                                * {_TS_SCALE}) AS BIGINT) AS sfp
+              FROM srs a JOIN srs b
+                ON a.event_type = b.event_type AND a.o < b.o),
+        r AS (SELECT event_type, sfp,
+                     CAST(row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY sfp, o1, o2) AS BIGINT) AS rn
+              FROM p),
+        c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs
+              FROM p GROUP BY 1)
+        SELECT r.event_type, n_pairs, sfp AS slope_fp,
+               round(sfp / {_TS_SCALE}, 6) AS theil_sen
+        FROM r JOIN c USING (event_type)
+        WHERE rn = (n_pairs + 1) // 2
+        ORDER BY event_type
+    """
+    # token_burstiness twin: identical exact moments, two divides.
+    d["token_burstiness"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        occ AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        pd AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c
+               FROM occ GROUP BY 1, 2),
+        pt AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
+                      CAST(sum(c) AS BIGINT) AS tf,
+                      CAST(sum(c * c) AS BIGINT) AS sc2
+               FROM pd GROUP BY 1),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents)
+        SELECT token, df, tf, sc2, n_docs,
+               round(sc2 / tf - tf / n_docs, 6) AS fano
+        FROM pt, nn WHERE df >= 20 ORDER BY token
+    """
+    # token_gini twin: the activity_gini formulation over the
+    # token-frequency table.
+    d["token_gini"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        occ AS (SELECT unnest(toks) AS token FROM t),
+        c AS (SELECT token AS k, CAST(count(*) AS BIGINT) AS x
+              FROM occ GROUP BY 1),
+        r AS (SELECT x, row_number() OVER (ORDER BY x, k) AS i FROM c),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS total,
+                     CAST(sum(i * x) AS BIGINT) AS rank_sum
+              FROM r)
+        SELECT n, total, rank_sum,
+               round((2 * rank_sum) / (n * total) - (n + 1) / n, 6)
+                 AS gini
+        FROM a
     """
     return d

@@ -859,3 +859,66 @@ def kaplan_meier(
         )
         .orderBy("t")
     )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Per-group Theil-Sen estimator — the robust sibling of the OLS
+    slope (value_trend) and the location pair to mann_kendall: the
+    LOWER median of all pairwise slopes (y_j−y_i)/(o_j−o_i), with
+    each slope materialized as the fixed-point long
+    floor(2^bits·dy/dx) (one IEEE divide + multiply + floor, written
+    identically in both engines) so the median selection is pure
+    integer ordering with the deterministic (slope_fp, o_i, o_j)
+    tie-break.  Θ(B²) pairs per group — callers pre-bin to a
+    calendar-bounded grid (the mann_kendall rule).  The rank pick
+    rides a group-KEYED window, never an unpartitioned one."""
+    a = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(order_col).cast("long").alias("_o"),
+        F.col(value_col).cast("long").alias("_y"),
+    )
+    b = a.select(
+        F.col("_g"),
+        F.col("_o").alias("_o2"),
+        F.col("_y").alias("_y2"),
+    )
+    scale = F.lit(float(1 << scale_bits))
+    pairs = (
+        a.join(b, "_g")
+        .filter(F.col("_o") < F.col("_o2"))
+        .select(
+            "_g",
+            "_o",
+            "_o2",
+            F.floor(
+                (F.col("_y2") - F.col("_y"))
+                / (F.col("_o2") - F.col("_o"))
+                * scale
+            )
+            .cast("long")
+            .alias("_sfp"),
+        )
+    )
+    w = W.partitionBy("_g").orderBy("_sfp", "_o", "_o2")
+    ranked = pairs.select(
+        "_g", "_sfp", F.row_number().over(w).cast("long").alias("_rn")
+    )
+    cnt = pairs.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    med = (
+        ranked.join(cnt, "_g")
+        .filter(F.col("_rn") == F.expr("(n_pairs + 1) div 2"))
+    )
+    return med.select(
+        F.col("_g").alias(group_col),
+        "n_pairs",
+        F.col("_sfp").alias("slope_fp"),
+        F.round(F.col("_sfp") / scale, 6).alias("theil_sen"),
+    )

@@ -845,3 +845,53 @@ def test_audience_overlap_python_twin(spark):
         for r in rows
     ]
     assert got == want
+
+
+def test_theilsen_python_twin_and_robustness(spark):
+    import math
+
+    from deepie_spark.operators.stats import theil_sen_slope
+
+    # clean slope 7 with two gross outliers; OLS would be dragged,
+    # Theil-Sen must stay at 7
+    rows = [("g", i, 7 * i + 100) for i in range(30)]
+    rows[5] = ("g", 5, 100000)
+    rows[20] = ("g", 20, -50000)
+    df = spark.createDataFrame(rows, "g string, o int, y int")
+    r = theil_sen_slope(df, "g", "o", "y").collect()[0]
+    S = float(1 << 20)
+    slopes = sorted(
+        math.floor((rows[j][2] - rows[i][2]) / (j - i) * S)
+        for i in range(30)
+        for j in range(i + 1, 30)
+    )
+    k = (len(slopes) + 1) // 2
+    assert r.n_pairs == len(slopes)
+    assert r.slope_fp == slopes[k - 1]
+    assert abs(r.theil_sen - 7.0) < 0.01
+
+
+def test_token_burstiness_twin(spark):
+    from collections import Counter
+
+    import pandas as pd
+
+    from __spark_entry__ import q_token_burstiness
+    from deepie_spark.functions.text import py_tokenize
+
+    rows = {r.token: r for r in q_token_burstiness(spark, "/root/testdata/sf0.001").collect()}
+    pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    per_tok = {}
+    for _, row in pdf.iterrows():
+        for t, c in Counter(py_tokenize(row["text"])).items():
+            df_, tf, sc2 = per_tok.get(t, (0, 0, 0))
+            per_tok[t] = (df_ + 1, tf + c, sc2 + c * c)
+    n = len(pdf)
+    want = {
+        t: v for t, v in per_tok.items() if v[0] >= 20
+    }
+    assert set(rows) == set(want)
+    for t, (df_, tf, sc2) in want.items():
+        r = rows[t]
+        assert (r.df, r.tf, r.sc2, r.n_docs) == (df_, tf, sc2, n)
+        assert r.fano == round(sc2 / tf - tf / n, 6)
