@@ -6913,6 +6913,408 @@ def q_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gini_concentration(freq, "f", "token")
 
 
+def q_user_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b between per-user activity (event count) and
+    monetary mass (cents) — the concordance companion to
+    user_rank_corr's Spearman ρ (operators/stats.py kendall_tau_b):
+    pair counts over the JOINT-FREQUENCY cells (Θ(cells²), not
+    Θ(rows²)), tie terms from the marginals with no join, and the
+    final statistic one IEEE sqrt+divide over exact longs."""
+    from deepie_spark.operators.stats import kendall_tau_b
+
+    m = _events(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    return kendall_tau_b(m, "n_events", "cents")
+
+
+def q_value_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H of event value (cents) across the k event
+    types — the rank-based k-sample test beside value_anova's
+    parametric F and value_mwu's 2-sample U (operators/stats.py
+    kruskal_wallis): doubled average ranks as exact longs over
+    prefix_sum_in_order, the cross-group Σ R²/n as a fixed-point
+    accumulator, tie correction from exact Σ(c³−c)."""
+    from deepie_spark.operators.stats import kruskal_wallis
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return kruskal_wallis(e, "event_type", "cents")
+
+
+def q_source_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k sketches (k=64) of each source's distinct token
+    set + pairwise distinct/Jaccard estimates (operators/sketches.py
+    kmv_compare) — the mergeable, hash-gateable distinct sketch
+    beside HLL (which needs a tolerance verdict; KMV's state is exact
+    integer hash values, so the whole comparison is hash-exact)."""
+    from deepie_spark.operators.sketches import kmv_compare
+
+    occ = _docs(spark, sf_dir).select(
+        "source", tokenize(F.col("text")).alias("toks")
+    ).select("source", F.explode("toks").alias("token"))
+    return kmv_compare(occ, "source", "token", k=64)
+
+
+#: MAP evaluation set: three multi-term queries over the synthetic
+#: vocabulary; binary relevance = matches ≥ 2 distinct query terms.
+_MAP_QUERIES = [
+    ("q1", ["spark", "hash", "merge"]),
+    ("q2", ["query", "scan"]),
+    ("q3", ["join", "group", "data"]),
+]
+
+
+def q_retrieval_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision @10 per evaluation query over the BM25
+    ranking (operators/retrieval.py map_at_k) — the binary-relevance
+    evaluation beside bm25_ndcg's graded one: AP numerators are exact
+    longs scaled by lcm(1..10)=2520, the denominator 2520·min(R,10),
+    one IEEE divide per query.  Pseudo-relevance rule: rel = 1 iff
+    the doc matches ≥ 2 distinct query terms."""
+    from deepie_spark.operators.retrieval import bm25_scores, map_at_k
+
+    toks = _toks(spark, sf_dir)
+    per_query = []
+    for qid, terms in _MAP_QUERIES:
+        s = bm25_scores(toks, terms, k1=_BM25_K1, b=_BM25_B)
+        cand = s.select(
+            "doc_id",
+            "score",
+            (F.col("n_terms") >= 2).cast("long").alias("rel"),
+        )
+        per_query.append((qid, cand))
+    return map_at_k(per_query, k=10)
+
+
+def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution of purchase conversions to the touch
+    channels that preceded them (operators/journeys.py
+    multi_touch_attribution): journeys = runs between conversions per
+    user, first/last credit exact counts via min/max(struct), linear
+    credit 1/n as order-free fixed-point exact longs."""
+    from deepie_spark.operators.journeys import multi_touch_attribution
+
+    return multi_touch_attribution(
+        _events(spark, sf_dir), conversion_type="purchase"
+    )
+
+
+def q_user_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user recency-decay value score with a 7-day power-of-two
+    half-life (operators/journeys.py decay_scores): weights are exact
+    powers of two (no pow/exp — the weighted_sample libm rule), the
+    weighted sum an exact long with denominator 2^20."""
+    from deepie_spark.operators.journeys import decay_scores
+
+    return decay_scores(
+        _events(spark, sf_dir), halflife_days=7, cap=20
+    )
+
+
+def q_entity_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two truncated SimRank iterations over the rule-triple graph
+    (operators/graph.py simrank_pairs) — structural similarity beside
+    link_prediction's local indices, in PURE INTEGER arithmetic
+    (integer DIV throughout, no IEEE ops): every score an exact long
+    with unit 2^30, decay C = 4/5."""
+    from deepie_spark.operators.graph import simrank_pairs
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return simrank_pairs(t, max_degree=1000)
+
+
+def q_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soundex-style phonetic keys over the combined document ∪
+    part-name vocabulary (functions/text.py soundex_key — pure
+    codegen, no UDF, the backreference-free collapse both engines can
+    run), each token with its key and the key's bucket size — the ER
+    blocking table the fuzzy_alias_match / sorted_neighborhood family
+    consumes (n_tokens ≥ 2 buckets are the candidate groups; the
+    full keyed table is gated so every per-token key is evidence)."""
+    from deepie_spark.functions.text import soundex_key
+
+    t1 = _occ(spark, sf_dir).select("token")
+    t2 = (
+        spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+        .select(F.explode(F.split(F.col("p_name"), " ")).alias("token"))
+    )
+    tok = t1.unionByName(t2).filter(F.col("token") != "").distinct()
+    keyed = tok.select(
+        "token", soundex_key(F.col("token")).alias("key")
+    ).filter(F.col("key").isNotNull())
+    sizes = keyed.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    return (
+        keyed.join(sizes, "key")
+        .select("token", "key", "n_tokens")
+        .orderBy("token")
+    )
+
+
+def q_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio-style pseudo-relevance-feedback query expansion: the
+    top-10 BM25 docs for the seed query are taken as relevant, their
+    tokens (minus the seed terms) ranked by feedback document
+    frequency then term frequency — all exact integer counts, the
+    top-20 via TakeOrderedAndProject with a token tie-break."""
+    from deepie_spark.operators.retrieval import bm25_scores
+
+    s = bm25_scores(
+        _toks(spark, sf_dir), _BM25_TERMS, k1=_BM25_K1, b=_BM25_B
+    )
+    top = (
+        s.orderBy(F.desc("score"), F.col("doc_id"))
+        .limit(10)
+        .select("doc_id")
+    )
+    fb = (
+        _occ(spark, sf_dir)
+        .join(F.broadcast(top), "doc_id")
+        .filter(~F.col("token").isin(_BM25_TERMS))
+    )
+    g = fb.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf_fb"),
+        F.countDistinct("doc_id").cast("long").alias("df_fb"),
+    )
+    return (
+        g.orderBy(
+            F.desc("df_fb"), F.desc("tf_fb"), F.col("token")
+        )
+        .limit(20)
+        .select("token", "df_fb", "tf_fb")
+    )
+
+
+def q_journey_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert per first-touch channel (operators/journeys.py
+    journey_latency): exact epoch-second longs (unix_timestamp floors
+    — the events_moving_avg rule), mean = one IEEE divide."""
+    from deepie_spark.operators.journeys import journey_latency
+
+    return journey_latency(_events(spark, sf_dir))
+
+
+def _hourly_dense_counts_typed(
+    spark: SparkSession, sf_dir: str, etype: str
+) -> DataFrame:
+    """Per-event-type hourly counts on the GLOBAL calendar grid
+    (bounds from ALL events, so different types share the same dense
+    1..n index — the precondition for cross-correlating them)."""
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.expr("unix_timestamp(cast(ts as timestamp)) div 3600")
+        .cast("long")
+        .alias("hs"),
+    )
+    counts = (
+        e.filter(F.col("event_type") == etype)
+        .groupBy("hs")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    grid = (
+        e.agg(F.min("hs").alias("h0"), F.max("hs").alias("h1"))
+        .select(
+            "h0",
+            F.explode(
+                F.sequence(F.lit(0), F.col("h1") - F.col("h0"))
+            ).alias("i"),
+        )
+        .select(
+            (F.col("h0") + F.col("i")).cast("long").alias("hs"),
+            (F.col("i") + 1).cast("long").alias("idx"),
+        )
+    )
+    return grid.join(counts, "hs", "left").select(
+        "hs", "idx", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+
+
+def q_events_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between the hourly click series and the
+    hourly purchase series at lags −6..+6 (operators/stats.py
+    ccf_exact — positive lags mean clicks LEAD purchases): both
+    series on the same global dense grid, exact integer moments per
+    lag, the grouped_pearson IEEE chain."""
+    from deepie_spark.operators.stats import ccf_exact
+
+    sx = _hourly_dense_counts_typed(spark, sf_dir, "click")
+    sy = _hourly_dense_counts_typed(spark, sf_dir, "purchase")
+    return ccf_exact(sx, sy, "idx", "y", max_lag=6)
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated λ=1/2 EWMA of the dense global hourly count series
+    (operators/stats.py ewma_smooth): exact-long numerators over
+    power-of-two weights with fixed denominator 2^16 — the control-
+    chart smoother beside events_cusum, no pow/exp anywhere."""
+    from deepie_spark.operators.stats import ewma_smooth
+
+    return ewma_smooth(
+        _hourly_dense_counts(spark, sf_dir), "idx", "y", window=16
+    )
+
+
+def q_collocation_dice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logDice collocation strength of adjacent bigrams with
+    f_xy ≥ 5 (operators/skipgram.py collocations_logdice) — the
+    frequency-stable companion to entity_cooccur_pmi / skipgram_pmi:
+    both ln arguments exact integers, 1/ln2 a repr-shared literal."""
+    from deepie_spark.operators.skipgram import collocations_logdice
+
+    return collocations_logdice(_docs(spark, sf_dir), min_count=5)
+
+
+def q_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel conversion lift over user-level exposure flags
+    (operators/journeys.py conversion_lift): exact-long contingency
+    counts, single-divide rates, NULL-guarded lift."""
+    from deepie_spark.operators.journeys import conversion_lift
+
+    return conversion_lift(_events(spark, sf_dir))
+
+
+def q_entity_hop_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise shortest-hop distance distribution + effective-
+    diameter-90 flags of the rule-triple graph (operators/graph.py
+    hop_histogram riding the closeness BFS): pure-integer 10·cum ≥
+    9·total comparison, one IEEE divide for the share column."""
+    from deepie_spark.operators.graph import hop_histogram
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return hop_histogram(t, max_hops=8)
+
+
+def q_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-richness audit: token count N, type count V,
+    hapax legomena V1, type-token ratio V/N, hapax rate V1/V and
+    Yule's K = 10⁴·(Σf² − N)/N² — the vocabulary-diversity lens a
+    curation pipeline reads beside corpus_zipf (template-generated or
+    boilerplate-heavy sources show low TTR / high K).  Every moment is
+    an exact long (Σf² = Σ_m m²·V_m); the ratios are single IEEE
+    chains written identically in both engines.  N² must fit int64
+    (N ≲ 3·10⁹ tokens per source — shard beyond)."""
+    occ = _docs(spark, sf_dir).select(
+        "source", tokenize(F.col("text")).alias("toks")
+    ).select("source", F.explode("toks").alias("token"))
+    freq = occ.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    g = freq.groupBy("source").agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("hapax"),
+        F.sum(F.col("f") * F.col("f")).cast("long").alias("sf2"),
+    )
+    return g.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "hapax",
+        "sf2",
+        F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+        F.round(F.col("hapax") / F.col("n_types"), 6).alias("hapax_rate"),
+        F.round(
+            (F.lit(10000.0) * (F.col("sf2") - F.col("n_tokens")))
+            / (F.col("n_tokens") * F.col("n_tokens")).cast("double"),
+            6,
+        ).alias("yule_k"),
+    ).orderBy("source")
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users + trailing-7-day active users (WAU) +
+    stickiness DAU/WAU per calendar day — the engagement audit over
+    the dense day grid (silent days are real zeros).  The rolling
+    distinct count is EXACT: day grid × 0..6 offsets joined to the
+    distinct (day, user) table, then one countDistinct per day —
+    Θ(7·|day-user|) rows, no window, no approximate sketch.
+    Stickiness is one IEEE divide over exact longs."""
+    e = _events(spark, sf_dir).select(
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+        "user_id",
+    ).distinct()
+    b = e.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = b.select(
+        "d0",
+        F.explode(
+            F.sequence(F.lit(0), F.datediff("d1", "d0"))
+        ).alias("i"),
+    ).select(F.date_add(F.col("d0"), F.col("i")).alias("day"))
+    dau = e.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    offs = F.explode(F.array(*[F.lit(j) for j in range(7)])).alias("off")
+    win = grid.select("day", offs).select(
+        "day", F.date_sub(F.col("day"), F.col("off")).alias("day_in")
+    )
+    wau = (
+        win.join(e, win["day_in"] == e["day"])
+        .groupBy(win["day"])
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+    return (
+        grid.join(dau, "day", "left")
+        .join(wau, "day", "left")
+        .select(
+            # string day: DuckDB DATE loads as datetime64 via pandas
+            # and would hash-differ (the user_retention precedent)
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+            F.coalesce("wau", F.lit(0)).cast("long").alias("wau"),
+            F.when(
+                F.coalesce(F.col("wau"), F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("dau", F.lit(0)) / F.col("wau"), 6
+                ),
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+def q_value_percentiles_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-event-type value percentile profile (p25/p50/p75/p90 of
+    integer cents, exact linear interpolation — Spark ``percentile``
+    and DuckDB ``quantile_cont`` share the definition, the
+    corpus_quantiles precedent) + IQR — the grouped spread monitor
+    beside robust_outliers."""
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("percentile(cents, 0.25)").alias("_p25"),
+        F.expr("percentile(cents, 0.5)").alias("_p50"),
+        F.expr("percentile(cents, 0.75)").alias("_p75"),
+        F.expr("percentile(cents, 0.9)").alias("_p90"),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        F.round("_p25", 6).alias("p25"),
+        F.round("_p50", 6).alias("p50"),
+        F.round("_p75", 6).alias("p75"),
+        F.round("_p90", 6).alias("p90"),
+        F.round(F.col("_p75") - F.col("_p25"), 6).alias("iqr"),
+    ).orderBy("event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -6925,9 +7327,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row: the 4 never-signed round-3 queries, the 8 round-5 queries,
     # the 21 final-session queries (entity_ecc .. forget_cascade), and
     # the 17 oldest extended-session queries (events_asof ..
-    # embedding_quantize).  The 51 remaining never-signed entries
-    # (positions 51+, incl. the third-extension and fourth-extension
-    # operators — the fourth-extension block ends at token_gini) are
+    # embedding_quantize).  The remaining never-signed entries
+    # (positions 51+, incl. the third/fourth-extension operators —
+    # the fourth-extension block ends at token_gini — and the
+    # fifth-extension block user_kendall .. entity_hop_hist) are
     # judge-verifiable via scripts/check_oracle.py — full-sweep runs
     # each session: FAILURES none.  Every displaced entry has a
     # driver-signed row from r1-r4.
@@ -7169,7 +7572,117 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_theilsen": q_value_theilsen,
         "token_burstiness": q_token_burstiness,
         "token_gini": q_token_gini,
+        "user_kendall": q_user_kendall,
+        "value_kruskal": q_value_kruskal,
+        "source_kmv": q_source_kmv,
+        "retrieval_map": q_retrieval_map,
+        "event_attribution": q_event_attribution,
+        "user_decay": q_user_decay,
+        "entity_simrank": q_entity_simrank,
+        "phonetic_blocking": q_phonetic_blocking,
+        "prf_expansion": q_prf_expansion,
+        "journey_latency": q_journey_latency,
+        "events_ccf": q_events_ccf,
+        "events_ewma": q_events_ewma,
+        "collocation_dice": q_collocation_dice,
+        "conversion_lift": q_conversion_lift,
+        "entity_hop_hist": q_entity_hop_hist,
+        "lexical_richness": q_lexical_richness,
+        "rolling_active_users": q_rolling_active_users,
+        "value_percentiles_by_type": q_value_percentiles_by_type,
     }
+
+
+def _retrieval_map_sql(k: int = 10) -> str:
+    """One bm25 score-CTE block per _MAP_QUERIES entry (the bm25_ndcg
+    twin parameterized by term list), then exact lcm-scaled AP over
+    the per-query ≤k-row windows.  lcm(1..10) = 2520; every c_i·(L/i)
+    term is an exact BIGINT (i divides L), matching Spark's
+    `{lcm} div _i` integer arithmetic."""
+    import math as _math
+
+    lcm = 1
+    for i in range(1, k + 1):
+        lcm = lcm * i // _math.gcd(lcm, i)
+    blocks = []
+    tops = []
+    stats = []
+    for qid, terms in _MAP_QUERIES:
+        terms_in = ", ".join(f"'{t}'" for t in terms)
+        per_term = ", ".join(
+            f"coalesce(max(CASE WHEN token = '{t}' THEN s END), 0.0)"
+            f" AS s{i}"
+            for i, t in enumerate(terms)
+        )
+        ssum = " + ".join(f"s{i}" for i in range(len(terms)))
+        blocks.append(f"""
+        tf_{qid} AS (SELECT doc_id, token, count(*) AS tf FROM (
+                 SELECT doc_id, unnest(toks) AS token FROM t)
+               WHERE token IN ({terms_in})
+               GROUP BY 1, 2),
+        dft_{qid} AS (SELECT token, count(*) AS df
+                      FROM tf_{qid} GROUP BY token),
+        sc_{qid} AS (SELECT tf_{qid}.doc_id, tf_{qid}.token,
+                 (ln(CAST(2 * mst.n_docs + 2 AS DOUBLE))
+                  - ln(CAST(2 * dft_{qid}.df + 1 AS DOUBLE)))
+                 * ((CAST(tf_{qid}.tf AS DOUBLE)
+                     * {_BM25_K1 + 1.0!r})
+                    / (CAST(tf_{qid}.tf AS DOUBLE)
+                       + {_BM25_K1 * (1.0 - _BM25_B)!r}
+                       + ({_BM25_K1 * _BM25_B!r}
+                          * CAST(dl.dl AS DOUBLE)
+                          * CAST(mst.n_docs AS DOUBLE)
+                          / CAST(mst.total_len AS DOUBLE)))) AS s
+               FROM tf_{qid} JOIN dft_{qid} USING (token)
+               JOIN dl USING (doc_id) CROSS JOIN mst),
+        gp_{qid} AS (SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_terms, {per_term}
+               FROM sc_{qid} GROUP BY doc_id),
+        cand_{qid} AS (SELECT doc_id,
+                 CASE WHEN n_terms >= 2 THEN 1 ELSE 0 END AS rel,
+                 {ssum} AS score FROM gp_{qid}),
+        top_{qid} AS (SELECT '{qid}' AS query_id, doc_id, rel, score
+                      FROM cand_{qid}
+                      ORDER BY score DESC, doc_id LIMIT {k}),
+        stq_{qid} AS (SELECT '{qid}' AS query_id,
+                 CAST(count(*) AS BIGINT) AS n_candidates,
+                 CAST(coalesce(sum(rel), 0) AS BIGINT) AS r_total
+               FROM cand_{qid})""")
+        tops.append(f"SELECT * FROM top_{qid}")
+        stats.append(f"SELECT * FROM stq_{qid}")
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        mst AS (SELECT count(*) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+        {", ".join(blocks)},
+        tops AS ({" UNION ALL ".join(tops)}),
+        stats AS ({" UNION ALL ".join(stats)}),
+        ranked AS (SELECT query_id, rel,
+                     CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, doc_id) AS BIGINT) AS i,
+                     CAST(sum(rel) OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS BIGINT) AS c
+                   FROM tops),
+        num AS (SELECT query_id,
+                  CAST(coalesce(sum(CASE WHEN rel = 1
+                          THEN c * ({lcm} // i) END), 0) AS BIGINT)
+                    AS ap_num
+                FROM ranked GROUP BY 1)
+        SELECT s.query_id, n_candidates, r_total,
+               CAST(coalesce(ap_num, 0) AS BIGINT) AS ap_num,
+               CAST({lcm} * least(r_total, {k}) AS BIGINT) AS ap_den,
+               CASE WHEN {lcm} * least(r_total, {k}) > 0
+                 THEN round(coalesce(ap_num, 0)
+                            / ({lcm} * least(r_total, {k})), 6)
+               END AS ap
+        FROM stats s LEFT JOIN num USING (query_id)
+        ORDER BY s.query_id
+    """
 
 
 def _node2vec_oracle_sql(
@@ -12729,5 +13242,601 @@ def oracle_sql() -> dict[str, str]:
                round((2 * rank_sum) / (n * total) - (n + 1) / n, 6)
                  AS gini
         FROM a
+    """
+    # user_kendall twin: the NAIVE per-user pair self-join (Θ(n²) —
+    # the formulation the joint-frequency-cell join replaces), tie
+    # terms from the marginals, identical sqrt+divide tail.
+    d["user_kendall"] = """
+        WITH m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+                          CAST(sum(CAST(round(value * 100) AS BIGINT))
+                            AS BIGINT) AS y
+                   FROM events GROUP BY 1),
+        p AS (SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+              FROM m a JOIN m b ON a.user_id < b.user_id),
+        cd AS (SELECT
+                 CAST(coalesce(sum(CASE WHEN (xa < xb AND ya < yb)
+                                     OR (xa > xb AND ya > yb)
+                                   THEN 1 END), 0) AS BIGINT) AS conc,
+                 CAST(coalesce(sum(CASE WHEN (xa < xb AND ya > yb)
+                                     OR (xa > xb AND ya < yb)
+                                   THEN 1 END), 0) AS BIGINT) AS disc
+               FROM p),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+        tx AS (SELECT CAST(coalesce(sum(t * (t - 1)), 0) AS BIGINT)
+                        AS tie_x2
+               FROM (SELECT CAST(count(*) AS BIGINT) AS t
+                     FROM m GROUP BY x)),
+        ty AS (SELECT CAST(coalesce(sum(t * (t - 1)), 0) AS BIGINT)
+                        AS tie_y2
+               FROM (SELECT CAST(count(*) AS BIGINT) AS t
+                     FROM m GROUP BY y))
+        SELECT n, conc, disc, tie_x2, tie_y2,
+               CASE WHEN (n * (n - 1) - tie_x2) > 0
+                     AND (n * (n - 1) - tie_y2) > 0
+                 THEN round((2 * (conc - disc))
+                            / sqrt(CAST((n * (n - 1) - tie_x2)
+                                        * (n * (n - 1) - tie_y2)
+                                     AS DOUBLE)), 6)
+               END AS tau_b
+        FROM cd, nn, tx, ty
+    """
+    # value_kruskal twin: doubled average ranks via an inclusive
+    # window prefix count (the independent formulation of
+    # prefix_sum_in_order), identical exact div/mod decomposition.
+    d["value_kruskal"] = """
+        WITH e AS (SELECT event_type AS g,
+                          CAST(round(value * 100) AS BIGINT) AS v
+                   FROM events),
+        vc AS (SELECT v, CAST(count(*) AS BIGINT) AS c
+               FROM e GROUP BY 1),
+        r AS (SELECT v, c,
+                     CAST(2 * sum(c) OVER (ORDER BY v) - c + 1
+                       AS BIGINT) AS r2
+              FROM vc),
+        gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS m
+               FROM e GROUP BY 1, 2),
+        pg AS (SELECT g, CAST(sum(m) AS BIGINT) AS n_g,
+                      CAST(sum(m * r2) AS BIGINT) AS r2_g
+               FROM gv JOIN r USING (v) GROUP BY 1),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                     CAST(sum(n_g) AS BIGINT) AS n,
+                     CAST(sum((r2_g * r2_g) // n_g) AS BIGINT)
+                       AS h_int,
+                     CAST(sum(((r2_g * r2_g) % n_g) * 1048576 // n_g)
+                       AS BIGINT) AS h_frac_fp
+              FROM pg),
+        t AS (SELECT CAST(sum(c * c * c - c) AS BIGINT) AS tie_sum
+              FROM vc)
+        SELECT k, n, h_int, h_frac_fp, tie_sum,
+               round(3.0 * (CAST(h_int AS DOUBLE)
+                            + h_frac_fp / 1048576.0)
+                     / CAST(n * (n + 1) AS DOUBLE)
+                     - CAST(3 * (n + 1) AS DOUBLE), 6) AS h_stat,
+               CASE WHEN (1.0 - tie_sum
+                          / CAST(n * n * n - n AS DOUBLE)) != 0.0
+                 THEN round((3.0 * (CAST(h_int AS DOUBLE)
+                                    + h_frac_fp / 1048576.0)
+                             / CAST(n * (n + 1) AS DOUBLE)
+                             - CAST(3 * (n + 1) AS DOUBLE))
+                            / (1.0 - tie_sum
+                               / CAST(n * n * n - n AS DOUBLE)), 6)
+               END AS h_adj
+        FROM a, t
+    """
+    # source_kmv twin: same poly hash, per-group bottom-64 via a
+    # plain window rank (the formulation rank_in_order replaces), the
+    # identical union-sketch merge + membership counts.
+    d["source_kmv"] = f"""
+        WITH t AS (SELECT source, {_TOKS_SQL} AS toks FROM documents),
+        occ AS (SELECT DISTINCT source AS g, unnest(toks) AS token
+                FROM t),
+        dh AS (SELECT DISTINCT g, {_poly_hash_sql('token')} AS h
+               FROM occ),
+        sk AS (SELECT g, h FROM (
+                 SELECT g, h,
+                        row_number() OVER (PARTITION BY g ORDER BY h)
+                          AS r
+                 FROM dh) WHERE r <= 64),
+        pg AS (SELECT g, CAST(count(*) AS BIGINT) AS sk_n,
+                      CAST(max(h) AS BIGINT) AS kth
+               FROM sk GROUP BY 1),
+        pge AS (SELECT g, sk_n, kth,
+                       CASE WHEN sk_n >= 64
+                         THEN round((63.0 * 2147483647.0) / kth, 6)
+                         ELSE CAST(sk_n AS DOUBLE) END AS est
+                FROM pg),
+        pairs AS (SELECT a.g AS ga, b.g AS gb
+                  FROM pge a JOIN pge b ON a.g < b.g),
+        u AS (SELECT ga, gb, h, max(in_a) AS in_a, max(in_b) AS in_b
+              FROM (SELECT p.ga, p.gb, s.h, 1 AS in_a, 0 AS in_b
+                    FROM pairs p JOIN sk s ON s.g = p.ga
+                    UNION ALL
+                    SELECT p.ga, p.gb, s.h, 0, 1
+                    FROM pairs p JOIN sk s ON s.g = p.gb)
+              GROUP BY 1, 2, 3),
+        topu AS (SELECT ga, gb, in_a, in_b FROM (
+                   SELECT ga, gb, in_a, in_b,
+                          row_number() OVER (PARTITION BY ga, gb
+                                             ORDER BY h) AS rr
+                   FROM u) WHERE rr <= 64),
+        ov AS (SELECT ga, gb, CAST(count(*) AS BIGINT) AS union_n,
+                      CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+               FROM topu GROUP BY 1, 2)
+        SELECT ga AS src_a, gb AS src_b,
+               a.sk_n AS sk_a, b.sk_n AS sk_b,
+               a.kth AS kth_a, b.kth AS kth_b,
+               a.est AS est_a, b.est AS est_b,
+               union_n, n_both,
+               round(n_both / union_n, 6) AS jaccard_est
+        FROM ov JOIN pge a ON ov.ga = a.g JOIN pge b ON ov.gb = b.g
+        ORDER BY 1, 2
+    """
+    # retrieval_map twin: one bm25 CTE block per evaluation query
+    # (the bm25_ndcg score CTEs parameterized by term list), exact
+    # lcm-scaled AP numerators over the ≤10-row per-query windows.
+    d["retrieval_map"] = _retrieval_map_sql()
+    # event_attribution twin: journey ids via the same exclusive
+    # prefix count, first/last via row_number windows (the
+    # formulation min/max(struct) replaces), identical exact-integer
+    # linear credit.
+    d["event_attribution"] = """
+        WITH e AS (SELECT user_id AS u, ts AS t, event_id AS eid,
+                          event_type AS ch,
+                          CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END AS cv
+                   FROM events),
+        j AS (SELECT *,
+                     CAST(coalesce(sum(cv) OVER (
+                       PARTITION BY u ORDER BY t, eid
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS BIGINT) AS journey
+              FROM e),
+        closed AS (SELECT DISTINCT u, journey FROM j WHERE cv = 1),
+        touches AS (SELECT j.u, j.journey, j.t, j.eid, j.ch
+                    FROM j JOIN closed USING (u, journey)
+                    WHERE cv = 0),
+        tr AS (SELECT u, journey, ch,
+                      row_number() OVER (PARTITION BY u, journey
+                                         ORDER BY t, eid) AS rn_a,
+                      row_number() OVER (PARTITION BY u, journey
+                                         ORDER BY t DESC, eid DESC)
+                        AS rn_d
+               FROM touches),
+        firsts AS (SELECT ch AS channel,
+                          CAST(count(*) AS BIGINT) AS first_touch
+                   FROM tr WHERE rn_a = 1 GROUP BY 1),
+        lasts AS (SELECT ch AS channel,
+                         CAST(count(*) AS BIGINT) AS last_touch
+                  FROM tr WHERE rn_d = 1 GROUP BY 1),
+        pj AS (SELECT u, journey, CAST(count(*) AS BIGINT) AS n_t
+               FROM touches GROUP BY 1, 2),
+        pjc AS (SELECT u, journey, ch,
+                       CAST(count(*) AS BIGINT) AS m
+                FROM touches GROUP BY 1, 2, 3),
+        lin AS (SELECT ch AS channel,
+                       CAST(sum((m * 1048576) // n_t) AS BIGINT)
+                         AS linear_fp,
+                       CAST(sum(m) AS BIGINT) AS n_touches
+                FROM pjc JOIN pj USING (u, journey) GROUP BY 1)
+        SELECT channel, n_touches,
+               CAST(coalesce(first_touch, 0) AS BIGINT)
+                 AS first_touch,
+               CAST(coalesce(last_touch, 0) AS BIGINT) AS last_touch,
+               linear_fp,
+               round(linear_fp / 1048576.0, 6) AS linear_credit
+        FROM lin LEFT JOIN firsts USING (channel)
+        LEFT JOIN lasts USING (channel)
+        ORDER BY channel
+    """
+    # user_decay twin: integer day deltas, integer DIV half-life
+    # buckets, bit-shift powers of two — every weight exact.
+    d["user_decay"] = """
+        WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        mx AS (SELECT max(day) AS maxd FROM e),
+        q AS (SELECT user_id, cents,
+                     least(CAST(maxd - day AS BIGINT) // 7, 20) AS qq
+              FROM e, mx),
+        s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(sum(cents * (CAST(1 AS BIGINT)
+                                       << CAST(20 - qq AS INTEGER)))
+                       AS BIGINT) AS decay_fp
+              FROM q GROUP BY 1)
+        SELECT user_id, n_events, decay_fp,
+               round(decay_fp / 1048576.0, 6) AS decay_score
+        FROM s ORDER BY user_id
+    """
+    # entity_simrank twin: same und edge CTE as link_prediction, the
+    # identical pure-integer DIV chains (mul = 2^30·4, decay 4/5).
+    d["entity_simrank"] = f"""
+        WITH {_MENTIONS_SQL.strip()},
+        {_TRIPLE_EDGES_SQL.strip()},
+        nb AS (SELECT a AS node, b AS nbr FROM und
+               UNION ALL SELECT b, a FROM und),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                FROM nb GROUP BY 1),
+        ctr AS (SELECT nb.nbr AS z, nb.node AS m
+                FROM nb JOIN deg d ON d.node = nb.nbr
+                WHERE d.deg <= 1000),
+        com AS (SELECT x.m AS ent_a, y.m AS ent_b,
+                       CAST(count(*) AS BIGINT) AS common
+                FROM ctr x JOIN ctr y ON x.z = y.z AND x.m < y.m
+                GROUP BY 1, 2),
+        s1 AS (SELECT com.ent_a, com.ent_b, common,
+                      d1.deg AS da, d2.deg AS db,
+                      CAST((common * 4294967296)
+                           // (5 * d1.deg * d2.deg) AS BIGINT) AS s1_fp
+               FROM com JOIN deg d1 ON d1.node = com.ent_a
+                        JOIN deg d2 ON d2.node = com.ent_b),
+        cap AS (SELECT * FROM s1 WHERE da <= 1000 AND db <= 1000),
+        ex AS (SELECT c.ent_a, c.ent_b, na.nbr AS u, nv.nbr AS v
+               FROM cap c JOIN nb na ON na.node = c.ent_a
+                          JOIN nb nv ON nv.node = c.ent_b),
+        jj AS (SELECT e.ent_a, e.ent_b,
+                      CASE WHEN e.u = e.v
+                        THEN CAST(1073741824 AS BIGINT)
+                        ELSE CAST(coalesce(l.s1_fp, 0) AS BIGINT)
+                      END AS val
+               FROM ex e LEFT JOIN s1 l
+                 ON l.ent_a = least(e.u, e.v)
+                AND l.ent_b = greatest(e.u, e.v)),
+        ss AS (SELECT ent_a, ent_b, CAST(sum(val) AS BIGINT) AS s_sum
+               FROM jj GROUP BY 1, 2)
+        SELECT c.ent_a, c.ent_b, common, s1_fp,
+               CAST((coalesce(s_sum, 0) * 4) // (5 * da * db)
+                 AS BIGINT) AS s2_fp,
+               round(CAST((coalesce(s_sum, 0) * 4) // (5 * da * db)
+                       AS BIGINT) / 1073741824.0, 6) AS simrank2
+        FROM cap c LEFT JOIN ss USING (ent_a, ent_b)
+        ORDER BY ent_a, ent_b
+    """
+    # phonetic_blocking twin: the identical soundex-like pipeline in
+    # DuckDB list ops (indexed list_filter — RE2 has no backrefs).
+    d["phonetic_blocking"] = f"""
+        WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+        tok AS (SELECT DISTINCT token FROM (
+                  SELECT unnest(toks) AS token FROM t
+                  UNION ALL
+                  SELECT unnest(string_split(p_name, ' ')) AS token
+                  FROM part)
+                WHERE token != ''),
+        s AS (SELECT token,
+                     lower(regexp_replace(token, '[^A-Za-z]', '', 'g'))
+                       AS sl
+              FROM tok),
+        s2 AS (SELECT token, upper(sl[1:1]) AS first,
+                      substr(sl, 1, 1)
+                      || regexp_replace(substr(sl, 2), '[hw]', '', 'g')
+                        AS body
+               FROM s WHERE length(sl) > 0),
+        c AS (SELECT token, first,
+                     translate(body, 'abcdefghijklmnopqrstuvwxyz',
+                               '01230120022455012623010202') AS codes
+              FROM s2),
+        col AS (SELECT token, first,
+                       list_filter(string_split(codes, ''),
+                         (x, i) -> i = 1
+                           OR x != string_split(codes, '')[i - 1])
+                         AS arr
+                FROM c),
+        dg AS (SELECT token, first,
+                      list_filter(arr[2:], x -> x != '0') AS digs
+               FROM col),
+        k AS (SELECT token,
+                     -- DuckDB array_to_string([]) is NULL, not ''
+                     first || rpad(coalesce(
+                       array_to_string(digs[1:3], ''), ''), 3, '0')
+                       AS key
+              FROM dg),
+        sz AS (SELECT key, CAST(count(*) AS BIGINT) AS n_tokens
+               FROM k GROUP BY key)
+        SELECT token, key, n_tokens
+        FROM k JOIN sz USING (key) ORDER BY token
+    """
+    # prf_expansion twin: the bm25_ndcg score CTEs, top-10 feedback
+    # docs, exact integer tf/df ranking with the token tie-break.
+    _PRF_TERMS_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    _PRF_S = " + ".join(f"s{i}" for i in range(len(_BM25_TERMS)))
+    d["prf_expansion"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        st AS (SELECT count(*) AS n_docs,
+                      CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM (
+                 SELECT doc_id, unnest(toks) AS token FROM t)
+               WHERE token IN ({_PRF_TERMS_IN})
+               GROUP BY 1, 2),
+        dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        sc AS (SELECT tf.doc_id, tf.token,
+                 (ln(CAST(2 * st.n_docs + 2 AS DOUBLE))
+                  - ln(CAST(2 * dft.df + 1 AS DOUBLE)))
+                 * ((CAST(tf.tf AS DOUBLE)
+                     * {_BM25_K1 + 1.0!r})
+                    / (CAST(tf.tf AS DOUBLE)
+                       + {_BM25_K1 * (1.0 - _BM25_B)!r}
+                       + ({_BM25_K1 * _BM25_B!r}
+                          * CAST(dl.dl AS DOUBLE)
+                          * CAST(st.n_docs AS DOUBLE)
+                          / CAST(st.total_len AS DOUBLE)))) AS s
+               FROM tf JOIN dft USING (token)
+               JOIN dl USING (doc_id) CROSS JOIN st),
+        gp AS (SELECT doc_id,
+                 {", ".join(
+                   f"coalesce(max(CASE WHEN token = '{t}' THEN s"
+                   f" END), 0.0) AS s{i}"
+                   for i, t in enumerate(_BM25_TERMS))}
+               FROM sc GROUP BY doc_id),
+        cand AS (SELECT doc_id, {_PRF_S} AS score FROM gp),
+        top AS (SELECT doc_id FROM cand
+                ORDER BY score DESC, doc_id LIMIT 10),
+        fb AS (SELECT o.doc_id, o.token
+               FROM (SELECT doc_id, unnest(toks) AS token FROM t) o
+               JOIN top USING (doc_id)
+               WHERE token NOT IN ({_PRF_TERMS_IN})),
+        g AS (SELECT token, CAST(count(*) AS BIGINT) AS tf_fb,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS df_fb
+              FROM fb GROUP BY 1)
+        SELECT token, df_fb, tf_fb FROM g
+        ORDER BY df_fb DESC, tf_fb DESC, token LIMIT 20
+    """
+    # journey_latency twin: journeys via the same exclusive prefix
+    # count, first touch via row_number (the min(struct) twin),
+    # floor(epoch()) seconds (the events_moving_avg rule).
+    d["journey_latency"] = """
+        WITH e AS (SELECT user_id AS u, ts AS t, event_id AS eid,
+                          event_type AS ch,
+                          CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END AS cv
+                   FROM events),
+        j AS (SELECT *,
+                     CAST(coalesce(sum(cv) OVER (
+                       PARTITION BY u ORDER BY t, eid
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS BIGINT) AS journey
+              FROM e),
+        conv AS (SELECT u, journey, t AS conv_t FROM j WHERE cv = 1),
+        f AS (SELECT u, journey, ch AS channel, t AS first_t FROM (
+                SELECT u, journey, ch, t,
+                       row_number() OVER (PARTITION BY u, journey
+                                          ORDER BY t, eid) AS rn
+                FROM j WHERE cv = 0) WHERE rn = 1),
+        dsec AS (SELECT channel,
+                        CAST(floor(epoch(conv_t))
+                             - floor(epoch(first_t)) AS BIGINT) AS sec
+                 FROM f JOIN conv USING (u, journey)),
+        agg AS (SELECT channel,
+                       CAST(count(*) AS BIGINT) AS n_journeys,
+                       CAST(sum(sec) AS BIGINT) AS total_sec,
+                       CAST(min(sec) AS BIGINT) AS min_sec,
+                       CAST(max(sec) AS BIGINT) AS max_sec
+                FROM dsec GROUP BY 1)
+        SELECT channel, n_journeys, total_sec, min_sec, max_sec,
+               round(total_sec / n_journeys, 6) AS mean_sec
+        FROM agg ORDER BY channel
+    """
+    # events_ccf twin: both typed series on the same global grid,
+    # signed lags, the identical exact-moment Pearson chain.
+    d["events_ccf"] = """
+        WITH e AS (SELECT event_type,
+                          CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hs
+                   FROM events),
+        b AS (SELECT min(hs) AS h0, max(hs) AS h1 FROM e),
+        grid AS (SELECT CAST(h0 + i AS BIGINT) AS hs,
+                        CAST(i + 1 AS BIGINT) AS idx
+                 FROM b, unnest(generate_series(0, h1 - h0)) AS t(i)),
+        cx AS (SELECT hs, CAST(count(*) AS BIGINT) AS y FROM e
+               WHERE event_type = 'click' GROUP BY 1),
+        cy AS (SELECT hs, CAST(count(*) AS BIGINT) AS y FROM e
+               WHERE event_type = 'purchase' GROUP BY 1),
+        sx AS (SELECT g.idx, CAST(coalesce(c.y, 0) AS BIGINT) AS x
+               FROM grid g LEFT JOIN cx c USING (hs)),
+        sy AS (SELECT g.idx, CAST(coalesce(c.y, 0) AS BIGINT) AS y
+               FROM grid g LEFT JOIN cy c USING (hs)),
+        lags AS (SELECT unnest([-6, -5, -4, -3, -2, -1, 0,
+                                1, 2, 3, 4, 5, 6]) AS lag),
+        p AS (SELECT l.lag, a.x, b2.y
+              FROM lags l
+              JOIN sx a ON true
+              JOIN sy b2 ON b2.idx = a.idx + l.lag),
+        m AS (SELECT lag,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy
+              FROM p GROUP BY 1)
+        SELECT lag, n, sx, sy, sxx, syy, sxy,
+               CASE WHEN (n * sxx - sx * sx) != 0
+                     AND (n * syy - sy * sy) != 0
+                 THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                               * sqrt(CAST(n * syy - sy * sy
+                                        AS DOUBLE))), 6)
+               END AS ccf
+        FROM m ORDER BY lag
+    """
+    # events_ewma twin: same grid, bit-shift powers of two, exact
+    # long numerators with the fixed 2^16 denominator.
+    d["events_ewma"] = f"""
+        WITH {_HOURLY_SRS},
+        lj AS (SELECT unnest(generate_series(0, 15)) AS j),
+        p AS (SELECT a.idx, l.j, b2.y AS x
+              FROM lj l
+              JOIN srs a ON true
+              JOIN srs b2 ON b2.idx = a.idx - l.j),
+        g AS (SELECT idx, CAST(count(*) AS BIGINT) AS n_terms,
+                     CAST(sum(x * (CAST(1 AS BIGINT)
+                                   << CAST(15 - j AS INTEGER)))
+                       AS BIGINT) AS num
+              FROM p GROUP BY 1)
+        SELECT idx, n_terms, num,
+               round(num / 65536.0, 6) AS ewma
+        FROM g ORDER BY idx
+    """
+    # collocation_dice twin: struct-unnest bigram extraction, exact
+    # integer ln arguments, the repr-shared 1/ln2 literal.
+    import math as _math2
+
+    _INV_LN2 = repr(float(1.0 / _math2.log(2.0)))
+    d["collocation_dice"] = f"""
+        WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+        uni AS (SELECT unnest(toks) AS w FROM t),
+        fu AS (SELECT w, CAST(count(*) AS BIGINT) AS f
+               FROM uni GROUP BY 1),
+        bgu AS (SELECT unnest(list_transform(
+                  generate_series(1, len(toks) - 1),
+                  i -> {{'x': toks[i], 'y': toks[i + 1]}})) AS bp
+                FROM t WHERE len(toks) >= 2),
+        bg AS (SELECT bp.x AS x, bp.y AS y FROM bgu),
+        c AS (SELECT x, y, CAST(count(*) AS BIGINT) AS f_xy
+              FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+        j AS (SELECT c.x, c.y, f_xy, a.f AS f_x, b2.f AS f_y
+              FROM c JOIN fu a ON a.w = c.x
+                     JOIN fu b2 ON b2.w = c.y)
+        SELECT x, y, f_xy, f_x, f_y,
+               round(14.0 + (ln(CAST(2 * f_xy AS DOUBLE))
+                             - ln(CAST(f_x + f_y AS DOUBLE)))
+                     * {_INV_LN2}, 6) AS logdice
+        FROM j ORDER BY x, y
+    """
+    # conversion_lift twin: distinct user-channel flags, broadcast
+    # totals, identical single-divide rates and lift chain.
+    d["conversion_lift"] = """
+        WITH uc AS (SELECT DISTINCT user_id AS u, event_type AS ch
+                    FROM events),
+        conv AS (SELECT u, 1 AS cv FROM uc WHERE ch = 'purchase'),
+        flags AS (SELECT uc.u, uc.ch, coalesce(conv.cv, 0) AS cv
+                  FROM uc LEFT JOIN conv USING (u)
+                  WHERE uc.ch != 'purchase'),
+        per_ch AS (SELECT ch AS channel,
+                          CAST(count(*) AS BIGINT) AS n_exposed,
+                          CAST(sum(cv) AS BIGINT) AS n_exposed_conv
+                   FROM flags GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                       CAST(coalesce(sum(cv), 0) AS BIGINT) AS n_conv
+                FROM (SELECT DISTINCT user_id AS u FROM events) t0
+                LEFT JOIN conv USING (u)),
+        j AS (SELECT channel, n_exposed, n_exposed_conv,
+                     CAST(n_users - n_exposed AS BIGINT)
+                       AS n_unexposed,
+                     CAST(n_conv - n_exposed_conv AS BIGINT)
+                       AS n_unexposed_conv
+              FROM per_ch, tot)
+        SELECT channel, n_exposed, n_exposed_conv, n_unexposed,
+               n_unexposed_conv,
+               CASE WHEN n_exposed > 0
+                 THEN round(n_exposed_conv / n_exposed, 6)
+               END AS rate_exposed,
+               CASE WHEN n_unexposed > 0
+                 THEN round(n_unexposed_conv / n_unexposed, 6)
+               END AS rate_unexposed,
+               CASE WHEN n_exposed > 0 AND n_unexposed > 0
+                     AND n_unexposed_conv > 0
+                 THEN round((n_exposed_conv / n_exposed)
+                            / (n_unexposed_conv / n_unexposed), 6)
+               END AS lift
+        FROM j ORDER BY channel
+    """
+    # entity_hop_hist twin: the closeness recursive-CTE BFS, pairs
+    # counted once via s < node, bounded window cumulative.
+    d["entity_hop_hist"] = f"""
+        WITH RECURSIVE {_MENTIONS_SQL.strip()},
+        {_TRIPLE_EDGES_SQL.strip()},
+        bidi AS (SELECT a, b FROM und
+                 UNION ALL SELECT b, a FROM und),
+        walk(s, node, hop) AS (
+          SELECT a, a, 0 FROM (SELECT DISTINCT a FROM bidi)
+          UNION
+          SELECT w.s, u.b, w.hop + 1
+          FROM walk w JOIN bidi u ON u.a = w.node
+          WHERE w.hop < 8
+        ),
+        mh AS (SELECT s, node, CAST(min(hop) AS BIGINT) AS hop
+               FROM walk GROUP BY 1, 2),
+        h AS (SELECT hop, CAST(count(*) AS BIGINT) AS n_pairs
+              FROM mh WHERE s < node GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS total FROM h),
+        c AS (SELECT hop, n_pairs,
+                     CAST(sum(n_pairs) OVER (ORDER BY hop) AS BIGINT)
+                       AS cum_pairs
+              FROM h)
+        SELECT hop, n_pairs, cum_pairs, total,
+               round(cum_pairs / total, 6) AS share,
+               (10 * cum_pairs >= 9 * total) AS reach90
+        FROM c, tot ORDER BY hop
+    """
+    # lexical_richness twin: exact per-source moments, identical
+    # ratio chains (Yule's K from Σf²).
+    d["lexical_richness"] = f"""
+        WITH t AS (SELECT source, {_TOKS_SQL} AS toks FROM documents),
+        occ AS (SELECT source, unnest(toks) AS token FROM t),
+        freq AS (SELECT source, token, CAST(count(*) AS BIGINT) AS f
+                 FROM occ GROUP BY 1, 2),
+        g AS (SELECT source,
+                     CAST(sum(f) AS BIGINT) AS n_tokens,
+                     CAST(count(*) AS BIGINT) AS n_types,
+                     CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS hapax,
+                     CAST(sum(f * f) AS BIGINT) AS sf2
+              FROM freq GROUP BY 1)
+        SELECT source, n_tokens, n_types, hapax, sf2,
+               round(n_types / n_tokens, 6) AS ttr,
+               round(hapax / n_types, 6) AS hapax_rate,
+               round((10000.0 * (sf2 - n_tokens))
+                     / CAST(n_tokens * n_tokens AS DOUBLE), 6)
+                 AS yule_k
+        FROM g ORDER BY source
+    """
+    # rolling_active_users twin: same dense day grid, the identical
+    # 7-offset expansion and exact distinct counts.
+    d["rolling_active_users"] = """
+        WITH e AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                   FROM events),
+        b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        grid AS (SELECT d0 + CAST(i AS INTEGER) AS day
+                 FROM b, unnest(generate_series(0,
+                        CAST(d1 - d0 AS BIGINT))) AS t(i)),
+        dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT)
+                         AS dau
+                FROM e GROUP BY 1),
+        offs AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS off),
+        win AS (SELECT g.day, g.day - CAST(off AS INTEGER) AS day_in
+                FROM grid g, offs),
+        wau AS (SELECT w.day,
+                       CAST(count(DISTINCT e.user_id) AS BIGINT) AS wau
+                FROM win w JOIN e ON e.day = w.day_in
+                GROUP BY 1)
+        SELECT CAST(g.day AS VARCHAR) AS day,
+               CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau,
+               CAST(coalesce(wau.wau, 0) AS BIGINT) AS wau,
+               CASE WHEN coalesce(wau.wau, 0) > 0
+                 THEN round(coalesce(dau.dau, 0) / wau.wau, 6)
+               END AS stickiness
+        FROM grid g LEFT JOIN dau USING (day)
+        LEFT JOIN wau ON wau.day = g.day
+        ORDER BY g.day
+    """
+    # value_percentiles_by_type twin: quantile_cont shares Spark
+    # percentile()'s linear interpolation (corpus_quantiles rule).
+    d["value_percentiles_by_type"] = """
+        WITH e AS (SELECT event_type,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        g AS (SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     quantile_cont(cents, 0.25) AS _p25,
+                     quantile_cont(cents, 0.5) AS _p50,
+                     quantile_cont(cents, 0.75) AS _p75,
+                     quantile_cont(cents, 0.9) AS _p90
+              FROM e GROUP BY 1)
+        SELECT event_type, n,
+               round(_p25, 6) AS p25,
+               round(_p50, 6) AS p50,
+               round(_p75, 6) AS p75,
+               round(_p90, 6) AS p90,
+               round(_p75 - _p25, 6) AS iqr
+        FROM g ORDER BY event_type
     """
     return d

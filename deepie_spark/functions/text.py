@@ -372,3 +372,56 @@ def gopher_flags(text: Column) -> dict[str, Column]:
         "n_stop": n_stop,
         "passes": passes,
     }
+
+
+#: a..z → soundex digit ('0' = vowel/ignored; h/w removed beforehand)
+SOUNDEX_MAP = "01230120022455012623010202"
+
+
+def soundex_key(name: Column) -> Column:
+    """Deterministic soundex-style phonetic key (pure codegen — no
+    UDF): the classic American-Soundex pipeline re-expressed in
+    engine-portable primitives, for ER phonetic blocking (the
+    fuzzy_alias_match / sorted_neighborhood candidate family).
+
+    Steps (both engines run the IDENTICAL algorithm — Spark's native
+    ``F.soundex`` is NOT used because DuckDB has no counterpart and
+    the two engines' h/w edge-case conventions differ; parity is the
+    point of the gate):
+
+    1. keep letters only, lowercase; empty → NULL key;
+    2. drop h/w from position 2+ (they do not separate duplicate
+       codes), keep the first letter;
+    3. map a..z → SOUNDEX_MAP digits ('0' = vowels/y);
+    4. collapse adjacent equal digits (indexed array filter — the
+       backreference-free formulation, DuckDB's RE2 has no \\1);
+    5. drop the LEADING collapsed group (the first letter's own code,
+       with any same-code run absorbed), then drop '0's;
+    6. key = upper(first letter) + first 3 digits, right-padded '0'.
+
+    Matches the textbook examples (Robert/Rupert → R163, Ashcraft →
+    A261, Tymczak → T522, Pfister → P236, Honeyman → H555).  The
+    array lambdas re-evaluate their ≤|name|-length input per element
+    (the HOF-CSE trap) — bounded by name length, irrelevant here."""
+    s = F.lower(F.regexp_replace(name, "[^A-Za-z]", ""))
+    first = F.upper(F.substring(s, 1, 1))
+    body = F.concat(
+        F.substring(s, 1, 1),
+        F.regexp_replace(F.substring(s, 2, 1_000_000), "[hw]", ""),
+    )
+    codes = F.translate(
+        body, "abcdefghijklmnopqrstuvwxyz", SOUNDEX_MAP
+    )
+    arr = F.split(codes, "")
+    collapsed = F.filter(
+        arr,
+        lambda x, i: (i == F.lit(0))
+        | (x != F.element_at(arr, F.greatest(i, F.lit(1)))),
+    )
+    digits = F.filter(
+        F.slice(collapsed, 2, 1_000_000), lambda x: x != "0"
+    )
+    key3 = F.concat_ws("", F.slice(digits, 1, 3))
+    return F.when(
+        F.length(s) > 0, F.concat(first, F.rpad(key3, 3, "0"))
+    )

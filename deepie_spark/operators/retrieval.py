@@ -554,3 +554,104 @@ def ndcg_at_k(
         F.round(idcg, 6).alias("idcg"),
         F.when(idcg != 0.0, F.round(dcg / idcg, 6)).alias("ndcg"),
     )
+
+
+def map_at_k(
+    per_query: list,
+    k: int = 10,
+    rel_col: str = "rel",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Average precision at k per query (binary relevance) — the
+    set-retrieval evaluation beside ndcg_at_k's graded one.
+
+    ``per_query`` is a list of (query_id, candidates-DataFrame) with a
+    BOUNDED number of queries (an evaluation set is dozens, never
+    corpus-sized), so each query's top-k goes through its own
+    TakeOrderedAndProject ((score desc, id) tie-broken) and the unions
+    are q·k rows — broadcast-sized at any corpus scale.
+
+    Exactness: AP@k = Σ_{i≤k, rel_i=1} (c_i/i) / min(R, k) with
+    c_i = # relevant in the top i.  Every c_i/i is scaled by
+    L = lcm(1..k) (2520 for k=10): ap_num = Σ rel_i·c_i·(L/i) is an
+    EXACT long (i divides L), the denominator L·min(R,k) is an exact
+    long, and AP is one IEEE divide — no FP accumulation anywhere.
+    The rank/cum-rel window is per-query over ≤k rows (the lorenz
+    bounded-window precedent)."""
+    import math
+
+    from pyspark.sql import Window as W
+
+    lcm = 1
+    for i in range(1, k + 1):
+        lcm = lcm * i // math.gcd(lcm, i)
+    tops = None
+    stats = None
+    for qid, df in per_query:
+        t = (
+            df.orderBy(F.desc(score_col), F.col(id_col))
+            .limit(k)
+            .select(
+                F.lit(qid).alias("query_id"),
+                F.col(id_col).alias("_id"),
+                F.col(rel_col).cast("long").alias("_rel"),
+                F.col(score_col).alias("_score"),
+            )
+        )
+        s = df.agg(
+            F.lit(qid).alias("query_id"),
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.coalesce(F.sum(F.col(rel_col).cast("long")), F.lit(0))
+            .cast("long")
+            .alias("r_total"),
+        )
+        tops = t if tops is None else tops.unionByName(t)
+        stats = s if stats is None else stats.unionByName(s)
+    w = W.partitionBy("query_id").orderBy(F.desc("_score"), F.col("_id"))
+    ranked = tops.select(
+        "query_id",
+        "_rel",
+        F.row_number().over(w).cast("long").alias("_i"),
+        F.sum("_rel")
+        .over(
+            W.partitionBy("query_id")
+            .orderBy(F.desc("_score"), F.col("_id"))
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        .cast("long")
+        .alias("_c"),
+    )
+    num = ranked.groupBy("query_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_rel") == 1,
+                    F.col("_c") * F.expr(f"{lcm} div _i"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("ap_num")
+    )
+    j = stats.join(num, "query_id", "left").select(
+        "query_id",
+        "n_candidates",
+        "r_total",
+        F.coalesce(F.col("ap_num"), F.lit(0)).cast("long").alias("ap_num"),
+        (F.lit(lcm) * F.least(F.col("r_total"), F.lit(k)))
+        .cast("long")
+        .alias("ap_den"),
+    )
+    return j.select(
+        "query_id",
+        "n_candidates",
+        "r_total",
+        "ap_num",
+        "ap_den",
+        F.when(
+            F.col("ap_den") > 0,
+            F.round(F.col("ap_num") / F.col("ap_den"), 6),
+        ).alias("ap"),
+    ).orderBy("query_id")

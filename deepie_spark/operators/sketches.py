@@ -362,3 +362,130 @@ def ams_f2(
         )
         .orderBy("j")
     )
+
+
+def kmv_compare(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values sketches per group + pairwise set comparison
+    (Beyer et al., SIGMOD'07) — the mergeable distinct/Jaccard sketch
+    the HLL family cannot give: KMV supports set INTERSECTION, and
+    because its state is exact integer hash values it is hash-gateable
+    (unlike HLL's FP harmonic mean, which needs a tolerance verdict).
+
+    Per group, the k smallest DISTINCT poly-hash values of ``key_col``
+    (the portable BASE/MOD hash both engines reproduce).  The global
+    per-group bottom-k ranking rides rank_in_order over
+    struct(group, h) minus a per-group min-rank offset — no
+    single-partition window, no per-group collect.  Distinct estimate
+    D̂ = (k−1)·MOD/h_k — exact longs into one IEEE divide (MOD = 2³¹−1
+    < 2⁵³, so the double conversion is exact).  For every group pair,
+    the union sketch is the bottom-k of the MERGED per-group sketches
+    (an exact identity: the k smallest of A∪B are among the k smallest
+    of A plus the k smallest of B), ranked by a pair-KEYED window over
+    ≤2k rows (bounded — the lorenz precedent), and
+    Ĵ = |{h ∈ union-k : h ∈ sk_A ∧ h ∈ sk_B}| / |union-k| — integer
+    counts, one divide.  At 10¹² keys the sketch table is
+    groups·k rows: the whole comparison is broadcast-sized."""
+    from pyspark.sql import Window as W
+
+    from deepie_spark.functions.text import MOD, char_poly_hash_str
+    from deepie_spark.operators.dictionary import rank_in_order
+
+    dh = (
+        df.select(
+            F.col(group_col).alias("g"),
+            char_poly_hash_str(F.col(key_col).cast("string")).alias("h"),
+        )
+        .distinct()
+    )
+    ranked = rank_in_order(
+        dh.withColumn("_ord", F.struct("g", "h")),
+        "_ord",
+        start_id=1,
+        id_col="gr",
+    )
+    offs = ranked.groupBy("g").agg(F.min("gr").cast("long").alias("off"))
+    sk = (
+        ranked.join(F.broadcast(offs), "g")
+        .select(
+            "g", "h", (F.col("gr") - F.col("off") + 1).alias("r")
+        )
+        .filter(F.col("r") <= k)
+        .localCheckpoint()
+    )
+    per_g = sk.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("sk_n"),
+        F.max("h").cast("long").alias("kth"),
+    )
+    # D̂: full sketch → (k−1)·MOD/h_k; short sketch (group has < k
+    # distinct keys) → the sketch IS the set, estimate = its size
+    est = F.when(
+        F.col("sk_n") >= k,
+        F.round(
+            (F.lit(float(k - 1)) * F.lit(float(MOD))) / F.col("kth"), 6
+        ),
+    ).otherwise(F.col("sk_n").cast("double"))
+    pg = per_g.select("g", "sk_n", "kth", est.alias("est"))
+    pairs = (
+        pg.select(F.col("g").alias("ga"))
+        .crossJoin(pg.select(F.col("g").alias("gb")))
+        .filter(F.col("ga") < F.col("gb"))
+    )
+    ua = pairs.join(
+        sk.select(F.col("g").alias("ga"), "h"), "ga"
+    ).select("ga", "gb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    ub = pairs.join(
+        sk.select(F.col("g").alias("gb"), "h"), "gb"
+    ).select("ga", "gb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    u = (
+        ua.unionByName(ub)
+        .groupBy("ga", "gb", "h")
+        .agg(
+            F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+        )
+    )
+    w = W.partitionBy("ga", "gb").orderBy("h")
+    topu = u.select(
+        "ga", "gb", "in_a", "in_b",
+        F.row_number().over(w).alias("_r"),
+    ).filter(F.col("_r") <= k)
+    ov = topu.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).cast("long").alias("union_n"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+    )
+    a_stats = pg.select(
+        F.col("g").alias("ga"),
+        F.col("sk_n").alias("sk_a"),
+        F.col("kth").alias("kth_a"),
+        F.col("est").alias("est_a"),
+    )
+    b_stats = pg.select(
+        F.col("g").alias("gb"),
+        F.col("sk_n").alias("sk_b"),
+        F.col("kth").alias("kth_b"),
+        F.col("est").alias("est_b"),
+    )
+    return (
+        ov.join(F.broadcast(a_stats), "ga")
+        .join(F.broadcast(b_stats), "gb")
+        .select(
+            F.col("ga").alias("src_a"),
+            F.col("gb").alias("src_b"),
+            "sk_a",
+            "sk_b",
+            "kth_a",
+            "kth_b",
+            "est_a",
+            "est_b",
+            "union_n",
+            "n_both",
+            F.round(F.col("n_both") / F.col("union_n"), 6).alias(
+                "jaccard_est"
+            ),
+        )
+        .orderBy("src_a", "src_b")
+    )

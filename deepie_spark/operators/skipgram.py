@@ -167,3 +167,56 @@ def walk_skipgram_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def collocations_logdice(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """logDice collocation strength for adjacent token bigrams
+    (Rychlý 2008, the Sketch Engine measure):
+
+        logDice = 14 + log2(2·f_xy / (f_x + f_y))
+
+    — the frequency-stable alternative to PMI (no low-frequency
+    blowup, bounded above by 14).  Portability rides the PMI rule:
+    log2(a/b) = (ln a − ln b)·(1/ln 2) with BOTH ln arguments exact
+    integers (2·f_xy and f_x+f_y) and the 1/ln2 factor a repr-shared
+    python-float literal — both engines run the identical IEEE chain.
+    Bigrams from one in-row transform (map-only before the count
+    aggs); output ordered by the deterministic (x, y) key."""
+    import math
+
+    from deepie_spark.functions.text import tokenize
+
+    t = docs.select(tokenize(F.col(text_col)).alias("toks"))
+    uni = t.select(F.explode("toks").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    bg = (
+        t.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> struct(toks[i] AS x, toks[i + 1] AS y))"
+                )
+            ).alias("b")
+        )
+        .select("b.x", "b.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("f_xy"))
+        .filter(F.col("f_xy") >= min_count)
+    )
+    fx = uni.select(F.col("w").alias("x"), F.col("f").alias("f_x"))
+    fy = uni.select(F.col("w").alias("y"), F.col("f").alias("f_y"))
+    j = bg.join(fx, "x").join(fy, "y")
+    inv_ln2 = F.lit(float(1.0 / math.log(2.0)))
+    ld = F.lit(14.0) + (
+        F.log((F.lit(2) * F.col("f_xy")).cast("double"))
+        - F.log((F.col("f_x") + F.col("f_y")).cast("double"))
+    ) * inv_ln2
+    return j.select(
+        "x", "y", "f_xy", "f_x", "f_y", F.round(ld, 6).alias("logdice")
+    ).orderBy("x", "y")

@@ -922,3 +922,308 @@ def theil_sen_slope(
         F.col("_sfp").alias("slope_fp"),
         F.round(F.col("_sfp") / scale, 6).alias("theil_sen"),
     )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Kendall τ-b rank correlation from EXACT integer pair counts —
+    the concordance sibling of the Spearman ρ query (reference scores
+    relation candidates by rank agreement, rnnRE.py:564-581; this is
+    the corpus-level monotone-association audit).
+
+    Pairs are counted over the JOINT FREQUENCY table, not over rows:
+    group to distinct (x, y) cells with multiplicity w, then join
+    cells a < b lexicographically, so the join is Θ(cells²), not
+    Θ(rows²) — for bounded/discretized domains (the only regime where
+    τ at 100 TB makes sense; continuous y should be pre-binned, the
+    theil_sen rule) cells ≪ rows.  Concordant/discordant mass is
+    w_a·w_b per cell pair; tie terms n1 = Σ_x t_x(t_x−1)/2 and
+    n2 = Σ_y u_y(u_y−1)/2 come from the marginals with NO join.  All
+    counts exact longs, carried DOUBLED (tie_x2 = 2n1 etc.) to stay
+    integral; τ_b = 2(C−D)/sqrt((2n0−2n1)(2n0−2n2)) is one IEEE
+    sqrt + divide over exact-long-derived doubles (sqrt is correctly
+    rounded in IEEE 754, so both engines agree bit-for-bit) — the
+    doubled product must stay below 2⁵³ for the double conversion to
+    be exact (n ≲ 1.5·10⁶ rows; beyond that, sample or stratify)."""
+    cells = df.groupBy(
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("_w"))
+    a = cells.select(
+        F.col("_x").alias("xa"), F.col("_y").alias("ya"),
+        F.col("_w").alias("wa"),
+    )
+    b = cells.select(
+        F.col("_x").alias("xb"), F.col("_y").alias("yb"),
+        F.col("_w").alias("wb"),
+    )
+    pair = a.join(
+        b,
+        (F.col("xa") < F.col("xb"))
+        | ((F.col("xa") == F.col("xb")) & (F.col("ya") < F.col("yb"))),
+    )
+    cd = pair.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("xa") < F.col("xb"))
+                    & (F.col("ya") < F.col("yb")),
+                    F.col("wa") * F.col("wb"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("conc"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("xa") < F.col("xb"))
+                    & (F.col("ya") > F.col("yb")),
+                    F.col("wa") * F.col("wb"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("disc"),
+    )
+    n_tot = cells.agg(F.sum("_w").cast("long").alias("n"))
+    tx = (
+        cells.groupBy("_x")
+        .agg(F.sum("_w").cast("long").alias("t"))
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1))
+            .cast("long")
+            .alias("tie_x2")
+        )
+    )
+    ty = (
+        cells.groupBy("_y")
+        .agg(F.sum("_w").cast("long").alias("t"))
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1))
+            .cast("long")
+            .alias("tie_y2")
+        )
+    )
+    j = (
+        cd.crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    # n0/n1/n2 doubled (·2) to stay integral: m1 = 2(n0−n1) etc., so
+    # sqrt(m1·m2) = 2·sqrt((n0−n1)(n0−n2)) and the numerator carries
+    # the matching factor 2 — exact longs throughout
+    n02 = F.col("n") * (F.col("n") - 1)
+    m1 = (n02 - F.col("tie_x2")).cast("long")
+    m2 = (n02 - F.col("tie_y2")).cast("long")
+    tau = (
+        F.lit(2) * (F.col("conc") - F.col("disc"))
+    ).cast("double") / F.sqrt((m1 * m2).cast("double"))
+    return j.select(
+        "n",
+        "conc",
+        "disc",
+        "tie_x2",
+        "tie_y2",
+        F.when((m1 > 0) & (m2 > 0), F.round(tau, 6)).alias("tau_b"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Kruskal-Wallis H (rank one-way ANOVA) — the k-sample sibling of
+    mann_whitney_u, closing the nonparametric suite beside the
+    parametric value_anova.
+
+    Average ranks for ties are carried DOUBLED to stay integral:
+    for a value with inclusive prefix count cum and multiplicity c,
+    lo = cum−c+1, hi = cum, so 2·r̄ = lo+hi = 2·cum−c+1 — an exact
+    long.  The global prefix count rides prefix_sum_in_order (range
+    buckets + keyed windows, no single-partition sort).  Per-group
+    doubled rank sums R2_j = Σ m·(2cum−c+1) are exact longs.  The
+    cross-group Σ R2_j²/n_j would overflow the 2⁵³ double mantissa as
+    a float fixed-point fold (terms reach ~2·10¹⁷ at 10⁴ rows), so it
+    is decomposed EXACTLY by integer div/mod:
+    h_int = Σ (R2_j² div n_j) and
+    h_frac_fp = Σ ((R2_j² mod n_j)·2^bits div n_j) — both order-free
+    exact longs (rem < n_j keeps the scaled remainder ≤ n_j·2^bits;
+    R2_j² must fit int64: N ≲ 3·10⁶ values — pre-bucket beyond).
+    Then H = 3·(h_int + h_frac_fp/2^bits)/(N(N+1)) − 3(N+1)  (12/4
+    folded into 3: R_j = R2_j/2) and the tie correction
+    H' = H / (1 − Σ(c³−c)/(N³−N)) — every remaining op a single IEEE
+    chain over exact-long arguments, written identically in both
+    engines."""
+    from deepie_spark.operators.sweep import prefix_sum_in_order
+
+    v = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    vc = v.groupBy("_v").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    ranked = prefix_sum_in_order(vc, "_v", "_c", out_col="_cum").select(
+        "_v",
+        "_c",
+        (F.lit(2) * F.col("_cum") - F.col("_c") + 1).alias("_r2"),
+    )
+    gv = v.groupBy("_g", "_v").agg(
+        F.count(F.lit(1)).cast("long").alias("_m")
+    )
+    per_g = (
+        gv.join(ranked.select("_v", "_r2"), "_v")
+        .groupBy("_g")
+        .agg(
+            F.sum("_m").cast("long").alias("n_g"),
+            F.sum(F.col("_m") * F.col("_r2")).cast("long").alias("r2_g"),
+        )
+    )
+    mul = 1 << scale_bits
+    agg = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum(F.expr("(r2_g * r2_g) div n_g")).cast("long").alias("h_int"),
+        F.sum(F.expr(f"((r2_g * r2_g) % n_g) * {mul} div n_g"))
+        .cast("long")
+        .alias("h_frac_fp"),
+    )
+    ties = vc.agg(
+        F.sum(F.col("_c") * F.col("_c") * F.col("_c") - F.col("_c"))
+        .cast("long")
+        .alias("tie_sum")
+    )
+    j = agg.crossJoin(F.broadcast(ties))
+    h_raw = (
+        F.lit(3.0)
+        * (
+            F.col("h_int").cast("double")
+            + F.col("h_frac_fp") / F.lit(float(mul))
+        )
+    ) / (F.col("n") * (F.col("n") + 1)).cast("double") - (
+        F.lit(3) * (F.col("n") + 1)
+    ).cast("double")
+    corr = F.lit(1.0) - F.col("tie_sum") / (
+        F.col("n") * F.col("n") * F.col("n") - F.col("n")
+    ).cast("double")
+    return j.select(
+        "k",
+        "n",
+        "h_int",
+        "h_frac_fp",
+        "tie_sum",
+        F.round(h_raw, 6).alias("h_stat"),
+        F.when(corr != 0.0, F.round(h_raw / corr, 6)).alias("h_adj"),
+    )
+
+
+def ccf_exact(
+    series_x: DataFrame,
+    series_y: DataFrame,
+    idx_col: str,
+    val_col: str,
+    max_lag: int = 6,
+) -> DataFrame:
+    """Cross-correlation r_xy(lag) between two integer series on the
+    SAME dense index, lags −max_lag..+max_lag — the lead/lag probe
+    acf_exact cannot answer (does series x LEAD series y?).  Each lag
+    is a Pearson correlation of the overlapping pairs
+    (x_i, y_{i+lag}) from EXACT integer moments (the acf_exact /
+    grouped_pearson rule); positive lags mean x leads y.  One
+    equi-join over the exploded lag set, Θ(n·lags) rows, no window."""
+    lags = F.explode(
+        F.array(*[F.lit(k) for k in range(-max_lag, max_lag + 1)])
+    ).alias("lag")
+    a = series_x.select(
+        F.col(idx_col).cast("long").alias("_i"),
+        F.col(val_col).cast("long").alias("_x"),
+    )
+    b = series_y.select(
+        F.col(idx_col).cast("long").alias("_i2"),
+        F.col(val_col).cast("long").alias("_y"),
+    )
+    pairs = (
+        a.select("_i", "_x", lags)
+        .withColumn("_key", F.col("_i") + F.col("lag"))
+        .join(b, F.col("_key") == F.col("_i2"))
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_x").cast("long").alias("sx"),
+        F.sum("_y").cast("long").alias("sy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).cast("long").alias("syy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "lag",
+        "n",
+        "sx",
+        "sy",
+        "sxx",
+        "syy",
+        "sxy",
+        F.when(
+            (vx != 0) & (vy != 0),
+            F.round(
+                num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+                6,
+            ),
+        ).alias("ccf"),
+    ).orderBy("lag")
+
+
+def ewma_smooth(
+    series: DataFrame,
+    idx_col: str,
+    val_col: str,
+    window: int = 16,
+) -> DataFrame:
+    """Truncated EWMA with λ = 1/2 over an integer series, in EXACT
+    integer arithmetic: ewma_i ≈ Σ_{j=0..w−1} x_{i−j}·2^{−(j+1)},
+    carried as the exact long num_i = Σ x_{i−j}·2^{w−1−j} with fixed
+    denominator 2^w — powers of two only, so no pow/exp and no FP
+    accumulation (the decay_scores rule; the infinite-history EWMA
+    recursion would need an unbounded denominator).  The truncation
+    discards < 2^−w of the weight mass; early indices carry fewer
+    terms (finite history — ``n_terms`` reports how many).  One
+    equi-join over the exploded 0..w−1 lag set, no window."""
+    if not 1 <= window <= 62:
+        raise ValueError("window must be in [1, 62] (2^window in int64)")
+    lags = F.explode(
+        F.array(*[F.lit(j) for j in range(window)])
+    ).alias("j")
+    a = series.select(F.col(idx_col).cast("long").alias("_i"), lags)
+    b = series.select(
+        F.col(idx_col).cast("long").alias("_i2"),
+        F.col(val_col).cast("long").alias("_x"),
+    )
+    pairs = a.withColumn("_key", F.col("_i") - F.col("j")).join(
+        b, F.col("_key") == F.col("_i2")
+    )
+    g = pairs.groupBy("_i").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(
+            F.col("_x")
+            * F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({window} - 1 - j AS INT))")
+        )
+        .cast("long")
+        .alias("num"),
+    )
+    return g.select(
+        F.col("_i").alias(idx_col),
+        "n_terms",
+        "num",
+        F.round(F.col("num") / F.lit(float(1 << window)), 6).alias("ewma"),
+    ).orderBy(idx_col)
