@@ -7315,6 +7315,51 @@ def q_value_percentiles_by_type(
     ).orderBy("event_type")
 
 
+def q_value_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality audit of event values (operators/stats.py
+    jarque_bera) — skewness, kurtosis and JB from exact integer raw
+    moments up to Σx⁴.  Values are DOLLAR-quantized (cents div 100,
+    pure integer division — never float-divide-then-truncate) so the
+    4th-moment sum respects the documented n·max|x|⁴ < 2⁶³ bound
+    (cents⁴ alone would overflow at max value 56021)."""
+    from deepie_spark.operators.stats import jarque_bera
+
+    e = _events(spark, sf_dir).select(
+        F.expr(
+            "CAST(round(value * 100) AS BIGINT) div 100"
+        ).alias("dollars")
+    )
+    return jarque_bera(e, "dollars")
+
+
+def q_value_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) equal-variance test of
+    event value (cents) across event types (operators/stats.py
+    brown_forsythe) — the heteroscedasticity gate beside value_anova:
+    ANOVA on the DOUBLED absolute deviations |2x − 2·med_g|, which
+    are exact longs because medians of integers are multiples of 0.5
+    (the robust_outliers rule); F is scale-invariant so the doubling
+    changes nothing."""
+    from deepie_spark.operators.stats import brown_forsythe
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return brown_forsythe(e, "event_type", "cents")
+
+
+def q_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood-ratio collocations over the documents
+    corpus (operators/skipgram.py collocations_llr) — the G²
+    significance ranking beside collocation_dice's logDice and
+    skipgram_pmi's PMI; every ln argument an exact-integer product,
+    the four 2×2 cell terms one fixed-order chain."""
+    from deepie_spark.operators.skipgram import collocations_llr
+
+    return collocations_llr(_docs(spark, sf_dir), min_count=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -7590,6 +7635,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_richness": q_lexical_richness,
         "rolling_active_users": q_rolling_active_users,
         "value_percentiles_by_type": q_value_percentiles_by_type,
+        "value_jarque_bera": q_value_jarque_bera,
+        "value_levene": q_value_levene,
+        "collocation_llr": q_collocation_llr,
     }
 
 
@@ -13838,5 +13886,123 @@ def oracle_sql() -> dict[str, str]:
                round(_p90, 6) AS p90,
                round(_p75 - _p25, 6) AS iqr
         FROM g ORDER BY event_type
+    """
+    # value_jarque_bera twin: same dollar quantization (integer //),
+    # same exact raw moments, the identical central-moment chain.
+    d["value_jarque_bera"] = """
+        WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) // 100
+                            AS dollars
+                   FROM events),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dollars) AS BIGINT) AS s1,
+                     CAST(sum(dollars * dollars) AS BIGINT) AS s2,
+                     CAST(sum(dollars * dollars * dollars) AS BIGINT)
+                       AS s3,
+                     CAST(sum(dollars * dollars * dollars * dollars)
+                       AS BIGINT) AS s4
+              FROM e),
+        c AS (SELECT *,
+                     s1 / n AS m,
+                     n >= 2 AND n * s2 - s1 * s1 > 0 AS ok
+              FROM a),
+        m2t AS (SELECT *, s2 / n - m * m AS m2,
+                       s3 / n - 3.0 * m * (s2 / n) + 2.0 * m * m * m
+                         AS m3,
+                       s4 / n - 4.0 * m * (s3 / n)
+                         + 6.0 * (m * m) * (s2 / n)
+                         - 3.0 * (m * m * m * m) AS m4
+                FROM c),
+        st AS (SELECT *, m3 / (m2 * sqrt(m2)) AS skew,
+                      m4 / (m2 * m2) AS kurt
+               FROM m2t)
+        SELECT n, s1, s2, s3, s4,
+               CASE WHEN ok THEN round(skew, 6) END AS skewness,
+               CASE WHEN ok THEN round(kurt, 6) END AS kurtosis,
+               CASE WHEN ok THEN round((n / 6.0)
+                 * (skew * skew
+                    + (kurt - 3.0) * (kurt - 3.0) / 4.0), 6)
+               END AS jb_stat
+        FROM st
+    """
+    # value_levene twin: quantile_cont group medians (exact binary
+    # fractions), doubled deviations as exact longs, the value_anova
+    # fixed-point F chain on them.
+    d["value_levene"] = """
+        WITH v AS (SELECT event_type AS g,
+                          CAST(round(value * 100) AS BIGINT) AS x
+                   FROM events),
+        med AS (SELECT g, CAST(2.0 * quantile_cont(x, 0.5) AS BIGINT)
+                            AS med2
+                FROM v GROUP BY 1),
+        dd AS (SELECT v.g,
+                      CAST(abs(2 * v.x - med.med2) AS BIGINT) AS d
+               FROM v JOIN med USING (g)),
+        gg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+                      CAST(sum(d) AS BIGINT) AS s_g
+               FROM dd GROUP BY 1),
+        pg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                      CAST(sum(n_g) AS BIGINT) AS n,
+                      CAST(sum(s_g) AS BIGINT) AS s,
+                      CAST(sum(CAST(floor((s_g * s_g) / n_g
+                        * 1048576.0) AS BIGINT)) AS BIGINT) AS ssb_fp
+               FROM gg),
+        tot AS (SELECT CAST(sum(d * d) AS BIGINT) AS sxx FROM dd)
+        SELECT k, n, s, sxx, ssb_fp,
+               CASE WHEN k > 1 AND n > k
+                 THEN round(((ssb_fp / 1048576.0 - (s * s) / n)
+                             / (k - 1))
+                            / ((sxx - ssb_fp / 1048576.0)
+                               / (n - k)), 6)
+               END AS f_stat
+        FROM pg CROSS JOIN tot
+    """
+    # collocation_llr twin: the same bigram expansion as
+    # collocation_dice, bigram-event marginals, and the identical
+    # four-cell fixed-order G² chain with exact-integer ln arguments.
+    d["collocation_llr"] = f"""
+        WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+        bgu AS (SELECT unnest(list_transform(
+                  generate_series(1, len(toks) - 1),
+                  i -> {{'x': toks[i], 'y': toks[i + 1]}})) AS bp
+                FROM t WHERE len(toks) >= 2),
+        bg AS (SELECT bp.x AS x, bp.y AS y,
+                      CAST(count(*) AS BIGINT) AS f_xy
+               FROM bgu GROUP BY 1, 2),
+        lm AS (SELECT x, CAST(sum(f_xy) AS BIGINT) AS r_x
+               FROM bg GROUP BY 1),
+        rm AS (SELECT y, CAST(sum(f_xy) AS BIGINT) AS c_y
+               FROM bg GROUP BY 1),
+        nn AS (SELECT CAST(sum(f_xy) AS BIGINT) AS n_bigrams FROM bg),
+        j AS (SELECT bg.x, bg.y, bg.f_xy, lm.r_x, rm.c_y, nn.n_bigrams
+              FROM bg JOIN lm ON lm.x = bg.x
+                      JOIN rm ON rm.y = bg.y
+                      CROSS JOIN nn
+              WHERE bg.f_xy >= 5),
+        cells AS (SELECT *,
+                         r_x - f_xy AS k12,
+                         c_y - f_xy AS k21,
+                         n_bigrams - r_x - c_y + f_xy AS k22,
+                         n_bigrams - r_x AS nr,
+                         n_bigrams - c_y AS nc
+                  FROM j)
+        SELECT x, y, f_xy, r_x, c_y, n_bigrams,
+               round(2.0 * (
+                 (CASE WHEN f_xy > 0 THEN CAST(f_xy AS DOUBLE)
+                    * (ln(CAST(f_xy * n_bigrams AS DOUBLE))
+                       - ln(CAST(r_x * c_y AS DOUBLE)))
+                   ELSE 0.0 END)
+                 + (CASE WHEN k12 > 0 THEN CAST(k12 AS DOUBLE)
+                     * (ln(CAST(k12 * n_bigrams AS DOUBLE))
+                        - ln(CAST(r_x * nc AS DOUBLE)))
+                    ELSE 0.0 END)
+                 + (CASE WHEN k21 > 0 THEN CAST(k21 AS DOUBLE)
+                     * (ln(CAST(k21 * n_bigrams AS DOUBLE))
+                        - ln(CAST(nr * c_y AS DOUBLE)))
+                    ELSE 0.0 END)
+                 + (CASE WHEN k22 > 0 THEN CAST(k22 AS DOUBLE)
+                     * (ln(CAST(k22 * n_bigrams AS DOUBLE))
+                        - ln(CAST(nr * nc AS DOUBLE)))
+                    ELSE 0.0 END)), 6) AS g2
+        FROM cells ORDER BY x, y
     """
     return d

@@ -220,3 +220,88 @@ def collocations_logdice(
     return j.select(
         "x", "y", "f_xy", "f_x", "f_y", F.round(ld, 6).alias("logdice")
     ).orderBy("x", "y")
+
+
+def collocations_llr(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Dunning (1993) log-likelihood-ratio collocation significance
+    for adjacent token bigrams — the hypothesis-test companion to
+    logDice/PMI (G² is χ²₁-distributed under independence, so it
+    ranks rare-but-systematic pairs PMI over-rewards and logDice
+    under-rewards):
+
+        G² = 2 · Σ_cells k_ij · ln(k_ij·N / (R_i·C_j))
+
+    over the 2×2 bigram contingency table with BIGRAM-EVENT marginals
+    (R = bigrams with left word x, C = bigrams with right word y,
+    N = all bigrams — the standard Dunning setup; reference DeepIE
+    scores co-occurring pairs per sentence, rnnRE.py:564-581).
+
+    Engine-portability rides the entity_cooccur_pmi rule: every ln
+    argument is an EXACT-INTEGER product (k·N and R·C, each < 2⁶³ for
+    N < 3·10⁹ bigrams — shard beyond), so both engines round the same
+    libm value; the four cell terms are added in ONE fixed
+    left-associative chain (never a cross-row FP sum), and zero cells
+    contribute an exact 0.  Output ordered by the (x, y) key."""
+    t = docs.select(tokenize(F.col(text_col)).alias("toks"))
+    bg = (
+        t.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> struct(toks[i] AS x, toks[i + 1] AS y))"
+                )
+            ).alias("b")
+        )
+        .select("b.x", "b.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("f_xy"))
+    )
+    lm = bg.groupBy("x").agg(F.sum("f_xy").cast("long").alias("r_x"))
+    rm = bg.groupBy("y").agg(F.sum("f_xy").cast("long").alias("c_y"))
+    nn = bg.agg(F.sum("f_xy").cast("long").alias("n_bigrams"))
+    j = (
+        bg.filter(F.col("f_xy") >= min_count)
+        .join(lm, "x")
+        .join(rm, "y")
+        .crossJoin(F.broadcast(nn))
+    )
+
+    def term(k, r, c):
+        # k·(ln(k·N) − ln(R·C)); the k=0 cell contributes exact 0
+        return F.when(
+            k > 0,
+            k.cast("double")
+            * (
+                F.log((k * F.col("n_bigrams")).cast("double"))
+                - F.log((r * c).cast("double"))
+            ),
+        ).otherwise(F.lit(0.0))
+
+    k11 = F.col("f_xy")
+    k12 = F.col("r_x") - F.col("f_xy")
+    k21 = F.col("c_y") - F.col("f_xy")
+    k22 = (
+        F.col("n_bigrams") - F.col("r_x") - F.col("c_y") + F.col("f_xy")
+    )
+    nr = F.col("n_bigrams") - F.col("r_x")
+    nc = F.col("n_bigrams") - F.col("c_y")
+    g2 = F.lit(2.0) * (
+        term(k11, F.col("r_x"), F.col("c_y"))
+        + term(k12, F.col("r_x"), nc)
+        + term(k21, nr, F.col("c_y"))
+        + term(k22, nr, nc)
+    )
+    return j.select(
+        "x",
+        "y",
+        "f_xy",
+        "r_x",
+        "c_y",
+        "n_bigrams",
+        F.round(g2, 6).alias("g2"),
+    ).orderBy("x", "y")

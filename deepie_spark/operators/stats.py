@@ -1227,3 +1227,131 @@ def ewma_smooth(
         "num",
         F.round(F.col("num") / F.lit(float(1 << window)), 6).alias("ewma"),
     ).orderBy(idx_col)
+
+
+def jarque_bera(df: DataFrame, value_col: str) -> DataFrame:
+    """Jarque-Bera normality test from EXACT integer raw moments —
+    the distribution-shape audit beside welch_ttest (means) and
+    kruskal_wallis (ranks): one map-side-combinable aggregation
+    collects n, Σx, Σx², Σx³, Σx⁴ as exact longs, then skewness
+    S = m₃/(m₂·√m₂), excess-prone kurtosis K = m₄/m₂² and
+
+        JB = n/6 · (S² + (K−3)²/4)
+
+    ride ONE fixed IEEE chain written identically in both engines
+    (central moments expanded from raw moments in a pinned
+    left-associative order; √ is IEEE-exact, no pow/ln enters).
+
+    Overflow bound: n·max|x|⁴ < 2⁶³ — with dollar-quantized event
+    values (|x| ≤ ~10³) that is n ≲ 9·10⁶ rows per call at |x|=10³;
+    pre-scale the unit (or shard) beyond.  Degenerate inputs (n < 2
+    or zero variance, guarded on the INTEGER variance numerator
+    n·Σx² − (Σx)²) yield NULL statistics."""
+    x = F.col(value_col).cast("long")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("s1"),
+        F.sum(x * x).cast("long").alias("s2"),
+        F.sum(x * x * x).cast("long").alias("s3"),
+        F.sum(x * x * x * x).cast("long").alias("s4"),
+    )
+    n = F.col("n")
+    m = F.col("s1") / n
+    m2 = F.col("s2") / n - m * m
+    m3 = F.col("s3") / n - F.lit(3.0) * m * (F.col("s2") / n) + F.lit(
+        2.0
+    ) * m * m * m
+    m4 = (
+        F.col("s4") / n
+        - F.lit(4.0) * m * (F.col("s3") / n)
+        + F.lit(6.0) * (m * m) * (F.col("s2") / n)
+        - F.lit(3.0) * (m * m * m * m)
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    kurt = m4 / (m2 * m2)
+    jb = (n / F.lit(6.0)) * (
+        skew * skew + (kurt - F.lit(3.0)) * (kurt - F.lit(3.0)) / F.lit(4.0)
+    )
+    ok = (n >= 2) & (n * F.col("s2") - F.col("s1") * F.col("s1") > 0)
+    return agg.select(
+        "n",
+        "s1",
+        "s2",
+        "s3",
+        "s4",
+        F.when(ok, F.round(skew, 6)).alias("skewness"),
+        F.when(ok, F.round(kurt, 6)).alias("kurtosis"),
+        F.when(ok, F.round(jb, 6)).alias("jb_stat"),
+    )
+
+
+def oneway_f(df: DataFrame, group_col: str, x_col: str) -> DataFrame:
+    """One-way ANOVA F over an exact-long column (the value_anova
+    scheme, reusable): the unordered group term Σ_g S_g²/n_g rides
+    fixed-point longs floor(2²⁰·S_g²/n_g), SSB/SSW recovered from it
+    plus the exact global moments, F = (SSB/(k−1))/(SSW/(N−k)) a
+    single IEEE chain.  Overflow bound: S_g² < 2⁶³ (|S_g| < 3·10⁹)."""
+    scale = F.lit(float(1 << 20))
+    g = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(x_col).cast("long").alias("s_g"),
+    )
+    per_g = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum(
+            F.floor((F.col("s_g") * F.col("s_g")) / F.col("n_g") * scale)
+        )
+        .cast("long")
+        .alias("ssb_fp"),
+    )
+    tot = df.agg(
+        F.sum(F.col(x_col) * F.col(x_col)).cast("long").alias("sxx")
+    )
+    j = per_g.crossJoin(F.broadcast(tot))
+    ssb = F.col("ssb_fp") / scale - (F.col("s") * F.col("s")) / F.col("n")
+    ssw = F.col("sxx") - F.col("ssb_fp") / scale
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return j.select(
+        "k",
+        "n",
+        "s",
+        "sxx",
+        "ssb_fp",
+        F.when(
+            (F.col("k") > 1) & (F.col("n") > F.col("k")),
+            F.round(f_stat, 6),
+        ).alias("f_stat"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Brown-Forsythe homogeneity-of-variance test — one-way ANOVA on
+    the absolute deviations from each GROUP MEDIAN (Levene's test
+    with the median center, the robust recommendation) — the
+    variance-equality gate one checks before trusting value_anova's
+    pooled-variance F.
+
+    Engine-portability: the group median of integers is an exact
+    binary fraction (multiple of 0.5 — the robust_outliers rule), so
+    the DOUBLED deviation d = |2x − 2·med| is an EXACT LONG (2·med
+    cast back losslessly), and the F statistic — scale-invariant by
+    construction — is computed on d via the oneway_f fixed-point
+    scheme with no FP deviation column anywhere."""
+    x = F.col(value_col).cast("long")
+    v = df.select(F.col(group_col).alias("g"), x.alias("x"))
+    med2 = v.groupBy("g").agg(
+        (F.lit(2.0) * F.expr("percentile(x, 0.5)"))
+        .cast("long")
+        .alias("med2")
+    )
+    d = v.join(F.broadcast(med2), "g").select(
+        "g",
+        F.abs(F.lit(2) * F.col("x") - F.col("med2"))
+        .cast("long")
+        .alias("d"),
+    )
+    return oneway_f(d, "g", "d")

@@ -895,3 +895,160 @@ def test_token_burstiness_twin(spark):
         r = rows[t]
         assert (r.df, r.tf, r.sc2, r.n_docs) == (df_, tf, sc2, n)
         assert r.fano == round(sc2 / tf - tf / n, 6)
+
+
+def test_jarque_bera_python_twin(spark):
+    import math
+
+    import numpy as np
+
+    from deepie_spark.operators.stats import jarque_bera
+
+    rng = np.random.RandomState(7)
+    xs = [int(v) for v in rng.exponential(150, size=400)]
+    df = spark.createDataFrame([(v,) for v in xs], ["x"])
+    r = jarque_bera(df, "x").collect()[0]
+    n = len(xs)
+    s1, s2 = sum(xs), sum(v * v for v in xs)
+    s3 = sum(v**3 for v in xs)
+    s4 = sum(v**4 for v in xs)
+    assert (r.n, r.s1, r.s2, r.s3, r.s4) == (n, s1, s2, s3, s4)
+    m = s1 / n
+    m2 = s2 / n - m * m
+    m3 = s3 / n - 3.0 * m * (s2 / n) + 2.0 * m * m * m
+    m4 = (
+        s4 / n
+        - 4.0 * m * (s3 / n)
+        + 6.0 * (m * m) * (s2 / n)
+        - 3.0 * (m * m * m * m)
+    )
+    skew = m3 / (m2 * math.sqrt(m2))
+    kurt = m4 / (m2 * m2)
+    jb = (n / 6.0) * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+    assert r.skewness == round(skew, 6)
+    assert r.kurtosis == round(kurt, 6)
+    assert r.jb_stat == round(jb, 6)
+    # exponential data: strongly right-skewed, heavy JB
+    assert r.skewness > 1.0 and r.jb_stat > 50.0
+
+
+def test_jarque_bera_degenerate_and_symmetric(spark):
+    from deepie_spark.operators.stats import jarque_bera
+
+    const = spark.createDataFrame([(5,), (5,), (5,)], ["x"])
+    r = jarque_bera(const, "x").collect()[0]
+    assert r.jb_stat is None and r.skewness is None
+    # exactly symmetric sample -> skewness exactly 0
+    sym = spark.createDataFrame(
+        [(v,) for v in (-2, -1, -1, 0, 0, 0, 1, 1, 2)], ["x"]
+    )
+    r = jarque_bera(sym, "x").collect()[0]
+    assert r.skewness == 0.0
+
+
+def test_brown_forsythe_python_twin(spark):
+    import numpy as np
+
+    from deepie_spark.operators.stats import brown_forsythe
+
+    rng = np.random.RandomState(11)
+    groups = {
+        "a": [int(v) for v in rng.normal(500, 20, size=151)],
+        "b": [int(v) for v in rng.normal(500, 90, size=180)],
+        "c": [int(v) for v in rng.normal(500, 55, size=163)],
+    }
+    rows = [(g, v) for g, xs in groups.items() for v in xs]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    r = brown_forsythe(df, "g", "x").collect()[0]
+
+    # python twin: doubled |x - med| deviations, same fixed-point F
+    def med2(xs):
+        s = sorted(xs)
+        n = len(s)
+        if n % 2:
+            return 2 * s[n // 2]
+        return s[n // 2 - 1] + s[n // 2]
+
+    devs = {
+        g: [abs(2 * v - med2(xs)) for v in xs]
+        for g, xs in groups.items()
+    }
+    k = len(devs)
+    n = sum(len(d) for d in devs.values())
+    s = sum(sum(d) for d in devs.values())
+    sxx = sum(v * v for d in devs.values() for v in d)
+    ssb_fp = sum(
+        int(
+            np.floor(
+                (sum(d) * sum(d)) / len(d) * float(1 << 20)
+            )
+        )
+        for d in devs.values()
+    )
+    assert (r.k, r.n, r.s, r.sxx, r.ssb_fp) == (k, n, s, sxx, ssb_fp)
+    ssb = ssb_fp / float(1 << 20) - (s * s) / n
+    ssw = sxx - ssb_fp / float(1 << 20)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r.f_stat == round(f, 6)
+    # planted heteroscedasticity (sigma 20 vs 90) => large F
+    assert r.f_stat > 10.0
+
+
+def test_brown_forsythe_equal_variances_small_f(spark):
+    import numpy as np
+
+    from deepie_spark.operators.stats import brown_forsythe
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (g, int(v))
+        for g in ("a", "b", "c")
+        for v in rng.normal(500, 50, size=300)
+    ]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    r = brown_forsythe(df, "g", "x").collect()[0]
+    # same spread in every group: F should sit near 1
+    assert r.f_stat is not None and r.f_stat < 3.0
+
+
+def test_collocations_llr_hand_corpus(spark):
+    import math
+
+    from deepie_spark.operators.skipgram import collocations_llr
+
+    docs = spark.createDataFrame(
+        [("hot dog hot dog hot dog hot dog hot dog cat dog hot cat",)],
+        ["text"],
+    )
+    out = {
+        (r.x, r.y): r
+        for r in collocations_llr(docs, min_count=2).collect()
+    }
+    # 13 bigrams: hot->dog x5, dog->hot x5, dog->cat, cat->dog,
+    # hot->cat
+    r = out[("hot", "dog")]
+    assert (r.f_xy, r.r_x, r.c_y, r.n_bigrams) == (5, 6, 6, 13)
+
+    def g2(k11, rr, cc, nn):
+        tot = 0.0
+        for k, ri, ci in (
+            (k11, rr, cc),
+            (rr - k11, rr, nn - cc),
+            (cc - k11, nn - rr, cc),
+            (nn - rr - cc + k11, nn - rr, nn - cc),
+        ):
+            if k > 0:
+                tot += k * (math.log(k * nn) - math.log(ri * ci))
+        return 2.0 * tot
+    assert r.g2 == round(g2(5, 6, 6, 13), 6)
+    # min_count filters the singleton pairs out
+    assert set(out) == {("hot", "dog"), ("dog", "hot")}
+    # unfiltered run: the systematic pair scores above the one-off
+    # (marginals are computed BEFORE the min_count cut, so the
+    # surviving rows are identical across the two runs)
+    all_out = {
+        (r.x, r.y): r
+        for r in collocations_llr(docs, min_count=1).collect()
+    }
+    assert all_out[("hot", "dog")].g2 == r.g2
+    assert all_out[("hot", "dog")].g2 > all_out[("cat", "dog")].g2
