@@ -7360,6 +7360,155 @@ def q_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations_llr(_docs(spark, sf_dir), min_count=5)
 
 
+def q_entity_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated Katz centrality (β = 1/2, walks ≤ 3) over the
+    directed rule-triple graph (operators/graph.py katz_centrality) —
+    the walk-count prestige score between in-degree and eigenvector
+    centrality; power-of-two attenuation makes the numerator an
+    exact-long accumulator (the decay_scores rule), one divide at
+    the end.  Self-loops excluded (they pad every walk length
+    trivially)."""
+    from deepie_spark.operators.graph import katz_centrality
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    return katz_centrality(t, max_len=3)
+
+
+def q_embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point silhouette of the ground-truth embedding labels
+    (operators/clustering.py silhouette_labels) — the cluster-validity
+    audit beside kmeans_embeddings/embedding_dbscan: pairwise
+    Euclidean distances quantized to exact longs (fixed-point rule),
+    order-free per-cluster sums, one divide per mean."""
+    from deepie_spark.operators.clustering import silhouette_labels
+
+    return silhouette_labels(_emb(spark, sf_dir))
+
+
+def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank @10 per evaluation query over the BM25 ranking
+    (operators/retrieval.py mrr_at_k) — the first-hit metric beside
+    retrieval_map's AP and bm25_ndcg's graded gain; the first-relevant
+    rank is an exact integer so rr is one IEEE divide.  Same
+    pseudo-relevance rule as retrieval_map (≥ 2 distinct query
+    terms)."""
+    from deepie_spark.operators.retrieval import bm25_scores, mrr_at_k
+
+    toks = _toks(spark, sf_dir)
+    per_query = []
+    for qid, terms in _MAP_QUERIES:
+        s = bm25_scores(toks, terms, k1=_BM25_K1, b=_BM25_B)
+        cand = s.select(
+            "doc_id",
+            "score",
+            (F.col("n_terms") >= 2).cast("long").alias("rel"),
+        )
+        per_query.append((qid, cand))
+    return mrr_at_k(per_query, k=10)
+
+
+def q_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency (days since last event at
+    the corpus horizon), frequency (events) and monetary (cents),
+    each scored 1-5 against the population QUINTILE cutpoints — the
+    classic engagement/value grid a source-prioritization or crawl
+    scheduler reads.  Cutpoints via exact interpolated percentiles
+    (Spark percentile == DuckDB quantile_cont, the corpus_quantiles
+    precedent) broadcast as ONE row — no ntile single-partition
+    window; scores are pure integer comparison sums 1 + Σ(x > q_i)
+    (recency inverted: fresher = higher)."""
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    hz = e.agg(F.max("day").alias("horizon"))
+    m = (
+        e.crossJoin(F.broadcast(hz))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.datediff("horizon", "day"))
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("cents").cast("long").alias("monetary"),
+        )
+    )
+    cuts = m.agg(
+        *[
+            F.expr(f"percentile({c}, {p})").alias(f"{c}_q{int(p * 100)}")
+            for c in ("recency_days", "freq", "monetary")
+            for p in (0.2, 0.4, 0.6, 0.8)
+        ]
+    )
+
+    def score(c):
+        raw = F.lit(1)
+        for p in (20, 40, 60, 80):
+            raw = raw + (F.col(c) > F.col(f"{c}_q{p}")).cast("int")
+        return raw
+
+    j = m.crossJoin(F.broadcast(cuts))
+    r = (F.lit(6) - score("recency_days")).cast("long").alias("r")
+    f_ = score("freq").cast("long").alias("f")
+    mo = score("monetary").cast("long").alias("m")
+    return j.select(
+        "user_id",
+        "recency_days",
+        "freq",
+        "monetary",
+        r,
+        f_,
+        mo,
+    ).withColumn(
+        "rfm",
+        F.concat(
+            F.col("r").cast("string"),
+            F.col("f").cast("string"),
+            F.col("m").cast("string"),
+        ),
+    ).orderBy("user_id")
+
+
+def q_events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile of the event stream: per dow
+    (0 = Sunday, aligned across engines) the event count, share of
+    total, peak hour and the peak hour's within-day share — the
+    load-shape audit a crawl/ingest scheduler reads beside
+    events_hourly_dense.  Counts exact longs; argmax via
+    min(struct(-n, hour)) (no window); shares single divides."""
+    e = _events(spark, sf_dir).select(
+        (F.dayofweek(F.col("ts").cast("timestamp")) - 1).alias("dow"),
+        F.hour(F.col("ts").cast("timestamp")).alias("hr"),
+    )
+    dh = e.groupBy("dow", "hr").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    per_dow = dh.groupBy("dow").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.min(F.struct(-F.col("n"), F.col("hr"))).alias("_pk"),
+    )
+    tot = dh.agg(F.sum("n").cast("long").alias("total"))
+    return (
+        per_dow.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "n_events",
+            F.round(F.col("n_events") / F.col("total"), 6).alias(
+                "share"
+            ),
+            F.col("_pk.hr").cast("long").alias("peak_hour"),
+            (-F.col("_pk.col1")).cast("long").alias("peak_n"),
+            F.round(-F.col("_pk.col1") / F.col("n_events"), 6).alias(
+                "peak_share"
+            ),
+        )
+        .orderBy("dow")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -7638,6 +7787,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_jarque_bera": q_value_jarque_bera,
         "value_levene": q_value_levene,
         "collocation_llr": q_collocation_llr,
+        "entity_katz": q_entity_katz,
+        "embedding_silhouette": q_embedding_silhouette,
+        "retrieval_mrr": q_retrieval_mrr,
+        "user_rfm": q_user_rfm,
+        "events_seasonality": q_events_seasonality,
     }
 
 
@@ -14004,5 +14158,163 @@ def oracle_sql() -> dict[str, str]:
                         - ln(CAST(nr * nc AS DOUBLE)))
                     ELSE 0.0 END)), 6) AS g2
         FROM cells ORDER BY x, y
+    """
+    # entity_katz twin: the same distinct directed edge set, three
+    # unrolled matvec joins, identical power-of-two numerator.
+    d["entity_katz"] = f"""
+        WITH {_MENTIONS_SQL.strip()},
+        {_TRIPLE_EDGES_SQL.strip()},
+        de AS (SELECT DISTINCT s AS u, d AS v FROM tr WHERE s != d),
+        nodes AS (SELECT u AS node FROM de
+                  UNION SELECT v FROM de),
+        x1 AS (SELECT v AS node, CAST(count(*) AS BIGINT) AS w1
+               FROM de GROUP BY 1),
+        x2 AS (SELECT de.v AS node, CAST(sum(x1.w1) AS BIGINT) AS w2
+               FROM de JOIN x1 ON x1.node = de.u GROUP BY 1),
+        x3 AS (SELECT de.v AS node, CAST(sum(x2.w2) AS BIGINT) AS w3
+               FROM de JOIN x2 ON x2.node = de.u GROUP BY 1),
+        m AS (SELECT n.node,
+                     CAST(coalesce(x1.w1, 0) AS BIGINT) AS w1,
+                     CAST(coalesce(x2.w2, 0) AS BIGINT) AS w2,
+                     CAST(coalesce(x3.w3, 0) AS BIGINT) AS w3
+              FROM nodes n
+              LEFT JOIN x1 ON x1.node = n.node
+              LEFT JOIN x2 ON x2.node = n.node
+              LEFT JOIN x3 ON x3.node = n.node)
+        SELECT node, w1, w2, w3,
+               CAST(w1 * 4 + w2 * 2 + w3 AS BIGINT) AS katz_num,
+               round(CAST(w1 * 4 + w2 * 2 + w3 AS BIGINT) / 8.0, 6)
+                 AS katz
+        FROM m ORDER BY node
+    """
+    # embedding_silhouette twin: list_dot_product distances (== the
+    # Spark index-order fold), the same fixed-point quantization and
+    # the identical mean/min/max chains.
+    d["embedding_silhouette"] = """
+        WITH e AS (SELECT vec_id, label,
+                          list_transform(embedding,
+                                         x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        p AS (SELECT a.vec_id AS i, a.label AS la, b.label AS lb,
+                     CAST(floor(sqrt(greatest(
+                       list_dot_product(a.v, a.v)
+                       - 2.0 * list_dot_product(a.v, b.v)
+                       + list_dot_product(b.v, b.v), 0.0))
+                       * 1048576.0) AS BIGINT) AS dfp
+              FROM e a JOIN e b ON a.vec_id != b.vec_id),
+        g AS (SELECT i, la, lb, CAST(count(*) AS BIGINT) AS cnt,
+                     CAST(sum(dfp) AS BIGINT) AS s
+              FROM p GROUP BY 1, 2, 3),
+        m AS (SELECT i, la, lb, s / (cnt * 1048576.0) AS mean_d
+              FROM g),
+        ab AS (SELECT i, la,
+                      max(CASE WHEN lb = la THEN mean_d END) AS a_mean,
+                      min(CASE WHEN lb != la THEN mean_d END)
+                        AS b_mean
+               FROM m GROUP BY 1, 2)
+        SELECT i AS vec_id, la AS label,
+               round(a_mean, 6) AS a_mean,
+               round(b_mean, 6) AS b_mean,
+               round(CASE WHEN a_mean IS NOT NULL
+                            AND b_mean IS NOT NULL
+                            AND greatest(a_mean, b_mean) > 0
+                       THEN (b_mean - a_mean)
+                            / greatest(a_mean, b_mean)
+                       ELSE 0.0 END, 6) AS silhouette
+        FROM ab ORDER BY vec_id
+    """
+    # retrieval_mrr twin: the SAME bm25 evaluation CTE prefix as
+    # retrieval_map (shared by construction — string surgery on the
+    # generated SQL, so the two oracles can never drift), with the
+    # first-relevant-rank tail.
+    d["retrieval_mrr"] = _retrieval_map_sql().split("ranked AS", 1)[
+        0
+    ] + """ranked AS (SELECT query_id, rel,
+                     CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, doc_id) AS BIGINT) AS i
+                   FROM tops),
+        fr AS (SELECT query_id,
+                      min(CASE WHEN rel = 1 THEN i END)
+                        AS first_rel_rank
+               FROM ranked GROUP BY 1)
+        SELECT query_id, first_rel_rank,
+               CASE WHEN first_rel_rank IS NOT NULL
+                 THEN round(1.0 / first_rel_rank, 6)
+                 ELSE 0.0 END AS rr
+        FROM fr ORDER BY query_id
+    """
+    # user_rfm twin: quantile_cont quintile cutpoints (exact
+    # interpolation shared with Spark percentile), identical integer
+    # comparison-sum scores.
+    d["user_rfm"] = """
+        WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        hz AS (SELECT max(day) AS horizon FROM e),
+        m AS (SELECT user_id,
+                     CAST(min(horizon - day) AS BIGINT)
+                       AS recency_days,
+                     CAST(count(*) AS BIGINT) AS freq,
+                     CAST(sum(cents) AS BIGINT) AS monetary
+              FROM e CROSS JOIN hz GROUP BY 1),
+        cuts AS (SELECT
+                   quantile_cont(recency_days, 0.2) AS recency_days_q20,
+                   quantile_cont(recency_days, 0.4) AS recency_days_q40,
+                   quantile_cont(recency_days, 0.6) AS recency_days_q60,
+                   quantile_cont(recency_days, 0.8) AS recency_days_q80,
+                   quantile_cont(freq, 0.2) AS freq_q20,
+                   quantile_cont(freq, 0.4) AS freq_q40,
+                   quantile_cont(freq, 0.6) AS freq_q60,
+                   quantile_cont(freq, 0.8) AS freq_q80,
+                   quantile_cont(monetary, 0.2) AS monetary_q20,
+                   quantile_cont(monetary, 0.4) AS monetary_q40,
+                   quantile_cont(monetary, 0.6) AS monetary_q60,
+                   quantile_cont(monetary, 0.8) AS monetary_q80
+                 FROM m),
+        s AS (SELECT user_id, recency_days, freq, monetary,
+                     CAST(6 - (1
+                       + CAST(recency_days > recency_days_q20 AS INT)
+                       + CAST(recency_days > recency_days_q40 AS INT)
+                       + CAST(recency_days > recency_days_q60 AS INT)
+                       + CAST(recency_days > recency_days_q80 AS INT))
+                       AS BIGINT) AS r,
+                     CAST(1
+                       + CAST(freq > freq_q20 AS INT)
+                       + CAST(freq > freq_q40 AS INT)
+                       + CAST(freq > freq_q60 AS INT)
+                       + CAST(freq > freq_q80 AS INT) AS BIGINT) AS f,
+                     CAST(1
+                       + CAST(monetary > monetary_q20 AS INT)
+                       + CAST(monetary > monetary_q40 AS INT)
+                       + CAST(monetary > monetary_q60 AS INT)
+                       + CAST(monetary > monetary_q80 AS INT)
+                       AS BIGINT) AS m
+              FROM m CROSS JOIN cuts)
+        SELECT user_id, recency_days, freq, monetary, r, f, m,
+               CAST(r AS VARCHAR) || CAST(f AS VARCHAR)
+                 || CAST(m AS VARCHAR) AS rfm
+        FROM s ORDER BY user_id
+    """
+    # events_seasonality twin: DuckDB dow (0=Sunday) == Spark
+    # dayofweek−1; same argmax-by-min(struct) rule expressed as a
+    # correlated min pick.
+    d["events_seasonality"] = """
+        WITH e AS (SELECT dayofweek(ts) AS dow, hour(ts) AS hr
+                   FROM events),
+        dh AS (SELECT dow, hr, CAST(count(*) AS BIGINT) AS n
+               FROM e GROUP BY 1, 2),
+        pk AS (SELECT dow,
+                      CAST(sum(n) AS BIGINT) AS n_events,
+                      min(struct_pack(negn := -n, hr := hr)) AS p
+               FROM dh GROUP BY 1),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM dh)
+        SELECT dow, n_events,
+               round(n_events / total, 6) AS share,
+               CAST(p.hr AS BIGINT) AS peak_hour,
+               CAST(-p.negn AS BIGINT) AS peak_n,
+               round(-p.negn / n_events, 6) AS peak_share
+        FROM pk CROSS JOIN tot
+        ORDER BY dow
     """
     return d

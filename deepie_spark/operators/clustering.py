@@ -340,3 +340,110 @@ def dbscan_embeddings(
             .alias("cluster"),
         )
     )
+
+
+def silhouette_labels(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Per-point silhouette coefficient s = (b − a)/max(a, b) of a
+    labeled clustering under Euclidean distance (Rousseeuw 1987) —
+    the internal-validity audit for kmeans_embeddings / dbscan /
+    ground-truth labels: a = mean distance to own cluster (self
+    excluded), b = min over other clusters of the mean distance.
+
+    Engine-portability: each pairwise distance is ONE identical IEEE
+    chain sqrt(max(⟨x,x⟩ − 2⟨x,y⟩ + ⟨y,y⟩, 0)) (dot products are
+    sequential index-order folds == DuckDB list_dot_product — the
+    embedding_cosine_pairs precedent; the max(·,0) guard absorbs the
+    tiny negative both engines would otherwise sqrt to NaN), then
+    immediately quantized floor(2^bits·d) to an EXACT LONG so the
+    per-cluster sums are order-free; each mean is one divide of
+    exact longs and min/max over identically-derived doubles pick
+    identical values.  Singletons and single-label inputs get the
+    sklearn convention s = 0.
+
+    Scale: the pair stage is the exact quadratic baseline (the
+    verification tier, like embedding_cosine_pairs); at corpus scale
+    run the SAME downstream over per-cluster samples or LSH/IVF
+    candidate pairs.  Pre-aggregation keeps the shuffle at
+    Θ(n·k) mean rows, never Θ(n²).
+    """
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("lab"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "v"
+        ),
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    a = v.select(
+        F.col("id").alias("i"),
+        F.col("lab").alias("la"),
+        F.col("v").alias("va"),
+    )
+    b = v.select(
+        F.col("id").alias("j"),
+        F.col("lab").alias("lb"),
+        F.col("v").alias("vb"),
+    )
+    d2 = (
+        dot(F.col("va"), F.col("va"))
+        - F.lit(2.0) * dot(F.col("va"), F.col("vb"))
+        + dot(F.col("vb"), F.col("vb"))
+    )
+    scale = F.lit(float(1 << scale_bits))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("i") != F.col("j"))
+        .select(
+            "i",
+            "la",
+            "lb",
+            F.floor(F.sqrt(F.greatest(d2, F.lit(0.0))) * scale)
+            .cast("long")
+            .alias("dfp"),
+        )
+    )
+    g = pairs.groupBy("i", "la", "lb").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("dfp").cast("long").alias("s"),
+    )
+    m = g.select(
+        "i",
+        "la",
+        "lb",
+        (F.col("s") / (F.col("cnt") * scale)).alias("mean_d"),
+    )
+    ab = m.groupBy("i", "la").agg(
+        F.max(
+            F.when(F.col("lb") == F.col("la"), F.col("mean_d"))
+        ).alias("a_mean"),
+        F.min(
+            F.when(F.col("lb") != F.col("la"), F.col("mean_d"))
+        ).alias("b_mean"),
+    )
+    sil = F.when(
+        F.col("a_mean").isNotNull()
+        & F.col("b_mean").isNotNull()
+        & (F.greatest(F.col("a_mean"), F.col("b_mean")) > 0),
+        (F.col("b_mean") - F.col("a_mean"))
+        / F.greatest(F.col("a_mean"), F.col("b_mean")),
+    ).otherwise(F.lit(0.0))
+    return ab.select(
+        F.col("i").alias(id_col),
+        F.col("la").alias(label_col),
+        F.round("a_mean", 6).alias("a_mean"),
+        F.round("b_mean", 6).alias("b_mean"),
+        F.round(sil, 6).alias("silhouette"),
+    ).orderBy(id_col)

@@ -2736,3 +2736,85 @@ def hop_histogram(
         )
         .orderBy("hop")
     )
+
+
+def katz_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_len: int = 3,
+) -> DataFrame:
+    """Truncated Katz centrality with attenuation β = 1/2 over the
+    DISTINCT directed edge set:
+
+        katz(v) = Σ_{k=1..L} (1/2)^k · walks_k(v)
+
+    where walks_k(v) counts directed walks of length k ENDING at v —
+    the path-aware prestige measure between degree (L = 1) and
+    eigenvector centrality (L → ∞); a truncated β < 1/λ_max Katz is
+    the classic KG-entity prominence score that, unlike PageRank,
+    rewards being reachable from many entities rather than from few
+    heavy ones.
+
+    Engine-portability is the decay_scores rule: β is a POWER OF TWO,
+    so the numerator Σ 2^(L−k)·walks_k(v) is an exact-long
+    accumulator with fixed denominator 2^L and the final score ONE
+    IEEE divide — no FP accumulation anywhere.  walks_k rides k−1
+    sparse matvec joins (edge ⨝ prior-count, one hash agg each);
+    walk counts are EXACT longs and must satisfy
+    Σ_k 2^(L−k)·walks_k < 2⁶³ (walks_3 ≤ |E|·d_max² — shard or lower
+    ``max_len`` on graphs beyond; hub-free KG graphs sit far under).
+
+    Returns (node, w1..wL, katz_num, katz) with walks columns exact
+    longs, ordered by node.
+    """
+    if not 1 <= max_len <= 6:
+        raise ValueError("max_len must be in [1, 6]")
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).distinct()
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    # walks_1 = in-degree over the simple digraph
+    w = e.groupBy(F.col("v").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("w1")
+    )
+    walks = [("w1", w)]
+    for k in range(2, max_len + 1):
+        prev_name, prev = walks[-1]
+        nxt = (
+            e.join(
+                prev.select(
+                    F.col("node").alias("u"),
+                    F.col(prev_name).alias("pw"),
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("pw").cast("long").alias(f"w{k}"))
+        )
+        walks.append((f"w{k}", nxt))
+    out = nodes
+    for name, wdf in walks:
+        out = out.join(wdf, "node", "left")
+    wcols = [
+        F.coalesce(F.col(f"w{k}"), F.lit(0))
+        .cast("long")
+        .alias(f"w{k}")
+        for k in range(1, max_len + 1)
+    ]
+    out = out.select("node", *wcols)
+    num = None
+    for k in range(1, max_len + 1):
+        term = F.col(f"w{k}") * F.lit(1 << (max_len - k))
+        num = term if num is None else num + term
+    denom = float(1 << max_len)
+    return out.select(
+        "node",
+        *[f"w{k}" for k in range(1, max_len + 1)],
+        num.cast("long").alias("katz_num"),
+        F.round(num.cast("long") / F.lit(denom), 6).alias("katz"),
+    ).orderBy("node")

@@ -655,3 +655,59 @@ def map_at_k(
             F.round(F.col("ap_num") / F.col("ap_den"), 6),
         ).alias("ap"),
     ).orderBy("query_id")
+
+
+def mrr_at_k(
+    per_query: list,
+    k: int = 10,
+    rel_col: str = "rel",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal rank at k per evaluation query — the
+    first-hit-position metric beside map_at_k (AP) and ndcg_at_k
+    (graded gain): rr = 1/rank of the FIRST relevant result in the
+    (score desc, id)-tie-broken top-k, 0 if none lands in the cut.
+
+    Exactness: the first-relevant rank is an exact integer (min over
+    ranks of relevant rows), so rr is ONE IEEE divide of exact longs;
+    no FP accumulation, no pow/ln.  Same bounded per-query
+    TakeOrderedAndProject shape as map_at_k — q·k rows total."""
+    from pyspark.sql import Window as W
+
+    tops = None
+    for qid, df in per_query:
+        t = (
+            df.orderBy(F.desc(score_col), F.col(id_col))
+            .limit(k)
+            .select(
+                F.lit(qid).alias("query_id"),
+                F.col(id_col).alias("_id"),
+                F.col(rel_col).cast("long").alias("_rel"),
+                F.col(score_col).alias("_score"),
+            )
+        )
+        tops = t if tops is None else tops.unionByName(t)
+    w = W.partitionBy("query_id").orderBy(F.desc("_score"), F.col("_id"))
+    ranked = tops.select(
+        "query_id", "_rel", F.row_number().over(w).cast("long").alias("_i")
+    )
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.min(F.when(F.col("_rel") == 1, F.col("_i"))).alias(
+                "first_rel_rank"
+            )
+        )
+        .select(
+            "query_id",
+            "first_rel_rank",
+            F.when(
+                F.col("first_rel_rank").isNotNull(),
+                F.round(F.lit(1.0) / F.col("first_rel_rank"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rr"),
+        )
+        .orderBy("query_id")
+    )

@@ -275,3 +275,83 @@ def test_dbscan_embeddings_python_twin(spark):
     assert got == expect
     roles = {r for r, _ in got.values()}
     assert roles == {"core", "border", "noise"} or "core" in roles
+
+
+def test_silhouette_labels_python_twin(spark):
+    import math
+
+    import numpy as np
+
+    from deepie_spark.operators.clustering import silhouette_labels
+
+    rng = np.random.RandomState(13)
+    pts = []
+    for lab, center in ((0, (0.0, 0.0)), (1, (10.0, 0.0)), (2, (5.0, 9.0))):
+        for _ in range(8):
+            pts.append(
+                (
+                    len(pts),
+                    lab,
+                    [
+                        float(center[0] + rng.normal(0, 0.8)),
+                        float(center[1] + rng.normal(0, 0.8)),
+                    ],
+                )
+            )
+    df = spark.createDataFrame(pts, "vec_id long, label int, embedding array<float>")
+    got = {r.vec_id: r for r in silhouette_labels(df).collect()}
+
+    # twin with the SAME fixed-point quantization
+    vs = {i: [float(np.float32(x)) for x in v] for i, _, v in pts}
+    labs = {i: l for i, l, _ in pts}
+    SC = float(1 << 20)
+
+    def dfp(x, y):
+        daa = sum(a * a for a in x)
+        dab = sum(a * b for a, b in zip(x, y))
+        dbb = sum(b * b for b in y)
+        return math.floor(math.sqrt(max(daa - 2.0 * dab + dbb, 0.0)) * SC)
+
+    for i in vs:
+        by_lab = {}
+        for j in vs:
+            if i == j:
+                continue
+            by_lab.setdefault(labs[j], [0, 0])
+            by_lab[labs[j]][0] += 1
+            by_lab[labs[j]][1] += dfp(vs[i], vs[j])
+        a_mean = by_lab[labs[i]][1] / (by_lab[labs[i]][0] * SC)
+        b_mean = min(
+            s / (c * SC) for l, (c, s) in by_lab.items() if l != labs[i]
+        )
+        s = (b_mean - a_mean) / max(a_mean, b_mean)
+        r = got[i]
+        assert r.a_mean == round(a_mean, 6)
+        assert r.b_mean == round(b_mean, 6)
+        assert r.silhouette == round(s, 6)
+        # well-separated planted clusters: strongly positive
+        assert r.silhouette > 0.5
+
+
+def test_silhouette_singleton_and_single_label(spark):
+    from deepie_spark.operators.clustering import silhouette_labels
+
+    # singleton cluster (label 9) -> a undefined -> s = 0
+    df = spark.createDataFrame(
+        [
+            (1, 0, [0.0, 0.0]),
+            (2, 0, [1.0, 0.0]),
+            (3, 9, [50.0, 50.0]),
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    got = {r.vec_id: r.silhouette for r in silhouette_labels(df).collect()}
+    assert got[3] == 0.0 and got[1] > 0.9
+    # one label only -> b undefined everywhere -> all zeros
+    one = spark.createDataFrame(
+        [(1, 0, [0.0, 1.0]), (2, 0, [2.0, 1.0])],
+        "vec_id long, label int, embedding array<float>",
+    )
+    assert all(
+        r.silhouette == 0.0 for r in silhouette_labels(one).collect()
+    )

@@ -1856,3 +1856,62 @@ def test_percolation_profile_monotone(spark):
         assert a.n_edges <= b.n_edges
         assert a.giant_size <= b.giant_size
     assert rows[-1].n_edges > 0 and rows[-1].giant_size >= 2
+
+
+def test_katz_centrality_path_graph(spark):
+    from deepie_spark.operators.graph import katz_centrality
+
+    # path a->b->c->d, plus a duplicate edge that must dedup
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "c"), ("c", "d")],
+        ["src", "dst"],
+    )
+    got = {r.node: r for r in katz_centrality(df, max_len=3).collect()}
+    assert (got["a"].w1, got["a"].w2, got["a"].w3) == (0, 0, 0)
+    assert (got["b"].w1, got["b"].w2, got["b"].w3) == (1, 0, 0)
+    assert (got["c"].w1, got["c"].w2, got["c"].w3) == (1, 1, 0)
+    assert (got["d"].w1, got["d"].w2, got["d"].w3) == (1, 1, 1)
+    # katz = w1/2 + w2/4 + w3/8 — exact binary fractions
+    assert got["d"].katz == 0.875 and got["d"].katz_num == 7
+    assert got["b"].katz == 0.5
+    assert got["a"].katz == 0.0
+
+
+def test_katz_centrality_star_and_python_twin(spark):
+    import itertools
+
+    import numpy as np
+
+    from deepie_spark.operators.graph import katz_centrality
+
+    rng = np.random.RandomState(17)
+    nodes = [f"n{i}" for i in range(12)]
+    edges = sorted(
+        set(
+            (nodes[rng.randint(12)], nodes[rng.randint(12)])
+            for _ in range(40)
+        )
+    )
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r for r in katz_centrality(df, max_len=3).collect()}
+
+    # python twin: dense walk counts
+    idx = {n: i for i, n in enumerate(nodes)}
+    a = np.zeros((12, 12), dtype=np.int64)
+    for u, v in edges:
+        a[idx[u], idx[v]] = 1
+    w1 = a.sum(axis=0)
+    w2 = (a @ a).sum(axis=0)
+    w3 = (a @ a @ a).sum(axis=0)
+    present = {u for e in edges for u in e}
+    for n in present:
+        i = idx[n]
+        r = got[n]
+        assert (r.w1, r.w2, r.w3) == (w1[i], w2[i], w3[i])
+        assert r.katz_num == 4 * w1[i] + 2 * w2[i] + w3[i]
+        assert r.katz == round(r.katz_num / 8.0, 6)
+    assert set(got) == present
+
+    with __import__("pytest").raises(ValueError):
+        katz_centrality(df, max_len=0)

@@ -301,3 +301,38 @@ def test_ndcg_perfect_and_zero(spark):
         "doc_id long, rel long, score double",
     )
     assert ndcg_at_k(z, k=5).collect()[0].ndcg is None
+
+
+def test_mrr_at_k_hand_examples(spark):
+    from deepie_spark.operators.retrieval import mrr_at_k
+
+    def cands(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, score double, rel int"
+        )
+
+    per_query = [
+        # relevant doc ranked first -> rr = 1.0
+        ("q_first", cands([(1, 9.0, 1), (2, 5.0, 0), (3, 1.0, 1)])),
+        # first relevant at rank 3 -> rr = 1/3
+        (
+            "q_third",
+            cands([(1, 9.0, 0), (2, 5.0, 0), (3, 4.0, 1), (4, 1.0, 1)]),
+        ),
+        # no relevant in candidates -> rank NULL, rr = 0
+        ("q_none", cands([(1, 9.0, 0), (2, 5.0, 0)])),
+        # relevant exists but OUTSIDE the k cut -> rr = 0
+        (
+            "q_cut",
+            cands([(i, 100.0 - i, 0) for i in range(1, 11)] + [(99, 0.5, 1)]),
+        ),
+        # score tie: id ascending breaks it -> relevant id 2 at rank 2
+        ("q_tie", cands([(1, 5.0, 0), (2, 5.0, 1), (3, 5.0, 0)])),
+    ]
+    got = {r.query_id: r for r in mrr_at_k(per_query, k=10).collect()}
+    assert got["q_first"].first_rel_rank == 1 and got["q_first"].rr == 1.0
+    assert got["q_third"].first_rel_rank == 3
+    assert got["q_third"].rr == round(1.0 / 3.0, 6)
+    assert got["q_none"].first_rel_rank is None and got["q_none"].rr == 0.0
+    assert got["q_cut"].first_rel_rank is None and got["q_cut"].rr == 0.0
+    assert got["q_tie"].first_rel_rank == 2 and got["q_tie"].rr == 0.5
