@@ -7509,6 +7509,44 @@ def q_events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External cluster validity of the 2-iteration k=8 k-means
+    against the ground-truth embedding labels
+    (operators/clustering.py cluster_agreement): ARI from exact
+    doubled pair counts, NMI from fixed-point integer-ln-argument
+    cell terms — the companion audit to embedding_silhouette
+    (internal) and ann_recall (retrieval).  The oracle nests the
+    SHARED unrolled-Lloyd assignment CTE (_KMEANS_A3_CTES)."""
+    from deepie_spark.operators.clustering import (
+        cluster_agreement,
+        kmeans_fit,
+    )
+
+    emb = _emb(spark, sf_dir)
+    assigned, _ = kmeans_fit(emb, k=8, iters=2)
+    labels = assigned.select("vec_id", F.col("cluster").alias("label_a")).join(
+        emb.select("vec_id", F.col("label").alias("label_b")), "vec_id"
+    )
+    return cluster_agreement(labels)
+
+
+def q_token_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clauset-MLE power-law exponent of the token frequency
+    distribution, tail x ≥ 5 (operators/stats.py powerlaw_alpha_mle)
+    — the likelihood estimate beside corpus_zipf's (biased) log-log
+    OLS; exact-integer ln arguments, fixed-point unordered sum, one
+    IEEE chain."""
+    from deepie_spark.operators.stats import powerlaw_alpha_mle
+
+    freq = (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    return powerlaw_alpha_mle(freq, "f", x_min=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -7792,6 +7830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_mrr": q_retrieval_mrr,
         "user_rfm": q_user_rfm,
         "events_seasonality": q_events_seasonality,
+        "cluster_eval": q_cluster_eval,
+        "token_powerlaw": q_token_powerlaw,
     }
 
 
@@ -14316,5 +14356,84 @@ def oracle_sql() -> dict[str, str]:
                round(-p.negn / n_events, 6) AS peak_share
         FROM pk CROSS JOIN tot
         ORDER BY dow
+    """
+    # cluster_eval twin: the shared unrolled-Lloyd a3 assignment
+    # joined to the label column, then the identical exact-pair ARI
+    # and fixed-point MI/entropy chains.
+    d["cluster_eval"] = f"""
+        {_KMEANS_A3_CTES},
+        lab AS (SELECT a3.cid AS la, emb.label AS lb
+                FROM a3 JOIN embeddings emb USING (vec_id)),
+        cm AS (SELECT la, lb, CAST(count(*) AS BIGINT) AS nij
+               FROM lab GROUP BY 1, 2),
+        am AS (SELECT la, CAST(sum(nij) AS BIGINT) AS ai
+               FROM cm GROUP BY 1),
+        bm AS (SELECT lb, CAST(sum(nij) AS BIGINT) AS bj
+               FROM cm GROUP BY 1),
+        nn AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM cm),
+        paq AS (SELECT CAST(sum(ai * (ai - 1)) AS BIGINT) AS pa,
+                       CAST(sum(CAST(floor(CAST(ai AS DOUBLE)
+                         * ln(CAST(ai AS DOUBLE)) * 1048576.0)
+                         AS BIGINT)) AS BIGINT) AS aln_fp,
+                       CAST(count(*) AS BIGINT) AS ka
+                FROM am),
+        pbq AS (SELECT CAST(sum(bj * (bj - 1)) AS BIGINT) AS pb,
+                       CAST(sum(CAST(floor(CAST(bj AS DOUBLE)
+                         * ln(CAST(bj AS DOUBLE)) * 1048576.0)
+                         AS BIGINT)) AS BIGINT) AS bln_fp,
+                       CAST(count(*) AS BIGINT) AS kb
+                FROM bm),
+        miq AS (SELECT CAST(sum(nij * (nij - 1)) AS BIGINT)
+                         AS sum_pairs,
+                       CAST(sum(CAST(floor((nij / n)
+                         * (ln(CAST(nij * n AS DOUBLE))
+                            - ln(CAST(ai * bj AS DOUBLE)))
+                         * 1048576.0) AS BIGINT)) AS BIGINT) AS mi_fp
+                FROM cm JOIN am USING (la) JOIN bm USING (lb)
+                CROSS JOIN nn),
+        fin AS (SELECT n, pa, pb, sum_pairs, mi_fp, ka, kb,
+                       aln_fp, bln_fp,
+                       CAST(pa AS DOUBLE) * pb / (n * (n - 1)) AS exp,
+                       ln(CAST(n AS DOUBLE))
+                         - (aln_fp / 1048576.0) / n AS ha,
+                       ln(CAST(n AS DOUBLE))
+                         - (bln_fp / 1048576.0) / n AS hb
+                FROM nn CROSS JOIN paq CROSS JOIN pbq CROSS JOIN miq)
+        SELECT n AS n_items, pa, pb, sum_pairs, mi_fp,
+               CASE WHEN ka > 1 OR kb > 1
+                 THEN round((sum_pairs - exp)
+                            / ((pa + pb) / 2.0 - exp), 6)
+               END AS ari,
+               CASE WHEN ka > 1 AND kb > 1
+                 THEN round((mi_fp / 1048576.0) / sqrt(ha * hb), 6)
+               END AS nmi
+        FROM fin
+    """
+    # token_powerlaw twin: same tail filter, fixed-point ln sum, the
+    # repr-shared ln(x_min) constant and identical alpha chain.
+    import math as _m
+
+    d["token_powerlaw"] = f"""
+        WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+        occ AS (SELECT unnest(toks) AS token FROM t),
+        freq AS (SELECT token, CAST(count(*) AS BIGINT) AS f
+                 FROM occ GROUP BY 1),
+        tail AS (SELECT f AS x FROM freq WHERE f >= 5),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n_tail,
+                     CAST(sum(CAST(floor(ln(CAST(x AS DOUBLE))
+                       * 1048576.0) AS BIGINT)) AS BIGINT)
+                       AS sum_ln_fp
+              FROM tail),
+        den AS (SELECT *,
+                       sum_ln_fp / 1048576.0
+                         - n_tail * {_m.log(5)!r} AS denom
+                FROM a)
+        SELECT n_tail, sum_ln_fp,
+               CASE WHEN n_tail > 0 AND denom > 0
+                 THEN round(1.0 + n_tail / denom, 6) END AS alpha,
+               CASE WHEN n_tail > 0 AND denom > 0
+                 THEN round((1.0 + n_tail / denom - 1.0)
+                            / sqrt(n_tail), 6) END AS alpha_se
+        FROM den
     """
     return d

@@ -447,3 +447,116 @@ def silhouette_labels(
         F.round("b_mean", 6).alias("b_mean"),
         F.round(sil, 6).alias("silhouette"),
     ).orderBy(id_col)
+
+
+def cluster_agreement(
+    labels: DataFrame,
+    a_col: str = "label_a",
+    b_col: str = "label_b",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """External cluster-validity between two labelings of the same
+    items: Adjusted Rand Index and Normalized Mutual Information —
+    the companion to silhouette_labels (internal validity); the
+    standard audit of a clustering (k-means, DBSCAN, LSH buckets)
+    against ground truth or a rival clustering.
+
+    Engine-portability:
+    - ARI rides DOUBLED pair counts x·(x−1) — exact longs, and the
+      statistic is invariant to the doubling; the only products that
+      could overflow (pa·pb) are taken in DOUBLE (identical IEEE
+      multiply both engines), everything else exact.
+    - MI = Σ (n_ij/N)·ln(n_ij·N/(a_i·b_j)) accumulates as fixed-point
+      longs floor(2^bits·term) over the UNORDERED cell set (the chi2
+      rule) with both ln arguments EXACT-INTEGER products
+      (n_ij·N, a_i·b_j < 2⁶³ — N ≲ 3·10⁹ items); entropies via
+      H = ln N − (Σ a·ln a)/2^bits/N with Σ a·ln a fixed-point too.
+    - NMI = MI/√(H_a·H_b), one IEEE chain; degenerate inputs
+      (single cluster on either side) yield NULL NMI, zero-den ARI
+      yields NULL.
+
+    One row: (n_items, pa, pb, sum_pairs, mi_fp, ari, nmi)."""
+    scale = F.lit(float(1 << scale_bits))
+    la, lb = F.col(a_col), F.col(b_col)
+    cm = labels.groupBy(la.alias("la"), lb.alias("lb")).agg(
+        F.count(F.lit(1)).cast("long").alias("nij")
+    )
+    am = cm.groupBy("la").agg(F.sum("nij").cast("long").alias("ai"))
+    bm = cm.groupBy("lb").agg(F.sum("nij").cast("long").alias("bj"))
+    nn = cm.agg(F.sum("nij").cast("long").alias("n"))
+
+    def pairs2(x):
+        return F.sum(x * (x - 1)).cast("long")
+
+    def saln(x):
+        # Σ floor(2^bits · x·ln(x)) — ln argument an exact integer
+        return (
+            F.sum(
+                F.floor(
+                    x.cast("double") * F.log(x.cast("double")) * scale
+                )
+            )
+            .cast("long")
+        )
+
+    pa = am.agg(
+        pairs2(F.col("ai")).alias("pa"),
+        saln(F.col("ai")).alias("aln_fp"),
+        F.count(F.lit(1)).cast("long").alias("ka"),
+    )
+    pb = bm.agg(
+        pairs2(F.col("bj")).alias("pb"),
+        saln(F.col("bj")).alias("bln_fp"),
+        F.count(F.lit(1)).cast("long").alias("kb"),
+    )
+    mi = (
+        cm.join(am, "la")
+        .join(bm, "lb")
+        .crossJoin(F.broadcast(nn))
+        .agg(
+            F.sum(F.col("nij") * (F.col("nij") - 1))
+            .cast("long")
+            .alias("sum_pairs"),
+            F.sum(
+                F.floor(
+                    (F.col("nij") / F.col("n"))
+                    * (
+                        F.log((F.col("nij") * F.col("n")).cast("double"))
+                        - F.log((F.col("ai") * F.col("bj")).cast("double"))
+                    )
+                    * scale
+                )
+            )
+            .cast("long")
+            .alias("mi_fp"),
+        )
+    )
+    j = (
+        nn.crossJoin(F.broadcast(pa))
+        .crossJoin(F.broadcast(pb))
+        .crossJoin(F.broadcast(mi))
+    )
+    pn = F.col("n") * (F.col("n") - 1)
+    exp = F.col("pa").cast("double") * F.col("pb") / pn
+    den = (F.col("pa") + F.col("pb")) / F.lit(2.0) - exp
+    ari = (F.col("sum_pairs") - exp) / den
+    ha = F.log(F.col("n").cast("double")) - (
+        F.col("aln_fp") / scale
+    ) / F.col("n")
+    hb = F.log(F.col("n").cast("double")) - (
+        F.col("bln_fp") / scale
+    ) / F.col("n")
+    nmi = (F.col("mi_fp") / scale) / F.sqrt(ha * hb)
+    return j.select(
+        F.col("n").alias("n_items"),
+        "pa",
+        "pb",
+        "sum_pairs",
+        "mi_fp",
+        F.when(
+            (F.col("ka") > 1) | (F.col("kb") > 1), F.round(ari, 6)
+        ).alias("ari"),
+        F.when(
+            (F.col("ka") > 1) & (F.col("kb") > 1), F.round(nmi, 6)
+        ).alias("nmi"),
+    )

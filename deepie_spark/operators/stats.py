@@ -1355,3 +1355,52 @@ def brown_forsythe(
         .alias("d"),
     )
     return oneway_f(d, "g", "d")
+
+
+def powerlaw_alpha_mle(
+    df: DataFrame,
+    value_col: str,
+    x_min: int = 5,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Clauset-Shalizi-Newman continuous-MLE power-law exponent over
+    the tail x ≥ x_min:
+
+        α̂ = 1 + n / Σ ln(x / x_min)
+
+    — the likelihood companion to corpus_zipf's OLS fit (OLS on
+    log-log ranks is biased; the MLE is the estimator the power-law
+    literature actually trusts).  Each ln(x) has an EXACT-INTEGER
+    argument (both engines round the same libm value) and the
+    unordered sum rides fixed-point longs floor(2^bits·ln x); the
+    denominator is sum_fp/2^bits − n·ln(x_min), one IEEE chain.
+    Emits (n_tail, sum_ln_fp, alpha) plus the Hill-style standard
+    error (α−1)/√n."""
+    if x_min < 1:
+        raise ValueError("x_min must be >= 1")
+    scale = F.lit(float(1 << scale_bits))
+    x = F.col(value_col).cast("long")
+    t = df.filter(x >= x_min).select(x.alias("x"))
+    agg = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.sum(F.floor(F.log(F.col("x").cast("double")) * scale))
+        .cast("long")
+        .alias("sum_ln_fp"),
+    )
+    import math
+
+    ln_xmin = F.lit(float(math.log(x_min)))
+    denom = F.col("sum_ln_fp") / scale - F.col("n_tail") * ln_xmin
+    alpha = F.lit(1.0) + F.col("n_tail") / denom
+    return agg.select(
+        "n_tail",
+        "sum_ln_fp",
+        F.when((F.col("n_tail") > 0) & (denom > 0), F.round(alpha, 6))
+        .alias("alpha"),
+        F.when(
+            (F.col("n_tail") > 0) & (denom > 0),
+            F.round(
+                (alpha - F.lit(1.0)) / F.sqrt(F.col("n_tail")), 6
+            ),
+        ).alias("alpha_se"),
+    )

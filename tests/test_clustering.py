@@ -355,3 +355,68 @@ def test_silhouette_singleton_and_single_label(spark):
     assert all(
         r.silhouette == 0.0 for r in silhouette_labels(one).collect()
     )
+
+
+def test_cluster_agreement_python_twin(spark):
+    import math
+
+    from deepie_spark.operators.clustering import cluster_agreement
+
+    # 3 true clusters, labeling B merges two of them + one stray
+    pairs = (
+        [(0, 0)] * 10 + [(1, 1)] * 8 + [(2, 1)] * 7 + [(2, 0)] * 1
+    )
+    df = spark.createDataFrame(pairs, ["label_a", "label_b"])
+    r = cluster_agreement(df).collect()[0]
+
+    from collections import Counter
+
+    cm = Counter(pairs)
+    am = Counter(a for a, _ in pairs)
+    bm = Counter(b for _, b in pairs)
+    n = len(pairs)
+    sp = sum(v * (v - 1) for v in cm.values())
+    pa = sum(v * (v - 1) for v in am.values())
+    pb = sum(v * (v - 1) for v in bm.values())
+    assert (r.n_items, r.pa, r.pb, r.sum_pairs) == (n, pa, pb, sp)
+    exp = float(pa) * pb / (n * (n - 1))
+    assert r.ari == round((sp - exp) / ((pa + pb) / 2.0 - exp), 6)
+    SC = float(1 << 20)
+    mi_fp = sum(
+        math.floor(
+            (v / n)
+            * (math.log(v * n) - math.log(am[a] * bm[b]))
+            * SC
+        )
+        for (a, b), v in cm.items()
+    )
+    assert r.mi_fp == mi_fp
+    ha = math.log(n) - sum(
+        math.floor(v * math.log(v) * SC) for v in am.values()
+    ) / SC / n
+    hb = math.log(n) - sum(
+        math.floor(v * math.log(v) * SC) for v in bm.values()
+    ) / SC / n
+    assert r.nmi == round((mi_fp / SC) / math.sqrt(ha * hb), 6)
+
+
+def test_cluster_agreement_extremes(spark):
+    from deepie_spark.operators.clustering import cluster_agreement
+
+    # identical labelings (up to renaming) -> ARI = NMI = 1
+    same = spark.createDataFrame(
+        [(i % 3, (i % 3) * 7) for i in range(30)], ["label_a", "label_b"]
+    )
+    r = cluster_agreement(same).collect()[0]
+    assert r.ari == 1.0 and r.nmi >= 0.99999  # fp quantization
+    # one side trivial (single cluster): NMI NULL; both trivial: both NULL
+    triv = spark.createDataFrame(
+        [(0, i % 3) for i in range(30)], ["label_a", "label_b"]
+    )
+    r = cluster_agreement(triv).collect()[0]
+    assert r.nmi is None and r.ari is not None
+    both = spark.createDataFrame(
+        [(0, 0) for _ in range(10)], ["label_a", "label_b"]
+    )
+    r = cluster_agreement(both).collect()[0]
+    assert r.ari is None and r.nmi is None

@@ -1052,3 +1052,34 @@ def test_collocations_llr_hand_corpus(spark):
     }
     assert all_out[("hot", "dog")].g2 == r.g2
     assert all_out[("hot", "dog")].g2 > all_out[("cat", "dog")].g2
+
+
+def test_powerlaw_alpha_mle_python_twin(spark):
+    import math
+
+    import numpy as np
+
+    from deepie_spark.operators.stats import powerlaw_alpha_mle
+
+    rng = np.random.RandomState(29)
+    xs = [int(v) for v in rng.zipf(2.5, 500).clip(1, 100000)]
+    df = spark.createDataFrame([(v,) for v in xs], ["x"])
+    r = powerlaw_alpha_mle(df, "x", x_min=5).collect()[0]
+    tail = [v for v in xs if v >= 5]
+    SC = float(1 << 20)
+    sfp = sum(math.floor(math.log(v) * SC) for v in tail)
+    assert (r.n_tail, r.sum_ln_fp) == (len(tail), sfp)
+    denom = sfp / SC - len(tail) * math.log(5)
+    alpha = 1.0 + len(tail) / denom
+    assert r.alpha == round(alpha, 6)
+    assert r.alpha_se == round((alpha - 1.0) / math.sqrt(len(tail)), 6)
+    # planted Zipf(2.5): the MLE should land in a sane band
+    assert 1.5 < r.alpha < 4.0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        powerlaw_alpha_mle(df, "x", x_min=0)
+    # empty tail -> NULL alpha
+    r = powerlaw_alpha_mle(df, "x", x_min=10**9).collect()[0]
+    assert r.n_tail == 0 and r.alpha is None
