@@ -7547,6 +7547,42 @@ def q_token_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return powerlaw_alpha_mle(freq, "f", x_min=5)
 
 
+def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (plans/ivm.py join_delta):
+    the orders ⋈ customer view maintained as V_old ∪ (ΔA⋈B_old ∪
+    A_old⋈ΔB ∪ ΔA⋈ΔB) with deterministic delta splits (new orders =
+    o_orderkey % 10 = 0, new customers = c_custkey % 20 = 0) —
+    O(|Δ|·fanout), never an A_old⋈B_old rescan.  Summarized per
+    market segment; the oracle joins the FULL inputs from scratch, so
+    the hash gate IS the delta-rule invariant."""
+    from deepie_spark.plans.ivm import join_delta
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    c = spark.read.parquet(
+        os.path.join(sf_dir, "customer.parquet")
+    ).select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    a_old = o.filter(F.pmod(F.col("o_orderkey"), F.lit(10)) != 0)
+    a_new = o.filter(F.pmod(F.col("o_orderkey"), F.lit(10)) == 0)
+    b_old = c.filter(F.pmod(F.col("o_custkey"), F.lit(20)) != 0)
+    b_new = c.filter(F.pmod(F.col("o_custkey"), F.lit(20)) == 0)
+    v_old = a_old.join(b_old, "o_custkey")
+    dv = join_delta(a_old, a_new, b_old, b_new, ["o_custkey"])
+    return (
+        v_old.unionByName(dv)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.countDistinct("o_custkey").cast("long").alias("n_cust"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -7832,6 +7868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonality": q_events_seasonality,
         "cluster_eval": q_cluster_eval,
         "token_powerlaw": q_token_powerlaw,
+        "ivm_join": q_ivm_join,
     }
 
 
@@ -14435,5 +14472,17 @@ def oracle_sql() -> dict[str, str]:
                  THEN round((1.0 + n_tail / denom - 1.0)
                             / sqrt(n_tail), 6) END AS alpha_se
         FROM den
+    """
+    # ivm_join twin: the FROM-SCRATCH full join — hash equality
+    # against the Spark delta-legs plan is the Blakeley/Gupta-Mumick
+    # insert delta-rule invariant.
+    d["ivm_join"] = """
+        SELECT c.c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS revenue_cents,
+               CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_cust
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1 ORDER BY 1
     """
     return d
