@@ -7583,6 +7583,20 @@ def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 RAKE keyword phrases over the documents corpus
+    (operators/keywords.py rake_keywords) — the degree/frequency
+    unsupervised extractor beside textrank_keywords: corpus-adaptive
+    top-8 stoplist (the synthetic vocabulary is ~31 tokens), gaps-and-islands candidate runs ≤ 4 tokens,
+    pure-integer (deg·2^20) div freq word scores summed order-free
+    per phrase."""
+    from deepie_spark.operators.keywords import rake_keywords
+
+    return rake_keywords(
+        _docs(spark, sf_dir), n_stop=8, max_phrase_len=4, top_k=50
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -7869,6 +7883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_eval": q_cluster_eval,
         "token_powerlaw": q_token_powerlaw,
         "ivm_join": q_ivm_join,
+        "rake_keywords": q_rake_keywords,
     }
 
 
@@ -14484,5 +14499,45 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_cust
         FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
         GROUP BY 1 ORDER BY 1
+    """
+    # rake_keywords twin: same adaptive stoplist, the identical
+    # gaps-and-islands run split and pure-integer word scores.
+    d["rake_keywords"] = f"""
+        WITH {_OCC_SQL.strip()},
+        fr AS (SELECT token, CAST(count(*) AS BIGINT) AS f
+               FROM occ GROUP BY 1),
+        stop AS (SELECT token FROM fr
+                 ORDER BY f DESC, token LIMIT 8),
+        ns AS (SELECT doc_id, pos, token FROM occ
+               WHERE token NOT IN (SELECT token FROM stop)),
+        isl AS (SELECT doc_id, pos, token,
+                       pos - row_number() OVER (
+                         PARTITION BY doc_id ORDER BY pos) AS island
+                FROM ns),
+        ph0 AS (SELECT doc_id, island,
+                       list(token ORDER BY pos) AS words
+                FROM isl GROUP BY 1, 2),
+        ph AS (SELECT array_to_string(words, ' ') AS phrase,
+                      CAST(len(words) AS BIGINT) AS n_words
+               FROM ph0 WHERE len(words) <= 4),
+        wo AS (SELECT unnest(string_split(phrase, ' ')) AS w, n_words
+               FROM ph),
+        ws AS (SELECT w,
+                      CAST((CAST(sum(n_words) AS BIGINT) * 1048576)
+                        // CAST(count(*) AS BIGINT) AS BIGINT)
+                        AS w_score_fp
+               FROM wo GROUP BY 1),
+        dp AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+                      CAST(max(n_words) AS BIGINT) AS n_words
+               FROM ph GROUP BY 1),
+        pw AS (SELECT phrase, n_occ, n_words,
+                      unnest(string_split(phrase, ' ')) AS w
+               FROM dp),
+        psum AS (SELECT phrase, n_occ, n_words,
+                        CAST(sum(w_score_fp) AS BIGINT) AS score_fp
+                 FROM pw JOIN ws USING (w) GROUP BY 1, 2, 3)
+        SELECT phrase, n_words, n_occ, score_fp,
+               round(score_fp / 1048576.0, 6) AS score
+        FROM psum ORDER BY score_fp DESC, phrase LIMIT 50
     """
     return d

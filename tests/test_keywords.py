@@ -1,0 +1,76 @@
+"""RAKE keyword extraction — hand-corpus twin and property checks."""
+
+import math
+
+import pytest
+
+
+def test_rake_hand_corpus(spark):
+    from deepie_spark.operators.keywords import rake_keywords
+
+    # 'the' and 'of' are the two most frequent -> adaptive stoplist
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox of the lazy dog of the quick fox"),
+            (2, "the quick brown fox of a lazy dog the end of a story"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = rake_keywords(
+        docs, n_stop=2, max_phrase_len=4, top_k=50
+    ).collect()
+    got = {r.phrase: r for r in out}
+
+    # python twin
+    toks = {
+        1: "the quick brown fox of the lazy dog of the quick fox".split(),
+        2: "the quick brown fox of a lazy dog the end of a story".split(),
+    }
+    from collections import Counter
+
+    freq_all = Counter(t for ts in toks.values() for t in ts)
+    stop = sorted(freq_all, key=lambda t: (-freq_all[t], t))[:2]
+    assert set(stop) == {"the", "of"}
+    phrases = []
+    for ts in toks.values():
+        run = []
+        for t in ts + ["the"]:
+            if t in stop:
+                if 1 <= len(run) <= 4:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(t)
+    wfreq, wdeg = Counter(), Counter()
+    for p in phrases:
+        for w in p:
+            wfreq[w] += 1
+            wdeg[w] += len(p)
+    SC = 1 << 20
+    wsc = {w: (wdeg[w] * SC) // wfreq[w] for w in wfreq}
+    exp = {}
+    for p in set(phrases):
+        text = " ".join(p)
+        exp[text] = (
+            len(p),
+            sum(1 for q in phrases if q == p),
+            sum(wsc[w] for w in p),
+        )
+    assert {k: (r.n_words, r.n_occ, r.score_fp) for k, r in got.items()} == exp
+    for r in out:
+        assert r.score == round(r.score_fp / float(SC), 6)
+    # multi-word phrases outscore their single-word members
+    assert got["quick brown fox"].score_fp > got["quick fox"].score_fp
+
+
+def test_rake_validation_and_cap(spark):
+    from deepie_spark.operators.keywords import rake_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k")], ["doc_id", "text"]
+    )
+    with pytest.raises(ValueError):
+        rake_keywords(docs, n_stop=0)
+    # no stop token inside the run -> one long run, dropped by the cap
+    out = rake_keywords(docs, n_stop=1, max_phrase_len=4).collect()
+    assert out == []
