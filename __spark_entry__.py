@@ -7597,6 +7597,81 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entity_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global topology profile of the rule-triple entity graph
+    (operators/graph.py graph_summary): n/m/max-degree exact longs,
+    density and Freeman degree centralization as single divides —
+    the one-row audit that flags a hub-collapsing extraction rule
+    before any per-node centrality runs."""
+    from deepie_spark.operators.graph import graph_summary
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return graph_summary(t)
+
+
+def q_channel_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of user conversion rate between the
+    click and view exposure channels (operators/stats.py
+    two_prop_ztest) — the proportions member of the inferential
+    suite; unit = distinct exposed user (the conversion_lift flag
+    construction), success = the user ever purchases."""
+    from deepie_spark.operators.stats import two_prop_ztest
+
+    e = _events(spark, sf_dir)
+    uc = e.select("user_id", F.col("event_type").alias("ch")).distinct()
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("cv", F.lit(1))
+    )
+    flags = (
+        uc.filter(F.col("ch") != "purchase")
+        .join(conv, "user_id", "left")
+        .select("ch", F.coalesce("cv", F.lit(0)).alias("cv"))
+    )
+    return two_prop_ztest(flags, "ch", "cv", "click", "view")
+
+
+def q_source_loo_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out source impact on mean document length: for each
+    source, the corpus mean token count WITHOUT that source vs with —
+    the data-valuation audit ("which source drags the corpus") a
+    mixture planner reads beside source_drift_psi.  All moments exact
+    longs (S, N global + S_g, n_g per source); means/deltas single
+    identical IEEE chains."""
+    dl = _docs(spark, sf_dir).select(
+        "source", F.size(tokenize(F.col("text"))).cast("long").alias("nt")
+    )
+    g = dl.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("nt").cast("long").alias("s_g"),
+    )
+    tot = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("nt").cast("long").alias("s"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    mean_with = F.col("s") / F.col("n")
+    mean_wo = (F.col("s") - F.col("s_g")) / (F.col("n") - F.col("n_g"))
+    return j.select(
+        "source",
+        "n_g",
+        "s_g",
+        F.round(F.col("s_g") / F.col("n_g"), 6).alias("mean_source"),
+        F.round(mean_with, 6).alias("mean_with"),
+        F.when(F.col("n") > F.col("n_g"), F.round(mean_wo, 6)).alias(
+            "mean_without"
+        ),
+        F.when(
+            F.col("n") > F.col("n_g"),
+            F.round(mean_wo - mean_with, 6),
+        ).alias("delta"),
+    ).orderBy("source")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -7884,6 +7959,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_powerlaw": q_token_powerlaw,
         "ivm_join": q_ivm_join,
         "rake_keywords": q_rake_keywords,
+        "entity_graph_summary": q_entity_graph_summary,
+        "channel_prop_ztest": q_channel_prop_ztest,
+        "source_loo_impact": q_source_loo_impact,
     }
 
 
@@ -14539,5 +14617,87 @@ def oracle_sql() -> dict[str, str]:
         SELECT phrase, n_words, n_occ, score_fp,
                round(score_fp / 1048576.0, 6) AS score
         FROM psum ORDER BY score_fp DESC, phrase LIMIT 50
+    """
+    # entity_graph_summary twin: same canonical undirected edges,
+    # exact degree moments, identical ratio chains.
+    d["entity_graph_summary"] = f"""
+        WITH {_MENTIONS_SQL.strip()},
+        {_TRIPLE_EDGES_SQL.strip()},
+        nb AS (SELECT a AS node FROM und UNION ALL SELECT b FROM und),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                FROM nb GROUP BY 1),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(deg) AS BIGINT) AS deg_sum,
+                     CAST(max(deg) AS BIGINT) AS max_deg
+              FROM deg),
+        b AS (SELECT CAST(sum(a.max_deg - deg.deg) AS BIGINT)
+                       AS cent_num
+              FROM deg CROSS JOIN a)
+        SELECT n,
+               CAST(deg_sum / 2 AS BIGINT) AS m,
+               max_deg,
+               CASE WHEN n > 1
+                 THEN round(deg_sum / (n * (n - 1)), 6) END AS density,
+               round(deg_sum / n, 6) AS avg_deg,
+               CASE WHEN n > 2
+                 THEN round(cent_num / ((n - 1) * (n - 2)), 6)
+               END AS centralization
+        FROM a CROSS JOIN b
+    """
+    # channel_prop_ztest twin: same distinct exposure flags, pooled
+    # z chain over exact counts.
+    d["channel_prop_ztest"] = """
+        WITH uc AS (SELECT DISTINCT user_id, event_type AS ch
+                    FROM events),
+        conv AS (SELECT DISTINCT user_id, 1 AS cv FROM events
+                 WHERE event_type = 'purchase'),
+        flags AS (SELECT uc.ch, coalesce(conv.cv, 0) AS cv
+                  FROM uc LEFT JOIN conv USING (user_id)
+                  WHERE uc.ch != 'purchase'),
+        agg AS (SELECT
+                  CAST(sum(CASE WHEN ch = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+                  CAST(sum(CASE WHEN ch = 'click' THEN cv ELSE 0 END)
+                    AS BIGINT) AS x_a,
+                  CAST(sum(CASE WHEN ch = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b,
+                  CAST(sum(CASE WHEN ch = 'view' THEN cv ELSE 0 END)
+                    AS BIGINT) AS x_b
+                FROM flags WHERE ch IN ('click', 'view')),
+        c AS (SELECT *, (x_a + x_b) / (n_a + n_b) AS p,
+                     n_a > 0 AND n_b > 0 AND x_a + x_b > 0
+                       AND x_a + x_b < n_a + n_b AS ok
+              FROM agg)
+        SELECT n_a, x_a, n_b, x_b,
+               CASE WHEN ok THEN round(x_a / n_a, 6) END AS p_a,
+               CASE WHEN ok THEN round(x_b / n_b, 6) END AS p_b,
+               CASE WHEN ok THEN round(
+                 (x_a / n_a - x_b / n_b)
+                 / sqrt(p * (1.0 - p) * (1.0 / n_a + 1.0 / n_b)), 6)
+               END AS z_stat
+        FROM c
+    """
+    # source_loo_impact twin: exact global + per-source moments,
+    # identical mean/delta chains.
+    d["source_loo_impact"] = f"""
+        WITH dl AS (SELECT source,
+                           CAST(len({_TOKS_SQL}) AS BIGINT) AS nt
+                    FROM documents),
+        g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_g,
+                     CAST(sum(nt) AS BIGINT) AS s_g
+              FROM dl GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(nt) AS BIGINT) AS s
+                FROM dl)
+        SELECT source, n_g, s_g,
+               round(s_g / n_g, 6) AS mean_source,
+               round(s / n, 6) AS mean_with,
+               CASE WHEN n > n_g
+                 THEN round((s - s_g) / (n - n_g), 6)
+               END AS mean_without,
+               CASE WHEN n > n_g
+                 THEN round((s - s_g) / (n - n_g) - s / n, 6)
+               END AS delta
+        FROM g CROSS JOIN tot ORDER BY source
     """
     return d

@@ -2818,3 +2818,48 @@ def katz_centrality(
         num.cast("long").alias("katz_num"),
         F.round(num.cast("long") / F.lit(denom), 6).alias("katz"),
     ).orderBy("node")
+
+
+def graph_summary(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """One-row global topology profile of the undirected simple graph:
+    n nodes, m edges, density 2m/(n(n−1)), max/avg degree, and
+    Freeman degree centralization Σ(d_max − d_v) / ((n−1)(n−2)) —
+    the star-likeness index (1 = perfect star, 0 = regular) that
+    flags an extraction rule collapsing everything onto one hub
+    entity.  Every numerator/denominator is an exact long; the three
+    ratios are single IEEE divides.  n must satisfy n³ < 2⁶³ (the
+    rank-corr bound family)."""
+    und = _canonical_edges(edges, src, dst)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    a = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("deg").cast("long").alias("deg_sum"),
+        F.max("deg").cast("long").alias("max_deg"),
+    )
+    b = deg.crossJoin(F.broadcast(a.select("max_deg"))).agg(
+        F.sum(F.col("max_deg") - F.col("deg"))
+        .cast("long")
+        .alias("cent_num")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    m = F.col("deg_sum") / F.lit(2)
+    n = F.col("n")
+    return j.select(
+        "n",
+        (F.col("deg_sum") / F.lit(2)).cast("long").alias("m"),
+        "max_deg",
+        F.when(n > 1, F.round(F.col("deg_sum") / (n * (n - 1)), 6))
+        .alias("density"),
+        F.round(F.col("deg_sum") / n, 6).alias("avg_deg"),
+        F.when(
+            n > 2,
+            F.round(F.col("cent_num") / ((n - 1) * (n - 2)), 6),
+        ).alias("centralization"),
+    )

@@ -1404,3 +1404,59 @@ def powerlaw_alpha_mle(
             ),
         ).alias("alpha_se"),
     )
+
+
+def two_prop_ztest(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-proportion z-test (pooled) between groups a and b — the
+    proportions member of the inferential suite (t/F/κ/ρ/χ²/U/H/JB):
+
+        z = (p_a − p_b) / sqrt(p·(1−p)·(1/n_a + 1/n_b))
+
+    with p the pooled success rate.  All counts are exact longs from
+    ONE map-side-combinable aggregation; the statistic is a single
+    IEEE chain written identically in both engines (sqrt exact, no
+    pow/ln).  Degenerate inputs (either n = 0, or pooled p ∈ {0, 1},
+    guarded on INTEGER counts) yield NULL z."""
+    g = F.col(group_col)
+    s = F.col(success_col).cast("long")
+    agg = df.filter(g.isin(group_a, group_b)).agg(
+        *[
+            f
+            for name, cond in (("a", g == group_a), ("b", g == group_b))
+            for f in (
+                F.sum(F.when(cond, 1).otherwise(0))
+                .cast("long")
+                .alias(f"n_{name}"),
+                F.sum(F.when(cond, s).otherwise(0))
+                .cast("long")
+                .alias(f"x_{name}"),
+            )
+        ]
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    xa, xb = F.col("x_a"), F.col("x_b")
+    p = (xa + xb) / (na + nb)
+    z = (xa / na - xb / nb) / F.sqrt(
+        p * (F.lit(1.0) - p) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    ok = (
+        (na > 0)
+        & (nb > 0)
+        & (xa + xb > 0)
+        & (xa + xb < na + nb)
+    )
+    return agg.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.when(ok, F.round(xa / na, 6)).alias("p_a"),
+        F.when(ok, F.round(xb / nb, 6)).alias("p_b"),
+        F.when(ok, F.round(z, 6)).alias("z_stat"),
+    )

@@ -1915,3 +1915,28 @@ def test_katz_centrality_star_and_python_twin(spark):
 
     with __import__("pytest").raises(ValueError):
         katz_centrality(df, max_len=0)
+
+
+def test_graph_summary_hand_values(spark):
+    from deepie_spark.operators.graph import graph_summary
+
+    # star on 5 nodes: density 2·4/(5·4)=0.4, centralization 1.0
+    star = spark.createDataFrame(
+        [("c", x) for x in ("a", "b", "d", "e")], ["src", "dst"]
+    )
+    r = graph_summary(star).collect()[0]
+    assert (r.n, r.m, r.max_deg) == (5, 4, 4)
+    assert r.density == 0.4 and r.centralization == 1.0
+    assert r.avg_deg == round(8 / 5, 6)
+    # 4-cycle (regular): centralization 0
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], ["src", "dst"]
+    )
+    r = graph_summary(cyc).collect()[0]
+    assert (r.n, r.m, r.max_deg) == (4, 4, 2)
+    assert r.centralization == 0.0
+    assert r.density == round(8 / 12, 6)
+    # single edge: n=2 -> centralization NULL, density 1
+    one = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    r = graph_summary(one).collect()[0]
+    assert r.density == 1.0 and r.centralization is None

@@ -1083,3 +1083,28 @@ def test_powerlaw_alpha_mle_python_twin(spark):
     # empty tail -> NULL alpha
     r = powerlaw_alpha_mle(df, "x", x_min=10**9).collect()[0]
     assert r.n_tail == 0 and r.alpha is None
+
+
+def test_two_prop_ztest_python_twin(spark):
+    import math
+
+    rows = (
+        [("a", 1)] * 40 + [("a", 0)] * 60
+        + [("b", 1)] * 25 + [("b", 0)] * 75
+        + [("c", 1)] * 5  # excluded group
+    )
+    from deepie_spark.operators.stats import two_prop_ztest
+
+    df = spark.createDataFrame(rows, ["g", "cv"])
+    r = two_prop_ztest(df, "g", "cv", "a", "b").collect()[0]
+    assert (r.n_a, r.x_a, r.n_b, r.x_b) == (100, 40, 100, 25)
+    p = 65 / 200
+    z = (0.40 - 0.25) / math.sqrt(p * (1 - p) * (1 / 100 + 1 / 100))
+    assert r.z_stat == round(z, 6)
+    assert r.p_a == 0.4 and r.p_b == 0.25
+    # degenerate: all successes -> NULL
+    allsucc = spark.createDataFrame(
+        [("a", 1)] * 5 + [("b", 1)] * 5, ["g", "cv"]
+    )
+    r = two_prop_ztest(allsucc, "g", "cv", "a", "b").collect()[0]
+    assert r.z_stat is None
