@@ -7672,6 +7672,53 @@ def q_source_loo_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def q_lp_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction evaluation (Liben-Nowell & Kleinberg): hold out
+    20% of the entity-graph edges by portable poly-hash, score the
+    train-graph wedge candidates by common-neighbor count
+    (operators/graph.py link_prediction, min_common=1), label each
+    candidate by held-out membership, and report the EXACT ROC-AUC
+    via the rank-sum identity (operators/stats.py roc_auc — integer
+    scores, midrank ties, one divide).  Evaluation is restricted to
+    the wedge candidate set, the standard protocol (pairs with no
+    train common neighbor are unreachable for a CN scorer)."""
+    from deepie_spark.functions.text import char_poly_hash_str
+    from deepie_spark.operators.graph import (
+        _canonical_edges,
+        link_prediction,
+    )
+    from deepie_spark.operators.stats import roc_auc
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    und = _canonical_edges(t, "src", "dst")
+    h = (
+        char_poly_hash_str(
+            F.concat(F.col("a"), F.lit("|"), F.col("b"))
+        )
+        % 5
+    )
+    held = und.filter(h == 0)
+    train = und.filter(h != 0).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    cand = link_prediction(train, min_common=1, max_degree=1000)
+    lab = (
+        cand.join(
+            held.select(
+                F.col("a").alias("ent_a"),
+                F.col("b").alias("ent_b"),
+                F.lit(1).alias("y"),
+            ),
+            ["ent_a", "ent_b"],
+            "left",
+        )
+        .select("common", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+    return roc_auc(lab, "common", "y")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -7962,6 +8009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_graph_summary": q_entity_graph_summary,
         "channel_prop_ztest": q_channel_prop_ztest,
         "source_loo_impact": q_source_loo_impact,
+        "lp_auc": q_lp_auc,
     }
 
 
@@ -14699,5 +14747,55 @@ def oracle_sql() -> dict[str, str]:
                  THEN round((s - s_g) / (n - n_g) - s / n, 6)
                END AS delta
         FROM g CROSS JOIN tot ORDER BY source
+    """
+    # lp_auc twin: poly-hash edge holdout, the link_prediction wedge
+    # block over the TRAIN graph, EXISTS label, then the value_mwu
+    # rank/prefix scheme collapsed to the AUC identity.
+    d["lp_auc"] = f"""
+        WITH {_MENTIONS_SQL.strip()},
+        {_TRIPLE_EDGES_SQL.strip()},
+        hs AS (SELECT a, b,
+                      {_poly_hash_sql("a || '|' || b")} % 5 AS h
+               FROM und),
+        held AS (SELECT a, b FROM hs WHERE h = 0),
+        train AS (SELECT a, b FROM hs WHERE h != 0),
+        nb AS (SELECT a AS node, b AS nbr FROM train
+               UNION ALL SELECT b, a FROM train),
+        deg AS (SELECT node, count(*) AS deg FROM nb GROUP BY node),
+        wed AS (SELECT nb.nbr AS n, nb.node AS m
+                FROM nb JOIN deg d ON d.node = nb.nbr
+                WHERE d.deg <= 1000),
+        com AS (SELECT x.m AS ent_a, y.m AS ent_b,
+                       CAST(count(*) AS BIGINT) AS common
+                FROM wed x JOIN wed y ON x.n = y.n AND x.m < y.m
+                GROUP BY 1, 2 HAVING count(*) >= 1),
+        cand AS (SELECT * FROM com
+                 WHERE NOT EXISTS (SELECT 1 FROM train
+                                   WHERE train.a = com.ent_a
+                                     AND train.b = com.ent_b)),
+        lab AS (SELECT common,
+                       CASE WHEN EXISTS (SELECT 1 FROM held
+                              WHERE held.a = cand.ent_a
+                                AND held.b = cand.ent_b)
+                         THEN 1 ELSE 0 END AS y
+                FROM cand),
+        pv AS (SELECT common AS x, CAST(sum(y) AS BIGINT) AS na,
+                      CAST(count(*) AS BIGINT) AS t
+               FROM lab GROUP BY 1),
+        c AS (SELECT x, na, t,
+                     CAST(sum(t) OVER (ORDER BY x) AS BIGINT) AS hi
+              FROM pv),
+        agg AS (SELECT CAST(sum(na) AS BIGINT) AS n_pos,
+                       CAST(sum(t - na) AS BIGINT) AS n_neg,
+                       CAST(sum(na * (hi - t + 1 + hi)) AS BIGINT)
+                         AS r2_pos
+                FROM c)
+        SELECT n_pos, n_neg, r2_pos,
+               CAST(r2_pos - n_pos * (n_pos + 1) AS BIGINT) AS u2_pos,
+               CASE WHEN n_pos > 0 AND n_neg > 0
+                 THEN round((r2_pos - n_pos * (n_pos + 1))
+                            / (2.0 * n_pos * n_neg), 6)
+               END AS auc
+        FROM agg
     """
     return d

@@ -1460,3 +1460,50 @@ def two_prop_ztest(
         F.when(ok, F.round(xb / nb, 6)).alias("p_b"),
         F.when(ok, F.round(z, 6)).alias("z_stat"),
     )
+
+
+def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact ROC-AUC of an INTEGER score against a binary label via
+    the rank-sum identity AUC = U₁/(n₁·n₀) — no curve sweep, no
+    threshold grid; ties contribute the standard ½ through midranks.
+    Same exact-integer scheme as mann_whitney_u (doubled rank sums
+    over prefix_sum_in_order, never a .5 materialized):
+
+        2·R₁ = Σ_v n₁(v)·(lo(v) + hi(v)),  2·U₁ = 2·R₁ − n₁(n₁+1),
+        AUC = 2U₁ / (2·n₁·n₀)  — one IEEE divide of exact longs.
+
+    The score column must be integer-valued (fixed-point upstream
+    scores satisfy this by construction); float scores would need
+    quantization first.  NULL AUC when either class is empty."""
+    from deepie_spark.operators.sweep import prefix_sum_in_order
+
+    base = df.select(
+        (F.col(label_col) == 1).cast("long").alias("_a"),
+        F.col(score_col).cast("long").alias("_x"),
+    )
+    per_v = base.groupBy("_x").agg(
+        F.sum("_a").cast("long").alias("_na"),
+        F.count(F.lit(1)).cast("long").alias("_t"),
+    )
+    cum = prefix_sum_in_order(per_v, "_x", "_t", out_col="_hi")
+    agg = cum.agg(
+        F.sum("_na").cast("long").alias("n_pos"),
+        F.sum(F.col("_t") - F.col("_na")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("_na") * (F.col("_hi") - F.col("_t") + 1 + F.col("_hi"))
+        )
+        .cast("long")
+        .alias("r2_pos"),
+    )
+    np_, nn = F.col("n_pos"), F.col("n_neg")
+    u2 = F.col("r2_pos") - np_ * (np_ + 1)
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "r2_pos",
+        u2.cast("long").alias("u2_pos"),
+        F.when(
+            (np_ > 0) & (nn > 0),
+            F.round(u2 / (F.lit(2.0) * np_ * nn), 6),
+        ).alias("auc"),
+    )

@@ -1108,3 +1108,43 @@ def test_two_prop_ztest_python_twin(spark):
     )
     r = two_prop_ztest(allsucc, "g", "cv", "a", "b").collect()[0]
     assert r.z_stat is None
+
+
+def test_roc_auc_python_twin(spark):
+    import numpy as np
+
+    from deepie_spark.operators.stats import roc_auc
+
+    rng = np.random.RandomState(19)
+    rows = [(int(rng.randint(0, 50)), 1) for _ in range(80)] + [
+        (int(rng.randint(0, 40)), 0) for _ in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["s", "y"])
+    r = roc_auc(df, "s", "y").collect()[0]
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    # pairwise definition with half-credit ties
+    num = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p in pos
+        for n in neg
+    )
+    assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
+    assert r.auc == round(num / (len(pos) * len(neg)), 6)
+
+
+def test_roc_auc_extremes(spark):
+    from deepie_spark.operators.stats import roc_auc
+
+    perfect = spark.createDataFrame(
+        [(10, 1), (9, 1), (2, 0), (1, 0)], ["s", "y"]
+    )
+    assert roc_auc(perfect, "s", "y").collect()[0].auc == 1.0
+    inverted = spark.createDataFrame(
+        [(1, 1), (2, 1), (9, 0), (10, 0)], ["s", "y"]
+    )
+    assert roc_auc(inverted, "s", "y").collect()[0].auc == 0.0
+    all_tied = spark.createDataFrame([(5, 1), (5, 0)], ["s", "y"])
+    assert roc_auc(all_tied, "s", "y").collect()[0].auc == 0.5
+    one_class = spark.createDataFrame([(5, 1), (6, 1)], ["s", "y"])
+    assert roc_auc(one_class, "s", "y").collect()[0].auc is None
