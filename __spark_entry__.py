@@ -7719,6 +7719,87 @@ def q_lp_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roc_auc(lab, "common", "y")
 
 
+def q_vocab_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 species-richness estimate of the UNSEEN vocabulary plus
+    the Good-Turing unseen-probability mass P₀ = V₁/N — the "how much
+    vocabulary has the crawl not seen yet" audit beside vocab_growth
+    (Heaps) and lexical_richness (Yule): classic Chao1 =
+    V + V₁²/(2V₂) (NULL when V₂ = 0) and the bias-corrected
+    V + V₁(V₁−1)/(2(V₂+1)) — every moment an exact long, each
+    estimator ONE identical IEEE chain."""
+    freq = (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    agg = freq.agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum((F.col("f") == 1).cast("long")).cast("long").alias("v1"),
+        F.sum((F.col("f") == 2).cast("long")).cast("long").alias("v2"),
+    )
+    v, v1, v2 = F.col("v"), F.col("v1"), F.col("v2")
+    return agg.select(
+        "n_tokens",
+        "v",
+        "v1",
+        "v2",
+        F.when(
+            v2 > 0, F.round(v + (v1 * v1) / (F.lit(2) * v2), 6)
+        ).alias("chao1"),
+        F.round(
+            v + (v1 * (v1 - 1)) / (F.lit(2) * (v2 + 1)), 6
+        ).alias("chao1_bc"),
+        F.round(v1 / F.col("n_tokens"), 6).alias("p0_unseen"),
+    )
+
+
+def q_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-winsorized mean of order totals in integer cents — the
+    clamp-don't-drop robust location beside value_trimmed_mean: ranks
+    ride rank_in_order (no single-partition window), the two clamp
+    values are the (k+1)-th and (n−k)-th order statistics (1-row
+    broadcasts), and the winsorized sum mid + k·lo + k·hi is an EXACT
+    LONG — one final divide."""
+    from deepie_spark.operators.dictionary import rank_in_order
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    c = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).withColumn("_ord", F.struct("cents", "k"))
+    ranked = rank_in_order(c, "_ord", start_id=1, id_col="r")
+    nn = c.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = ranked.crossJoin(F.broadcast(nn))
+    lo = j.filter(F.col("r") == F.expr("n div 10") + 1).select(
+        F.col("cents").alias("lo_val")
+    )
+    hi = j.filter(
+        F.col("r") == F.col("n") - F.expr("n div 10")
+    ).select(F.col("cents").alias("hi_val"))
+    mid = j.filter(
+        (F.col("r") > F.expr("n div 10"))
+        & (F.col("r") <= F.col("n") - F.expr("n div 10"))
+    ).agg(
+        F.sum("cents").cast("long").alias("mid_sum"),
+        F.first("n", ignorenulls=True).alias("n"),
+    )
+    out = mid.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+    kk = F.expr("n div 10").cast("long")
+    win_sum = (
+        F.col("mid_sum") + kk * F.col("lo_val") + kk * F.col("hi_val")
+    )
+    return out.select(
+        "n",
+        kk.alias("k_clamp"),
+        "lo_val",
+        "hi_val",
+        win_sum.cast("long").alias("win_sum"),
+        F.round(win_sum / F.col("n"), 6).alias("winsorized_mean"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -8010,6 +8091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "channel_prop_ztest": q_channel_prop_ztest,
         "source_loo_impact": q_source_loo_impact,
         "lp_auc": q_lp_auc,
+        "vocab_chao1": q_vocab_chao1,
+        "value_winsorized": q_value_winsorized,
     }
 
 
@@ -14797,5 +14880,56 @@ def oracle_sql() -> dict[str, str]:
                             / (2.0 * n_pos * n_neg), 6)
                END AS auc
         FROM agg
+    """
+    # vocab_chao1 twin: exact frequency-of-frequency moments,
+    # identical estimator chains.
+    d["vocab_chao1"] = f"""
+        WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+        occ AS (SELECT unnest(toks) AS token FROM t),
+        freq AS (SELECT token, CAST(count(*) AS BIGINT) AS f
+                 FROM occ GROUP BY 1),
+        a AS (SELECT CAST(sum(f) AS BIGINT) AS n_tokens,
+                     CAST(count(*) AS BIGINT) AS v,
+                     CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS v1,
+                     CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS v2
+              FROM freq)
+        SELECT n_tokens, v, v1, v2,
+               CASE WHEN v2 > 0
+                 THEN round(v + (v1 * v1) / (2 * v2), 6)
+               END AS chao1,
+               round(v + (v1 * (v1 - 1)) / (2 * (v2 + 1)), 6)
+                 AS chao1_bc,
+               round(v1 / n_tokens, 6) AS p0_unseen
+        FROM a
+    """
+    # value_winsorized twin: same (cents, key) ranking, 1-row clamp
+    # values, exact winsorized sum.
+    d["value_winsorized"] = """
+        WITH c AS (SELECT o_orderkey AS k,
+                          CAST(floor(o_totalprice * 100) AS BIGINT)
+                            AS cents
+                   FROM orders),
+        r AS (SELECT cents,
+                     CAST(row_number() OVER (ORDER BY cents, k)
+                       AS BIGINT) AS r
+              FROM c),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+        lo AS (SELECT cents AS lo_val FROM r, nn
+               WHERE r = n // 10 + 1),
+        hi AS (SELECT cents AS hi_val FROM r, nn
+               WHERE r = n - n // 10),
+        mid AS (SELECT CAST(sum(cents) AS BIGINT) AS mid_sum
+                FROM r, nn
+                WHERE r > n // 10 AND r <= n - n // 10)
+        SELECT n,
+               CAST(n // 10 AS BIGINT) AS k_clamp,
+               lo_val, hi_val,
+               CAST(mid_sum + (n // 10) * lo_val
+                    + (n // 10) * hi_val AS BIGINT) AS win_sum,
+               round((mid_sum + (n // 10) * lo_val
+                      + (n // 10) * hi_val) / n, 6) AS winsorized_mean
+        FROM nn CROSS JOIN lo CROSS JOIN hi CROSS JOIN mid
     """
     return d
