@@ -7800,6 +7800,21 @@ def q_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hashing rebalance audit (plans/sharding.py): assign
+    every doc_id to 8 shards by highest-random-weight over the
+    portable poly hash, grow the ring to 9, and report keys moved
+    under rendezvous (≈ 1/9) vs naive hash-mod (≈ 8/9) plus the
+    max/min shard load — the partitioning-stability story behind
+    stable bucketed writes at cluster scale."""
+    from deepie_spark.plans.sharding import rebalance_audit
+
+    keys = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("key")
+    )
+    return rebalance_audit(keys, n_from=8, n_to=9)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -8093,6 +8108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_auc": q_lp_auc,
         "vocab_chao1": q_vocab_chao1,
         "value_winsorized": q_value_winsorized,
+        "shard_rebalance": q_shard_rebalance,
     }
 
 
@@ -14931,5 +14947,44 @@ def oracle_sql() -> dict[str, str]:
                round((mid_sum + (n // 10) * lo_val
                       + (n // 10) * hi_val) / n, 6) AS winsorized_mean
         FROM nn CROSS JOIN lo CROSS JOIN hi CROSS JOIN mid
+    """
+    # shard_rebalance twin: the same poly-hash rendezvous weights,
+    # min(struct(−h, s)) argmax, identical movement/load counts.
+    _kh = _poly_hash_sql("key")
+
+    def _rdv(n, alias):
+        return f"""{alias} AS (
+          SELECT key, (min(struct_pack(nh := -h, s := s))).s AS shard
+          FROM (SELECT k.key, CAST(r.range AS BIGINT) AS s,
+                       {_poly_hash_sql(
+                           "CAST(r.range AS VARCHAR) || '#' || key")} AS h
+                FROM keys k CROSS JOIN range({n}) r)
+          GROUP BY key)"""
+
+    d["shard_rebalance"] = f"""
+        WITH keys AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS key
+                      FROM documents),
+        {_rdv(8, "a")},
+        {_rdv(9, "b")},
+        mv AS (SELECT a.key,
+                      CASE WHEN a.shard != b.shard THEN 1 ELSE 0 END
+                        AS rdv_mv,
+                      CASE WHEN {_kh} % 8 != {_kh} % 9
+                        THEN 1 ELSE 0 END AS mod_mv
+               FROM a JOIN b USING (key)),
+        loads AS (SELECT shard, CAST(count(*) AS BIGINT) AS load
+                  FROM a GROUP BY 1),
+        la AS (SELECT CAST(max(load) AS BIGINT) AS max_load,
+                      CAST(min(load) AS BIGINT) AS min_load
+               FROM loads),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                       CAST(sum(rdv_mv) AS BIGINT) AS rdv_moved,
+                       CAST(sum(mod_mv) AS BIGINT) AS mod_moved
+                FROM mv)
+        SELECT n_keys, rdv_moved, mod_moved,
+               round(rdv_moved / n_keys, 6) AS rdv_moved_frac,
+               round(mod_moved / n_keys, 6) AS mod_moved_frac,
+               max_load, min_load
+        FROM agg CROSS JOIN la
     """
     return d
