@@ -7815,6 +7815,20 @@ def q_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rebalance_audit(keys, n_from=8, n_to=9)
 
 
+def q_emb_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-nearest-neighbor alignment between the even- and
+    odd-id halves of the embeddings table (operators/linking.py
+    mutual_nn_pairs) — the high-precision unsupervised cross-catalog
+    matcher: keep (a, b) iff each is the other's top-1 cosine;
+    fixed-point cosines, exact argmax structs."""
+    from deepie_spark.operators.linking import mutual_nn_pairs
+
+    emb = _emb(spark, sf_dir)
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+    return mutual_nn_pairs(left, right)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -8109,6 +8123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_chao1": q_vocab_chao1,
         "value_winsorized": q_value_winsorized,
         "shard_rebalance": q_shard_rebalance,
+        "emb_mutual_nn": q_emb_mutual_nn,
     }
 
 
@@ -14986,5 +15001,29 @@ def oracle_sql() -> dict[str, str]:
                round(mod_moved / n_keys, 6) AS mod_moved_frac,
                max_load, min_load
         FROM agg CROSS JOIN la
+    """
+    # emb_mutual_nn twin: list_dot_product cosines (== the Spark
+    # fold), fixed-point floor, the same two min(struct) argmaxes.
+    d["emb_mutual_nn"] = """
+        WITH e AS (SELECT vec_id, label,
+                          list_transform(embedding,
+                                         x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        l AS (SELECT vec_id AS a, v AS va FROM e WHERE vec_id % 2 = 0),
+        r AS (SELECT vec_id AS b, v AS vb FROM e WHERE vec_id % 2 = 1),
+        p AS (SELECT a, b,
+                     CAST(floor(list_dot_product(va, vb)
+                       / (sqrt(list_dot_product(va, va))
+                          * sqrt(list_dot_product(vb, vb)))
+                       * 1099511627776.0) AS BIGINT) AS fp
+              FROM l CROSS JOIN r),
+        bb AS (SELECT a, (min(struct_pack(nf := -fp, b := b))).b AS b
+               FROM p GROUP BY 1),
+        ba AS (SELECT b, (min(struct_pack(nf := -fp, a := a))).a AS a
+               FROM p GROUP BY 1)
+        SELECT p.a, p.b, p.fp,
+               round(p.fp / 1099511627776.0, 6) AS cosine
+        FROM bb JOIN ba USING (a, b) JOIN p USING (a, b)
+        ORDER BY p.a
     """
     return d

@@ -152,3 +152,78 @@ def fellegi_sunter_weights(
         F.round(w_agree, 6).alias("w_agree"),
         F.round(w_disagree, 6).alias("w_disagree"),
     )
+
+
+def mutual_nn_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_bits: int = 40,
+) -> DataFrame:
+    """Mutual-nearest-neighbor alignment between two embedding sets —
+    the high-precision unsupervised matcher (bilingual lexicon
+    induction, cross-catalog entity alignment: Artetxe et al. 2018,
+    Lample et al. 2018 use exactly this filter): keep (a, b) iff b is
+    a's top-1 cosine in ``right`` AND a is b's top-1 in ``left``.
+    Mutuality is the precision gate — one-directional top-1 pairs
+    include every hub attraction; requiring agreement removes them.
+
+    Engine-portability is the mmr_rerank rule: cosines ride
+    floor(2^bits·cos) exact longs (sequential-fold dot products ==
+    DuckDB list_dot_product), both argmaxes are min(struct(−fp, id))
+    with id tie-breaks, and the join keeps exact integers end-to-end.
+
+    Scale: the pair stage here is the exact brute-force generator
+    (the verification tier); at corpus scale the SAME mutual filter
+    runs over LSH/IVF candidate pairs (operators/similarity.py), which
+    approximates only the candidate set, not the mutuality rule."""
+    scale = F.lit(float(1 << scale_bits))
+
+    def side(df, ida, v):
+        return df.select(
+            F.col(id_col).alias(ida),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                v
+            ),
+        )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    a = side(left, "a", "va")
+    b = side(right, "b", "vb")
+    cos = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va")))
+        * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    pairs = a.crossJoin(b).select(
+        "a",
+        "b",
+        F.floor(cos * scale).cast("long").alias("fp"),
+    )
+    best_b = pairs.groupBy("a").agg(
+        F.min(F.struct((-F.col("fp")).alias("nf"), F.col("b").alias("b")))[
+            "b"
+        ].alias("b")
+    )
+    best_a = pairs.groupBy("b").agg(
+        F.min(F.struct((-F.col("fp")).alias("nf"), F.col("a").alias("a")))[
+            "a"
+        ].alias("a")
+    )
+    mutual = best_b.join(best_a, ["a", "b"])
+    return (
+        mutual.join(pairs, ["a", "b"])
+        .select(
+            "a",
+            "b",
+            "fp",
+            F.round(F.col("fp") / scale, 6).alias("cosine"),
+        )
+        .orderBy("a")
+    )

@@ -150,3 +150,64 @@ def test_fellegi_sunter_zero_cells_stay_finite(spark):
     import math
 
     assert math.isfinite(r.w_agree) and math.isfinite(r.w_disagree)
+
+
+def test_mutual_nn_pairs_python_twin(spark):
+    import math
+
+    import numpy as np
+
+    from deepie_spark.operators.linking import mutual_nn_pairs
+
+    rng = np.random.RandomState(23)
+    base = rng.normal(0, 1, size=(10, 6))
+    # right = noisy copies of left (planted 1:1 alignment) + 2 decoys
+    lrows = [(2 * i, [float(np.float32(x)) for x in base[i]]) for i in range(10)]
+    rrows = [
+        (
+            2 * i + 1,
+            [
+                float(np.float32(x + rng.normal(0, 0.05)))
+                for x in base[i]
+            ],
+        )
+        for i in range(10)
+    ] + [
+        (101, [float(np.float32(x)) for x in rng.normal(5, 1, 6)]),
+        (103, [float(np.float32(x)) for x in rng.normal(-5, 1, 6)]),
+    ]
+    schema = "vec_id long, embedding array<float>"
+    left = spark.createDataFrame(lrows, schema)
+    right = spark.createDataFrame(rrows, schema)
+    got = {(r.a, r.b): r for r in mutual_nn_pairs(left, right).collect()}
+
+    # twin with the same fixed-point quantization
+    SC = float(1 << 40)
+
+    def cfp(x, y):
+        d = sum(a * b for a, b in zip(x, y))
+        nx = math.sqrt(sum(a * a for a in x))
+        ny = math.sqrt(sum(b * b for b in y))
+        return math.floor(d / (nx * ny) * SC)
+
+    lv = dict(lrows)
+    rv = dict(rrows)
+    best_b = {
+        a: min(rv, key=lambda b: (-cfp(lv[a], rv[b]), b)) for a in lv
+    }
+    best_a = {
+        b: min(lv, key=lambda a: (-cfp(lv[a], rv[b]), a)) for b in rv
+    }
+    want = {
+        (a, b)
+        for a, b in best_b.items()
+        if best_a[b] == a
+    }
+    assert set(got) == want
+    # the planted noisy-copy alignment is recovered for every pair
+    assert {(2 * i, 2 * i + 1) for i in range(10)} <= set(got)
+    # decoys matched nothing mutually
+    assert all(b not in (101, 103) for _, b in got)
+    for (a, b), r in got.items():
+        assert r.fp == cfp(lv[a], rv[b])
+        assert r.cosine == round(r.fp / SC, 6)
