@@ -7829,6 +7829,38 @@ def q_emb_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_nn_pairs(left, right)
 
 
+def q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densest subgraph by greedy (1+ε)-peeling (operators/graph.py
+    densest_subgraph — Charikar's greedy as Bahmani et al. bulk
+    rounds, ε=1/2) over a deterministic planted-core graph built from
+    the documents table: a 60-node ring over doc_id%60 residues (deg
+    2 everywhere) + an 8-clique planted on residues 0-7.  Peeling
+    strips the ring in round one and returns the clique snapshot
+    (density 3.5 > the full graph's 1.35) — the objective k-core
+    can't express (it needs a fixed k; density picks its own).  All
+    peel decisions and the best-snapshot argmax are exact-integer
+    cross-multiplications; the oracle unrolls 4 MATERIALIZED rounds
+    (the convergence test pins rounds-to-empty ≤ 4)."""
+    from deepie_spark.operators.graph import densest_subgraph
+
+    ids = (
+        _docs(spark, sf_dir)
+        .select((F.col("doc_id") % 60).cast("long").alias("i"))
+        .distinct()
+    )
+    ring = ids.select(
+        F.col("i").alias("src"), ((F.col("i") + 1) % 60).alias("dst")
+    )
+    small = ids.filter(F.col("i") < 8)
+    clique = (
+        small.select(F.col("i").alias("src"))
+        .crossJoin(small.select(F.col("i").alias("dst")))
+        .filter(F.col("src") < F.col("dst"))
+    )
+    edges = ring.unionByName(clique).distinct()
+    return densest_subgraph(edges, eps_num=1, eps_den=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -8124,6 +8156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_theilsen": q_value_theilsen,
         "token_burstiness": q_token_burstiness,
         "token_gini": q_token_gini,
+        "densest_subgraph": q_densest_subgraph,
     }
 
 
@@ -8449,6 +8482,66 @@ def _coloring_oracle_sql(rounds: int) -> str:
         ctes
         + f"\n            SELECT v AS entity, color FROM call{rounds}"
     )
+
+
+def _densest_oracle_sql(rounds: int = 4) -> str:
+    # Mirrors densest_subgraph's exact-integer peeling: snapshot
+    # stats s{r} (n nodes, e doubled edges), peel condition
+    # deg*n*2 > e*3 (eps = 1/2), best snapshot by cross-multiplied
+    # density with earliest-round tie-break.  MATERIALIZED for the
+    # same reason as _kcore_round_sql (each und{r} read 3x).
+    peels = []
+    for r in range(rounds):
+        peels.append(
+            f"""s{r} AS MATERIALIZED (
+              SELECT CAST(count(DISTINCT a) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS e FROM und{r}),
+            k{r} AS MATERIALIZED (
+              SELECT d.a
+              FROM (SELECT a, count(*) AS deg FROM und{r} GROUP BY a) d,
+                   s{r} s
+              WHERE d.deg * s.n * 2 > s.e * 3),
+            und{r + 1} AS MATERIALIZED (
+              SELECT u.a, u.b FROM und{r} u
+              JOIN k{r} x ON u.a = x.a
+              JOIN k{r} y ON u.b = y.a)"""
+        )
+    stats_union = " UNION ALL ".join(
+        f"SELECT {r} AS r, n, e FROM s{r}" for r in range(rounds)
+    )
+    members_union = " UNION ALL ".join(
+        f"SELECT {r} AS r, a FROM und{r}" for r in range(rounds)
+    )
+    return f"""
+        WITH ids AS (
+          SELECT DISTINCT CAST(doc_id % 60 AS BIGINT) AS i FROM documents
+        ),
+        ringe AS (SELECT i AS a, (i + 1) % 60 AS b FROM ids),
+        clique AS (
+          SELECT x.i AS a, y.i AS b FROM ids x JOIN ids y ON x.i < y.i
+          WHERE x.i < 8 AND y.i < 8
+        ),
+        ed AS (SELECT a, b FROM ringe UNION SELECT a, b FROM clique),
+        und0 AS MATERIALIZED (
+          SELECT a, b FROM ed WHERE a != b
+          UNION SELECT b, a FROM ed WHERE a != b
+        ),
+        {",".join(peels)},
+        stats AS (SELECT r, n, e FROM ({stats_union}) WHERE n > 0),
+        best AS (
+          SELECT r, n, e FROM stats x
+          WHERE NOT EXISTS (
+            SELECT 1 FROM stats y
+            WHERE y.e * x.n > x.e * y.n
+               OR (y.e * x.n = x.e * y.n AND y.r < x.r))
+        ),
+        members AS ({members_union})
+        SELECT m.a AS entity, CAST(count(*) AS BIGINT) AS degree,
+               b.n AS n_nodes, CAST(b.e // 2 AS BIGINT) AS n_edges,
+               ROUND(b.e / (2.0 * b.n), 6) AS density
+        FROM members m JOIN best b ON m.r = b.r
+        GROUP BY m.a, b.n, b.e
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -15026,4 +15119,5 @@ def oracle_sql() -> dict[str, str]:
         FROM bb JOIN ba USING (a, b) JOIN p USING (a, b)
         ORDER BY p.a
     """
+    d["densest_subgraph"] = _densest_oracle_sql(rounds=4)
     return d

@@ -1940,3 +1940,40 @@ def test_graph_summary_hand_values(spark):
     one = spark.createDataFrame([("a", "b")], ["src", "dst"])
     r = graph_summary(one).collect()[0]
     assert r.density == 1.0 and r.centralization is None
+
+
+def test_densest_subgraph_extracts_planted_clique(spark):
+    """Ring over 60 nodes (deg 2, density 1) + an 8-clique planted on
+    nodes 0-7: round-0 density 81/60, after one peel only the clique
+    survives (28/8 = 3.5 — the best snapshot).  The output must be
+    exactly the clique members with within-snapshot degree 7, and the
+    loop must reach empty well inside the oracle's 4 unrolled rounds
+    (tracked via max_rounds monotonicity: 4 rounds == 30 rounds)."""
+    from deepie_spark.operators.graph import densest_subgraph
+
+    ring = [(i, (i + 1) % 60) for i in range(60)]
+    clique = [(i, j) for i in range(8) for j in range(i + 1, 8)]
+    df = spark.createDataFrame(ring + clique, "src long, dst long")
+    rows = densest_subgraph(df).collect()
+    assert {r["entity"] for r in rows} == set(range(8))
+    assert all(r["degree"] == 7 for r in rows)
+    assert all(r["n_nodes"] == 8 and r["n_edges"] == 28 for r in rows)
+    assert all(r["density"] == 3.5 for r in rows)
+    # convergence: the capped run equals the uncapped fixpoint run
+    capped = densest_subgraph(df, max_rounds=4).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, rows))
+
+
+def test_densest_subgraph_regular_graph_keeps_round_zero(spark):
+    """On a regular graph (a plain cycle) every node has deg == avg,
+    so the very first peel removes everything — the earliest-round
+    tie-break must return the FULL round-0 snapshot, not an empty or
+    later one."""
+    from deepie_spark.operators.graph import densest_subgraph
+
+    cyc = [(i, (i + 1) % 5) for i in range(5)]
+    df = spark.createDataFrame(cyc, "src long, dst long")
+    rows = densest_subgraph(df).collect()
+    assert {r["entity"] for r in rows} == set(range(5))
+    assert all(r["n_nodes"] == 5 and r["n_edges"] == 5 for r in rows)
+    assert all(r["density"] == 1.0 for r in rows)
