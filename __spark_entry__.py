@@ -7861,6 +7861,37 @@ def q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return densest_subgraph(edges, eps_num=1, eps_den=2)
 
 
+def q_ind_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency discovery across the TPC-H key columns
+    (operators/kgquality.py inclusion_profile): three true foreign
+    keys (orders→customer, lineitem→orders, nation→region), one
+    reverse direction that genuinely fails (customers without
+    orders), and one unrelated pair — exact distinct + anti-join
+    counts, int/int containment, the fd_profile companion."""
+    from deepie_spark.operators.kgquality import inclusion_profile
+
+    t = lambda n: spark.read.parquet(  # noqa: E731
+        os.path.join(sf_dir, f"{n}.parquet")
+    )
+    orders, cust = t("orders"), t("customer")
+    li, nat, reg = t("lineitem"), t("nation"), t("region")
+    part, supp = t("part"), t("supplier")
+    return inclusion_profile(
+        [
+            ("orders.o_custkey->customer.c_custkey",
+             orders, "o_custkey", cust, "c_custkey"),
+            ("lineitem.l_orderkey->orders.o_orderkey",
+             li, "l_orderkey", orders, "o_orderkey"),
+            ("nation.n_regionkey->region.r_regionkey",
+             nat, "n_regionkey", reg, "r_regionkey"),
+            ("customer.c_custkey->orders.o_custkey",
+             cust, "c_custkey", orders, "o_custkey"),
+            ("part.p_partkey->supplier.s_suppkey",
+             part, "p_partkey", supp, "s_suppkey"),
+        ]
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -8157,6 +8188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_burstiness": q_token_burstiness,
         "token_gini": q_token_gini,
         "densest_subgraph": q_densest_subgraph,
+        "ind_profile": q_ind_profile,
     }
 
 
@@ -15120,4 +15152,33 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY p.a
     """
     d["densest_subgraph"] = _densest_oracle_sql(rounds=4)
+    # ind_profile twin: the same distinct + anti-join counts per
+    # directed pair, unioned; containment is the identical int/int
+    # divide.
+    _ind_block = """
+        SELECT '{label}' AS pair,
+               CAST(count(*) AS BIGINT) AS n_lhs,
+               CAST(count(*) FILTER (WHERE r.v IS NULL) AS BIGINT)
+                 AS n_missing,
+               ROUND((count(*) - count(*) FILTER (WHERE r.v IS NULL))
+                     / CAST(count(*) AS DOUBLE), 6) AS containment,
+               count(*) FILTER (WHERE r.v IS NULL) = 0 AS is_ind
+        FROM (SELECT DISTINCT {lcol} AS v FROM {ltab}
+              WHERE {lcol} IS NOT NULL) l
+        LEFT JOIN (SELECT DISTINCT {rcol} AS v FROM {rtab}
+                   WHERE {rcol} IS NOT NULL) r USING (v)
+    """
+    d["ind_profile"] = " UNION ALL ".join(
+        _ind_block.format(
+            label=f"{ltab}.{lcol}->{rtab}.{rcol}",
+            ltab=ltab, lcol=lcol, rtab=rtab, rcol=rcol,
+        )
+        for ltab, lcol, rtab, rcol in [
+            ("orders", "o_custkey", "customer", "c_custkey"),
+            ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+            ("nation", "n_regionkey", "region", "r_regionkey"),
+            ("customer", "c_custkey", "orders", "o_custkey"),
+            ("part", "p_partkey", "supplier", "s_suppkey"),
+        ]
+    )
     return d
