@@ -7892,6 +7892,27 @@ def q_ind_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε=ln2 differentially-private release of the event_type×hour
+    histogram (operators/privacy.py dp_noisy_counts — Ghosh et al.'s
+    two-sided geometric mechanism with α=1/2): every CDF threshold is
+    an exact dyadic integer over D=3·2¹⁶, the draw a deterministic
+    poly-hash of the cell key (derandomized demo — swap in fresh
+    entropy for a real release), the clamp-at-0 post-processing.  The
+    inverse CDF is pure integer comparisons, so the whole release is
+    hash-gateable."""
+    from deepie_spark.operators.privacy import dp_noisy_counts
+
+    cells = _events(spark, sf_dir).select(
+        F.concat(
+            F.col("event_type"),
+            F.lit("|"),
+            F.hour(F.col("ts").cast("timestamp")).cast("string"),
+        ).alias("cell")
+    )
+    return dp_noisy_counts(cells, "cell", salt=7)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -8189,6 +8210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_gini": q_token_gini,
         "densest_subgraph": q_densest_subgraph,
         "ind_profile": q_ind_profile,
+        "dp_counts": q_dp_counts,
     }
 
 
@@ -15150,6 +15172,42 @@ def oracle_sql() -> dict[str, str]:
                round(p.fp / 1099511627776.0, 6) AS cosine
         FROM bb JOIN ba USING (a, b) JOIN p USING (a, b)
         ORDER BY p.a
+    """
+    # dp_counts twin: same poly hash, same mixing constants, the
+    # shared geometric_noise_sql CASE chain (generated from ONE spec,
+    # so the two engines cannot drift).
+    from deepie_spark.operators.privacy import (
+        _MIX_A,
+        _MIX_B,
+        geometric_noise_sql,
+        geometric_thresholds,
+    )
+
+    _dp_d, _ = geometric_thresholds(16)
+    _dp_u = f"(h % {MOD} * {_MIX_A} + 7 * {_MIX_B}) % {_dp_d}"
+    _dp_noise = geometric_noise_sql(_dp_u, trunc=16)
+    d["dp_counts"] = f"""
+        WITH cells AS (
+          SELECT event_type || '|' || CAST(hour(ts) AS VARCHAR) AS key
+          FROM events
+        ),
+        g AS (
+          SELECT key, CAST(count(*) AS BIGINT) AS n_true
+          FROM cells GROUP BY key
+        ),
+        h AS (
+          SELECT key, n_true,
+                 {_poly_hash_sql("key")} AS h
+          FROM g
+        ),
+        nz AS (
+          SELECT key, n_true, CAST({_dp_noise} AS BIGINT) AS noise
+          FROM h
+        )
+        SELECT key, n_true, noise,
+               CAST(greatest(n_true + noise, 0) AS BIGINT) AS n_noisy,
+               CAST(0.693147 AS DOUBLE) AS epsilon
+        FROM nz
     """
     d["densest_subgraph"] = _densest_oracle_sql(rounds=4)
     # ind_profile twin: the same distinct + anti-join counts per
