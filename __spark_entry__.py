@@ -7913,6 +7913,22 @@ def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_noisy_counts(cells, "cell", salt=7)
 
 
+def q_value_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effect-size panel for the purchase-vs-click value comparison
+    (operators/stats.py effect_sizes): Cohen's d + Hedges' g from the
+    welch_ttest exact integer moments and Cliff's δ (with its
+    rank-biserial mirror) straight from the mann_whitney_u doubled-
+    rank identity gt − lt = 2U − n_a·n_b — the magnitude readout
+    beside value_ab_test/value_mwu's significance verdicts."""
+    from deepie_spark.operators.stats import effect_sizes
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return effect_sizes(e, "event_type", "cents", "purchase", "click")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -8211,6 +8227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_subgraph": q_densest_subgraph,
         "ind_profile": q_ind_profile,
         "dp_counts": q_dp_counts,
+        "value_effect_sizes": q_value_effect_sizes,
     }
 
 
@@ -15208,6 +15225,67 @@ def oracle_sql() -> dict[str, str]:
                CAST(greatest(n_true + noise, 0) AS BIGINT) AS n_noisy,
                CAST(0.693147 AS DOUBLE) AS epsilon
         FROM nz
+    """
+    # value_effect_sizes twin: the ab_test moment agg + the mwu
+    # doubled-rank chain in one statement; identical IEEE op trees
+    # for d, g = d*(1 - 3/(4n-9)) and the u2-identity delta.
+    _es_ssd = (
+        "((a_n * a_sxx - a_sx * a_sx) / a_n"
+        " + (b_n * b_sxx - b_sx * b_sx) / b_n)"
+    )
+    _es_d = (
+        f"(a_sx / a_n - b_sx / b_n)"
+        f" / sqrt({_es_ssd} / (a_n + b_n - 2))"
+    )
+    _es_ok = (
+        "a_n > 1 AND b_n > 1"
+        " AND ((a_n * a_sxx - a_sx * a_sx)"
+        " + (b_n * b_sxx - b_sx * b_sx)) != 0"
+    )
+    d["value_effect_sizes"] = f"""
+        WITH e AS (SELECT
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS a,
+                     CAST(round(value * 100) AS BIGINT) AS x
+                   FROM events
+                   WHERE event_type IN ('purchase', 'click')),
+        agg AS (SELECT
+          CAST(sum(a) AS BIGINT) AS a_n,
+          CAST(sum(CASE WHEN a = 1 THEN x ELSE 0 END) AS BIGINT) AS a_sx,
+          CAST(sum(CASE WHEN a = 1 THEN x * x ELSE 0 END) AS BIGINT)
+            AS a_sxx,
+          CAST(sum(1 - a) AS BIGINT) AS b_n,
+          CAST(sum(CASE WHEN a = 0 THEN x ELSE 0 END) AS BIGINT) AS b_sx,
+          CAST(sum(CASE WHEN a = 0 THEN x * x ELSE 0 END) AS BIGINT)
+            AS b_sxx
+          FROM e),
+        pv AS (SELECT x, CAST(sum(a) AS BIGINT) AS na,
+                      CAST(count(*) AS BIGINT) AS t
+               FROM e GROUP BY 1),
+        c AS (SELECT x, na, t,
+                     CAST(sum(t) OVER (ORDER BY x) AS BIGINT) AS hi
+              FROM pv),
+        mw AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+                      CAST(sum(t - na) AS BIGINT) AS n_b,
+                      CAST(sum(na * (hi - t + 1 + hi)) AS BIGINT) AS r2_a
+               FROM c),
+        mm AS (SELECT n_a, n_b,
+                      CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a
+               FROM mw)
+        SELECT 'purchase' AS group_a, 'click' AS group_b,
+               n_a, n_b, u2_a,
+               CASE WHEN {_es_ok} THEN round({_es_d}, 6) END AS cohens_d,
+               CASE WHEN {_es_ok}
+                 THEN round(({_es_d})
+                            * (1 - 3 / (4 * (a_n + b_n) - 9)), 6)
+               END AS hedges_g,
+               CASE WHEN n_a * n_b > 0
+                 THEN round((u2_a - n_a * n_b) / (n_a * n_b), 6)
+               END AS cliffs_delta,
+               CASE WHEN n_a * n_b > 0
+                 THEN round((n_a * n_b - u2_a) / (n_a * n_b), 6)
+               END AS rank_biserial
+        FROM agg, mm
     """
     d["densest_subgraph"] = _densest_oracle_sql(rounds=4)
     # ind_profile twin: the same distinct + anti-join counts per

@@ -1507,3 +1507,85 @@ def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
             F.round(u2 / (F.lit(2.0) * np_ * nn), 6),
         ).alias("auc"),
     )
+
+
+def effect_sizes(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Standardized effect sizes between two groups — the magnitude
+    readout that belongs NEXT to welch_ttest/mann_whitney_u's
+    significance verdicts (a significant-but-tiny effect and a huge
+    one print the same p): Cohen's d on the pooled SD, the Hedges' g
+    small-sample correction g = d·(1 − 3/(4n − 9)), and Cliff's
+    delta = P(x_a > x_b) − P(x_a < x_b) with its rank-biserial mirror
+    r = −delta.
+
+    All inputs are exact longs: d/g come from the welch_ttest integer
+    moments ((n−1)·v pooled as the exact-numerator (n·Σx² − (Σx)²)/n
+    terms, one fixed IEEE chain), and delta drops out of the
+    mann_whitney_u doubled-rank identity gt − lt = 2·U_a − n_a·n_b —
+    no pair join, no curve sweep (the roc_auc trick one step
+    earlier).  Degenerate inputs (n < 2 or zero pooled variance)
+    yield NULL d/g, guarded on the INTEGER variance numerators."""
+    u = mann_whitney_u(df, group_col, value_col, group_a, group_b).select(
+        "n_a", "n_b", "u2_a"
+    )
+    g = F.col(group_col)
+    x = F.col(value_col).cast("long")
+    agg = df.filter(g.isin(group_a, group_b)).agg(
+        F.sum(F.when(g == group_a, 1).otherwise(0))
+        .cast("long")
+        .alias("a_n"),
+        F.sum(F.when(g == group_a, x).otherwise(0))
+        .cast("long")
+        .alias("a_sx"),
+        F.sum(F.when(g == group_a, x * x).otherwise(0))
+        .cast("long")
+        .alias("a_sxx"),
+        F.sum(F.when(g == group_b, 1).otherwise(0))
+        .cast("long")
+        .alias("b_n"),
+        F.sum(F.when(g == group_b, x).otherwise(0))
+        .cast("long")
+        .alias("b_sx"),
+        F.sum(F.when(g == group_b, x * x).otherwise(0))
+        .cast("long")
+        .alias("b_sxx"),
+    )
+    j = agg.crossJoin(F.broadcast(u))
+    an, bn = F.col("a_n"), F.col("b_n")
+    # (n-1)·v as the exact-long numerator over one long divisor each
+    ssd_a = (an * F.col("a_sxx") - F.col("a_sx") * F.col("a_sx")) / an
+    ssd_b = (bn * F.col("b_sxx") - F.col("b_sx") * F.col("b_sx")) / bn
+    sp = F.sqrt((ssd_a + ssd_b) / (an + bn - 2))
+    d_chain = (F.col("a_sx") / an - F.col("b_sx") / bn) / sp
+    corr = 1 - F.lit(3) / (4 * (an + bn) - 9)
+    ok = (
+        (an > 1)
+        & (bn > 1)
+        & (
+            (an * F.col("a_sxx") - F.col("a_sx") * F.col("a_sx"))
+            + (bn * F.col("b_sxx") - F.col("b_sx") * F.col("b_sx"))
+            != 0
+        )
+    )
+    nab = F.col("n_a") * F.col("n_b")
+    return j.select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        "n_a",
+        "n_b",
+        "u2_a",
+        F.when(ok, F.round(d_chain, 6)).alias("cohens_d"),
+        F.when(ok, F.round(d_chain * corr, 6)).alias("hedges_g"),
+        F.when(
+            nab > 0, F.round((F.col("u2_a") - nab) / nab, 6)
+        ).alias("cliffs_delta"),
+        F.when(
+            nab > 0, F.round((nab - F.col("u2_a")) / nab, 6)
+        ).alias("rank_biserial"),
+    )

@@ -1148,3 +1148,36 @@ def test_roc_auc_extremes(spark):
     assert roc_auc(all_tied, "s", "y").collect()[0].auc == 0.5
     one_class = spark.createDataFrame([(5, 1), (6, 1)], ["s", "y"])
     assert roc_auc(one_class, "s", "y").collect()[0].auc is None
+
+
+def test_effect_sizes_match_definitions(spark):
+    """Hand-checkable two-group fixture: d/g from the textbook pooled-
+    SD formula, Cliff's delta from brute-force pair dominance counts,
+    rank_biserial = -delta; NULL d on a zero-variance degenerate."""
+    import math
+
+    from deepie_spark.operators.stats import effect_sizes
+
+    xa = [10, 12, 14, 14, 20]
+    xb = [8, 9, 10, 13]
+    rows = [("a", v) for v in xa] + [("b", v) for v in xb]
+    df = spark.createDataFrame(rows, "g string, x long")
+    r = effect_sizes(df, "g", "x", "a", "b").collect()[0]
+    na, nb = len(xa), len(xb)
+    ma, mb = sum(xa) / na, sum(xb) / nb
+    ssd = sum((v - ma) ** 2 for v in xa) + sum((v - mb) ** 2 for v in xb)
+    d = (ma - mb) / math.sqrt(ssd / (na + nb - 2))
+    gt = sum(1 for p in xa for q in xb if p > q)
+    lt = sum(1 for p in xa for q in xb if p < q)
+    assert r["n_a"] == na and r["n_b"] == nb
+    assert abs(r["cohens_d"] - d) < 1e-6
+    assert abs(r["hedges_g"] - d * (1 - 3 / (4 * (na + nb) - 9))) < 1e-6
+    assert r["cliffs_delta"] == round((gt - lt) / (na * nb), 6)
+    assert r["rank_biserial"] == -r["cliffs_delta"]
+    # degenerate: all values tied in both groups -> NULL d/g, delta 0
+    flat = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 5), ("b", 5)], "g string, x long"
+    )
+    r0 = effect_sizes(flat, "g", "x", "a", "b").collect()[0]
+    assert r0["cohens_d"] is None and r0["hedges_g"] is None
+    assert r0["cliffs_delta"] == 0.0
