@@ -7929,6 +7929,18 @@ def q_value_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return effect_sizes(e, "event_type", "cents", "purchase", "click")
 
 
+def q_emb_hard_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-triplet mining over the labeled embeddings table
+    (operators/linking.py hard_triplets — FaceNet/batch-hard rule
+    corpus-wide): per anchor the top-1 same-label positive and top-1
+    cross-label negative by fixed-point cosine, with the exact-long
+    margin and the triplet-violation flag — the contrastive-training
+    data a fine-tune pipeline mines after dedup."""
+    from deepie_spark.operators.linking import hard_triplets
+
+    return hard_triplets(_emb(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -8228,6 +8240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ind_profile": q_ind_profile,
         "dp_counts": q_dp_counts,
         "value_effect_sizes": q_value_effect_sizes,
+        "emb_hard_triplets": q_emb_hard_triplets,
     }
 
 
@@ -15286,6 +15299,39 @@ def oracle_sql() -> dict[str, str]:
                  THEN round((n_a * n_b - u2_a) / (n_a * n_b), 6)
                END AS rank_biserial
         FROM agg, mm
+    """
+    # emb_hard_triplets twin: the emb_mutual_nn cosine/argmax scheme
+    # with label-split argmaxes; margins exact longs.
+    d["emb_hard_triplets"] = """
+        WITH e AS (SELECT vec_id AS id, label AS lbl,
+                          list_transform(embedding,
+                                         x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        p AS (SELECT a.id AS anchor, a.lbl AS lbl_a,
+                     b.id AS other, b.lbl AS lbl_b,
+                     CAST(floor(list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v)))
+                       * 1099511627776.0) AS BIGINT) AS fp
+              FROM e a JOIN e b ON a.id != b.id),
+        pos AS (SELECT anchor,
+                       (min(struct_pack(nf := -fp, o := other))).o
+                         AS pos_id,
+                       CAST(-(min(struct_pack(nf := -fp, o := other))).nf
+                         AS BIGINT) AS pos_fp
+                FROM p WHERE lbl_a = lbl_b GROUP BY 1),
+        neg AS (SELECT anchor,
+                       (min(struct_pack(nf := -fp, o := other))).o
+                         AS neg_id,
+                       CAST(-(min(struct_pack(nf := -fp, o := other))).nf
+                         AS BIGINT) AS neg_fp
+                FROM p WHERE lbl_a != lbl_b GROUP BY 1)
+        SELECT anchor, pos_id, neg_id, pos_fp, neg_fp,
+               CAST(pos_fp - neg_fp AS BIGINT) AS margin_fp,
+               round(pos_fp / 1099511627776.0, 6) AS pos_cos,
+               round(neg_fp / 1099511627776.0, 6) AS neg_cos,
+               neg_fp >= pos_fp AS violation
+        FROM pos JOIN neg USING (anchor)
     """
     d["densest_subgraph"] = _densest_oracle_sql(rounds=4)
     # ind_profile twin: the same distinct + anti-join counts per

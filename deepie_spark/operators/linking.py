@@ -227,3 +227,105 @@ def mutual_nn_pairs(
         )
         .orderBy("a")
     )
+
+
+def hard_triplets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale_bits: int = 40,
+) -> DataFrame:
+    """Hard-triplet mining for contrastive training (Schroff et al.
+    FaceNet 2015; the batch-hard rule of Hermans et al. 2017 applied
+    corpus-wide): per anchor, the hardest POSITIVE is its top-1
+    cosine neighbor sharing its label (self excluded) and the hardest
+    NEGATIVE its top-1 neighbor with a DIFFERENT label; the margin
+    pos − neg is the triplet-loss violation signal (negative margin =
+    the pairs a contrastive fine-tune must fix first).
+
+    Portability is the mutual_nn_pairs rule: cosines as
+    floor(2^bits·cos) exact longs, both argmaxes min(struct(−fp, id)),
+    the margin an exact long difference.  Anchors whose label is a
+    singleton have no positive and are dropped (inner join) — the
+    triplet needs both sides.
+
+    Scale: this is the exact brute-force tier (pairs = n²·d work,
+    fine for the verification corpus); at 100 TB the SAME per-anchor
+    argmax runs over IVF/LSH candidate pairs (operators/similarity.py)
+    — mining quality degrades gracefully with candidate recall while
+    the selection rule stays identical."""
+    scale = F.lit(float(1 << scale_bits))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("lbl"),
+        v.alias("v"),
+    )
+    a = base.select(
+        F.col("id").alias("anchor"),
+        F.col("lbl").alias("lbl_a"),
+        F.col("v").alias("va"),
+    )
+    b = base.select(
+        F.col("id").alias("other"),
+        F.col("lbl").alias("lbl_b"),
+        F.col("v").alias("vb"),
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    cos = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va")))
+        * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("anchor") != F.col("other"))
+        .select(
+            "anchor",
+            "lbl_a",
+            "other",
+            "lbl_b",
+            F.floor(cos * scale).cast("long").alias("fp"),
+        )
+    )
+    arg = F.min(
+        F.struct((-F.col("fp")).alias("nf"), F.col("other").alias("o"))
+    )
+    pos = (
+        pairs.filter(F.col("lbl_a") == F.col("lbl_b"))
+        .groupBy("anchor")
+        .agg(arg.alias("s"))
+        .select(
+            "anchor",
+            F.col("s")["o"].alias("pos_id"),
+            (-F.col("s")["nf"]).cast("long").alias("pos_fp"),
+        )
+    )
+    neg = (
+        pairs.filter(F.col("lbl_a") != F.col("lbl_b"))
+        .groupBy("anchor")
+        .agg(arg.alias("s"))
+        .select(
+            "anchor",
+            F.col("s")["o"].alias("neg_id"),
+            (-F.col("s")["nf"]).cast("long").alias("neg_fp"),
+        )
+    )
+    scale_f = float(1 << scale_bits)
+    return pos.join(neg, "anchor").select(
+        "anchor",
+        "pos_id",
+        "neg_id",
+        "pos_fp",
+        "neg_fp",
+        (F.col("pos_fp") - F.col("neg_fp")).cast("long").alias("margin_fp"),
+        F.round(F.col("pos_fp") / F.lit(scale_f), 6).alias("pos_cos"),
+        F.round(F.col("neg_fp") / F.lit(scale_f), 6).alias("neg_cos"),
+        (F.col("neg_fp") >= F.col("pos_fp")).alias("violation"),
+    )

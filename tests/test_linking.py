@@ -211,3 +211,30 @@ def test_mutual_nn_pairs_python_twin(spark):
     for (a, b), r in got.items():
         assert r.fp == cfp(lv[a], rv[b])
         assert r.cosine == round(r.fp / SC, 6)
+
+
+def test_hard_triplets_picks_hardest_and_flags_violations(spark):
+    """Planted geometry: anchor 1 has a near-identical positive (2)
+    and a closer-than-positive negative (3) -> violation; anchor 4's
+    negative is far -> no violation; singleton-label 5 is dropped."""
+    from deepie_spark.operators.linking import hard_triplets
+
+    rows = [
+        (1, 0, [1.0, 0.0, 0.0]),
+        (2, 0, [0.9, 0.0, 0.1]),       # positive of 1 (cos ~ 0.994)
+        (3, 1, [0.99, 0.01, 0.0]),     # negative of 1, even closer
+        (4, 1, [0.0, 1.0, 0.0]),       # its positive is 3 (cos ~ 0.01);
+                                       # every cross-label vec is ~ orthogonal
+        (5, 2, [0.0, 0.0, 1.0]),       # singleton label: no positive
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, "
+                                     "embedding array<float>")
+    got = {r["anchor"]: r for r in hard_triplets(df).collect()}
+    assert set(got) == {1, 2, 3, 4}     # 5 dropped (no positive)
+    assert got[1]["pos_id"] == 2 and got[1]["neg_id"] == 3
+    assert got[1]["violation"] is True
+    assert got[1]["margin_fp"] == got[1]["pos_fp"] - got[1]["neg_fp"]
+    assert got[4]["pos_id"] == 3
+    assert got[4]["violation"] is False
+    # cosines are the fp values rescaled
+    assert abs(got[1]["pos_cos"] - got[1]["pos_fp"] / float(1 << 40)) < 1e-6
