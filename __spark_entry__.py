@@ -7941,6 +7941,105 @@ def q_emb_hard_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_triplets(_emb(spark, sf_dir))
 
 
+def q_graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity eccentricity within 4 undirected hops of the
+    rule-triple graph plus graph diameter/radius and the peripheral/
+    central flags (operators/graph.py eccentricity_stats, decorated
+    with the 1-row broadcast extrema — the distance-landscape audit
+    on the closeness/harmonic BFS; every value an exact long)."""
+    from deepie_spark.operators.graph import eccentricity_stats
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    ecc = eccentricity_stats(t, max_hops=4).select(
+        "entity",
+        F.col("ecc").cast("long").alias("ecc"),
+        F.col("n_reached").cast("long").alias("n_reached"),
+    )
+    g = ecc.agg(
+        F.max("ecc").cast("long").alias("diameter"),
+        F.min("ecc").cast("long").alias("radius"),
+    )
+    return ecc.crossJoin(F.broadcast(g)).select(
+        "entity",
+        "ecc",
+        "n_reached",
+        "diameter",
+        "radius",
+        (F.col("ecc") == F.col("diameter")).alias("is_peripheral"),
+        (F.col("ecc") == F.col("radius")).alias("is_central"),
+    )
+
+
+def q_event_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi MAP decoding of a 2-state browse/buy-intent HMM over
+    each user's ordered event sequence (operators/journeys.py
+    viterbi_decode — integer log-domain scores, one groupBy + in-row
+    max-product fold; the batch analogue of the reference's
+    per-sentence tag decoding, rnnRE.py:500-563)."""
+    from deepie_spark.operators.journeys import viterbi_decode
+
+    return viterbi_decode(_events(spark, sf_dir))
+
+
+def q_event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical Markov entropy rate of per-user event-type journeys
+    (operators/stats.py markov_entropy_rate): Σ (c_ij/N)·ln(c_i/c_ij)
+    as fixed-point exact longs — the predictability audit on top of
+    event_transitions' chain."""
+    from deepie_spark.operators.stats import markov_entropy_rate
+
+    e = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", "event_type",
+    )
+    return markov_entropy_rate(
+        e, "user_id", "event_type", ["ts", "event_id"]
+    )
+
+
+def q_event_dhondt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D'Hondt highest-averages apportionment of a 16-slot processing
+    budget across event types by volume (operators/selection.py
+    highest_averages_allocation — the house-monotone divisor-method
+    counterpart of mixture_allocation's largest-remainder rule)."""
+    from deepie_spark.operators.selection import highest_averages_allocation
+
+    c = (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return highest_averages_allocation(
+        c, seats=16, key_col="event_type", count_col="n"
+    )
+
+
+def q_nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language classification of every doc
+    from its tokens, trained on the corpus's own gold labels
+    (operators/lm.py naive_bayes_classify — the resubstitution
+    separability audit; fixed-point integer-arg-ln scores, per-doc
+    argmax hash-exact)."""
+    from deepie_spark.operators.lm import naive_bayes_classify
+
+    occ = _occ(spark, sf_dir)
+    labels = _docs(spark, sf_dir).select("doc_id", F.col("lang").alias("label"))
+    return naive_bayes_classify(occ, labels)
+
+
+def q_topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UMass coherence of the corpus head vocabulary (operators/
+    skipgram.py umass_coherence): Σ ln((D(w_i,w_j)+1)/D(w_j)) over the
+    top-10 df tokens as fixed-point exact longs — the co-occurrence
+    sanity check on the head terms every topic/cluster report leads
+    with."""
+    from deepie_spark.operators.skipgram import umass_coherence
+
+    return umass_coherence(_occ(spark, sf_dir), top_n=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -8241,6 +8340,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_counts": q_dp_counts,
         "value_effect_sizes": q_value_effect_sizes,
         "emb_hard_triplets": q_emb_hard_triplets,
+        "graph_eccentricity": q_graph_eccentricity,
+        "event_viterbi": q_event_viterbi,
+        "event_entropy_rate": q_event_entropy_rate,
+        "event_dhondt": q_event_dhondt,
+        "nb_lang_classify": q_nb_lang_classify,
+        "topic_coherence": q_topic_coherence,
     }
 
 
@@ -15363,4 +15468,205 @@ def oracle_sql() -> dict[str, str]:
             ("part", "p_partkey", "supplier", "s_suppkey"),
         ]
     )
+    # graph_eccentricity twin: the entity_closeness recursive min-hop
+    # CTE with max(hop) per source; diameter/radius via a 1-row cross
+    # join — all exact longs.
+    d["graph_eccentricity"] = f"""
+        WITH RECURSIVE
+        {_MENTIONS_SQL.strip()},
+        {_TRIPLE_EDGES_SQL.strip()},
+        bidi AS (SELECT a, b FROM und
+                 UNION ALL SELECT b, a FROM und),
+        walk(s, node, hop) AS (
+          SELECT a, a, 0 FROM (SELECT DISTINCT a FROM bidi)
+          UNION
+          SELECT w.s, u.b, w.hop + 1
+          FROM walk w JOIN bidi u ON u.a = w.node
+          WHERE w.hop < 4
+        ),
+        mh AS (SELECT s, node, min(hop) AS hop
+               FROM walk GROUP BY 1, 2),
+        ecc AS (SELECT s AS entity,
+                       CAST(max(hop) AS BIGINT) AS ecc,
+                       CAST(count(*) AS BIGINT) AS n_reached
+                FROM mh WHERE hop > 0 GROUP BY 1),
+        g AS (SELECT CAST(max(ecc) AS BIGINT) AS diameter,
+                     CAST(min(ecc) AS BIGINT) AS radius
+              FROM ecc)
+        SELECT entity, ecc.ecc, n_reached, diameter, radius,
+               ecc.ecc = diameter AS is_peripheral,
+               ecc.ecc = radius AS is_central
+        FROM ecc CROSS JOIN g
+    """
+    # event_viterbi twin: the forward max-product recursion as a
+    # recursive CTE carrying (v0, v1) exact-long columns per step —
+    # an independent per-step formulation of the Spark in-row fold.
+    d["event_viterbi"] = """
+        WITH RECURSIVE
+        seq AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS pos
+          FROM events),
+        nn AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+               FROM events GROUP BY 1),
+        walk(user_id, pos, v0, v1) AS (
+          SELECT user_id, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+          FROM (SELECT DISTINCT user_id FROM events)
+          UNION ALL
+          SELECT w.user_id, s.pos,
+                 greatest(w.v0 + 2, w.v1 + 0)
+                 + CASE s.event_type
+                     WHEN 'view' THEN 2 WHEN 'click' THEN 2
+                     WHEN 'error' THEN 1 WHEN 'signup' THEN 1
+                     ELSE 0 END,
+                 greatest(w.v0 + 0, w.v1 + 2)
+                 + CASE s.event_type
+                     WHEN 'purchase' THEN 3 WHEN 'signup' THEN 2
+                     WHEN 'click' THEN 1 ELSE 0 END
+          FROM walk w JOIN seq s
+            ON s.user_id = w.user_id AND s.pos = w.pos + 1
+        )
+        SELECT w.user_id, n_events,
+               CAST(v0 AS BIGINT) AS v0, CAST(v1 AS BIGINT) AS v1,
+               CAST(greatest(v0, v1) AS BIGINT) AS best_score,
+               CAST(CASE WHEN v1 > v0 THEN 1 ELSE 0 END AS INT)
+                 AS best_state
+        FROM walk w JOIN nn ON nn.user_id = w.user_id
+                           AND w.pos = nn.n_events
+    """
+    # event_entropy_rate twin: identical fixed-point per-(i,j) term
+    # chain — both ln args exact integers, sum an exact long.
+    d["event_entropy_rate"] = """
+        WITH seq AS (
+          SELECT event_type AS nxt,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS prv
+          FROM events),
+        c AS (SELECT prv, nxt, CAST(count(*) AS BIGINT) AS c_ij
+              FROM seq WHERE prv IS NOT NULL GROUP BY 1, 2),
+        ci AS (SELECT prv, CAST(sum(c_ij) AS BIGINT) AS c_i
+               FROM c GROUP BY 1),
+        tot AS (SELECT CAST(sum(c_ij) AS BIGINT) AS n_tr,
+                       CAST(count(*) AS BIGINT) AS n_pairs
+                FROM c),
+        agg AS (
+          SELECT max(n_tr) AS n_transitions,
+                 max(n_pairs) AS n_pairs,
+                 CAST(count(DISTINCT c.prv) AS BIGINT) AS n_states,
+                 CAST(sum(CAST(floor(1048576.0
+                   * ((CAST(c_ij AS DOUBLE)
+                       * (ln(CAST(c_i AS DOUBLE))
+                          - ln(CAST(c_ij AS DOUBLE))))
+                      / CAST(n_tr AS DOUBLE))) AS BIGINT)) AS BIGINT)
+                   AS h_fp
+          FROM c JOIN ci USING (prv) CROSS JOIN tot)
+        SELECT n_transitions, n_pairs, n_states, h_fp,
+               round(h_fp / 1048576.0, 6) AS h_rate_nats
+        FROM agg
+    """
+    # nb_lang_classify twin: identical fixed-point NB chain — every
+    # ln arg an exact integer, per-(doc,label) score an exact-long
+    # sum, argmax the min(struct) convention.
+    d["nb_lang_classify"] = f"""
+        WITH {_OCC_SQL.strip()},
+        lab AS (SELECT doc_id AS d, lang AS lbl FROM documents),
+        tl AS (SELECT o.doc_id AS d, o.token AS t, lbl
+               FROM occ o JOIN lab ON lab.d = o.doc_id),
+        ctc AS (SELECT t, lbl, CAST(count(*) AS BIGINT) AS c_tc
+                FROM tl GROUP BY 1, 2),
+        nc AS (SELECT lbl, CAST(sum(c_tc) AS BIGINT) AS n_c
+               FROM ctc GROUP BY 1),
+        dc AS (SELECT lbl, CAST(count(*) AS BIGINT) AS d_c
+               FROM lab GROUP BY 1),
+        nbg AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v_sz,
+                        (SELECT CAST(count(*) AS BIGINT) FROM lab)
+                          AS d_tot
+                 FROM tl),
+        cls AS (SELECT nc.lbl,
+                       CAST(n_c + v_sz AS BIGINT) AS den_c,
+                       CAST(floor(1048576.0
+                         * (ln(CAST(d_c AS DOUBLE))
+                            - ln(CAST(d_tot AS DOUBLE)))) AS BIGINT)
+                         AS prior_fp
+                FROM nc JOIN dc USING (lbl) CROSS JOIN nbg),
+        occ_l AS (
+          SELECT o.doc_id AS d, cls.lbl, prior_fp,
+                 CAST(floor(1048576.0
+                   * (ln(CAST(coalesce(c_tc, 0) + 1 AS DOUBLE))
+                      - ln(CAST(den_c AS DOUBLE)))) AS BIGINT)
+                   AS term_fp
+          FROM occ o CROSS JOIN cls
+          LEFT JOIN ctc ON ctc.t = o.token AND ctc.lbl = cls.lbl),
+        sc AS (SELECT d, lbl,
+                      CAST(max(prior_fp) + sum(term_fp) AS BIGINT)
+                        AS score_fp
+               FROM occ_l GROUP BY 1, 2),
+        pred AS (SELECT d,
+                        (min(struct_pack(ns := -score_fp, l := lbl))).l
+                          AS pred_label,
+                        CAST(-(min(struct_pack(ns := -score_fp,
+                                               l := lbl))).ns AS BIGINT)
+                          AS score_fp
+                 FROM sc GROUP BY 1)
+        SELECT pred.d AS doc_id, lab.lbl AS gold_label, pred_label,
+               score_fp, pred_label = lab.lbl AS correct
+        FROM pred JOIN lab ON lab.d = pred.d
+    """
+    # topic_coherence twin: same (df DESC, token) top-10, same pair
+    # grid and fixed-point UMass terms.
+    d["topic_coherence"] = f"""
+        WITH {_OCC_SQL.strip()},
+        dt AS (SELECT DISTINCT doc_id AS d, token AS t FROM occ),
+        dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df
+                  FROM dt GROUP BY 1),
+        topt AS (SELECT t, df FROM dfreq
+                 ORDER BY df DESC, t ASC LIMIT 10),
+        grid AS (SELECT a.t AS w_hi, b.t AS w_lo, b.df AS df_lo
+                 FROM topt a CROSS JOIN topt b
+                 WHERE a.df > b.df OR (a.df = b.df AND a.t < b.t)),
+        it AS (SELECT d, t FROM dt
+               WHERE t IN (SELECT t FROM topt)),
+        co AS (SELECT x.t AS w_hi, y.t AS w_lo,
+                      CAST(count(*) AS BIGINT) AS d_co
+               FROM it x JOIN it y ON x.d = y.d AND x.t != y.t
+               GROUP BY 1, 2),
+        terms AS (
+          SELECT g.w_hi, g.w_lo,
+                 CAST(coalesce(d_co, 0) AS BIGINT) AS d_co,
+                 CAST(df_lo AS BIGINT) AS d_lo,
+                 CAST(floor(1048576.0
+                   * (ln(CAST(coalesce(d_co, 0) + 1 AS DOUBLE))
+                      - ln(CAST(df_lo AS DOUBLE)))) AS BIGINT)
+                   AS term_fp
+          FROM grid g LEFT JOIN co
+            ON co.w_hi = g.w_hi AND co.w_lo = g.w_lo),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                       CAST(sum(term_fp) AS BIGINT) AS coherence_fp
+                FROM terms)
+        SELECT w_hi, w_lo, d_co, d_lo, term_fp, n_pairs, coherence_fp,
+               round(coherence_fp / 1048576.0, 6) AS coherence
+        FROM terms CROSS JOIN tot
+    """
+    # event_dhondt twin: same quotient table, same deterministic
+    # (quotient DESC, key, i) top-k — v/divisor is one IEEE divide of
+    # exact ints, bit-identical in both engines.
+    d["event_dhondt"] = """
+        WITH c AS (SELECT event_type AS k,
+                          CAST(count(*) AS BIGINT) AS v
+                   FROM events GROUP BY 1),
+        q AS (SELECT k, v, i,
+                     CAST(v AS DOUBLE) / CAST(1 + (i - 1) AS DOUBLE)
+                       AS quotient
+              FROM c CROSS JOIN generate_series(1, 16) t(i)),
+        won AS (SELECT k FROM q
+                ORDER BY quotient DESC, k ASC, i ASC LIMIT 16),
+        s AS (SELECT k, CAST(count(*) AS BIGINT) AS slots
+              FROM won GROUP BY 1)
+        SELECT c.k AS event_type, v AS votes,
+               CAST(coalesce(s.slots, 0) AS BIGINT) AS slots
+        FROM c LEFT JOIN s USING (k)
+    """
     return d

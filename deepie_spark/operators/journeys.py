@@ -331,3 +331,100 @@ def conversion_lift(
             F.round(rate_exp / rate_un, 6),
         ).alias("lift"),
     ).orderBy("channel")
+
+
+def viterbi_decode(
+    events: DataFrame,
+    emit0: dict[str, int] | None = None,
+    emit1: dict[str, int] | None = None,
+    stay_score: int = 2,
+    switch_score: int = 0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Viterbi MAP decoding of a 2-state HMM over each user's ordered
+    event-type sequence — the batch sequence-decoding analogue of the
+    reference's per-sentence tag decoding (DeepIE tags each token with
+    the argmax label along the sentence, rnnRE.py:500-563; here the
+    hidden state is a latent user mode, e.g. browse vs buy-intent,
+    and the observation is the event type).
+
+    All scores are INTEGER log-domain weights (emission tables +
+    stay/switch transition bonuses), so the forward max-product
+    recursion v_t(s) = max_s'(v_{t-1}(s') + tr(s',s)) + em(s, x_t)
+    stays in exact longs end-to-end and the DuckDB twin (a recursive
+    CTE carrying v0/v1 as columns) is hash-exact.  Emitted per user:
+    the two terminal scores, the winning score and state (tie → state
+    0, the deterministic convention).
+
+    Plan: ONE groupBy(user) building the array_sort'ed (ts, event_id,
+    type) sequence, then a map-only in-row ``aggregate`` fold — no
+    per-step shuffle, no window; per-user volume is bounded (the
+    journeys-module contract).  At 100 TB the same fold runs
+    unchanged — state is O(states) per user, not O(steps)."""
+    emit0 = emit0 or {
+        "view": 2, "click": 2, "error": 1, "signup": 1, "purchase": 0,
+    }
+    emit1 = emit1 or {
+        "purchase": 3, "signup": 2, "click": 1, "view": 0, "error": 0,
+    }
+
+    def emit_expr(table: dict[str, int], x):
+        e = F.lit(0).cast("long")
+        for k in sorted(table):
+            if table[k]:
+                e = F.when(x == k, F.lit(table[k]).cast("long")).otherwise(e)
+        return e
+
+    seq = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.struct(
+                F.col(ts_col).cast("timestamp").alias("ts"),
+                F.col(id_col).alias("eid"),
+                F.col(type_col).alias("et"),
+            ).alias("ev"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.array_sort(F.collect_list("ev")).alias("seq"),
+        )
+    )
+    stay = F.lit(stay_score).cast("long")
+    switch = F.lit(switch_score).cast("long")
+    fold = F.aggregate(
+        F.col("seq"),
+        F.struct(
+            F.lit(0).cast("long").alias("v0"),
+            F.lit(0).cast("long").alias("v1"),
+        ),
+        lambda acc, x: F.struct(
+            (
+                F.greatest(acc["v0"] + stay, acc["v1"] + switch)
+                + emit_expr(emit0, x["et"])
+            ).alias("v0"),
+            (
+                F.greatest(acc["v0"] + switch, acc["v1"] + stay)
+                + emit_expr(emit1, x["et"])
+            ).alias("v1"),
+        ),
+    )
+    return seq.select(
+        "user_id",
+        "n_events",
+        fold["v0"].alias("v0"),
+        fold["v1"].alias("v1"),
+    ).select(
+        "user_id",
+        "n_events",
+        "v0",
+        "v1",
+        F.greatest(F.col("v0"), F.col("v1")).alias("best_score"),
+        F.when(F.col("v1") > F.col("v0"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("best_state"),
+    )

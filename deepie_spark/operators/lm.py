@@ -71,3 +71,110 @@ def kn_continuation_counts(
             F.coalesce("n_right", F.lit(0)).cast("long").alias("n_right"),
         )
     )
+
+
+def naive_bayes_classify(
+    occ: DataFrame,
+    labels: DataFrame,
+    doc_col: str = "doc_id",
+    token_col: str = "token",
+    label_col: str = "label",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Multinomial naive-Bayes document classification with Laplace
+    smoothing, trained and applied on the same corpus (the
+    resubstitution audit a curation pipeline runs to ask "is this
+    label separable from the text at all?" — e.g. language or source
+    from tokens).  Returns per doc the argmax label, its score and
+    the gold/pred agreement flag.
+
+    Engine-portable scoring: every log term is the difference of two
+    EXACT-INTEGER-argument ln's quantized to fixed point —
+    token term  floor(2^bits·(ln(c_tc+1) − ln(N_c+V))),
+    prior term  floor(2^bits·(ln D_c − ln D)) —
+    so the per-(doc,label) score is an order-free exact-long sum and
+    the argmax (min(struct(−score, label))) is hash-gateable.
+    Overflow: doc_len·2^bits·ln(N_c+V) per doc — 20 bits holds to
+    ~10⁹-token documents.
+
+    Plan: two hash aggs build the (token,label) count table and the
+    label marginals; scoring is occurrences × |labels| rows with a
+    LEFT join onto the count table (absent pair → c_tc = 0, ln 1 = 0
+    exactly in both engines) and one final per-doc argmax agg — no
+    window, no driver loop."""
+    scale = F.lit(float(1 << scale_bits))
+    o = occ.select(
+        F.col(doc_col).alias("_doc"), F.col(token_col).alias("_tok")
+    )
+    lab = labels.select(
+        F.col(doc_col).alias("_doc"), F.col(label_col).alias("_lbl")
+    )
+    tl = o.join(lab, "_doc")
+    ctc = tl.groupBy("_tok", "_lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("c_tc")
+    )
+    nc = ctc.groupBy("_lbl").agg(F.sum("c_tc").cast("long").alias("n_c"))
+    dc = lab.groupBy("_lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("d_c")
+    )
+    glob = tl.agg(
+        F.countDistinct("_tok").cast("long").alias("v_sz"),
+    ).crossJoin(lab.agg(F.count(F.lit(1)).cast("long").alias("d_tot")))
+    cls = (
+        nc.join(dc, "_lbl")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "_lbl",
+            (F.col("n_c") + F.col("v_sz")).cast("long").alias("den_c"),
+            F.floor(
+                scale
+                * (
+                    F.log(F.col("d_c").cast("double"))
+                    - F.log(F.col("d_tot").cast("double"))
+                )
+            )
+            .cast("long")
+            .alias("prior_fp"),
+        )
+    )
+    scored = (
+        o.crossJoin(F.broadcast(cls))
+        .join(ctc, ["_tok", "_lbl"], "left")
+        .select(
+            "_doc",
+            "_lbl",
+            "prior_fp",
+            F.floor(
+                scale
+                * (
+                    F.log(
+                        (F.coalesce(F.col("c_tc"), F.lit(0)) + F.lit(1))
+                        .cast("double")
+                    )
+                    - F.log(F.col("den_c").cast("double"))
+                )
+            )
+            .cast("long")
+            .alias("term_fp"),
+        )
+        .groupBy("_doc", "_lbl")
+        .agg(
+            (F.max("prior_fp") + F.sum("term_fp"))
+            .cast("long")
+            .alias("score_fp")
+        )
+    )
+    pred = scored.groupBy("_doc").agg(
+        F.min(
+            F.struct(
+                (-F.col("score_fp")).alias("ns"), F.col("_lbl").alias("l")
+            )
+        ).alias("s")
+    )
+    return pred.join(lab, "_doc").select(
+        F.col("_doc").alias(doc_col),
+        F.col("_lbl").alias("gold_label"),
+        F.col("s")["l"].alias("pred_label"),
+        (-F.col("s")["ns"]).cast("long").alias("score_fp"),
+        (F.col("s")["l"] == F.col("_lbl")).alias("correct"),
+    )

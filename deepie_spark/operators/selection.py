@@ -157,3 +157,70 @@ def greedy_max_coverage(
             else covered.unionByName(newly).distinct()
         ).localCheckpoint(eager=True)
     return out
+
+
+def highest_averages_allocation(
+    counts: DataFrame,
+    seats: int,
+    key_col: str = "key",
+    count_col: str = "n",
+    divisor_step: int = 1,
+    divisor_base: int = 1,
+) -> DataFrame:
+    """Highest-averages apportionment (D'Hondt with base=1,step=1;
+    Sainte-Laguë with base=1,step=2): allocate ``seats`` integer
+    slots proportionally to per-key volume — the divisor-method
+    alternative to mixture_allocation's largest-remainder rule
+    (divisor methods are house-monotone: growing the budget never
+    takes a slot away, the property a growing training-mixture
+    budget wants).
+
+    Each key emits quotient rows v/(base + step·(i−1)) for i=1..seats
+    and the top-``seats`` quotients overall win.  v and the divisor
+    are exact ints, so v/divisor is ONE IEEE divide — bit-identical
+    across engines — and the ordering (quotient DESC, key ASC, i ASC)
+    is deterministic under exact-tie collisions (100/2 == 50/1).
+    Top-k rides orderBy+limit (TakeOrderedAndProject — no window, no
+    global sort materialization); the quotient table is |keys|·seats
+    rows, bounded because seats is a constant."""
+    if seats < 1:
+        raise ValueError("seats must be >= 1")
+    q = counts.select(
+        F.col(key_col).alias("k"),
+        F.col(count_col).cast("long").alias("v"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(seats))
+        ).alias("i"),
+    ).select(
+        "k",
+        "v",
+        "i",
+        (
+            F.col("v").cast("double")
+            / (
+                F.lit(divisor_base)
+                + F.lit(divisor_step) * (F.col("i") - F.lit(1))
+            ).cast("double")
+        ).alias("quotient"),
+    )
+    won = q.orderBy(
+        F.col("quotient").desc(), F.col("k").asc(), F.col("i").asc()
+    ).limit(seats)
+    return (
+        counts.select(
+            F.col(key_col).alias("k"),
+            F.col(count_col).cast("long").alias("votes"),
+        )
+        .join(
+            won.groupBy("k").agg(
+                F.count(F.lit(1)).cast("long").alias("slots")
+            ),
+            "k",
+            "left",
+        )
+        .select(
+            F.col("k").alias(key_col),
+            "votes",
+            F.coalesce(F.col("slots"), F.lit(0)).cast("long").alias("slots"),
+        )
+    )

@@ -305,3 +305,86 @@ def collocations_llr(
         "n_bigrams",
         F.round(g2, 6).alias("g2"),
     ).orderBy("x", "y")
+
+
+def umass_coherence(
+    occ: DataFrame,
+    top_n: int = 10,
+    doc_col: str = "doc_id",
+    token_col: str = "token",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """UMass topic coherence (Mimno et al., EMNLP 2011) of the corpus
+    head vocabulary: over the top-``top_n`` tokens by document
+    frequency, Σ_{i<j} ln((D(w_i, w_j) + 1) / D(w_j)) with w_j the
+    LOWER-ranked token of the pair — the standard intrinsic check
+    that a token cluster actually co-occurs (near 0 = coherent,
+    strongly negative = unrelated head terms).
+
+    No rank index is materialized: rank order is exactly the
+    (df DESC, token ASC) order, so "i < j" is the lexicographic
+    predicate (df_a, token_a) ≻ (df_b, token_b) on the pair grid —
+    windowless.  The top-n rides orderBy+limit
+    (TakeOrderedAndProject); the n×n grid is a bounded broadcast
+    cross join LEFT-joined to the co-document counts (absent pair →
+    D=0, ln 1 exact).  Per-pair terms are fixed-point longs (both ln
+    args exact integers), the total an order-free exact sum.
+
+    Emits the n·(n−1)/2 pair rows (term audit) plus the cross-joined
+    corpus coherence total."""
+    scale = F.lit(float(1 << scale_bits))
+    dt = (
+        occ.select(F.col(doc_col).alias("d"), F.col(token_col).alias("t"))
+        .distinct()
+    )
+    dfreq = dt.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    top = dfreq.orderBy(F.col("df").desc(), F.col("t").asc()).limit(top_n)
+    a = top.select(F.col("t").alias("w_hi"), F.col("df").alias("df_hi"))
+    b = top.select(F.col("t").alias("w_lo"), F.col("df").alias("df_lo"))
+    grid = a.crossJoin(b).filter(
+        (F.col("df_hi") > F.col("df_lo"))
+        | ((F.col("df_hi") == F.col("df_lo")) & (F.col("w_hi") < F.col("w_lo")))
+    )
+    in_top = dt.join(
+        F.broadcast(top.select(F.col("t"))), "t", "left_semi"
+    )
+    co = (
+        in_top.alias("x")
+        .join(in_top.alias("y"), F.col("x.d") == F.col("y.d"))
+        .filter(F.col("x.t") != F.col("y.t"))
+        .groupBy(F.col("x.t").alias("w_hi"), F.col("y.t").alias("w_lo"))
+        .agg(F.count(F.lit(1)).cast("long").alias("d_co"))
+    )
+    terms = (
+        grid.join(co, ["w_hi", "w_lo"], "left")
+        .select(
+            "w_hi",
+            "w_lo",
+            F.coalesce(F.col("d_co"), F.lit(0)).cast("long").alias("d_co"),
+            F.col("df_lo").cast("long").alias("d_lo"),
+        )
+        .withColumn(
+            "term_fp",
+            F.floor(
+                scale
+                * (
+                    F.log((F.col("d_co") + F.lit(1)).cast("double"))
+                    - F.log(F.col("d_lo").cast("double"))
+                )
+            ).cast("long"),
+        )
+    )
+    tot = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("term_fp").cast("long").alias("coherence_fp"),
+    )
+    return terms.crossJoin(F.broadcast(tot)).select(
+        "w_hi",
+        "w_lo",
+        "d_co",
+        "d_lo",
+        "term_fp",
+        "n_pairs",
+        "coherence_fp",
+        F.round(F.col("coherence_fp") / scale, 6).alias("coherence"),
+    )

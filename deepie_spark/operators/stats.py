@@ -1589,3 +1589,78 @@ def effect_sizes(
             nab > 0, F.round((nab - F.col("u2_a")) / nab, 6)
         ).alias("rank_biserial"),
     )
+
+
+def markov_entropy_rate(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    order_cols: list[str],
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Empirical entropy rate of the first-order Markov chain over
+    per-key state sequences: H = Σ_ij (c_ij/N)·ln(c_i/c_ij) nats,
+    where c_ij counts i→j transitions within a key's ordered sequence,
+    c_i = Σ_j c_ij and N = total transitions (the MLE plug-in rate
+    under the empirical stationary weights — Cover & Thomas ch. 4).
+    Low H = predictable journeys (bot/template traffic); high H =
+    exploratory behaviour.  The sequence-level complement of
+    event_transitions' per-edge probabilities.
+
+    Portability: each (i,j) term is quantized to fixed point —
+    floor(2^bits · (c_ij·(ln c_i − ln c_ij)) / N) with BOTH ln args
+    exact integers (identical libm values in both engines, the
+    entity_cooccur_pmi rule) and the multiply/divide chain order
+    pinned — then summed as exact longs, order-free.  Overflow: each
+    term ≤ 2^bits·ln N ≪ 2^63/n_pairs for any real chain.
+
+    Plan: one per-key lag window (keyed — never single-partition),
+    one hash agg to (i,j) counts, a 1-row broadcast total; the term
+    table is |states|² rows."""
+    w = W.partitionBy("_k").orderBy(*[F.col(c) for c in order_cols])
+    seq = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(state_col).alias("nxt"),
+        *[F.col(c) for c in order_cols],
+    ).select("_k", "nxt", F.lag("nxt").over(w).alias("prv"))
+    c = (
+        seq.filter(F.col("prv").isNotNull())
+        .groupBy("prv", "nxt")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ij"))
+    )
+    ci = c.groupBy("prv").agg(F.sum("c_ij").cast("long").alias("c_i"))
+    tot = c.agg(
+        F.sum("c_ij").cast("long").alias("n_tr"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    scale = F.lit(float(1 << scale_bits))
+    term = F.floor(
+        scale
+        * (
+            (
+                F.col("c_ij").cast("double")
+                * (
+                    F.log(F.col("c_i").cast("double"))
+                    - F.log(F.col("c_ij").cast("double"))
+                )
+            )
+            / F.col("n_tr").cast("double")
+        )
+    ).cast("long")
+    return (
+        c.join(ci, "prv")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n_tr").alias("n_transitions"),
+            F.max("n_pairs").alias("n_pairs"),
+            F.countDistinct("prv").cast("long").alias("n_states"),
+            F.sum(term).cast("long").alias("h_fp"),
+        )
+        .select(
+            "n_transitions",
+            "n_pairs",
+            "n_states",
+            "h_fp",
+            F.round(F.col("h_fp") / scale, 6).alias("h_rate_nats"),
+        )
+    )

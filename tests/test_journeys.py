@@ -542,3 +542,82 @@ def test_hop_histogram_path_graph(spark):
     assert out[3].share == 1.0 and out[3].reach90
     assert not out[2].reach90  # 5/6 < 0.9
     assert out[1].share == 0.5
+
+
+def test_viterbi_hand_sequence(spark):
+    """Hand-decoded 2-state HMM: default tables, stay=2/switch=0.
+    Sequence view,click,purchase,purchase for one user."""
+    from datetime import datetime
+
+    from deepie_spark.operators.journeys import viterbi_decode
+
+    ts = lambda m: datetime(2026, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, ts(0), 7, "view"),
+        (1, ts(1), 8, "click"),
+        (1, ts(2), 9, "purchase"),
+        (1, ts(3), 10, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    # forward max-product by hand:
+    # t1 view:      v0 = max(0+2,0+0)+2 = 4;  v1 = max(0+0,0+2)+0 = 2
+    # t2 click:     v0 = max(4+2,2+0)+2 = 8;  v1 = max(4+0,2+2)+1 = 5
+    # t3 purchase:  v0 = max(8+2,5+0)+0 = 10; v1 = max(8+0,5+2)+3 = 11
+    # t4 purchase:  v0 = max(10+2,11+0)+0 = 12; v1 = max(10,13)+3 = 16
+    r = viterbi_decode(df).collect()[0]
+    assert (r.v0, r.v1) == (12, 16)
+    assert r.best_score == 16 and r.best_state == 1
+    assert r.n_events == 4
+
+
+def test_viterbi_python_twin_random(spark):
+    """Random event streams vs a reference python Viterbi; also
+    pins partition invariance (fold is per-user in-row)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from deepie_spark.operators.journeys import viterbi_decode
+
+    emit0 = {"view": 2, "click": 2, "error": 1, "signup": 1, "purchase": 0}
+    emit1 = {"purchase": 3, "signup": 2, "click": 1, "view": 0, "error": 0}
+    types = sorted(emit0)
+    rng = random.Random(11)
+    rows = []
+    eid = 0
+    for u in range(9):
+        for k in range(rng.randint(1, 25)):
+            rows.append(
+                (
+                    u,
+                    datetime(2026, 2, 1) + timedelta(minutes=eid),
+                    eid,
+                    rng.choice(types),
+                )
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+
+    def pyviterbi(seq):
+        v0 = v1 = 0
+        for t in seq:
+            v0, v1 = (
+                max(v0 + 2, v1 + 0) + emit0[t],
+                max(v0 + 0, v1 + 2) + emit1[t],
+            )
+        return v0, v1
+
+    want = {}
+    for u in range(9):
+        seq = [t for (uu, _, _, t) in sorted(rows) if uu == u]
+        want[u] = pyviterbi(seq)
+    got = {r.user_id: (r.v0, r.v1) for r in viterbi_decode(df).collect()}
+    assert got == want
+    got7 = {
+        r.user_id: (r.v0, r.v1)
+        for r in viterbi_decode(df.repartition(7)).collect()
+    }
+    assert got7 == want

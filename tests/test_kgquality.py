@@ -344,3 +344,30 @@ def test_inclusion_profile_rejects_empty(spark):
 
     with pytest.raises(ValueError):
         inclusion_profile([])
+
+
+def test_umass_coherence_perfect_vs_disjoint(spark):
+    """Tokens co-occurring in every doc give terms ln((N+1)/N) > 0;
+    never-co-occurring head tokens give ln(1/D(w_lo)) < 0."""
+    import math
+
+    from deepie_spark.operators.skipgram import umass_coherence
+
+    # 4 docs, tokens a,b in all docs; c only in doc 0, d only in doc 1
+    rows = []
+    for d in range(4):
+        rows += [(d, "a"), (d, "b")]
+    rows += [(0, "c"), (1, "d")]
+    occ = spark.createDataFrame(rows, "doc_id long, token string")
+    out = {(r.w_hi, r.w_lo): r for r in umass_coherence(occ, top_n=4).collect()}
+    assert len(out) == 6
+    scale = float(1 << 20)
+    ab = out[("a", "b")]
+    assert ab.d_co == 4 and ab.d_lo == 4
+    assert ab.term_fp == math.floor(scale * (math.log(5.0) - math.log(4.0)))
+    cd = out[("c", "d")]
+    assert cd.d_co == 0
+    assert cd.term_fp == math.floor(scale * (0.0 - math.log(1.0)))
+    # totals are shared across rows and equal the exact sum
+    assert ab.coherence_fp == sum(r.term_fp for r in out.values())
+    assert ab.n_pairs == 6

@@ -64,3 +64,70 @@ def test_kn_counts_no_window_no_collect(spark):
     plan = kn_continuation_counts(df)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_naive_bayes_separable_corpus(spark):
+    """Disjoint per-class vocabularies -> every doc classified
+    correctly; scores match a python twin with the same fixed-point
+    quantization."""
+    import math
+
+    from deepie_spark.operators.lm import naive_bayes_classify
+
+    docs = [
+        (0, "en", "the cat sat"),
+        (1, "en", "the dog ran"),
+        (2, "de", "der hund lief"),
+        (3, "de", "die katze sass"),
+        (4, "en", "cat and dog"),
+    ]
+    occ = spark.createDataFrame(
+        [(d, t) for d, _, txt in docs for t in txt.split()],
+        "doc_id long, token string",
+    )
+    labels = spark.createDataFrame(
+        [(d, l) for d, l, _ in docs], "doc_id long, label string"
+    )
+    out = {r.doc_id: r for r in naive_bayes_classify(occ, labels).collect()}
+    assert all(out[d].correct for d, _, _ in docs)
+    assert out[2].pred_label == "de" and out[0].pred_label == "en"
+
+    # python twin of doc 0's winning score
+    from collections import Counter
+
+    tl = [(t, l) for d, l, txt in docs for t in txt.split()]
+    ctc = Counter(tl)
+    nc = Counter(l for _, l in tl)
+    dc = Counter(l for _, l, _ in docs)
+    v = len({t for t, _ in tl})
+    scale = float(1 << 20)
+
+    def score(doc_tokens, lbl):
+        s = math.floor(scale * (math.log(float(dc[lbl]))
+                                - math.log(float(len(docs)))))
+        for t in doc_tokens:
+            s += math.floor(scale * (
+                math.log(float(ctc.get((t, lbl), 0) + 1))
+                - math.log(float(nc[lbl] + v))))
+        return s
+
+    assert out[0].score_fp == score("the cat sat".split(), "en")
+
+
+def test_naive_bayes_partition_invariance(spark):
+    """Scores are exact longs: repartitioning changes nothing."""
+    from deepie_spark.operators.lm import naive_bayes_classify
+
+    occ = spark.createDataFrame(
+        [(i, w) for i in range(12) for w in ("a", "b", f"w{i % 3}")],
+        "doc_id long, token string",
+    )
+    labels = spark.createDataFrame(
+        [(i, f"c{i % 3}") for i in range(12)], "doc_id long, label string"
+    )
+    a = {(r.doc_id, r.pred_label, r.score_fp)
+         for r in naive_bayes_classify(occ, labels).collect()}
+    b = {(r.doc_id, r.pred_label, r.score_fp)
+         for r in naive_bayes_classify(
+             occ.repartition(7), labels.repartition(3)).collect()}
+    assert a == b

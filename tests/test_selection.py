@@ -87,3 +87,50 @@ def test_greedy_max_coverage_stops_when_covered(spark):
         for r in greedy_max_coverage(df, k=4).collect()
     )
     assert got == [(1, "a", 2), (2, "b", 1)]
+
+
+def test_dhondt_wikipedia_example(spark):
+    """The classic D'Hondt example: 8 seats over votes
+    A=100000 B=80000 C=30000 D=20000 -> 4/3/1/0."""
+    from deepie_spark.operators.selection import highest_averages_allocation
+
+    df = spark.createDataFrame(
+        [("A", 100000), ("B", 80000), ("C", 30000), ("D", 20000)],
+        "key string, n long",
+    )
+    got = {
+        r.key: r.slots
+        for r in highest_averages_allocation(df, seats=8).collect()
+    }
+    assert got == {"A": 4, "B": 3, "C": 1, "D": 0}
+
+
+def test_sainte_lague_and_invariants(spark):
+    """Sainte-Laguë divisors (1,3,5,...) favor small parties; slots
+    always sum to the house size; house monotonicity holds."""
+    from deepie_spark.operators.selection import highest_averages_allocation
+
+    df = spark.createDataFrame(
+        [("A", 53), ("B", 24), ("C", 23)], "key string, n long"
+    )
+    sl = {
+        r.key: r.slots
+        for r in highest_averages_allocation(
+            df, seats=7, divisor_step=2
+        ).collect()
+    }
+    assert sum(sl.values()) == 7
+    # Sainte-Laguë hand calc: quotients A:53,17.67,10.6,7.571
+    # B:24,8,4.8  C:23,7.667,4.6 -> top7 = A,B,C,A,A,B,C
+    # (the 7th seat: C's 23/3=7.667 beats A's 53/7=7.571)
+    assert sl == {"A": 3, "B": 2, "C": 2}
+    prev = None
+    for seats in (3, 5, 8, 12):
+        cur = {
+            r.key: r.slots
+            for r in highest_averages_allocation(df, seats=seats).collect()
+        }
+        assert sum(cur.values()) == seats
+        if prev is not None:
+            assert all(cur[k] >= prev[k] for k in cur)  # house-monotone
+        prev = cur

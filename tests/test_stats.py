@@ -1181,3 +1181,76 @@ def test_effect_sizes_match_definitions(spark):
     r0 = effect_sizes(flat, "g", "x", "a", "b").collect()[0]
     assert r0["cohens_d"] is None and r0["hedges_g"] is None
     assert r0["cliffs_delta"] == 0.0
+
+
+def test_markov_entropy_rate_deterministic_chain_zero(spark):
+    """A fully deterministic chain (a->b->a->b...) has H = 0."""
+    from datetime import datetime, timedelta
+
+    from deepie_spark.operators.stats import markov_entropy_rate
+
+    rows = [
+        (1, datetime(2026, 3, 1) + timedelta(minutes=i), i,
+         "a" if i % 2 == 0 else "b")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    r = markov_entropy_rate(
+        df, "user_id", "event_type", ["ts", "event_id"]
+    ).collect()[0]
+    assert r.n_transitions == 9 and r.n_pairs == 2 and r.n_states == 2
+    assert r.h_fp == 0 and r.h_rate_nats == 0.0
+
+
+def test_markov_entropy_rate_python_twin(spark):
+    """Random chains vs the plug-in formula with the same fixed-point
+    quantization; uniform 2-state chain approaches ln 2."""
+    import math
+    import random
+    from datetime import datetime, timedelta
+
+    from deepie_spark.operators.stats import markov_entropy_rate
+
+    rng = random.Random(5)
+    rows = []
+    eid = 0
+    for u in range(6):
+        for _ in range(rng.randint(5, 40)):
+            rows.append(
+                (u, datetime(2026, 3, 2) + timedelta(seconds=eid), eid,
+                 rng.choice("abc"))
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    # python twin with identical chain order
+    from collections import Counter, defaultdict
+
+    trans = Counter()
+    byu = defaultdict(list)
+    for u, ts, eid_, t in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        byu[u].append(t)
+    for seq in byu.values():
+        for a, b in zip(seq, seq[1:]):
+            trans[(a, b)] += 1
+    ci = Counter()
+    for (a, _), n in trans.items():
+        ci[a] += n
+    n_tr = sum(trans.values())
+    h_fp = sum(
+        math.floor(
+            float(1 << 20)
+            * ((float(n) * (math.log(float(ci[a])) - math.log(float(n))))
+               / float(n_tr))
+        )
+        for (a, _), n in trans.items()
+    )
+    r = markov_entropy_rate(
+        df, "user_id", "event_type", ["ts", "event_id"]
+    ).collect()[0]
+    assert r.h_fp == h_fp and r.n_transitions == n_tr
+    # sanity: 3-symbol iid stream is near ln 3, never above
+    assert 0 < r.h_rate_nats <= math.log(3.0) + 1e-9
