@@ -8040,6 +8040,45 @@ def q_topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return umass_coherence(_occ(spark, sf_dir), top_n=10)
 
 
+def q_events_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout keys over (user_id, hour-of-epoch) on the
+    64×64 grid (plans/layout.py hilbert_key2) — the locality-tighter
+    sibling of events_zorder: consecutive key values are always
+    Manhattan-adjacent, so range files never straddle a Morton jump.
+    Pure unrolled integer arithmetic, map-only, exact in any engine."""
+    from deepie_spark.plans.layout import hilbert_key2
+
+    e = _events(spark, sf_dir)
+    hour = F.floor(
+        F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600
+    ).cast("long")
+    x = F.pmod(F.col("user_id"), F.lit(64))
+    y = F.pmod(hour, F.lit(64))
+    return e.select(
+        "event_id",
+        x.alias("x"),
+        y.alias("y"),
+        hilbert_key2(x, y, order=6).alias("hkey"),
+    )
+
+
+def q_host_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form SALSA authority scores over the harvested host
+    link graph (operators/graph.py salsa_authority):
+    a_i = (|A_C|·indeg_i)/(|A|·|E_C|) with exact-long num/den — the
+    TKC-resistant companion of host_trustrank/host_rank_weighted,
+    priced like a connected-components pass instead of an
+    eigen-iteration."""
+    from deepie_spark.operators.graph import salsa_authority
+
+    lg = q_link_graph(spark, sf_dir)
+    return salsa_authority(
+        lg.select(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -8346,6 +8385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_dhondt": q_event_dhondt,
         "nb_lang_classify": q_nb_lang_classify,
         "topic_coherence": q_topic_coherence,
+        "events_hilbert": q_events_hilbert,
+        "host_salsa": q_host_salsa,
     }
 
 
@@ -15566,6 +15607,87 @@ def oracle_sql() -> dict[str, str]:
         SELECT n_transitions, n_pairs, n_states, h_fp,
                round(h_fp / 1048576.0, 6) AS h_rate_nats
         FROM agg
+    """
+    # events_hilbert twin: the same xy2d quadrant-rotation walk,
+    # unrolled one CTE pair per level (rx/ry stage, then rotate+digit
+    # stage) — integer-exact, so any faithful port hash-matches.
+    def _hilbert_oracle_sql(order: int) -> str:
+        ctes = [
+            """
+            l0 AS (
+              SELECT event_id,
+                     CAST(user_id % 64 AS BIGINT) AS x,
+                     CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600)
+                          % 64 AS BIGINT) AS y,
+                     CAST(user_id % 64 AS BIGINT) AS cx,
+                     CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600)
+                          % 64 AS BIGINT) AS cy,
+                     CAST(0 AS BIGINT) AS d
+              FROM events)"""
+        ]
+        for i, lvl in enumerate(range(order - 1, -1, -1)):
+            s = 1 << lvl
+            ctes.append(f"""
+            r{i} AS (
+              SELECT event_id, x, y, cx, cy, d,
+                     CASE WHEN (cx & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+                     CASE WHEN (cy & {s}) > 0 THEN 1 ELSE 0 END AS ry
+              FROM l{i}),
+            l{i + 1} AS (
+              SELECT event_id, x, y,
+                     CASE WHEN ry = 0 THEN
+                       (CASE WHEN rx = 1 THEN {s - 1} - cy ELSE cy END)
+                     ELSE cx END AS cx,
+                     CASE WHEN ry = 0 THEN
+                       (CASE WHEN rx = 1 THEN {s - 1} - cx ELSE cx END)
+                     ELSE cy END AS cy,
+                     d + {s * s} * (CASE WHEN rx = 0 THEN ry
+                                         ELSE 3 - ry END) AS d
+              FROM r{i})""")
+        return (
+            "WITH "
+            + ",".join(ctes)
+            + f"""
+            SELECT event_id, x, y, CAST(d AS BIGINT) AS hkey
+            FROM l{order}"""
+        )
+
+    d["events_hilbert"] = _hilbert_oracle_sql(6)
+    # host_salsa twin: components by recursive min-reachable closure
+    # over the co-citation graph (the independent formulation of the
+    # Spark side's fixpoint min-label propagation), then the same
+    # exact-long closed-form arithmetic.
+    d["host_salsa"] = f"""
+        WITH RECURSIVE lg AS (
+          {d["link_graph"]}
+        ),
+        e AS (SELECT DISTINCT src_host AS s, dst_host AS a FROM lg),
+        co AS (SELECT DISTINCT x.a AS u, y.a AS v
+               FROM e x JOIN e y ON x.s = y.s AND x.a != y.a),
+        walk(u, v) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM e)
+          UNION
+          SELECT w.u, co.v FROM walk w JOIN co ON co.u = w.v
+        ),
+        comp AS (SELECT u AS node, min(v) AS component
+                 FROM walk GROUP BY 1),
+        indeg AS (SELECT a, CAST(count(*) AS BIGINT) AS indeg
+                  FROM e GROUP BY 1),
+        ac AS (SELECT component, CAST(count(*) AS BIGINT) AS a_c
+               FROM comp GROUP BY 1),
+        ec AS (SELECT component, CAST(count(*) AS BIGINT) AS e_c
+               FROM e JOIN comp ON comp.node = e.a GROUP BY 1),
+        atot AS (SELECT CAST(count(*) AS BIGINT) AS a_tot FROM comp)
+        SELECT indeg.a AS host, component, indeg, a_c, e_c, a_tot,
+               CAST(a_c * indeg AS BIGINT) AS num,
+               CAST(a_tot * e_c AS BIGINT) AS den,
+               round((a_c * indeg) / CAST(a_tot * e_c AS DOUBLE), 6)
+                 AS authority
+        FROM indeg
+        JOIN comp ON comp.node = indeg.a
+        JOIN ac USING (component)
+        JOIN ec USING (component)
+        CROSS JOIN atot
     """
     # nb_lang_classify twin: identical fixed-point NB chain — every
     # ln arg an exact integer, per-(doc,label) score an exact-long

@@ -52,3 +52,46 @@ def deinterleave2(key: Column, bits: int = 16) -> tuple[Column, Column]:
             * F.lit(1 << i)
         )
     return x, y
+
+
+def hilbert_key2(x: Column, y: Column, order: int = 6) -> Column:
+    """Hilbert-curve index of (x, y) on the 2^order × 2^order grid —
+    the locality-tighter alternative to :func:`zorder_key2` (every
+    consecutive Hilbert step moves exactly one cell in ONE dimension,
+    so range-partitioning the key never cuts across the big Morton
+    "jumps"; Delta/Iceberg expose the same choice as Z-order vs
+    Hilbert clustering).
+
+    Unrolled quadrant-rotation recursion (the classic xy2d walk,
+    one level per bit, most-significant first): per level,
+    rx/ry = the tested bits, the quadrant digit is
+    ``rx == 0 ? ry : 3 − ry`` (the (3·rx)⊕ry table without XOR — kept
+    XOR-free so the DuckDB twin avoids the dialect split where ``^``
+    means power), d += s²·digit, then the flip-and-swap rotation.
+    Intermediate cx/cy can go negative after a flip; only low bits
+    are ever tested (single-bit AND), which is two's-complement-stable
+    across engines.  Pure integer expressions — map-only, exact —
+    ~3^order codegen nodes, fine for the practical order ≤ 16."""
+    cx = x.cast("long")
+    cy = y.cast("long")
+    d = F.lit(0).cast("long")
+    for lvl in range(order - 1, -1, -1):
+        s = 1 << lvl
+        rx = (
+            F.when(cx.bitwiseAND(F.lit(s)) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        ry = (
+            F.when(cy.bitwiseAND(F.lit(s)) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        digit = F.when(rx == 0, ry).otherwise(F.lit(3) - ry)
+        d = d + F.lit(s * s).cast("long") * digit
+        fx = F.when(rx == F.lit(1), F.lit(s - 1) - cx).otherwise(cx)
+        fy = F.when(rx == F.lit(1), F.lit(s - 1) - cy).otherwise(cy)
+        ncx = F.when(ry == F.lit(0), fy).otherwise(cx)
+        ncy = F.when(ry == F.lit(0), fx).otherwise(cy)
+        cx, cy = ncx, ncy
+    return d

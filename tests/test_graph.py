@@ -1977,3 +1977,46 @@ def test_densest_subgraph_regular_graph_keeps_round_zero(spark):
     assert {r["entity"] for r in rows} == set(range(5))
     assert all(r["n_nodes"] == 5 and r["n_edges"] == 5 for r in rows)
     assert all(r["density"] == 1.0 for r in rows)
+
+
+def test_salsa_authority_two_components_and_mass(spark):
+    """Two disconnected authority components; scores match the closed
+    form by hand and total mass is exactly 1 as a sum of fractions."""
+    from fractions import Fraction
+
+    from deepie_spark.operators.graph import salsa_authority
+
+    # component 1: hubs h1,h2 -> a,b ; h1 -> a, h1 -> b, h2 -> a
+    # component 2: hub h3 -> c, d
+    edges = [
+        ("h1", "a"), ("h1", "b"), ("h2", "a"),
+        ("h3", "c"), ("h3", "d"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.host: r for r in salsa_authority(df).collect()}
+    assert set(got) == {"a", "b", "c", "d"}
+    # |A|=4; comp{a,b}: A_C=2, E_C=3, indeg a=2,b=1
+    # comp{c,d}: A_C=2, E_C=2, indeg 1 each
+    assert (got["a"].num, got["a"].den) == (2 * 2, 4 * 3)
+    assert (got["b"].num, got["b"].den) == (2 * 1, 4 * 3)
+    assert (got["c"].num, got["c"].den) == (2 * 1, 4 * 2)
+    assert got["a"].component == "a" and got["c"].component == "c"
+    mass = sum(Fraction(r.num, r.den) for r in got.values())
+    assert mass == 1
+
+
+def test_salsa_chain_component_fixpoint(spark):
+    """A co-citation CHAIN (a~b via h1, b~c via h2, c~d via h3) needs
+    several propagation rounds — pins the run-to-fixpoint loop."""
+    from deepie_spark.operators.graph import salsa_authority
+
+    edges = [
+        ("h1", "a"), ("h1", "b"),
+        ("h2", "b"), ("h2", "c"),
+        ("h3", "c"), ("h3", "d"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.host: r for r in salsa_authority(df).collect()}
+    assert {r.component for r in got.values()} == {"a"}
+    assert all(r.a_c == 4 and r.e_c == 6 and r.a_tot == 4
+               for r in got.values())

@@ -60,3 +60,44 @@ def test_zorder_range_buckets_bound_both_dims(spark):
     # 16 z-buckets of a 64x64 grid are 16x16 quadrants: both spans = 15.
     # A plain sort by x would give worst_y = 63 (no pruning on y).
     assert worst_x <= 16 and worst_y <= 16, (worst_x, worst_y)
+
+
+def test_hilbert_bijection_and_adjacency(spark):
+    """hilbert_key2 over the full 64x64 grid: a bijection onto
+    0..4095 whose consecutive cells are Manhattan-distance-1 apart
+    (the property Morton does NOT have), and matches the classic
+    python xy2d walk cell-for-cell."""
+    from pyspark.sql import functions as F
+
+    from deepie_spark.plans.layout import hilbert_key2
+
+    def xy2d(order, x, y):
+        s = (1 << order) // 2
+        d = 0
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = s - 1 - x
+                    y = s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    n = 64
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    rows = grid.select(
+        "x", "y", hilbert_key2(F.col("x"), F.col("y"), order=6).alias("h")
+    ).collect()
+    got = {(r.x, r.y): r.h for r in rows}
+    assert sorted(got.values()) == list(range(n * n))
+    by_d = {h: xy for xy, h in got.items()}
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+    for (x, y), h in list(got.items())[::97]:
+        assert h == xy2d(6, x, y)
