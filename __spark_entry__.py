@@ -8079,6 +8079,28 @@ def q_host_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch 30-min-gap sessionization of the event stream
+    (operators/journeys.py sessionize — gaps-and-islands over keyed
+    windows; exact-long epochs/durations; the batch twin of the
+    streaming session_window operator)."""
+    from deepie_spark.operators.journeys import sessionize
+
+    return sessionize(_events(spark, sf_dir))
+
+
+def q_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered signup→view→click→purchase funnel completion
+    per user (operators/journeys.py ordered_funnel): the earliest
+    feasible chain with per-step epochs and total latency — the
+    completion-latency companion to event_funnel's reach counts."""
+    from deepie_spark.operators.journeys import ordered_funnel
+
+    return ordered_funnel(
+        _events(spark, sf_dir), ["signup", "view", "click", "purchase"]
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -8387,6 +8409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_coherence": q_topic_coherence,
         "events_hilbert": q_events_hilbert,
         "host_salsa": q_host_salsa,
+        "user_sessions_batch": q_user_sessions_batch,
+        "funnel_ordered": q_funnel_ordered,
     }
 
 
@@ -15688,6 +15712,74 @@ def oracle_sql() -> dict[str, str]:
         JOIN ac USING (component)
         JOIN ec USING (component)
         CROSS JOIN atot
+    """
+    # user_sessions_batch twin: identical gaps-and-islands windows;
+    # (ets, eid) order keys are unique per row, so the RANGE default
+    # frames degrade to ROWS identically in both engines.
+    d["user_sessions_batch"] = """
+        WITH e AS (
+          SELECT user_id AS u,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ets,
+                 event_id AS eid,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS is_conv
+          FROM events),
+        f AS (
+          SELECT u, ets, eid, is_conv,
+                 CASE WHEN lag(ets) OVER w IS NULL
+                        OR ets - lag(ets) OVER w > 1800
+                      THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY u ORDER BY ets, eid)),
+        g AS (
+          SELECT u, ets, is_conv,
+                 CAST(sum(brk) OVER (
+                   PARTITION BY u ORDER BY ets, eid) AS BIGINT)
+                   AS session_idx
+          FROM f)
+        SELECT u AS user_id, session_idx,
+               CAST(min(ets) AS BIGINT) AS session_start,
+               CAST(max(ets) AS BIGINT) AS session_end,
+               CAST(max(ets) - min(ets) AS BIGINT) AS duration_sec,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(is_conv) AS BIGINT) AS n_conversions
+        FROM g GROUP BY 1, 2
+    """
+    # funnel_ordered twin: the same greedy earliest chain, one
+    # argmin CTE per step; struct/row comparison is lexicographic in
+    # field order in both engines.
+    d["funnel_ordered"] = """
+        WITH e AS (
+          SELECT user_id AS u,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ets,
+                 event_id AS eid, event_type AS et
+          FROM events),
+        s0 AS (SELECT u, min(struct_pack(ets := ets, eid := eid)) AS k0
+               FROM e WHERE et = 'signup' GROUP BY 1),
+        s1 AS (SELECT u, k0,
+                      min(struct_pack(ets := ets, eid := eid)) AS k1
+               FROM e JOIN s0 USING (u)
+               WHERE et = 'view'
+                 AND struct_pack(ets := ets, eid := eid) > k0
+               GROUP BY 1, 2),
+        s2 AS (SELECT u, k0, k1,
+                      min(struct_pack(ets := ets, eid := eid)) AS k2
+               FROM e JOIN s1 USING (u)
+               WHERE et = 'click'
+                 AND struct_pack(ets := ets, eid := eid) > k1
+               GROUP BY 1, 2, 3),
+        s3 AS (SELECT u, k0, k1, k2,
+                      min(struct_pack(ets := ets, eid := eid)) AS k3
+               FROM e JOIN s2 USING (u)
+               WHERE et = 'purchase'
+                 AND struct_pack(ets := ets, eid := eid) > k2
+               GROUP BY 1, 2, 3, 4)
+        SELECT u AS user_id,
+               CAST(k0.ets AS BIGINT) AS t_signup,
+               CAST(k1.ets AS BIGINT) AS t_view,
+               CAST(k2.ets AS BIGINT) AS t_click,
+               CAST(k3.ets AS BIGINT) AS t_purchase,
+               CAST(k3.ets - k0.ets AS BIGINT) AS latency_sec
+        FROM s3
     """
     # nb_lang_classify twin: identical fixed-point NB chain — every
     # ln arg an exact integer, per-(doc,label) score an exact-long

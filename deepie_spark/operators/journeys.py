@@ -428,3 +428,122 @@ def viterbi_decode(
         .cast("int")
         .alias("best_state"),
     )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    conversion_type: str = "purchase",
+) -> DataFrame:
+    """Batch sessionization by inactivity gap (the batch twin of
+    streaming/sessions.py's native session_window): per user, a new
+    session starts when the gap to the previous event exceeds
+    ``gap_seconds``; emits one row per session with exact-long epoch
+    bounds, duration, event and conversion counts.
+
+    Classic gaps-and-islands (the user_scd2 pattern): one per-user
+    lag + one per-user running sum of the session-break flags — both
+    KEYED windows (bounded per-user volume, never single-partition) —
+    then one hash agg.  Timestamps ride unix_timestamp (floors; the
+    DuckDB twin must floor(epoch(ts)) — the events_moving_avg rule),
+    so every output value is an exact long."""
+    w = W.partitionBy("u").orderBy("ets", "eid")
+    e = events.select(
+        F.col(user_col).alias("u"),
+        F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+        .cast("long")
+        .alias("ets"),
+        F.col(id_col).alias("eid"),
+        (F.col(type_col) == conversion_type).cast("long").alias("is_conv"),
+    )
+    flagged = e.withColumn(
+        "brk",
+        F.when(
+            F.lag("ets").over(w).isNull()
+            | ((F.col("ets") - F.lag("ets").over(w)) > gap_seconds),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    ).withColumn("session_idx", F.sum("brk").over(w).cast("long"))
+    return (
+        flagged.groupBy("u", "session_idx")
+        .agg(
+            F.min("ets").cast("long").alias("session_start"),
+            F.max("ets").cast("long").alias("session_end"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("is_conv").cast("long").alias("n_conversions"),
+        )
+        .select(
+            F.col("u").alias(user_col),
+            "session_idx",
+            "session_start",
+            "session_end",
+            (F.col("session_end") - F.col("session_start"))
+            .cast("long")
+            .alias("duration_sec"),
+            "n_events",
+            "n_conversions",
+        )
+    )
+
+
+def ordered_funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strictly-ordered funnel completion: per user, the EARLIEST
+    chain of events matching ``steps`` in order, each step strictly
+    after the previous one in (ts, event_id) order (the greedy
+    earliest chain — optimal for ordered funnels: taking the earliest
+    feasible step never forecloses a later one).  Emits only users
+    who complete every step, with per-step exact-long epochs and the
+    total latency — the completion-latency companion to
+    event_funnel's reach counts.
+
+    Plan: one filtered argmin agg per step (k−1 broadcast-sized
+    per-user joins, no window, no self-join explosion); step
+    ordering uses lexicographic struct comparison, portable as
+    DuckDB row comparison."""
+    if len(steps) < 2:
+        raise ValueError("need at least 2 funnel steps")
+    e = events.select(
+        F.col(user_col).alias("u"),
+        F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+        .cast("long")
+        .alias("ets"),
+        F.col(id_col).alias("eid"),
+        F.col(type_col).alias("et"),
+    )
+    cur = (
+        e.filter(F.col("et") == steps[0])
+        .groupBy("u")
+        .agg(F.min(F.struct("ets", "eid")).alias("k0"))
+    )
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = e.filter(F.col("et") == step).select(
+            "u", F.struct("ets", "eid").alias("cand")
+        )
+        cur = (
+            nxt.join(cur, "u")
+            .filter(F.col("cand") > F.col(f"k{i - 1}"))
+            .groupBy("u", *[f"k{j}" for j in range(i)])
+            .agg(F.min("cand").alias(f"k{i}"))
+        )
+    out_cols = [F.col("u").alias(user_col)]
+    for i, step in enumerate(steps):
+        out_cols.append(F.col(f"k{i}")["ets"].alias(f"t_{step}"))
+    out_cols.append(
+        (
+            F.col(f"k{len(steps) - 1}")["ets"] - F.col("k0")["ets"]
+        ).cast("long").alias("latency_sec")
+    )
+    return cur.select(*out_cols)

@@ -621,3 +621,72 @@ def test_viterbi_python_twin_random(spark):
         for r in viterbi_decode(df.repartition(7)).collect()
     }
     assert got7 == want
+
+
+def test_sessionize_hand_gaps(spark):
+    """Two users; gaps > 30 min split sessions; bounds/durations and
+    conversion counts are exact."""
+    from datetime import datetime, timedelta
+
+    from deepie_spark.operators.journeys import sessionize
+
+    t0 = datetime(2026, 4, 1, 12, 0, 0)
+    m = lambda k: t0 + timedelta(minutes=k)  # noqa: E731
+    rows = [
+        (1, m(0), 1, "view"),
+        (1, m(10), 2, "purchase"),
+        (1, m(41), 3, "click"),      # 31 min gap -> new session
+        (2, m(0), 4, "view"),
+        (2, m(30), 5, "view"),       # exactly 1800 s -> SAME session
+        (2, m(61), 6, "purchase"),   # 31 min -> new session
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {(r.user_id, r.session_idx): r for r in sessionize(df).collect()}
+    assert len(got) == 4
+    s11 = got[(1, 1)]
+    assert s11.n_events == 2 and s11.n_conversions == 1
+    assert s11.duration_sec == 600
+    assert got[(1, 2)].n_events == 1
+    s21 = got[(2, 1)]
+    assert s21.n_events == 2 and s21.duration_sec == 1800
+    assert got[(2, 2)].n_conversions == 1
+
+
+def test_ordered_funnel_greedy_and_strictness(spark):
+    """Steps must be strictly after the previous step; users missing
+    a step are absent; the chain is the greedy earliest one."""
+    from datetime import datetime, timedelta
+
+    from deepie_spark.operators.journeys import ordered_funnel
+
+    t0 = datetime(2026, 4, 2)
+    m = lambda k: t0 + timedelta(minutes=k)  # noqa: E731
+    rows = [
+        # user 1 completes; the view BEFORE signup must be skipped
+        (1, m(0), 1, "view"),
+        (1, m(1), 2, "signup"),
+        (1, m(2), 3, "view"),
+        (1, m(3), 4, "click"),
+        (1, m(9), 5, "view"),      # later view irrelevant (greedy)
+        (1, m(10), 6, "purchase"),
+        # user 2 never clicks
+        (2, m(0), 7, "signup"),
+        (2, m(1), 8, "view"),
+        (2, m(2), 9, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = ordered_funnel(
+        df, ["signup", "view", "click", "purchase"]
+    ).collect()
+    assert len(out) == 1 and out[0].user_id == 1
+    r = out[0]
+    assert r.t_view - r.t_signup == 60
+    assert r.latency_sec == 9 * 60
+    import pytest
+
+    with pytest.raises(ValueError):
+        ordered_funnel(df, ["signup"])
