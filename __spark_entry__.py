@@ -8101,6 +8101,20 @@ def q_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entity_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-iteration SimRank (C=1/4) over the rule-triple graph for
+    all 2-hop candidate pairs (operators/graph.py simrank_pairs) —
+    pure exact-integer fixed point, "similar if the neighbors are
+    similar", the structural companion to neighbor_jaccard's overlap
+    score."""
+    from deepie_spark.operators.graph import simrank_pairs
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return simrank_pairs(t)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -8411,6 +8425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_salsa": q_host_salsa,
         "user_sessions_batch": q_user_sessions_batch,
         "funnel_ordered": q_funnel_ordered,
+        "entity_simrank": q_entity_simrank,
     }
 
 
@@ -15712,6 +15727,43 @@ def oracle_sql() -> dict[str, str]:
         JOIN ac USING (component)
         JOIN ec USING (component)
         CROSS JOIN atot
+    """
+    # entity_simrank twin: the same pure-integer two-iteration chain
+    # over the und edge set — // is DuckDB's integer div.
+    d["entity_simrank"] = f"""
+        WITH {_MENTIONS_SQL.strip()},
+        {_TRIPLE_EDGES_SQL.strip()},
+        adj AS (SELECT a, b FROM und
+                UNION SELECT b, a FROM und),
+        deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d
+                FROM adj GROUP BY 1),
+        cand AS (SELECT x.a AS pa, y.a AS pb,
+                        CAST(count(*) AS BIGINT) AS common
+                 FROM adj x JOIN adj y ON x.b = y.b AND x.a < y.a
+                 GROUP BY 1, 2),
+        s1 AS (SELECT pa, pb, common, da.d AS da, db.d AS db,
+                      CAST((common * {1 << 40}) // (4 * da.d * db.d)
+                        AS BIGINT) AS s1_fp
+               FROM cand
+               JOIN deg da ON da.a = cand.pa
+               JOIN deg db ON db.a = cand.pb),
+        s1full AS (
+          SELECT pa AS u, pb AS v, s1_fp FROM s1
+          UNION ALL SELECT pb, pa, s1_fp FROM s1
+          UNION ALL SELECT a, a, CAST({1 << 40} AS BIGINT) FROM deg),
+        pairsum AS (
+          SELECT xa.a AS pa, xb.a AS pb,
+                 CAST(sum(s1_fp) AS BIGINT) AS sum_fp
+          FROM adj xa
+          JOIN s1full f ON f.u = xa.b
+          JOIN adj xb ON xb.b = f.v
+          GROUP BY 1, 2)
+        SELECT s1.pa AS node_a, s1.pb AS node_b, common, s1_fp,
+               CAST(sum_fp // (4 * da * db) AS BIGINT) AS s2_fp,
+               round((sum_fp // (4 * da * db))
+                     / {float(1 << 40)!r}, 6) AS s2
+        FROM s1 JOIN pairsum ON pairsum.pa = s1.pa
+                            AND pairsum.pb = s1.pb
     """
     # user_sessions_batch twin: identical gaps-and-islands windows;
     # (ets, eid) order keys are unique per row, so the RANGE default

@@ -2020,3 +2020,44 @@ def test_salsa_chain_component_fixpoint(spark):
     assert {r.component for r in got.values()} == {"a"}
     assert all(r.a_c == 4 and r.e_c == 6 and r.a_tot == 4
                for r in got.values())
+
+
+def test_simrank_python_twin_random(spark):
+    """simrank_pairs matches an exact-integer python SimRank-2 twin
+    on a random graph; scores bounded by C = 1/4 and symmetric in
+    construction (a<b pairs)."""
+    import random
+    from collections import defaultdict
+
+    from deepie_spark.operators.graph import simrank_pairs
+
+    rng = random.Random(13)
+    nodes = [f"n{i}" for i in range(14)]
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2)))
+                    for _ in range(22)})
+    df = spark.createDataFrame(edges, "src string, dst string")
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    SC = 1 << 40
+
+    def s1fp(u, v):
+        if u == v:
+            return SC
+        c = len(adj[u] & adj[v])
+        return (c * SC) // (4 * len(adj[u]) * len(adj[v]))
+
+    want = {}
+    for a in adj:
+        for b in adj:
+            if a < b and adj[a] & adj[b]:
+                ssum = sum(s1fp(u, v) for u in adj[a] for v in adj[b])
+                want[(a, b)] = (
+                    s1fp(a, b), ssum // (4 * len(adj[a]) * len(adj[b]))
+                )
+    got = {(r.node_a, r.node_b): (r.s1_fp, r.s2_fp)
+           for r in simrank_pairs(df).collect()}
+    assert got == want
+    assert all(s1 <= SC // 4 and s2 <= SC // 4 + SC // 16
+               for s1, s2 in got.values())
