@@ -8115,6 +8115,49 @@ def q_entity_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simrank_pairs(t)
 
 
+def q_kn_bigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated absolute-discount (d=1/2) bigram probabilities for
+    every observed corpus bigram (operators/lm.py
+    absolute_discount_bigram — the Kneser-Ney-family smoothing applied
+    on kn_counts' statistics; exact-long num/den, per-head mass
+    exactly 1 incl. backoff, pinned by the Fractions pytest twin)."""
+    from deepie_spark.operators.lm import absolute_discount_bigram
+
+    return absolute_discount_bigram(_toks(spark, sf_dir))
+
+
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal allocation of a 10k-row sampling budget across
+    event types (operators/selection.py neyman_allocation):
+    n_h ∝ N_h·σ_h with the weight collapsed to the portable single
+    term sqrt(N_h·Σx²−(Σx)²), then pure-integer largest remainder —
+    the variance-aware upgrade of proportional (mixture_allocation)
+    splits."""
+    from deepie_spark.operators.selection import neyman_allocation
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return neyman_allocation(e, "event_type", "cents", budget=10000)
+
+
+def q_event_type_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of per-day event-type
+    volumes over the DENSIFIED day×type grid (operators/stats.py
+    pairwise_series_corr — exact integer moments, IEEE-exact sqrt;
+    the cross-signal audit beside quality_correlation)."""
+    from deepie_spark.operators.stats import pairwise_series_corr
+
+    e = _events(spark, sf_dir).select(
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        "event_type",
+    )
+    return pairwise_series_corr(e, "day", "event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -8426,6 +8469,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions_batch": q_user_sessions_batch,
         "funnel_ordered": q_funnel_ordered,
         "entity_simrank": q_entity_simrank,
+        "kn_bigram_probs": q_kn_bigram_probs,
+        "neyman_allocation": q_neyman_allocation,
+        "event_type_corr": q_event_type_corr,
     }
 
 
@@ -15727,6 +15773,100 @@ def oracle_sql() -> dict[str, str]:
         JOIN ac USING (component)
         JOIN ec USING (component)
         CROSS JOIN atot
+    """
+    # kn_bigram_probs twin: bigrams via the INDEPENDENT positional
+    # self-join (skipgram_pairs precedent); identical exact-long
+    # num/den arithmetic.
+    d["kn_bigram_probs"] = f"""
+        WITH {_OCC_SQL.strip()},
+        bg AS (SELECT a.token AS w1, b.token AS w2
+               FROM occ a JOIN occ b
+                 ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                FROM bg GROUP BY 1, 2),
+        c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                      CAST(count(*) AS BIGINT) AS t1
+               FROM c12 GROUP BY 1),
+        nl AS (SELECT w2, CAST(count(*) AS BIGINT) AS nl2
+               FROM c12 GROUP BY 1),
+        btc AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM c12)
+        SELECT w1, w2, c12, c1, t1, nl2, bt,
+               CAST((2 * c12 - 1) * bt + t1 * nl2 AS BIGINT) AS num,
+               CAST(2 * c1 * bt AS BIGINT) AS den,
+               round(CAST((2 * c12 - 1) * bt + t1 * nl2 AS BIGINT)
+                     / CAST(2 * c1 * bt AS BIGINT), 6) AS p
+        FROM c12 JOIN c1 USING (w1) JOIN nl USING (w2) CROSS JOIN btc
+    """
+    # neyman_allocation twin: same single-sqrt weight and the
+    # mixture_allocation largest-remainder integer arithmetic.
+    d["neyman_allocation"] = """
+        WITH e AS (SELECT event_type AS stratum,
+                          CAST(round(value * 100) AS BIGINT) AS x
+                   FROM events),
+        m AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_h,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(x * x) AS BIGINT) AS sxx
+              FROM e GROUP BY 1),
+        w AS (SELECT stratum, n_h,
+                     CAST(floor(4096.0 * sqrt(
+                       CAST(n_h * sxx - sx * sx AS DOUBLE))) AS BIGINT)
+                       AS w_fp
+              FROM m),
+        tot AS (SELECT CAST(sum(w_fp) AS BIGINT) AS w_tot,
+                       CAST(count(*) AS BIGINT) AS n_strata
+                FROM w),
+        q AS (SELECT stratum, n_h, w_fp,
+                     CASE WHEN w_tot > 0 THEN w_fp ELSE 1 END AS w_eff,
+                     CASE WHEN w_tot > 0 THEN w_tot
+                          ELSE n_strata END AS w_den
+              FROM w CROSS JOIN tot),
+        q2 AS (SELECT stratum, n_h, w_fp,
+                      CAST((w_eff * 10000) // w_den AS BIGINT) AS base,
+                      CAST((w_eff * 10000) % w_den AS BIGINT) AS rem
+               FROM q),
+        lv AS (SELECT CAST(10000 - sum(base) AS BIGINT) AS leftover
+               FROM q2),
+        r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, stratum)
+                          AS rk
+              FROM q2)
+        SELECT stratum, n_h, w_fp,
+               CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                 AS BIGINT) AS alloc
+        FROM r CROSS JOIN lv
+    """
+    # event_type_corr twin: identical densified grid and exact-moment
+    # Pearson chain (sqrt args exact integers).
+    d["event_type_corr"] = """
+        WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS t,
+                          event_type AS s,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1, 2),
+        dims AS (SELECT DISTINCT t FROM c),
+        sers AS (SELECT DISTINCT s FROM c),
+        grid AS (SELECT dims.t, sers.s,
+                        CAST(coalesce(c.n, 0) AS BIGINT) AS n
+                 FROM dims CROSS JOIN sers
+                 LEFT JOIN c ON c.t = dims.t AND c.s = sers.s),
+        m AS (SELECT a.s AS series_a, b.s AS series_b,
+                     CAST(count(*) AS BIGINT) AS n_t,
+                     CAST(sum(a.n) AS BIGINT) AS sum_a,
+                     CAST(sum(b.n) AS BIGINT) AS sum_b,
+                     CAST(sum(a.n * b.n) AS BIGINT) AS sum_ab,
+                     CAST(sum(a.n * a.n) AS BIGINT) AS sum_aa,
+                     CAST(sum(b.n * b.n) AS BIGINT) AS sum_bb
+              FROM grid a JOIN grid b ON a.t = b.t AND a.s < b.s
+              GROUP BY 1, 2)
+        SELECT series_a, series_b, n_t, sum_a, sum_b, sum_ab,
+               CASE WHEN n_t * sum_aa - sum_a * sum_a > 0
+                     AND n_t * sum_bb - sum_b * sum_b > 0
+                 THEN round(
+                   CAST(n_t * sum_ab - sum_a * sum_b AS DOUBLE)
+                   / (sqrt(CAST(n_t * sum_aa - sum_a * sum_a
+                                AS DOUBLE))
+                      * sqrt(CAST(n_t * sum_bb - sum_b * sum_b
+                                  AS DOUBLE))), 6)
+               END AS pearson_r
+        FROM m
     """
     # entity_simrank twin: the same pure-integer two-iteration chain
     # over the und edge set — // is DuckDB's integer div.

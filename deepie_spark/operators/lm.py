@@ -178,3 +178,68 @@ def naive_bayes_classify(
         (-F.col("s")["ns"]).cast("long").alias("score_fp"),
         (F.col("s")["l"] == F.col("_lbl")).alias("correct"),
     )
+
+
+def absolute_discount_bigram(
+    toks: DataFrame, toks_col: str = "toks"
+) -> DataFrame:
+    """Interpolated absolute-discounting bigram probabilities with the
+    POWER-OF-TWO discount d = 1/2 (the Kneser-Ney smoothing family —
+    Ney, Essen & Kneser 1994 — applied on top of
+    kn_continuation_counts' statistics):
+
+        P(w₂|w₁) = (c₁₂ − ½)/c₁ + ½·(T₁/c₁)·(N₁₊(·w₂)/B)
+                 = [(2c₁₂ − 1)·B + T₁·N₁₊(·w₂)] / (2·c₁·B)
+
+    for every OBSERVED bigram (c₁₂ ≥ 1; the unseen tail is the
+    residual backoff mass T₁/(2c₁)·(1 − Σ_seen N₁₊(·w₂)/B), pinned by
+    the pytest Fractions twin: total mass per head is EXACTLY 1).
+    With d a dyadic rational every numerator/denominator is an exact
+    long — emitted undivided plus one IEEE ratio, hash-gateable.
+    Overflow bound: 2·c₁₂·B must fit int64 (c₁₂·B < 2^62 — holds to
+    ~10⁹ tokens × 10⁹ bigram types is past it; at that scale shard by
+    w₁ and rescale B).
+
+    Plan: in-row bigram expansion (the kn_continuation_counts shape),
+    then four hash aggs (c₁₂, c₁, T₁, N₁₊(·w₂)) and one bounded
+    1-row cross join for B — no window, no self-join."""
+    t = toks.filter(F.size(toks_col) >= 2)
+    pairs = F.expr(
+        f"transform(slice({toks_col}, 1, size({toks_col}) - 1),"
+        f" (x, i) -> struct(x AS w1, {toks_col}[i + 1] AS w2))"
+    )
+    bg = t.select(F.explode(pairs).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("t1"),
+    )
+    nl = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("nl2")
+    )
+    bt = c12.agg(F.count(F.lit(1)).cast("long").alias("bt"))
+    num = (F.lit(2) * F.col("c12") - F.lit(1)) * F.col("bt") + F.col(
+        "t1"
+    ) * F.col("nl2")
+    den = F.lit(2) * F.col("c1") * F.col("bt")
+    return (
+        c12.join(c1, "w1")
+        .join(nl, "w2")
+        .crossJoin(F.broadcast(bt))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "t1",
+            "nl2",
+            "bt",
+            num.cast("long").alias("num"),
+            den.cast("long").alias("den"),
+            F.round(num.cast("long") / den.cast("long"), 6).alias("p"),
+        )
+    )

@@ -224,3 +224,89 @@ def highest_averages_allocation(
             F.coalesce(F.col("slots"), F.lit(0)).cast("long").alias("slots"),
         )
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    budget: int,
+    scale_bits: int = 12,
+) -> DataFrame:
+    """Neyman-optimal stratified-sample allocation: sample counts
+    n_h ∝ N_h·σ_h minimize the variance of the stratified mean for a
+    fixed total budget (Neyman 1934) — the principled upgrade of
+    proportional allocation when strata differ in spread (e.g. far
+    more sample to 'purchase' events than to uniform 'view' noise).
+
+    The Neyman weight collapses to ONE portable term:
+    N_h·σ_h = sqrt(N_h·Σx² − (Σx)²) — a sqrt of an EXACT LONG (IEEE
+    sqrt is correctly rounded in both engines), quantized to
+    w_fp = floor(2^bits·√·) and then apportioned by the pure-integer
+    largest-remainder rule (the mixture_allocation machinery), so
+    allocations sum exactly to ``budget`` and hash-match any engine.
+    All-constant strata (every w_fp = 0) fall back to equal weights.
+    The ranking window runs over the per-stratum aggregate (one row
+    per stratum, bounded), never the raw table."""
+    from pyspark.sql import Window as W
+
+    m = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum(F.col(value_col).cast("long")).cast("long").alias("sx"),
+        F.sum(
+            F.col(value_col).cast("long") * F.col(value_col).cast("long")
+        )
+        .cast("long")
+        .alias("sxx"),
+    )
+    scale = F.lit(float(1 << scale_bits))
+    var_num = (F.col("n_h") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    m = m.withColumn(
+        "w_fp",
+        F.floor(scale * F.sqrt(var_num.cast("double"))).cast("long"),
+    )
+    tot = m.agg(
+        F.sum("w_fp").cast("long").alias("w_tot"),
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+    )
+    q = m.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_h",
+        "w_fp",
+        F.when(F.col("w_tot") > 0, F.col("w_fp"))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("w_eff"),
+        F.when(F.col("w_tot") > 0, F.col("w_tot"))
+        .otherwise(F.col("n_strata"))
+        .cast("long")
+        .alias("w_den"),
+    )
+    q = q.select(
+        "stratum",
+        "n_h",
+        "w_fp",
+        F.expr(f"(w_eff * {budget}) div w_den").cast("long").alias("base"),
+        F.pmod(F.col("w_eff") * budget, F.col("w_den"))
+        .cast("long")
+        .alias("rem"),
+    )
+    left = q.agg(
+        (F.lit(budget) - F.sum("base")).cast("long").alias("leftover")
+    )
+    w = W.orderBy(F.col("rem").desc(), "stratum")
+    return (
+        q.withColumn("rk", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(left))
+        .select(
+            "stratum",
+            "n_h",
+            "w_fp",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+    )

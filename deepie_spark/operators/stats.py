@@ -1664,3 +1664,74 @@ def markov_entropy_rate(
             F.round(F.col("h_fp") / scale, 6).alias("h_rate_nats"),
         )
     )
+
+
+def pairwise_series_corr(
+    df: DataFrame,
+    time_col: str,
+    series_col: str,
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix of per-bucket COUNT series
+    (e.g. daily volumes per event type): which signals move together —
+    the cross-signal audit on top of quality_correlation's single
+    pair.  The time×series grid is DENSIFIED first (a missing bucket
+    is a real 0, not an absent row — leaving it out silently biases r
+    toward the co-present buckets).
+
+    Portability is the quality_correlation rule: all five moments are
+    exact longs over the dense grid, each sqrt takes an exact-integer
+    double (IEEE-correctly rounded in both engines), and the final
+    chain num / (sqrt·sqrt) is order-pinned; zero-variance series
+    yield NULL.  Plan: one hash agg to counts, a |T|×|S| grid cross
+    join (bounded: buckets × series), one time-keyed pair join, one
+    hash agg — no window."""
+    c = df.groupBy(
+        F.col(time_col).alias("t"), F.col(series_col).alias("s")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dims = c.select("t").distinct()
+    sers = c.select("s").distinct()
+    grid = (
+        dims.crossJoin(sers)
+        .join(c, ["t", "s"], "left")
+        .select(
+            "t", "s", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")
+        )
+    )
+    a = grid.select(
+        F.col("t").alias("t"), F.col("s").alias("sa"), F.col("n").alias("na")
+    )
+    b = grid.select(
+        F.col("t").alias("t"), F.col("s").alias("sb"), F.col("n").alias("nb")
+    )
+    m = (
+        a.join(b, "t")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_t"),
+            F.sum("na").cast("long").alias("sum_a"),
+            F.sum("nb").cast("long").alias("sum_b"),
+            F.sum(F.col("na") * F.col("nb")).cast("long").alias("sum_ab"),
+            F.sum(F.col("na") * F.col("na")).cast("long").alias("sum_aa"),
+            F.sum(F.col("nb") * F.col("nb")).cast("long").alias("sum_bb"),
+        )
+    )
+    va = m["n_t"] * m["sum_aa"] - m["sum_a"] * m["sum_a"]
+    vb = m["n_t"] * m["sum_bb"] - m["sum_b"] * m["sum_b"]
+    num = m["n_t"] * m["sum_ab"] - m["sum_a"] * m["sum_b"]
+    return m.select(
+        F.col("sa").alias("series_a"),
+        F.col("sb").alias("series_b"),
+        "n_t",
+        "sum_a",
+        "sum_b",
+        "sum_ab",
+        F.when(
+            (va > 0) & (vb > 0),
+            F.round(
+                num.cast("double")
+                / (F.sqrt(va.cast("double")) * F.sqrt(vb.cast("double"))),
+                6,
+            ),
+        ).alias("pearson_r"),
+    )

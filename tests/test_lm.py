@@ -131,3 +131,43 @@ def test_naive_bayes_partition_invariance(spark):
          for r in naive_bayes_classify(
              occ.repartition(7), labels.repartition(3)).collect()}
     assert a == b
+
+
+def test_absolute_discount_mass_is_one(spark):
+    """Per head w1: Σ_seen P(w2|w1) + residual backoff mass == 1
+    EXACTLY (in Fractions) — the defining property of interpolated
+    absolute discounting."""
+    from collections import Counter
+    from fractions import Fraction
+
+    from deepie_spark.operators.lm import absolute_discount_bigram
+
+    docs = [
+        "the cat sat on the mat".split(),
+        "the dog sat on a log".split(),
+        "a cat and a dog".split(),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)],
+        "doc_id long, toks array<string>",
+    )
+    rows = absolute_discount_bigram(df).collect()
+    bigr = Counter()
+    for t in docs:
+        for a, b in zip(t, t[1:]):
+            bigr[(a, b)] += 1
+    B = len(bigr)
+    nl = Counter(b for (_, b) in bigr)
+    for w1 in {a for (a, _) in bigr}:
+        seen = [r for r in rows if r.w1 == w1]
+        c1 = sum(bigr[(w1, b)] for (a, b) in bigr if a == w1)
+        t1 = len(seen)
+        assert all(r.c1 == c1 and r.t1 == t1 for r in seen)
+        mass = sum(Fraction(r.num, r.den) for r in seen)
+        seen_cont = sum(Fraction(nl[r.w2], B) for r in seen)
+        backoff = Fraction(t1, 2 * c1) * (1 - seen_cont)
+        assert mass + backoff == 1
+        # python-twin the num/den of one row
+        r0 = seen[0]
+        assert r0.num == (2 * bigr[(w1, r0.w2)] - 1) * B + t1 * nl[r0.w2]
+        assert r0.den == 2 * c1 * B

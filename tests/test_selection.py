@@ -134,3 +134,31 @@ def test_sainte_lague_and_invariants(spark):
         if prev is not None:
             assert all(cur[k] >= prev[k] for k in cur)  # house-monotone
         prev = cur
+
+
+def test_neyman_allocation_properties(spark):
+    """Higher-spread strata get more budget; allocations sum exactly
+    to the budget; all-constant strata fall back to equal split."""
+    from deepie_spark.operators.selection import neyman_allocation
+
+    rows = (
+        [("flat", 50)] * 40                       # sigma = 0
+        + [("narrow", 100 + (i % 3)) for i in range(40)]
+        + [("wide", 100 * (i % 11)) for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "stratum string, x long")
+    got = {r.stratum: r for r in
+           neyman_allocation(df, "stratum", "x", budget=100).collect()}
+    assert sum(r.alloc for r in got.values()) == 100
+    # weights order by spread; 'wide' dwarfs 'narrow' (sigma 316 vs
+    # 0.8), so at budget 100 narrow's optimal share rounds to 0
+    assert got["wide"].w_fp > got["narrow"].w_fp > got["flat"].w_fp
+    assert got["wide"].alloc > got["narrow"].alloc >= got["flat"].alloc
+    assert got["flat"].w_fp == 0 and got["wide"].alloc >= 99
+
+    const = spark.createDataFrame(
+        [("a", 5)] * 10 + [("b", 7)] * 10, "stratum string, x long"
+    )
+    eq = {r.stratum: r.alloc for r in
+          neyman_allocation(const, "stratum", "x", budget=10).collect()}
+    assert eq == {"a": 5, "b": 5}

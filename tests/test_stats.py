@@ -1254,3 +1254,24 @@ def test_markov_entropy_rate_python_twin(spark):
     assert r.h_fp == h_fp and r.n_transitions == n_tr
     # sanity: 3-symbol iid stream is near ln 3, never above
     assert 0 < r.h_rate_nats <= math.log(3.0) + 1e-9
+
+
+def test_pairwise_series_corr_planted(spark):
+    """Identical count series -> r = 1; anti-phase series -> r = -1;
+    the densified grid counts absent buckets as zero."""
+    from deepie_spark.operators.stats import pairwise_series_corr
+
+    rows = []
+    for day in range(6):
+        rows += [(f"d{day}", "a")] * (day + 1)
+        rows += [(f"d{day}", "b")] * (day + 1)       # b == a -> r = 1
+        rows += [(f"d{day}", "c")] * (6 - day)       # anti-phase
+        if day == 0:
+            rows += [(f"d{day}", "sparse")] * 3      # only day 0
+    df = spark.createDataFrame(rows, "t string, s string")
+    got = {(r.series_a, r.series_b): r
+           for r in pairwise_series_corr(df, "t", "s").collect()}
+    assert got[("a", "b")].pearson_r == 1.0
+    assert got[("a", "c")].pearson_r == -1.0
+    sp = got[("a", "sparse")]
+    assert sp.n_t == 6 and sp.sum_a == 21 and sp.sum_b == 3
