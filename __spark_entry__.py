@@ -8158,6 +8158,64 @@ def q_event_type_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_series_corr(e, "day", "event_type")
 
 
+def q_events_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank changepoint over the dense DAILY event-count
+    series (operators/stats.py pettitt_test — pure-integer midrank
+    identity U_t = t(n+1) − W2_t): the nonparametric complement of
+    events_cusum, robust to the heavy-tailed hours CUSUM chases."""
+    from deepie_spark.operators.stats import pettitt_test
+
+    e = _events(spark, sf_dir).select(
+        F.expr("unix_timestamp(cast(ts as timestamp)) div 86400")
+        .cast("long")
+        .alias("ds")
+    )
+    counts = e.groupBy("ds").agg(F.count(F.lit(1)).cast("long").alias("y"))
+    grid = (
+        e.agg(F.min("ds").alias("d0"), F.max("ds").alias("d1"))
+        .select(
+            "d0",
+            F.explode(
+                F.sequence(F.lit(0), F.col("d1") - F.col("d0"))
+            ).alias("i"),
+        )
+        .select(
+            (F.col("d0") + F.col("i")).cast("long").alias("ds"),
+            (F.col("i") + 1).cast("long").alias("idx"),
+        )
+    )
+    s = grid.join(counts, "ds", "left").select(
+        "idx", F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y")
+    )
+    return pettitt_test(s, "idx", "y")
+
+
+def q_graph_eff_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective (90th-percentile) diameter of the rule-triple graph
+    within 6 hops (operators/graph.py effective_diameter) — the
+    robust distance scale beside graph_eccentricity's true
+    diameter/radius; the quantile test is a cross-multiplied integer
+    comparison, no percentile FP."""
+    from deepie_spark.operators.graph import effective_diameter
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return effective_diameter(t, max_hops=6)
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the (lang, source) quasi-identifier over
+    documents (operators/privacy.py k_anonymity_audit, k=5):
+    equivalence-class sizes, per-class flags and the global violation
+    share — the release-readiness check beside dp_counts."""
+    from deepie_spark.operators.privacy import k_anonymity_audit
+
+    return k_anonymity_audit(
+        _docs(spark, sf_dir).select("lang", "source"), ["lang", "source"]
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -8472,6 +8530,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_bigram_probs": q_kn_bigram_probs,
         "neyman_allocation": q_neyman_allocation,
         "event_type_corr": q_event_type_corr,
+        "events_pettitt": q_events_pettitt,
+        "graph_eff_diameter": q_graph_eff_diameter,
+        "k_anonymity": q_k_anonymity,
     }
 
 
@@ -15773,6 +15834,91 @@ def oracle_sql() -> dict[str, str]:
         JOIN ac USING (component)
         JOIN ec USING (component)
         CROSS JOIN atot
+    """
+    # events_pettitt twin: the identical integer midrank identity
+    # over the same dense daily grid.
+    d["events_pettitt"] = """
+        WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                          AS ds
+                   FROM events),
+        c AS (SELECT ds, CAST(count(*) AS BIGINT) AS y
+              FROM e GROUP BY 1),
+        seq AS (SELECT unnest(generate_series(min(ds), max(ds)))
+                       AS ds
+                FROM e),
+        bounds AS (SELECT min(ds) AS d0 FROM e),
+        grid AS (SELECT seq.ds,
+                        CAST(seq.ds - bounds.d0 + 1 AS BIGINT) AS idx
+                 FROM seq CROSS JOIN bounds),
+        s AS (SELECT idx AS t, CAST(coalesce(y, 0) AS BIGINT) AS y
+              FROM grid LEFT JOIN c USING (ds)),
+        r2 AS (SELECT a.t,
+                      CAST(2 * sum(CASE WHEN b.y < a.y THEN 1
+                                        ELSE 0 END)
+                           + sum(CASE WHEN b.y = a.y THEN 1 ELSE 0 END)
+                           + 1 AS BIGINT) AS r2
+               FROM s a CROSS JOIN s b GROUP BY 1),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+        pre AS (SELECT a.t, CAST(sum(b.r2) AS BIGINT) AS w2
+                FROM r2 a JOIN r2 b ON b.t <= a.t GROUP BY 1),
+        u AS (SELECT t,
+                     CAST(t * (n + 1) - w2 AS BIGINT) AS u_t,
+                     CAST(abs(t * (n + 1) - w2) AS BIGINT) AS abs_u
+              FROM pre CROSS JOIN nn WHERE t < n),
+        kk AS (SELECT CAST(max(abs_u) AS BIGINT) AS k_stat FROM u),
+        ts2 AS (SELECT CAST(min(t) AS BIGINT) AS t_star
+                FROM u CROSS JOIN kk WHERE abs_u = k_stat)
+        SELECT t, u_t, abs_u, k_stat, t_star,
+               t = t_star AS is_changepoint
+        FROM u CROSS JOIN kk CROSS JOIN ts2
+    """
+    # graph_eff_diameter twin: the closeness recursive min-hop CTE,
+    # hop histogram + cumulative self-join, cross-multiplied quantile.
+    d["graph_eff_diameter"] = f"""
+        WITH RECURSIVE
+        {_MENTIONS_SQL.strip()},
+        {_TRIPLE_EDGES_SQL.strip()},
+        bidi AS (SELECT a, b FROM und
+                 UNION ALL SELECT b, a FROM und),
+        walk(s, node, hop) AS (
+          SELECT a, a, 0 FROM (SELECT DISTINCT a FROM bidi)
+          UNION
+          SELECT w.s, u.b, w.hop + 1
+          FROM walk w JOIN bidi u ON u.a = w.node
+          WHERE w.hop < 6
+        ),
+        mh AS (SELECT s, node, min(hop) AS hop
+               FROM walk GROUP BY 1, 2),
+        hist AS (SELECT hop, CAST(count(*) AS BIGINT) AS cnt
+                 FROM mh WHERE hop > 0 GROUP BY 1),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_pairs,
+                       CAST(max(hop) AS BIGINT) AS diameter
+                FROM hist),
+        cum AS (SELECT a.hop, CAST(sum(b.cnt) AS BIGINT) AS cum
+                FROM hist a JOIN hist b ON b.hop <= a.hop GROUP BY 1),
+        eff AS (SELECT CAST(min(hop) AS BIGINT) AS eff_diameter
+                FROM cum CROSS JOIN tot
+                WHERE 10 * cum >= 9 * n_pairs)
+        SELECT n_pairs, diameter, eff_diameter
+        FROM tot CROSS JOIN eff
+    """
+    # k_anonymity twin: one QI group-by + a global verdict.
+    d["k_anonymity"] = """
+        WITH g AS (SELECT lang, source,
+                          CAST(count(*) AS BIGINT) AS group_n
+                   FROM documents GROUP BY 1, 2),
+        gg AS (SELECT CAST(min(group_n) AS BIGINT) AS min_group,
+                        CAST(sum(group_n) AS BIGINT) AS n_rows,
+                        CAST(sum(CASE WHEN group_n < 5 THEN group_n
+                                      ELSE 0 END) AS BIGINT)
+                          AS n_below_k
+                 FROM g)
+        SELECT lang, source, group_n,
+               group_n >= 5 AS is_k_anonymous,
+               min_group, n_rows, n_below_k,
+               round(n_below_k / CAST(n_rows AS DOUBLE), 6)
+                 AS violation_share
+        FROM g CROSS JOIN gg
     """
     # kn_bigram_probs twin: bigrams via the INDEPENDENT positional
     # self-join (skipgram_pairs precedent); identical exact-long

@@ -3134,3 +3134,51 @@ def simrank_pairs(
             ).alias("s2"),
         )
     )
+
+
+def effective_diameter(
+    edges: DataFrame,
+    seeds: DataFrame | None = None,
+    max_hops: int = 8,
+    q_num: int = 9,
+    q_den: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Effective diameter (Leskovec et al.'s 90th-percentile hop
+    distance): the smallest h such that q_num/q_den of all reachable
+    (s, t) pairs are within h hops — the robust "how far apart is the
+    graph really" number the true diameter (one stray chain) can't
+    give.  One row ``(n_pairs, diameter, eff_diameter)``, every value
+    an exact long; the quantile test is the cross-multiplied integer
+    comparison q_den·cum(h) ≥ q_num·n_pairs (no percentile FP).
+
+    Rides the shared per-source BFS (_pairwise_hops — bounded
+    ``seeds`` contract at KG scale); the hop histogram is ≤max_hops
+    rows, so the cumulative self-join is bounded."""
+    dist = _pairwise_hops(edges, seeds, max_hops, src, dst)
+    hist = (
+        dist.filter(F.col("hop") > 0)
+        .groupBy("hop")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = hist.agg(
+        F.sum("cnt").cast("long").alias("n_pairs"),
+        F.max("hop").cast("long").alias("diameter"),
+    )
+    cum = (
+        hist.alias("a")
+        .join(hist.alias("b"), F.col("b.hop") <= F.col("a.hop"))
+        .groupBy(F.col("a.hop").alias("hop"))
+        .agg(F.sum("b.cnt").cast("long").alias("cum"))
+    )
+    eff = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(
+            F.lit(q_den) * F.col("cum") >= F.lit(q_num) * F.col("n_pairs")
+        )
+        .agg(F.min("hop").cast("long").alias("eff_diameter"))
+    )
+    return tot.crossJoin(F.broadcast(eff)).select(
+        "n_pairs", "diameter", "eff_diameter"
+    )

@@ -1735,3 +1735,81 @@ def pairwise_series_corr(
             ),
         ).alias("pearson_r"),
     )
+
+
+def pettitt_test(
+    df: DataFrame, idx_col: str, val_col: str
+) -> DataFrame:
+    """Pettitt rank-based changepoint test (Pettitt 1979): over an
+    ordered series x_1..x_n, U_t = Σ_{i≤t}Σ_{j>t} sgn(x_j − x_i); the
+    change point is the t maximizing |U_t| — the NONPARAMETRIC
+    complement of events_cusum's mean-shift statistic (robust to the
+    heavy-tailed counts where CUSUM chases outliers).
+
+    Computed in pure integers via the midrank identity
+    U_t = t·(n+1) − W2_t, with W2_t the prefix sum of DOUBLED
+    midranks R2_i = 2·#less + #equal(incl. self) + 1 (the
+    mann_whitney_u convention) — verified against the direct double
+    sum by the pytest twin.  Every column is an exact long; the
+    classic significance approximation 2·exp(−6K²/(n³+n²)) is left to
+    the consumer (libm exp is not engine-portable).
+
+    Plan: two bounded self-joins over the n-row series (the series is
+    an aggregate grid, never the raw table); no window."""
+    s = df.select(
+        F.col(idx_col).cast("long").alias("t"),
+        F.col(val_col).cast("long").alias("y"),
+    )
+    o = s.select(F.col("t").alias("j"), F.col("y").alias("yj"))
+    r2 = (
+        s.crossJoin(o)
+        .groupBy("t")
+        .agg(
+            (
+                F.lit(2) * F.sum((F.col("yj") < F.col("y")).cast("long"))
+                + F.sum((F.col("yj") == F.col("y")).cast("long"))
+                + F.lit(1)
+            )
+            .cast("long")
+            .alias("r2")
+        )
+    )
+    n1 = s.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pre = (
+        r2.alias("a")
+        .join(r2.alias("b"), F.col("b.t") <= F.col("a.t"))
+        .groupBy(F.col("a.t").alias("t"))
+        .agg(F.sum("b.r2").cast("long").alias("w2"))
+    )
+    u = (
+        pre.crossJoin(F.broadcast(n1))
+        .filter(F.col("t") < F.col("n"))
+        .select(
+            "t",
+            "n",
+            (F.col("t") * (F.col("n") + 1) - F.col("w2"))
+            .cast("long")
+            .alias("u_t"),
+            F.abs(F.col("t") * (F.col("n") + 1) - F.col("w2"))
+            .cast("long")
+            .alias("abs_u"),
+        )
+    )
+    k = u.agg(F.max("abs_u").cast("long").alias("k_stat"))
+    tstar = (
+        u.crossJoin(F.broadcast(k))
+        .filter(F.col("abs_u") == F.col("k_stat"))
+        .agg(F.min("t").cast("long").alias("t_star"))
+    )
+    return (
+        u.crossJoin(F.broadcast(k))
+        .crossJoin(F.broadcast(tstar))
+        .select(
+            "t",
+            "u_t",
+            "abs_u",
+            "k_stat",
+            "t_star",
+            (F.col("t") == F.col("t_star")).alias("is_changepoint"),
+        )
+    )

@@ -2061,3 +2061,17 @@ def test_simrank_python_twin_random(spark):
     assert got == want
     assert all(s1 <= SC // 4 and s2 <= SC // 4 + SC // 16
                for s1, s2 in got.values())
+
+
+def test_effective_diameter_hand_path(spark):
+    """Path a-b-c-d-e: 20 ordered reachable pairs, hop histogram
+    {1:8, 2:6, 3:4, 4:2}; 90% quantile -> h=3, diameter 4."""
+    from deepie_spark.operators.graph import effective_diameter
+
+    e = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(e, "src string, dst string")
+    r = effective_diameter(df).collect()[0]
+    assert (r.n_pairs, r.diameter, r.eff_diameter) == (20, 4, 3)
+    # median variant: smallest h with 2*cum >= n_pairs -> h=2
+    r2 = effective_diameter(df, q_num=1, q_den=2).collect()[0]
+    assert r2.eff_diameter == 2

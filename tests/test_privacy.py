@@ -61,3 +61,17 @@ def test_dp_noisy_counts_clamps_and_reports(spark):
     got2 = {r["key"]: r for r in dp_noisy_counts(df2, "k").collect()}
     assert got2["a"]["noise"] == got["a"]["noise"]
     assert got2["a"]["n_true"] == 10
+
+
+def test_k_anonymity_audit_hand(spark):
+    from deepie_spark.operators.privacy import k_anonymity_audit
+
+    rows = [("en", "a")] * 6 + [("en", "b")] * 2 + [("de", "a")] * 5
+    df = spark.createDataFrame(rows, "lang string, source string")
+    got = {(r.lang, r.source): r
+           for r in k_anonymity_audit(df, ["lang", "source"], k=5).collect()}
+    assert got[("en", "a")].is_k_anonymous
+    assert not got[("en", "b")].is_k_anonymous
+    g = got[("de", "a")]
+    assert g.min_group == 2 and g.n_rows == 13 and g.n_below_k == 2
+    assert g.violation_share == round(2 / 13, 6)

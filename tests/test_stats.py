@@ -1275,3 +1275,40 @@ def test_pairwise_series_corr_planted(spark):
     assert got[("a", "c")].pearson_r == -1.0
     sp = got[("a", "sparse")]
     assert sp.n_t == 6 and sp.sum_a == 21 and sp.sum_b == 3
+
+
+def test_pettitt_identity_vs_direct_double_sum(spark):
+    """The midrank identity U_t = t(n+1) - W2_t equals the direct
+    double sum Σ_{i<=t, j>t} sgn(x_j - x_i) on a tied, shifted
+    series; the argmax lands at the planted shift."""
+    from deepie_spark.operators.stats import pettitt_test
+
+    xs = [3, 3, 4, 2, 3, 9, 8, 9, 9, 7, 8]   # shift after idx 5
+    df = spark.createDataFrame(
+        [(i + 1, x) for i, x in enumerate(xs)], "idx long, y long"
+    )
+    got = {r.t: r for r in pettitt_test(df, "idx", "y").collect()}
+    n = len(xs)
+    assert set(got) == set(range(1, n))
+
+    def sgn(v):
+        return (v > 0) - (v < 0)
+
+    for t in range(1, n):
+        direct = sum(
+            sgn(xs[j] - xs[i]) for i in range(t) for j in range(t, n)
+        )
+        assert got[t].u_t == direct
+    k = max(abs(r.u_t) for r in got.values())
+    assert all(r.k_stat == k for r in got.values())
+    assert got[5].is_changepoint and got[5].t_star == 5
+
+
+def test_pettitt_constant_series_zero(spark):
+    from deepie_spark.operators.stats import pettitt_test
+
+    df = spark.createDataFrame(
+        [(i + 1, 7) for i in range(6)], "idx long, y long"
+    )
+    rows = pettitt_test(df, "idx", "y").collect()
+    assert all(r.u_t == 0 and r.k_stat == 0 for r in rows)
