@@ -8216,6 +8216,73 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping effectiveness audit of three layout keys on the
+    same (user, hour) grid: range-bucket events into 16 files by
+    naive row-major key (x·64+y), Morton key (plans/layout.py
+    zorder_key2) and Hilbert key (hilbert_key2), record per-file
+    min/max stats on the NON-leading dimension y, and measure the
+    fraction of (probe, file) pairs a point filter on y can prune —
+    the zone-map argument for multi-dimensional clustering made
+    quantitative (naive files each span all of y → ~0 pruning; the
+    space-filling curves keep y-spans tight).  Pure integer counts +
+    one ratio."""
+    from deepie_spark.plans.layout import hilbert_key2, zorder_key2
+
+    e = _events(spark, sf_dir)
+    hour = F.floor(
+        F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600
+    ).cast("long")
+    base = e.select(
+        F.pmod(F.col("user_id"), F.lit(64)).alias("x"),
+        F.pmod(hour, F.lit(64)).alias("y"),
+    )
+
+    def keyed(name: str, key) -> DataFrame:
+        return base.select(
+            F.lit(name).alias("layout"), "y", key.cast("long").alias("k")
+        )
+
+    all3 = (
+        keyed("naive", F.col("x") * 64 + F.col("y"))
+        .unionByName(keyed("zorder", zorder_key2(F.col("x"), F.col("y"), 6)))
+        .unionByName(
+            keyed("hilbert", hilbert_key2(F.col("x"), F.col("y"), order=6))
+        )
+    )
+    b = all3.groupBy("layout", F.expr("k div 256").alias("bucket")).agg(
+        F.min("y").cast("long").alias("min_y"),
+        F.max("y").cast("long").alias("max_y"),
+    )
+    nb = b.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets")
+    )
+    probes = spark.range(64).select(F.col("id").cast("long").alias("q"))
+    pruned = (
+        b.crossJoin(probes)
+        .groupBy("layout")
+        .agg(
+            F.sum(
+                (
+                    (F.col("q") < F.col("min_y"))
+                    | (F.col("q") > F.col("max_y"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_pruned")
+        )
+    )
+    return nb.join(pruned, "layout").select(
+        "layout",
+        "n_buckets",
+        F.lit(64).cast("long").alias("n_probes"),
+        "n_pruned",
+        F.round(
+            F.col("n_pruned") / (F.col("n_buckets") * 64).cast("double"), 6
+        ).alias("prune_ratio"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -8533,6 +8600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pettitt": q_events_pettitt,
         "graph_eff_diameter": q_graph_eff_diameter,
         "k_anonymity": q_k_anonymity,
+        "layout_pruning": q_layout_pruning,
     }
 
 
@@ -8918,6 +8986,48 @@ def _densest_oracle_sql(rounds: int = 4) -> str:
         FROM members m JOIN best b ON m.r = b.r
         GROUP BY m.a, b.n, b.e
     """
+
+
+def _hilbert_sql_chain(order: int) -> str:
+    """DuckDB CTE chain for the Hilbert xy2d walk over events: seed
+    l0 (event_id, x, y, cx, cy, d) on the 64-grid, then one (rx/ry,
+    rotate+digit) CTE pair per level — l{order} carries the final d.
+    Integer-exact, so any faithful port of plans/layout.py
+    hilbert_key2 hash-matches; shared by the events_hilbert and
+    layout_pruning twins."""
+    ctes = [
+        """
+        l0 AS (
+          SELECT event_id,
+                 CAST(user_id % 64 AS BIGINT) AS x,
+                 CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600)
+                      % 64 AS BIGINT) AS y,
+                 CAST(user_id % 64 AS BIGINT) AS cx,
+                 CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600)
+                      % 64 AS BIGINT) AS cy,
+                 CAST(0 AS BIGINT) AS d
+          FROM events)"""
+    ]
+    for i, lvl in enumerate(range(order - 1, -1, -1)):
+        s = 1 << lvl
+        ctes.append(f"""
+        r{i} AS (
+          SELECT event_id, x, y, cx, cy, d,
+                 CASE WHEN (cx & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+                 CASE WHEN (cy & {s}) > 0 THEN 1 ELSE 0 END AS ry
+          FROM l{i}),
+        l{i + 1} AS (
+          SELECT event_id, x, y,
+                 CASE WHEN ry = 0 THEN
+                   (CASE WHEN rx = 1 THEN {s - 1} - cy ELSE cy END)
+                 ELSE cx END AS cx,
+                 CASE WHEN ry = 0 THEN
+                   (CASE WHEN rx = 1 THEN {s - 1} - cx ELSE cx END)
+                 ELSE cy END AS cy,
+                 d + {s * s} * (CASE WHEN rx = 0 THEN ry
+                                     ELSE 3 - ry END) AS d
+          FROM r{i})""")
+    return ",".join(ctes)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -15754,51 +15864,13 @@ def oracle_sql() -> dict[str, str]:
                round(h_fp / 1048576.0, 6) AS h_rate_nats
         FROM agg
     """
-    # events_hilbert twin: the same xy2d quadrant-rotation walk,
-    # unrolled one CTE pair per level (rx/ry stage, then rotate+digit
-    # stage) — integer-exact, so any faithful port hash-matches.
-    def _hilbert_oracle_sql(order: int) -> str:
-        ctes = [
-            """
-            l0 AS (
-              SELECT event_id,
-                     CAST(user_id % 64 AS BIGINT) AS x,
-                     CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600)
-                          % 64 AS BIGINT) AS y,
-                     CAST(user_id % 64 AS BIGINT) AS cx,
-                     CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600)
-                          % 64 AS BIGINT) AS cy,
-                     CAST(0 AS BIGINT) AS d
-              FROM events)"""
-        ]
-        for i, lvl in enumerate(range(order - 1, -1, -1)):
-            s = 1 << lvl
-            ctes.append(f"""
-            r{i} AS (
-              SELECT event_id, x, y, cx, cy, d,
-                     CASE WHEN (cx & {s}) > 0 THEN 1 ELSE 0 END AS rx,
-                     CASE WHEN (cy & {s}) > 0 THEN 1 ELSE 0 END AS ry
-              FROM l{i}),
-            l{i + 1} AS (
-              SELECT event_id, x, y,
-                     CASE WHEN ry = 0 THEN
-                       (CASE WHEN rx = 1 THEN {s - 1} - cy ELSE cy END)
-                     ELSE cx END AS cx,
-                     CASE WHEN ry = 0 THEN
-                       (CASE WHEN rx = 1 THEN {s - 1} - cx ELSE cx END)
-                     ELSE cy END AS cy,
-                     d + {s * s} * (CASE WHEN rx = 0 THEN ry
-                                         ELSE 3 - ry END) AS d
-              FROM r{i})""")
-        return (
-            "WITH "
-            + ",".join(ctes)
-            + f"""
+    d["events_hilbert"] = (
+        "WITH "
+        + _hilbert_sql_chain(6)
+        + """
             SELECT event_id, x, y, CAST(d AS BIGINT) AS hkey
-            FROM l{order}"""
-        )
-
-    d["events_hilbert"] = _hilbert_oracle_sql(6)
+            FROM l6"""
+    )
     # host_salsa twin: components by recursive min-reachable closure
     # over the co-citation graph (the independent formulation of the
     # Spark side's fixpoint min-label propagation), then the same
@@ -16119,6 +16191,43 @@ def oracle_sql() -> dict[str, str]:
                CAST(k3.ets - k0.ets AS BIGINT) AS latency_sec
         FROM s3
     """
+    # layout_pruning twin: the hilbert chain + an inline 6-bit Morton
+    # + the row-major key, identical bucketing/probe arithmetic.
+    _z6 = " + ".join(
+        f"((x // {1 << i}) % 2) * {1 << (2 * i)}"
+        f" + ((y // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        for i in range(6)
+    )
+    d["layout_pruning"] = (
+        "WITH "
+        + _hilbert_sql_chain(6)
+        + f""",
+        all3 AS (
+          SELECT 'hilbert' AS layout, y, CAST(d AS BIGINT) AS k
+          FROM l6
+          UNION ALL
+          SELECT 'zorder', y, CAST({_z6} AS BIGINT) FROM l0
+          UNION ALL
+          SELECT 'naive', y, CAST(x * 64 + y AS BIGINT) FROM l0),
+        b AS (SELECT layout, k // 256 AS bucket,
+                     CAST(min(y) AS BIGINT) AS min_y,
+                     CAST(max(y) AS BIGINT) AS max_y
+              FROM all3 GROUP BY 1, 2),
+        nb AS (SELECT layout, CAST(count(*) AS BIGINT) AS n_buckets
+               FROM b GROUP BY 1),
+        probes AS (SELECT unnest(generate_series(0, 63)) AS q),
+        pr AS (SELECT layout,
+                      CAST(sum(CASE WHEN q < min_y OR q > max_y
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_pruned
+               FROM b CROSS JOIN probes GROUP BY 1)
+        SELECT nb.layout, n_buckets,
+               CAST(64 AS BIGINT) AS n_probes, n_pruned,
+               round(n_pruned / CAST(n_buckets * 64 AS DOUBLE), 6)
+                 AS prune_ratio
+        FROM nb JOIN pr ON pr.layout = nb.layout
+    """
+    )
     # nb_lang_classify twin: identical fixed-point NB chain — every
     # ln arg an exact integer, per-(doc,label) score an exact-long
     # sum, argmax the min(struct) convention.

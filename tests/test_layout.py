@@ -101,3 +101,17 @@ def test_hilbert_bijection_and_adjacency(spark):
         assert abs(x1 - x2) + abs(y1 - y2) == 1
     for (x, y), h in list(got.items())[::97]:
         assert h == xy2d(6, x, y)
+
+
+def test_layout_pruning_curves_beat_naive(spark):
+    """On the sf0.001 events the space-filling-curve layouts prune
+    most secondary-dimension probes; naive row-major prunes none."""
+    import __spark_entry__ as entry
+
+    got = {r.layout: r for r in entry.q_layout_pruning(
+        spark, "/root/testdata/sf0.001").collect()}
+    assert set(got) == {"naive", "zorder", "hilbert"}
+    assert got["naive"].prune_ratio == 0.0
+    assert got["hilbert"].prune_ratio > 0.5
+    assert got["zorder"].prune_ratio > 0.5
+    assert all(r.n_probes == 64 for r in got.values())
