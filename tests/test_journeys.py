@@ -294,37 +294,39 @@ def test_simrank_square_graph(spark):
     from deepie_spark.operators.graph import simrank_pairs
 
     # 4-cycle a-b-c-d-a: the textbook SimRank example.  Only the two
-    # diagonals share neighbors; every degree is 2.
+    # diagonals share neighbors; every degree is 2.  C = 1/4.
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
         "src string, dst string",
     )
-    out = {(r.ent_a, r.ent_b): r for r in simrank_pairs(edges).collect()}
+    out = {(r.node_a, r.node_b): r
+           for r in simrank_pairs(edges).collect()}
     assert set(out) == {("a", "c"), ("b", "d")}
     r = out[("a", "c")]
-    # s1 = C·|common|/(d_a·d_c) = 0.8·2/4 = 0.4
+    # s1 = C·|common|/(d_a·d_c) = 0.25·2/4 = 0.125
     assert r.common == 2
-    assert r.s1_fp == (2 * (1 << 30) * 4) // (5 * 2 * 2)
-    # s2 = C·(1 + 0.4 + 0.4 + 1)/4 = 0.56 (with floored s1 inputs)
+    assert r.s1_fp == (2 * (1 << 40)) // (4 * 2 * 2)
+    # s2 = C·(1 + 0.125 + 0.125 + 1)/4 = 0.140625
     s1 = r.s1_fp
-    s_sum = 2 * (1 << 30) + 2 * s1
-    assert r.s2_fp == (4 * s_sum) // (5 * 4)
-    assert abs(r.simrank2 - 0.56) < 1e-6
+    s_sum = 2 * (1 << 40) + 2 * s1
+    assert r.s2_fp == s_sum // (4 * 2 * 2)
+    assert abs(r.s2 - 0.140625) < 1e-6
 
 
 def test_simrank_star_graph(spark):
     from deepie_spark.operators.graph import simrank_pairs
 
-    # star: leaves all share the hub → pairwise s1 = C = 0.8 exactly
+    # star: leaves all share the hub → pairwise s1 = C = 1/4 exactly
     edges = spark.createDataFrame(
         [("h", "l1"), ("h", "l2"), ("h", "l3")], "src string, dst string"
     )
-    out = {(r.ent_a, r.ent_b): r for r in simrank_pairs(edges).collect()}
+    out = {(r.node_a, r.node_b): r
+           for r in simrank_pairs(edges).collect()}
     assert len(out) == 3  # leaf pairs only
     for r in out.values():
-        assert r.s1_fp == (1 * (1 << 30) * 4) // (5 * 1 * 1)
-        # s2: N(l_i)={h} → S = s1'(h,h) = 2^30 → s2 = 0.8 again
-        assert r.s2_fp == (4 * (1 << 30)) // 5
+        assert r.s1_fp == (1 << 40) // 4
+        # s2: N(l_i)={h} → S = s1full(h,h) = 2^40 → s2 = C again
+        assert r.s2_fp == (1 << 40) // 4
 
 
 # ------------------------------------------------------------ soundex
