@@ -8283,6 +8283,29 @@ def q_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of click exposure on the
+    per-user purchase rate around the stream's epoch midpoint
+    (operators/stats.py diff_in_diff) — the parallel-trends causal
+    read beside conversion_lift; exact-long counts, pinned IEEE
+    chain."""
+    from deepie_spark.operators.stats import diff_in_diff
+
+    return diff_in_diff(_events(spark, sf_dir))
+
+
+def q_postings_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEB128 varint delta-encoding size audit of the corpus inverted
+    index (operators/retrieval.py postings_compression over the
+    doc-level posting lists) — exact byte prices per token, the
+    storage-planning read on inverted_postings."""
+    from deepie_spark.operators.retrieval import postings_compression
+
+    return postings_compression(
+        _occ(spark, sf_dir).select("token", "doc_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -8601,6 +8624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_eff_diameter": q_graph_eff_diameter,
         "k_anonymity": q_k_anonymity,
         "layout_pruning": q_layout_pruning,
+        "did_estimate": q_did_estimate,
+        "postings_compression": q_postings_compression,
     }
 
 
@@ -16190,6 +16215,76 @@ def oracle_sql() -> dict[str, str]:
                CAST(k3.ets AS BIGINT) AS t_purchase,
                CAST(k3.ets - k0.ets AS BIGINT) AS latency_sec
         FROM s3
+    """
+    # did_estimate twin: identical midpoint split, per-user counts,
+    # and pinned mean chain.
+    d["did_estimate"] = """
+        WITH e AS (SELECT user_id AS u,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS ets,
+                          event_type AS et
+                   FROM events),
+        bounds AS (SELECT CAST((min(ets) + max(ets)) // 2 AS BIGINT)
+                          AS cut
+                   FROM e),
+        pu AS (SELECT u,
+                      CAST(sum(CASE WHEN et = 'click' AND ets <= cut
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                        AS pre_exp,
+                      CAST(sum(CASE WHEN et = 'purchase' AND ets <= cut
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                        AS pre_out,
+                      CAST(sum(CASE WHEN et = 'purchase' AND ets > cut
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                        AS post_out
+               FROM e CROSS JOIN bounds GROUP BY 1),
+        mu AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+                      CAST(sum(pre_exp) AS BIGINT) AS te
+               FROM pu),
+        g AS (SELECT pre_exp * nu > te AS treated,
+                     CAST(count(*) AS BIGINT) AS n_users,
+                     CAST(sum(pre_out) AS BIGINT) AS pre_sum,
+                     CAST(sum(post_out) AS BIGINT) AS post_sum
+              FROM pu CROSS JOIN mu GROUP BY 1),
+        t AS (SELECT n_users AS n_t, pre_sum AS pre_t,
+                     post_sum AS post_t
+              FROM g WHERE treated),
+        c AS (SELECT n_users AS n_c, pre_sum AS pre_c,
+                     post_sum AS post_c
+              FROM g WHERE NOT treated)
+        SELECT n_t, n_c, pre_t, post_t, pre_c, post_c,
+               CASE WHEN n_t > 0 AND n_c > 0 THEN
+                 round((post_t / CAST(n_t AS DOUBLE)
+                        - pre_t / CAST(n_t AS DOUBLE))
+                       - (post_c / CAST(n_c AS DOUBLE)
+                          - pre_c / CAST(n_c AS DOUBLE)), 6)
+               END AS did
+        FROM t CROSS JOIN c
+    """
+    # postings_compression twin: identical keyed lag window and
+    # varint width CASE.
+    d["postings_compression"] = f"""
+        WITH {_OCC_SQL.strip()},
+        p AS (SELECT DISTINCT token AS t, doc_id AS d FROM occ),
+        dl AS (SELECT t,
+                      CAST(coalesce(d - lag(d) OVER (
+                        PARTITION BY t ORDER BY d), d + 1) AS BIGINT)
+                        AS delta
+               FROM p),
+        vb AS (SELECT t,
+                      CASE WHEN delta < 128 THEN 1
+                           WHEN delta < 16384 THEN 2
+                           WHEN delta < 2097152 THEN 3
+                           WHEN delta < 268435456 THEN 4
+                           ELSE 5 END AS v
+               FROM dl)
+        SELECT t AS token,
+               CAST(count(*) AS BIGINT) AS n_postings,
+               CAST(count(*) * 8 AS BIGINT) AS raw_bytes,
+               CAST(sum(v) AS BIGINT) AS varint_bytes,
+               round(CAST(sum(v) AS BIGINT)
+                     / CAST(count(*) * 8 AS DOUBLE), 6)
+                 AS compression_ratio
+        FROM vb GROUP BY 1
     """
     # layout_pruning twin: the hilbert chain + an inline 6-bit Morton
     # + the row-major key, identical bucketing/probe arithmetic.

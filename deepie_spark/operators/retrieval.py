@@ -711,3 +711,55 @@ def mrr_at_k(
         )
         .orderBy("query_id")
     )
+
+
+def postings_compression(
+    postings: DataFrame,
+    token_col: str = "token",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Varint delta-encoding size audit of the inverted index
+    (inverted_postings' storage planner): per token, sort its doc-id
+    posting list, delta-encode (first gap = doc_id + 1, so every gap
+    is ≥ 1), and price each gap at the LEB128 varint width
+    (1 byte < 2⁷, 2 < 2¹⁴, 3 < 2²¹, 4 < 2²⁸, else 5) — the classic
+    index-compression estimate (Zobel & Moffat 2006) that decides
+    whether hot postings fit cache.  Exact integer byte counts; the
+    ratio is one IEEE divide.
+
+    Plan: one token-KEYED lag window (posting lists are per-token
+    bounded in df; never single-partition) + one hash agg."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("t").orderBy("d")
+    p = postings.select(
+        F.col(token_col).alias("t"), F.col(doc_col).cast("long").alias("d")
+    ).distinct()
+    delta = F.coalesce(
+        F.col("d") - F.lag("d").over(w), F.col("d") + F.lit(1)
+    ).cast("long")
+    vb = (
+        F.when(delta < F.lit(1 << 7), 1)
+        .when(delta < F.lit(1 << 14), 2)
+        .when(delta < F.lit(1 << 21), 3)
+        .when(delta < F.lit(1 << 28), 4)
+        .otherwise(5)
+        .cast("long")
+    )
+    return (
+        p.select("t", vb.alias("vb"))
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_postings"),
+            F.sum("vb").cast("long").alias("varint_bytes"),
+        )
+        .select(
+            F.col("t").alias(token_col),
+            "n_postings",
+            (F.col("n_postings") * 8).cast("long").alias("raw_bytes"),
+            "varint_bytes",
+            F.round(
+                F.col("varint_bytes") / (F.col("n_postings") * 8), 6
+            ).alias("compression_ratio"),
+        )
+    )

@@ -1813,3 +1813,106 @@ def pettitt_test(
             (F.col("t") == F.col("t_star")).alias("is_changepoint"),
         )
     )
+
+
+def diff_in_diff(
+    events: DataFrame,
+    exposure_type: str = "click",
+    outcome_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Difference-in-differences estimate of an exposure's effect on
+    an outcome rate: split the stream at the epoch midpoint (exact
+    integer (min+max) div 2 — no quantile FP), call users with
+    ABOVE-MEAN pre-period exposure counts TREATED (the cross-
+    multiplied integer test pre_exp·n_users > Σpre_exp — a dense
+    stream where every user has ≥1 exposure still splits), and
+    estimate
+
+        DiD = (post̄_T − prē_T) − (post̄_C − prē_C)
+
+    of per-user outcome counts — the parallel-trends causal read
+    beside conversion_lift's cross-sectional ratio (Card & Krueger
+    1994 shape).  All counts exact longs; each mean is one int/int
+    IEEE divide and the DiD chain order is pinned, so the twin is
+    hash-exact.  Plan: one 1-row bounds agg, one per-user agg, one
+    2-row group agg — no window, no join bigger than user-count."""
+    e = events.select(
+        F.col(user_col).alias("u"),
+        F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+        .cast("long")
+        .alias("ets"),
+        F.col(type_col).alias("et"),
+    )
+    bounds = e.agg(
+        F.expr("(min(ets) + max(ets)) div 2").cast("long").alias("cut")
+    )
+    per_user = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("u")
+        .agg(
+            F.sum(
+                (
+                    (F.col("et") == exposure_type)
+                    & (F.col("ets") <= F.col("cut"))
+                ).cast("long")
+            ).alias("pre_exp"),
+            F.sum(
+                (
+                    (F.col("et") == outcome_type)
+                    & (F.col("ets") <= F.col("cut"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("pre_out"),
+            F.sum(
+                (
+                    (F.col("et") == outcome_type)
+                    & (F.col("ets") > F.col("cut"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("post_out"),
+        )
+    )
+    mu = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("nu"),
+        F.sum("pre_exp").cast("long").alias("te"),
+    )
+    g = per_user.crossJoin(F.broadcast(mu)).groupBy(
+        (F.col("pre_exp") * F.col("nu") > F.col("te")).alias("treated")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("pre_out").cast("long").alias("pre_sum"),
+        F.sum("post_out").cast("long").alias("post_sum"),
+    )
+    t = g.filter(F.col("treated")).select(
+        F.col("n_users").alias("n_t"),
+        F.col("pre_sum").alias("pre_t"),
+        F.col("post_sum").alias("post_t"),
+    )
+    c = g.filter(~F.col("treated")).select(
+        F.col("n_users").alias("n_c"),
+        F.col("pre_sum").alias("pre_c"),
+        F.col("post_sum").alias("post_c"),
+    )
+    j = t.crossJoin(c)
+    did = (
+        F.col("post_t") / F.col("n_t")
+        - F.col("pre_t") / F.col("n_t")
+    ) - (
+        F.col("post_c") / F.col("n_c")
+        - F.col("pre_c") / F.col("n_c")
+    )
+    return j.select(
+        "n_t",
+        "n_c",
+        "pre_t",
+        "post_t",
+        "pre_c",
+        "post_c",
+        F.when((F.col("n_t") > 0) & (F.col("n_c") > 0),
+               F.round(did, 6)).alias("did"),
+    )

