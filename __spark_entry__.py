@@ -8306,6 +8306,48 @@ def q_postings_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_weighted_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted (multiset) Jaccard similarity between every source
+    pair's token-frequency vectors (operators/curation.py
+    weighted_jaccard_sources): Σmin/Σmax exact longs via ONE inner
+    self-join (Σmax = tot_a + tot_b − Σmin) — the frequency-aware
+    source-overlap audit beside source_drift_psi/jsd."""
+    from deepie_spark.operators.curation import weighted_jaccard_sources
+
+    occ = _docs(spark, sf_dir).select(
+        "source", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    return weighted_jaccard_sources(occ)
+
+
+def q_graph_degree_anonymity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """k-degree-anonymity audit of the rule-triple graph
+    (operators/graph.py degree_anonymity, k=3): per-degree class
+    sizes + the re-identification share — the graph twin of
+    k_anonymity."""
+    from deepie_spark.operators.graph import degree_anonymity
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return degree_anonymity(t, k=3)
+
+
+def q_embedding_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point-first) diversity sample of 4
+    embeddings (operators/clustering.py kcenter_sample): exact
+    fixed-point cosine distances, deterministic argmax chain — the
+    geometric subset selection beside coverage_selection's token
+    coverage."""
+    from deepie_spark.operators.clustering import kcenter_sample
+
+    return kcenter_sample(_emb(spark, sf_dir), k=4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -8626,6 +8668,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_pruning": q_layout_pruning,
         "did_estimate": q_did_estimate,
         "postings_compression": q_postings_compression,
+        "source_weighted_jaccard": q_source_weighted_jaccard,
+        "graph_degree_anonymity": q_graph_degree_anonymity,
+        "embedding_kcenter": q_embedding_kcenter,
     }
 
 
@@ -16216,6 +16261,92 @@ def oracle_sql() -> dict[str, str]:
                CAST(k3.ets - k0.ets AS BIGINT) AS latency_sec
         FROM s3
     """
+    # source_weighted_jaccard twin: same tokenizer, same Σmin inner
+    # join and the Σmax = tot_a + tot_b − Σmin identity.
+    d["source_weighted_jaccard"] = f"""
+        WITH tok AS (SELECT source, unnest({_TOKS_SQL}) AS token
+                     FROM documents),
+        c AS (SELECT source AS g, token AS t,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM tok GROUP BY 1, 2),
+        tot AS (SELECT g, CAST(sum(n) AS BIGINT) AS tot
+                FROM c GROUP BY 1),
+        i AS (SELECT a.g AS ga, b.g AS gb,
+                     CAST(sum(least(a.n, b.n)) AS BIGINT) AS sum_min
+              FROM c a JOIN c b ON a.t = b.t AND a.g < b.g
+              GROUP BY 1, 2)
+        SELECT ga AS group_a, gb AS group_b, sum_min,
+               CAST(ta.tot + tb.tot - sum_min AS BIGINT) AS sum_max,
+               round(sum_min
+                     / CAST(ta.tot + tb.tot - sum_min AS DOUBLE), 6)
+                 AS weighted_jaccard
+        FROM i JOIN tot ta ON ta.g = i.ga JOIN tot tb ON tb.g = i.gb
+    """
+    # graph_degree_anonymity twin: degree histogram + global verdict
+    # over the canonical undirected edge set.
+    d["graph_degree_anonymity"] = f"""
+        WITH {_MENTIONS_SQL.strip()},
+        {_TRIPLE_EDGES_SQL.strip()},
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+                FROM (SELECT a AS node FROM und
+                      UNION ALL SELECT b FROM und)
+                GROUP BY 1),
+        hist AS (SELECT degree, CAST(count(*) AS BIGINT) AS class_n
+                 FROM deg GROUP BY 1),
+        gg AS (SELECT CAST(sum(class_n) AS BIGINT) AS n_nodes,
+                      CAST(sum(CASE WHEN class_n < 3 THEN class_n
+                                    ELSE 0 END) AS BIGINT) AS n_below_k
+               FROM hist)
+        SELECT degree, class_n, class_n >= 3 AS is_k_anonymous,
+               n_nodes, n_below_k,
+               round(n_below_k / CAST(n_nodes AS DOUBLE), 6)
+                 AS violation_share
+        FROM hist CROSS JOIN gg
+    """
+
+    # embedding_kcenter twin: k−1 unrolled MATERIALIZED
+    # farthest-point rounds with the identical fixed-point distance.
+    def _kcenter_oracle_sql(k: int) -> str:
+        sc = float(1 << 40)
+        dist = (
+            f"({1 << 40} - CAST(floor(list_dot_product(c.v, s.v)"
+            " / (sqrt(list_dot_product(c.v, c.v))"
+            " * sqrt(list_dot_product(s.v, s.v)))"
+            f" * {sc!r}) AS BIGINT))"
+        )
+        parts = [
+            """
+        e AS MATERIALIZED (
+          SELECT vec_id AS id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        sel1 AS MATERIALIZED (
+          SELECT CAST(1 AS BIGINT) AS sel_round, id,
+                 CAST(NULL AS BIGINT) AS d_fp, v
+          FROM e WHERE id = (SELECT min(vec_id) FROM embeddings))"""
+        ]
+        for r in range(2, k + 1):
+            parts.append(f"""
+        p{r} AS MATERIALIZED (
+          SELECT c.id, min({dist}) AS dmin
+          FROM e c JOIN sel{r - 1} s ON true
+          WHERE c.id NOT IN (SELECT id FROM sel{r - 1})
+          GROUP BY c.id),
+        pick{r} AS MATERIALIZED (
+          SELECT CAST({r} AS BIGINT) AS sel_round, p.id,
+                 CAST(p.dmin AS BIGINT) AS d_fp, e.v
+          FROM p{r} p JOIN e USING (id)
+          ORDER BY p.dmin DESC, p.id ASC LIMIT 1),
+        sel{r} AS MATERIALIZED (
+          SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM pick{r})""")
+        return (
+            "WITH "
+            + ",".join(parts)
+            + f"""
+        SELECT sel_round, id AS vec_id, d_fp FROM sel{k}"""
+        )
+
+    d["embedding_kcenter"] = _kcenter_oracle_sql(4)
     # did_estimate twin: identical midpoint split, per-user counts,
     # and pinned mean chain.
     d["did_estimate"] = """

@@ -560,3 +560,83 @@ def cluster_agreement(
             (F.col("ka") > 1) & (F.col("kb") > 1), F.round(nmi, 6)
         ).alias("nmi"),
     )
+
+
+def kcenter_sample(
+    df: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_bits: int = 40,
+) -> DataFrame:
+    """Greedy k-center (farthest-point-first) sampling over an
+    embedding table (Gonzalez 1985's 2-approximation): seed with the
+    min id, then repeatedly add the point FARTHEST (max over
+    candidates of its min fixed-point cosine distance to the selected
+    set, ties → min id) — the diversity-maximizing subset selection a
+    training-mixture or eval-set builder wants where random sampling
+    oversamples dense clusters (coverage_selection's geometric
+    sibling).
+
+    Distances are exact longs d_fp = 2^bits − floor(2^bits·cos)
+    (the emb_hard_triplets quantization), argmin/argmax ride
+    min(struct) / orderBy+limit(1) — fully deterministic, so the
+    DuckDB twin (k−1 unrolled MATERIALIZED rounds) is hash-exact.
+
+    Plan: per round ONE broadcast of the ≤k selected vectors against
+    the candidates (anti-join + min-distance agg + a 1-row
+    TakeOrderedAndProject) — k passes total, no pairwise blow-up."""
+    one = 1 << scale_bits
+    base = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).localCheckpoint()
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    cos = dot(F.col("v"), F.col("sv")) / (
+        F.sqrt(dot(F.col("v"), F.col("v")))
+        * F.sqrt(dot(F.col("sv"), F.col("sv")))
+    )
+    d_fp = (F.lit(one).cast("long")
+            - F.floor(cos * F.lit(float(one))).cast("long"))
+    seed = base.agg(F.min("id").alias("id")).join(base, "id").select(
+        F.lit(1).cast("long").alias("sel_round"),
+        "id",
+        F.lit(None).cast("long").alias("d_fp"),
+        "v",
+    )
+    selected = seed.localCheckpoint(eager=True)
+    for r in range(2, k + 1):
+        sel = selected.select(F.col("id").alias("sid"),
+                              F.col("v").alias("sv"))
+        cand = base.join(
+            selected.select(F.col("id")), "id", "left_anti"
+        )
+        scored = (
+            cand.crossJoin(F.broadcast(sel))
+            .select("id", "v", d_fp.alias("d"))
+            .groupBy("id")
+            .agg(
+                F.min("d").cast("long").alias("dmin"),
+                F.first("v").alias("v"),
+            )
+        )
+        pick = (
+            scored.orderBy(F.col("dmin").desc(), F.col("id").asc())
+            .limit(1)
+            .select(
+                F.lit(r).cast("long").alias("sel_round"),
+                "id",
+                F.col("dmin").alias("d_fp"),
+                "v",
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected.select(
+        "sel_round", F.col("id").alias(id_col), "d_fp"
+    )

@@ -3182,3 +3182,50 @@ def effective_diameter(
     return tot.crossJoin(F.broadcast(eff)).select(
         "n_pairs", "diameter", "eff_diameter"
     )
+
+
+def degree_anonymity(
+    edges: DataFrame, k: int = 5, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """k-degree-anonymity audit (Liu & Terzi, SIGMOD 2008): a node is
+    k-degree-anonymous when ≥ k−1 OTHERS share its degree — unique
+    degree sequences are the classic graph re-identification handle.
+    Per-degree class sizes + the global violation share, the graph
+    twin of privacy.k_anonymity_audit.  Pure integer counts.
+
+    Plan: degree agg → degree-histogram agg → 1-row broadcast — three
+    map-side-combinable aggs, nothing else."""
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    und = (
+        e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("class_n")
+    )
+    glob = hist.agg(
+        F.sum("class_n").cast("long").alias("n_nodes"),
+        F.sum(
+            F.when(F.col("class_n") < k, F.col("class_n")).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_below_k"),
+    )
+    return hist.crossJoin(F.broadcast(glob)).select(
+        "degree",
+        "class_n",
+        (F.col("class_n") >= k).alias("is_k_anonymous"),
+        "n_nodes",
+        "n_below_k",
+        F.round(F.col("n_below_k") / F.col("n_nodes"), 6).alias(
+            "violation_share"
+        ),
+    )

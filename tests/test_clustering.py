@@ -420,3 +420,49 @@ def test_cluster_agreement_extremes(spark):
     )
     r = cluster_agreement(both).collect()[0]
     assert r.ari is None and r.nmi is None
+
+
+def test_kcenter_farthest_first_geometry(spark):
+    """Orthogonal axes are mutually farthest: the greedy picks one
+    per direction before any near-duplicate, and matches a python
+    twin exactly (fixed-point distances)."""
+    import math
+
+    from deepie_spark.operators.clustering import kcenter_sample
+
+    vecs = {
+        1: [1.0, 0.0, 0.0],
+        2: [0.999, 0.01, 0.0],    # near-dup of 1: picked LAST
+        3: [0.0, 1.0, 0.0],
+        4: [0.0, 0.0, 1.0],
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.sel_round: r for r in kcenter_sample(df, k=4).collect()}
+    assert rows[1].vec_id == 1 and rows[1].d_fp is None
+    assert {rows[2].vec_id, rows[3].vec_id} == {3, 4}
+    assert rows[4].vec_id == 2
+
+    # python twin with float32-cast inputs (Spark reads array<float>)
+    import struct
+
+    f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]  # noqa: E731
+    pv = {i: [f32(x) for x in v] for i, v in vecs.items()}
+    SC = 1 << 40
+
+    def dfp(a, b):
+        va, vb = pv[a], pv[b]
+        dot = sum(p * q for p, q in zip(va, vb))
+        cos = dot / (math.sqrt(sum(p * p for p in va))
+                     * math.sqrt(sum(q * q for q in vb)))
+        return SC - math.floor(cos * float(SC))
+
+    sel = [1]
+    for r in (2, 3, 4):
+        cands = [i for i in pv if i not in sel]
+        dmin = {c: min(dfp(c, s) for s in sel) for c in cands}
+        pick = max(sorted(cands), key=lambda c: (dmin[c], -c))
+        assert rows[r].vec_id == pick and rows[r].d_fp == dmin[pick]
+        sel.append(pick)

@@ -436,3 +436,24 @@ def test_source_drift_emd_python_twin(spark):
         assert r.emd == round(num / (A * B * 10), 6)
         # W1 on a unit-width 10-bin grid is bounded by 1 (in grid units)
         assert 0.0 <= r.emd <= 1.0
+
+
+def test_weighted_jaccard_hand_multisets(spark):
+    """J_w = Σmin/Σmax on hand multisets; the Σmax identity
+    tot_a + tot_b − Σmin matches the direct per-token max sum."""
+    from deepie_spark.operators.curation import weighted_jaccard_sources
+
+    rows = (
+        [("s1", "a")] * 3 + [("s1", "b")] * 1
+        + [("s2", "a")] * 1 + [("s2", "b")] * 2 + [("s2", "c")] * 1
+        + [("s3", "z")] * 2
+    )
+    df = spark.createDataFrame(rows, "source string, token string")
+    got = {(r.group_a, r.group_b): r
+           for r in weighted_jaccard_sources(df).collect()}
+    r = got[("s1", "s2")]
+    # min: a=1, b=1 -> 2 ; max: a=3, b=2, c=1 -> 6
+    assert (r.sum_min, r.sum_max) == (2, 6)
+    assert r.weighted_jaccard == round(2 / 6, 6)
+    # disjoint pair never appears (no shared token -> no row)
+    assert ("s1", "s3") not in got

@@ -2075,3 +2075,17 @@ def test_effective_diameter_hand_path(spark):
     # median variant: smallest h with 2*cum >= n_pairs -> h=2
     r2 = effective_diameter(df, q_num=1, q_den=2).collect()[0]
     assert r2.eff_diameter == 2
+
+
+def test_degree_anonymity_hand(spark):
+    """Star with 3 leaves + one isolated edge: degree classes
+    {3:1 hub, 1:5}; hub is unique -> below k=2."""
+    from deepie_spark.operators.graph import degree_anonymity
+
+    e = [("h", "l1"), ("h", "l2"), ("h", "l3"), ("x", "y")]
+    df = spark.createDataFrame(e, "src string, dst string")
+    got = {r.degree: r for r in degree_anonymity(df, k=2).collect()}
+    assert got[3].class_n == 1 and not got[3].is_k_anonymous
+    assert got[1].class_n == 5 and got[1].is_k_anonymous
+    assert got[1].n_below_k == 1
+    assert got[1].violation_share == round(1 / 6, 6)
