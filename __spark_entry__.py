@@ -8348,6 +8348,105 @@ def q_embedding_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_sample(_emb(spark, sf_dir), k=4)
 
 
+def q_join_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """System-R join-cardinality estimates vs actual counts for the
+    TPC-H FK joins (plans/cardinality.py join_cardinality_audit) —
+    the |A|·|B|/max(ndv) number every join-order/broadcast decision
+    hangs on, audited so drift flags where histogram stats are
+    needed."""
+    from deepie_spark.plans.cardinality import join_cardinality_audit
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return join_cardinality_audit(
+        o, c, "o_custkey", "c_custkey", "orders*customer"
+    ).unionByName(
+        join_cardinality_audit(
+            li, o, "l_orderkey", "o_orderkey", "lineitem*orders"
+        )
+    )
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid cohesion/separation audit of the labeled
+    embedding table (operators/clustering.py centroid_stats):
+    exact-long quantized centroids, fixed-point member→centroid and
+    centroid→centroid cosines — "are these labels geometric
+    clusters" before a pipeline trusts them."""
+    from deepie_spark.operators.clustering import centroid_stats
+
+    return centroid_stats(_emb(spark, sf_dir))
+
+
+def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship (golden-record) materialization over the near-dup
+    clusters: per dedup_canonical cluster, the field-level survivors
+    an MDM/ER pipeline keeps — longest-text member (max(struct(len,
+    −doc_id)) argmax) and first-encounter source (min(struct(doc_id,
+    source)))— plus member counts.  Deterministic struct-argmax rules,
+    hash-exact; the oracle nests the recursive-closure cluster twin."""
+    cl = q_dedup_canonical(spark, sf_dir)
+    dd = _docs_dups(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("orig_id"), "source"
+    )
+    j = (
+        cl.join(dd, "doc_id")
+        .withColumn("orig_id", F.pmod(F.col("doc_id"), F.lit(1_000_000)))
+        .join(docs, "orig_id")
+    )
+    surv = F.max(
+        F.struct(
+            F.length("text").cast("long").alias("l"),
+            (-F.col("doc_id")).alias("nd"),
+        )
+    )
+    first_src = F.min(
+        F.struct(F.col("doc_id").alias("d"), F.col("source").alias("s"))
+    )
+    return j.groupBy("keep_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        surv["l"].alias("survivor_len"),
+        (-surv["nd"]).cast("long").alias("survivor_doc"),
+        first_src["s"].alias("first_source"),
+    )
+
+
+def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for hash-bucketed A/B splits:
+    bucket each DISTINCT user by the portable poly hash mod 2 and
+    χ²-test the 50/50 design (Fabijan et al. 2019 — the first thing
+    to check before reading any experiment).  χ² = (n_a−n_b)²/n with
+    exact-long counts; the pass verdict is the cross-multiplied
+    integer test 1000·(n_a−n_b)² < 3841·n (χ²₀.₉₅,₁ = 3.841)."""
+    u = (
+        _events(spark, sf_dir)
+        .select(F.col("user_id").cast("string").alias("uid"))
+        .distinct()
+        .select(F.pmod(char_poly_hash(F.col("uid")), F.lit(2)).alias("b"))
+    )
+    g = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("b") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("b") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    diff = F.col("n_a") - F.col("n_b")
+    return g.select(
+        "n_users",
+        "n_a",
+        "n_b",
+        F.round((diff * diff) / F.col("n_users"), 6).alias("chi2"),
+        (
+            F.lit(1000) * diff * diff < F.lit(3841) * F.col("n_users")
+        ).alias("srm_pass"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -8671,6 +8770,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_weighted_jaccard": q_source_weighted_jaccard,
         "graph_degree_anonymity": q_graph_degree_anonymity,
         "embedding_kcenter": q_embedding_kcenter,
+        "join_card_audit": q_join_card_audit,
+        "embedding_centroids": q_embedding_centroids,
+        "golden_records": q_golden_records,
+        "ab_srm_check": q_ab_srm_check,
     }
 
 
@@ -16260,6 +16363,133 @@ def oracle_sql() -> dict[str, str]:
                CAST(k3.ets AS BIGINT) AS t_purchase,
                CAST(k3.ets - k0.ets AS BIGINT) AS latency_sec
         FROM s3
+    """
+    # golden_records twin: nests the dedup_canonical recursive
+    # closure, then the identical struct-argmax survivorship rules.
+    d["golden_records"] = f"""
+        WITH cl AS (
+          {d["dedup_canonical"]}
+        ),
+        {_DOCS_DUPS_SQL.strip()},
+        j AS (
+          SELECT cl.keep_id, dd.doc_id, dd.text,
+                 docs.source
+          FROM cl
+          JOIN docs_dups dd ON dd.doc_id = cl.doc_id
+          JOIN documents docs
+            ON docs.doc_id = dd.doc_id % 1000000)
+        SELECT keep_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST((max(struct_pack(l := CAST(length(text) AS BIGINT),
+                                     nd := -doc_id))).l AS BIGINT)
+                 AS survivor_len,
+               CAST(-(max(struct_pack(l := CAST(length(text) AS BIGINT),
+                                      nd := -doc_id))).nd AS BIGINT)
+                 AS survivor_doc,
+               (min(struct_pack(d := doc_id, s := source))).s
+                 AS first_source
+        FROM j GROUP BY 1
+    """
+    # ab_srm_check twin: identical poly-hash bucket + χ² arithmetic.
+    d["ab_srm_check"] = f"""
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        b AS (SELECT {_poly_hash_sql("CAST(user_id AS VARCHAR)")} % 2
+                       AS b
+              FROM u),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                     CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_a,
+                     CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_b
+              FROM b)
+        SELECT n_users, n_a, n_b,
+               round((n_a - n_b) * (n_a - n_b) / n_users, 6) AS chi2,
+               1000 * (n_a - n_b) * (n_a - n_b) < 3841 * n_users
+                 AS srm_pass
+        FROM g
+    """
+    # join_card_audit twin: identical System-R estimate arithmetic.
+    _JC_BLOCK = """
+        SELECT '{label}' AS pair,
+               (SELECT CAST(count(*) AS BIGINT) FROM {lt}) AS n_left,
+               (SELECT CAST(count(*) AS BIGINT) FROM {rt}) AS n_right,
+               (SELECT CAST(count(DISTINCT {lk}) AS BIGINT) FROM {lt})
+                 AS ndv_left,
+               (SELECT CAST(count(DISTINCT {rk}) AS BIGINT) FROM {rt})
+                 AS ndv_right,
+               CAST(((SELECT count(*) FROM {lt})
+                     * (SELECT count(*) FROM {rt}))
+                    // greatest(
+                        (SELECT count(DISTINCT {lk}) FROM {lt}),
+                        (SELECT count(DISTINCT {rk}) FROM {rt}))
+                 AS BIGINT) AS est_rows,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM {lt} l JOIN {rt} r ON l.{lk} = r.{rk})
+                 AS actual_rows,
+               round(CAST(((SELECT count(*) FROM {lt})
+                           * (SELECT count(*) FROM {rt}))
+                          // greatest(
+                              (SELECT count(DISTINCT {lk}) FROM {lt}),
+                              (SELECT count(DISTINCT {rk}) FROM {rt}))
+                       AS BIGINT)
+                     / (SELECT CAST(count(*) AS BIGINT)
+                        FROM {lt} l JOIN {rt} r
+                          ON l.{lk} = r.{rk}), 6) AS est_over_actual
+    """
+    d["join_card_audit"] = " UNION ALL ".join(
+        _JC_BLOCK.format(label=lbl, lt=lt, lk=lk, rt=rt, rk=rk)
+        for lbl, lt, lk, rt, rk in [
+            ("orders*customer", "orders", "o_custkey",
+             "customer", "c_custkey"),
+            ("lineitem*orders", "lineitem", "l_orderkey",
+             "orders", "o_orderkey"),
+        ]
+    )
+    # embedding_centroids twin: identical quantized centroid build
+    # and fixed-point cosine chains.
+    d["embedding_centroids"] = """
+        WITH e AS (
+          SELECT vec_id, label AS lbl,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        ex AS (SELECT lbl, i AS dim,
+                      CAST(floor(v[i + 1] * 1048576.0) AS BIGINT) AS q
+               FROM (SELECT lbl, v, unnest(range(len(v))) AS i FROM e)),
+        sums AS (SELECT lbl, dim, CAST(sum(q) AS BIGINT) AS s
+                 FROM ex GROUP BY 1, 2),
+        cent AS (SELECT lbl,
+                        list_transform(list(s ORDER BY dim),
+                                       x -> CAST(x AS DOUBLE)) AS c
+                 FROM sums GROUP BY 1),
+        intra AS (
+          SELECT e.lbl, CAST(count(*) AS BIGINT) AS n_vecs,
+                 CAST(sum(CAST(floor(
+                   list_dot_product(e.v, ct.c)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(ct.c, ct.c)))
+                   * 1099511627776.0) AS BIGINT)) AS BIGINT)
+                   AS intra_sum_fp
+          FROM e JOIN cent ct ON ct.lbl = e.lbl GROUP BY 1),
+        pairs AS (
+          SELECT a.lbl, b.lbl AS olbl,
+                 CAST(floor(
+                   list_dot_product(a.c, b.c)
+                   / (sqrt(list_dot_product(a.c, a.c))
+                      * sqrt(list_dot_product(b.c, b.c)))
+                   * 1099511627776.0) AS BIGINT) AS fp
+          FROM cent a JOIN cent b ON a.lbl != b.lbl),
+        sep AS (SELECT lbl,
+                       (min(struct_pack(nf := -fp, o := olbl))).o
+                         AS nn_label,
+                       CAST(-(min(struct_pack(nf := -fp, o := olbl))).nf
+                         AS BIGINT) AS nn_cos_fp
+                FROM pairs GROUP BY 1)
+        SELECT intra.lbl AS label, n_vecs, intra_sum_fp,
+               round(intra_sum_fp / n_vecs / 1099511627776.0, 6)
+                 AS cohesion,
+               nn_label, nn_cos_fp,
+               round(nn_cos_fp / 1099511627776.0, 6) AS separation
+        FROM intra JOIN sep ON sep.lbl = intra.lbl
     """
     # source_weighted_jaccard twin: same tokenizer, same Σmin inner
     # join and the Σmax = tot_a + tot_b − Σmin identity.

@@ -640,3 +640,101 @@ def kcenter_sample(
     return selected.select(
         "sel_round", F.col("id").alias(id_col), "d_fp"
     )
+
+
+def centroid_stats(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale_bits: int = 20,
+    cos_bits: int = 40,
+) -> DataFrame:
+    """Per-label embedding cohesion/separation audit (the
+    Davies-Bouldin-flavored read on a LABELED table): each label's
+    centroid, the mean member→centroid cosine (cohesion) and the
+    nearest OTHER centroid with its cosine (separation) — the "are
+    these labels actually geometric clusters" check a fine-tune or
+    dedup pipeline runs before trusting the label column.
+
+    Portability: centroids are EXACT-LONG per-dimension sums of
+    floor(2^scale_bits·x_i) (order-free), rebuilt into index-ordered
+    arrays via sort_array(collect_list(struct(dim, q))); all cosines
+    then ride the established fixed-point rule (dot folds in element
+    order — the list_dot_product parity every emb_* gate relies on),
+    so every output value is an exact long or one rounded IEEE ratio.
+
+    Plan: one posexplode + (label, dim) hash agg (d·n rows — at 100 TB
+    this is the standard Gram-style pass), one bounded |labels|-sized
+    centroid table broadcast back for the cohesion agg, one
+    |labels|² centroid cross for separation."""
+    base = df.select(
+        F.col(label_col).alias("lbl"), _as_double(F.col(vec_col)).alias("v")
+    )
+    q = F.floor(F.col("x") * F.lit(float(1 << scale_bits))).cast("long")
+    sums = (
+        base.select("lbl", F.posexplode("v").alias("dim", "x"))
+        .select("lbl", "dim", q.alias("q"))
+        .groupBy("lbl", "dim")
+        .agg(F.sum("q").cast("long").alias("s"))
+    )
+    cent = sums.groupBy("lbl").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("dim"), F.col("s")))
+            ),
+            lambda st: st["s"].cast("double"),
+        ).alias("c")
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q2: p * q2),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    def cos_fp(x, y):
+        c = dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))
+        return F.floor(c * F.lit(float(1 << cos_bits))).cast("long")
+
+    intra = (
+        base.join(cent, "lbl")
+        .select("lbl", cos_fp(F.col("v"), F.col("c")).alias("fp"))
+        .groupBy("lbl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("fp").cast("long").alias("intra_sum_fp"),
+        )
+    )
+    a = cent.select(F.col("lbl"), F.col("c"))
+    b = cent.select(F.col("lbl").alias("olbl"), F.col("c").alias("oc"))
+    sep = (
+        a.join(b, F.col("lbl") != F.col("olbl"))
+        .select(
+            "lbl",
+            "olbl",
+            cos_fp(F.col("c"), F.col("oc")).alias("fp"),
+        )
+        .groupBy("lbl")
+        .agg(
+            F.min(
+                F.struct((-F.col("fp")).alias("nf"), F.col("olbl").alias("o"))
+            ).alias("s")
+        )
+        .select(
+            "lbl",
+            F.col("s")["o"].alias("nn_label"),
+            (-F.col("s")["nf"]).cast("long").alias("nn_cos_fp"),
+        )
+    )
+    sc = float(1 << cos_bits)
+    return intra.join(sep, "lbl").select(
+        F.col("lbl").alias(label_col),
+        "n_vecs",
+        "intra_sum_fp",
+        F.round(F.col("intra_sum_fp") / F.col("n_vecs") / F.lit(sc), 6)
+        .alias("cohesion"),
+        "nn_label",
+        "nn_cos_fp",
+        F.round(F.col("nn_cos_fp") / F.lit(sc), 6).alias("separation"),
+    )

@@ -466,3 +466,24 @@ def test_kcenter_farthest_first_geometry(spark):
         pick = max(sorted(cands), key=lambda c: (dmin[c], -c))
         assert rows[r].vec_id == pick and rows[r].d_fp == dmin[pick]
         sel.append(pick)
+
+
+def test_centroid_stats_separable_labels(spark):
+    """Two orthogonal label groups: cohesion near 1, separation near
+    0, nearest-neighbor labels point at each other."""
+    from deepie_spark.operators.clustering import centroid_stats
+
+    rows = [
+        (1, "a", [1.0, 0.02, 0.0]),
+        (2, "a", [0.98, 0.0, 0.01]),
+        (3, "b", [0.0, 1.0, 0.01]),
+        (4, "b", [0.01, 0.97, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+    got = {r.label: r for r in centroid_stats(df).collect()}
+    assert got["a"].n_vecs == 2 and got["b"].n_vecs == 2
+    assert got["a"].cohesion > 0.99 and got["b"].cohesion > 0.99
+    assert got["a"].separation < 0.1 and got["b"].separation < 0.1
+    assert got["a"].nn_label == "b" and got["b"].nn_label == "a"

@@ -605,3 +605,25 @@ def test_cdc_dup_pairs_find_planted_duplicates(spark):
     assert any(ca >= 0.5 or cb >= 0.5 for ca, cb in planted.values())
     for r in rows:
         assert 0 < r.shared <= min(r.n_a, r.n_b)
+
+
+def test_golden_records_survivorship(spark):
+    """Every cluster's survivor is its longest member (tie -> lowest
+    doc_id) and first_source follows the min-doc member."""
+    import __spark_entry__ as entry
+
+    rows = {r.keep_id: r for r in entry.q_golden_records(
+        spark, "/root/testdata/sf0.001").collect()}
+    assert rows, "planted dups must cluster"
+    dd = {r.doc_id: r.text for r in entry._docs_dups(
+        spark, "/root/testdata/sf0.001").collect()}
+    cl = entry.q_dedup_canonical(spark, "/root/testdata/sf0.001")
+    members = {}
+    for r in cl.collect():
+        members.setdefault(r.keep_id, []).append(r.doc_id)
+    for kid, g in rows.items():
+        ms = members[kid]
+        assert g.n_members == len(ms)
+        best = max(ms, key=lambda d: (len(dd[d]), -d))
+        assert g.survivor_doc == best
+        assert g.survivor_len == len(dd[best])

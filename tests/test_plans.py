@@ -734,3 +734,16 @@ def test_cdc_chunks_is_map_only(spark, sf_dir):
     plan = executed(entry.q_cdc_chunks(spark, sf_dir))
     assert "Exchange" not in plan
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_join_cardinality_audit_hand(spark):
+    """Uniform-key toy join where the System-R estimate is exact."""
+    from deepie_spark.plans.cardinality import join_cardinality_audit
+
+    left = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+    right = spark.createDataFrame([(1,), (2,), (2,), (3,)], "j long")
+    r = join_cardinality_audit(left, right, "k", "j", "toy").collect()[0]
+    assert (r.n_left, r.n_right, r.ndv_left, r.ndv_right) == (3, 4, 2, 3)
+    assert r.est_rows == (3 * 4) // 3
+    assert r.actual_rows == 2 * 1 + 1 * 2  # key1: 2x1, key2: 1x2
+    assert r.est_over_actual == round(r.est_rows / r.actual_rows, 6)

@@ -1364,3 +1364,14 @@ def test_postings_compression_hand(spark):
     assert got["b"].varint_bytes == 1 + 2 + 3
     assert got["c"].varint_bytes == 3
     assert got["a"].compression_ratio == round(4 / 32, 6)
+
+
+def test_ab_srm_check_columns_and_verdict(spark):
+    """Bucket counts add up; the integer verdict matches the chi2."""
+    import __spark_entry__ as entry
+
+    r = entry.q_ab_srm_check(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.n_a + r.n_b == r.n_users
+    d = r.n_a - r.n_b
+    assert r.chi2 == round(d * d / r.n_users, 6)
+    assert r.srm_pass == (1000 * d * d < 3841 * r.n_users)
