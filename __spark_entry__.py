@@ -7017,20 +7017,6 @@ def q_user_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_entity_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two truncated SimRank iterations over the rule-triple graph
-    (operators/graph.py simrank_pairs) — structural similarity beside
-    link_prediction's local indices, in PURE INTEGER arithmetic
-    (integer DIV throughout, no IEEE ops): every score an exact long
-    with unit 2^30, decay C = 4/5."""
-    from deepie_spark.operators.graph import simrank_pairs
-
-    t = q_triples_rules(spark, sf_dir).select(
-        F.col("subj").alias("src"), F.col("obj").alias("dst")
-    )
-    return simrank_pairs(t, max_degree=1000)
-
-
 def q_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soundex-style phonetic keys over the combined document ∪
     part-name vocabulary (functions/text.py soundex_key — pure
@@ -8757,7 +8743,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_salsa": q_host_salsa,
         "user_sessions_batch": q_user_sessions_batch,
         "funnel_ordered": q_funnel_ordered,
-        "entity_simrank": q_entity_simrank,
         "kn_bigram_probs": q_kn_bigram_probs,
         "neyman_allocation": q_neyman_allocation,
         "event_type_corr": q_event_type_corr,
@@ -14732,50 +14717,6 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, n_events, decay_fp,
                round(decay_fp / 1048576.0, 6) AS decay_score
         FROM s ORDER BY user_id
-    """
-    # entity_simrank twin: same und edge CTE as link_prediction, the
-    # identical pure-integer DIV chains (mul = 2^30·4, decay 4/5).
-    d["entity_simrank"] = f"""
-        WITH {_MENTIONS_SQL.strip()},
-        {_TRIPLE_EDGES_SQL.strip()},
-        nb AS (SELECT a AS node, b AS nbr FROM und
-               UNION ALL SELECT b, a FROM und),
-        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
-                FROM nb GROUP BY 1),
-        ctr AS (SELECT nb.nbr AS z, nb.node AS m
-                FROM nb JOIN deg d ON d.node = nb.nbr
-                WHERE d.deg <= 1000),
-        com AS (SELECT x.m AS ent_a, y.m AS ent_b,
-                       CAST(count(*) AS BIGINT) AS common
-                FROM ctr x JOIN ctr y ON x.z = y.z AND x.m < y.m
-                GROUP BY 1, 2),
-        s1 AS (SELECT com.ent_a, com.ent_b, common,
-                      d1.deg AS da, d2.deg AS db,
-                      CAST((common * 4294967296)
-                           // (5 * d1.deg * d2.deg) AS BIGINT) AS s1_fp
-               FROM com JOIN deg d1 ON d1.node = com.ent_a
-                        JOIN deg d2 ON d2.node = com.ent_b),
-        cap AS (SELECT * FROM s1 WHERE da <= 1000 AND db <= 1000),
-        ex AS (SELECT c.ent_a, c.ent_b, na.nbr AS u, nv.nbr AS v
-               FROM cap c JOIN nb na ON na.node = c.ent_a
-                          JOIN nb nv ON nv.node = c.ent_b),
-        jj AS (SELECT e.ent_a, e.ent_b,
-                      CASE WHEN e.u = e.v
-                        THEN CAST(1073741824 AS BIGINT)
-                        ELSE CAST(coalesce(l.s1_fp, 0) AS BIGINT)
-                      END AS val
-               FROM ex e LEFT JOIN s1 l
-                 ON l.ent_a = least(e.u, e.v)
-                AND l.ent_b = greatest(e.u, e.v)),
-        ss AS (SELECT ent_a, ent_b, CAST(sum(val) AS BIGINT) AS s_sum
-               FROM jj GROUP BY 1, 2)
-        SELECT c.ent_a, c.ent_b, common, s1_fp,
-               CAST((coalesce(s_sum, 0) * 4) // (5 * da * db)
-                 AS BIGINT) AS s2_fp,
-               round(CAST((coalesce(s_sum, 0) * 4) // (5 * da * db)
-                       AS BIGINT) / 1073741824.0, 6) AS simrank2
-        FROM cap c LEFT JOIN ss USING (ent_a, ent_b)
-        ORDER BY ent_a, ent_b
     """
     # phonetic_blocking twin: the identical soundex-like pipeline in
     # DuckDB list ops (indexed list_filter — RE2 has no backrefs).

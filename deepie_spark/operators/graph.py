@@ -2556,141 +2556,6 @@ def pagerank_weighted(
     return pr.select("node", F.round("pr", 6).alias("pagerank"))
 
 
-def simrank_pairs(
-    edges: DataFrame,
-    src: str = "src",
-    dst: str = "dst",
-    c_num: int = 4,
-    c_den: int = 5,
-    scale_bits: int = 30,
-    max_degree: int | None = 1000,
-) -> DataFrame:
-    """Two truncated SimRank iterations (Jeh & Widom, KDD'02) over the
-    undirected graph, in PURE INTEGER arithmetic — "two nodes are
-    similar if their neighbors are similar", the structural-identity
-    complement of link_prediction's local indices.
-
-    With decay C = c_num/c_den (default 4/5 = 0.8) and unit scale
-    2^scale_bits, every score is an exact long via integer DIV (no
-    IEEE ops at all — stronger than the fixed-point-floor family):
-
-    - s1_fp(a,b) = (2^bits·c_num·common) div (c_den·d_a·d_b)
-      — iteration 1 from s_0 = identity: only the |N(a)∩N(b)|
-      diagonal terms survive;
-    - s2_fp(a,b) = (c_num·S) div (c_den·d_a·d_b) with
-      S = Σ_{u∈N(a), v∈N(b)} s1'(u,v), where s1'(u,u) = 2^bits
-      (the scaled identity) and s1'(u,v) = s1_fp(min,max) or 0.
-
-    Output is restricted to the s1 SUPPORT (pairs with ≥1 common
-    neighbor, a < b) — the standard candidate truncation; s2 mass
-    flowing to pairs outside it is not materialized.  DIV truncation
-    compounds (s2 consumes floored s1 values), identically on both
-    engines.
-
-    Scale plan: the wedge stage is hub-guarded by ``max_degree`` on
-    the center (the link_prediction rule, degrees keep full counts)
-    and the Θ(d_a·d_b)-per-pair expansion stage additionally requires
-    BOTH endpoints under the cap.  Overflow: S ≤ d_a·d_b·2^bits —
-    with the default cap, ≤ 2^50; c_num·S stays inside int64.
-    """
-    e = _canonical_edges(edges, src, dst).localCheckpoint()
-    und = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
-    nb = und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
-    deg = nb.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-    ctr = nb.select(F.col("nbr").alias("z"), F.col("node").alias("m"))
-    if max_degree is not None:
-        zdeg = deg.select(F.col("node").alias("z"), "deg").filter(
-            F.col("deg") <= max_degree
-        )
-        ctr = ctr.join(zdeg.select("z"), "z")
-    common = (
-        ctr.select("z", F.col("m").alias("ent_a"))
-        .join(ctr.select("z", F.col("m").alias("ent_b")), "z")
-        .filter(F.col("ent_a") < F.col("ent_b"))
-        .groupBy("ent_a", "ent_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("common"))
-    )
-    da = deg.select(F.col("node").alias("ent_a"), F.col("deg").alias("da"))
-    db = deg.select(F.col("node").alias("ent_b"), F.col("deg").alias("db"))
-    mul = (1 << scale_bits) * c_num
-    s1 = (
-        common.join(da, "ent_a")
-        .join(db, "ent_b")
-        .select(
-            "ent_a",
-            "ent_b",
-            "common",
-            "da",
-            "db",
-            F.expr(f"(common * {mul}) div ({c_den} * da * db)")
-            .cast("long")
-            .alias("s1_fp"),
-        )
-        .localCheckpoint()
-    )
-    cap = s1
-    if max_degree is not None:
-        cap = s1.filter(
-            (F.col("da") <= max_degree) & (F.col("db") <= max_degree)
-        )
-    exp = (
-        cap.select("ent_a", "ent_b")
-        .join(
-            nb.select(F.col("node").alias("ent_a"), F.col("nbr").alias("u")),
-            "ent_a",
-        )
-        .join(
-            nb.select(F.col("node").alias("ent_b"), F.col("nbr").alias("v")),
-            "ent_b",
-        )
-    )
-    lut = s1.select(
-        F.col("ent_a").alias("lu"),
-        F.col("ent_b").alias("lv"),
-        F.col("s1_fp").alias("s1_uv"),
-    )
-    ident = 1 << scale_bits
-    joined = exp.join(
-        lut,
-        (F.least("u", "v") == F.col("lu"))
-        & (F.greatest("u", "v") == F.col("lv")),
-        "left",
-    ).select(
-        "ent_a",
-        "ent_b",
-        F.when(F.col("u") == F.col("v"), F.lit(ident))
-        .otherwise(F.coalesce(F.col("s1_uv"), F.lit(0)))
-        .cast("long")
-        .alias("val"),
-    )
-    s_sum = joined.groupBy("ent_a", "ent_b").agg(
-        F.sum("val").cast("long").alias("s_sum")
-    )
-    out = cap.join(s_sum, ["ent_a", "ent_b"], "left").select(
-        "ent_a",
-        "ent_b",
-        "common",
-        "s1_fp",
-        F.expr(
-            f"(coalesce(s_sum, 0) * {c_num}) div ({c_den} * da * db)"
-        )
-        .cast("long")
-        .alias("s2_fp"),
-    )
-    return out.select(
-        "ent_a",
-        "ent_b",
-        "common",
-        "s1_fp",
-        "s2_fp",
-        F.round(F.col("s2_fp") / F.lit(float(1 << scale_bits)), 6).alias(
-            "simrank2"
-        ),
-    ).orderBy("ent_a", "ent_b")
-
-
 def hop_histogram(
     edges: DataFrame,
     max_hops: int = 8,
