@@ -8433,6 +8433,129 @@ def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the event-value metric (operators/
+    stats.py cuped_adjustment — Deng et al., WSDM'13): per-user
+    pre/post dollar sums split at the exact integer midpoint of the
+    event-time range, θ = cov/var and the ρ² CI-shrink factor from
+    exact long moments."""
+    from deepie_spark.operators.stats import cuped_adjustment
+
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("ep"),
+        F.floor(F.col("value")).cast("long").alias("dollars"),
+    )
+    b = e.agg(F.expr("(min(ep) + max(ep)) div 2").alias("bnd"))
+    per = (
+        e.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ep") < F.col("bnd"), F.col("dollars"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("pre"),
+            F.sum(
+                F.when(F.col("ep") >= F.col("bnd"), F.col("dollars"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("post"),
+        )
+    )
+    return cuped_adjustment(per, "pre", "post")
+
+
+def q_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-experiment sizing readout for the hash-bucketed A/B design
+    (operators/stats.py pooled_mde): minimum detectable effect at
+    two-sided α=0.05 / power 0.80 over per-user dollar totals in the
+    ab_srm_check buckets — exact-moment pooled variance, repr-shared
+    z constants, one fixed IEEE chain."""
+    from deepie_spark.operators.stats import pooled_mde
+
+    per = (
+        _events(spark, sf_dir)
+        .select(
+            F.col("user_id").cast("string").alias("uid"),
+            F.floor(F.col("value")).cast("long").alias("dollars"),
+        )
+        .groupBy("uid")
+        .agg(F.sum("dollars").cast("long").alias("dollars"))
+        .select(
+            F.pmod(char_poly_hash(F.col("uid")), F.lit(2)).alias("b"),
+            "dollars",
+        )
+    )
+    return pooled_mde(per, "b", "dollars", 0, 1)
+
+
+def q_er_pairwise_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise precision/recall/F1 of the dedup_canonical clustering
+    against the PLANTED duplicate truth (orig_id groups of the
+    docs_dups corpus) — the standard entity-resolution output eval
+    (Menestrina et al., 2010) beside blocking_quality's candidate-
+    stage scorecard.  All pair counts are DOUBLED exact longs
+    Σ c·(c−1); P = tp/pred and R = tp/true cancel the factor, and
+    F1 = 2·tp / (pred + true) directly."""
+    cl = q_dedup_canonical(spark, sf_dir)
+    truth = _docs_dups(spark, sf_dir).select(
+        "doc_id", F.pmod(F.col("doc_id"), F.lit(1_000_000)).alias("orig")
+    )
+    pair2 = lambda c: F.sum(F.col("n") * (F.col("n") - 1)).cast("long")
+    tp = (
+        cl.join(truth, "doc_id")
+        .groupBy("keep_id", "orig")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(pair2("n").alias("tp_pairs2"))
+    )
+    pred = (
+        cl.groupBy("keep_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(pair2("n").alias("pred_pairs2"))
+    )
+    true_ = (
+        truth.groupBy("orig")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(pair2("n").alias("true_pairs2"))
+    )
+    return (
+        tp.crossJoin(pred)
+        .crossJoin(true_)
+        .select(
+            "tp_pairs2",
+            "pred_pairs2",
+            "true_pairs2",
+            F.round(F.col("tp_pairs2") / F.col("pred_pairs2"), 6).alias(
+                "pair_precision"
+            ),
+            F.round(F.col("tp_pairs2") / F.col("true_pairs2"), 6).alias(
+                "pair_recall"
+            ),
+            F.round(
+                (F.lit(2) * F.col("tp_pairs2"))
+                / (F.col("pred_pairs2") + F.col("true_pairs2")),
+                6,
+            ).alias("pair_f1"),
+        )
+    )
+
+
+def q_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut quality of each LPA community (operators/graph.py
+    conductance — φ(S) = cut/min(vol, 2m−vol), Kannan-Vempala-Vetta):
+    the per-community separation audit beside community_modularity's
+    global Q, exact-long cut/volume counters and one IEEE divide."""
+    from deepie_spark.operators.graph import conductance
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return conductance(t, q_entity_communities(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -8759,6 +8882,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "golden_records": q_golden_records,
         "ab_srm_check": q_ab_srm_check,
+        "value_cuped": q_value_cuped,
+        "ab_power": q_ab_power,
+        "er_pairwise_prf": q_er_pairwise_prf,
+        "community_conductance": q_community_conductance,
     }
 
 
@@ -16431,6 +16558,148 @@ def oracle_sql() -> dict[str, str]:
                nn_label, nn_cos_fp,
                round(nn_cos_fp / 1099511627776.0, 6) AS separation
         FROM intra JOIN sep ON sep.lbl = intra.lbl
+    """
+    # value_cuped twin: identical midpoint split, exact long moments
+    # and the (cov/varx)·(cov/vary) chain (never cov² — overflow).
+    d["value_cuped"] = """
+        WITH e AS (SELECT user_id,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+                          CAST(floor(value) AS BIGINT) AS dollars
+                   FROM events),
+        b AS (SELECT (min(ep) + max(ep)) // 2 AS bnd FROM e),
+        per AS (SELECT user_id,
+                       CAST(sum(CASE WHEN ep < bnd THEN dollars
+                                     ELSE 0 END) AS BIGINT) AS pre,
+                       CAST(sum(CASE WHEN ep >= bnd THEN dollars
+                                     ELSE 0 END) AS BIGINT) AS post
+                FROM e CROSS JOIN b GROUP BY 1),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+                       CAST(sum(pre) AS BIGINT) AS sx,
+                       CAST(sum(post) AS BIGINT) AS sy,
+                       CAST(sum(pre * pre) AS BIGINT) AS sxx,
+                       CAST(sum(post * post) AS BIGINT) AS syy,
+                       CAST(sum(pre * post) AS BIGINT) AS sxy
+                FROM per)
+        SELECT n_units, sx, sy, sxx, syy, sxy,
+               CASE WHEN n_units > 1
+                     AND n_units * sxx - sx * sx > 0
+                 THEN round((n_units * sxy - sx * sy)
+                            / (n_units * sxx - sx * sx), 6) END
+                 AS theta,
+               CASE WHEN n_units > 1
+                     AND n_units * sxx - sx * sx > 0
+                     AND n_units * syy - sy * sy > 0
+                 THEN round(((n_units * sxy - sx * sy)
+                             / (n_units * sxx - sx * sx))
+                            * ((n_units * sxy - sx * sy)
+                               / (n_units * syy - sy * sy)), 6) END
+                 AS var_reduction
+        FROM agg
+    """
+    # ab_power twin: the srm bucket rule + the identical pooled-s²
+    # and MDE IEEE chains; z constants shared via Python repr.
+    _ZSUM = repr(1.959963984540054 + 0.8416212335729143)
+    d["ab_power"] = f"""
+        WITH per AS (SELECT CAST(user_id AS VARCHAR) AS uid,
+                            CAST(sum(CAST(floor(value) AS BIGINT))
+                              AS BIGINT) AS dollars
+                     FROM events GROUP BY 1),
+        bk AS (SELECT {_poly_hash_sql("uid")} % 2 AS b, dollars
+               FROM per),
+        agg AS (SELECT
+                  CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+                  CAST(sum(CASE WHEN b = 0 THEN dollars ELSE 0 END)
+                    AS BIGINT) AS sx_a,
+                  CAST(sum(CASE WHEN b = 0 THEN dollars * dollars
+                                ELSE 0 END) AS BIGINT) AS sxx_a,
+                  CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b,
+                  CAST(sum(CASE WHEN b = 1 THEN dollars ELSE 0 END)
+                    AS BIGINT) AS sx_b,
+                  CAST(sum(CASE WHEN b = 1 THEN dollars * dollars
+                                ELSE 0 END) AS BIGINT) AS sxx_b
+                FROM bk),
+        s AS (SELECT *,
+                     ((n_a * sxx_a - sx_a * sx_a) / n_a
+                      + (n_b * sxx_b - sx_b * sx_b) / n_b)
+                     / (n_a + n_b - 2) AS s2
+              FROM agg)
+        SELECT n_a, n_b,
+               round(sx_a / n_a, 6) AS mean_a,
+               round(sx_b / n_b, 6) AS mean_b,
+               CASE WHEN n_a > 1 AND n_b > 1
+                 THEN round(s2, 6) END AS s2_pooled,
+               CASE WHEN n_a > 1 AND n_b > 1
+                 THEN round({_ZSUM}
+                            * sqrt(s2 * (1.0 / n_a + 1.0 / n_b)), 6)
+                 END AS mde_abs,
+               CASE WHEN n_a > 1 AND n_b > 1
+                 THEN round({_ZSUM}
+                            * sqrt(s2 * (1.0 / n_a + 1.0 / n_b))
+                            / ((sx_a + sx_b) / (n_a + n_b)), 6)
+                 END AS mde_rel
+        FROM s
+    """
+    # er_pairwise_prf twin: nests the dedup_canonical recursive
+    # closure; all pair counts doubled exact longs.
+    d["er_pairwise_prf"] = f"""
+        WITH cl AS (
+          {d["dedup_canonical"]}
+        ),
+        {_DOCS_DUPS_SQL.strip()},
+        truth AS (SELECT doc_id, doc_id % 1000000 AS orig
+                  FROM docs_dups),
+        tp AS (SELECT CAST(sum(n * (n - 1)) AS BIGINT) AS tp_pairs2
+               FROM (SELECT count(*) AS n
+                     FROM cl JOIN truth USING (doc_id)
+                     GROUP BY keep_id, orig)),
+        pr AS (SELECT CAST(sum(n * (n - 1)) AS BIGINT) AS pred_pairs2
+               FROM (SELECT count(*) AS n FROM cl GROUP BY keep_id)),
+        tr AS (SELECT CAST(sum(n * (n - 1)) AS BIGINT) AS true_pairs2
+               FROM (SELECT count(*) AS n FROM truth GROUP BY orig))
+        SELECT tp_pairs2, pred_pairs2, true_pairs2,
+               round(tp_pairs2 / pred_pairs2, 6) AS pair_precision,
+               round(tp_pairs2 / true_pairs2, 6) AS pair_recall,
+               round((2 * tp_pairs2) / (pred_pairs2 + true_pairs2), 6)
+                 AS pair_f1
+        FROM tp CROSS JOIN pr CROSS JOIN tr
+    """
+    # community_conductance twin: nests the unrolled-LPA label oracle
+    # (the community_modularity pattern), exact cut/vol integers.
+    d["community_conductance"] = f"""
+        WITH lab AS (
+          {d["entity_communities"]}
+        ),
+        {_MENTIONS_SQL.strip()},
+        {_TRIPLE_EDGES_SQL.strip()},
+        m1 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+        le AS (SELECT la.community AS ca, lb.community AS cb
+               FROM und
+               JOIN lab la ON la.entity = und.a
+               JOIN lab lb ON lb.entity = und.b),
+        cut AS (SELECT c, CAST(count(*) AS BIGINT) AS cut FROM (
+                  SELECT ca AS c FROM le WHERE ca != cb
+                  UNION ALL
+                  SELECT cb AS c FROM le WHERE ca != cb)
+                GROUP BY 1),
+        nb AS (SELECT a AS node FROM und
+               UNION ALL SELECT b FROM und),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                FROM nb GROUP BY 1),
+        vol AS (SELECT l.community AS c,
+                       CAST(sum(deg) AS BIGINT) AS vol,
+                       CAST(count(*) AS BIGINT) AS n_nodes
+                FROM deg JOIN lab l ON l.entity = deg.node
+                GROUP BY 1)
+        SELECT vol.c AS community, n_nodes, vol,
+               CAST(coalesce(cut.cut, 0) AS BIGINT) AS cut,
+               CAST(least(vol, 2 * m1.m - vol) AS BIGINT) AS phi_den,
+               CASE WHEN least(vol, 2 * m1.m - vol) > 0
+                 THEN round(coalesce(cut.cut, 0)
+                            / least(vol, 2 * m1.m - vol), 6) END
+                 AS conductance
+        FROM vol LEFT JOIN cut ON cut.c = vol.c CROSS JOIN m1
     """
     # source_weighted_jaccard twin: same tokenizer, same Σmin inner
     # join and the Σmax = tot_a + tot_b − Σmin identity.

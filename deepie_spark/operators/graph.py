@@ -3094,3 +3094,78 @@ def degree_anonymity(
             "violation_share"
         ),
     )
+
+
+def conductance(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "entity",
+    label_col: str = "community",
+) -> DataFrame:
+    """Per-community conductance φ(S) = cut(S) / min(vol(S), 2m−vol(S))
+    over the undirected distinct edge set — the cut-quality companion
+    to Newman modularity (Kannan, Vempala & Vetta 2004): low φ means
+    the community is separated from the rest of the graph, high φ
+    flags a label blob the partition should not have produced.
+
+    EXACT integers throughout: vol(S) = Σ_v∈S deg(v), cut(S) = number
+    of edges with exactly one endpoint in S (each boundary edge counts
+    toward BOTH its communities), m = |edges|; φ is the single final
+    IEEE divide, NULL for a community whose denominator is 0 (a
+    partition with one community owning all volume).
+
+    Plan: one degree agg, two label join-backs keyed on the node, two
+    community-keyed aggs and a 1-row broadcast of m — the modularity
+    plan shape, no window, no driver collect.
+    """
+    e = _canonical_edges(edges, src, dst).localCheckpoint()
+    lab = labels.select(
+        F.col(node_col).alias("node"), F.col(label_col).alias("c")
+    )
+    m1 = e.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    la = lab.select(F.col("node").alias("a"), F.col("c").alias("ca"))
+    lb = lab.select(F.col("node").alias("b"), F.col("c").alias("cb"))
+    lbl_edges = e.join(la, "a").join(lb, "b")
+    cut = (
+        lbl_edges.filter(F.col("ca") != F.col("cb"))
+        .select(F.col("ca").alias("c"))
+        .unionByName(
+            lbl_edges.filter(F.col("ca") != F.col("cb")).select(
+                F.col("cb").alias("c")
+            )
+        )
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("cut"))
+    )
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    vol = (
+        deg.join(lab.withColumnRenamed("node", "a"), "a")
+        .groupBy("c")
+        .agg(
+            F.sum("deg").cast("long").alias("vol"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        )
+    )
+    den = F.least(F.col("vol"), F.lit(2) * F.col("m") - F.col("vol"))
+    return (
+        vol.join(cut, "c", "left")
+        .crossJoin(F.broadcast(m1))
+        .select(
+            F.col("c").alias("community"),
+            "n_nodes",
+            "vol",
+            F.coalesce(F.col("cut"), F.lit(0)).cast("long").alias("cut"),
+            den.cast("long").alias("phi_den"),
+            F.when(
+                den > 0,
+                F.round(
+                    F.coalesce(F.col("cut"), F.lit(0)) / den, 6
+                ),
+            ).alias("conductance"),
+        )
+    )

@@ -627,3 +627,32 @@ def test_golden_records_survivorship(spark):
         best = max(ms, key=lambda d: (len(dd[d]), -d))
         assert g.survivor_doc == best
         assert g.survivor_len == len(dd[best])
+
+
+def test_er_pairwise_prf_vs_bruteforce(spark):
+    """Doubled pair counts equal itertools-combinations counts over
+    the actual cluster and truth assignments at sf0.001."""
+    from itertools import combinations
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    r = entry.q_er_pairwise_prf(spark, sf).collect()[0]
+    pred = {}
+    for row in entry.q_dedup_canonical(spark, sf).collect():
+        pred.setdefault(row.keep_id, set()).add(row.doc_id)
+    truth = {}
+    for row in entry._docs_dups(spark, sf).select("doc_id").collect():
+        truth.setdefault(row.doc_id % 1_000_000, set()).add(row.doc_id)
+    pred_pairs = {
+        p for g in pred.values() for p in combinations(sorted(g), 2)
+    }
+    true_pairs = {
+        p for g in truth.values() for p in combinations(sorted(g), 2)
+    }
+    assert r.pred_pairs2 == 2 * len(pred_pairs)
+    assert r.true_pairs2 == 2 * len(true_pairs)
+    assert r.tp_pairs2 == 2 * len(pred_pairs & true_pairs)
+    assert r.pair_f1 == round(
+        2 * r.tp_pairs2 / (r.pred_pairs2 + r.true_pairs2), 6
+    )

@@ -2089,3 +2089,37 @@ def test_degree_anonymity_hand(spark):
     assert got[1].class_n == 5 and got[1].is_k_anonymous
     assert got[1].n_below_k == 1
     assert got[1].violation_share == round(1 / 6, 6)
+
+
+def test_conductance_barbell(spark):
+    """Two triangles joined by one bridge edge: each community has
+    cut 1, vol 7, phi = 1/7 (m = 7, 2m - vol = 7)."""
+    from deepie_spark.operators.graph import conductance
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    labels = spark.createDataFrame(
+        [(n, n // 4) for n in range(1, 7)], "entity long, community long"
+    )
+    got = {r.community: r for r in conductance(edges, labels).collect()}
+    assert set(got) == {0, 1}
+    for c in (0, 1):
+        assert got[c].n_nodes == 3
+        assert got[c].vol == 7
+        assert got[c].cut == 1
+        assert got[c].phi_den == 7
+        assert got[c].conductance == round(1 / 7, 6)
+
+
+def test_conductance_single_community_null(spark):
+    """One community owning all volume: phi_den = 0 -> NULL phi."""
+    from deepie_spark.operators.graph import conductance
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    labels = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9)], "entity long, community long"
+    )
+    r = conductance(edges, labels).collect()[0]
+    assert r.cut == 0 and r.phi_den == 0 and r.conductance is None

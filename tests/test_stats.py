@@ -1375,3 +1375,58 @@ def test_ab_srm_check_columns_and_verdict(spark):
     d = r.n_a - r.n_b
     assert r.chi2 == round(d * d / r.n_users, 6)
     assert r.srm_pass == (1000 * d * d < 3841 * r.n_users)
+
+
+def test_cuped_hand_vs_python(spark):
+    """theta/rho2 match a direct covariance computation."""
+    from deepie_spark.operators.stats import cuped_adjustment
+
+    rows = [(1, 10, 12), (2, 20, 18), (3, 30, 33), (4, 40, 41)]
+    df = spark.createDataFrame(rows, "u long, pre long, post long")
+    r = cuped_adjustment(df, "pre", "post").collect()[0]
+    n = len(rows)
+    xs = [p for _, p, _ in rows]
+    ys = [q for _, _, q in rows]
+    cov = n * sum(x * y for _, x, y in rows) - sum(xs) * sum(ys)
+    vx = n * sum(x * x for x in xs) - sum(xs) ** 2
+    vy = n * sum(y * y for y in ys) - sum(ys) ** 2
+    assert r.n_units == n and r.sx == sum(xs) and r.sy == sum(ys)
+    assert r.theta == round(cov / vx, 6)
+    assert r.var_reduction == round((cov / vx) * (cov / vy), 6)
+    assert 0.9 < r.var_reduction <= 1.0  # strongly correlated toy
+
+
+def test_cuped_degenerate_pre_variance(spark):
+    """Constant pre-covariate yields NULL theta, not a crash."""
+    from deepie_spark.operators.stats import cuped_adjustment
+
+    df = spark.createDataFrame(
+        [(1, 5, 10), (2, 5, 20)], "u long, pre long, post long"
+    )
+    r = cuped_adjustment(df, "pre", "post").collect()[0]
+    assert r.theta is None and r.var_reduction is None
+
+
+def test_pooled_mde_hand(spark):
+    """MDE matches the textbook formula on a toy two-group design."""
+    import math
+
+    from deepie_spark.operators.stats import pooled_mde
+
+    a = [10, 12, 14, 16]
+    b = [11, 13, 15]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, x long")
+    r = pooled_mde(df, "g", "x", "a", "b").collect()[0]
+    na, nb = len(a), len(b)
+    m2a = na * sum(v * v for v in a) - sum(a) ** 2
+    m2b = nb * sum(v * v for v in b) - sum(b) ** 2
+    s2 = (m2a / na + m2b / nb) / (na + nb - 2)
+    z = 1.959963984540054 + 0.8416212335729143
+    mde = z * math.sqrt(s2 * (1.0 / na + 1.0 / nb))
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert r.s2_pooled == round(s2, 6)
+    assert r.mde_abs == round(mde, 6)
+    assert r.mde_rel == round(
+        mde / ((sum(a) + sum(b)) / (na + nb)), 6
+    )
