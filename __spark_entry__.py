@@ -8556,6 +8556,55 @@ def q_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conductance(t, q_entity_communities(spark, sf_dir))
 
 
+def q_vocab_yule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's K vocabulary-concentration characteristic of the corpus
+    token stream (operators/stats.py yule_characteristic): K =
+    10⁴·(Σf² − N)/N², exact longs up to the one IEEE chain — the
+    classic repeat-rate statistic beside lexical_richness' TTR family
+    and token_gini's concentration curve."""
+    from deepie_spark.operators.stats import yule_characteristic
+
+    return yule_characteristic(_occ(spark, sf_dir), "token")
+
+
+def q_events_cronbach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's α reliability of the per-user event-type battery
+    (operators/stats.py cronbach_alpha — items = event types,
+    subjects = users, score = event count): absent cells are exact
+    zeros so no dense grid is built; α = k·(m2_tot − Σm2_i) /
+    ((k−1)·m2_tot) is ONE IEEE divide over exact-long moments."""
+    from deepie_spark.operators.stats import cronbach_alpha
+
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.lit(1).alias("one")
+    )
+    return cronbach_alpha(e, "user_id", "event_type", "one")
+
+
+def q_events_perm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 permutation entropy per event-type value series
+    (operators/stats.py permutation_entropy, Bandt & Pompe 2002):
+    ordinal patterns from raw-double comparisons (no arithmetic),
+    exact-long pattern counts, fixed-point entropy with exact-integer
+    ln args — the stream-complexity audit beside event_burstiness'
+    Fano factor and events_acf's linear memory."""
+    from deepie_spark.operators.stats import permutation_entropy
+
+    e = _events(spark, sf_dir).select(
+        "event_type", "ts", "event_id", "value"
+    )
+    return permutation_entropy(
+        e, "event_type", ["ts", "event_id"], "value"
+    ).select(
+        F.col("key").alias("event_type"),
+        "n_windows",
+        "n_patterns",
+        "sum_clnc_fp",
+        "perm_h",
+        "perm_h_norm",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -8886,6 +8935,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_power": q_ab_power,
         "er_pairwise_prf": q_er_pairwise_prf,
         "community_conductance": q_community_conductance,
+        "vocab_yule": q_vocab_yule,
+        "events_cronbach": q_events_cronbach,
+        "events_perm_entropy": q_events_perm_entropy,
     }
 
 
@@ -16995,5 +17047,93 @@ def oracle_sql() -> dict[str, str]:
         SELECT c.k AS event_type, v AS votes,
                CAST(coalesce(s.slots, 0) AS BIGINT) AS slots
         FROM c LEFT JOIN s USING (k)
+    """
+    # vocab_yule twin: same tokenizer, Σf² exact longs, one IEEE
+    # chain 10⁴·(Σf²−N)/N².
+    d["vocab_yule"] = f"""
+        WITH f AS (SELECT token, CAST(count(*) AS BIGINT) AS f
+                   FROM (SELECT unnest({_TOKS_SQL}) AS token
+                         FROM documents)
+                   GROUP BY 1),
+        a AS (SELECT CAST(sum(f) AS BIGINT) AS n_tokens,
+                     CAST(count(*) AS BIGINT) AS n_types,
+                     CAST(sum(f * f) AS BIGINT) AS sum_f2
+              FROM f)
+        SELECT n_tokens, n_types, sum_f2,
+               round(10000.0 * (sum_f2 - n_tokens)
+                     / (n_tokens * n_tokens), 6) AS yule_k
+        FROM a
+    """
+    # events_cronbach twin: identical exact-moment cell/item/subject
+    # aggregation and the single-divide alpha.
+    d["events_cronbach"] = """
+        WITH cell AS (SELECT user_id AS subj, event_type AS item,
+                             CAST(count(*) AS BIGINT) AS x
+                      FROM events GROUP BY 1, 2),
+        per_subj AS (SELECT subj, CAST(sum(x) AS BIGINT) AS t
+                     FROM cell GROUP BY 1),
+        nrow AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(t) AS BIGINT) AS st,
+                        CAST(sum(t * t) AS BIGINT) AS stt
+                 FROM per_subj),
+        per_item AS (SELECT item, CAST(sum(x) AS BIGINT) AS sx,
+                            CAST(sum(x * x) AS BIGINT) AS sxx
+                     FROM cell GROUP BY 1),
+        im AS (SELECT CAST(count(*) AS BIGINT) AS k_items,
+                      CAST(sum(n * sxx - sx * sx) AS BIGINT)
+                        AS sum_item_m2
+               FROM per_item CROSS JOIN nrow),
+        tot AS (SELECT n AS n_subjects,
+                       CAST(n * stt - st * st AS BIGINT) AS total_m2
+                FROM nrow)
+        SELECT n_subjects, k_items, sum_item_m2, total_m2,
+               CASE WHEN k_items > 1 AND total_m2 > 0
+                 THEN round(CAST(k_items * (total_m2 - sum_item_m2)
+                                 AS DOUBLE)
+                            / CAST((k_items - 1) * total_m2
+                                   AS DOUBLE), 6) END AS alpha
+        FROM im CROSS JOIN tot
+    """
+    # events_perm_entropy twin: identical lag window, the same CASE
+    # chain over raw-double <= comparisons, fixed-point entropy with
+    # exact-integer ln args (the cluster_eval rule).
+    d["events_perm_entropy"] = """
+        WITH tri AS (
+          SELECT event_type AS key,
+                 lag(value, 2) OVER w AS v1,
+                 lag(value, 1) OVER w AS v2,
+                 value AS v3
+          FROM events
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        ),
+        pat AS (SELECT key,
+                 CASE WHEN v1 <= v2 AND v2 <= v3 THEN 123
+                      WHEN v1 <= v2 AND NOT v2 <= v3 AND v1 <= v3
+                        THEN 132
+                      WHEN v1 <= v2 AND NOT v2 <= v3
+                           AND NOT v1 <= v3 THEN 312
+                      WHEN NOT v1 <= v2 AND v1 <= v3 THEN 213
+                      WHEN NOT v1 <= v2 AND NOT v1 <= v3
+                           AND v2 <= v3 THEN 231
+                      ELSE 321 END AS pattern
+                FROM tri
+                WHERE v1 IS NOT NULL AND v2 IS NOT NULL),
+        cnt AS (SELECT key, pattern, CAST(count(*) AS BIGINT) AS c
+                FROM pat GROUP BY 1, 2),
+        per AS (SELECT key, CAST(sum(c) AS BIGINT) AS n_windows,
+                       CAST(count(*) AS BIGINT) AS n_patterns,
+                       CAST(sum(floor(CAST(c AS DOUBLE)
+                                      * ln(CAST(c AS DOUBLE))
+                                      * 1048576.0)) AS BIGINT)
+                         AS sum_clnc_fp
+                FROM cnt GROUP BY 1)
+        SELECT key AS event_type, n_windows, n_patterns, sum_clnc_fp,
+               round(ln(CAST(n_windows AS DOUBLE))
+                     - (sum_clnc_fp / 1048576.0) / n_windows, 6)
+                 AS perm_h,
+               round((ln(CAST(n_windows AS DOUBLE))
+                      - (sum_clnc_fp / 1048576.0) / n_windows)
+                     / ln(6.0), 6) AS perm_h_norm
+        FROM per
     """
     return d

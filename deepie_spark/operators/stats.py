@@ -2031,3 +2031,203 @@ def pooled_mde(
         F.when(ok, F.round(mde, 6)).alias("mde_abs"),
         F.when(ok, F.round(mde / mean_pooled, 6)).alias("mde_rel"),
     )
+
+
+def yule_characteristic(df: DataFrame, token_col: str) -> DataFrame:
+    """Yule's K vocabulary-concentration characteristic over a token
+    stream (Yule 1944, "The Statistical Study of Literary
+    Vocabulary") — the classic repeat-rate lexical statistic beside
+    lexical_richness' TTR family::
+
+        K = 10^4 · (Σ_m m²·V_m − N) / N²  =  10^4 · (Σ_t f_t² − N) / N²
+
+    since Σ_m m²·V_m is just the sum of squared type frequencies.
+    Everything left of the final divide is EXACT LONGS (one token
+    count agg with map-side combine, then one 1-row reduction); the
+    statistic is a single IEEE chain on exact integers, identical on
+    both engines.  N is bounded < 3·10⁹ by the N² long (the
+    cluster_agreement bound); beyond that widen to double and the
+    gate becomes tolerance — documented, not silent.
+
+    Output: one row (n_tokens, n_types, sum_f2, yule_k)."""
+    f = (
+        df.groupBy(F.col(token_col).alias("tok"))
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    return f.agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("f") * F.col("f")).cast("long").alias("sum_f2"),
+    ).select(
+        "n_tokens",
+        "n_types",
+        "sum_f2",
+        F.round(
+            F.lit(10000.0)
+            * (F.col("sum_f2") - F.col("n_tokens"))
+            / (F.col("n_tokens") * F.col("n_tokens")),
+            6,
+        ).alias("yule_k"),
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame, subject_col: str, item_col: str, value_col
+) -> DataFrame:
+    """Cronbach's α internal-consistency reliability of k items
+    measured over n subjects (Cronbach 1951) — here the "items" are
+    behavioural signals (event types) and the "subjects" users; the
+    instrument-reliability audit of any per-user feature battery::
+
+        α = k/(k−1) · (1 − Σ_i var_i / var_total)
+
+    Missing (subject, item) cells are 0 by construction (a subject
+    who never fired the item scored 0), so per-item moments need NO
+    dense grid: Σx and Σx² over present cells with the GLOBAL n give
+    m2_i = n·Σx²_i − (Σx_i)² (the welch_ttest exact-moment rule),
+    and the per-subject totals give m2_tot the same way.  The n²-
+    scaled variances cancel, so
+
+        α = k·(m2_tot − Σ_i m2_i) / ((k−1)·m2_tot)
+
+    is ONE IEEE divide over exact longs.  Values must be integers
+    (cast enforced); m2 terms bound n·Σx² < 2⁶³.
+
+    Output: one row (n_subjects, k_items, sum_item_m2, total_m2,
+    alpha); degenerate designs (k < 2 or zero total variance) yield
+    NULL alpha."""
+    cell = (
+        df.groupBy(
+            F.col(subject_col).alias("subj"),
+            F.col(item_col).alias("item"),
+        )
+        .agg(F.sum(F.col(value_col).cast("long")).alias("x"))
+    )
+    per_item = cell.groupBy("item").agg(
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    per_subj = cell.groupBy("subj").agg(
+        F.sum("x").cast("long").alias("t")
+    )
+    nrow = per_subj.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+    )
+    # Σ_i m2_i needs n inside the per-item sum — join n in first.
+    item_m2 = (
+        per_item.crossJoin(F.broadcast(nrow))
+        .select(
+            (
+                F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+            ).alias("m2_i")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_items"),
+            F.sum("m2_i").cast("long").alias("sum_item_m2"),
+        )
+    )
+    tot = nrow.select(
+        F.col("n").alias("n_subjects"),
+        (F.col("n") * F.col("stt") - F.col("st") * F.col("st"))
+        .cast("long")
+        .alias("total_m2"),
+    )
+    ok = (F.col("k_items") > 1) & (F.col("total_m2") > 0)
+    return item_m2.crossJoin(F.broadcast(tot)).select(
+        "n_subjects",
+        "k_items",
+        "sum_item_m2",
+        "total_m2",
+        F.when(
+            ok,
+            F.round(
+                (
+                    F.col("k_items")
+                    * (F.col("total_m2") - F.col("sum_item_m2"))
+                ).cast("double")
+                / (
+                    (F.col("k_items") - 1) * F.col("total_m2")
+                ).cast("double"),
+                6,
+            ),
+        ).alias("alpha"),
+    )
+
+
+def permutation_entropy(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Permutation entropy of order m = 3 (Bandt & Pompe 2002) per
+    series: slide a 3-window over the series in event order, map each
+    window to its ordinal pattern (ties broken by POSITION — the
+    stable-argsort convention of the original paper), count patterns,
+    and report the Shannon entropy of the pattern distribution — the
+    standard complexity/anomaly statistic for event streams (white
+    noise → H/ln6 ≈ 1, monotone drift → ≈ 0).
+
+    Portability: the pattern id is a CASE chain over three ≤
+    comparisons of the RAW stored doubles (identical parquet values
+    both engines — no arithmetic); counts are exact longs; entropy
+    follows the cluster_agreement fixed-point rule — Σ floor(2^bits ·
+    c·ln c) with EXACT-INTEGER ln arguments, then
+    H = ln n − (Σ/2^bits)/n as one IEEE chain.  The window is
+    key-partitioned (per-series lag), never global.
+
+    Output per key: (key, n_windows, n_patterns, sum_clnc_fp,
+    perm_h, perm_h_norm) with perm_h_norm = H/ln 6."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key_col).orderBy(*order_cols)
+    v = F.col(value_col)
+    tri = df.select(
+        F.col(key_col).alias("key"),
+        F.lag(v, 2).over(w).alias("v1"),
+        F.lag(v, 1).over(w).alias("v2"),
+        v.alias("v3"),
+    ).filter(F.col("v1").isNotNull() & F.col("v2").isNotNull())
+    le12 = F.col("v1") <= F.col("v2")
+    le13 = F.col("v1") <= F.col("v3")
+    le23 = F.col("v2") <= F.col("v3")
+    pat = (
+        F.when(le12 & le23, F.lit(123))
+        .when(le12 & ~le23 & le13, F.lit(132))
+        .when(le12 & ~le23 & ~le13, F.lit(312))
+        .when(~le12 & le13, F.lit(213))
+        .when(~le12 & ~le13 & le23, F.lit(231))
+        .otherwise(F.lit(321))
+    )
+    cnt = tri.groupBy("key", pat.alias("pattern")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    scale = F.lit(float(1 << scale_bits))
+    per = cnt.groupBy("key").agg(
+        F.sum("c").cast("long").alias("n_windows"),
+        F.count(F.lit(1)).cast("long").alias("n_patterns"),
+        F.sum(
+            F.floor(
+                F.col("c").cast("double")
+                * F.log(F.col("c").cast("double"))
+                * scale
+            )
+        )
+        .cast("long")
+        .alias("sum_clnc_fp"),
+    )
+    h = (
+        F.log(F.col("n_windows").cast("double"))
+        - (F.col("sum_clnc_fp") / scale) / F.col("n_windows")
+    )
+    return per.select(
+        "key",
+        "n_windows",
+        "n_patterns",
+        "sum_clnc_fp",
+        F.round(h, 6).alias("perm_h"),
+        F.round(h / F.log(F.lit(6.0)), 6).alias("perm_h_norm"),
+    )

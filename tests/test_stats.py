@@ -1430,3 +1430,68 @@ def test_pooled_mde_hand(spark):
     assert r.mde_rel == round(
         mde / ((sum(a) + sum(b)) / (na + nb)), 6
     )
+
+
+def test_yule_characteristic_hand(spark):
+    from deepie_spark.operators.stats import yule_characteristic
+
+    toks = ["a", "a", "a", "b", "b", "c"]  # f = 3,2,1; N=6; Σf²=14
+    df = spark.createDataFrame([(t,) for t in toks], ["token"])
+    row = yule_characteristic(df, "token").collect()[0]
+    assert row["n_tokens"] == 6
+    assert row["n_types"] == 3
+    assert row["sum_f2"] == 14
+    assert row["yule_k"] == round(1e4 * (14 - 6) / 36, 6)
+
+
+def test_cronbach_alpha_vs_numpy(spark):
+    import numpy as np
+
+    from deepie_spark.operators.stats import cronbach_alpha
+
+    # 4 subjects x 3 items with one missing cell (== 0 score)
+    rows = [
+        ("s1", "i1", 2), ("s1", "i2", 3), ("s1", "i3", 4),
+        ("s2", "i1", 1), ("s2", "i2", 2), ("s2", "i3", 2),
+        ("s3", "i1", 4), ("s3", "i2", 4), ("s3", "i3", 5),
+        ("s4", "i1", 0), ("s4", "i2", 1),  # i3 missing -> 0
+    ]
+    df = spark.createDataFrame(rows, ["subj", "item", "x"])
+    row = cronbach_alpha(df, "subj", "item", "x").collect()[0]
+    m = np.array(
+        [[2, 3, 4], [1, 2, 2], [4, 4, 5], [0, 1, 0]], dtype=float
+    )
+    k = 3
+    item_var = m.var(axis=0, ddof=0).sum()
+    tot_var = m.sum(axis=1).var(ddof=0)
+    alpha = k / (k - 1) * (1 - item_var / tot_var)
+    assert row["n_subjects"] == 4 and row["k_items"] == 3
+    assert row["alpha"] == pytest.approx(alpha, abs=1e-6)
+
+
+def test_permutation_entropy_hand(spark):
+    import math
+
+    from deepie_spark.operators.stats import permutation_entropy
+
+    # one series: 1,2,3,2,1 -> windows (1,2,3)=123, (2,3,2)=132,
+    # (3,2,1)=321
+    rows = [("k", i, float(v)) for i, v in enumerate([1, 2, 3, 2, 1])]
+    df = spark.createDataFrame(rows, ["g", "pos", "v"])
+    row = permutation_entropy(df, "g", ["pos"], "v").collect()[0]
+    assert row["n_windows"] == 3
+    assert row["n_patterns"] == 3  # 123, 132, 321 each once
+    # all counts 1 -> Σ c ln c = 0 -> H = ln 3
+    assert row["sum_clnc_fp"] == 0
+    assert row["perm_h"] == pytest.approx(math.log(3), abs=1e-6)
+
+
+def test_permutation_entropy_tie_break_by_position(spark):
+    from deepie_spark.operators.stats import permutation_entropy
+
+    # constant series: every window is the stable pattern 123
+    rows = [("k", i, 7.0) for i in range(5)]
+    df = spark.createDataFrame(rows, ["g", "pos", "v"])
+    got = permutation_entropy(df, "g", ["pos"], "v").collect()[0]
+    assert got["n_patterns"] == 1
+    assert got["perm_h"] == 0.0
