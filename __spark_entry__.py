@@ -8605,6 +8605,38 @@ def q_events_perm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_ldiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit of the customer table (operators/privacy.py
+    l_diversity_audit — QI = nation, sensitive = market segment):
+    per-class distinct-l plus fixed-point entropy-l with exact-
+    integer ln args — the sensitive-attribute refinement of
+    k_anonymity's class-size gate."""
+    from deepie_spark.operators.privacy import l_diversity_audit
+
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    return l_diversity_audit(c, ["c_nationkey"], "c_mktsegment", l=3)
+
+
+def q_customer_tclose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit over the ordered account-balance bins
+    (operators/privacy.py t_closeness_audit): per-nation EMD to the
+    global distribution as ONE exact-long numerator (the
+    source_drift_emd cross-product rule) over a dense class × bin
+    grid with key-partitioned cumulative windows.  Bins are integer-
+    DIV buckets of floor(acctbal) shifted non-negative so truncating
+    and flooring division agree on both engines."""
+    from deepie_spark.operators.privacy import t_closeness_audit
+
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    b = c.select(
+        "c_nationkey",
+        F.expr(
+            "(CAST(floor(c_acctbal) AS BIGINT) + 1000) div 1000"
+        ).alias("bal_bin"),
+    )
+    return t_closeness_audit(b, ["c_nationkey"], "bal_bin")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -8938,6 +8970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_yule": q_vocab_yule,
         "events_cronbach": q_events_cronbach,
         "events_perm_entropy": q_events_perm_entropy,
+        "customer_ldiv": q_customer_ldiv,
+        "customer_tclose": q_customer_tclose,
     }
 
 
@@ -17134,6 +17168,73 @@ def oracle_sql() -> dict[str, str]:
                round((ln(CAST(n_windows AS DOUBLE))
                       - (sum_clnc_fp / 1048576.0) / n_windows)
                      / ln(6.0), 6) AS perm_h_norm
+        FROM per
+    """
+    # customer_ldiv twin: identical cell/class aggregation and the
+    # fixed-point entropy chain.
+    d["customer_ldiv"] = """
+        WITH cell AS (SELECT c_nationkey, c_mktsegment AS sv,
+                             CAST(count(*) AS BIGINT) AS c
+                      FROM customer GROUP BY 1, 2),
+        per AS (SELECT c_nationkey,
+                       CAST(sum(c) AS BIGINT) AS group_n,
+                       CAST(count(*) AS BIGINT) AS distinct_l,
+                       CAST(sum(floor(CAST(c AS DOUBLE)
+                                      * ln(CAST(c AS DOUBLE))
+                                      * 1048576.0)) AS BIGINT)
+                         AS sum_clnc_fp
+                FROM cell GROUP BY 1)
+        SELECT c_nationkey, group_n, distinct_l, sum_clnc_fp,
+               round(ln(CAST(group_n AS DOUBLE))
+                     - (sum_clnc_fp / 1048576.0) / group_n, 6)
+                 AS entropy_h,
+               distinct_l >= 3 AS is_l_diverse
+        FROM per
+    """
+    # customer_tclose twin: same shifted integer-DIV bins, dense
+    # grid, per-class cumulative and the exact-long EMD numerator.
+    d["customer_tclose"] = """
+        WITH b AS (SELECT c_nationkey,
+                          (CAST(floor(c_acctbal) AS BIGINT) + 1000)
+                          // 1000 AS bal_bin
+                   FROM customer),
+        cls AS (SELECT c_nationkey,
+                       CAST(count(*) AS BIGINT) AS group_n
+                FROM b GROUP BY 1),
+        bins AS (SELECT DISTINCT bal_bin FROM b),
+        cb AS (SELECT c_nationkey, bal_bin,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM b GROUP BY 1, 2),
+        grid AS (SELECT cls.c_nationkey, cls.group_n, bins.bal_bin,
+                        coalesce(cb.c, 0) AS c
+                 FROM cls CROSS JOIN bins
+                 LEFT JOIN cb ON cb.c_nationkey = cls.c_nationkey
+                             AND cb.bal_bin = bins.bal_bin),
+        cum AS (SELECT c_nationkey, group_n, bal_bin,
+                       CAST(sum(c) OVER (PARTITION BY c_nationkey
+                                         ORDER BY bal_bin)
+                            AS BIGINT) AS cum_c
+                FROM grid),
+        cg AS (SELECT bal_bin, CAST(sum(cum_c) AS BIGINT) AS cum_g
+               FROM cum GROUP BY 1),
+        g AS (SELECT CAST(sum(group_n) AS BIGINT) AS n_rows
+              FROM cls),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS m_bins FROM bins),
+        per AS (SELECT c_nationkey,
+                       CAST(max(group_n) AS BIGINT) AS group_n,
+                       CAST(max(m_bins) AS BIGINT) AS m_bins,
+                       CAST(max(n_rows) AS BIGINT) AS n_rows,
+                       CAST(sum(abs(cum_c * n_rows
+                                    - cum_g * group_n)) AS BIGINT)
+                         AS emd_num
+                FROM cum JOIN cg USING (bal_bin)
+                CROSS JOIN g CROSS JOIN m
+                GROUP BY 1)
+        SELECT c_nationkey, group_n, m_bins, emd_num,
+               CASE WHEN m_bins > 1
+                 THEN round(CAST(emd_num AS DOUBLE)
+                            / CAST(group_n * n_rows * (m_bins - 1)
+                                   AS DOUBLE), 6) END AS t_closeness
         FROM per
     """
     return d
