@@ -8637,6 +8637,51 @@ def q_customer_tclose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t_closeness_audit(b, ["c_nationkey"], "bal_bin")
 
 
+def q_event_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent sequential patterns (length 2/3, gap-insensitive) in
+    the high-value event stream at 50% relative support (operators/
+    itemsets.py sequential_patterns — first/last-occurrence
+    containment, every stage keyed on user, no corpus self-join).
+    The oracle is the NAIVE 3-way ordered self-join formulation the
+    operator replaces — independent code, identical semantics."""
+    from pyspark.sql import Window as W
+
+    from deepie_spark.operators.itemsets import sequential_patterns
+
+    e = _events(spark, sf_dir).filter(F.col("value") >= 40.0)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    p = e.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("pos"),
+    )
+    return sequential_patterns(p, "user_id", "event_type", "pos", 1, 2)
+
+
+def q_events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential level+trend over the 16-bin event-count
+    grid (operators/stats.py holt_linear): α = β = 1/2 makes every
+    smoothing state an exact long under the 4^t scale — the
+    trend-carrying forecast beside events_ewma's level-only smoother.
+    Oracle = recursive-CTE walk of the identical integer recurrence."""
+    from deepie_spark.operators.stats import holt_linear
+
+    e = _events(spark, sf_dir).select(
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("es")
+    )
+    rng = e.agg(
+        F.min("es").alias("lo"),
+        (F.max("es") - F.min("es") + 1).alias("span"),
+    )
+    binned = e.crossJoin(F.broadcast(rng)).select(
+        F.expr("CAST(((es - lo) * 16) DIV span AS LONG)").alias("bin")
+    )
+    ct = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    return holt_linear(ct, "bin", "y", 16)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -8972,6 +9017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_perm_entropy": q_events_perm_entropy,
         "customer_ldiv": q_customer_ldiv,
         "customer_tclose": q_customer_tclose,
+        "event_seq_patterns": q_event_seq_patterns,
+        "events_holt": q_events_holt,
     }
 
 
@@ -17236,5 +17283,68 @@ def oracle_sql() -> dict[str, str]:
                             / CAST(group_n * n_rows * (m_bins - 1)
                                    AS DOUBLE), 6) END AS t_closeness
         FROM per
+    """
+    # event_seq_patterns twin: the NAIVE ordered 3-way self-join
+    # containment formulation (independent of the first/last
+    # reduction the operator uses).
+    d["event_seq_patterns"] = """
+        WITH e AS (SELECT user_id, event_type, ts, event_id
+                   FROM events WHERE value >= 40.0),
+        n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                AS n_seqs FROM e),
+        p2 AS (SELECT DISTINCT e1.user_id,
+                      e1.event_type AS a, e2.event_type AS c
+               FROM e e1 JOIN e e2 ON e1.user_id = e2.user_id
+                AND (e1.ts < e2.ts
+                     OR (e1.ts = e2.ts AND e1.event_id < e2.event_id))),
+        s2 AS (SELECT a || '>' || c AS pattern,
+                      CAST(2 AS BIGINT) AS length,
+                      CAST(count(*) AS BIGINT) AS support
+               FROM p2 GROUP BY 1),
+        p3 AS (SELECT DISTINCT e1.user_id, e1.event_type AS a,
+                      e2.event_type AS b, e3.event_type AS c
+               FROM e e1
+               JOIN e e2 ON e1.user_id = e2.user_id
+                AND (e1.ts < e2.ts
+                     OR (e1.ts = e2.ts AND e1.event_id < e2.event_id))
+               JOIN e e3 ON e2.user_id = e3.user_id
+                AND (e2.ts < e3.ts
+                     OR (e2.ts = e3.ts AND e2.event_id < e3.event_id))),
+        s3 AS (SELECT a || '>' || b || '>' || c AS pattern,
+                      CAST(3 AS BIGINT) AS length,
+                      CAST(count(*) AS BIGINT) AS support
+               FROM p3 GROUP BY 1),
+        u AS (SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+        SELECT pattern, length, support
+        FROM u CROSS JOIN n WHERE support * 2 >= n_seqs
+    """
+    # events_holt twin: identical 16-bin grid and a recursive-CTE
+    # walk of the same exact-integer Holt recurrence.
+    d["events_holt"] = """
+        WITH RECURSIVE e AS (
+          SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        r0 AS (SELECT min(es) AS lo, max(es) - min(es) + 1 AS span
+               FROM e),
+        ct AS (SELECT CAST(((es - lo) * 16) // span AS BIGINT) AS bin,
+                      CAST(count(*) AS BIGINT) AS y
+               FROM e CROSS JOIN r0 GROUP BY 1),
+        grid AS (SELECT t.b AS bin,
+                        CAST(coalesce(ct.y, 0) AS BIGINT) AS y
+                 FROM generate_series(0, 15) t(b)
+                 LEFT JOIN ct ON ct.bin = t.b),
+        rec AS (
+          SELECT CAST(0 AS BIGINT) AS t, CAST(y AS BIGINT) AS l,
+                 CAST(0 AS BIGINT) AS b, CAST(1 AS BIGINT) AS p
+          FROM grid WHERE bin = 0
+          UNION ALL
+          SELECT r.t + 1, g.y * 2 * r.p + 2 * r.l + 2 * r.b,
+                 g.y * r.p - r.l + 3 * r.b, r.p * 4
+          FROM rec r JOIN grid g ON g.bin = r.t + 1
+        )
+        SELECT CAST(16 AS BIGINT) AS n_bins, l AS level_num,
+               b AS trend_num, p AS scale_den,
+               round(l / p, 6) AS level, round(b / p, 6) AS trend,
+               round((l + b) / p, 6) AS forecast_1
+        FROM rec WHERE t = 15
     """
     return d

@@ -208,3 +208,87 @@ def association_rules(
             F.round(lift, 6).alias("lift"),
         )
     )
+
+
+def sequential_patterns(
+    df: DataFrame,
+    seq_col: str,
+    item_col: str,
+    pos_col: str,
+    support_num: int = 1,
+    support_den: int = 5,
+) -> DataFrame:
+    """Frequent sequential patterns of length 2 and 3 (the PrefixSpan
+    / GSP family, Pei et al. 2001 — gap-insensitive subsequences):
+    a sequence CONTAINS pattern a→b iff some a-position precedes some
+    b-position, and a→b→c iff a b-position lies strictly between an
+    a- and a c-position.  Support = number of sequences containing
+    the pattern; patterns with support·den ≥ num·n_seqs survive (the
+    RELATIVE-support integer rule of frequent_itemsets).
+
+    The containment test needs no subsequence enumeration — the
+    first/last-occurrence reduction (standard in the episode-mining
+    literature):
+
+        contains(a→b)   ⟺  first(a) < last(b)
+        contains(a→b→c) ⟺  ∃ pos(b) ∈ (first(a), last(c))
+
+    (sound AND complete: any witness i<j<k implies first(a) ≤ i < j
+    and j < k ≤ last(c); conversely first(a)/last(c) ARE witnesses).
+    So the plan is: one (seq, item) agg for first/last, an
+    item²-per-sequence pair join, and for triples one join of the
+    bounded pair frame back to the position rows — every stage keyed
+    on the sequence id, never a corpus-wide self-join; per-sequence
+    cost is O(k² + k·len) for k distinct items, the blowup the naive
+    3-way join formulation (the ORACLE) pays globally.
+
+    ``pos_col`` must be a total order within each sequence (ties
+    pre-broken — e.g. row_number over (ts, event_id)).
+
+    Output: (pattern, length, support) with pattern 'a>b' / 'a>b>c'.
+    """
+    pos = df.select(
+        F.col(seq_col).alias("s"),
+        F.col(item_col).alias("it"),
+        F.col(pos_col).cast("long").alias("p"),
+    )
+    fl = pos.groupBy("s", "it").agg(
+        F.min("p").alias("first_p"), F.max("p").alias("last_p")
+    )
+    n_seq = fl.select("s").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_seqs")
+    )
+    a = fl.select("s", F.col("it").alias("a"), "first_p")
+    c = fl.select("s", F.col("it").alias("c"), "last_p")
+    pairs = a.join(c, "s").filter(F.col("first_p") < F.col("last_p"))
+    sup2 = pairs.groupBy(
+        F.concat_ws(">", "a", "c").alias("pattern")
+    ).agg(F.count(F.lit(1)).cast("long").alias("support"))
+    mid = pos.select("s", F.col("it").alias("b"), F.col("p").alias("bp"))
+    tri = (
+        pairs.join(mid, "s")
+        .filter(
+            (F.col("bp") > F.col("first_p"))
+            & (F.col("bp") < F.col("last_p"))
+        )
+        .select("s", "a", "b", "c")
+        .distinct()
+    )
+    sup3 = tri.groupBy(
+        F.concat_ws(">", "a", "b", "c").alias("pattern")
+    ).agg(F.count(F.lit(1)).cast("long").alias("support"))
+    out = sup2.select(
+        "pattern", F.lit(2).cast("long").alias("length"), "support"
+    ).unionByName(
+        sup3.select(
+            "pattern", F.lit(3).cast("long").alias("length"), "support"
+        )
+    )
+    return (
+        out.crossJoin(F.broadcast(n_seq))
+        .filter(
+            F.col("support") * support_den
+            >= F.lit(support_num) * F.col("n_seqs")
+        )
+        .select("pattern", "length", "support")
+    )

@@ -2231,3 +2231,77 @@ def permutation_entropy(
         F.round(h, 6).alias("perm_h"),
         F.round(h / F.log(F.lit(6.0)), 6).alias("perm_h_norm"),
     )
+
+
+def holt_linear(
+    df: DataFrame, bin_col: str, value_col: str, n_bins: int
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing (Holt 1957)
+    with α = β = 1/2 over a dense integer bin grid — the
+    trend-carrying upgrade of ewma_smooth (which is level-only)::
+
+        ℓ_t = (y_t + ℓ_{t−1} + b_{t−1}) / 2
+        b_t = (ℓ_t − ℓ_{t−1} + b_{t−1}) / 2,   ℓ_0 = y_0, b_0 = 0
+
+    Engine-exactness: with power-of-two gains every state is a dyadic
+    rational, so the whole recursion is EXACT LONGS under the scale
+    S_t = 4^t (the entity_katz power-of-two-attenuation rule)::
+
+        L_t = y_t·2·S_{t−1}·2 ... = y_t·(S_t/2) + 2·L_{t−1} + 2·B_{t−1}
+        B_t = y_t·(S_t/4) − L_{t−1} + 3·B_{t−1}
+
+    carried as one in-row ``aggregate`` fold (collection argument a
+    plain column — the winnow HOF-CSE rule) over the bin-ordered
+    value array; empty bins contribute y = 0 via a map lookup, so
+    collect order is irrelevant.  Bound: |L_T| ≲ y_max·4^T — keep
+    T ≤ (62 − bits(y_max))/2 (T = 16 with counts < 2^30 is safe);
+    the final level/trend/one-step forecast are single IEEE divides
+    of exact longs.
+
+    Input must have ONE row per present bin (pre-aggregated);
+    output is one row: (n_bins, level_num, trend_num, scale_den,
+    level, trend, forecast_1)."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    one = df.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col(bin_col).cast("int").alias("k"),
+                    F.col(value_col).cast("long").alias("v"),
+                )
+            )
+        ).alias("m")
+    )
+    ys = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bins - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("m"), i), F.lit(0).cast("long")
+        ),
+    )
+    arr = one.select(ys.alias("ys"))
+    init = F.struct(
+        F.element_at(F.col("ys"), 1).alias("l"),
+        F.lit(0).cast("long").alias("b"),
+        F.lit(1).cast("long").alias("p"),
+    )
+    fold = F.aggregate(
+        F.slice(F.col("ys"), 2, n_bins - 1),
+        init,
+        lambda acc, y: F.struct(
+            (y * 2 * acc["p"] + 2 * acc["l"] + 2 * acc["b"]).alias("l"),
+            (y * acc["p"] - acc["l"] + 3 * acc["b"]).alias("b"),
+            (acc["p"] * 4).alias("p"),
+        ),
+    )
+    return arr.select(fold.alias("st")).select(
+        F.lit(n_bins).cast("long").alias("n_bins"),
+        F.col("st.l").alias("level_num"),
+        F.col("st.b").alias("trend_num"),
+        F.col("st.p").alias("scale_den"),
+        F.round(F.col("st.l") / F.col("st.p"), 6).alias("level"),
+        F.round(F.col("st.b") / F.col("st.p"), 6).alias("trend"),
+        F.round(
+            (F.col("st.l") + F.col("st.b")) / F.col("st.p"), 6
+        ).alias("forecast_1"),
+    )

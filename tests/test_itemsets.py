@@ -104,3 +104,56 @@ def test_association_rules_min_confidence(spark, baskets):
     assert rules and all(r.confidence >= 0.65 for r in rules)
     # the threshold actually filters something
     assert len(rules) < len(lo)
+
+
+def _contains_pairs_triples(seq):
+    """Brute-force subsequence containment for a single sequence."""
+    pairs, triples = set(), set()
+    n = len(seq)
+    for i in range(n):
+        for j in range(i + 1, n):
+            pairs.add((seq[i], seq[j]))
+            for k in range(j + 1, n):
+                triples.add((seq[i], seq[j], seq[k]))
+    return pairs, triples
+
+
+def test_sequential_patterns_vs_bruteforce(spark):
+    from collections import Counter
+
+    from deepie_spark.operators.itemsets import sequential_patterns
+
+    seqs = {
+        "u1": ["a", "b", "a", "c"],
+        "u2": ["b", "b", "c"],
+        "u3": ["c", "a"],
+    }
+    rows = [
+        (u, it, i) for u, s in seqs.items() for i, it in enumerate(s)
+    ]
+    df = spark.createDataFrame(rows, ["u", "it", "pos"])
+    # support threshold 0 -> keep everything
+    got = {
+        (r["pattern"], r["length"]): r["support"]
+        for r in sequential_patterns(df, "u", "it", "pos", 0, 1).collect()
+    }
+    want = Counter()
+    for s in seqs.values():
+        p, t = _contains_pairs_triples(s)
+        for a, b in p:
+            want[(f"{a}>{b}", 2)] += 1
+        for a, b, c in t:
+            want[(f"{a}>{b}>{c}", 3)] += 1
+    assert got == dict(want)
+
+
+def test_sequential_patterns_support_filter(spark):
+    from deepie_spark.operators.itemsets import sequential_patterns
+
+    rows = [("u1", "a", 0), ("u1", "b", 1), ("u2", "a", 0),
+            ("u2", "b", 1), ("u3", "b", 0), ("u3", "a", 1)]
+    df = spark.createDataFrame(rows, ["u", "it", "pos"])
+    # a>b support 2/3, b>a support 1/3; at >=50% only a>b survives
+    got = {r["pattern"]: r["support"]
+           for r in sequential_patterns(df, "u", "it", "pos", 1, 2).collect()}
+    assert got == {"a>b": 2}

@@ -1495,3 +1495,38 @@ def test_permutation_entropy_tie_break_by_position(spark):
     got = permutation_entropy(df, "g", ["pos"], "v").collect()[0]
     assert got["n_patterns"] == 1
     assert got["perm_h"] == 0.0
+
+
+def test_holt_linear_matches_float_recursion(spark):
+    from deepie_spark.operators.stats import holt_linear
+
+    ys = [10, 12, 15, 11, 9, 14, 20, 18, 17, 13, 12, 16, 19, 21, 22, 25]
+    df = spark.createDataFrame(
+        [(i, y) for i, y in enumerate(ys)], ["bin", "y"]
+    )
+    row = holt_linear(df, "bin", "y", 16).collect()[0]
+    l, b = float(ys[0]), 0.0
+    for y in ys[1:]:
+        l_new = (y + l + b) / 2.0
+        b = (l_new - l + b) / 2.0
+        l = l_new
+    # dyadic-exact: the scaled longs reproduce the float recursion
+    assert row["scale_den"] == 4 ** 15
+    assert row["level_num"] / row["scale_den"] == l
+    assert row["trend_num"] / row["scale_den"] == b
+    assert row["forecast_1"] == round(l + b, 6)
+
+
+def test_holt_linear_missing_bins_are_zero(spark):
+    from deepie_spark.operators.stats import holt_linear
+
+    # only bin 0 present -> all later y = 0; level decays dyadically
+    df = spark.createDataFrame([(0, 8)], ["bin", "y"])
+    row = holt_linear(df, "bin", "y", 4).collect()[0]
+    l, b = 8.0, 0.0
+    for _ in range(3):
+        l_new = (0 + l + b) / 2.0
+        b = (l_new - l + b) / 2.0
+        l = l_new
+    assert row["level_num"] / row["scale_den"] == l
+    assert row["trend_num"] / row["scale_den"] == b
