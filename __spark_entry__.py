@@ -8682,6 +8682,71 @@ def q_events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_linear(ct, "bin", "y", 16)
 
 
+def q_graph_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Butterfly (bipartite 4-cycle) counts per event-type pair over
+    the user × event-type bipartite graph (operators/graph.py
+    bipartite_butterflies, Sanei-Mehri et al. 2018): DOUBLED exact-
+    long c·(c−1) counts, in-row pair expansion over the bounded type
+    side, one hash agg.  Oracle = the independent edge self-join
+    formulation."""
+    from deepie_spark.operators.graph import bipartite_butterflies
+
+    e = _events(spark, sf_dir).select("user_id", "event_type")
+    return bipartite_butterflies(e, "user_id", "event_type")
+
+
+def q_web_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bow-tie decomposition (Broder et al., WWW 2000) of a
+    deterministic doc-id-derived directed graph built to exercise
+    every class — CORE ring, IN + IN-chains, OUT + OUT-chains,
+    tendrils, an IN→OUT tube and disconnected pairs (the entity_scc
+    synthesized-graph convention).  operators/graph.py
+    bowtie_decomposition: one SCC run, three reachability fixpoints,
+    deterministic (size, hub, id) core pick; oracle = recursive-CTE
+    mutual-reachability SCC + three recursive closures."""
+    from functools import reduce
+
+    from deepie_spark.operators.graph import bowtie_decomposition
+
+    d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 60)
+    i = F.col("doc_id")
+
+    def lab(c):
+        return F.concat(F.lit("w"), c.cast("string"))
+
+    parts = [
+        d.filter(i < 10).select(
+            lab(i).alias("src"), lab((i + 1) % 10).alias("dst")
+        ),
+        d.filter((i >= 10) & (i < 25)).select(
+            lab(i).alias("src"), lab(i - 10).alias("dst")
+        ),
+        d.filter((i >= 25) & (i < 35)).select(
+            lab(i - 25).alias("src"), lab(i).alias("dst")
+        ),
+        d.filter((i >= 35) & (i < 40)).select(
+            lab(i - 10).alias("src"), lab(i).alias("dst")
+        ),
+        d.filter((i >= 40) & (i < 45)).select(
+            lab(i - 30).alias("src"), lab(i).alias("dst")
+        ),
+        d.filter((i >= 45) & (i < 47)).select(
+            lab(i).alias("src"), lab(i + 1).alias("dst")
+        ),
+        d.filter(i == 47).select(
+            lab(i).alias("src"), lab(F.lit(25)).alias("dst")
+        ),
+        d.filter(i == 45).select(
+            lab(F.lit(15)).alias("src"), lab(i).alias("dst")
+        ),
+        d.filter((i >= 50) & (i < 60) & (i % 2 == 0)).select(
+            lab(i).alias("src"), lab(i + 1).alias("dst")
+        ),
+    ]
+    edges = reduce(lambda a, b: a.unionByName(b), parts)
+    return bowtie_decomposition(edges)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -9019,6 +9084,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_tclose": q_customer_tclose,
         "event_seq_patterns": q_event_seq_patterns,
         "events_holt": q_events_holt,
+        "graph_butterflies": q_graph_butterflies,
+        "web_bowtie": q_web_bowtie,
     }
 
 
@@ -17346,5 +17413,104 @@ def oracle_sql() -> dict[str, str]:
                round(l / p, 6) AS level, round(b / p, 6) AS trend,
                round((l + b) / p, 6) AS forecast_1
         FROM rec WHERE t = 15
+    """
+    # graph_butterflies twin: independent distinct-edge self-join
+    # wedge formulation, doubled exact-long butterfly counts.
+    d["graph_butterflies"] = """
+        WITH ed AS (SELECT DISTINCT user_id AS l, event_type AS r
+                    FROM events),
+        w AS (SELECT a.l, a.r AS r1, b.r AS r2
+              FROM ed a JOIN ed b ON a.l = b.l AND a.r < b.r),
+        c AS (SELECT r1, r2, CAST(count(*) AS BIGINT) AS n_common
+              FROM w GROUP BY 1, 2)
+        SELECT r1, r2, n_common,
+               CAST(n_common * (n_common - 1) AS BIGINT)
+                 AS butterflies2
+        FROM c
+    """
+    # web_bowtie twin: identical synthesized edge rules, then
+    # recursive mutual-reachability SCC (the entity_scc closure) and
+    # three recursive reach closures from the same core pick.
+    d["web_bowtie"] = """
+        WITH RECURSIVE ed AS (
+          SELECT 'w' || CAST(doc_id AS VARCHAR) AS a,
+                 'w' || CAST((doc_id + 1) % 10 AS VARCHAR) AS b
+          FROM documents WHERE doc_id < 10
+          UNION ALL
+          SELECT 'w' || CAST(doc_id AS VARCHAR),
+                 'w' || CAST(doc_id - 10 AS VARCHAR)
+          FROM documents WHERE doc_id >= 10 AND doc_id < 25
+          UNION ALL
+          SELECT 'w' || CAST(doc_id - 25 AS VARCHAR),
+                 'w' || CAST(doc_id AS VARCHAR)
+          FROM documents WHERE doc_id >= 25 AND doc_id < 35
+          UNION ALL
+          SELECT 'w' || CAST(doc_id - 10 AS VARCHAR),
+                 'w' || CAST(doc_id AS VARCHAR)
+          FROM documents WHERE doc_id >= 35 AND doc_id < 40
+          UNION ALL
+          SELECT 'w' || CAST(doc_id - 30 AS VARCHAR),
+                 'w' || CAST(doc_id AS VARCHAR)
+          FROM documents WHERE doc_id >= 40 AND doc_id < 45
+          UNION ALL
+          SELECT 'w' || CAST(doc_id AS VARCHAR),
+                 'w' || CAST(doc_id + 1 AS VARCHAR)
+          FROM documents WHERE doc_id >= 45 AND doc_id < 47
+          UNION ALL
+          SELECT 'w47', 'w25' FROM documents WHERE doc_id = 47
+          UNION ALL
+          SELECT 'w15', 'w45' FROM documents WHERE doc_id = 45
+          UNION ALL
+          SELECT 'w' || CAST(doc_id AS VARCHAR),
+                 'w' || CAST(doc_id + 1 AS VARCHAR)
+          FROM documents
+          WHERE doc_id >= 50 AND doc_id < 60 AND doc_id % 2 = 0
+        ),
+        eu AS (SELECT DISTINCT a, b FROM ed WHERE a <> b),
+        n AS (SELECT DISTINCT v FROM (SELECT a AS v FROM eu
+                                      UNION ALL SELECT b FROM eu)),
+        reach(s, t) AS (
+          SELECT a, b FROM eu
+          UNION
+          SELECT r.s, e.b FROM reach r JOIN eu e ON e.a = r.t
+        ),
+        mut AS (SELECT r1.s AS v, r1.t AS u
+                FROM reach r1 JOIN reach r2
+                  ON r1.s = r2.t AND r1.t = r2.s),
+        scc AS (SELECT v AS entity, min(u) AS scc_id
+                FROM (SELECT v, v AS u FROM n
+                      UNION ALL SELECT v, u FROM mut)
+                GROUP BY 1),
+        deg AS (SELECT v AS node, CAST(count(*) AS BIGINT) AS deg
+                FROM (SELECT a AS v FROM eu
+                      UNION ALL SELECT b FROM eu)
+                GROUP BY 1),
+        sizes AS (SELECT s.scc_id, CAST(count(*) AS BIGINT) AS sz,
+                         max(d.deg) AS hub
+                  FROM scc s JOIN deg d ON d.node = s.entity
+                  GROUP BY 1),
+        core_id AS (SELECT scc_id FROM sizes
+                    ORDER BY sz DESC, hub DESC, scc_id ASC LIMIT 1),
+        core AS (SELECT entity AS v FROM scc
+                 WHERE scc_id = (SELECT scc_id FROM core_id)),
+        fw(v) AS (SELECT v FROM core
+                  UNION
+                  SELECT e.b FROM fw JOIN eu e ON e.a = fw.v),
+        bw(v) AS (SELECT v FROM core
+                  UNION
+                  SELECT e.a FROM bw JOIN eu e ON e.b = bw.v),
+        ue AS (SELECT DISTINCT a, b
+               FROM (SELECT a, b FROM eu
+                     UNION ALL SELECT b AS a, a AS b FROM eu)),
+        wk(v) AS (SELECT v FROM core
+                  UNION
+                  SELECT e.b FROM wk JOIN ue e ON e.a = wk.v)
+        SELECT n.v AS entity,
+               CASE WHEN n.v IN (SELECT v FROM core) THEN 'CORE'
+                    WHEN n.v IN (SELECT v FROM fw) THEN 'OUT'
+                    WHEN n.v IN (SELECT v FROM bw) THEN 'IN'
+                    WHEN n.v IN (SELECT v FROM wk) THEN 'TENDRIL'
+                    ELSE 'DISCONNECTED' END AS component
+        FROM n
     """
     return d

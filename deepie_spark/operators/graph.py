@@ -3169,3 +3169,169 @@ def conductance(
             ).alias("conductance"),
         )
     )
+
+
+def bipartite_butterflies(
+    df: DataFrame, left_col: str, right_col: str
+) -> DataFrame:
+    """Butterfly (bipartite 4-cycle) counting per right-side pair
+    (Sanei-Mehri, Sariyüce & Tirthapura, KDD 2018): for right nodes
+    (r1, r2) sharing c common left neighbors, the pair participates
+    in C(c, 2) butterflies — the bipartite clustering primitive
+    (users × event types, docs × hosts) that plays the role triangles
+    play in unipartite graphs.
+
+    Counts ride DOUBLED as c·(c−1) exact longs (the cluster_agreement
+    ARI rule — no division anywhere).  Plan: distinct edges, then the
+    per-left SORTED neighbor array expands its C(deg, 2) pairs IN-ROW
+    (the frequent_itemsets in-row candidate rule: the lambda's
+    collection argument is a plain column, no HOF-CSE re-evaluation)
+    and ONE hash agg counts pairs — no edge self-join.  The in-row
+    expansion is deg²-per-left, so callers with unbounded left degree
+    must side-swap or hub-cap first (the neighbor_jaccard guard);
+    here the left side is the bounded one by construction.
+
+    Output: (r1, r2, n_common, butterflies2) with r1 < r2."""
+    ed = df.select(
+        F.col(left_col).alias("l"), F.col(right_col).alias("r")
+    ).distinct()
+    arr = ed.groupBy("l").agg(
+        F.array_sort(F.collect_list("r")).alias("rs")
+    )
+    n = F.size("rs")
+    pairs = arr.filter(n >= 2).select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("rs"),
+                        lambda x, i: F.transform(
+                            F.col("rs"),
+                            lambda y, j: F.struct(
+                                x.alias("r1"),
+                                y.alias("r2"),
+                                (i < j).alias("keep"),
+                            ),
+                        ),
+                    )
+                ),
+                lambda s: s["keep"],
+            )
+        ).alias("p")
+    )
+    c = pairs.groupBy(
+        F.col("p.r1").alias("r1"), F.col("p.r2").alias("r2")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    return c.select(
+        "r1",
+        "r2",
+        "n_common",
+        (F.col("n_common") * (F.col("n_common") - 1))
+        .cast("long")
+        .alias("butterflies2"),
+    )
+
+
+def _reach_fixpoint(
+    adj: DataFrame, seeds: DataFrame, max_iter: int = 100
+) -> DataFrame:
+    """Reachable set from ``seeds`` over the DIRECTED adjacency
+    ``adj(a, b)``, iterated to the TRUE fixpoint (frontier empty) —
+    the kcore peel-to-fixpoint convention, one frontier⋈adjacency
+    join + anti-join per round with eager localCheckpoint (frontier-
+    sized work per round, lineage truncated).  Returns 1-column
+    (node)."""
+    visited = seeds.select("node").distinct().localCheckpoint(eager=True)
+    frontier = visited
+    for _ in range(max_iter):
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            return visited
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    raise RuntimeError("reachability did not converge")
+
+
+def bowtie_decomposition(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Bow-tie decomposition of a directed graph (Broder et al., WWW
+    2000 — THE web-structure map): CORE = the largest SCC, IN = nodes
+    reaching CORE, OUT = nodes reached from CORE, TENDRIL = weakly
+    but not directionally connected (Broder's tendrils + tubes),
+    DISCONNECTED = the rest.  The KG/web-crawl shape audit: a healthy
+    crawl has a dominant CORE; a scrape of one seed list shows a
+    bloated OUT and empty IN.
+
+    CORE pick is deterministic: (SCC size DESC, max member total-
+    degree DESC, scc_id ASC) — the hub tie-break keeps the choice
+    meaningful on DAG-like graphs where every SCC is a singleton.
+    IN/OUT/CORE are provably disjoint (a node reaching AND reached
+    from a maximal SCC belongs to it), so the CASE order is safe.
+
+    Plan: one SCC run (Trim + FW-BW, scale-documented there), three
+    reachability fixpoints (forward, backward, undirected — frontier-
+    sized rounds, localCheckpoint per round), one broadcast of the
+    1-row core id.  Output: (entity, component)."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    scc = strongly_connected_components(e, src="a", dst="b")
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    sizes = (
+        scc.join(deg, scc["entity"] == deg["node"])
+        .groupBy("scc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("deg").cast("long").alias("hub"),
+        )
+    )
+    core_id = (
+        sizes.orderBy(F.desc("n"), F.desc("hub"), F.asc("scc_id"))
+        .limit(1)
+        .select("scc_id")
+    )
+    core = scc.join(F.broadcast(core_id), "scc_id").select(
+        F.col("entity").alias("node")
+    ).localCheckpoint(eager=True)
+    rev = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    und = e.unionByName(rev).distinct().localCheckpoint()
+    fw = _reach_fixpoint(e, core).withColumnRenamed("node", "fw")
+    bw = _reach_fixpoint(rev, core).withColumnRenamed("node", "bw")
+    wk = _reach_fixpoint(und, core).withColumnRenamed("node", "wk")
+    return (
+        nodes.join(
+            core.select(F.col("node"), F.lit(1).alias("_c")), "node", "left"
+        )
+        .join(fw, nodes["node"] == fw["fw"], "left")
+        .join(bw, nodes["node"] == bw["bw"], "left")
+        .join(wk, nodes["node"] == wk["wk"], "left")
+        .select(
+            F.col("node").alias("entity"),
+            F.when(F.col("_c").isNotNull(), F.lit("CORE"))
+            .when(F.col("fw").isNotNull(), F.lit("OUT"))
+            .when(F.col("bw").isNotNull(), F.lit("IN"))
+            .when(F.col("wk").isNotNull(), F.lit("TENDRIL"))
+            .otherwise(F.lit("DISCONNECTED"))
+            .alias("component"),
+        )
+    )

@@ -2123,3 +2123,71 @@ def test_conductance_single_community_null(spark):
     )
     r = conductance(edges, labels).collect()[0]
     assert r.cut == 0 and r.phi_den == 0 and r.conductance is None
+
+
+def test_bipartite_butterflies_hand(spark):
+    from deepie_spark.operators.graph import bipartite_butterflies
+
+    # K_{2,2} on (u1,u2)x(a,b) = exactly one butterfly; c also hangs
+    # off u1 alone
+    rows = [("u1", "a"), ("u1", "b"), ("u2", "a"), ("u2", "b"),
+            ("u1", "c"), ("u1", "a")]  # dup edge must not double-count
+    df = spark.createDataFrame(rows, ["l", "r"])
+    got = {(r["r1"], r["r2"]): (r["n_common"], r["butterflies2"])
+           for r in bipartite_butterflies(df, "l", "r").collect()}
+    assert got[("a", "b")] == (2, 2)   # one butterfly, doubled
+    assert got[("a", "c")] == (1, 0)
+    assert got[("b", "c")] == (1, 0)
+
+
+def test_bipartite_butterflies_vs_bruteforce(spark):
+    from itertools import combinations
+
+    from deepie_spark.operators.graph import bipartite_butterflies
+
+    edges = sorted({((i * 7 + j * 3) % 5, (i * 11 + j) % 4)
+                    for i in range(6) for j in range(5)})
+    df = spark.createDataFrame(
+        [(f"l{l}", f"r{r}") for l, r in edges], ["l", "r"]
+    )
+    adj = {}
+    for l, r in edges:
+        adj.setdefault(f"l{l}", set()).add(f"r{r}")
+    want = {}
+    rights = sorted({f"r{r}" for _, r in edges})
+    for r1, r2 in combinations(rights, 2):
+        c = sum(1 for s in adj.values() if r1 in s and r2 in s)
+        if c >= 1:
+            want[(r1, r2)] = (c, c * (c - 1))
+    got = {(r["r1"], r["r2"]): (r["n_common"], r["butterflies2"])
+           for r in bipartite_butterflies(df, "l", "r").collect()}
+    assert got == want
+
+
+def test_bowtie_decomposition_hand(spark):
+    from deepie_spark.operators.graph import bowtie_decomposition
+
+    # core cycle a<->b; in: i1 -> a; out: b -> o1 -> o2;
+    # tendril: i1 -> t1 (from IN, never reaches core);
+    # disconnected: x1 -> x2
+    rows = [("a", "b"), ("b", "a"), ("i1", "a"), ("b", "o1"),
+            ("o1", "o2"), ("i1", "t1"), ("x1", "x2")]
+    df = spark.createDataFrame(rows, ["src", "dst"])
+    got = {r["entity"]: r["component"]
+           for r in bowtie_decomposition(df).collect()}
+    assert got == {
+        "a": "CORE", "b": "CORE", "i1": "IN", "o1": "OUT",
+        "o2": "OUT", "t1": "TENDRIL", "x1": "DISCONNECTED",
+        "x2": "DISCONNECTED",
+    }
+
+
+def test_bowtie_synthesized_class_counts(spark):
+    import __spark_entry__ as entry
+
+    got = entry.q_web_bowtie(spark, "/root/testdata/sf0.01").collect()
+    counts = {}
+    for r in got:
+        counts[r["component"]] = counts.get(r["component"], 0) + 1
+    assert counts == {"CORE": 10, "IN": 15, "OUT": 15,
+                      "TENDRIL": 8, "DISCONNECTED": 10}
