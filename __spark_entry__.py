@@ -8747,6 +8747,48 @@ def q_web_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bowtie_decomposition(edges)
 
 
+def q_ql_jm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 docs by Jelinek-Mercer-smoothed query likelihood at
+    λ = 1/2 (operators/retrieval.py jm_ql_scores) — the fixed-
+    interpolation companion of ql_dirichlet: rational λ keeps both
+    ln arguments exact longs, per-term adds in fixed written order,
+    top-k via TakeOrderedAndProject on the unrounded score."""
+    from deepie_spark.operators.retrieval import jm_ql_scores
+
+    s = jm_ql_scores(_toks(spark, sf_dir), _BM25_TERMS, 1, 2)
+    return (
+        s.orderBy(F.desc("score"), "doc_id")
+        .limit(50)
+        .select(
+            "doc_id", "n_terms", "dl", F.round("score", 6).alias("ql_jm")
+        )
+    )
+
+
+def q_borda_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borda-count fusion of the bm25 lexical top-50 with the exact-
+    cosine semantic top-50 (operators/retrieval.py borda_fuse) — the
+    PURE-INTEGER positional-voting companion of hybrid_rrf: k+1−rank
+    points per list, zero FP anywhere.  Oracle shares hybrid_rrf's
+    generated lex/sem CTE prefix by string surgery (the
+    retrieval_mrr rule) so the twins cannot drift."""
+    from deepie_spark.operators.retrieval import borda_fuse
+    from deepie_spark.operators.similarity import brute_force_topk
+
+    lex = q_bm25_topk(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("bm25").alias("score")
+    )
+    emb = _emb(spark, sf_dir)
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    sem = brute_force_topk(emb, q0, k=50).select(
+        F.col("vec_id").alias("id"), F.col("cosine").alias("score")
+    )
+    return borda_fuse({"lex": lex, "sem": sem}, k=50)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -9086,6 +9128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_holt": q_events_holt,
         "graph_butterflies": q_graph_butterflies,
         "web_bowtie": q_web_bowtie,
+        "ql_jm": q_ql_jm,
+        "borda_fusion": q_borda_fusion,
     }
 
 
@@ -14554,6 +14598,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_terms, dl, round(score, 6) AS ql
         FROM sc ORDER BY score DESC, doc_id LIMIT 50
     """
+    # ql_jm twin: the same CTE skeleton with the λ = 1/2 JM chain —
+    # both ln args exact longs (tf·C + cf·dl and 2·dl·C).
+    _JM_CHAIN = " + ".join(
+        f"(ln(CAST(tf{i} * c_len + cf{i} * dl AS DOUBLE))"
+        f" - ln(CAST(2 * dl * c_len AS DOUBLE)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    d["ql_jm"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        st AS (SELECT CAST(sum(dl) AS BIGINT) AS c_len FROM dl),
+        tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+               FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+               WHERE token IN ({_QL_TERMS_IN})
+               GROUP BY 1, 2),
+        cf AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cf
+               FROM tf GROUP BY 1),
+        cfs AS (SELECT {_QL_CF} FROM cf),
+        g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                     {_QL_TF}
+              FROM tf GROUP BY 1),
+        sc AS (SELECT g.doc_id, g.n_terms, dl.dl,
+                      {_JM_CHAIN} AS score
+               FROM g JOIN dl USING (doc_id)
+               CROSS JOIN st CROSS JOIN cfs)
+        SELECT doc_id, n_terms, dl, round(score, 6) AS ql_jm
+        FROM sc ORDER BY score DESC, doc_id LIMIT 50
+    """
     # bm25_ndcg twin: the bm25_topk score CTEs verbatim, rel =
     # n_terms, repr-shared discounts, fixed-position chains, the
     # same (…, doc_id) tie-broken top slices.
@@ -17512,5 +17584,21 @@ def oracle_sql() -> dict[str, str]:
                     WHEN n.v IN (SELECT v FROM wk) THEN 'TENDRIL'
                     ELSE 'DISCONNECTED' END AS component
         FROM n
+    """
+    # borda_fusion twin: SHARES hybrid_rrf's generated lex/sem CTE
+    # prefix by string surgery (the retrieval_mrr anti-drift rule),
+    # then the pure-integer 51−rank point sum.
+    _BORDA_PRE = d["hybrid_rrf"].rsplit("SELECT doc_id,", 1)[0]
+    d["borda_fusion"] = _BORDA_PRE + """SELECT doc_id,
+               CAST(coalesce(rank_lex, 0) AS BIGINT) AS rank_lex,
+               CAST(coalesce(rank_sem, 0) AS BIGINT) AS rank_sem,
+               CAST((CASE WHEN rank_lex IS NOT NULL
+                          AND rank_lex <= 50
+                          THEN 51 - rank_lex ELSE 0 END)
+                    + (CASE WHEN rank_sem IS NOT NULL
+                            AND rank_sem <= 50
+                            THEN 51 - rank_sem ELSE 0 END)
+                    AS BIGINT) AS borda
+        FROM lr FULL OUTER JOIN sr USING (doc_id)
     """
     return d

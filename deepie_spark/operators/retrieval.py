@@ -763,3 +763,136 @@ def postings_compression(
             ).alias("compression_ratio"),
         )
     )
+
+
+def jm_ql_scores(
+    docs: DataFrame,
+    terms: list[str],
+    lam_num: int = 1,
+    lam_den: int = 2,
+    id_col: str = "doc_id",
+    toks_col: str = "toks",
+) -> DataFrame:
+    """Query-likelihood retrieval with Jelinek-Mercer smoothing (Zhai
+    & Lafferty 2004 — the fixed-interpolation companion of
+    dirichlet_ql_scores, preferred for verbose queries)::
+
+        score(d) = Σ_t ln((1−λ)·tf/dl + λ·cf_t/C)
+                 = Σ_t [ln((den−num)·tf·C + num·cf_t·dl)
+                        − ln(den·dl·C)]
+
+    for λ = num/den rational, so BOTH ln arguments are exact longs
+    (identical libm inputs both engines) and the per-term sum is a
+    fixed written-order chain — the bm25/dirichlet portability
+    playbook.  Same candidate convention as dirichlet: docs matching
+    ≥ 1 query term are scored over ALL terms (tf = 0 terms contribute
+    the background mass).  Long bound: tf·C < 2⁶³ caps corpus tokens
+    at ~3·10⁹ per exact-gated run (the dirichlet bound) — beyond
+    that the args widen to double and the gate becomes tolerance."""
+    if not (0 < lam_num < lam_den):
+        raise ValueError("need 0 < lam_num < lam_den")
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks_col).cast("long").alias("dl"),
+    )
+    stats = dl.agg(F.sum("dl").cast("long").alias("c_len"))
+    matches = F.filter(F.col(toks_col), lambda t: t.isin(terms))
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(matches).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    cf = tf.groupBy("token").agg(F.sum("tf").cast("long").alias("cf"))
+    cfs = cf.agg(
+        *[
+            F.max(F.when(F.col("token") == t, F.col("cf"))).alias(f"cf_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    g = tf.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("token") == t, F.col("tf"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    j = (
+        g.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(cfs))
+    )
+    keep = F.lit(int(lam_den - lam_num))
+    mix = F.lit(int(lam_num))
+    base = F.log(
+        (F.lit(int(lam_den)) * F.col("dl") * F.col("c_len")).cast("double")
+    )
+    total = None
+    for i in range(len(terms)):
+        term = (
+            F.log(
+                (
+                    keep * F.col(f"tf_{i}") * F.col("c_len")
+                    + mix * F.col(f"cf_{i}") * F.col("dl")
+                ).cast("double")
+            )
+            - base
+        )
+        total = term if total is None else total + term
+    return j.select("doc_id", "n_terms", "dl", total.alias("score"))
+
+
+def borda_fuse(
+    lists: dict[str, DataFrame],
+    k: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Borda-count rank fusion of top-k result lists (the positional
+    voting rule — Aslam & Montague 2001 brought it to metasearch):
+    a document at rank r in a list earns k+1−r points, absent-or-
+    beyond-k earns 0, and lists add.  The PURE-INTEGER companion of
+    rrf_fuse — zero FP anywhere, so the gate is exact by
+    construction.
+
+    Same contract as rrf_fuse: inputs are bounded TOP-K LISTS of
+    ``(id, score)``; ranks are 1-based by (score DESC, id) within
+    each ≤k-row list (never a corpus-sized window).
+
+    Output: ``(id_col, rank_<name>..., borda)`` with names sorted."""
+    from functools import reduce
+
+    from pyspark.sql import Window as W
+
+    ranked = []
+    for name in sorted(lists):
+        df = lists[name]
+        w = W.orderBy(F.desc("score"), "id")
+        ranked.append(
+            df.select(
+                F.col("id"),
+                F.row_number().over(w).cast("long").alias(f"rank_{name}"),
+            )
+        )
+    joined = reduce(lambda a, b: a.join(b, "id", "full_outer"), ranked)
+    borda = None
+    for name in sorted(lists):
+        r = F.col(f"rank_{name}")
+        pts = F.when(
+            r.isNotNull() & (r <= k), F.lit(k + 1) - r
+        ).otherwise(F.lit(0))
+        borda = pts if borda is None else borda + pts
+    return joined.select(
+        F.col("id").alias(id_col),
+        *[
+            F.coalesce(f"rank_{n}", F.lit(0)).cast("long")
+             .alias(f"rank_{n}")
+            for n in sorted(lists)
+        ],
+        borda.cast("long").alias("borda"),
+    )

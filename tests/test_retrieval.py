@@ -336,3 +336,70 @@ def test_mrr_at_k_hand_examples(spark):
     assert got["q_none"].first_rel_rank is None and got["q_none"].rr == 0.0
     assert got["q_cut"].first_rel_rank is None and got["q_cut"].rr == 0.0
     assert got["q_tie"].first_rel_rank == 2 and got["q_tie"].rr == 0.5
+
+
+def test_jm_ql_scores_vs_python(spark):
+    import math
+
+    from deepie_spark.operators.retrieval import jm_ql_scores
+
+    docs = {
+        1: "spark joins the hash table".split(),
+        2: "hash hash partitions".split(),
+        3: "nothing relevant here at all".split(),
+    }
+    df = spark.createDataFrame(list(docs.items()), ["doc_id", "toks"])
+    terms = ["spark", "hash"]
+    got = {r["doc_id"]: r["score"]
+           for r in jm_ql_scores(df, terms, 1, 2).collect()}
+    c_len = sum(len(t) for t in docs.values())
+    cf = {t: sum(d.count(t) for d in docs.values()) for t in terms}
+    for doc_id, toks in docs.items():
+        dl = len(toks)
+        if not any(t in toks for t in terms):
+            assert doc_id not in got
+            continue
+        want = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            want += math.log(tf * c_len + cf[t] * dl) - math.log(
+                2 * dl * c_len
+            )
+        assert got[doc_id] == pytest.approx(want, rel=1e-12)
+
+
+def test_jm_ql_rejects_bad_lambda(spark):
+    from deepie_spark.operators.retrieval import jm_ql_scores
+
+    df = spark.createDataFrame([(1, ["a"])], ["doc_id", "toks"])
+    with pytest.raises(ValueError):
+        jm_ql_scores(df, ["a"], 2, 2)
+
+
+def test_borda_fuse_hand(spark):
+    from deepie_spark.operators.retrieval import borda_fuse
+
+    lex = spark.createDataFrame(
+        [("d1", 9.0), ("d2", 5.0), ("d3", 1.0)], ["id", "score"]
+    )
+    sem = spark.createDataFrame(
+        [("d2", 0.9), ("d4", 0.8)], ["id", "score"]
+    )
+    got = {r["doc_id"]: (r["rank_lex"], r["rank_sem"], r["borda"])
+           for r in borda_fuse({"lex": lex, "sem": sem}, k=3).collect()}
+    # points: rank1 -> 3, rank2 -> 2, rank3 -> 1; absent -> 0
+    assert got["d1"] == (1, 0, 3)
+    assert got["d2"] == (2, 1, 2 + 3)
+    assert got["d3"] == (3, 0, 1)
+    assert got["d4"] == (0, 2, 2)
+
+
+def test_borda_fuse_beyond_k_scores_zero(spark):
+    from deepie_spark.operators.retrieval import borda_fuse
+
+    lst = spark.createDataFrame(
+        [(f"d{i}", float(10 - i)) for i in range(4)], ["id", "score"]
+    )
+    got = {r["doc_id"]: r["borda"]
+           for r in borda_fuse({"one": lst}, k=2).collect()}
+    assert got == {"d0": 2, "d1": 1, "d2": 0, "d3": 0}
