@@ -8789,6 +8789,103 @@ def q_borda_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return borda_fuse({"lex": lex, "sem": sem}, k=50)
 
 
+def q_graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full core decomposition of the triple graph (operators/
+    graph.py coreness — the Lü et al. h-index fixpoint): every
+    entity's shell index in one run, the spectrum kcore's single-k
+    cut samples.  Spark iterates to the TRUE fixpoint; the oracle is
+    8 unrolled MATERIALIZED h-index rounds (the kcore convention —
+    the convergence test pins rounds ≤ 8 on this graph)."""
+    from deepie_spark.operators.graph import coreness
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return coreness(t)
+
+
+def q_events_dw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson serial-correlation statistic per event type over
+    the dense 32-bin count grid: residuals are mean-centred counts
+    scaled by n (d_t = 32·y_t − T, exact longs — the welch_ttest
+    n-scaling rule, empty bins included as zeros), DW =
+    Σ(d_t − d_{t−1})² / Σd_t² one IEEE divide.  DW ≈ 2 is white
+    noise, → 0 positive autocorrelation — the regression-residual
+    companion of events_acf's direct lag-1 estimate."""
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("es"),
+    )
+    rng = e.agg(
+        F.min("es").alias("lo"),
+        (F.max("es") - F.min("es") + 1).alias("span"),
+    )
+    ct = (
+        e.crossJoin(F.broadcast(rng))
+        .select(
+            "event_type",
+            F.expr("CAST(((es - lo) * 32) DIV span AS LONG)").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    types = ct.select("event_type").distinct()
+    grid = (
+        types.crossJoin(
+            F.broadcast(
+                spark.range(32).select(F.col("id").cast("long").alias("bin"))
+            )
+        )
+        .join(ct, ["event_type", "bin"], "left")
+        .fillna(0, subset=["y"])
+    )
+    tot = grid.groupBy("event_type").agg(
+        F.sum("y").cast("long").alias("t_sum")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy("bin")
+    dd = (
+        grid.join(tot, "event_type")
+        .select(
+            "event_type",
+            "bin",
+            (F.lit(32) * F.col("y") - F.col("t_sum")).alias("d"),
+        )
+        .select(
+            "event_type",
+            "d",
+            F.lag("d", 1).over(w).alias("d_prev"),
+        )
+    )
+    g = dd.groupBy("event_type").agg(
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sum_d2"),
+        F.sum(
+            F.when(
+                F.col("d_prev").isNotNull(),
+                (F.col("d") - F.col("d_prev"))
+                * (F.col("d") - F.col("d_prev")),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("sum_diff2"),
+    )
+    return g.select(
+        "event_type",
+        F.lit(32).cast("long").alias("n_bins"),
+        "sum_d2",
+        "sum_diff2",
+        F.when(
+            F.col("sum_d2") > 0,
+            F.round(
+                F.col("sum_diff2").cast("double")
+                / F.col("sum_d2").cast("double"),
+                6,
+            ),
+        ).alias("dw"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -9130,6 +9227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_bowtie": q_web_bowtie,
         "ql_jm": q_ql_jm,
         "borda_fusion": q_borda_fusion,
+        "graph_coreness": q_graph_coreness,
+        "events_dw": q_events_dw,
     }
 
 
@@ -17600,5 +17699,73 @@ def oracle_sql() -> dict[str, str]:
                             THEN 51 - rank_sem ELSE 0 END)
                     AS BIGINT) AS borda
         FROM lr FULL OUTER JOIN sr USING (doc_id)
+    """
+    # graph_coreness twin: 8 unrolled MATERIALIZED h-index rounds
+    # over the triple adjacency (the kcore unrolling convention; the
+    # pytest convergence check pins Spark's fixpoint ≤ 8 rounds
+    # here).  Rank ties inside a round are h-invariant (the h count
+    # depends only on the value multiset).
+    _CORE_ROUNDS = 8
+    _core_cte = [
+        """v0 AS MATERIALIZED (
+          SELECT a AS node, CAST(count(*) AS BIGINT) AS v
+          FROM adj GROUP BY 1)"""
+    ]
+    for _r in range(1, _CORE_ROUNDS + 1):
+        _core_cte.append(f"""v{_r} AS MATERIALIZED (
+          SELECT node, CAST(coalesce(max(CASE WHEN v >= rnk THEN rnk
+                                          END), 0) AS BIGINT) AS v
+          FROM (SELECT adj.a AS node, p.v,
+                       row_number() OVER (PARTITION BY adj.a
+                                          ORDER BY p.v DESC) AS rnk
+                FROM adj JOIN v{_r - 1} p ON p.node = adj.b)
+          GROUP BY 1)""")
+    _core_joined = (",\n        ").join(_core_cte)
+    d["graph_coreness"] = f"""
+        WITH {_MENTIONS_SQL.strip()},
+        {_TRIPLE_EDGES_SQL.strip()},
+        adj AS (SELECT a, b FROM und
+                UNION ALL SELECT b, a FROM und),
+        {_core_joined}
+        SELECT node AS entity, v AS coreness FROM v{_CORE_ROUNDS}
+    """
+    # events_dw twin: identical 32-bin dense grid, n-scaled integer
+    # residuals and the one-divide DW chain.
+    d["events_dw"] = """
+        WITH e AS (SELECT event_type,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS es
+                   FROM events),
+        r0 AS (SELECT min(es) AS lo, max(es) - min(es) + 1 AS span
+               FROM e),
+        ct AS (SELECT event_type,
+                      CAST(((es - lo) * 32) // span AS BIGINT) AS bin,
+                      CAST(count(*) AS BIGINT) AS y
+               FROM e CROSS JOIN r0 GROUP BY 1, 2),
+        ty AS (SELECT DISTINCT event_type FROM ct),
+        grid AS (SELECT ty.event_type, g.b AS bin,
+                        CAST(coalesce(ct.y, 0) AS BIGINT) AS y
+                 FROM ty CROSS JOIN generate_series(0, 31) g(b)
+                 LEFT JOIN ct ON ct.event_type = ty.event_type
+                             AND ct.bin = g.b),
+        tot AS (SELECT event_type, CAST(sum(y) AS BIGINT) AS t_sum
+                FROM grid GROUP BY 1),
+        dd AS (SELECT grid.event_type,
+                      32 * y - t_sum AS d,
+                      lag(32 * y - t_sum, 1)
+                        OVER (PARTITION BY grid.event_type
+                              ORDER BY bin) AS d_prev
+               FROM grid JOIN tot USING (event_type)),
+        g AS (SELECT event_type,
+                     CAST(sum(d * d) AS BIGINT) AS sum_d2,
+                     CAST(sum(CASE WHEN d_prev IS NOT NULL
+                                   THEN (d - d_prev) * (d - d_prev)
+                                   ELSE 0 END) AS BIGINT) AS sum_diff2
+              FROM dd GROUP BY 1)
+        SELECT event_type, CAST(32 AS BIGINT) AS n_bins,
+               sum_d2, sum_diff2,
+               CASE WHEN sum_d2 > 0
+                 THEN round(CAST(sum_diff2 AS DOUBLE)
+                            / CAST(sum_d2 AS DOUBLE), 6) END AS dw
+        FROM g
     """
     return d

@@ -3335,3 +3335,82 @@ def bowtie_decomposition(
             .alias("component"),
         )
     )
+
+
+def coreness(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """FULL core decomposition — the coreness (shell index) of every
+    node, computed by the h-index fixpoint iteration (Lü, Zhou,
+    Zhang & Stanley, Nature Comm. 2016): start from degrees and
+    repeatedly replace each node's value with the H-INDEX of its
+    neighbors' values; the fixpoint is exactly the k-core number.
+    kcore() answers "who survives at THIS k" — coreness answers the
+    whole spectrum in one run (the degeneracy layering that orders
+    peeling schedules and hub tiers).
+
+    Per round: one value-join onto the undirected adjacency + one
+    per-node sorted-array h-index (in-row ``filter`` over the SORTED
+    DESC collected values — h = #{i : a[i] ≥ i+1}, valid because the
+    predicate holds on a prefix of a descending array) + a changed-
+    row count action for the fixpoint (kcore's peel-to-fixpoint
+    convention, localCheckpoint per round).  Round count is bounded
+    by the convergence depth of the h-operator — O(graph diameter ×
+    degeneracy) worst case, a handful on power-law graphs.  The
+    collect_list per node is degree-sized: hub rows carry deg(v)
+    values in-row — the same bound kcore's degree agg pays per round.
+
+    Output: (entity, coreness) exact longs, isolated-from-edges
+    nodes absent (no edges → no core membership)."""
+    und0 = _canonical_edges(edges, src, dst)
+    adj = (
+        und0.unionByName(
+            und0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .localCheckpoint()
+    )
+    val = (
+        adj.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nv = (
+            adj.join(val, adj["b"] == val["node"])
+            .select(F.col("a").alias("node"), "v")
+            .groupBy("node")
+            .agg(
+                F.sort_array(F.collect_list("v"), asc=False).alias("vs")
+            )
+            .select(
+                "node",
+                F.size(
+                    F.filter(
+                        F.col("vs"), lambda x, i: x >= (i + 1).cast("long")
+                    )
+                )
+                .cast("long")
+                .alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nv.join(
+                val.select(
+                    F.col("node"), F.col("v").alias("v_old")
+                ),
+                "node",
+            )
+            .filter(F.col("v") != F.col("v_old"))
+            .count()
+        )
+        val = nv
+        if changed == 0:
+            return val.select(
+                F.col("node").alias("entity"),
+                F.col("v").alias("coreness"),
+            )
+    raise RuntimeError("coreness h-index iteration did not converge")

@@ -2191,3 +2191,41 @@ def test_bowtie_synthesized_class_counts(spark):
         counts[r["component"]] = counts.get(r["component"], 0) + 1
     assert counts == {"CORE": 10, "IN": 15, "OUT": 15,
                       "TENDRIL": 8, "DISCONNECTED": 10}
+
+
+def test_coreness_hand(spark):
+    from deepie_spark.operators.graph import coreness
+
+    # triangle a-b-c (coreness 2) with pendant d-a (coreness 1) and
+    # isolated pair e-f (coreness 1)
+    rows = [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a"), ("e", "f")]
+    df = spark.createDataFrame(rows, ["src", "dst"])
+    got = {r["entity"]: r["coreness"] for r in coreness(df).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2, "d": 1, "e": 1, "f": 1}
+
+
+def test_coreness_matches_kcore_membership(spark):
+    from deepie_spark.operators.graph import coreness, kcore
+
+    # deterministic random-ish graph; coreness >= k <=> in k-core
+    rows = [(f"n{(i * 7) % 11}", f"n{(i * 5 + 3) % 11}")
+            for i in range(25)]
+    df = spark.createDataFrame(rows, ["src", "dst"])
+    cn = {r["entity"]: r["coreness"] for r in coreness(df).collect()}
+    for k in (1, 2, 3):
+        members = {r["entity"] for r in kcore(df, k=k).collect()}
+        assert members == {v for v, c in cn.items() if c >= k}
+
+
+def test_coreness_oracle_round_bound(spark):
+    """The unrolled SQL oracle runs 8 h-index rounds; Spark must
+    reach its fixpoint within that many on the gated query graph."""
+    import __spark_entry__ as entry
+    from deepie_spark.operators.graph import coreness
+
+    t = entry.q_triples_rules(spark, "/root/testdata/sf0.01").select(
+        entry.F.col("subj").alias("src"),
+        entry.F.col("obj").alias("dst"),
+    )
+    # raises RuntimeError if > 8 rounds were needed
+    assert coreness(t, max_rounds=8).count() > 0

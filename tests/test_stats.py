@@ -1530,3 +1530,34 @@ def test_holt_linear_missing_bins_are_zero(spark):
         l = l_new
     assert row["level_num"] / row["scale_den"] == l
     assert row["trend_num"] / row["scale_den"] == b
+
+
+def test_events_dw_hand_series(spark):
+    import __spark_entry__ as entry
+
+    got = {r["event_type"]: r
+           for r in entry.q_events_dw(
+               spark, "/root/testdata/sf0.01").collect()}
+    assert set(got) == {"click", "view", "signup", "purchase", "error"}
+    for r in got.values():
+        # DW of a stationary counting series lives in (0, 4)
+        assert 0.0 < r["dw"] < 4.0
+        assert r["n_bins"] == 32 and r["sum_d2"] > 0
+
+
+def test_durbin_watson_formula_small(spark):
+    """Cross-check the n-scaled integer DW against plain-float DW."""
+    from pyspark.sql import functions as F
+
+    ys = [3, 1, 4, 1, 5, 9, 2, 6]
+    n = len(ys)
+    mean = sum(ys) / n
+    e = [y - mean for y in ys]
+    dw_want = sum((e[i] - e[i - 1]) ** 2 for i in range(1, n)) / sum(
+        x * x for x in e
+    )
+    d = [n * y - sum(ys) for y in ys]
+    dw_int = sum((d[i] - d[i - 1]) ** 2 for i in range(1, n)) / sum(
+        x * x for x in d
+    )
+    assert abs(dw_int - dw_want) < 1e-12
