@@ -8886,6 +8886,32 @@ def q_events_dw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_infogain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens by information gain against the document source
+    label (operators/curation.py token_information_gain, Yang &
+    Pedersen 1997): dense token × class presence grid, exact-integer
+    ln args, per-cell fixed-point quantization, top-k cut on the
+    INTEGER mi_fp — the multi-class feature-selection companion of
+    term_keyness' pairwise log-odds."""
+    from deepie_spark.operators.curation import token_information_gain
+
+    d = _docs(spark, sf_dir).select(
+        "source", tokenize(F.col("text")).alias("toks")
+    )
+    return token_information_gain(d, "source", "toks", min_df=5, top_k=20)
+
+
+def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotropy audit of the embedding table (operators/quantize.py
+    isotropy_stats, Mu & Viswanath 2018): average pairwise dot via
+    the Gram identity ‖Σx‖² − Σ‖x‖² — two linear passes over
+    once-quantized exact-long coordinates, never a pair join — plus
+    the mean-vector energy ratio."""
+    from deepie_spark.operators.quantize import isotropy_stats
+
+    return isotropy_stats(_emb(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -9229,6 +9255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "borda_fusion": q_borda_fusion,
         "graph_coreness": q_graph_coreness,
         "events_dw": q_events_dw,
+        "token_infogain": q_token_infogain,
+        "embedding_isotropy": q_embedding_isotropy,
     }
 
 
@@ -17767,5 +17795,77 @@ def oracle_sql() -> dict[str, str]:
                  THEN round(CAST(sum_diff2 AS DOUBLE)
                             / CAST(sum_d2 AS DOUBLE), 6) END AS dw
         FROM g
+    """
+    # token_infogain twin: identical dense presence grid, the same
+    # fixed-point cell chain with exact-integer ln args, and the
+    # integer-ordered top-20 cut.
+    d["token_infogain"] = f"""
+        WITH t AS (SELECT source AS cls, {_TOKS_SQL} AS toks
+                   FROM documents),
+        pres AS (SELECT cls, unnest(list_distinct(toks)) AS token
+                 FROM t),
+        ntc AS (SELECT token, cls, CAST(count(*) AS BIGINT) AS n_tc
+                FROM pres GROUP BY 1, 2),
+        nt AS (SELECT token, CAST(sum(n_tc) AS BIGINT) AS n_t
+               FROM ntc GROUP BY 1 HAVING sum(n_tc) >= 5),
+        nc AS (SELECT cls, CAST(count(*) AS BIGINT) AS n_c
+               FROM t GROUP BY 1),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+        grid AS (SELECT nt.token, nt.n_t, nc.cls, nc.n_c,
+                        CAST(coalesce(ntc.n_tc, 0) AS BIGINT) AS n_tc,
+                        nn.n
+                 FROM nt CROSS JOIN nc
+                 LEFT JOIN ntc ON ntc.token = nt.token
+                             AND ntc.cls = nc.cls
+                 CROSS JOIN nn),
+        cell AS (SELECT token, n_t,
+                   (CASE WHEN n_tc > 0
+                      THEN floor((CAST(n_tc AS DOUBLE) / n)
+                                 * (ln(CAST(n_tc * n AS DOUBLE))
+                                    - ln(CAST(n_t * n_c AS DOUBLE)))
+                                 * 1048576.0)
+                      ELSE 0 END)
+                   + (CASE WHEN n_c - n_tc > 0
+                        THEN floor((CAST(n_c - n_tc AS DOUBLE) / n)
+                                   * (ln(CAST((n_c - n_tc) * n
+                                              AS DOUBLE))
+                                      - ln(CAST((n - n_t) * n_c
+                                                AS DOUBLE)))
+                                   * 1048576.0)
+                        ELSE 0 END) AS fp
+                 FROM grid),
+        mi AS (SELECT token, CAST(max(n_t) AS BIGINT) AS n_docs_with,
+                      CAST(sum(fp) AS BIGINT) AS mi_fp
+               FROM cell GROUP BY 1)
+        SELECT token, n_docs_with, mi_fp,
+               round(mi_fp / 1048576.0, 6) AS info_gain
+        FROM mi ORDER BY mi_fp DESC, token LIMIT 20
+    """
+    # embedding_isotropy twin: identical once-quantized coordinates
+    # (float -> double -> floor), per-dim exact-long sums and the
+    # Gram-identity divides.
+    d["embedding_isotropy"] = """
+        WITH ex AS (SELECT g.d,
+                           CAST(floor(CAST(list_extract(embedding, d)
+                                           AS DOUBLE) * 65536.0)
+                                AS BIGINT) AS xq
+                    FROM embeddings
+                    CROSS JOIN generate_series(1, 64) g(d)),
+        per AS (SELECT d, CAST(sum(xq) AS BIGINT) AS s_d,
+                       CAST(sum(xq * xq) AS BIGINT) AS n2_d
+                FROM ex GROUP BY 1),
+        nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs
+               FROM embeddings),
+        a AS (SELECT CAST(sum(s_d * s_d) AS BIGINT) AS s_norm2q,
+                     CAST(sum(n2_d) AS BIGINT) AS sum_norm2q
+              FROM per)
+        SELECT n_vecs, sum_norm2q, s_norm2q,
+               round(CAST(s_norm2q - sum_norm2q AS DOUBLE)
+                     / CAST(n_vecs * (n_vecs - 1) AS DOUBLE)
+                     / 4294967296.0, 6) AS avg_dot_q,
+               round(CAST(s_norm2q AS DOUBLE)
+                     / CAST(n_vecs * sum_norm2q AS DOUBLE), 6)
+                 AS mean_energy_ratio
+        FROM a CROSS JOIN nv
     """
     return d

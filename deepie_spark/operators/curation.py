@@ -514,3 +514,100 @@ def weighted_jaccard_sources(
             ).alias("weighted_jaccard"),
         )
     )
+
+
+def token_information_gain(
+    docs: DataFrame,
+    class_col: str,
+    toks_col: str = "toks",
+    min_df: int = 5,
+    top_k: int = 20,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Information-gain (mutual-information) token ranking against a
+    document class label (Yang & Pedersen, ICML 1997 — THE classic
+    feature-selection score for text classifiers): for each token t,
+
+        IG(t) = Σ_c Σ_{s∈{present, absent}}
+                   P(s, c) · ln( P(s, c) / (P(s)·P(c)) )
+
+    over the 2 × C presence/class contingency table.  The
+    discriminative-vocabulary audit beside term_keyness' pairwise
+    log-odds (keyness compares two corpora; IG ranks against ALL
+    classes at once).
+
+    Portability is the cluster_agreement MI rule: every ln argument
+    is an exact-integer product (n_sc·N and n_s·n_c — N < 3·10⁹
+    bound), each cell's term is quantized floor(2^bits · term) so the
+    per-token sum is order-free exact longs, and the top-k cut
+    orders by the INTEGER mi_fp (ties by token) — fully
+    deterministic.  Absent-side cells for classes a token never
+    touches carry nonzero mass, so the per-token cell set is a DENSE
+    token × class grid (linear in tokens — the class side is the
+    bounded one; a broadcast of the C-row class table).
+
+    Plan: one distinct-presence explode + two hash aggs + the grid
+    join; top-k via TakeOrderedAndProject on (mi_fp DESC, token).
+
+    Output: (token, n_docs_with, mi_fp, info_gain)."""
+    scale = F.lit(float(1 << scale_bits))
+    pres = docs.select(
+        F.col(class_col).alias("cls"),
+        F.explode(F.array_distinct(F.col(toks_col))).alias("token"),
+    )
+    ntc = pres.groupBy("token", "cls").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tc")
+    )
+    nt = ntc.groupBy("token").agg(
+        F.sum("n_tc").cast("long").alias("n_t")
+    ).filter(F.col("n_t") >= min_df)
+    nc = docs.groupBy(F.col(class_col).alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_c")
+    )
+    nn = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    grid = (
+        nt.crossJoin(F.broadcast(nc))
+        .join(ntc, ["token", "cls"], "left")
+        .fillna(0, subset=["n_tc"])
+        .crossJoin(F.broadcast(nn))
+    )
+
+    def _term(count, side_total):
+        # (count/N) · (ln(count·N) − ln(side_total·n_c)), quantized
+        return F.when(
+            count > 0,
+            F.floor(
+                (count.cast("double") / F.col("n"))
+                * (
+                    F.log((count * F.col("n")).cast("double"))
+                    - F.log((side_total * F.col("n_c")).cast("double"))
+                )
+                * scale
+            ),
+        ).otherwise(F.lit(0))
+
+    cell = grid.select(
+        "token",
+        "n_t",
+        (
+            _term(F.col("n_tc"), F.col("n_t"))
+            + _term(
+                F.col("n_c") - F.col("n_tc"),
+                F.col("n") - F.col("n_t"),
+            )
+        ).alias("fp"),
+    )
+    mi = cell.groupBy("token").agg(
+        F.max("n_t").cast("long").alias("n_docs_with"),
+        F.sum("fp").cast("long").alias("mi_fp"),
+    )
+    return (
+        mi.orderBy(F.desc("mi_fp"), "token")
+        .limit(top_k)
+        .select(
+            "token",
+            "n_docs_with",
+            "mi_fp",
+            F.round(F.col("mi_fp") / scale, 6).alias("info_gain"),
+        )
+    )

@@ -287,3 +287,65 @@ def random_project_codes(
         .agg(F.sum(F.col("_c") * sign).cast("long").alias("y"))
         .select("vec_id", F.col("o").cast("int").alias("o"), "y")
     )
+
+
+def isotropy_stats(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    scale_bits: int = 16,
+) -> DataFrame:
+    """Isotropy audit of an embedding collection (the mean-vector
+    dominance check of Mu & Viswanath, ICLR 2018 — "All-but-the-Top"):
+    a healthy embedding space has near-zero average pairwise dot and
+    a mean vector carrying a vanishing share of the energy; a
+    collapsed one does not.  The O(n²) pairwise-dot average reduces
+    to the GRAM identity
+
+        Σ_{i≠j} ⟨x_i, x_j⟩  =  ‖Σ_i x_i‖² − Σ_i ‖x_i‖²
+
+    — two linear passes, never a pair join (the 100-TB shape).
+
+    Exactness: each coordinate is quantized floor(2^bits·x) ONCE
+    (identical float→double→floor on both engines), after which both
+    sides of the identity are EXACT LONGS: per-dim sums S_d via one
+    dim-keyed agg, then Σ S_d² and Σ‖x‖².  Long bound: |S_d| ≲
+    n·2^bits·max|x| must stay < 2^31 so S_d² sums fit — the default
+    2^16 holds to ~10⁵ unit-scale vectors per exact-gated run; at
+    corpus scale drop scale_bits (the audit is scale-free).
+
+    Output one row: (n_vecs, sum_norm2q, s_norm2q, avg_dot_q,
+    mean_energy_ratio) where avg_dot_q de-quantizes by 4^bits and
+    mean_energy_ratio = ‖S‖²/(n·Σ‖x‖²) = (mean-vector energy) /
+    (mean per-vector energy), both single IEEE divides."""
+    q = F.floor(
+        F.col("x").cast("double") * F.lit(float(1 << scale_bits))
+    ).cast("long")
+    ex = emb.select(
+        F.posexplode(F.col(vec_col)).alias("d", "x")
+    ).select("d", q.alias("xq"))
+    per_dim = ex.groupBy("d").agg(
+        F.sum("xq").cast("long").alias("s_d"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("n2_d"),
+    )
+    n = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    agg = per_dim.agg(
+        F.sum(F.col("s_d") * F.col("s_d")).cast("long").alias("s_norm2q"),
+        F.sum("n2_d").cast("long").alias("sum_norm2q"),
+    )
+    qq = float(1 << (2 * scale_bits))
+    return agg.crossJoin(F.broadcast(n)).select(
+        "n_vecs",
+        "sum_norm2q",
+        "s_norm2q",
+        F.round(
+            (F.col("s_norm2q") - F.col("sum_norm2q")).cast("double")
+            / (F.col("n_vecs") * (F.col("n_vecs") - 1)).cast("double")
+            / F.lit(qq),
+            6,
+        ).alias("avg_dot_q"),
+        F.round(
+            F.col("s_norm2q").cast("double")
+            / (F.col("n_vecs") * F.col("sum_norm2q")).cast("double"),
+            6,
+        ).alias("mean_energy_ratio"),
+    )

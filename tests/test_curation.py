@@ -5,6 +5,8 @@ importance-direction property, and the bounded-broadcast plan shape.
 import math
 import random
 
+import pytest
+
 import __spark_entry__ as entry
 from pyspark.sql import functions as F
 
@@ -457,3 +459,57 @@ def test_weighted_jaccard_hand_multisets(spark):
     assert r.weighted_jaccard == round(2 / 6, 6)
     # disjoint pair never appears (no shared token -> no row)
     assert ("s1", "s3") not in got
+
+
+def test_token_infogain_perfect_separator_tops(spark):
+    import math
+
+    from deepie_spark.operators.curation import token_information_gain
+
+    # "aaa" appears in every class-x doc and never in class-y;
+    # "zzz" appears everywhere (zero gain)
+    rows = []
+    for i in range(6):
+        rows.append(("x", ["aaa", "zzz", f"f{i}"]))
+    for i in range(6):
+        rows.append(("y", ["zzz", f"g{i}"]))
+    df = spark.createDataFrame(rows, ["source", "toks"])
+    got = token_information_gain(
+        df, "source", "toks", min_df=2, top_k=5
+    ).collect()
+    assert got[0]["token"] == "aaa"
+    # IG of a perfect binary separator = H(class) = ln 2 here
+    assert abs(got[0]["info_gain"] - math.log(2)) < 2e-6
+    zzz = [r for r in got if r["token"] == "zzz"]
+    assert not zzz or zzz[-1]["mi_fp"] <= 0  # no gain
+
+
+def test_token_infogain_vs_python(spark):
+    import math
+
+    from deepie_spark.operators.curation import token_information_gain
+
+    docs = [
+        ("a", {"t1", "t2"}), ("a", {"t1"}), ("a", {"t2", "t3"}),
+        ("b", {"t3"}), ("b", {"t1", "t3"}), ("b", {"t3", "t2"}),
+    ]
+    df = spark.createDataFrame(
+        [(c, sorted(s)) for c, s in docs], ["source", "toks"]
+    )
+    got = {r["token"]: r["info_gain"]
+           for r in token_information_gain(
+               df, "source", "toks", min_df=1, top_k=10).collect()}
+    n = len(docs)
+    classes = sorted({c for c, _ in docs})
+    for t in ("t1", "t2", "t3"):
+        want = 0.0
+        n_t = sum(1 for _, s in docs if t in s)
+        for c in classes:
+            n_c = sum(1 for cc, _ in docs if cc == c)
+            n_tc = sum(1 for cc, s in docs if cc == c and t in s)
+            for cnt, side in ((n_tc, n_t), (n_c - n_tc, n - n_t)):
+                if cnt > 0:
+                    want += (cnt / n) * (
+                        math.log(cnt * n) - math.log(side * n_c)
+                    )
+        assert got[t] == pytest.approx(want, abs=5e-6)

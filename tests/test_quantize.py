@@ -178,3 +178,45 @@ def test_rp_python_twin_and_distance_preservation(spark):
                 ratios.append(p2 / (m * d2))
     r = float(np.mean(ratios))
     assert 0.5 < r < 2.0
+
+
+def test_isotropy_stats_vs_bruteforce(spark):
+    import math
+
+    from deepie_spark.operators.quantize import isotropy_stats
+
+    vecs = [
+        [0.5, -0.25, 0.125], [0.1, 0.2, -0.3],
+        [-0.4, 0.05, 0.6], [0.33, -0.21, 0.11],
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    row = isotropy_stats(df, scale_bits=16).collect()[0]
+    q = [[math.floor(x * 65536.0) for x in v] for v in vecs]
+    n = len(q)
+    cross = sum(
+        sum(a * b for a, b in zip(q[i], q[j]))
+        for i in range(n) for j in range(n) if i != j
+    )
+    norm2 = sum(x * x for v in q for x in v)
+    sd = [sum(v[d] for v in q) for d in range(3)]
+    assert row["n_vecs"] == n
+    assert row["sum_norm2q"] == norm2
+    assert row["s_norm2q"] == sum(s * s for s in sd)
+    assert row["avg_dot_q"] == round(
+        cross / (n * (n - 1)) / 4294967296.0, 6
+    )
+
+
+def test_isotropy_mean_energy_ratio_bounds(spark):
+    from deepie_spark.operators.quantize import isotropy_stats
+
+    # identical vectors -> mean vector carries ALL the energy:
+    # ratio = n*|x|^2*... = |S|^2/(n*sum|x|^2) = n^2/(n*n) = 1
+    vecs = [[0.5, 0.5]] * 5
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    row = isotropy_stats(df).collect()[0]
+    assert row["mean_energy_ratio"] == 1.0
