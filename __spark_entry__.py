@@ -8912,6 +8912,42 @@ def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return isotropy_stats(_emb(spark, sf_dir))
 
 
+def q_value_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test of per-type dollar values against the
+    pooled integer median (operators/stats.py mood_median_test):
+    exact cumulative-count median, exact-long χ² cell numerators,
+    fixed-point cell quantization — the robust location test beside
+    value_kruskal (ranks) and value_anova (means)."""
+    from deepie_spark.operators.stats import mood_median_test
+
+    e = _events(spark, sf_dir).select(
+        "event_type", F.floor(F.col("value")).cast("long").alias("dollars")
+    )
+    return mood_median_test(e, "event_type", "dollars")
+
+
+def q_events_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test per event-type dollar series
+    (operators/stats.py runs_test): per-series integer median
+    dichotomization (ties dropped), exact-long run counts via one
+    key-partitioned lag, exact null moments, one IEEE z chain — the
+    order-randomness audit beside events_dw and permutation
+    entropy."""
+    from deepie_spark.operators.stats import runs_test
+
+    e = _events(spark, sf_dir).select(
+        F.col("event_type"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value")).cast("long").alias("dollars"),
+    )
+    return runs_test(
+        e, "event_type", ["ts", "event_id"], "dollars"
+    ).select(
+        F.col("key").alias("event_type"), "n1", "n2", "runs", "z"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -9257,6 +9293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dw": q_events_dw,
         "token_infogain": q_token_infogain,
         "embedding_isotropy": q_embedding_isotropy,
+        "value_median_test": q_value_median_test,
+        "events_runs": q_events_runs,
     }
 
 
@@ -17867,5 +17905,93 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(n_vecs * sum_norm2q AS DOUBLE), 6)
                  AS mean_energy_ratio
         FROM a CROSS JOIN nv
+    """
+    # value_median_test twin: exact integer pooled median, identical
+    # χ² cell chain with fixed-point quantization.
+    d["value_median_test"] = """
+        WITH v AS (SELECT event_type AS g,
+                          CAST(floor(value) AS BIGINT) AS x
+                   FROM events),
+        h AS (SELECT x AS d, CAST(count(*) AS BIGINT) AS c
+              FROM v GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+        cum AS (SELECT a.d, CAST(sum(b.c) AS BIGINT) AS cum
+                FROM h a JOIN h b ON b.d <= a.d GROUP BY 1),
+        mt AS (SELECT CAST(min(d) AS BIGINT) AS med,
+                      CAST(max(n) AS BIGINT) AS n
+               FROM cum CROSS JOIN tot WHERE 2 * cum >= n),
+        per AS (SELECT g, CAST(max(mt.med) AS BIGINT) AS med,
+                       CAST(max(mt.n) AS BIGINT) AS n,
+                       CAST(count(*) AS BIGINT) AS r,
+                       CAST(sum(CASE WHEN x > mt.med THEN 1 ELSE 0
+                                END) AS BIGINT) AS above
+                FROM v CROSS JOIN mt GROUP BY 1),
+        tots AS (SELECT CAST(sum(above) AS BIGINT) AS c_above,
+                        CAST(sum(r - above) AS BIGINT) AS c_below,
+                        CAST(count(*) AS BIGINT) AS n_groups
+                 FROM per),
+        cells AS (SELECT med, n, n_groups,
+                    floor(CAST((above * n - r * c_above)
+                               * (above * n - r * c_above) AS DOUBLE)
+                          / CAST(n * r * c_above AS DOUBLE)
+                          * 1048576.0)
+                    + floor(CAST(((r - above) * n - r * c_below)
+                                 * ((r - above) * n - r * c_below)
+                                 AS DOUBLE)
+                            / CAST(n * r * c_below AS DOUBLE)
+                            * 1048576.0) AS fp
+                  FROM per CROSS JOIN tots),
+        g2 AS (SELECT med, n, n_groups,
+                      CAST(sum(fp) AS BIGINT) AS chi2_fp
+               FROM cells GROUP BY 1, 2, 3)
+        SELECT med, n AS n_rows, n_groups, chi2_fp,
+               round(chi2_fp / 1048576.0, 6) AS chi2,
+               CAST(n_groups - 1 AS BIGINT) AS df
+        FROM g2
+    """
+    # events_runs twin: per-series exact integer median, identical
+    # lag-window run count and the exact-moment z chain.
+    d["events_runs"] = """
+        WITH v AS (SELECT event_type AS key, ts, event_id,
+                          CAST(floor(value) AS BIGINT) AS xv
+                   FROM events),
+        h AS (SELECT key, xv AS d, CAST(count(*) AS BIGINT) AS c
+              FROM v GROUP BY 1, 2),
+        tot AS (SELECT key, CAST(sum(c) AS BIGINT) AS n_all
+                FROM h GROUP BY 1),
+        cum AS (SELECT a.key, a.d, CAST(sum(b.c) AS BIGINT) AS cum
+                FROM h a JOIN h b ON b.key = a.key AND b.d <= a.d
+                GROUP BY 1, 2),
+        med AS (SELECT cum.key, CAST(min(d) AS BIGINT) AS med
+                FROM cum JOIN tot ON tot.key = cum.key
+                WHERE 2 * cum >= n_all GROUP BY 1),
+        s AS (SELECT v.key, ts, event_id, (xv > med) AS s
+              FROM v JOIN med ON med.key = v.key WHERE xv != med),
+        lagged AS (SELECT key, s,
+                          lag(s, 1) OVER (PARTITION BY key
+                                          ORDER BY ts, event_id)
+                            AS s_prev
+                   FROM s),
+        g AS (SELECT key,
+                     CAST(sum(CASE WHEN s THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n1,
+                     CAST(sum(CASE WHEN s THEN 0 ELSE 1 END)
+                          AS BIGINT) AS n2,
+                     CAST(1 + sum(CASE WHEN s_prev IS NOT NULL
+                                       AND s != s_prev
+                                       THEN 1 ELSE 0 END)
+                          AS BIGINT) AS runs
+              FROM lagged GROUP BY 1)
+        SELECT key AS event_type, n1, n2, runs,
+               CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1 THEN
+                 round((runs - (CAST(2 * n1 * n2 AS DOUBLE)
+                                / (n1 + n2) + 1.0))
+                       / sqrt(CAST((2 * n1 * n2)
+                                   * (2 * n1 * n2 - (n1 + n2))
+                                   AS DOUBLE)
+                              / CAST((n1 + n2) * (n1 + n2)
+                                     * (n1 + n2 - 1) AS DOUBLE)), 6)
+               END AS z
+        FROM g
     """
     return d

@@ -2305,3 +2305,203 @@ def holt_linear(
             (F.col("st.l") + F.col("st.b")) / F.col("st.p"), 6
         ).alias("forecast_1"),
     )
+
+
+def _integer_median_threshold(df: DataFrame, x) -> DataFrame:
+    """Lower median of an integer column by the cumulative-count rule
+    med = min{d : 2·cum(d) ≥ n} — one value-histogram agg plus a
+    value-domain-sized reduction (broadcastable for bounded domains),
+    no single-partition sort.  Returns a 1-row (med, n) frame."""
+    h = df.groupBy(x.cast("long").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = h.agg(F.sum("c").cast("long").alias("n"))
+    cum = (
+        h.crossJoin(F.broadcast(tot))
+        .join(
+            h.select(F.col("d").alias("d2"), F.col("c").alias("c2")),
+            F.col("d2") <= F.col("d"),
+        )
+        .groupBy("d", "n")
+        .agg(F.sum("c2").cast("long").alias("cum"))
+    )
+    return (
+        cum.filter(F.lit(2) * F.col("cum") >= F.col("n"))
+        .groupBy("n")
+        .agg(F.min("d").cast("long").alias("med"))
+        .select("med", "n")
+    )
+
+
+def mood_median_test(
+    df: DataFrame, group_col: str, value_col: str, scale_bits: int = 20
+) -> DataFrame:
+    """Mood's median test (Mood 1950): do the groups share a common
+    median?  Counts above/not-above the POOLED integer median form a
+    G × 2 contingency table and the statistic is the ordinary χ²
+    independence sum — the quick-and-robust companion of
+    kruskal_wallis (which uses full ranks) and value_anova (means).
+
+    Portability is the source_lang_chi2 rule: the pooled median comes
+    from the exact integer rule min{d : 2·cum ≥ n} (never an
+    interpolating percentile), each cell's χ² term is
+    (O·N − r·c)² / (N·r·c) — numerator an exact long (O·N < 2⁶³ caps
+    N at ~3·10⁹), quantized floor(2^bits·term) so the sum is
+    order-free — and the final χ² is one divide.
+
+    Output one row: (med, n_rows, n_groups, chi2_fp, chi2, df)."""
+    x = F.col(value_col)
+    mt = _integer_median_threshold(df, x)
+    per = (
+        df.crossJoin(F.broadcast(mt))
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.max("med").cast("long").alias("med"),
+            F.max("n").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("r"),
+            F.sum(
+                F.when(x.cast("long") > F.col("med"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("above"),
+        )
+    )
+    tots = per.agg(
+        F.sum("above").cast("long").alias("c_above"),
+        F.sum(F.col("r") - F.col("above")).cast("long").alias("c_below"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+    )
+    scale = F.lit(float(1 << scale_bits))
+
+    def _cell(obs, csize):
+        num = obs * F.col("n") - F.col("r") * csize
+        return F.floor(
+            (num * num).cast("double")
+            / (F.col("n") * F.col("r") * csize).cast("double")
+            * scale
+        )
+
+    cells = per.crossJoin(F.broadcast(tots)).select(
+        "med",
+        "n",
+        "n_groups",
+        (
+            _cell(F.col("above"), F.col("c_above"))
+            + _cell(F.col("r") - F.col("above"), F.col("c_below"))
+        ).alias("fp"),
+    )
+    g = cells.groupBy("med", "n", "n_groups").agg(
+        F.sum("fp").cast("long").alias("chi2_fp")
+    )
+    return g.select(
+        F.col("med"),
+        F.col("n").alias("n_rows"),
+        "n_groups",
+        "chi2_fp",
+        F.round(F.col("chi2_fp") / scale, 6).alias("chi2"),
+        (F.col("n_groups") - 1).cast("long").alias("df"),
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness per series: dichotomize
+    each value against the SERIES integer median (ties dropped — the
+    standard convention), count sign runs R, and compare with the
+    exact null moments
+
+        μ_R = 2·n1·n2/n + 1
+        σ²_R = 2·n1·n2·(2·n1·n2 − n) / (n²·(n−1))
+
+    z = (R − μ_R)/σ_R.  The order-structure randomness check beside
+    events_dw (linear autocorrelation) and permutation entropy
+    (ordinal complexity).  Everything to the left of z is exact longs
+    (per-series median by the integer cum rule, runs via one
+    key-partitioned lag); z is one IEEE chain (sqrt is exact per
+    CLAUDE's portability notes, and 2·n1·n2 < 2⁶³ bounds n).
+
+    Output per key: (key, n1, n2, runs, z); degenerate series
+    (n1 = 0 or n2 = 0 or n < 2) yield NULL z."""
+    from pyspark.sql import Window as W
+
+    x = F.col(value_col).cast("long")
+    h = df.groupBy(F.col(key_col).alias("key"), x.alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = h.groupBy("key").agg(F.sum("c").cast("long").alias("n_all"))
+    cum = (
+        h.join(
+            h.select(
+                F.col("key"), F.col("d").alias("d2"),
+                F.col("c").alias("c2"),
+            ),
+            "key",
+        )
+        .filter(F.col("d2") <= F.col("d"))
+        .groupBy("key", "d")
+        .agg(F.sum("c2").cast("long").alias("cum"))
+    )
+    med = (
+        cum.join(tot, "key")
+        .filter(F.lit(2) * F.col("cum") >= F.col("n_all"))
+        .groupBy("key")
+        .agg(F.min("d").cast("long").alias("med"))
+    )
+    signed = (
+        df.select(
+            F.col(key_col).alias("key"),
+            *[F.col(c) for c in order_cols],
+            x.alias("xv"),
+        )
+        .join(med, "key")
+        .filter(F.col("xv") != F.col("med"))
+        .select(
+            "key",
+            *order_cols,
+            (F.col("xv") > F.col("med")).alias("s"),
+        )
+    )
+    w = W.partitionBy("key").orderBy(*order_cols)
+    lagged = signed.select(
+        "key", "s", F.lag("s", 1).over(w).alias("s_prev")
+    )
+    g = lagged.groupBy("key").agg(
+        F.sum(F.when(F.col("s"), 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("s"), 0).otherwise(1))
+        .cast("long")
+        .alias("n2"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("s_prev").isNotNull()
+                    & (F.col("s") != F.col("s_prev")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("runs"),
+    )
+    n = F.col("n1") + F.col("n2")
+    two12 = F.lit(2) * F.col("n1") * F.col("n2")
+    mu = two12.cast("double") / n + F.lit(1.0)
+    var = (two12 * (two12 - n)).cast("double") / (
+        n * n * (n - 1)
+    ).cast("double")
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0) & (n > 1)
+    return g.select(
+        "key",
+        "n1",
+        "n2",
+        "runs",
+        F.when(
+            ok, F.round((F.col("runs") - mu) / F.sqrt(var), 6)
+        ).alias("z"),
+    )

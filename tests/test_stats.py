@@ -1561,3 +1561,54 @@ def test_durbin_watson_formula_small(spark):
         x * x for x in d
     )
     assert abs(dw_int - dw_want) < 1e-12
+
+
+def test_mood_median_test_vs_scipy_style(spark):
+    from deepie_spark.operators.stats import mood_median_test
+
+    rows = (
+        [("a", v) for v in [1, 2, 3, 4, 10, 11]]
+        + [("b", v) for v in [5, 6, 7, 8, 9, 12]]
+    )
+    df = spark.createDataFrame(rows, ["g", "x"])
+    got = mood_median_test(df, "g", "x").collect()[0]
+    # pooled lower median of 1..12 is 6
+    assert got["med"] == 6
+    # contingency: above-median counts a: 2, b: 4; totals 6/6
+    n, = (12,)
+    c_above, c_below = 6, 6
+    want = 0.0
+    for r, above in ((6, 2), (6, 4)):
+        for obs, csz in ((above, c_above), (r - above, c_below)):
+            num = obs * n - r * csz
+            want += num * num / (n * r * csz)
+    assert got["chi2"] == pytest.approx(want, abs=5e-6)
+    assert got["df"] == 1
+
+
+def test_runs_test_hand(spark):
+    from deepie_spark.operators.stats import runs_test
+
+    # values vs median: + - + - + -  -> 6 runs, n1 = n2 = 3
+    seq = [9, 1, 8, 2, 7, 3]
+    rows = [("k", i, v) for i, v in enumerate(seq)]
+    df = spark.createDataFrame(rows, ["g", "pos", "v"])
+    got = runs_test(df, "g", ["pos"], "v").collect()[0]
+    # median rule: lower median of {1,2,3,7,8,9} is 3 (2*cum>=n at 3)
+    # ties at the median are DROPPED -> n = 5 here
+    assert got["n1"] + got["n2"] == 5
+    n1, n2, r = got["n1"], got["n2"], got["runs"]
+    n = n1 + n2
+    mu = 2 * n1 * n2 / n + 1
+    var = 2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
+    assert got["z"] == pytest.approx((r - mu) / var ** 0.5, abs=1e-6)
+
+
+def test_runs_test_monotone_series_two_runs(spark):
+    from deepie_spark.operators.stats import runs_test
+
+    rows = [("k", i, i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["g", "pos", "v"])
+    got = runs_test(df, "g", ["pos"], "v").collect()[0]
+    assert got["runs"] == 2  # all-below then all-above
+    assert got["z"] < 0  # far fewer runs than random
