@@ -8948,6 +8948,39 @@ def q_events_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies vocabulary spectrum (m, V_m, m·V_m) —
+    the raw table Good-Turing smoothing and Chao1 read their V₁/V₂
+    from (vocab_chao1 consumes the head; this exposes the whole
+    spectrum).  Two hash aggs, pure exact longs."""
+    f = _occ(spark, sf_dir).groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    return (
+        f.groupBy(F.col("f").alias("freq"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+        .select(
+            "freq",
+            "n_types",
+            (F.col("freq") * F.col("n_types"))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
+def q_column_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length layout audit of the documents table's physical
+    order (plans/layout.py rle_audit): value runs per candidate
+    column via a consecutive-id equi-join — NEVER a global-order
+    window (the rank_in_order serialization lesson) — the
+    writer-side statistic behind Parquet RLE sizing and sort-order
+    advice, beside layout_pruning's zone-map readout."""
+    from deepie_spark.plans.layout import rle_audit
+
+    return rle_audit(_docs(spark, sf_dir), "doc_id", ["lang", "source"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -9295,6 +9328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_isotropy": q_embedding_isotropy,
         "value_median_test": q_value_median_test,
         "events_runs": q_events_runs,
+        "vocab_spectrum": q_vocab_spectrum,
+        "column_rle": q_column_rle,
     }
 
 
@@ -17993,5 +18028,45 @@ def oracle_sql() -> dict[str, str]:
                                      * (n1 + n2 - 1) AS DOUBLE)), 6)
                END AS z
         FROM g
+    """
+    # vocab_spectrum twin: same tokenizer, two aggs, exact longs.
+    d["vocab_spectrum"] = f"""
+        WITH f AS (SELECT token, CAST(count(*) AS BIGINT) AS f
+                   FROM (SELECT unnest({_TOKS_SQL}) AS token
+                         FROM documents)
+                   GROUP BY 1)
+        SELECT f AS freq, CAST(count(*) AS BIGINT) AS n_types,
+               CAST(f * count(*) AS BIGINT) AS n_tokens
+        FROM f GROUP BY 1
+    """
+    # column_rle twin: identical consecutive-id equi-join boundary
+    # count per column.
+    d["column_rle"] = """
+        WITH b AS (SELECT doc_id AS id, lang, source FROM documents),
+        nr AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM b),
+        j AS (SELECT a.lang AS l_a, p.lang AS l_n,
+                     a.source AS s_a, p.source AS s_n
+              FROM b a LEFT JOIN b p ON p.id = a.id + 1),
+        ls AS (SELECT CAST(sum(CASE WHEN l_n IS NOT NULL
+                                    AND l_a != l_n THEN 1 ELSE 0 END)
+                           AS BIGINT) AS nb FROM j),
+        ss AS (SELECT CAST(sum(CASE WHEN s_n IS NOT NULL
+                                    AND s_a != s_n THEN 1 ELSE 0 END)
+                           AS BIGINT) AS nb FROM j)
+        SELECT 'lang' AS column_name, n_rows,
+               (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM b)
+                 AS n_distinct,
+               CAST(nb + 1 AS BIGINT) AS n_runs,
+               round(CAST(nb + 1 AS DOUBLE)
+                     / CAST(n_rows AS DOUBLE), 6) AS runs_per_row
+        FROM ls CROSS JOIN nr
+        UNION ALL
+        SELECT 'source' AS column_name, n_rows,
+               (SELECT CAST(count(DISTINCT source) AS BIGINT) FROM b)
+                 AS n_distinct,
+               CAST(nb + 1 AS BIGINT) AS n_runs,
+               round(CAST(nb + 1 AS DOUBLE)
+                     / CAST(n_rows AS DOUBLE), 6) AS runs_per_row
+        FROM ss CROSS JOIN nr
     """
     return d

@@ -95,3 +95,64 @@ def hilbert_key2(x: Column, y: Column, order: int = 6) -> Column:
         ncy = F.when(ry == F.lit(0), fx).otherwise(cy)
         cx, cy = ncx, ncy
     return d
+
+
+def rle_audit(df, id_col: str, cols: list[str]):
+    """Run-length-encoding effectiveness audit: for each candidate
+    column, how many value RUNS the table's physical order (dense
+    ``id_col``) produces — the writer-side layout statistic behind
+    Parquet RLE/dictionary page sizing and sort-order advice (a
+    column with n_runs ≈ n_rows gains nothing from RLE; sorting by it
+    first collapses runs to its distinct count, the lower bound).
+
+    Boundary counting uses a CONSECUTIVE-ID EQUI-JOIN (id = id+1),
+    never a global-order window — the rank_in_order lesson: a
+    corpus-wide ORDER BY window is a single-partition serialization
+    point, while the self-join shuffles on the id key.  Rows are
+    pure integer counts.
+
+    Output per column: (column, n_rows, n_distinct, n_runs,
+    runs_per_row) — runs_per_row = n_runs/n_rows, one IEEE divide."""
+    from pyspark.sql import DataFrame  # noqa: F401 (doc symmetry)
+
+    out = None
+    base = df.select(F.col(id_col).alias("_id"), *cols)
+    n_rows = base.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    nxt = base.select(
+        (F.col("_id") - 1).alias("_id"),
+        *[F.col(c).alias(f"_n_{c}") for c in cols],
+    )
+    j = base.join(nxt, "_id", "left")
+    for c in cols:
+        stats = j.agg(
+            F.sum(
+                F.when(
+                    F.col(f"_n_{c}").isNotNull()
+                    & (F.col(c) != F.col(f"_n_{c}")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_boundaries")
+        ).crossJoin(
+            F.broadcast(
+                base.agg(
+                    F.count_distinct(F.col(c))
+                    .cast("long")
+                    .alias("n_distinct")
+                )
+            )
+        )
+        row = stats.crossJoin(F.broadcast(n_rows)).select(
+            F.lit(c).alias("column_name"),
+            "n_rows",
+            "n_distinct",
+            (F.col("n_boundaries") + 1).cast("long").alias("n_runs"),
+            F.round(
+                (F.col("n_boundaries") + 1).cast("double")
+                / F.col("n_rows").cast("double"),
+                6,
+            ).alias("runs_per_row"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -747,3 +747,27 @@ def test_join_cardinality_audit_hand(spark):
     assert r.est_rows == (3 * 4) // 3
     assert r.actual_rows == 2 * 1 + 1 * 2  # key1: 2x1, key2: 1x2
     assert r.est_over_actual == round(r.est_rows / r.actual_rows, 6)
+
+
+def test_rle_audit_hand(spark):
+    from deepie_spark.plans.layout import rle_audit
+
+    rows = [(0, "a", "x"), (1, "a", "y"), (2, "b", "y"),
+            (3, "b", "y"), (4, "a", "z")]
+    df = spark.createDataFrame(rows, ["id", "c1", "c2"])
+    got = {r["column_name"]: r
+           for r in rle_audit(df, "id", ["c1", "c2"]).collect()}
+    # c1: a a b b a -> 3 runs; c2: x y y y z -> 3 runs
+    assert got["c1"]["n_runs"] == 3 and got["c1"]["n_distinct"] == 2
+    assert got["c2"]["n_runs"] == 3 and got["c2"]["n_distinct"] == 3
+    assert got["c1"]["n_rows"] == 5
+    assert got["c1"]["runs_per_row"] == round(3 / 5, 6)
+
+
+def test_rle_audit_sorted_column_hits_distinct_lower_bound(spark):
+    from deepie_spark.plans.layout import rle_audit
+
+    rows = [(i, "v" + str(i // 4)) for i in range(12)]
+    df = spark.createDataFrame(rows, ["id", "c"])
+    r = rle_audit(df, "id", ["c"]).collect()[0]
+    assert r["n_runs"] == r["n_distinct"] == 3
