@@ -8981,6 +8981,74 @@ def q_column_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rle_audit(_docs(spark, sf_dir), "doc_id", ["lang", "source"])
 
 
+def q_ivm_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-set (weighted) rollup maintenance WITH RETRACTIONS
+    (plans/ivm.py zset_state/merge_zset — the DBSP/differential-
+    dataflow weight formalism): state(base) ⊕ delta(inserts ∪
+    weight-−1 retractions) over per-type dollar rollups.  The oracle
+    recomputes the NET multiset from scratch, so the hash IS the
+    delete-capable self-maintainability invariant (the ivm_rollup
+    rule extended to deletes, which agg_state documents as out of
+    its insert-only scope)."""
+    from deepie_spark.plans.ivm import merge_zset, zset_state
+
+    e = _events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value")).cast("long").alias("dollars"),
+    )
+    base = e.filter(F.col("event_id") % 10 < 7)
+    inserts = e.filter(F.col("event_id") % 10 >= 7).select(
+        "event_type", "dollars", F.lit(1).alias("w")
+    )
+    retract = base.filter(F.col("event_id") % 9 == 0).select(
+        "event_type", "dollars", F.lit(-1).alias("w")
+    )
+    state = zset_state(base, "event_type", "dollars")
+    delta = zset_state(
+        inserts.unionByName(retract), "event_type", "dollars", "w"
+    )
+    return merge_zset(state, delta).select(
+        F.col("g").alias("event_type"), "n", "total"
+    )
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE / apply-changes over a per-user balance snapshot
+    (plans/ivm.py apply_changes): even events form the snapshot,
+    odd events replay as an op log (error → DELETE, else UPSERT to
+    that event's dollars) with latest-op-wins via partial-agg
+    max(struct) — the Delta/Iceberg MERGE INTO contract beside
+    user_scd2's history-keeping variant.  Oracle = the independent
+    row_number()-desc latest-op formulation."""
+    from deepie_spark.plans.ivm import apply_changes
+
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.floor(F.col("value")).cast("long").alias("bal"),
+    )
+    snap = (
+        e.filter(F.col("event_id") % 2 == 0)
+        .groupBy("user_id")
+        .agg(F.sum("bal").cast("long").alias("bal"))
+    )
+    ops = e.filter(F.col("event_id") % 2 == 1).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "bal",
+    )
+    return apply_changes(
+        snap, ops, "user_id", ["ts", "event_id"], "op", "bal"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -9330,6 +9398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_runs": q_events_runs,
         "vocab_spectrum": q_vocab_spectrum,
         "column_rle": q_column_rle,
+        "ivm_retract": q_ivm_retract,
+        "cdc_apply": q_cdc_apply,
     }
 
 
@@ -18068,5 +18138,50 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(nb + 1 AS DOUBLE)
                      / CAST(n_rows AS DOUBLE), 6) AS runs_per_row
         FROM ss CROSS JOIN nr
+    """
+    # ivm_retract twin: from-scratch aggregate of the NET multiset —
+    # the hash IS the delete-capable self-maintainability invariant.
+    d["ivm_retract"] = """
+        WITH e AS (SELECT event_id, event_type,
+                          CAST(floor(value) AS BIGINT) AS dollars
+                   FROM events),
+        net AS (
+          SELECT event_type, dollars FROM e WHERE event_id % 10 >= 7
+          UNION ALL
+          SELECT event_type, dollars FROM e
+          WHERE event_id % 10 < 7 AND event_id % 9 != 0
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dollars) AS BIGINT) AS total
+        FROM net GROUP BY 1
+    """
+    # cdc_apply twin: independent row_number()-desc latest-op
+    # formulation of the MERGE semantics.
+    d["cdc_apply"] = """
+        WITH e AS (SELECT user_id, ts, event_id, event_type,
+                          CAST(floor(value) AS BIGINT) AS bal
+                   FROM events),
+        snap AS (SELECT user_id, CAST(sum(bal) AS BIGINT) AS bal
+                 FROM e WHERE event_id % 2 = 0 GROUP BY 1),
+        ops AS (SELECT user_id, ts, event_id,
+                       CASE WHEN event_type = 'error' THEN 'D'
+                            ELSE 'U' END AS op,
+                       bal
+                FROM e WHERE event_id % 2 = 1),
+        last AS (SELECT user_id, op, bal FROM (
+                   SELECT user_id, op, bal,
+                          row_number() OVER (PARTITION BY user_id
+                                             ORDER BY ts DESC,
+                                                      event_id DESC)
+                            AS rn
+                   FROM ops) WHERE rn = 1)
+        SELECT coalesce(last.user_id, snap.user_id) AS user_id,
+               CAST(CASE WHEN last.user_id IS NOT NULL THEN last.bal
+                         ELSE snap.bal END AS BIGINT) AS bal,
+               CASE WHEN last.user_id IS NOT NULL THEN 'upsert'
+                    ELSE 'snapshot' END AS src
+        FROM snap FULL OUTER JOIN last
+          ON snap.user_id = last.user_id
+        WHERE last.user_id IS NULL OR last.op != 'D'
     """
     return d

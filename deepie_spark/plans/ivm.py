@@ -100,3 +100,118 @@ def join_delta(
         .unionByName(a_old.join(b_delta, on))
         .unionByName(a_delta.join(b_delta, on))
     )
+
+
+def zset_state(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Weighted (Z-set) aggregate state — the DELETE-capable upgrade
+    of agg_state (the Z-set/weighted-multiset formalism of
+    differential dataflow and DBSP, Budiu et al. 2023): every input
+    row carries an integer weight (+1 insert, −1 retraction,
+    default +1), and the state per group is (n = Σw, total = Σw·v) —
+    both distributive under ADDITION even when weights are negative,
+    which is exactly what agg_state's min/max cannot do (documented
+    out of scope there; a Z-set min/max needs the full value
+    multiset).
+
+    Output: (g, n, total) exact longs; groups whose weights cancel
+    to n = 0 are DROPPED (the Z-set liveness rule — a zero-weight
+    row does not exist)."""
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    g = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.sum(w).cast("long").alias("n"),
+        F.sum(w * F.col(value_col).cast("long"))
+        .cast("long")
+        .alias("total"),
+    )
+    return g.filter(F.col("n") != 0)
+
+
+def merge_zset(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """state ⊕ delta for zset_state-shaped frames: one full-outer
+    join on the group key, coalesced adds, drop n = 0 groups.  Cost
+    O(|state| + |delta|) regardless of base size — the retraction-
+    capable counterpart of merge_agg_state, and the reason a 100-TB
+    rollup absorbs a correction batch without a recompute."""
+    s = state.select(
+        "g", F.col("n").alias("n_s"), F.col("total").alias("t_s")
+    )
+    d = delta.select(
+        "g", F.col("n").alias("n_d"), F.col("total").alias("t_d")
+    )
+    z = F.lit(0).cast("long")
+    m = s.join(d, "g", "full_outer").select(
+        "g",
+        (F.coalesce("n_s", z) + F.coalesce("n_d", z))
+        .cast("long")
+        .alias("n"),
+        (F.coalesce("t_s", z) + F.coalesce("t_d", z))
+        .cast("long")
+        .alias("total"),
+    )
+    return m.filter(F.col("n") != 0)
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    ops: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    op_col: str,
+    payload_col: str,
+) -> DataFrame:
+    """CDC MERGE (apply-changes) semantics over a snapshot: an op log
+    of upserts ('U') and deletes ('D') per key, ordered by
+    ``order_cols``, folds into the snapshot with LATEST-OP-WINS — the
+    Delta/Iceberg `MERGE INTO` / `APPLY CHANGES` contract, and the
+    batch core a streaming CDC sink replays.
+
+    Plan: the op log reduces to one row per key via
+    max(struct(order..., op, payload)) — a PARTIAL-AGG pick-latest
+    (the latest_event rule: combiner-friendly, no window) — then ONE
+    full-outer join against the snapshot:
+
+        latest op 'D'  → key dropped (even if in snapshot)
+        latest op 'U'  → payload replaces / inserts
+        no op          → snapshot row carried through
+
+    ``order_cols`` must totally order each key's ops (ties would make
+    "latest" ambiguous — the windows-need-tie-breaks review trap).
+
+    Output: (key, value, src) with src ∈ {'snapshot', 'upsert'}."""
+    last = ops.groupBy(F.col(key_col).alias("k")).agg(
+        F.max(
+            F.struct(
+                *[F.col(c) for c in order_cols],
+                F.col(op_col).alias("_op"),
+                F.col(payload_col).alias("_pay"),
+            )
+        ).alias("last")
+    )
+    snap = snapshot.select(
+        F.col(key_col).alias("k"),
+        F.col(payload_col).alias("_snap_pay"),
+    )
+    j = snap.join(last, "k", "full_outer")
+    return (
+        j.filter(
+            F.col("last").isNull() | (F.col("last._op") != F.lit("D"))
+        )
+        .select(
+            F.col("k").alias(key_col),
+            F.when(F.col("last").isNotNull(), F.col("last._pay"))
+            .otherwise(F.col("_snap_pay"))
+            .alias(payload_col),
+            F.when(F.col("last").isNotNull(), F.lit("upsert"))
+            .otherwise(F.lit("snapshot"))
+            .alias("src"),
+        )
+    )

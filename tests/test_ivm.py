@@ -89,3 +89,61 @@ def test_join_delta_invariant(spark):
         tuple(r) for r in a_old.join(b, ["k"]).unionByName(dv2).collect()
     )
     assert got2 == want
+
+
+def test_zset_merge_equals_scratch_and_drops_zero_groups(spark):
+    from deepie_spark.plans.ivm import merge_zset, zset_state
+
+    base = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5)], ["g", "v"]
+    )
+    # delta retracts BOTH b-rows' worth (b vanishes) and inserts c
+    delta = spark.createDataFrame(
+        [("b", 5, -1), ("c", 7, 1), ("a", 3, 1)], ["g", "v", "w"]
+    )
+    merged = {r["g"]: (r["n"], r["total"])
+              for r in merge_zset(
+                  zset_state(base, "g", "v"),
+                  zset_state(delta, "g", "v", "w")).collect()}
+    assert merged == {"a": (3, 33), "c": (1, 7)}  # b dropped at n=0
+
+
+def test_zset_retraction_of_unseen_group_goes_negative(spark):
+    from deepie_spark.plans.ivm import merge_zset, zset_state
+
+    state = zset_state(
+        spark.createDataFrame([("a", 1)], ["g", "v"]), "g", "v"
+    )
+    delta = zset_state(
+        spark.createDataFrame([("x", 9, -1)], ["g", "v", "w"]),
+        "g", "v", "w",
+    )
+    got = {r["g"]: (r["n"], r["total"])
+           for r in merge_zset(state, delta).collect()}
+    # Z-sets are honest about over-retraction: weight -1 survives
+    assert got["x"] == (-1, -9)
+
+
+def test_apply_changes_semantics(spark):
+    from deepie_spark.plans.ivm import apply_changes
+
+    snap = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300)], ["k", "bal"]
+    )
+    ops = spark.createDataFrame(
+        [
+            (1, 10, "U", 111),  # upsert existing
+            (2, 11, "D", 0),    # delete existing
+            (2, 12, "U", 222),  # ...then re-upsert (latest wins)
+            (3, 13, "U", 999),
+            (3, 14, "D", 0),    # latest is delete -> gone
+            (4, 15, "U", 400),  # insert new key
+        ],
+        ["k", "t", "op", "bal"],
+    )
+    got = {r["k"]: (r["bal"], r["src"])
+           for r in apply_changes(
+               snap, ops, "k", ["t"], "op", "bal").collect()}
+    assert got == {1: (111, "upsert"), 2: (222, "upsert"),
+                   4: (400, "upsert")}
+    assert 3 not in got
