@@ -9049,6 +9049,65 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kn_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out log-likelihood of the absolute-discount bigram LM
+    (operators/lm.py heldout_loglik): train on doc_id % 5 ≠ 4, score
+    the % 5 = 4 split — observed bigrams by the model probability,
+    unseen-but-known pairs by the interpolated backoff mass, OOV
+    excluded and counted.  Exact-long num/den per type, fixed-point
+    ln terms weighted by held-out counts — the LM-evaluation
+    companion of kn_bigram_probs (perplexity's exp left
+    client-side)."""
+    from deepie_spark.operators.lm import heldout_loglik
+
+    t = _toks(spark, sf_dir)
+    return heldout_loglik(
+        t.filter(F.col("doc_id") % 5 != 4),
+        t.filter(F.col("doc_id") % 5 == 4),
+    )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated-subquery decorrelation: revenue of
+    Brand#1 lineitems whose quantity is below 20% of that part's own
+    average — the classic "correlated scalar subquery → per-key agg
+    join" rewrite Catalyst is trusted with.  The 0.2·avg threshold
+    is the PURE-INTEGER cross-multiplication 5·q·cnt < sum_qty (the
+    mixture_allocation div rule — no FP in the predicate), prices
+    ride as floor() dollars, and avg_yearly is one IEEE divide."""
+    l = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor(F.col("l_extendedprice")).cast("long").alias("ep"),
+    )
+    p = (
+        spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+        .filter(F.col("p_brand") == "Brand#1")
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    pp = l.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("q").cast("long").alias("sum_q"),
+    )
+    qual = (
+        l.join(F.broadcast(p), "l_partkey", "left_semi")
+        .join(pp, "l_partkey")
+        .filter(F.lit(5) * F.col("q") * F.col("cnt") < F.col("sum_q"))
+    )
+    return qual.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("l_partkey").cast("long").alias("n_parts"),
+        F.sum("ep").cast("long").alias("sum_price_fl"),
+    ).select(
+        "n_rows",
+        "n_parts",
+        "sum_price_fl",
+        F.round(F.col("sum_price_fl") / F.lit(7.0), 6).alias(
+            "avg_yearly"
+        ),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -9400,6 +9459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_rle": q_column_rle,
         "ivm_retract": q_ivm_retract,
         "cdc_apply": q_cdc_apply,
+        "kn_heldout": q_kn_heldout,
+        "small_qty_revenue": q_small_qty_revenue,
     }
 
 
@@ -18183,5 +18244,91 @@ def oracle_sql() -> dict[str, str]:
         FROM snap FULL OUTER JOIN last
           ON snap.user_id = last.user_id
         WHERE last.user_id IS NULL OR last.op != 'D'
+    """
+    # kn_heldout twin: the kn_bigram_probs position-join bigram
+    # formulation on each split, identical backoff CASE and
+    # fixed-point ln chain.
+    d["kn_heldout"] = f"""
+        WITH tdoc AS (SELECT doc_id, {_TOKS_SQL} AS toks
+                      FROM documents WHERE doc_id % 5 != 4),
+        tocc AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                        toks[i + 1] AS token
+                 FROM (SELECT doc_id, toks,
+                              unnest(range(len(toks))) AS i
+                       FROM tdoc)),
+        tbg AS (SELECT a.token AS w1, b.token AS w2
+                FROM tocc a JOIN tocc b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                FROM tbg GROUP BY 1, 2),
+        c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                      CAST(count(*) AS BIGINT) AS t1
+               FROM c12 GROUP BY 1),
+        nl AS (SELECT w2, CAST(count(*) AS BIGINT) AS nl2
+               FROM c12 GROUP BY 1),
+        btc AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM c12),
+        hdoc AS (SELECT doc_id, {_TOKS_SQL} AS toks
+                 FROM documents WHERE doc_id % 5 = 4),
+        hocc AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                        toks[i + 1] AS token
+                 FROM (SELECT doc_id, toks,
+                              unnest(range(len(toks))) AS i
+                       FROM hdoc)),
+        hbg AS (SELECT a.token AS w1, b.token AS w2
+                FROM hocc a JOIN hocc b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        hb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS hc
+               FROM hbg GROUP BY 1, 2),
+        j AS (SELECT hb.hc, c12.c12, c1.c1, c1.t1, nl.nl2, btc.bt
+              FROM hb LEFT JOIN c12
+                ON c12.w1 = hb.w1 AND c12.w2 = hb.w2
+              LEFT JOIN c1 ON c1.w1 = hb.w1
+              LEFT JOIN nl ON nl.w2 = hb.w2
+              CROSS JOIN btc),
+        sc AS (SELECT hc,
+                      CASE WHEN c1 IS NOT NULL AND nl2 IS NOT NULL
+                           THEN 1 ELSE 0 END AS ok,
+                      CASE WHEN c12 IS NOT NULL
+                           THEN (2 * c12 - 1) * bt + t1 * nl2
+                           ELSE t1 * nl2 END AS num,
+                      2 * c1 * bt AS den
+               FROM j),
+        a AS (SELECT CAST(sum(CASE WHEN ok = 1 THEN hc ELSE 0 END)
+                          AS BIGINT) AS n_scored,
+                     CAST(sum(CASE WHEN ok = 0 THEN hc ELSE 0 END)
+                          AS BIGINT) AS n_oov,
+                     CAST(sum(CASE WHEN ok = 1 THEN hc
+                                   * floor((ln(CAST(num AS DOUBLE))
+                                            - ln(CAST(den AS DOUBLE)))
+                                           * 1048576.0)
+                                   ELSE 0 END) AS BIGINT)
+                       AS sum_ll_fp
+              FROM sc)
+        SELECT n_scored, n_oov, sum_ll_fp,
+               round((sum_ll_fp / 1048576.0) / n_scored, 6) AS avg_ll
+        FROM a
+    """
+    # small_qty_revenue twin: the decorrelated per-part agg join with
+    # the identical integer cross-multiplied threshold.
+    d["small_qty_revenue"] = """
+        WITH l AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+                          CAST(floor(l_extendedprice) AS BIGINT) AS ep
+                   FROM lineitem),
+        pp AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt,
+                      CAST(sum(q) AS BIGINT) AS sum_q
+               FROM l GROUP BY 1),
+        pb AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+        qual AS (SELECT l.l_partkey, l.ep
+                 FROM l JOIN pb ON pb.p_partkey = l.l_partkey
+                 JOIN pp USING (l_partkey)
+                 WHERE 5 * q * cnt < sum_q),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(DISTINCT l_partkey) AS BIGINT)
+                       AS n_parts,
+                     CAST(sum(ep) AS BIGINT) AS sum_price_fl
+              FROM qual)
+        SELECT n_rows, n_parts, sum_price_fl,
+               round(sum_price_fl / 7.0, 6) AS avg_yearly
+        FROM a
     """
     return d

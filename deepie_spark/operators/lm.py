@@ -243,3 +243,97 @@ def absolute_discount_bigram(
             F.round(num.cast("long") / den.cast("long"), 6).alias("p"),
         )
     )
+
+
+def heldout_loglik(
+    train: DataFrame,
+    held: DataFrame,
+    toks_col: str = "toks",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Held-out log-likelihood of the absolute-discount bigram model
+    (the evaluation half of absolute_discount_bigram — what a
+    perplexity report is made of): train the d = 1/2 model on one
+    corpus split, score every bigram occurrence of the other.
+
+    Scoring rule per held-out bigram (w1, w2):
+      - (w1, w2) observed in training → the model's own
+        P = [(2c₁₂−1)·B + T₁·N₁₊(·w₂)] / (2·c₁·B);
+      - w1 known, pair unseen → the interpolated backoff mass
+        P = T₁·N₁₊(·w₂) / (2·c₁·B)  (the same formula at c₁₂ = 0 + ½
+        discount floor — exactly the residual the Fractions twin
+        pins);
+      - w1 unseen or w2 never a continuation → OOV, excluded and
+        counted (the standard open-vocabulary convention).
+
+    Both num and den stay EXACT LONGS, so ln num − ln den has
+    integer libm args; each bigram TYPE's term is quantized
+    floor(2^bits·term) once and weighted by its held-out count —
+    order-free exact-long accumulation, hash-gateable (perplexity's
+    exp is left client-side, the kaplan_meier rule).
+
+    Plan: the four training hash aggs + one held-out bigram count +
+    three left joins — no window, no self-join.
+
+    Output one row: (n_scored, n_oov, sum_ll_fp, avg_ll)."""
+
+    def _bigrams(df):
+        t = df.filter(F.size(toks_col) >= 2)
+        pairs = F.expr(
+            f"transform(slice({toks_col}, 1, size({toks_col}) - 1),"
+            f" (x, i) -> struct(x AS w1, {toks_col}[i + 1] AS w2))"
+        )
+        return t.select(F.explode(pairs).alias("p")).select(
+            F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+        )
+
+    c12 = _bigrams(train).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("t1"),
+    )
+    nl = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("nl2")
+    )
+    bt = c12.agg(F.count(F.lit(1)).cast("long").alias("bt"))
+    hb = _bigrams(held).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("hc")
+    )
+    j = (
+        hb.join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .join(nl, "w2", "left")
+        .crossJoin(F.broadcast(bt))
+    )
+    ok = F.col("c1").isNotNull() & F.col("nl2").isNotNull()
+    num = F.when(
+        F.col("c12").isNotNull(),
+        (F.lit(2) * F.col("c12") - F.lit(1)) * F.col("bt")
+        + F.col("t1") * F.col("nl2"),
+    ).otherwise(F.col("t1") * F.col("nl2"))
+    den = F.lit(2) * F.col("c1") * F.col("bt")
+    scale = F.lit(float(1 << scale_bits))
+    term_fp = F.floor(
+        (F.log(num.cast("double")) - F.log(den.cast("double"))) * scale
+    )
+    agg = j.agg(
+        F.sum(F.when(ok, F.col("hc")).otherwise(0))
+        .cast("long")
+        .alias("n_scored"),
+        F.sum(F.when(ok, 0).otherwise(F.col("hc")))
+        .cast("long")
+        .alias("n_oov"),
+        F.sum(F.when(ok, F.col("hc") * term_fp).otherwise(0))
+        .cast("long")
+        .alias("sum_ll_fp"),
+    )
+    return agg.select(
+        "n_scored",
+        "n_oov",
+        "sum_ll_fp",
+        F.round(
+            (F.col("sum_ll_fp") / scale) / F.col("n_scored"), 6
+        ).alias("avg_ll"),
+    )

@@ -171,3 +171,56 @@ def test_absolute_discount_mass_is_one(spark):
         r0 = seen[0]
         assert r0.num == (2 * bigr[(w1, r0.w2)] - 1) * B + t1 * nl[r0.w2]
         assert r0.den == 2 * c1 * B
+
+
+def test_heldout_loglik_vs_fractions(spark):
+    import math
+    from fractions import Fraction
+
+    from deepie_spark.operators.lm import heldout_loglik
+
+    train = spark.createDataFrame(
+        [(1, "a b a c".split()), (2, "b a b".split())],
+        ["doc_id", "toks"],
+    )
+    held = spark.createDataFrame(
+        [(3, "a b z".split()), (4, "c a".split())],
+        ["doc_id", "toks"],
+    )
+    row = heldout_loglik(train, held).collect()[0]
+    # train bigrams: (a,b)x2, (b,a)x2, (a,c)x1 -> B=3
+    # c1: a:(3,2), b:(2,1); nl2: b:1, a:1, c:1
+    B = 3
+
+    def p_obs(c12, c1, t1, nl2):
+        return Fraction((2 * c12 - 1) * B + t1 * nl2, 2 * c1 * B)
+
+    def p_backoff(c1, t1, nl2):
+        return Fraction(t1 * nl2, 2 * c1 * B)
+
+    # held bigrams: (a,b) obs; (b,z) OOV (z never continues);
+    # (c,a) OOV (c unseen as w1)
+    want_terms = [p_obs(2, 3, 2, 1)]
+    assert row["n_scored"] == 1 and row["n_oov"] == 2
+    want = sum(
+        math.floor(
+            (math.log(t.numerator) - math.log(t.denominator)) * 2**20
+        )
+        for t in want_terms
+    )
+    assert row["sum_ll_fp"] == want
+
+
+def test_heldout_backoff_mass_scored(spark):
+    from deepie_spark.operators.lm import heldout_loglik
+
+    train = spark.createDataFrame(
+        [(1, "a b".split()), (2, "c b".split()), (3, "a c".split())],
+        ["doc_id", "toks"],
+    )
+    # (c, b)? observed. (a, b) observed. held (c, c): w1=c known,
+    # w2=c continues (a->c) -> backoff-scored, not OOV
+    held = spark.createDataFrame([(9, "c c".split())], ["doc_id", "toks"])
+    row = heldout_loglik(train, held).collect()[0]
+    assert row["n_scored"] == 1 and row["n_oov"] == 0
+    assert row["sum_ll_fp"] < 0  # a probability < 1
