@@ -9108,6 +9108,60 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance for 'spark' (operators/
+    keywords.py kwic_windows): every occurrence with ±3 tokens of
+    context — map-only, zero shuffles, in-row slices on the carried
+    token array."""
+    from deepie_spark.operators.keywords import kwic_windows
+
+    return kwic_windows(_toks(spark, sf_dir), "spark", width=3)
+
+
+def q_graph_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted KG edge churn between two crawl snapshots (doc_id %
+    250 == 3 vs == 11 — prime-offset slices small enough that the
+    synthetic edge universe does not saturate, so every status
+    appears) — the freshness/stability diff of a periodically
+    re-extracted graph: ONE shared extraction pass, ONE aggregation
+    on the canonical edge key (conditional counts per snapshot — no
+    self-join, no full-outer join; at 100 TB this is a single shuffle
+    on the edge key), per-edge weight delta and an
+    added/removed/changed/stable status."""
+    t = q_triples_rules(spark, sf_dir).filter(
+        F.col("subj") != F.col("obj")
+    )
+    canon = t.select(
+        "doc_id",
+        F.least("subj", "obj").alias("a"),
+        F.greatest("subj", "obj").alias("b"),
+    )
+    agg = (
+        canon.groupBy("a", "b")
+        .agg(
+            F.sum(
+                F.when(F.col("doc_id") % 250 == 3, 1).otherwise(0)
+            ).cast("long").alias("n_old"),
+            F.sum(
+                F.when(F.col("doc_id") % 250 == 11, 1).otherwise(0)
+            ).cast("long").alias("n_new"),
+        )
+        .filter((F.col("n_old") > 0) | (F.col("n_new") > 0))
+    )
+    return agg.select(
+        "a",
+        "b",
+        "n_old",
+        "n_new",
+        (F.col("n_new") - F.col("n_old")).cast("long").alias("delta"),
+        F.when(F.col("n_old") == 0, F.lit("added"))
+        .when(F.col("n_new") == 0, F.lit("removed"))
+        .when(F.col("n_old") == F.col("n_new"), F.lit("stable"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -9461,6 +9515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": q_cdc_apply,
         "kn_heldout": q_kn_heldout,
         "small_qty_revenue": q_small_qty_revenue,
+        "kwic": q_kwic,
+        "graph_churn": q_graph_churn,
     }
 
 
@@ -18330,5 +18386,58 @@ def oracle_sql() -> dict[str, str]:
         SELECT n_rows, n_parts, sum_price_fl,
                round(sum_price_fl / 7.0, 6) AS avg_yearly
         FROM a
+    """
+    d["kwic"] = f"""
+        WITH occ2 AS (
+          SELECT doc_id, toks, CAST(i AS BIGINT) AS pos,
+                 toks[i + 1] AS token
+          FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i
+                FROM (SELECT doc_id, {_TOKS_SQL} AS toks
+                      FROM documents))
+        )
+        SELECT doc_id, pos,
+               coalesce(array_to_string(toks[greatest(pos - 3, 0) + 1:pos],
+                                        ' '), '') AS left_ctx,
+               token AS term,
+               coalesce(array_to_string(toks[pos + 2:pos + 4], ' '),
+                        '') AS right_ctx
+        FROM occ2 WHERE token = 'spark'
+    """
+    d["graph_churn"] = f"""
+        WITH {_MENTIONS_SQL.strip()},
+        rules(type1, type2, label) AS (VALUES
+          {RULES_VALUES}
+        ),
+        rpairs AS (
+          SELECT a.doc_id, a.alias AS alias1, b.alias AS alias2,
+                 a.entity_type AS type1, b.entity_type AS type2
+          FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id
+          WHERE a.pos < b.pos AND b.pos - a.pos <= 10
+        ),
+        tr AS (
+          SELECT doc_id,
+            CASE WHEN label LIKE '%(e2,e1)' THEN alias2
+                 ELSE alias1 END AS s,
+            CASE WHEN label LIKE '%(e2,e1)' THEN alias1
+                 ELSE alias2 END AS d
+          FROM rpairs JOIN rules USING (type1, type2)
+          WHERE label != 'NONE'
+        ),
+        agg AS (
+          SELECT least(s, d) AS a, greatest(s, d) AS b,
+                 CAST(count(*) FILTER (doc_id % 250 = 3) AS BIGINT)
+                   AS n_old,
+                 CAST(count(*) FILTER (doc_id % 250 = 11) AS BIGINT)
+                   AS n_new
+          FROM tr WHERE s != d GROUP BY 1, 2
+          HAVING n_old > 0 OR n_new > 0
+        )
+        SELECT a, b, n_old, n_new,
+               CAST(n_new - n_old AS BIGINT) AS delta,
+               CASE WHEN n_old = 0 THEN 'added'
+                    WHEN n_new = 0 THEN 'removed'
+                    WHEN n_old = n_new THEN 'stable'
+                    ELSE 'changed' END AS status
+        FROM agg
     """
     return d

@@ -121,3 +121,50 @@ def rake_keywords(
             F.round(F.col("score_fp") / F.lit(scale), 6).alias("score"),
         )
     )
+
+
+def kwic_windows(
+    toks: DataFrame,
+    term: str,
+    width: int = 3,
+    id_col: str = "doc_id",
+    toks_col: str = "toks",
+) -> DataFrame:
+    """Keyword-in-context (KWIC) concordance — the corpus-linguistics
+    primitive behind every "show me how this term is used" audit
+    (collocation triage, sense inspection, PII-context review): one
+    row per occurrence of ``term`` with ``width`` tokens of left and
+    right context joined as strings.
+
+    Map-only: a posexplode filtered to the term plus two in-row
+    ``slice`` calls on the SAME carried token array (plain-column
+    collection args — the winnow HOF-CSE rule does not bite), zero
+    shuffles, zero joins — the plan a 100-TB concordance must have.
+    Context at corpus edges truncates naturally (empty string).
+
+    Output: (id_col, pos, left_ctx, term, right_ctx) with pos the
+    0-based token position."""
+    ex = toks.select(
+        F.col(id_col),
+        F.col(toks_col).alias("_tk"),
+        F.posexplode(F.col(toks_col)).alias("pos", "token"),
+    ).filter(F.col("token") == term)
+    left = F.when(F.col("pos") == 0, F.lit("")).otherwise(
+        F.concat_ws(
+            " ",
+            F.expr(
+                f"slice(_tk, greatest(pos - {width}, 0) + 1,"
+                f" least(pos, {width}))"
+            ),
+        )
+    )
+    right = F.concat_ws(
+        " ", F.expr(f"slice(_tk, pos + 2, {width})")
+    )
+    return ex.select(
+        F.col(id_col),
+        F.col("pos").cast("long").alias("pos"),
+        left.alias("left_ctx"),
+        F.col("token").alias("term"),
+        right.alias("right_ctx"),
+    )

@@ -74,3 +74,43 @@ def test_rake_validation_and_cap(spark):
     # no stop token inside the run -> one long run, dropped by the cap
     out = rake_keywords(docs, n_stop=1, max_phrase_len=4).collect()
     assert out == []
+
+
+def test_kwic_windows(spark):
+    """KWIC concordance: python twin + edge truncation + plan shape."""
+    import pyspark.sql.functions as F
+
+    from deepie_spark.operators.keywords import kwic_windows
+
+    rows = [
+        (1, "x a b c x d e".split()),   # interior + near-start hit
+        (2, "x".split()),               # lone hit: both contexts empty
+        (3, "a b c d e f x".split()),   # hit at the end: right empty
+        (4, "a b".split()),             # no hit
+    ]
+    toks = spark.createDataFrame(rows, ["doc_id", "toks"])
+    out = {
+        (r.doc_id, r.pos): (r.left_ctx, r.term, r.right_ctx)
+        for r in kwic_windows(toks, "x", width=3).collect()
+    }
+
+    exp = {}
+    for doc_id, ts in rows:
+        for pos, t in enumerate(ts):
+            if t == "x":
+                exp[(doc_id, pos)] = (
+                    " ".join(ts[max(pos - 3, 0):pos]),
+                    "x",
+                    " ".join(ts[pos + 1:pos + 4]),
+                )
+    assert out == exp
+    assert out[(2, 0)] == ("", "x", "")          # edge truncation
+    assert out[(3, 6)] == ("d e f", "x", "")     # right edge
+    assert out[(1, 0)] == ("", "x", "a b c")
+
+    # map-only contract: no Exchange in the physical plan
+    plan = (
+        kwic_windows(toks, "x", width=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
