@@ -9162,6 +9162,74 @@ def q_graph_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired test between two document-quality classifiers
+    evaluated on the SAME corpus rows (operators/stats.py
+    mcnemar_test): A = length rule (≥ 50 tokens), B = stopword rule
+    (contains 'the' — the one stopword the synthetic vocabulary
+    holds).  Exact-long 2×2 agreement cells from one aggregation,
+    discordant-cell χ² with and without the Edwards continuity
+    correction as single IEEE divides."""
+    from deepie_spark.operators.stats import mcnemar_test
+
+    t = _toks(spark, sf_dir)
+    return mcnemar_test(
+        t,
+        F.size("toks") >= 50,
+        F.array_contains("toks", "the"),
+    )
+
+
+def q_events_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test over the complete day × event-type count
+    design (operators/stats.py friedman_test): do the five event
+    types keep the same daily-volume ordering across the 30 days?
+    The grid is densified (silent cells are real zeros) from one
+    distinct-days × fixed-type cross join; within-block ranking is a
+    window partitioned by the day key (5 rows per partition), every
+    accumulator an exact long on doubled midranks."""
+    from deepie_spark.operators.stats import friedman_test
+
+    e = _events(spark, sf_dir).select(
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd")
+        .alias("day"),
+        "event_type",
+    )
+    counts = e.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    types = spark.createDataFrame(
+        [(t,) for t in ["click", "error", "purchase", "signup", "view"]],
+        ["event_type"],
+    )
+    grid = (
+        e.select("day")
+        .distinct()
+        .crossJoin(F.broadcast(types))
+        .join(counts, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    return friedman_test(grid, "day", "event_type", "y")
+
+
+def q_events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau Q (h = 6) over the dense global hourly
+    event-count series (operators/stats.py ljung_box) — the
+    whiteness test that closes the autocorrelation family
+    (acf/ccf/DW/runs): standard sample ACF as ratios of exact
+    cross-multiplied longs, per-lag terms pivoted to fixed columns,
+    Q as one left-associative chain."""
+    from deepie_spark.operators.stats import ljung_box
+
+    return ljung_box(
+        _hourly_dense_counts(spark, sf_dir), "idx", "y", max_lag=6
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -9517,6 +9585,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": q_small_qty_revenue,
         "kwic": q_kwic,
         "graph_churn": q_graph_churn,
+        "quality_mcnemar": q_quality_mcnemar,
+        "events_friedman": q_events_friedman,
+        "events_ljung_box": q_events_ljung_box,
     }
 
 
@@ -18439,5 +18510,146 @@ def oracle_sql() -> dict[str, str]:
                     WHEN n_old = n_new THEN 'stable'
                     ELSE 'changed' END AS status
         FROM agg
+    """
+    d["quality_mcnemar"] = f"""
+        WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+        p AS (SELECT len(toks) >= 50 AS a,
+                     list_contains(toks, 'the') AS b
+              FROM t),
+        g AS (SELECT
+                CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n11,
+                CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n10,
+                CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n01,
+                CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n00
+              FROM p)
+        SELECT n11, n10, n01, n00,
+               CASE WHEN n10 + n01 > 0 THEN
+                 round(CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+                       / CAST(n10 + n01 AS DOUBLE), 6) END AS chi2,
+               CASE WHEN n10 + n01 > 0 THEN
+                 round(CAST(greatest(abs(n10 - n01) - 1, 0)
+                            * greatest(abs(n10 - n01) - 1, 0) AS DOUBLE)
+                       / CAST(n10 + n01 AS DOUBLE), 6) END AS chi2_cc
+        FROM g
+    """
+    d["events_friedman"] = """
+        WITH e AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                          event_type
+                   FROM events),
+        types(event_type) AS (VALUES ('click'), ('error'),
+                              ('purchase'), ('signup'), ('view')),
+        counts AS (SELECT day, event_type,
+                          CAST(count(*) AS BIGINT) AS y
+                   FROM e GROUP BY 1, 2),
+        grid AS (
+          SELECT d.day, t.event_type,
+                 CAST(coalesce(c.y, 0) AS BIGINT) AS y
+          FROM (SELECT DISTINCT day FROM e) d
+          CROSS JOIN types t
+          LEFT JOIN counts c USING (day, event_type)
+        ),
+        ranked AS (
+          SELECT day, event_type,
+                 CAST(2 * rank() OVER (PARTITION BY day ORDER BY y)
+                      + count(*) OVER (PARTITION BY day, y) - 1
+                      AS BIGINT) AS s
+          FROM grid
+        ),
+        per_t AS (SELECT event_type,
+                         CAST(sum(s) AS BIGINT) AS r2,
+                         CAST(sum(s * s) AS BIGINT) AS ss
+                  FROM ranked GROUP BY 1),
+        tot AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS n_blocks,
+                       CAST(count(DISTINCT event_type) AS BIGINT)
+                         AS k_treatments
+                FROM ranked),
+        agg AS (
+          SELECT n_blocks, k_treatments,
+                 CAST(sum((r2 - n_blocks * (k_treatments + 1))
+                          * (r2 - n_blocks * (k_treatments + 1)))
+                      AS BIGINT) AS sd,
+                 CAST(sum(ss) AS BIGINT) AS sst
+          FROM per_t, tot GROUP BY 1, 2
+        )
+        SELECT n_blocks, k_treatments,
+               CAST((k_treatments - 1) * sd AS BIGINT) AS num,
+               CAST(sst - n_blocks * k_treatments
+                    * (k_treatments + 1) * (k_treatments + 1)
+                    AS BIGINT) AS den,
+               CASE WHEN sst - n_blocks * k_treatments
+                         * (k_treatments + 1) * (k_treatments + 1) != 0
+                 THEN round(CAST((k_treatments - 1) * sd AS DOUBLE)
+                            / CAST(sst - n_blocks * k_treatments
+                                   * (k_treatments + 1)
+                                   * (k_treatments + 1) AS DOUBLE), 6)
+               END AS chi2_friedman
+        FROM agg
+    """
+    d["events_ljung_box"] = f"""
+        WITH {_HOURLY_SRS.strip()},
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(y) AS BIGINT) AS s_total,
+                       CAST(sum(y * y) AS BIGINT) AS sxx
+                FROM srs),
+        lags AS (SELECT unnest([1, 2, 3, 4, 5, 6]) AS lag),
+        per_lag AS (
+          SELECT l.lag,
+                 CAST(sum(a.y * b2.y) AS BIGINT) AS sxy,
+                 CAST(sum(a.y) AS BIGINT) AS sx,
+                 CAST(sum(b2.y) AS BIGINT) AS sy
+          FROM lags l
+          JOIN srs a ON true
+          JOIN srs b2 ON b2.idx = a.idx + l.lag
+          GROUP BY 1
+        ),
+        terms AS (
+          SELECT lag,
+                 CAST(n * n * sxy - n * s_total * (sx + sy)
+                      + (n - lag) * s_total * s_total AS BIGINT) AS ck,
+                 CAST(n * (n * sxx - s_total * s_total) AS BIGINT)
+                   AS c0,
+                 n, s_total
+          FROM per_lag, tot
+        ),
+        piv AS (
+          SELECT n, s_total,
+                 CAST(max(CASE WHEN lag = 1 THEN c0 END) AS BIGINT)
+                   AS c0_num,
+                 max(CASE WHEN lag = 1 THEN
+                   (CAST(ck AS DOUBLE) / CAST(c0 AS DOUBLE))
+                   * (CAST(ck AS DOUBLE) / CAST(c0 AS DOUBLE))
+                   / CAST(n - lag AS DOUBLE) END) AS t1,
+                 max(CASE WHEN lag = 2 THEN
+                   (CAST(ck AS DOUBLE) / CAST(c0 AS DOUBLE))
+                   * (CAST(ck AS DOUBLE) / CAST(c0 AS DOUBLE))
+                   / CAST(n - lag AS DOUBLE) END) AS t2,
+                 max(CASE WHEN lag = 3 THEN
+                   (CAST(ck AS DOUBLE) / CAST(c0 AS DOUBLE))
+                   * (CAST(ck AS DOUBLE) / CAST(c0 AS DOUBLE))
+                   / CAST(n - lag AS DOUBLE) END) AS t3,
+                 max(CASE WHEN lag = 4 THEN
+                   (CAST(ck AS DOUBLE) / CAST(c0 AS DOUBLE))
+                   * (CAST(ck AS DOUBLE) / CAST(c0 AS DOUBLE))
+                   / CAST(n - lag AS DOUBLE) END) AS t4,
+                 max(CASE WHEN lag = 5 THEN
+                   (CAST(ck AS DOUBLE) / CAST(c0 AS DOUBLE))
+                   * (CAST(ck AS DOUBLE) / CAST(c0 AS DOUBLE))
+                   / CAST(n - lag AS DOUBLE) END) AS t5,
+                 max(CASE WHEN lag = 6 THEN
+                   (CAST(ck AS DOUBLE) / CAST(c0 AS DOUBLE))
+                   * (CAST(ck AS DOUBLE) / CAST(c0 AS DOUBLE))
+                   / CAST(n - lag AS DOUBLE) END) AS t6
+          FROM terms GROUP BY 1, 2
+        )
+        SELECT n, s_total, c0_num,
+               CASE WHEN c0_num != 0 THEN
+                 round(CAST(n * (n + 2) AS DOUBLE)
+                       * (t1 + t2 + t3 + t4 + t5 + t6), 6)
+               END AS q_stat
+        FROM piv
     """
     return d

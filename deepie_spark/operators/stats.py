@@ -2505,3 +2505,210 @@ def runs_test(
             ok, F.round((F.col("runs") - mu) / F.sqrt(var), 6)
         ).alias("z"),
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    pred_a,
+    pred_b,
+) -> DataFrame:
+    """McNemar's test for two paired binary classifiers evaluated on
+    the same rows — the paired member of the inferential suite
+    (t/F/κ/ρ/χ²/U/H/JB/z): given boolean columns/exprs ``pred_a``,
+    ``pred_b``, counts the 2×2 agreement table and tests marginal
+    homogeneity on the DISCORDANT cells only,
+
+        χ² = (b − c)² / (b + c)
+        χ²_cc = (max(|b − c| − 1, 0))² / (b + c)    (Edwards cc)
+
+    with b = #(A ∧ ¬B), c = #(¬A ∧ B).  One map-side-combinable
+    aggregation; every count an exact long; each statistic is exact
+    integer numerator / exact integer denominator — ONE IEEE divide,
+    engine-portable.  b + c = 0 (perfect agreement) yields NULL.
+
+    Reference parity: the scorer-comparison use case of
+    rnnRE.py:564-581 (model-vs-model significance on shared eval
+    rows) without per-row Python."""
+    a = pred_a if not isinstance(pred_a, str) else F.col(pred_a)
+    b = pred_b if not isinstance(pred_b, str) else F.col(pred_b)
+    a = a.cast("boolean")
+    b = b.cast("boolean")
+    g = df.agg(
+        F.sum(F.when(a & b, 1).otherwise(0)).cast("long").alias("n11"),
+        F.sum(F.when(a & ~b, 1).otherwise(0)).cast("long").alias("n10"),
+        F.sum(F.when(~a & b, 1).otherwise(0)).cast("long").alias("n01"),
+        F.sum(F.when(~a & ~b, 1).otherwise(0)).cast("long").alias("n00"),
+    )
+    bb, cc = F.col("n10"), F.col("n01")
+    disc = bb + cc
+    num = (bb - cc) * (bb - cc)
+    dev = F.greatest(F.abs(bb - cc) - 1, F.lit(0))
+    num_cc = dev * dev
+    return g.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.when(
+            disc > 0, F.round(num.cast("double") / disc.cast("double"), 6)
+        ).alias("chi2"),
+        F.when(
+            disc > 0,
+            F.round(num_cc.cast("double") / disc.cast("double"), 6),
+        ).alias("chi2_cc"),
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman rank test over a COMPLETE block design (every block
+    holds every treatment exactly once — caller densifies): the
+    repeated-measures member of the inferential suite.  Tie-corrected
+    general form, computed entirely on DOUBLED midranks so every
+    accumulator is an exact long (the mann_whitney_u rule):
+
+        s_ij = 2·midrank of treatment j within block i
+        χ²_F = (k−1)·Σ_j (R2_j − n·(k+1))² / (Σ s_ij² − n·k·(k+1)²)
+
+    where R2_j = Σ_i s_ij (with s doubled, both numerator and
+    denominator pick up the same factor 4, which cancels).  The
+    within-block ranking is a window PARTITIONED BY the block key —
+    k rows per partition, never a global window.  den = 0 (all
+    values tied inside every block) yields NULL.
+
+    Output: one row (n_blocks, k_treatments, num, den,
+    chi2_friedman)."""
+    blk = F.col(block_col)
+    val = F.col(value_col).cast("long")
+    w_rank = W.partitionBy(block_col).orderBy(value_col)
+    w_tie = W.partitionBy(block_col, value_col)
+    ranked = df.select(
+        blk.alias("_blk"),
+        F.col(treatment_col).alias("_trt"),
+        (
+            F.lit(2) * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_tie)
+            - F.lit(1)
+        )
+        .cast("long")
+        .alias("_s"),
+    )
+    per_t = ranked.groupBy("_trt").agg(
+        F.sum("_s").cast("long").alias("_r2"),
+        F.sum(F.col("_s") * F.col("_s")).cast("long").alias("_ss"),
+        F.count(F.lit(1)).cast("long").alias("_nb"),
+    )
+    tot = ranked.agg(
+        F.countDistinct("_blk").cast("long").alias("n_blocks"),
+        F.countDistinct("_trt").cast("long").alias("k_treatments"),
+    )
+    j = per_t.crossJoin(F.broadcast(tot))
+    nb, k = F.col("n_blocks"), F.col("k_treatments")
+    dev = F.col("_r2") - nb * (k + 1)
+    agg = j.groupBy("n_blocks", "k_treatments").agg(
+        F.sum(dev * dev).cast("long").alias("_sd"),
+        F.sum("_ss").cast("long").alias("_sst"),
+    )
+    num = (k - 1) * F.col("_sd")
+    den = F.col("_sst") - nb * k * (k + 1) * (k + 1)
+    return agg.select(
+        "n_blocks",
+        "k_treatments",
+        num.cast("long").alias("num"),
+        den.cast("long").alias("den"),
+        F.when(
+            den != 0,
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("chi2_friedman"),
+    )
+
+
+def ljung_box(
+    series: DataFrame,
+    idx_col: str,
+    val_col: str,
+    max_lag: int = 6,
+) -> DataFrame:
+    """Ljung-Box portmanteau Q over an integer series with a DENSE
+    1..n index (gap-filled — silent bins are real zeros):
+
+        Q = n·(n+2) · Σ_{k=1..h} ρ̂_k² / (n − k)
+
+    with the STANDARD sample ACF (global mean, full-series variance —
+    NOT the per-overlap Pearson of acf_exact).  Every ρ̂_k is a ratio
+    of two exact longs via cross-multiplication by n²:
+
+        n²·ĉ_k = n²·Σ x_t x_{t+k} − n·S·(Σ_head x + Σ_tail x)
+                 + (n−k)·S²
+        n²·ĉ_0 = n·(n·Σx² − S²)
+
+    (requires n²·Σ x_t x_{t+k} < 2⁶³ — holds for count series up to
+    ~10⁶ bins of ~10³ events; assert-guarded upstream by the grid
+    size).  The per-lag terms are pivoted into FIXED columns and the
+    Q sum is written as one left-associative addition chain — never a
+    float SUM() over rows — so the oracle reproduces it bit-exactly.
+    The lag pass is the acf_exact equi-join, Θ(n·h) rows, no window.
+
+    Output: one row (n, s_total, c0_num, q_stat)."""
+    a = series.select(
+        F.col(idx_col).cast("long").alias("_i"),
+        F.col(val_col).cast("long").alias("_x"),
+    )
+    tot = a.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_x").cast("long").alias("s_total"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("sxx"),
+    )
+    lags = F.explode(
+        F.array(*[F.lit(k) for k in range(1, max_lag + 1)])
+    ).alias("lag")
+    b = a.select(
+        F.col("_i").alias("_i2"), F.col("_x").alias("_y")
+    )
+    per_lag = (
+        a.select("_i", "_x", lags)
+        .withColumn("_key", F.col("_i") + F.col("lag"))
+        .join(b, F.col("_key") == F.col("_i2"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("_x") * F.col("_y")).cast("long").alias("sxy"),
+            F.sum("_x").cast("long").alias("sx"),
+            F.sum("_y").cast("long").alias("sy"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    n, s = F.col("n"), F.col("s_total")
+    ck = (
+        n * n * F.col("sxy")
+        - n * s * (F.col("sx") + F.col("sy"))
+        + (n - F.col("lag")) * s * s
+    ).cast("long")
+    c0 = (n * (n * F.col("sxx") - s * s)).cast("long")
+    rho = ck.cast("double") / c0.cast("double")
+    term = F.when(
+        c0 != 0, rho * rho / (n - F.col("lag")).cast("double")
+    )
+    piv = per_lag.groupBy("n", "s_total").agg(
+        F.max(F.when(F.col("lag") == 1, c0)).cast("long").alias("c0_num"),
+        *[
+            F.max(F.when(F.col("lag") == k, term)).alias(f"_t{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    chain = F.col("_t1")
+    for k in range(2, max_lag + 1):
+        chain = chain + F.col(f"_t{k}")
+    nn = F.col("n")
+    return piv.select(
+        "n",
+        "s_total",
+        "c0_num",
+        F.when(
+            F.col("c0_num") != 0,
+            F.round((nn * (nn + 2)).cast("double") * chain, 6),
+        ).alias("q_stat"),
+    )

@@ -1612,3 +1612,129 @@ def test_runs_test_monotone_series_two_runs(spark):
     got = runs_test(df, "g", ["pos"], "v").collect()[0]
     assert got["runs"] == 2  # all-below then all-above
     assert got["z"] < 0  # far fewer runs than random
+
+
+def test_mcnemar_hand_table(spark):
+    """2×2 cells + both statistics vs the textbook formulas."""
+    import pyspark.sql.functions as F
+
+    from deepie_spark.operators.stats import mcnemar_test
+
+    # a, b predictions: n11=3, n10=4, n01=1, n00=2
+    rows = (
+        [(True, True)] * 3
+        + [(True, False)] * 4
+        + [(False, True)] * 1
+        + [(False, False)] * 2
+    )
+    df = spark.createDataFrame(rows, ["a", "b"])
+    r = mcnemar_test(df, "a", "b").collect()[0]
+    assert (r.n11, r.n10, r.n01, r.n00) == (3, 4, 1, 2)
+    assert r.chi2 == round((4 - 1) ** 2 / 5, 6)
+    assert r.chi2_cc == round((abs(4 - 1) - 1) ** 2 / 5, 6)
+
+    # b == c: corrected statistic clamps to 0, not (−1)²/(b+c)
+    df2 = spark.createDataFrame(
+        [(True, False), (False, True)], ["a", "b"]
+    )
+    r2 = mcnemar_test(df2, "a", "b").collect()[0]
+    assert r2.chi2 == 0.0 and r2.chi2_cc == 0.0
+
+    # perfect agreement: NULL statistics
+    df3 = spark.createDataFrame([(True, True), (False, False)], ["a", "b"])
+    r3 = mcnemar_test(df3, "a", "b").collect()[0]
+    assert r3.chi2 is None and r3.chi2_cc is None
+    # expression (non-string) predicates accepted
+    r4 = mcnemar_test(
+        df, F.col("a") == True, F.col("b") == True  # noqa: E712
+    ).collect()[0]
+    assert (r4.n11, r4.n10) == (3, 4)
+
+
+def test_friedman_vs_scipy_formula(spark):
+    """Tie-corrected Friedman vs a direct python midrank twin."""
+    from deepie_spark.operators.stats import friedman_test
+
+    # 4 blocks × 3 treatments, with ties inside blocks
+    data = {
+        "b1": {"x": 1, "y": 2, "z": 3},
+        "b2": {"x": 2, "y": 2, "z": 5},
+        "b3": {"x": 1, "y": 4, "z": 4},
+        "b4": {"x": 3, "y": 1, "z": 2},
+    }
+    rows = [
+        (blk, trt, v) for blk, d in data.items() for trt, v in d.items()
+    ]
+    df = spark.createDataFrame(rows, ["blk", "trt", "v"])
+    r = friedman_test(df, "blk", "trt", "v").collect()[0]
+
+    # python twin on doubled midranks
+    import collections
+
+    r2 = collections.Counter()
+    sst = 0
+    for d in data.values():
+        vals = sorted(d.values())
+        for trt, v in d.items():
+            rank = 1 + sum(1 for w in vals if w < v)
+            ties = sum(1 for w in vals if w == v)
+            s = 2 * rank + ties - 1
+            r2[trt] += s
+            sst += s * s
+    n, k = len(data), 3
+    sd = sum((rj - n * (k + 1)) ** 2 for rj in r2.values())
+    num = (k - 1) * sd
+    den = sst - n * k * (k + 1) ** 2
+    assert (r.n_blocks, r.k_treatments) == (n, k)
+    assert (r.num, r.den) == (num, den)
+    assert r.chi2_friedman == round(num / den, 6)
+
+    # scipy cross-check when available
+    try:
+        from scipy.stats import friedmanchisquare
+    except Exception:
+        pass
+    else:
+        stat, _ = friedmanchisquare(
+            [data[b]["x"] for b in data],
+            [data[b]["y"] for b in data],
+            [data[b]["z"] for b in data],
+        )
+        assert abs(r.chi2_friedman - stat) < 1e-6
+
+    # all-tied blocks: den = 0 -> NULL
+    flat = spark.createDataFrame(
+        [("b", t, 7) for t in ("x", "y", "z")], ["blk", "trt", "v"]
+    )
+    assert friedman_test(flat, "blk", "trt", "v").collect()[0].chi2_friedman is None
+
+
+def test_ljung_box_vs_numpy(spark):
+    """Q statistic vs a float numpy twin of the standard ACF."""
+    import numpy as np
+
+    from deepie_spark.operators.stats import ljung_box
+
+    y = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3]
+    n = len(y)
+    df = spark.createDataFrame(
+        [(i + 1, v) for i, v in enumerate(y)], ["idx", "y"]
+    )
+    h = 4
+    r = ljung_box(df, "idx", "y", max_lag=h).collect()[0]
+    x = np.array(y, dtype=float)
+    xc = x - x.mean()
+    c0 = float(np.dot(xc, xc))
+    q = 0.0
+    for k in range(1, h + 1):
+        rho = float(np.dot(xc[:-k], xc[k:])) / c0
+        q += rho * rho / (n - k)
+    q *= n * (n + 2)
+    assert r.n == n and r.s_total == sum(y)
+    assert abs(r.q_stat - q) < 1e-6
+
+    # constant series: c0 = 0 -> NULL Q
+    const = spark.createDataFrame(
+        [(i + 1, 5) for i in range(10)], ["idx", "y"]
+    )
+    assert ljung_box(const, "idx", "y", max_lag=3).collect()[0].q_stat is None
