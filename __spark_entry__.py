@@ -9230,6 +9230,35 @@ def q_events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_4cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 4-clique census of the rule-triple graph
+    (operators/graph.py four_clique_count): degree-ordered
+    orientation, each K₄ enumerated once in rank order through three
+    oriented closing joins — the Chiba–Nishizeki bound under
+    head-entity skew.  Oracle: the naive a<b<c<d six-edge join."""
+    from deepie_spark.operators.graph import four_clique_count
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return four_clique_count(t)
+
+
+def q_kg_link_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered TransE link-ranking eval over the distinct rule-triple
+    set (operators/kgembed.py transe_link_ranking): deterministic
+    poly-hash pseudo-embeddings make every L1 energy an exact long,
+    ranks exact tie-broken counts, and MRR a 2⁴⁰-fixed-point integer
+    sum — the KG-embedding eval harness with the trained-vector join
+    swapped for a portable one."""
+    from deepie_spark.operators.kgembed import transe_link_ranking
+
+    t = q_triples_rules(spark, sf_dir).filter(
+        F.col("subj") != F.col("obj")
+    )
+    return transe_link_ranking(t)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -9588,6 +9617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_mcnemar": q_quality_mcnemar,
         "events_friedman": q_events_friedman,
         "events_ljung_box": q_events_ljung_box,
+        "graph_4cliques": q_graph_4cliques,
+        "kg_link_ranking": q_kg_link_ranking,
     }
 
 
@@ -18651,5 +18682,110 @@ def oracle_sql() -> dict[str, str]:
                        * (t1 + t2 + t3 + t4 + t5 + t6), 6)
                END AS q_stat
         FROM piv
+    """
+    d["graph_4cliques"] = f"""
+        WITH {_MENTIONS_SQL.strip()},
+        {_TRIPLE_EDGES_SQL.strip()},
+        deg AS (SELECT n FROM (
+                  SELECT a AS n FROM und
+                  UNION ALL SELECT b FROM und) GROUP BY n),
+        tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+                FROM und e1
+                JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+        k4 AS (SELECT CAST(count(*) AS BIGINT) AS n_4cliques
+               FROM und e1
+               JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+               JOIN und e3 ON e3.a = e1.a AND e3.b > e2.b
+               JOIN und e4 ON e4.a = e1.b AND e4.b = e2.b
+               JOIN und e5 ON e5.a = e1.b AND e5.b = e3.b
+               JOIN und e6 ON e6.a = e2.b AND e6.b = e3.b),
+        st AS (SELECT CAST((SELECT count(*) FROM deg) AS BIGINT)
+                        AS n_nodes,
+                      CAST((SELECT count(*) FROM und) AS BIGINT)
+                        AS n_edges)
+        SELECT n_nodes, n_edges, n_triangles, n_4cliques
+        FROM st CROSS JOIN tri CROSS JOIN k4
+    """
+    from deepie_spark.operators.kgembed import EMB_MOD, EMB_R, MRR_SCALE
+
+    def _emb(nm: str, pfx: str) -> str:
+        parts = []
+        for dd in range(4):
+            ph = _poly_hash_sql(nm + " || '#" + str(dd) + "'")
+            parts.append(
+                f"CAST({ph} % {EMB_MOD} - {EMB_R} AS BIGINT)"
+                f" AS {pfx}{dd}"
+            )
+        return ", ".join(parts)
+
+    _ENERGY = lambda hp, rp, tp: " + ".join(  # noqa: E731
+        f"abs({hp}{dd} + {rp}{dd} - {tp}{dd})" for dd in range(4)
+    )
+    d["kg_link_ranking"] = f"""
+        WITH {_MENTIONS_SQL.strip()},
+        {_TRIPLE_SPO_SQL.strip()},
+        spo AS (SELECT s, p, o FROM tr3),
+        ents AS (SELECT DISTINCT ent FROM
+                  (SELECT s AS ent FROM spo
+                   UNION SELECT o FROM spo)),
+        emb AS (SELECT ent, {_emb('ent', 'e')} FROM ents),
+        remb AS (SELECT p, {_emb('p', 'r')}
+                 FROM (SELECT DISTINCT p FROM spo)),
+        base AS (
+          SELECT spo.s, spo.p, spo.o,
+                 h.e0 AS h0, h.e1 AS h1, h.e2 AS h2, h.e3 AS h3,
+                 r.r0, r.r1, r.r2, r.r3,
+                 CAST({_ENERGY('h.e', 'r.r', 't.e')} AS BIGINT)
+                   AS e_true
+          FROM spo
+          JOIN emb h ON h.ent = spo.s
+          JOIN remb r ON r.p = spo.p
+          JOIN emb t ON t.ent = spo.o
+        ),
+        cand AS (
+          SELECT b.s, b.p, b.o, b.e_true, c.ent AS c,
+                 CAST({_ENERGY('b.h', 'b.r', 'c.e')} AS BIGINT)
+                   AS e_cand
+          FROM base b CROSS JOIN emb c
+          WHERE c.ent != b.o
+            AND NOT EXISTS (SELECT 1 FROM spo t2
+                            WHERE t2.s = b.s AND t2.p = b.p
+                              AND t2.o = c.ent)
+        ),
+        ranks AS (
+          SELECT b.s, b.p, b.o,
+                 CAST(1 + (SELECT count(*) FROM cand c
+                           WHERE c.s = b.s AND c.p = b.p
+                             AND c.o = b.o
+                             AND (c.e_cand < b.e_true
+                                  OR (c.e_cand = b.e_true
+                                      AND c.c < b.o)))
+                      AS BIGINT) AS rank
+          FROM base b
+        ),
+        g AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_triples,
+                 CAST(sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS hits1,
+                 CAST(sum(CASE WHEN rank <= 3 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS hits3,
+                 CAST(sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS hits10,
+                 CAST(sum(rank) AS BIGINT) AS sum_rank,
+                 CAST(sum({MRR_SCALE} // rank) AS BIGINT) AS mrr_fp
+          FROM ranks
+        )
+        SELECT n_triples,
+               CAST((SELECT count(*) FROM ents) AS BIGINT)
+                 AS n_entities,
+               hits1, hits3, hits10,
+               round(CAST(sum_rank AS DOUBLE)
+                     / CAST(n_triples AS DOUBLE), 6) AS mean_rank,
+               mrr_fp,
+               round(CAST(mrr_fp AS DOUBLE)
+                     / CAST(n_triples * {MRR_SCALE} AS DOUBLE), 6)
+                 AS mrr
+        FROM g
     """
     return d

@@ -3414,3 +3414,90 @@ def coreness(
                 F.col("v").alias("coreness"),
             )
     raise RuntimeError("coreness h-index iteration did not converge")
+
+
+def four_clique_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact global 4-clique census — the next motif up from
+    triangle_stats, the KG-density signal that separates genuinely
+    clustered entity neighbourhoods from mere triangle noise (dense
+    extraction-error blobs light up in K₄ long before global
+    clustering moves).
+
+    Scale plan: the Chiba–Nishizeki / degree-ordered orientation
+    bound.  Orient every undirected edge from the endpoint with the
+    smaller (degree, node) rank to the larger — out-degree is then
+    O(√|E|) regardless of skew — and enumerate each clique exactly
+    once in rank order: an oriented triangle (u→v, u→w, v→w) joined
+    to a fourth vertex x through THREE oriented edges (u→x, v→x,
+    w→x), which forces rank(x) above the whole triangle, so no
+    deduplication pass is ever needed.  Every stage is an equi-join
+    on node keys; nothing is collected.
+
+    The count is orientation-independent, so the DuckDB oracle can
+    use the naive a<b<c<d six-edge join.
+
+    Output: one row (n_nodes, n_edges, n_triangles, n_4cliques).
+    """
+    und = _canonical_edges(edges, src, dst).localCheckpoint()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    low_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    # (u, v, dv): oriented low-rank → high-rank; dv carried so the
+    # wedge stage can order out-neighbours by the SAME total order
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(low_first, F.col("deg_b"))
+            .otherwise(F.col("deg_a"))
+            .alias("dv"),
+        )
+    ).localCheckpoint()
+    w1 = oriented.select("u", F.col("v").alias("p"), F.col("dv").alias("dp"))
+    w2 = oriented.select("u", F.col("v").alias("q"), F.col("dv").alias("dq"))
+    wedges = w1.join(w2, "u").filter(
+        (F.col("dp") < F.col("dq"))
+        | ((F.col("dp") == F.col("dq")) & (F.col("p") < F.col("q")))
+    )
+    close = oriented.select(
+        F.col("u").alias("p"), F.col("v").alias("q")
+    )
+    tri = wedges.join(close, ["p", "q"]).select(
+        "u", F.col("p").alias("v"), F.col("q").alias("w")
+    ).localCheckpoint()
+    n_tri = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    ox = oriented.select("u", F.col("v").alias("x"))
+    cand = tri.join(ox, "u")
+    c1 = cand.join(
+        oriented.select(F.col("u").alias("v"), F.col("v").alias("x")),
+        ["v", "x"],
+        "left_semi",
+    )
+    c2 = c1.join(
+        oriented.select(F.col("u").alias("w"), F.col("v").alias("x")),
+        ["w", "x"],
+        "left_semi",
+    )
+    n_k4 = c2.agg(F.count(F.lit(1)).cast("long").alias("n_4cliques"))
+    stats = und.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    ).crossJoin(
+        F.broadcast(deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")))
+    )
+    return (
+        stats.crossJoin(F.broadcast(n_tri))
+        .crossJoin(F.broadcast(n_k4))
+        .select("n_nodes", "n_edges", "n_triangles", "n_4cliques")
+    )

@@ -2229,3 +2229,36 @@ def test_coreness_oracle_round_bound(spark):
     )
     # raises RuntimeError if > 8 rounds were needed
     assert coreness(t, max_rounds=8).count() > 0
+
+
+def test_four_clique_count_vs_bruteforce(spark):
+    """K5-plus-appendages hand graph vs an itertools brute force."""
+    from itertools import combinations
+
+    from deepie_spark.operators.graph import four_clique_count
+
+    # K5 on 1..5, a triangle 5-6-7 hanging off, a pendant 8, and a
+    # duplicate + reversed + self-loop edge to exercise canonicalization
+    edges = (
+        list(combinations([1, 2, 3, 4, 5], 2))
+        + [(5, 6), (5, 7), (6, 7), (7, 8)]
+        + [(2, 1), (1, 2), (3, 3)]
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    r = four_clique_count(df).collect()[0]
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    tri = sum(
+        1
+        for c in combinations(nodes, 3)
+        if all(tuple(sorted(p)) in und for p in combinations(c, 2))
+    )
+    k4 = sum(
+        1
+        for c in combinations(nodes, 4)
+        if all(tuple(sorted(p)) in und for p in combinations(c, 2))
+    )
+    assert (r.n_nodes, r.n_edges) == (len(nodes), len(und))
+    assert r.n_triangles == tri == 11
+    assert r.n_4cliques == k4 == 5  # exactly the C(5,4) of the K5
