@@ -9259,6 +9259,39 @@ def q_kg_link_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transe_link_ranking(t)
 
 
+def q_pipeline_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition lineage/metrics rows of the triple pipeline (the
+    north rule's manifest), in PORTABLE form: the doc→partition
+    assignment is the BASE/MOD poly hash (mod 16) instead of the
+    production xxhash64 bucket, so the WHOLE manifest — including an
+    order-free per-partition content checksum Σ poly_hash(s|p|o) —
+    gates hash-exact against DuckDB.  One groupBy on the partition
+    key: the same shuffle the partitioned triple write already pays,
+    so at 100 TB the manifest is free."""
+    from deepie_spark.functions.text import char_poly_hash
+
+    t = q_triples_rules(spark, sf_dir)
+    return (
+        t.select(
+            (
+                char_poly_hash(F.col("doc_id").cast("string")) % 16
+            ).alias("part"),
+            "doc_id",
+            "subj",
+            char_poly_hash(
+                F.concat_ws("|", "subj", "pred", "obj")
+            ).alias("h3"),
+        )
+        .groupBy("part")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_triples"),
+            F.countDistinct("subj").cast("long").alias("n_subjects"),
+            F.sum("h3").cast("long").alias("checksum"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -9619,6 +9652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ljung_box": q_events_ljung_box,
         "graph_4cliques": q_graph_4cliques,
         "kg_link_ranking": q_kg_link_ranking,
+        "pipeline_part_metrics": q_pipeline_part_metrics,
     }
 
 
@@ -18787,5 +18821,40 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(n_triples * {MRR_SCALE} AS DOUBLE), 6)
                  AS mrr
         FROM g
+    """
+    d["pipeline_part_metrics"] = f"""
+        WITH {_MENTIONS_SQL.strip()},
+        rules(type1, type2, label) AS (VALUES
+          {RULES_VALUES}
+        ),
+        rpairs AS (
+          SELECT a.doc_id, a.alias AS alias1, b.alias AS alias2,
+                 a.entity_type AS type1, b.entity_type AS type2
+          FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id
+          WHERE a.pos < b.pos AND b.pos - a.pos <= 10
+        ),
+        tr AS (
+          SELECT doc_id,
+            CASE WHEN label LIKE '%(e2,e1)' THEN alias2
+                 ELSE alias1 END AS s,
+            regexp_replace(label, '\\(e[12],e[21]\\)$', '') AS p,
+            CASE WHEN label LIKE '%(e2,e1)' THEN alias1
+                 ELSE alias2 END AS o
+          FROM rpairs JOIN rules USING (type1, type2)
+          WHERE label != 'NONE'
+        ),
+        keyed AS (
+          SELECT {_poly_hash_sql("CAST(doc_id AS VARCHAR)")} % 16
+                   AS part,
+                 doc_id, s,
+                 {_poly_hash_sql("s || '|' || p || '|' || o")} AS h3
+          FROM tr
+        )
+        SELECT part,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_triples,
+               CAST(count(DISTINCT s) AS BIGINT) AS n_subjects,
+               CAST(sum(h3) AS BIGINT) AS checksum
+        FROM keyed GROUP BY part
     """
     return d

@@ -249,3 +249,21 @@ def test_triple_direction_swap(spark):
         for r in triples_from_classified(df).collect()
     }
     assert got == {("y", "ORG-AFF", "x"), ("x", "ORG-AFF", "y")}
+
+
+def test_pipeline_part_metrics_partition_invariant(spark):
+    """The per-partition manifest (poly-hash part + order-free
+    checksum) must be identical under any physical partitioning."""
+    import __spark_entry__ as e
+
+    q = e.queries()["pipeline_part_metrics"]
+    base = q(spark, "/root/testdata/sf0.001")
+    rows = {r.part: r for r in base.collect()}
+    again = {
+        r.part: r for r in base.repartition(13).collect()
+    }
+    assert rows.keys() == again.keys()
+    for p in rows:
+        assert rows[p] == again[p]
+    assert all(0 <= p < 16 for p in rows)
+    assert sum(r.n_triples for r in rows.values()) > 0
