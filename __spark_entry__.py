@@ -9292,6 +9292,67 @@ def q_pipeline_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_cochran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across THREE matched binary quality rules on the
+    same documents (operators/stats.py cochran_q): length ≥ 50,
+    contains 'the', distinct-ratio ≥ ½ (as the integer inequality
+    2·distinct ≥ n — thresholds stay engine-portable).  Blocks =
+    docs, treatments = rules; every term an exact long."""
+    from deepie_spark.operators.stats import cochran_q
+
+    t = _toks(spark, sf_dir)
+    long = t.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("len50").alias("rule"),
+                    (F.size("toks") >= 50).cast("int").alias("y"),
+                ),
+                F.struct(
+                    F.lit("stopword").alias("rule"),
+                    F.array_contains("toks", "the")
+                    .cast("int")
+                    .alias("y"),
+                ),
+                F.struct(
+                    F.lit("distinct_half").alias("rule"),
+                    (
+                        F.lit(2) * F.size(F.array_distinct("toks"))
+                        >= F.size("toks")
+                    )
+                    .cast("int")
+                    .alias("y"),
+                ),
+            )
+        ).alias("r"),
+    ).select("doc_id", F.col("r.rule").alias("rule"), F.col("r.y").alias("y"))
+    return cochran_q(long, "doc_id", "rule", "y")
+
+
+def q_events_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact calendar regression of daily event volume on a linear
+    trend + weekend dummy (operators/stats.py ols2_exact): the
+    normal equations in exact longs, coefficients by Cramer 3×3
+    integer determinants — multiple regression with NO float
+    accumulation anywhere before the final divides."""
+    from deepie_spark.operators.stats import ols2_exact
+
+    daily = (
+        _events(spark, sf_dir)
+        .select(F.to_date(F.col("ts").cast("timestamp")).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    d0 = daily.agg(F.min("day").alias("d0"))
+    design = daily.crossJoin(F.broadcast(d0)).select(
+        "y",
+        (F.datediff("day", "d0") + 1).cast("long").alias("x1"),
+        F.dayofweek("day").isin(1, 7).cast("long").alias("x2"),
+    )
+    return ols2_exact(design, "y", "x1", "x2")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -9653,6 +9714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_4cliques": q_graph_4cliques,
         "kg_link_ranking": q_kg_link_ranking,
         "pipeline_part_metrics": q_pipeline_part_metrics,
+        "quality_cochran": q_quality_cochran,
+        "events_ols": q_events_ols,
     }
 
 
@@ -18856,5 +18919,109 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT s) AS BIGINT) AS n_subjects,
                CAST(sum(h3) AS BIGINT) AS checksum
         FROM keyed GROUP BY part
+    """
+    d["quality_cochran"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        long AS (
+          SELECT doc_id, 'len50' AS rule,
+                 CASE WHEN len(toks) >= 50 THEN 1 ELSE 0 END AS y
+          FROM t
+          UNION ALL
+          SELECT doc_id, 'stopword',
+                 CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+          FROM t
+          UNION ALL
+          SELECT doc_id, 'distinct_half',
+                 CASE WHEN 2 * len(list_distinct(toks)) >= len(toks)
+                      THEN 1 ELSE 0 END
+          FROM t
+        ),
+        per_t AS (SELECT rule, CAST(sum(y) AS BIGINT) AS g
+                  FROM long GROUP BY 1),
+        per_b AS (SELECT doc_id, CAST(sum(y) AS BIGINT) AS l
+                  FROM long GROUP BY 1),
+        tg AS (SELECT CAST(count(*) AS BIGINT) AS k_treatments,
+                      CAST(sum(g) AS BIGINT) AS n_success,
+                      CAST(sum(g * g) AS BIGINT) AS sgg
+               FROM per_t),
+        tb AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+                      CAST(sum(l * l) AS BIGINT) AS sll
+               FROM per_b)
+        SELECT n_blocks, k_treatments, n_success,
+               CAST((k_treatments - 1)
+                    * (k_treatments * sgg - n_success * n_success)
+                    AS BIGINT) AS num,
+               CAST(k_treatments * n_success - sll AS BIGINT) AS den,
+               CASE WHEN k_treatments * n_success - sll != 0 THEN
+                 round(CAST((k_treatments - 1)
+                            * (k_treatments * sgg
+                               - n_success * n_success) AS DOUBLE)
+                       / CAST(k_treatments * n_success - sll
+                              AS DOUBLE), 6)
+               END AS q_stat
+        FROM tg CROSS JOIN tb
+    """
+    d["events_ols"] = """
+        WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                              CAST(count(*) AS BIGINT) AS y
+                       FROM events GROUP BY 1),
+        d0 AS (SELECT min(day) AS d0 FROM daily),
+        design AS (
+          SELECT y,
+                 CAST(datediff('day', d0, day) + 1 AS BIGINT) AS x1,
+                 CAST(CASE WHEN dayofweek(day) IN (0, 6)
+                           THEN 1 ELSE 0 END AS BIGINT) AS x2
+          FROM daily, d0
+        ),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x1) AS BIGINT) AS s1,
+                     CAST(sum(x2) AS BIGINT) AS s2,
+                     CAST(sum(x1 * x1) AS BIGINT) AS s11,
+                     CAST(sum(x1 * x2) AS BIGINT) AS s12,
+                     CAST(sum(x2 * x2) AS BIGINT) AS s22,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x1 * y) AS BIGINT) AS s1y,
+                     CAST(sum(x2 * y) AS BIGINT) AS s2y,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+              FROM design),
+        dets AS (
+          SELECT n, sy, s1y, s2y, syy,
+            CAST(n * (s11 * s22 - s12 * s12)
+                 - s1 * (s1 * s22 - s12 * s2)
+                 + s2 * (s1 * s12 - s11 * s2) AS BIGINT) AS det,
+            CAST(sy * (s11 * s22 - s12 * s12)
+                 - s1 * (s1y * s22 - s12 * s2y)
+                 + s2 * (s1y * s12 - s11 * s2y) AS BIGINT) AS d0_,
+            CAST(n * (s1y * s22 - s12 * s2y)
+                 - sy * (s1 * s22 - s12 * s2)
+                 + s2 * (s1 * s2y - s1y * s2) AS BIGINT) AS d1_,
+            CAST(n * (s11 * s2y - s1y * s12)
+                 - s1 * (s1 * s2y - s1y * s2)
+                 + sy * (s1 * s12 - s11 * s2) AS BIGINT) AS d2_
+          FROM m
+        )
+        SELECT n, det,
+          CASE WHEN det != 0 THEN
+            round(CAST(d0_ AS DOUBLE) / CAST(det AS DOUBLE), 6) END AS b0,
+          CASE WHEN det != 0 THEN
+            round(CAST(d1_ AS DOUBLE) / CAST(det AS DOUBLE), 6) END AS b1,
+          CASE WHEN det != 0 THEN
+            round(CAST(d2_ AS DOUBLE) / CAST(det AS DOUBLE), 6) END AS b2,
+          CASE WHEN det != 0
+                AND CAST(syy AS DOUBLE)
+                    - CAST(sy * sy AS DOUBLE) / CAST(n AS DOUBLE)
+                    != 0.0 THEN
+            round((
+              (CAST(d0_ AS DOUBLE) / CAST(det AS DOUBLE))
+                * CAST(sy AS DOUBLE)
+              + (CAST(d1_ AS DOUBLE) / CAST(det AS DOUBLE))
+                * CAST(s1y AS DOUBLE)
+              + (CAST(d2_ AS DOUBLE) / CAST(det AS DOUBLE))
+                * CAST(s2y AS DOUBLE)
+              - CAST(sy * sy AS DOUBLE) / CAST(n AS DOUBLE)
+            ) / (CAST(syy AS DOUBLE)
+                 - CAST(sy * sy AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+          END AS r2
+        FROM dets
     """
     return d

@@ -2712,3 +2712,128 @@ def ljung_box(
             F.round((nn * (nn + 2)).cast("double") * chain, 6),
         ).alias("q_stat"),
     )
+
+
+def cochran_q(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Cochran's Q over a complete block design of BINARY outcomes
+    (the dichotomous sibling of friedman_test — k matched classifiers
+    judged on the same n rows):
+
+        Q = (k−1)·(k·ΣG_j² − N²) / (k·N − ΣL_i²)
+
+    with G_j the treatment column totals, L_i the block row totals,
+    N = ΣG = ΣL.  EVERY term is an exact long from two
+    map-side-combinable aggregations (per-treatment, per-block) — the
+    statistic is one IEEE divide.  den = 0 (every block all-0 or
+    all-1) yields NULL.
+
+    Output: one row (n_blocks, k_treatments, n_success, num, den,
+    q_stat)."""
+    y = F.col(y_col).cast("long")
+    per_t = df.groupBy(treatment_col).agg(
+        F.sum(y).cast("long").alias("_g")
+    )
+    per_b = df.groupBy(block_col).agg(F.sum(y).cast("long").alias("_l"))
+    tg = per_t.agg(
+        F.count(F.lit(1)).cast("long").alias("k_treatments"),
+        F.sum("_g").cast("long").alias("n_success"),
+        F.sum(F.col("_g") * F.col("_g")).cast("long").alias("_sgg"),
+    )
+    tb = per_b.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(F.col("_l") * F.col("_l")).cast("long").alias("_sll"),
+    )
+    j = tg.crossJoin(F.broadcast(tb))
+    k, nn = F.col("k_treatments"), F.col("n_success")
+    num = (k - 1) * (k * F.col("_sgg") - nn * nn)
+    den = k * nn - F.col("_sll")
+    return j.select(
+        "n_blocks",
+        "k_treatments",
+        "n_success",
+        num.cast("long").alias("num"),
+        den.cast("long").alias("den"),
+        F.when(
+            den != 0,
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("q_stat"),
+    )
+
+
+def ols2_exact(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+) -> DataFrame:
+    """Exact two-regressor OLS  y = b0 + b1·x1 + b2·x2  over INTEGER
+    columns: the normal-equation matrix X'X and vector X'y are exact
+    longs from ONE aggregation, and each coefficient is a ratio of
+    two exact-long 3×3 determinants by Cramer's rule — integer
+    cofactor expansions written in fixed order, so the only floating
+    steps are three divides (plus the R² chain, identical IEEE ops in
+    both engines).  Singular X'X (det = 0 — collinear regressors)
+    yields NULL coefficients.
+
+    Magnitude bound: determinant terms are products of three moment
+    sums; keep n·max(x)²·max-moment < 2⁶³ (holds for thousand-row
+    design matrices of small-integer regressors — the
+    calendar-regression use case).
+
+    Output: one row (n, det, b0, b1, b2, r2)."""
+    y = F.col(y_col).cast("long")
+    x1 = F.col(x1_col).cast("long")
+    x2 = F.col(x2_col).cast("long")
+    m = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x1).cast("long").alias("s1"),
+        F.sum(x2).cast("long").alias("s2"),
+        F.sum(x1 * x1).cast("long").alias("s11"),
+        F.sum(x1 * x2).cast("long").alias("s12"),
+        F.sum(x2 * x2).cast("long").alias("s22"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x1 * y).cast("long").alias("s1y"),
+        F.sum(x2 * y).cast("long").alias("s2y"),
+        F.sum(y * y).cast("long").alias("syy"),
+    )
+
+    def det3(a, b, c, d, e, f, g, h, i):
+        # fixed cofactor expansion along the first row
+        return a * (e * i - f * h) - b * (d * i - f * g) + c * (
+            d * h - e * g
+        )
+
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    sy, s1y, s2y = F.col("sy"), F.col("s1y"), F.col("s2y")
+    det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    d0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    d1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    d2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+    b0 = d0.cast("double") / det.cast("double")
+    b1 = d1.cast("double") / det.cast("double")
+    b2 = d2.cast("double") / det.cast("double")
+    # R² from the same exact moments: SSR_model = b·X'y − (Σy)²/n
+    sst = F.col("syy").cast("double") - (sy * sy).cast("double") / n.cast(
+        "double"
+    )
+    ssr = (
+        b0 * sy.cast("double")
+        + b1 * s1y.cast("double")
+        + b2 * s2y.cast("double")
+        - (sy * sy).cast("double") / n.cast("double")
+    )
+    ok = det != 0
+    return m.select(
+        "n",
+        det.cast("long").alias("det"),
+        F.when(ok, F.round(b0, 6)).alias("b0"),
+        F.when(ok, F.round(b1, 6)).alias("b1"),
+        F.when(ok, F.round(b2, 6)).alias("b2"),
+        F.when(ok & (sst != 0.0), F.round(ssr / sst, 6)).alias("r2"),
+    )

@@ -1738,3 +1738,73 @@ def test_ljung_box_vs_numpy(spark):
         [(i + 1, 5) for i in range(10)], ["idx", "y"]
     )
     assert ljung_box(const, "idx", "y", max_lag=3).collect()[0].q_stat is None
+
+
+def test_cochran_q_hand_vs_formula(spark):
+    """Classic 3-treatment binary table vs the closed form."""
+    from deepie_spark.operators.stats import cochran_q
+
+    # 6 blocks × 3 treatments
+    table = {
+        1: (1, 1, 0),
+        2: (1, 0, 0),
+        3: (1, 1, 1),
+        4: (0, 0, 0),
+        5: (1, 1, 0),
+        6: (1, 0, 1),
+    }
+    rows = [
+        (b, f"t{j}", v)
+        for b, vs in table.items()
+        for j, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, ["blk", "trt", "y"])
+    r = cochran_q(df, "blk", "trt", "y").collect()[0]
+    g = [sum(v[j] for v in table.values()) for j in range(3)]
+    ell = [sum(v) for v in table.values()]
+    n = sum(g)
+    k = 3
+    num = (k - 1) * (k * sum(x * x for x in g) - n * n)
+    den = k * n - sum(x * x for x in ell)
+    assert (r.n_blocks, r.k_treatments, r.n_success) == (6, 3, n)
+    assert (r.num, r.den) == (num, den)
+    assert r.q_stat == round(num / den, 6)
+
+    # degenerate: every block all-ones -> den 0 -> NULL
+    flat = spark.createDataFrame(
+        [(b, f"t{j}", 1) for b in (1, 2) for j in range(3)],
+        ["blk", "trt", "y"],
+    )
+    assert cochran_q(flat, "blk", "trt", "y").collect()[0].q_stat is None
+
+
+def test_ols2_exact_vs_numpy_lstsq(spark):
+    import numpy as np
+
+    from deepie_spark.operators.stats import ols2_exact
+
+    rng_rows = [
+        (5, 1, 0), (7, 2, 0), (6, 3, 1), (9, 4, 0), (11, 5, 1),
+        (10, 6, 0), (14, 7, 1), (13, 8, 0), (15, 9, 0), (18, 10, 1),
+    ]
+    df = spark.createDataFrame(rng_rows, ["y", "x1", "x2"])
+    r = ols2_exact(df, "y", "x1", "x2").collect()[0]
+    y = np.array([t[0] for t in rng_rows], dtype=float)
+    X = np.column_stack(
+        [np.ones(len(rng_rows))]
+        + [np.array([t[i] for t in rng_rows], dtype=float) for i in (1, 2)]
+    )
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert abs(r.b0 - beta[0]) < 1e-6
+    assert abs(r.b1 - beta[1]) < 1e-6
+    assert abs(r.b2 - beta[2]) < 1e-6
+    pred = X @ beta
+    r2 = 1 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    assert abs(r.r2 - r2) < 1e-6
+
+    # collinear regressors: det = 0 -> NULL coefficients
+    col = spark.createDataFrame(
+        [(1, 2, 4), (2, 3, 6), (3, 4, 8)], ["y", "x1", "x2"]
+    )
+    rc = ols2_exact(col, "y", "x1", "x2").collect()[0]
+    assert rc.det == 0 and rc.b1 is None and rc.r2 is None
