@@ -9353,6 +9353,31 @@ def q_events_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ols2_exact(design, "y", "x1", "x2")
 
 
+def q_events_sampen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample entropy (m=2, r=2) of the dense hourly event-count
+    series (operators/stats.py sample_entropy): exact integer
+    template-match counts A and B with the candidate stage pruned to
+    ±1 first-value buckets, SampEn = ln(B) − ln(A) on integer
+    arguments."""
+    from deepie_spark.operators.stats import sample_entropy
+
+    return sample_entropy(
+        _hourly_dense_counts(spark, sf_dir), "idx", "y", m=2, r=2
+    )
+
+
+def q_events_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running record highs of the hourly event-count series
+    (operators/sweep.py records_in_order): the high-water-mark rows,
+    located with the two-level bucketed prefix-MAX — no unpartitioned
+    window — and bit-identical to the single-window oracle."""
+    from deepie_spark.operators.sweep import records_in_order
+
+    return records_in_order(
+        _hourly_dense_counts(spark, sf_dir), "idx", "y"
+    ).select("hs", "idx", "y")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -9716,6 +9741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_part_metrics": q_pipeline_part_metrics,
         "quality_cochran": q_quality_cochran,
         "events_ols": q_events_ols,
+        "events_sampen": q_events_sampen,
+        "events_records": q_events_records,
     }
 
 
@@ -19023,5 +19050,41 @@ def oracle_sql() -> dict[str, str]:
                  - CAST(sy * sy AS DOUBLE) / CAST(n AS DOUBLE)), 6)
           END AS r2
         FROM dets
+    """
+    d["events_sampen"] = f"""
+        WITH {_HOURLY_SRS.strip()},
+        t AS (SELECT a.idx AS i, a.y AS x0, b.y AS x1, c.y AS x2
+              FROM srs a
+              JOIN srs b ON b.idx = a.idx + 1
+              JOIN srs c ON c.idx = a.idx + 2),
+        p AS (SELECT greatest(abs(a.x0 - b.x0), abs(a.x1 - b.x1))
+                       AS chm,
+                     greatest(abs(a.x0 - b.x0), abs(a.x1 - b.x1),
+                              abs(a.x2 - b.x2)) AS chm1
+              FROM t a JOIN t b ON a.i < b.i),
+        g AS (SELECT CAST(sum(CASE WHEN chm <= 2 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS b_count,
+                     CAST(sum(CASE WHEN chm1 <= 2 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS a_count
+              FROM p)
+        SELECT CAST((SELECT count(*) FROM srs) AS BIGINT) AS n,
+               CAST(2 AS BIGINT) AS m, CAST(2 AS BIGINT) AS r,
+               CAST((SELECT count(*) FROM t) AS BIGINT)
+                 AS n_templates,
+               b_count, a_count,
+               CASE WHEN a_count > 0 AND b_count > 0 THEN
+                 round(ln(CAST(b_count AS DOUBLE))
+                       - ln(CAST(a_count AS DOUBLE)), 6)
+               END AS sampen
+        FROM g
+    """
+    d["events_records"] = f"""
+        WITH {_HOURLY_SRS.strip()},
+        pm AS (SELECT hs, idx, y,
+                      max(y) OVER (ORDER BY idx
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS p
+               FROM srs)
+        SELECT hs, idx, y FROM pm WHERE p IS NULL OR y > p
     """
     return d

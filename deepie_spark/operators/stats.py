@@ -2837,3 +2837,90 @@ def ols2_exact(
         F.when(ok, F.round(b2, 6)).alias("b2"),
         F.when(ok & (sst != 0.0), F.round(ssr / sst, 6)).alias("r2"),
     )
+
+
+def sample_entropy(
+    series: DataFrame,
+    idx_col: str,
+    val_col: str,
+    m: int = 2,
+    r: int = 2,
+) -> DataFrame:
+    """Sample entropy (Richman & Moorman 2000) of an integer series
+    with a dense 1..n index — the regularity/complexity member of the
+    series suite (burstiness/ACF/permutation-entropy):
+
+        SampEn = −ln(A/B) = ln(B) − ln(A)
+
+    with B = #{unordered template pairs of length m within Chebyshev
+    tolerance r}, A = the same at length m+1 — both EXACT integer
+    counts over the same i ≤ n−m template set, so both ln arguments
+    are exact longs (the integer-arg-ln portability rule).
+
+    The pair stage is the statistic's own O(templates²) definition,
+    but bounded: templates live on the CALENDAR grid (720 hourly bins
+    per month regardless of corpus size), and candidates are pruned
+    by the error_window rewrite — an equi-join on the first-value
+    bucket x₀ div (r+1) with ±1 neighbor probes (|x_i0 − x_j0| ≤ r
+    forces bucket distance ≤ 1), never an unconstrained cross join.
+
+    Output: one row (n, m, r, n_templates, b_count, a_count,
+    sampen)."""
+    if m < 1 or r < 0:
+        raise ValueError("need m >= 1 and r >= 0")
+    a0 = series.select(
+        F.col(idx_col).cast("long").alias("i"),
+        F.col(val_col).cast("long").alias("x0"),
+    )
+    t = a0
+    for k in range(1, m + 1):
+        nxt = series.select(
+            (F.col(idx_col).cast("long") - k).alias("i"),
+            F.col(val_col).cast("long").alias(f"x{k}"),
+        )
+        t = t.join(nxt, "i")  # inner: keeps i <= n-m only
+    t = t.withColumn("_bkt", F.expr(f"x0 div {r + 1}"))
+    probe = t.select(
+        F.col("i").alias("li"),
+        *[F.col(f"x{k}").alias(f"l{k}") for k in range(m + 1)],
+        F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("_d"),
+        (F.col("_bkt") + F.col("_d")).alias("_pb"),
+    ).drop("_d")
+    pairs = probe.join(t, probe["_pb"] == t["_bkt"]).filter(
+        F.col("li") < F.col("i")
+    )
+    cheb_m = None
+    for k in range(m):
+        dk = F.abs(F.col(f"l{k}") - F.col(f"x{k}"))
+        cheb_m = dk if cheb_m is None else F.greatest(cheb_m, dk)
+    cheb_m1 = F.greatest(cheb_m, F.abs(F.col(f"l{m}") - F.col(f"x{m}")))
+    g = pairs.agg(
+        F.sum(F.when(cheb_m <= r, 1).otherwise(0))
+        .cast("long")
+        .alias("b_count"),
+        F.sum(F.when(cheb_m1 <= r, 1).otherwise(0))
+        .cast("long")
+        .alias("a_count"),
+    )
+    nt = t.agg(F.count(F.lit(1)).cast("long").alias("n_templates"))
+    n = series.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        g.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n",
+            F.lit(m).cast("long").alias("m"),
+            F.lit(r).cast("long").alias("r"),
+            "n_templates",
+            "b_count",
+            "a_count",
+            F.when(
+                (F.col("a_count") > 0) & (F.col("b_count") > 0),
+                F.round(
+                    F.log(F.col("b_count").cast("double"))
+                    - F.log(F.col("a_count").cast("double")),
+                    6,
+                ),
+            ).alias("sampen"),
+        )
+    )

@@ -194,3 +194,63 @@ def interval_concurrency(
     return prefix_sum_in_order(
         net, "t", "net", out_col="concurrency", buckets=buckets
     )
+
+
+def records_in_order(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Running-record detection — the rows whose value STRICTLY
+    exceeds every earlier value in ``order_col`` order (record highs:
+    peak-load alarms, high-water marks).  The first row is a record
+    by convention.
+
+    Same two-level scheme as prefix_sum_in_order, specialized to MAX:
+    the strict prefix max of row i = greatest(within-bucket running
+    max over rows < i, max over strictly-lower buckets) — max
+    reassociates freely, so the result is bit-identical to the
+    single-window formulation the DuckDB oracle runs, with no
+    unpartitioned window anywhere.  Ties are NOT records (strict >).
+    """
+    spark = df.sparkSession
+    if buckets is None:
+        buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bucketed = pinned_range_bucket(df, order_col, buckets)
+    maxes = bucketed.groupBy("_bkt").agg(
+        F.max(val_col).cast("long").alias("_m")
+    )
+    lower = maxes.select(
+        F.col("_bkt").alias("_lo_bkt"), F.col("_m").alias("_lo_m")
+    )
+    offsets = (
+        maxes.join(
+            F.broadcast(lower), F.col("_lo_bkt") < F.col("_bkt"), "left"
+        )
+        .groupBy("_bkt")
+        .agg(F.max("_lo_m").alias("_off"))  # NULL for the first bucket
+    )
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    strict_local = F.max(F.col(val_col)).over(w)  # NULL on bucket head
+    out = (
+        bucketed.withColumn("_sl", strict_local)
+        .join(F.broadcast(offsets), "_bkt")
+        .withColumn(
+            "_pm",
+            F.when(
+                F.col("_sl").isNotNull() & F.col("_off").isNotNull(),
+                F.greatest("_sl", "_off"),
+            ).otherwise(F.coalesce("_sl", "_off")),
+        )
+    )
+    return (
+        out.filter(
+            F.col("_pm").isNull() | (F.col(val_col) > F.col("_pm"))
+        )
+        .drop("_bkt", "_sl", "_off", "_pm")
+    )

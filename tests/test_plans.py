@@ -771,3 +771,25 @@ def test_rle_audit_sorted_column_hits_distinct_lower_bound(spark):
     df = spark.createDataFrame(rows, ["id", "c"])
     r = rle_audit(df, "id", ["c"]).collect()[0]
     assert r["n_runs"] == r["n_distinct"] == 3
+
+
+def test_records_in_order_vs_python_and_buckets(spark):
+    """Strict running maxima match the sequential twin for ANY bucket
+    count (the prefix-max two-level scheme is boundary-invariant)."""
+    from deepie_spark.operators.sweep import records_in_order
+
+    y = [2, 2, 5, 1, 5, 7, 0, 7, 8, 8, 3, 9, 9, 1, 10]
+    df = spark.createDataFrame(
+        [(i + 1, v) for i, v in enumerate(y)], ["idx", "y"]
+    )
+    exp, best = [], None
+    for i, v in enumerate(y):
+        if best is None or v > best:
+            exp.append((i + 1, v))
+            best = v
+    for nb in (1, 3, 8):
+        got = sorted(
+            (r.idx, r.y)
+            for r in records_in_order(df, "idx", "y", buckets=nb).collect()
+        )
+        assert got == exp, nb

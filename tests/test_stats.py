@@ -1808,3 +1808,39 @@ def test_ols2_exact_vs_numpy_lstsq(spark):
     )
     rc = ols2_exact(col, "y", "x1", "x2").collect()[0]
     assert rc.det == 0 and rc.b1 is None and rc.r2 is None
+
+
+def test_sample_entropy_vs_bruteforce(spark):
+    from deepie_spark.operators.stats import sample_entropy
+
+    y = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3, 2, 3]
+    df = spark.createDataFrame(
+        [(i + 1, v) for i, v in enumerate(y)], ["idx", "y"]
+    )
+    m, r = 2, 2
+    out = sample_entropy(df, "idx", "y", m=m, r=r).collect()[0]
+
+    import math
+
+    n = len(y)
+    tpl = [tuple(y[i:i + m + 1]) for i in range(n - m)]
+    b = a = 0
+    for i in range(len(tpl)):
+        for j in range(i + 1, len(tpl)):
+            if max(
+                abs(tpl[i][k] - tpl[j][k]) for k in range(m)
+            ) <= r:
+                b += 1
+                if abs(tpl[i][m] - tpl[j][m]) <= r:
+                    a += 1
+    assert out.n == n and out.n_templates == len(tpl)
+    assert (out.b_count, out.a_count) == (b, a)
+    assert a > 0  # the fixture exercises both counts
+    assert out.sampen == round(math.log(b) - math.log(a), 6)
+
+    # constant series: every pair matches at both lengths -> sampen 0
+    const = spark.createDataFrame(
+        [(i + 1, 7) for i in range(8)], ["idx", "y"]
+    )
+    rc = sample_entropy(const, "idx", "y", m=m, r=0).collect()[0]
+    assert rc.b_count == rc.a_count > 0 and rc.sampen == 0.0
