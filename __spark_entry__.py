@@ -9378,6 +9378,62 @@ def q_events_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("hs", "idx", "y")
 
 
+def q_user_rr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner randomized-response release of the purchaser rate
+    (operators/privacy.py randomized_response, p = 3/4): per-user
+    true bit = made ≥ 1 purchase; deterministic poly-hash flip draws;
+    the debiased estimator as a ratio of exact longs.  Closes the
+    privacy suite's local-DP corner (k-anon / l-div / t-closeness /
+    central-DP counts / local-DP frequency)."""
+    from deepie_spark.operators.privacy import randomized_response
+
+    users = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("long"))
+            .cast("long")
+            .alias("flag")
+        )
+    )
+    return randomized_response(users, "user_id", "flag")
+
+
+def q_events_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey median polish of the day × event-type daily-count table
+    (operators/stats.py median_polish, 2 sweeps): robust additive
+    decomposition whose every intermediate is an EXACT dyadic double
+    (integer inputs, interpolated medians, subtractions), so the
+    whole decomposition gates hash-exact with no fixed-point
+    scaffolding; residual L1 is quantized ×16 into exact longs."""
+    from deepie_spark.operators.stats import median_polish
+
+    e = _events(spark, sf_dir).select(
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd")
+        .alias("day"),
+        "event_type",
+    )
+    counts = e.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    types = spark.createDataFrame(
+        [(t,) for t in ["click", "error", "purchase", "signup", "view"]],
+        ["event_type"],
+    )
+    grid = (
+        e.select("day")
+        .distinct()
+        .crossJoin(F.broadcast(types))
+        .join(counts, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    return median_polish(grid, "day", "event_type", "y", sweeps=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -9743,6 +9799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ols": q_events_ols,
         "events_sampen": q_events_sampen,
         "events_records": q_events_records,
+        "user_rr": q_user_rr,
+        "events_median_polish": q_events_median_polish,
     }
 
 
@@ -19086,5 +19144,111 @@ def oracle_sql() -> dict[str, str]:
                                    AND 1 PRECEDING) AS p
                FROM srs)
         SELECT hs, idx, y FROM pm WHERE p IS NULL OR y > p
+    """
+    d["user_rr"] = f"""
+        WITH users AS (
+          SELECT user_id,
+                 CAST(max(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS flag
+          FROM events GROUP BY 1
+        ),
+        rr AS (
+          SELECT flag,
+                 ({_poly_hash_sql("CAST(user_id AS VARCHAR)")}
+                  % {{PMOD}} * {{MIXA}} + 11 * {{MIXB}}) % 4 AS u
+          FROM users
+        ),
+        g AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(flag) AS BIGINT) AS n_true,
+                 CAST(sum(CASE WHEN u < 3 THEN flag
+                               ELSE 1 - flag END) AS BIGINT)
+                   AS n_reported
+          FROM rr
+        )
+        SELECT n, n_true, n_reported,
+               round(CAST(n_true AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS pi_true,
+               round(CAST(4 * n_reported - 1 * n AS DOUBLE)
+                     / CAST(n * 2 AS DOUBLE), 6) AS pi_hat,
+               round(abs(CAST(4 * n_reported - 1 * n AS DOUBLE)
+                         / CAST(n * 2 AS DOUBLE)
+                         - CAST(n_true AS DOUBLE)
+                           / CAST(n AS DOUBLE)), 6) AS abs_err,
+               round(ln(CAST(3.0 AS DOUBLE))
+                     - ln(CAST(1.0 AS DOUBLE)), 6) AS epsilon
+        FROM g
+    """
+    from deepie_spark.operators.privacy import _MIX_A, _MIX_B
+
+    d["user_rr"] = (
+        d["user_rr"]
+        .replace("{PMOD}", str(MOD))
+        .replace("{MIXA}", str(_MIX_A))
+        .replace("{MIXB}", str(_MIX_B))
+    )
+    d["events_median_polish"] = """
+        WITH e AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                          event_type
+                   FROM events),
+        types(event_type) AS (VALUES ('click'), ('error'),
+                              ('purchase'), ('signup'), ('view')),
+        counts AS (SELECT day, event_type,
+                          CAST(count(*) AS BIGINT) AS y
+                   FROM e GROUP BY 1, 2),
+        grid AS (
+          SELECT d.day, t.event_type,
+                 CAST(coalesce(c.y, 0) AS BIGINT) AS y
+          FROM (SELECT DISTINCT day FROM e) d
+          CROSS JOIN types t
+          LEFT JOIN counts c USING (day, event_type)
+        ),
+        r0 AS (SELECT day, event_type, CAST(y AS DOUBLE) AS v
+               FROM grid),
+        rm1 AS MATERIALIZED (SELECT day, median(v) AS m
+                             FROM r0 GROUP BY 1),
+        r1 AS MATERIALIZED (SELECT r0.day, r0.event_type,
+                                   r0.v - rm1.m AS v
+                            FROM r0 JOIN rm1 USING (day)),
+        a1 AS (SELECT day, m AS a FROM rm1),
+        cm1 AS MATERIALIZED (SELECT event_type, median(v) AS m
+                             FROM r1 GROUP BY 1),
+        r2 AS MATERIALIZED (SELECT r1.day, r1.event_type,
+                                   r1.v - cm1.m AS v
+                            FROM r1 JOIN cm1 USING (event_type)),
+        b1 AS (SELECT event_type, m AS b FROM cm1),
+        da1 AS (SELECT median(a) AS d FROM a1),
+        a2 AS (SELECT day, a - (SELECT d FROM da1) AS a FROM a1),
+        rm2 AS MATERIALIZED (SELECT day, median(v) AS m
+                             FROM r2 GROUP BY 1),
+        r3 AS MATERIALIZED (SELECT r2.day, r2.event_type,
+                                   r2.v - rm2.m AS v
+                            FROM r2 JOIN rm2 USING (day)),
+        a3 AS (SELECT a2.day, a2.a + rm2.m AS a
+               FROM a2 JOIN rm2 USING (day)),
+        db2 AS (SELECT median(b) AS d FROM b1),
+        b2 AS (SELECT event_type, b - (SELECT d FROM db2) AS b
+               FROM b1),
+        cm2 AS MATERIALIZED (SELECT event_type, median(v) AS m
+                             FROM r3 GROUP BY 1),
+        r4 AS MATERIALIZED (SELECT r3.day, r3.event_type,
+                                   r3.v - cm2.m AS v
+                            FROM r3 JOIN cm2 USING (event_type)),
+        b3 AS (SELECT b2.event_type, b2.b + cm2.m AS b
+               FROM b2 JOIN cm2 USING (event_type)),
+        da2 AS (SELECT median(a) AS d FROM a3),
+        resid AS (SELECT CAST(sum(CAST(abs(v * 16) AS BIGINT))
+                              AS BIGINT) AS resid_l1_scaled,
+                         CAST(count(DISTINCT day) AS BIGINT)
+                           AS n_rows,
+                         CAST(count(DISTINCT event_type) AS BIGINT)
+                           AS n_cols
+                  FROM r4)
+        SELECT b3.event_type AS col,
+               round(b3.b, 6) AS col_effect,
+               round((SELECT d FROM da1) + (SELECT d FROM db2)
+                     + (SELECT d FROM da2), 6) AS grand,
+               n_rows, n_cols, resid_l1_scaled
+        FROM b3 CROSS JOIN resid
     """
     return d

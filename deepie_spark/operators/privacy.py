@@ -295,3 +295,65 @@ def t_closeness_audit(
             ),
         ).alias("t_closeness"),
     )
+
+
+def randomized_response(
+    df: DataFrame,
+    id_col: str,
+    flag_col: str,
+    p_num: int = 3,
+    p_den: int = 4,
+    salt: int = 11,
+) -> DataFrame:
+    """Warner (1965) randomized response — the local-DP sibling of
+    dp_noisy_counts: each respondent reports their true bit with
+    probability p = p_num/p_den and the flipped bit otherwise, and
+    the aggregator debiases
+
+        π̂ = (p̂_reported − (1 − p)) / (2p − 1)
+           = (p_den·r − (p_den − p_num)·n) / (n·(2·p_num − p_den))
+
+    — with exact-long counts r (reported 1s) and n the ratio form
+    keeps EVERYTHING integer until one final divide.  The flip draw
+    is the deterministic poly-hash CDF (u = (h·A + salt·B) mod p_den,
+    keep iff u < p_num), so the release is bit-reproducible and the
+    DuckDB twin replays it.  Per-row work is a scalar expression; the
+    aggregate is one map-side-combinable count pass.
+
+    Output: one row (n, n_true, n_reported, pi_true, pi_hat,
+    abs_err, epsilon) with ε = ln(p/(1−p)) on exact integer-ratio
+    arguments (p_num and p_den − p_num are ints, so both engines
+    round ln identically)."""
+    if not (0 < p_num < p_den) or 2 * p_num == p_den:
+        raise ValueError("need 0 < p_num/p_den < 1 and p != 1/2")
+    from deepie_spark.functions.text import char_poly_hash
+
+    b = F.col(flag_col).cast("long")
+    u = (
+        char_poly_hash(F.col(id_col).cast("string")) % _PMOD * _MIX_A
+        + salt * _MIX_B
+    ) % p_den
+    keep = u < p_num
+    reported = F.when(keep, b).otherwise(1 - b)
+    g = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(b).cast("long").alias("n_true"),
+        F.sum(reported).cast("long").alias("n_reported"),
+    )
+    n, r = F.col("n"), F.col("n_reported")
+    num = F.lit(p_den) * r - F.lit(p_den - p_num) * n
+    den = n * F.lit(2 * p_num - p_den)
+    pi_hat = num.cast("double") / den.cast("double")
+    pi_true = F.col("n_true").cast("double") / n.cast("double")
+    return g.select(
+        "n",
+        "n_true",
+        "n_reported",
+        F.round(pi_true, 6).alias("pi_true"),
+        F.round(pi_hat, 6).alias("pi_hat"),
+        F.round(F.abs(pi_hat - pi_true), 6).alias("abs_err"),
+        F.round(
+            F.log(F.lit(float(p_num))) - F.log(F.lit(float(p_den - p_num))),
+            6,
+        ).alias("epsilon"),
+    )

@@ -2924,3 +2924,96 @@ def sample_entropy(
             ).alias("sampen"),
         )
     )
+
+
+def median_polish(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    val_col: str,
+    sweeps: int = 2,
+    scale: int = 16,
+) -> DataFrame:
+    """Tukey median polish of a complete two-way INTEGER table
+    (y ≈ grand + row_effect + col_effect): the robust twin of the
+    two-way ANOVA decomposition, run for a FIXED number of sweeps.
+
+    Exactness argument (why this gates bit-exact with no fixed-point
+    machinery): integers are exact doubles, an interpolated median of
+    exact dyadic rationals is (a+b)/2 — exact —, and subtraction of
+    exact dyadics is exact; after s sweeps every value is a dyadic
+    rational with denominator ≤ 2^(2s), so EVERY intermediate double
+    is bit-identical in any engine and under any partitioning.  The
+    residual summary is quantized by ``scale`` (≥ 2^(2s)) into exact
+    longs before the order-free SUM.
+
+    Each sweep: row medians move into row effects, the median of the
+    col effects moves into the grand; then the column step mirrors it
+    (the R ``medpolish`` schedule).  Medians are grouped
+    ``percentile(·, 0.5)`` aggs — k- or n-sized groups, broadcast
+    join-backs, no global window.
+
+    Output: one row per column level (col, col_effect, grand,
+    n_rows, n_cols, resid_l1_scaled) — grand/residual repeated per
+    row for a single tidy gate."""
+    if scale < (1 << (2 * sweeps)):
+        raise ValueError("scale must cover 2^(2*sweeps) denominators")
+    r = df.select(
+        F.col(row_col).alias("_r"),
+        F.col(col_col).alias("_c"),
+        F.col(val_col).cast("double").alias("_v"),
+    )
+    eff_r = r.select("_r").distinct().withColumn("_a", F.lit(0.0))
+    eff_c = r.select("_c").distinct().withColumn("_b", F.lit(0.0))
+    grand = F.lit(0.0)
+    for _ in range(sweeps):
+        # row step
+        rm = r.groupBy("_r").agg(F.expr("percentile(_v, 0.5)").alias("_rm"))
+        r = (
+            r.join(F.broadcast(rm), "_r")
+            .withColumn("_v", F.col("_v") - F.col("_rm"))
+            .drop("_rm")
+        )
+        eff_r = (
+            eff_r.join(F.broadcast(rm), "_r")
+            .withColumn("_a", F.col("_a") + F.col("_rm"))
+            .drop("_rm")
+        )
+        db = eff_c.agg(F.expr("percentile(_b, 0.5)").alias("_d"))
+        delta_b = db.collect()[0]["_d"]
+        eff_c = eff_c.withColumn("_b", F.col("_b") - F.lit(delta_b))
+        grand = grand + F.lit(delta_b)
+        # column step
+        cm = r.groupBy("_c").agg(F.expr("percentile(_v, 0.5)").alias("_cm"))
+        r = (
+            r.join(F.broadcast(cm), "_c")
+            .withColumn("_v", F.col("_v") - F.col("_cm"))
+            .drop("_cm")
+        )
+        eff_c = (
+            eff_c.join(F.broadcast(cm), "_c")
+            .withColumn("_b", F.col("_b") + F.col("_cm"))
+            .drop("_cm")
+        )
+        da = eff_r.agg(F.expr("percentile(_a, 0.5)").alias("_d"))
+        delta_a = da.collect()[0]["_d"]
+        eff_r = eff_r.withColumn("_a", F.col("_a") - F.lit(delta_a))
+        grand = grand + F.lit(delta_a)
+    resid = r.agg(
+        F.sum(
+            F.abs(F.col("_v") * F.lit(float(scale))).cast("long")
+        ).alias("resid_l1_scaled"),
+        F.countDistinct("_r").cast("long").alias("n_rows"),
+        F.countDistinct("_c").cast("long").alias("n_cols"),
+    )
+    return (
+        eff_c.crossJoin(F.broadcast(resid))
+        .select(
+            F.col("_c").alias("col"),
+            F.round(F.col("_b"), 6).alias("col_effect"),
+            F.round(grand, 6).alias("grand"),
+            "n_rows",
+            "n_cols",
+            "resid_l1_scaled",
+        )
+    )

@@ -1844,3 +1844,91 @@ def test_sample_entropy_vs_bruteforce(spark):
     )
     rc = sample_entropy(const, "idx", "y", m=m, r=0).collect()[0]
     assert rc.b_count == rc.a_count > 0 and rc.sampen == 0.0
+
+
+def test_median_polish_vs_python_twin(spark):
+    """2-sweep polish equals a sequential python medpolish, and the
+    additive identity grand+a+b+residual == y holds exactly."""
+    from deepie_spark.operators.stats import median_polish
+
+    table = {
+        ("r1", "c1"): 3, ("r1", "c2"): 9, ("r1", "c3"): 4,
+        ("r2", "c1"): 7, ("r2", "c2"): 13, ("r2", "c3"): 8,
+        ("r3", "c1"): 2, ("r3", "c2"): 10, ("r3", "c3"): 5,
+        ("r4", "c1"): 6, ("r4", "c2"): 14, ("r4", "c3"): 6,
+    }
+    df = spark.createDataFrame(
+        [(r, c, v) for (r, c), v in table.items()], ["r", "c", "v"]
+    )
+    out = {
+        row.col: row
+        for row in median_polish(df, "r", "c", "v", sweeps=2).collect()
+    }
+
+    import statistics
+
+    rows = sorted({r for r, _ in table})
+    cols = sorted({c for _, c in table})
+    resid = {k: float(v) for k, v in table.items()}
+    a = {r: 0.0 for r in rows}
+    b = {c: 0.0 for c in cols}
+    g = 0.0
+    for _ in range(2):
+        for r in rows:
+            m = statistics.median(resid[(r, c)] for c in cols)
+            a[r] += m
+            for c in cols:
+                resid[(r, c)] -= m
+        d = statistics.median(b.values())
+        for c in cols:
+            b[c] -= d
+        g += d
+        for c in cols:
+            m = statistics.median(resid[(r, c)] for r in rows)
+            b[c] += m
+            for r in rows:
+                resid[(r, c)] -= m
+        d = statistics.median(a.values())
+        for r in rows:
+            a[r] -= d
+        g += d
+
+    for c in cols:
+        assert out[c].col_effect == round(b[c], 6)
+        assert out[c].grand == round(g, 6)
+    l1 = sum(abs(v) * 16 for v in resid.values())
+    assert out[cols[0]].resid_l1_scaled == int(l1)
+    assert out[cols[0]].n_rows == 4 and out[cols[0]].n_cols == 3
+
+
+def test_randomized_response_debiasing_exact(spark):
+    """pi_hat inverts the deterministic flip channel exactly."""
+    import pytest
+
+    from deepie_spark.functions.text import MOD as PMOD
+    from deepie_spark.operators.privacy import (
+        _MIX_A,
+        _MIX_B,
+        randomized_response,
+    )
+
+    def poly(s):
+        h = 0
+        for ch in s:
+            h = (h * 131 + ord(ch)) % (2**31 - 1)
+        return h
+
+    rows = [(i, 1 if i % 3 == 0 else 0) for i in range(200)]
+    df = spark.createDataFrame(rows, ["uid", "flag"])
+    r = randomized_response(df, "uid", "flag", salt=11).collect()[0]
+    n = len(rows)
+    n_true = sum(f for _, f in rows)
+    n_rep = 0
+    for i, f in rows:
+        u = (poly(str(i)) % PMOD * _MIX_A + 11 * _MIX_B) % 4
+        n_rep += f if u < 3 else 1 - f
+    assert (r.n, r.n_true, r.n_reported) == (n, n_true, n_rep)
+    assert r.pi_hat == round((4 * n_rep - n) / (2 * n), 6)
+    assert r.abs_err == round(abs((4 * n_rep - n) / (2 * n) - n_true / n), 6)
+    with pytest.raises(ValueError):
+        randomized_response(df, "uid", "flag", p_num=1, p_den=2)
