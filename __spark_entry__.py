@@ -9180,16 +9180,11 @@ def q_quality_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_events_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Friedman rank test over the complete day × event-type count
-    design (operators/stats.py friedman_test): do the five event
-    types keep the same daily-volume ordering across the 30 days?
-    The grid is densified (silent cells are real zeros) from one
-    distinct-days × fixed-type cross join; within-block ranking is a
-    window partitioned by the day key (5 rows per partition), every
-    accumulator an exact long on doubled midranks."""
-    from deepie_spark.operators.stats import friedman_test
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
+
+def _day_type_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense day × event-type daily-count grid (silent cells = 0)."""
     e = _events(spark, sf_dir).select(
         F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd")
         .alias("day"),
@@ -9199,10 +9194,9 @@ def q_events_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("y")
     )
     types = spark.createDataFrame(
-        [(t,) for t in ["click", "error", "purchase", "signup", "view"]],
-        ["event_type"],
+        [(t,) for t in _EVENT_TYPES], ["event_type"]
     )
-    grid = (
+    return (
         e.select("day")
         .distinct()
         .crossJoin(F.broadcast(types))
@@ -9213,7 +9207,21 @@ def q_events_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("y", F.lit(0)).cast("long").alias("y"),
         )
     )
-    return friedman_test(grid, "day", "event_type", "y")
+
+
+def q_events_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test over the complete day × event-type count
+    design (operators/stats.py friedman_test): do the five event
+    types keep the same daily-volume ordering across the 30 days?
+    The grid is densified (silent cells are real zeros) from one
+    distinct-days × fixed-type cross join; within-block ranking is a
+    window partitioned by the day key (5 rows per partition), every
+    accumulator an exact long on doubled midranks."""
+    from deepie_spark.operators.stats import friedman_test
+
+    return friedman_test(
+        _day_type_grid(spark, sf_dir), "day", "event_type", "y"
+    )
 
 
 def q_events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9408,30 +9416,49 @@ def q_events_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaffolding; residual L1 is quantized ×16 into exact longs."""
     from deepie_spark.operators.stats import median_polish
 
-    e = _events(spark, sf_dir).select(
-        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd")
-        .alias("day"),
+    return median_polish(
+        _day_type_grid(spark, sf_dir), "day", "event_type", "y", sweeps=2
+    )
+
+
+def q_quality_fleiss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' κ agreement across the THREE matched binary quality
+    raters of quality_cochran (operators/stats.py
+    fleiss_kappa_binary): the >2-rater agreement statistic, fully
+    cross-multiplied into exact longs."""
+    from deepie_spark.operators.stats import fleiss_kappa_binary
+
+    t = _toks(spark, sf_dir)
+    long = t.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                (F.size("toks") >= 50).cast("int"),
+                F.array_contains("toks", "the").cast("int"),
+                (
+                    F.lit(2) * F.size(F.array_distinct("toks"))
+                    >= F.size("toks")
+                ).cast("int"),
+            )
+        ).alias("y"),
+    )
+    return fleiss_kappa_binary(long, "doc_id", "y")
+
+
+def q_events_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L ordered-trend test across the five event types in
+    alphabetical position order over the daily blocks
+    (operators/stats.py page_trend_test): doubled midranks, exact
+    L2/E[L2], the monotone-alternative sibling of events_friedman."""
+    from deepie_spark.operators.stats import page_trend_test
+
+    return page_trend_test(
+        _day_type_grid(spark, sf_dir),
+        "day",
         "event_type",
+        "y",
+        order=_EVENT_TYPES,
     )
-    counts = e.groupBy("day", "event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("y")
-    )
-    types = spark.createDataFrame(
-        [(t,) for t in ["click", "error", "purchase", "signup", "view"]],
-        ["event_type"],
-    )
-    grid = (
-        e.select("day")
-        .distinct()
-        .crossJoin(F.broadcast(types))
-        .join(counts, ["day", "event_type"], "left")
-        .select(
-            "day",
-            "event_type",
-            F.coalesce("y", F.lit(0)).cast("long").alias("y"),
-        )
-    )
-    return median_polish(grid, "day", "event_type", "y", sweeps=2)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -9801,6 +9828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_records": q_events_records,
         "user_rr": q_user_rr,
         "events_median_polish": q_events_median_polish,
+        "quality_fleiss": q_quality_fleiss,
+        "events_page_trend": q_events_page_trend,
     }
 
 
@@ -19250,5 +19279,101 @@ def oracle_sql() -> dict[str, str]:
                      + (SELECT d FROM da2), 6) AS grand,
                n_rows, n_cols, resid_l1_scaled
         FROM b3 CROSS JOIN resid
+    """
+    d["quality_fleiss"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        per_b AS (
+          SELECT doc_id, CAST(3 AS BIGINT) AS k,
+                 CAST((CASE WHEN len(toks) >= 50 THEN 1 ELSE 0 END)
+                      + (CASE WHEN list_contains(toks, 'the')
+                              THEN 1 ELSE 0 END)
+                      + (CASE WHEN 2 * len(list_distinct(toks))
+                              >= len(toks) THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n1
+          FROM t
+        ),
+        g AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+                 CAST(max(k) AS BIGINT) AS k_raters,
+                 CAST(sum(n1 * n1 + (k - n1) * (k - n1)) AS BIGINT)
+                   AS s,
+                 CAST(sum(n1) AS BIGINT) AS t1
+          FROM per_b
+        ),
+        c AS (
+          SELECT n_blocks, k_raters,
+                 (s - n_blocks * k_raters)
+                   * (n_blocks * k_raters * n_blocks * k_raters)
+                 - (n_blocks * k_raters * (k_raters - 1))
+                   * ((n_blocks * k_raters - t1)
+                      * (n_blocks * k_raters - t1) + t1 * t1)
+                   AS num,
+                 (n_blocks * k_raters * (k_raters - 1))
+                 * (n_blocks * k_raters * n_blocks * k_raters
+                    - ((n_blocks * k_raters - t1)
+                       * (n_blocks * k_raters - t1) + t1 * t1))
+                   AS den
+          FROM g
+        )
+        SELECT n_blocks, k_raters,
+               CAST(CASE WHEN den != 0 THEN num END AS BIGINT) AS num,
+               CAST(CASE WHEN den != 0 THEN den END AS BIGINT) AS den,
+               CASE WHEN den != 0 THEN
+                 round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+               END AS kappa
+        FROM c
+    """
+    d["events_page_trend"] = """
+        WITH e AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                          event_type
+                   FROM events),
+        types(event_type) AS (VALUES ('click'), ('error'),
+                              ('purchase'), ('signup'), ('view')),
+        counts AS (SELECT day, event_type,
+                          CAST(count(*) AS BIGINT) AS y
+                   FROM e GROUP BY 1, 2),
+        grid AS (
+          SELECT d.day, t.event_type,
+                 CAST(coalesce(c.y, 0) AS BIGINT) AS y
+          FROM (SELECT DISTINCT day FROM e) d
+          CROSS JOIN types t
+          LEFT JOIN counts c USING (day, event_type)
+        ),
+        ranked AS (
+          SELECT day,
+                 CASE event_type WHEN 'click' THEN 1
+                                 WHEN 'error' THEN 2
+                                 WHEN 'purchase' THEN 3
+                                 WHEN 'signup' THEN 4
+                                 WHEN 'view' THEN 5 END AS j,
+                 CAST(2 * rank() OVER (PARTITION BY day ORDER BY y)
+                      + count(*) OVER (PARTITION BY day, y) - 1
+                      AS BIGINT) AS s
+          FROM grid
+        ),
+        g AS (
+          SELECT CAST(count(DISTINCT day) AS BIGINT) AS n_blocks,
+                 CAST(count(DISTINCT j) AS BIGINT) AS k_treatments,
+                 CAST(sum(j * s) AS BIGINT) AS l2_stat
+          FROM ranked
+        )
+        SELECT n_blocks, k_treatments, l2_stat,
+               CAST(n_blocks * k_treatments * (k_treatments + 1)
+                    * (k_treatments + 1) // 2 AS BIGINT) AS e_l2,
+               CASE WHEN n_blocks * k_treatments * k_treatments
+                         * (k_treatments + 1)
+                         * (k_treatments * k_treatments - 1) > 0 THEN
+                 round(CAST(l2_stat
+                            - n_blocks * k_treatments
+                              * (k_treatments + 1) * (k_treatments + 1)
+                              // 2 AS DOUBLE)
+                       / (2.0 * sqrt(CAST(n_blocks * k_treatments
+                                          * k_treatments
+                                          * (k_treatments + 1)
+                                          * (k_treatments * k_treatments
+                                             - 1) AS DOUBLE) / 144.0)),
+                       6)
+               END AS z
+        FROM g
     """
     return d

@@ -3017,3 +3017,132 @@ def median_polish(
             "resid_l1_scaled",
         )
     )
+
+
+def fleiss_kappa_binary(
+    df: DataFrame,
+    block_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Fleiss' κ for k raters × binary categories (the >2-rater
+    member of the agreement family next to Cohen's lang_kappa):
+    input is LONG form (block, rater-vote y ∈ {0,1}) with every
+    block rated by the same k raters.  Fully cross-multiplied:
+
+        A = Σ_i (n_i0² + n_i1²) − N·k      (agreement numerator)
+        D = N·k·(k−1),  M = (N·k)²,  T_c = column totals
+        κ = (A·M − D·(T0² + T1²)) / (D·(M − (T0² + T1²)))
+
+    — every term an exact long, one IEEE divide.  Pe = 1 (all votes
+    one category, integer-guarded) yields NULL.  Magnitude bound:
+    D·M < 2⁶³ needs N·k ≲ 10⁶ blocks·raters per gate — quantize
+    upstream for larger panels.
+
+    Output: one row (n_blocks, k_raters, num, den, kappa)."""
+    y = F.col(y_col).cast("long")
+    per_b = df.groupBy(block_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_k"),
+        F.sum(y).cast("long").alias("_n1"),
+    )
+    g = per_b.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.max("_k").cast("long").alias("k_raters"),
+        F.min("_k").cast("long").alias("_kmin"),
+        F.sum(
+            F.col("_n1") * F.col("_n1")
+            + (F.col("_k") - F.col("_n1")) * (F.col("_k") - F.col("_n1"))
+        )
+        .cast("long")
+        .alias("_s"),
+        F.sum("_n1").cast("long").alias("_t1"),
+    )
+    n, k = F.col("n_blocks"), F.col("k_raters")
+    nk = n * k
+    a = F.col("_s") - nk
+    dd = nk * (k - 1)
+    m = nk * nk
+    t1 = F.col("_t1")
+    t0 = nk - t1
+    tsq = t0 * t0 + t1 * t1
+    num = a * m - dd * tsq
+    den = dd * (m - tsq)
+    ok = (F.col("_kmin") == k) & (den != 0)
+    return g.select(
+        "n_blocks",
+        "k_raters",
+        F.when(ok, num).cast("long").alias("num"),
+        F.when(ok, den).cast("long").alias("den"),
+        F.when(
+            ok, F.round(num.cast("double") / den.cast("double"), 6)
+        ).alias("kappa"),
+    )
+
+
+def page_trend_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    order: list[str],
+) -> DataFrame:
+    """Page's L test for an ORDERED alternative across k treatments
+    in n complete blocks (the monotone-trend sibling of
+    friedman_test): L = Σ_j j·R_j with j the hypothesized position
+    from ``order``.  Computed on DOUBLED midranks (exact longs):
+    L2 = Σ_j j·R2_j, E[L2] = n·k·(k+1)²/2, Var[L] =
+    n·k²·(k+1)·(k²−1)/144 (tie-free form — ties shrink the true
+    variance, making the reported z conservative in magnitude), and
+    z = (L2 − E[L2]) / (2·σ_L) — exact integers into one sqrt/divide
+    chain.
+
+    Output: one row (n_blocks, k_treatments, l2_stat, e_l2, z)."""
+    pos = F.create_map(
+        *[
+            x
+            for j, tname in enumerate(order)
+            for x in (F.lit(tname), F.lit(j + 1))
+        ]
+    )
+    w_rank = W.partitionBy(block_col).orderBy(value_col)
+    w_tie = W.partitionBy(block_col, value_col)
+    ranked = df.select(
+        F.col(block_col).alias("_blk"),
+        pos[F.col(treatment_col)].cast("long").alias("_j"),
+        (
+            F.lit(2) * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_tie)
+            - F.lit(1)
+        )
+        .cast("long")
+        .alias("_s"),
+    )
+    g = ranked.agg(
+        F.countDistinct("_blk").cast("long").alias("n_blocks"),
+        F.countDistinct("_j").cast("long").alias("k_treatments"),
+        F.sum(F.col("_j") * F.col("_s")).cast("long").alias("l2_stat"),
+    )
+    g = g.withColumn(
+        "e_l2",
+        F.expr(
+            "n_blocks * k_treatments * (k_treatments + 1)"
+            " * (k_treatments + 1) DIV 2"
+        ).cast("long"),
+    ).withColumn(
+        "_v144",
+        F.expr(
+            "n_blocks * k_treatments * k_treatments"
+            " * (k_treatments + 1)"
+            " * (k_treatments * k_treatments - 1)"
+        ).cast("long"),
+    )
+    z = (F.col("l2_stat") - F.col("e_l2")).cast("double") / (
+        F.lit(2.0)
+        * F.sqrt(F.col("_v144").cast("double") / F.lit(144.0))
+    )
+    return g.select(
+        "n_blocks",
+        "k_treatments",
+        "l2_stat",
+        "e_l2",
+        F.when(F.col("_v144") > 0, F.round(z, 6)).alias("z"),
+    )

@@ -1932,3 +1932,58 @@ def test_randomized_response_debiasing_exact(spark):
     assert r.abs_err == round(abs((4 * n_rep - n) / (2 * n) - n_true / n), 6)
     with pytest.raises(ValueError):
         randomized_response(df, "uid", "flag", p_num=1, p_den=2)
+
+
+def test_fleiss_kappa_vs_textbook(spark):
+    """Binary Fleiss κ vs the direct P̄/P̄e computation."""
+    from deepie_spark.operators.stats import fleiss_kappa_binary
+
+    votes = {1: 3, 2: 0, 3: 2, 4: 1, 5: 3, 6: 2, 7: 0, 8: 1}  # of k=3
+    rows = [
+        (b, 1 if j < n1 else 0)
+        for b, n1 in votes.items()
+        for j in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["blk", "y"])
+    r = fleiss_kappa_binary(df, "blk", "y").collect()[0]
+    n, k = len(votes), 3
+    po = (
+        sum(n1 * n1 + (k - n1) * (k - n1) for n1 in votes.values())
+        - n * k
+    ) / (n * k * (k - 1))
+    p1 = sum(votes.values()) / (n * k)
+    pe = p1 * p1 + (1 - p1) * (1 - p1)
+    assert (r.n_blocks, r.k_raters) == (n, k)
+    assert r.kappa == round((po - pe) / (1 - pe), 6)
+    # unanimous panel: Pe = 1 -> NULL
+    flat = spark.createDataFrame(
+        [(b, 1) for b in (1, 2) for _ in range(3)], ["blk", "y"]
+    )
+    assert fleiss_kappa_binary(flat, "blk", "y").collect()[0].kappa is None
+
+
+def test_page_trend_perfect_monotone(spark):
+    """A perfectly increasing layout maximizes L; z matches the
+    closed form."""
+    import math
+
+    from deepie_spark.operators.stats import page_trend_test
+
+    order = ["t1", "t2", "t3", "t4"]
+    n, k = 6, 4
+    rows = [
+        (b, t, 10 * (j + 1) + b)
+        for b in range(n)
+        for j, t in enumerate(order)
+    ]
+    df = spark.createDataFrame(rows, ["blk", "trt", "v"])
+    r = page_trend_test(df, "blk", "trt", "v", order=order).collect()[0]
+    # tie-free doubled midranks: s = 2*rank, L2 = 2 * n * sum(j*j)
+    l2 = 2 * n * sum((j + 1) * (j + 1) for j in range(k))
+    e_l2 = n * k * (k + 1) ** 2 // 2
+    var = n * k * k * (k + 1) * (k * k - 1) / 144.0
+    assert (r.n_blocks, r.k_treatments, r.l2_stat, r.e_l2) == (
+        n, k, l2, e_l2,
+    )
+    assert r.z == round((l2 - e_l2) / (2 * math.sqrt(var)), 6)
+    assert r.z > 0
