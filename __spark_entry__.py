@@ -9461,6 +9461,109 @@ def q_events_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split
+    the corpus into head/middle/tail thirds by bigram-LM perplexity
+    (lower = more fluent) and report each bucket's mass.  Cutpoints
+    are EXACT order statistics of the ROUNDED ppl (the gated
+    doc_perplexity value — identical doubles in both engines), taken
+    as max-over-the-k-smallest with (ppl, doc_id) tie-break via
+    TakeOrderedAndProject — never an ntile window.  The only driver
+    action is one bounded count for the two k literals."""
+    p = q_doc_perplexity(spark, sf_dir)
+    n = p.count()
+    k1, k2 = n // 3, (2 * n) // 3
+    c1 = (
+        p.orderBy("ppl", "doc_id")
+        .limit(k1)
+        .agg(F.max("ppl").alias("c1"))
+    )
+    c2 = (
+        p.orderBy("ppl", "doc_id")
+        .limit(k2)
+        .agg(F.max("ppl").alias("c2"))
+    )
+    b = (
+        p.crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(c2))
+        .select(
+            F.when(F.col("ppl") <= F.col("c1"), F.lit("head"))
+            .when(F.col("ppl") <= F.col("c2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+            "ppl",
+            "n_bigrams",
+        )
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.min("ppl"), 6).alias("min_ppl"),
+            F.round(F.max("ppl"), 6).alias("max_ppl"),
+            F.sum("n_bigrams").cast("long").alias("sum_bigrams"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "min_ppl",
+            "max_ppl",
+            "sum_bigrams",
+            F.round(
+                F.col("n_docs").cast("double") / F.lit(float(n)), 6
+            ).alias("share"),
+        )
+    )
+
+
+def q_tpch_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority query: top-10 open-order
+    revenue for one market segment — 3-table join with both date
+    predicates pushed to the scans, revenue in EXACT integer cents
+    (floor(ep·(1−disc)·100) per row — identical IEEE product, exact
+    long sum) so the top-k ordering is engine-portable, ties broken
+    by order key, TakeOrderedAndProject for the limit."""
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    cut = "1998-01-01"
+    j = (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .join(
+            o.filter(F.col("o_orderdate") < cut).select(
+                "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            li.filter(F.col("l_shipdate") > cut).select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+    )
+    rev = F.floor(
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * F.lit(100.0)
+    ).cast("long")
+    return (
+        j.select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias(
+                "o_orderdate"
+            ),
+            "o_orderpriority",
+            rev.alias("cents"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("cents").cast("long").alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), "o_orderkey")
+        .limit(10)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -9830,6 +9933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_median_polish": q_events_median_polish,
         "quality_fleiss": q_quality_fleiss,
         "events_page_trend": q_events_page_trend,
+        "ccnet_buckets": q_ccnet_buckets,
+        "tpch_shipping": q_tpch_shipping,
     }
 
 
@@ -19375,5 +19480,52 @@ def oracle_sql() -> dict[str, str]:
                        6)
                END AS z
         FROM g
+    """
+    d["ccnet_buckets"] = f"""
+        WITH ppl AS ({{DOC_PPL}}),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ppl),
+        rk AS (SELECT ppl, n_bigrams,
+                      row_number() OVER (ORDER BY ppl, doc_id) AS rn
+               FROM ppl),
+        c1 AS (SELECT max(ppl) AS c1 FROM rk, nn
+               WHERE rn <= n // 3),
+        c2 AS (SELECT max(ppl) AS c2 FROM rk, nn
+               WHERE rn <= (2 * n) // 3),
+        b AS (SELECT CASE WHEN ppl <= (SELECT c1 FROM c1)
+                          THEN 'head'
+                          WHEN ppl <= (SELECT c2 FROM c2)
+                          THEN 'middle'
+                          ELSE 'tail' END AS bucket,
+                     ppl, n_bigrams
+              FROM ppl)
+        SELECT bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(min(ppl), 6) AS min_ppl,
+               round(max(ppl), 6) AS max_ppl,
+               CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+               round(CAST(count(*) AS DOUBLE)
+                     / CAST((SELECT n FROM nn) AS DOUBLE), 6) AS share
+        FROM b GROUP BY bucket
+    """
+    d["ccnet_buckets"] = d["ccnet_buckets"].replace(
+        "{DOC_PPL}", d["doc_perplexity"]
+    )
+    d["tpch_shipping"] = """
+        SELECT o_orderkey,
+               CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+                 AS o_orderdate,
+               o_orderpriority,
+               CAST(sum(CAST(floor(l_extendedprice
+                                   * (1.0 - l_discount) * 100.0)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue_cents DESC, o_orderkey
+        LIMIT 10
     """
     return d

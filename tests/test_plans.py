@@ -793,3 +793,37 @@ def test_records_in_order_vs_python_and_buckets(spark):
             for r in records_in_order(df, "idx", "y", buckets=nb).collect()
         )
         assert got == exp, nb
+
+
+def test_tpch_shipping_plan_pushdown_and_topk(spark):
+    """Q3 shape: date/segment predicates reach all three parquet
+    scans, the limit is TakeOrderedAndProject, no cartesian join."""
+    import __spark_entry__ as e
+
+    df = e.queries()["tpch_shipping"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("PushedFilters: [") >= 3
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    # column pruning: no stray wide reads
+    assert "l_tax" not in plan and "c_acctbal" not in plan
+
+
+def test_ccnet_buckets_partition_thirds(spark):
+    """head/middle/tail cover the corpus; head holds the lowest
+    perplexities (bucket boundaries are order statistics)."""
+    import __spark_entry__ as e
+
+    rows = {
+        r.bucket: r
+        for r in e.queries()["ccnet_buckets"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {"head", "middle", "tail"}
+    assert rows["head"].max_ppl <= rows["middle"].min_ppl
+    assert rows["middle"].max_ppl <= rows["tail"].min_ppl
+    assert abs(sum(r.share for r in rows.values()) - 1.0) < 1e-5
