@@ -9564,6 +9564,60 @@ def q_tpch_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_burrows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between every source pair
+    (operators/curation.py burrows_delta): DIV-quantized relative
+    frequencies, exact-moment z-scores, floor-quantized |Δz| sums —
+    the provenance-fingerprint audit."""
+    from deepie_spark.operators.curation import burrows_delta
+
+    d = _docs(spark, sf_dir).select(
+        "source", tokenize(F.col("text")).alias("toks")
+    )
+    return burrows_delta(d, "source", "toks")
+
+
+def q_emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding-centroid drift between the even and
+    odd vec_id halves — the embedding-space monitoring twin of
+    source_drift_psi: coordinates floor-quantized at 2²⁰ into exact
+    longs (the embedding_quantize rule), per-half sums exact, drift
+    one identical IEEE chain per dimension."""
+    e = _emb(spark, sf_dir)
+    q = e.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "half",
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("x").cast("double") * F.lit(1048576.0))
+        .cast("long")
+        .alias("q"),
+    )
+    g = q.groupBy("dim").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("half") == 0, F.col("q")).otherwise(0))
+        .cast("long")
+        .alias("s_a"),
+        F.sum(F.when(F.col("half") == 1, F.col("q")).otherwise(0))
+        .cast("long")
+        .alias("s_b"),
+    )
+    drift = (
+        F.col("s_a").cast("double") / F.col("n_a").cast("double")
+        - F.col("s_b").cast("double") / F.col("n_b").cast("double")
+    ) / F.lit(1048576.0)
+    return g.select(
+        "dim", "n_a", "n_b", "s_a", "s_b",
+        F.round(drift, 6).alias("drift"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -9935,6 +9989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_page_trend": q_events_page_trend,
         "ccnet_buckets": q_ccnet_buckets,
         "tpch_shipping": q_tpch_shipping,
+        "source_burrows": q_source_burrows,
+        "emb_drift": q_emb_drift,
     }
 
 
@@ -19527,5 +19583,77 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2, 3
         ORDER BY revenue_cents DESC, o_orderkey
         LIMIT 10
+    """
+    d["source_burrows"] = f"""
+        WITH occ AS (
+          SELECT source AS src, unnest({_TOKS_SQL}) AS token
+          FROM documents
+        ),
+        cnt AS (SELECT src, token, CAST(count(*) AS BIGINT) AS c
+                FROM occ GROUP BY 1, 2),
+        tot AS (SELECT src, CAST(count(*) AS BIGINT) AS t
+                FROM occ GROUP BY 1),
+        grid AS (
+          SELECT tot.src, v.token,
+                 CAST(coalesce(cnt.c, 0) * 1048576 // tot.t AS BIGINT)
+                   AS f
+          FROM (SELECT DISTINCT token FROM occ) v
+          CROSS JOIN tot
+          LEFT JOIN cnt ON cnt.src = tot.src AND cnt.token = v.token
+        ),
+        st AS (SELECT token,
+                      CAST(count(*) AS BIGINT) AS s,
+                      CAST(sum(f) AS BIGINT) AS sf,
+                      CAST(sum(f * f) AS BIGINT) AS sff
+               FROM grid GROUP BY 1),
+        gz AS (
+          SELECT g.src, g.token,
+                 CAST(st.s * g.f - st.sf AS DOUBLE)
+                 / sqrt(CAST(st.s * st.sff - st.sf * st.sf AS DOUBLE))
+                   AS z
+          FROM grid g JOIN st USING (token)
+          WHERE st.s * st.sff - st.sf * st.sf > 0
+        ),
+        pr AS (
+          SELECT a.src AS src_a, b.src AS src_b,
+                 CAST(floor(1048576.0 * abs(a.z - b.z)) AS BIGINT)
+                   AS fp
+          FROM gz a JOIN gz b ON a.token = b.token AND a.src < b.src
+        )
+        SELECT src_a, src_b,
+               CAST(count(*) AS BIGINT) AS k_tokens,
+               CAST(sum(fp) AS BIGINT) AS delta_fp,
+               round(CAST(sum(fp) AS DOUBLE)
+                     / CAST(count(*) * 1048576 AS DOUBLE), 6) AS delta
+        FROM pr GROUP BY 1, 2
+    """
+    d["emb_drift"] = """
+        WITH q AS (
+          SELECT vec_id % 2 AS half,
+                 CAST(i AS BIGINT) AS dim,
+                 CAST(floor(CAST(embedding[i + 1] AS DOUBLE)
+                            * 1048576.0) AS BIGINT) AS q
+          FROM (SELECT vec_id, embedding,
+                       unnest(range(len(embedding))) AS i
+                FROM embeddings)
+        )
+        SELECT dim,
+               CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN half = 0 THEN q ELSE 0 END)
+                    AS BIGINT) AS s_a,
+               CAST(sum(CASE WHEN half = 1 THEN q ELSE 0 END)
+                    AS BIGINT) AS s_b,
+               round((CAST(sum(CASE WHEN half = 0 THEN q ELSE 0 END)
+                           AS DOUBLE)
+                      / CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                             AS DOUBLE)
+                      - CAST(sum(CASE WHEN half = 1 THEN q ELSE 0 END)
+                             AS DOUBLE)
+                        / CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                               AS DOUBLE)) / 1048576.0, 6) AS drift
+        FROM q GROUP BY dim
     """
     return d

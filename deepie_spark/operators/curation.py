@@ -611,3 +611,101 @@ def token_information_gain(
             F.round(F.col("mi_fp") / scale, 6).alias("info_gain"),
         )
     )
+
+
+def burrows_delta(
+    toks: DataFrame,
+    source_col: str = "source",
+    toks_col: str = "toks",
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Burrows' Delta stylometric distance between every source pair
+    (Burrows 2002) — the authorship/provenance fingerprint of a
+    web-corpus audit (two "different" feeds with near-zero Delta are
+    the same upstream crawler):
+
+        Delta(a, b) = (1/k) Σ_t |z_a(t) − z_b(t)|
+
+    over the corpus vocabulary, with z_s(t) the per-token z-score of
+    source s's relative frequency across all sources.
+
+    Portability chain: relative frequencies are pre-quantized longs
+    F_st = (c_st · scale) DIV T_s (integer DIV, never
+    float-then-truncate); per-token mean/σ come from exact integer
+    moments, so z = (S·F − ΣF)/√(S·ΣF² − (ΣF)²) is one identical
+    IEEE chain; the per-token |z_a − z_b| is floor-quantized back to
+    longs so the per-pair sum is order-free.  Zero-variance tokens
+    are excluded from k (integer-guarded on the radicand).
+
+    Plan shape: one explode + count agg, a dense source×token grid
+    (vocabulary-bounded), a broadcast per-token stats join-back, and
+    a token-keyed pair join — no window, no driver loop.
+
+    Output: (src_a, src_b, k_tokens, delta_fp, delta)."""
+    occ = toks.select(
+        F.col(source_col).alias("src"),
+        F.explode(F.col(toks_col)).alias("token"),
+    )
+    cnt = occ.groupBy("src", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = occ.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    grid = (
+        occ.select("token")
+        .distinct()
+        .crossJoin(tot)
+        .join(cnt, ["src", "token"], "left")
+        .select(
+            "src",
+            "token",
+            F.expr(f"coalesce(c, 0) * {scale} DIV t")
+            .cast("long")
+            .alias("f"),
+        )
+    )
+    st = grid.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("s"),
+        F.sum("f").cast("long").alias("sf"),
+        F.sum(F.col("f") * F.col("f")).cast("long").alias("sff"),
+    )
+    rad = F.col("s") * F.col("sff") - F.col("sf") * F.col("sf")
+    z = (
+        (F.col("s") * F.col("f") - F.col("sf")).cast("double")
+        / F.sqrt(rad.cast("double"))
+    )
+    gz = (
+        grid.join(F.broadcast(st), "token")
+        .filter(rad > 0)
+        .select("src", "token", z.alias("z"))
+    )
+    a = gz.select(
+        F.col("src").alias("src_a"), "token", F.col("z").alias("za")
+    )
+    b = gz.select(
+        F.col("src").alias("src_b"), "token", F.col("z").alias("zb")
+    )
+    pairs = a.join(b, "token").filter(F.col("src_a") < F.col("src_b"))
+    fp = F.floor(
+        F.lit(float(scale)) * F.abs(F.col("za") - F.col("zb"))
+    ).cast("long")
+    return (
+        pairs.select("src_a", "src_b", fp.alias("fp"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_tokens"),
+            F.sum("fp").cast("long").alias("delta_fp"),
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "k_tokens",
+            "delta_fp",
+            F.round(
+                F.col("delta_fp").cast("double")
+                / (F.col("k_tokens") * F.lit(scale)).cast("double"),
+                6,
+            ).alias("delta"),
+        )
+    )

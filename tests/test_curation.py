@@ -513,3 +513,55 @@ def test_token_infogain_vs_python(spark):
                         math.log(cnt * n) - math.log(side * n_c)
                     )
         assert got[t] == pytest.approx(want, abs=5e-6)
+
+
+def test_burrows_delta_vs_python_twin(spark):
+    """Hand corpus: Delta matches a sequential float twin with the
+    same DIV quantization, and identical sources land at Delta 0."""
+    import math
+    from collections import Counter
+
+    from deepie_spark.operators.curation import burrows_delta
+
+    corpora = {
+        "a": "the cat sat on the mat the cat",
+        "b": "a dog ran a dog ran a dog",
+        "c": "the cat sat on the mat the cat",  # clone of a
+    }
+    df = spark.createDataFrame(
+        [(s, t.split()) for s, t in corpora.items()], ["source", "toks"]
+    )
+    out = {
+        (r.src_a, r.src_b): r for r in burrows_delta(df).collect()
+    }
+
+    SC = 1 << 20
+    cnt = {s: Counter(t.split()) for s, t in corpora.items()}
+    tot = {s: sum(c.values()) for s, c in cnt.items()}
+    vocab = sorted({w for c in cnt.values() for w in c})
+    srcs = sorted(corpora)
+    fq = {
+        (s, w): (cnt[s][w] * SC) // tot[s] for s in srcs for w in vocab
+    }
+    z = {}
+    for w in vocab:
+        vals = [fq[(s, w)] for s in srcs]
+        sn, sf, sff = len(vals), sum(vals), sum(v * v for v in vals)
+        rad = sn * sff - sf * sf
+        if rad <= 0:
+            continue
+        for s in srcs:
+            z[(s, w)] = (sn * fq[(s, w)] - sf) / math.sqrt(rad)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1:]:
+            toks = sorted({w for (s, w) in z if s == sa})
+            fp = sum(
+                math.floor(SC * abs(z[(sa, w)] - z[(sb, w)]))
+                for w in toks
+            )
+            r = out[(sa, sb)]
+            assert r.k_tokens == len(toks)
+            assert r.delta_fp == fp
+            assert r.delta == round(fp / (len(toks) * SC), 6)
+    assert out[("a", "c")].delta == 0.0       # clones: zero distance
+    assert out[("a", "b")].delta > 0.5        # disjoint vocab: far
