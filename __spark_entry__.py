@@ -9618,6 +9618,46 @@ def q_emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivm_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental COUNT(DISTINCT user) maintenance per event type
+    (plans/ivm.py distinct_state/merge_distinct_state): the support
+    table makes the distinct aggregate self-maintainable under
+    inserts AND retractions — base = event_id%10<7, delta = the
+    remaining inserts plus weight-−1 retractions of every base row
+    with event_id%9==0.  The oracle recomputes the net multiset's
+    distinct counts from scratch, so the hash IS the delete-capable
+    maintenance invariant."""
+    from deepie_spark.plans.ivm import (
+        distinct_counts,
+        distinct_state,
+        merge_distinct_state,
+    )
+
+    e = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    base = e.filter(F.col("event_id") % 10 < 7)
+    inserts = e.filter(F.col("event_id") % 10 >= 7)
+    retract = base.filter(F.col("event_id") % 9 == 0)
+    state = distinct_state(base, "event_type", "user_id")
+    # the delta is the RAW net support change (inserts − retractions,
+    # summed before any merge): merge_distinct_state drops supp <= 0,
+    # which is correct for the merged STATE but would prematurely
+    # drop a pure-retraction (g, v) from the delta itself
+    delta = (
+        distinct_state(inserts, "event_type", "user_id")
+        .unionByName(
+            distinct_state(retract, "event_type", "user_id").select(
+                "g", "v", (-F.col("supp")).cast("long").alias("supp")
+            )
+        )
+        .groupBy("g", "v")
+        .agg(F.sum("supp").cast("long").alias("supp"))
+    )
+    merged = merge_distinct_state(state, delta)
+    return distinct_counts(merged).select(
+        F.col("g").alias("event_type"), "n_distinct", "n_rows"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -9991,6 +10031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_shipping": q_tpch_shipping,
         "source_burrows": q_source_burrows,
         "emb_drift": q_emb_drift,
+        "ivm_distinct": q_ivm_distinct,
     }
 
 
@@ -19655,5 +19696,22 @@ def oracle_sql() -> dict[str, str]:
                         / CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
                                AS DOUBLE)) / 1048576.0, 6) AS drift
         FROM q GROUP BY dim
+    """
+    d["ivm_distinct"] = """
+        WITH e AS (SELECT event_id, event_type, user_id FROM events),
+        net AS (
+          SELECT event_type, user_id, CAST(sum(w) AS BIGINT) AS supp
+          FROM (
+            SELECT event_type, user_id, 1 AS w FROM e
+            UNION ALL
+            SELECT event_type, user_id, -1 AS w
+            FROM e WHERE event_id % 10 < 7 AND event_id % 9 = 0
+          ) GROUP BY 1, 2
+          HAVING sum(w) > 0
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(supp) AS BIGINT) AS n_rows
+        FROM net GROUP BY 1
     """
     return d

@@ -215,3 +215,51 @@ def apply_changes(
             .alias("src"),
         )
     )
+
+
+def distinct_state(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """The maintainable COUNT(DISTINCT value) state: support counts
+    per (group, value) — the auxiliary relation that makes distinct
+    counting self-maintainable under BOTH inserts and deletes (a
+    plain distinct-count view is not even insert-maintainable: an
+    arriving value may or may not be new, so the view alone cannot
+    decide).  Exactly the counting algorithm's support table
+    specialized to the distinct aggregate."""
+    return df.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("supp"))
+
+
+def merge_distinct_state(
+    state: DataFrame, delta: DataFrame
+) -> DataFrame:
+    """state ⊕ delta for distinct_state where the delta carries a
+    ``supp`` that may be NEGATIVE (retractions, zset-style): one
+    full-outer join on (g, v), supports add, rows at support ≤ 0
+    drop out.  Maintenance cost O(|state| + |delta|), independent of
+    the base table size."""
+    s = state.select("g", "v", F.col("supp").alias("s_s"))
+    d = delta.select("g", "v", F.col("supp").alias("s_d"))
+    z = F.lit(0).cast("long")
+    return (
+        s.join(d, ["g", "v"], "full_outer")
+        .select(
+            "g",
+            "v",
+            (F.coalesce("s_s", z) + F.coalesce("s_d", z))
+            .cast("long")
+            .alias("supp"),
+        )
+        .filter(F.col("supp") > 0)
+    )
+
+
+def distinct_counts(state: DataFrame) -> DataFrame:
+    """Read the distinct-count view off the support state: one count
+    per group (plus the total multiplicity for the audit)."""
+    return state.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum("supp").cast("long").alias("n_rows"),
+    )

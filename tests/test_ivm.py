@@ -147,3 +147,50 @@ def test_apply_changes_semantics(spark):
     assert got == {1: (111, "upsert"), 2: (222, "upsert"),
                    4: (400, "upsert")}
     assert 3 not in got
+
+
+def test_distinct_state_merge_equals_scratch(spark):
+    """state ⊕ delta (with retractions) == from-scratch distinct
+    counts of the net multiset."""
+    from deepie_spark.plans.ivm import (
+        distinct_counts,
+        distinct_state,
+        merge_distinct_state,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 3), ("b", 3)], ["g", "v"]
+    )
+    ins = spark.createDataFrame(
+        [("a", 2), ("a", 9), ("b", 3)], ["g", "v"]
+    )
+    # retract one (a,1) and BOTH (b,3) base rows
+    rets = spark.createDataFrame(
+        [("a", 1), ("b", 3), ("b", 3)], ["g", "v"]
+    )
+    import pyspark.sql.functions as F
+
+    delta = (
+        distinct_state(ins, "g", "v")
+        .unionByName(
+            distinct_state(rets, "g", "v").select(
+                "g", "v", (-F.col("supp")).cast("long").alias("supp")
+            )
+        )
+        .groupBy("g", "v")
+        .agg(F.sum("supp").cast("long").alias("supp"))
+    )
+    merged = merge_distinct_state(distinct_state(base, "g", "v"), delta)
+    got = {
+        r.g: (r.n_distinct, r.n_rows)
+        for r in distinct_counts(merged).collect()
+    }
+    # net multiset: a -> {1:1, 2:2, 9:1}; b -> {3:1}
+    assert got == {"a": (3, 4), "b": (1, 1)}
+    # a value fully retracted must VANISH from the support state
+    vals = {(r.g, r.v) for r in merged.collect()}
+    assert ("b", 3) in vals and ("a", 1) in vals
+    # retract the last (a,1) too: it must disappear
+    delta2 = spark.createDataFrame([("a", 1, -1)], ["g", "v", "supp"])
+    merged2 = merge_distinct_state(merged, delta2)
+    assert ("a", 1) not in {(r.g, r.v) for r in merged2.collect()}
