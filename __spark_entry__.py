@@ -9658,6 +9658,24 @@ def q_ivm_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retrieval_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (p = 1/2) between the BM25 and
+    Dirichlet-QL top-10 rankings for the shared query terms
+    (operators/retrieval.py rbo_at_k): exact prefix overlaps from one
+    id join, dyadic p-power weight chain — the ranking-agreement
+    audit between two retrieval models."""
+    from deepie_spark.operators.retrieval import (
+        bm25_scores,
+        dirichlet_ql_scores,
+        rbo_at_k,
+    )
+
+    t = _toks(spark, sf_dir)
+    a = bm25_scores(t, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B)
+    b = dirichlet_ql_scores(t, _BM25_TERMS, mu=_QL_MU)
+    return rbo_at_k(a, b, k=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -10032,6 +10050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_burrows": q_source_burrows,
         "emb_drift": q_emb_drift,
         "ivm_distinct": q_ivm_distinct,
+        "retrieval_rbo": q_retrieval_rbo,
     }
 
 
@@ -19713,5 +19732,50 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_distinct,
                CAST(sum(supp) AS BIGINT) AS n_rows
         FROM net GROUP BY 1
+    """
+    # retrieval_rbo shares BOTH retrieval oracles' generated bodies by
+    # string surgery (the retrieval_mrr rule): re-rank each on its
+    # UNROUNDED score and overlap the depth-d prefixes.
+    _bm25_body = (
+        d["bm25_topk"].rsplit("SELECT", 1)[0]
+        + "SELECT doc_id, s0 + s1 + s2 AS sc FROM g"
+    )
+    _ql_body = (
+        d["ql_dirichlet"].rsplit("SELECT", 1)[0]
+        + "SELECT doc_id, score AS sc FROM sc"
+    )
+    XCOLS = ",\n               ".join(
+        f"CAST(coalesce(sum(CASE WHEN d <= {dd} THEN 1 ELSE 0 END), 0)"
+        f" AS BIGINT) AS x{dd}"
+        for dd in range(1, 11)
+    )
+    TERMS = " + ".join(
+        f"CAST(x{dd} AS DOUBLE) * {0.5 ** (dd - 1)!r} / {float(dd)!r}"
+        for dd in range(1, 11)
+    )
+    d["retrieval_rbo"] = f"""
+        WITH ra AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY sc DESC, doc_id) AS r
+          FROM ({_bm25_body})
+        ),
+        rb AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY sc DESC, doc_id) AS r
+          FROM ({_ql_body})
+        ),
+        m AS (
+          SELECT greatest(ra.r, rb.r) AS d
+          FROM ra JOIN rb USING (doc_id)
+          WHERE ra.r <= 10 AND rb.r <= 10
+        ),
+        x AS (
+          SELECT {XCOLS}
+          FROM m
+        )
+        SELECT CAST(10 AS BIGINT) AS k,
+               x1, x2, x3, x4, x5, x6, x7, x8, x9, x10,
+               round(0.5 * ({TERMS}), 6) AS rbo
+        FROM x
     """
     return d

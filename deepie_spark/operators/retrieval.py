@@ -896,3 +896,67 @@ def borda_fuse(
         ],
         borda.cast("long").alias("borda"),
     )
+
+
+def rbo_at_k(
+    a_scored: DataFrame,
+    b_scored: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Truncated rank-biased overlap (Webber, Moffat & Zobel 2010) at
+    persistence p = 1/2 between two rankings of the same candidates:
+
+        RBO@k = (1 − p) · Σ_{d=1..k} p^{d−1} · X_d / d
+
+    with X_d the EXACT overlap of the two depth-d prefixes.  The two
+    top slices come from TakeOrderedAndProject ((score desc, id)
+    deterministic tie-break); positions attach via the ≤k-row bounded
+    keyless window (the ndcg precedent); X_d for every d falls out of
+    ONE id-equi-join — a matched id contributes to all depths
+    ≥ max(rank_a, rank_b) — pivoted to fixed columns so the weighted
+    sum is a left-associative chain of repr-shared dyadic p-powers
+    (p = 1/2 keeps every weight an exact double).
+
+    Output: one row (k, x1..xk, rbo)."""
+    from pyspark.sql import Window as W
+
+    def top(df, pfx):
+        order = [F.desc(score_col), F.col(id_col)]
+        t = df.orderBy(*order).limit(k)
+        w = W.orderBy(*order)
+        return t.select(
+            F.col(id_col).alias("id"),
+            F.row_number().over(w).cast("long").alias(f"{pfx}r"),
+        )
+
+    ra, rb = top(a_scored, "a"), top(b_scored, "b")
+    m = ra.join(rb, "id").select(
+        F.greatest("ar", "br").alias("d")
+    )
+    x = m.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("d") <= dd, 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"x{dd}")
+            for dd in range(1, k + 1)
+        ]
+    )
+    chain = None
+    for dd in range(1, k + 1):
+        w_d = 0.5 ** (dd - 1)
+        term = (
+            F.col(f"x{dd}").cast("double")
+            * F.lit(w_d)
+            / F.lit(float(dd))
+        )
+        chain = term if chain is None else chain + term
+    return x.select(
+        F.lit(k).cast("long").alias("k"),
+        *[f"x{dd}" for dd in range(1, k + 1)],
+        F.round(F.lit(0.5) * chain, 6).alias("rbo"),
+    )

@@ -403,3 +403,36 @@ def test_borda_fuse_beyond_k_scores_zero(spark):
     got = {r["doc_id"]: r["borda"]
            for r in borda_fuse({"one": lst}, k=2).collect()}
     assert got == {"d0": 2, "d1": 1, "d2": 0, "d3": 0}
+
+
+def test_rbo_at_k_vs_python_twin(spark):
+    from deepie_spark.operators.retrieval import rbo_at_k
+
+    a = spark.createDataFrame(
+        [(f"d{i}", 100.0 - i) for i in range(15)], ["doc_id", "score"]
+    )
+    # b: same top-3, then shuffled/disjoint tail
+    order_b = ["d0", "d1", "d2", "d7", "d9", "d4", "d20", "d21",
+               "d5", "d3", "d22"]
+    b = spark.createDataFrame(
+        [(x, 50.0 - i) for i, x in enumerate(order_b)],
+        ["doc_id", "score"],
+    )
+    k = 10
+    r = rbo_at_k(a, b, k=k).collect()[0]
+    ta = [f"d{i}" for i in range(k)]
+    tb = order_b[:k]
+    rbo = 0.0
+    for d in range(1, k + 1):
+        xd = len(set(ta[:d]) & set(tb[:d]))
+        assert r[f"x{d}"] == xd
+        rbo += (0.5 ** (d - 1)) * xd / d
+    assert r.rbo == round(0.5 * rbo, 6)
+    # identical rankings: RBO@k = (1-p) * sum p^(d-1) = 1 - p^k
+    r2 = rbo_at_k(a, a, k=k).collect()[0]
+    assert r2.rbo == round(1 - 0.5 ** k, 6)
+    # disjoint rankings: 0
+    c = spark.createDataFrame(
+        [(f"z{i}", 10.0 - i) for i in range(12)], ["doc_id", "score"]
+    )
+    assert rbo_at_k(a, c, k=k).collect()[0].rbo == 0.0
