@@ -9676,6 +9676,32 @@ def q_retrieval_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rbo_at_k(a, b, k=10)
 
 
+def q_graph_knn_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree–neighbor-degree curve k_nn(k) of the rule-triple graph
+    (operators/graph.py avg_neighbor_degree): within a degree class
+    the denominators collapse, so the whole curve is exact longs +
+    one divide per class."""
+    from deepie_spark.operators.graph import avg_neighbor_degree
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return avg_neighbor_degree(t)
+
+
+def q_source_morisita(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morisita–Horn abundance overlap for every source pair
+    (operators/curation.py morisita_horn): the fully
+    cross-multiplied sample-size-insensitive similarity beside
+    weighted Jaccard and the PSI/JSD/EMD drift family."""
+    from deepie_spark.operators.curation import morisita_horn
+
+    d = _docs(spark, sf_dir).select(
+        "source", tokenize(F.col("text")).alias("toks")
+    )
+    return morisita_horn(d, "source", "toks")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -10051,6 +10077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_drift": q_emb_drift,
         "ivm_distinct": q_ivm_distinct,
         "retrieval_rbo": q_retrieval_rbo,
+        "graph_knn_curve": q_graph_knn_curve,
+        "source_morisita": q_source_morisita,
     }
 
 
@@ -19777,5 +19805,56 @@ def oracle_sql() -> dict[str, str]:
                x1, x2, x3, x4, x5, x6, x7, x8, x9, x10,
                round(0.5 * ({TERMS}), 6) AS rbo
         FROM x
+    """
+    d["graph_knn_curve"] = f"""
+        WITH {_MENTIONS_SQL.strip()},
+        {_TRIPLE_EDGES_SQL.strip()},
+        nb AS (SELECT a AS u, b AS v FROM und
+               UNION ALL SELECT b, a FROM und),
+        deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+                FROM nb GROUP BY 1),
+        s AS (SELECT nb.u, CAST(sum(dv.deg) AS BIGINT) AS s_u
+              FROM nb JOIN deg dv ON dv.u = nb.v GROUP BY 1)
+        SELECT d.deg,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(s.s_u) AS BIGINT) AS sum_nbr_deg,
+               round(CAST(sum(s.s_u) AS DOUBLE)
+                     / CAST(d.deg * count(*) AS DOUBLE), 6) AS knn
+        FROM deg d JOIN s USING (u)
+        GROUP BY d.deg
+    """
+    d["source_morisita"] = f"""
+        WITH occ AS (
+          SELECT source AS src, unnest({_TOKS_SQL}) AS token
+          FROM documents
+        ),
+        cnt AS (SELECT src, token, CAST(count(*) AS BIGINT) AS c
+                FROM occ GROUP BY 1, 2),
+        meta AS (SELECT src,
+                        CAST(count(*) AS BIGINT) AS n
+                 FROM occ GROUP BY 1),
+        sq AS (SELECT src, CAST(sum(c * c) AS BIGINT) AS ss
+               FROM cnt GROUP BY 1),
+        m AS (SELECT meta.src, meta.n, sq.ss
+              FROM meta JOIN sq USING (src)),
+        cross_ab AS (
+          SELECT a.src AS src_a, b.src AS src_b,
+                 CAST(sum(a.c * b.c) AS BIGINT) AS sab
+          FROM cnt a JOIN cnt b
+            ON a.token = b.token AND a.src < b.src
+          GROUP BY 1, 2
+        )
+        SELECT src_a, src_b,
+               CAST(2 * ma.n * mb.n * sab AS BIGINT) AS num,
+               CAST(mb.n * mb.n * ma.ss + ma.n * ma.n * mb.ss
+                    AS BIGINT) AS den,
+               CASE WHEN mb.n * mb.n * ma.ss + ma.n * ma.n * mb.ss > 0
+                 THEN round(CAST(2 * ma.n * mb.n * sab AS DOUBLE)
+                            / CAST(mb.n * mb.n * ma.ss
+                                   + ma.n * ma.n * mb.ss AS DOUBLE), 6)
+               END AS mh
+        FROM cross_ab
+        JOIN m ma ON ma.src = src_a
+        JOIN m mb ON mb.src = src_b
     """
     return d

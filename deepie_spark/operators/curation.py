@@ -709,3 +709,77 @@ def burrows_delta(
             ).alias("delta"),
         )
     )
+
+
+def morisita_horn(
+    toks: DataFrame,
+    source_col: str = "source",
+    toks_col: str = "toks",
+) -> DataFrame:
+    """Morisita–Horn overlap between every source pair — the
+    abundance-weighted ecological similarity that complements the
+    presence/absence weighted-Jaccard and the divergence-style
+    PSI/JSD drift audits (MH is insensitive to sample size, so a
+    small feed and its 100× resample score ≈ 1):
+
+        MH(a, b) = 2·N_a·N_b·Σ_t c_at·c_bt
+                   / (N_b²·Σ_t c_at² + N_a²·Σ_t c_bt²)
+
+    — the fully cross-multiplied form: every term an exact long, one
+    IEEE divide.  Magnitude bound: N²·Σc² < 2⁶³ holds through
+    ~10⁵-token sources per pair; quantize counts upstream beyond
+    that.  One token-keyed pair join over per-source count vectors.
+
+    Output: (src_a, src_b, num, den, mh)."""
+    occ = toks.select(
+        F.col(source_col).alias("src"),
+        F.explode(F.col(toks_col)).alias("token"),
+    )
+    cnt = occ.groupBy("src", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = occ.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    sq = cnt.groupBy("src").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss")
+    )
+    meta = tot.join(sq, "src")
+    a = cnt.select(
+        F.col("src").alias("src_a"), "token", F.col("c").alias("ca")
+    )
+    b = cnt.select(
+        F.col("src").alias("src_b"), "token", F.col("c").alias("cb")
+    )
+    cross = (
+        a.join(b, "token")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("sab"))
+    )
+    ma = meta.select(
+        F.col("src").alias("src_a"),
+        F.col("n").alias("na"),
+        F.col("ss").alias("ssa"),
+    )
+    mb = meta.select(
+        F.col("src").alias("src_b"),
+        F.col("n").alias("nb"),
+        F.col("ss").alias("ssb"),
+    )
+    j = cross.join(F.broadcast(ma), "src_a").join(F.broadcast(mb), "src_b")
+    num = F.lit(2) * F.col("na") * F.col("nb") * F.col("sab")
+    den = (
+        F.col("nb") * F.col("nb") * F.col("ssa")
+        + F.col("na") * F.col("na") * F.col("ssb")
+    )
+    return j.select(
+        "src_a",
+        "src_b",
+        num.cast("long").alias("num"),
+        den.cast("long").alias("den"),
+        F.when(
+            den > 0,
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("mh"),
+    )

@@ -3501,3 +3501,47 @@ def four_clique_count(
         .crossJoin(F.broadcast(n_k4))
         .select("n_nodes", "n_edges", "n_triangles", "n_4cliques")
     )
+
+
+def avg_neighbor_degree(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree–neighbor-degree curve k_nn(k) (Pastor-Satorras et al.):
+    for each degree class k, the mean over degree-k nodes of the mean
+    neighbor degree — the assortativity profile behind the single
+    scalar degree_assortativity (rich-club/hub-mixing structure reads
+    directly off the curve's slope).
+
+    Exactness: within class k every node's neighbor-degree mean has
+    the SAME denominator k, so the class mean collapses to
+    Σ_u s_u / (k·n_k) with s_u = Σ_{v∈N(u)} deg(v) — exact longs, one
+    divide.  Two joins on node keys + two aggs; no window.
+
+    Output: (deg, n_nodes, sum_nbr_deg, knn) per degree class."""
+    und = _canonical_edges(edges, src, dst)
+    nb = und.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionByName(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    deg = nb.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v"))
+    s = nb.join(dv, "v").groupBy("u").agg(
+        F.sum("deg_v").cast("long").alias("s_u")
+    )
+    per_node = deg.join(s, "u")
+    return (
+        per_node.groupBy("deg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("s_u").cast("long").alias("sum_nbr_deg"),
+        )
+        .select(
+            "deg",
+            "n_nodes",
+            "sum_nbr_deg",
+            F.round(
+                F.col("sum_nbr_deg").cast("double")
+                / (F.col("deg") * F.col("n_nodes")).cast("double"),
+                6,
+            ).alias("knn"),
+        )
+    )

@@ -565,3 +565,31 @@ def test_burrows_delta_vs_python_twin(spark):
             assert r.delta == round(fp / (len(toks) * SC), 6)
     assert out[("a", "c")].delta == 0.0       # clones: zero distance
     assert out[("a", "b")].delta > 0.5        # disjoint vocab: far
+
+
+def test_morisita_horn_identity_and_disjoint(spark):
+    """MH = 1 for a source and its resample, 0 for disjoint vocab,
+    and matches the float formula on a mixed pair."""
+    from deepie_spark.operators.curation import morisita_horn
+
+    rows = [
+        ("a", "x x y z".split()),
+        ("b", ("x x y z " * 10).split()),   # 10x resample of a
+        ("c", "q r r".split()),             # disjoint
+        ("d", "x q q y".split()),           # mixed
+    ]
+    df = spark.createDataFrame(rows, ["source", "toks"])
+    got = {(r.src_a, r.src_b): r for r in morisita_horn(df).collect()}
+    assert got[("a", "b")].mh == 1.0          # size-insensitive
+    assert ("a", "c") not in got               # no shared token: no row
+    from collections import Counter
+
+    ca, cd = Counter(rows[0][1]), Counter(rows[3][1])
+    na, nd = sum(ca.values()), sum(cd.values())
+    sab = sum(ca[t] * cd[t] for t in ca)
+    num = 2 * na * nd * sab
+    den = nd * nd * sum(v * v for v in ca.values()) + na * na * sum(
+        v * v for v in cd.values()
+    )
+    assert got[("a", "d")].num == num
+    assert got[("a", "d")].mh == round(num / den, 6)

@@ -2262,3 +2262,19 @@ def test_four_clique_count_vs_bruteforce(spark):
     assert (r.n_nodes, r.n_edges) == (len(nodes), len(und))
     assert r.n_triangles == tri == 11
     assert r.n_4cliques == k4 == 5  # exactly the C(5,4) of the K5
+
+
+def test_avg_neighbor_degree_star_plus_triangle(spark):
+    """Star (hub 0 — leaves 1..4) plus a triangle 5-6-7: knn values
+    match hand computation per degree class."""
+    from deepie_spark.operators.graph import avg_neighbor_degree
+
+    edges = [(0, i) for i in (1, 2, 3, 4)] + [(5, 6), (5, 7), (6, 7)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.deg: r for r in avg_neighbor_degree(df).collect()}
+    # leaves: deg 1, neighbor deg 4 -> knn = 4; hub: deg 4, nbrs all
+    # deg 1 -> knn = 1; triangle nodes: deg 2, nbr degs 2,2 -> knn 2
+    assert got[1].n_nodes == 4 and got[1].knn == 4.0
+    assert got[4].n_nodes == 1 and got[4].knn == 1.0
+    assert got[2].n_nodes == 3 and got[2].knn == 2.0
+    assert got[1].sum_nbr_deg == 16
