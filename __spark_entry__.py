@@ -9702,6 +9702,21 @@ def q_source_morisita(spark: SparkSession, sf_dir: str) -> DataFrame:
     return morisita_horn(d, "source", "toks")
 
 
+def q_entity_cpm3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 3-clique percolation communities of the
+    rule-triple graph (operators/graph.py kclique_communities3):
+    triangle enumeration under the degree-ordered orientation,
+    edge-key graph, min-label propagation to the true fixpoint.
+    Oracle: recursive reachability closure over the same triangle
+    edge-adjacency — an independent formulation."""
+    from deepie_spark.operators.graph import kclique_communities3
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return kclique_communities3(t)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -10079,6 +10094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_rbo": q_retrieval_rbo,
         "graph_knn_curve": q_graph_knn_curve,
         "source_morisita": q_source_morisita,
+        "entity_cpm3": q_entity_cpm3,
     }
 
 
@@ -19856,5 +19872,33 @@ def oracle_sql() -> dict[str, str]:
         FROM cross_ab
         JOIN m ma ON ma.src = src_a
         JOIN m mb ON mb.src = src_b
+    """
+    d["entity_cpm3"] = f"""
+        WITH {_MENTIONS_SQL.strip()},
+        {_TRIPLE_EDGES_SQL.strip()},
+        tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+                FROM und e1
+                JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+        adj0 AS (
+          SELECT u || '|' || v AS x, u || '|' || w AS y FROM tri
+          UNION
+          SELECT u || '|' || v, v || '|' || w FROM tri
+          UNION
+          SELECT u || '|' || w, v || '|' || w FROM tri
+        ),
+        sym AS (SELECT x, y FROM adj0
+                UNION SELECT y, x FROM adj0),
+        nodes AS (SELECT DISTINCT x AS k FROM sym),
+        reach AS (
+          WITH RECURSIVE r(k, l) AS (
+            SELECT k, k FROM nodes
+            UNION
+            SELECT s.x, r.l FROM sym s JOIN r ON r.k = s.y
+          )
+          SELECT k, min(l) AS community FROM r GROUP BY k
+        )
+        SELECT DISTINCT community, u.entity
+        FROM reach, unnest(string_split(reach.k, '|')) AS u(entity)
     """
     return d

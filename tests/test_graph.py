@@ -2278,3 +2278,33 @@ def test_avg_neighbor_degree_star_plus_triangle(spark):
     assert got[4].n_nodes == 1 and got[4].knn == 1.0
     assert got[2].n_nodes == 3 and got[2].knn == 2.0
     assert got[1].sum_nbr_deg == 16
+
+
+def test_kclique_communities3_overlap_semantics(spark):
+    """CPM k=3: edge-sharing triangles merge; vertex-sharing
+    triangles stay separate communities that OVERLAP on the shared
+    vertex; edges outside any triangle join no community."""
+    from deepie_spark.operators.graph import kclique_communities3
+
+    edges = [
+        # community 1: two triangles glued on edge (b, c)
+        ("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d"),
+        # community 2: triangle sharing ONLY vertex d with comm 1
+        ("d", "e"), ("d", "f"), ("e", "f"),
+        # pendant edge: no triangle, no community
+        ("f", "g"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = kclique_communities3(df).collect()
+    comm = {}
+    for r in rows:
+        comm.setdefault(r.community, set()).add(r.entity)
+    assert len(comm) == 2
+    members = sorted(comm.values(), key=len, reverse=True)
+    assert members[0] == {"a", "b", "c", "d"}
+    assert members[1] == {"d", "e", "f"}
+    # overlap: d sits in both; g in none
+    assert sum("d" in m for m in comm.values()) == 2
+    assert all("g" not in m for m in comm.values())
+    # labels are the lexicographically-smallest member edge key
+    assert set(comm) == {"a|b", "d|e"}
