@@ -9717,6 +9717,108 @@ def q_entity_cpm3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kclique_communities3(t)
 
 
+def q_bm25_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERR@10 of the bm25 ranking against the bm25_ndcg
+    pseudo-relevance labels (operators/retrieval.py err_at_k): the
+    cascade-model ranking metric — dyadic stopping probabilities keep
+    the survival product exact."""
+    from deepie_spark.operators.retrieval import bm25_scores, err_at_k
+
+    s = bm25_scores(
+        _toks(spark, sf_dir), _BM25_TERMS, k1=_BM25_K1, b=_BM25_B
+    )
+    cand = s.select(
+        "doc_id", "score", F.col("n_terms").cast("long").alias("rel")
+    )
+    return err_at_k(cand, k=10, rel_col="rel", score_col="score")
+
+
+def q_vocab_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Good-Turing smoothing over the vocabulary spectrum:
+    adjusted counts r* = (r+1)·N_{r+1}/N_r per frequency class (one
+    spectrum self-join on r+1) and the class probability mass —
+    exact-long numerators, one divide per class.  Classes with no
+    successor (N_{r+1} = 0, the spectrum tail) get NULL r* — the
+    point where practical GT backs off, surfaced rather than
+    hidden."""
+    f = _occ(spark, sf_dir).groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    spec = f.groupBy(F.col("f").alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    nxt = spec.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
+    )
+    tot = _occ(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    j = spec.join(nxt, "r", "left").crossJoin(F.broadcast(tot))
+    rstar_num = (F.col("r") + 1) * F.col("n_r1")
+    return j.select(
+        "r",
+        "n_r",
+        F.coalesce("n_r1", F.lit(0)).cast("long").alias("n_r1"),
+        F.when(
+            F.col("n_r1").isNotNull(),
+            F.round(
+                rstar_num.cast("double") / F.col("n_r").cast("double"),
+                6,
+            ),
+        ).alias("r_star"),
+        F.when(
+            F.col("n_r1").isNotNull(),
+            F.round(
+                rstar_num.cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        ).alias("p_class"),
+    )
+
+
+def q_dp_value_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private mean event value: dollars clamped to
+    [0, 100] (bounded sensitivity), exact clamped sum + count, ε=ln2
+    two-sided geometric noise on EACH release (distinct salts), mean
+    = noisy ratio — the DP-aggregate step past dp_counts; total
+    budget 2·ln 2 by composition."""
+    from deepie_spark.functions.text import char_poly_hash_str
+    from deepie_spark.operators.privacy import geometric_noise
+
+    e = _events(spark, sf_dir).select(
+        F.least(
+            F.greatest(F.floor("value").cast("long"), F.lit(0)),
+            F.lit(100),
+        ).alias("d")
+    )
+    g = e.agg(
+        F.sum("d").cast("long").alias("true_sum"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    noise_s = geometric_noise(
+        char_poly_hash_str(F.lit("sum")), salt=21
+    )
+    noise_n = geometric_noise(
+        char_poly_hash_str(F.lit("count")), salt=22
+    )
+    return g.select(
+        "true_sum",
+        "n",
+        noise_s.alias("noise_sum"),
+        noise_n.alias("noise_n"),
+        (F.col("true_sum") + noise_s).cast("long").alias("noisy_sum"),
+        F.greatest(F.col("n") + noise_n, F.lit(1))
+        .cast("long")
+        .alias("noisy_n"),
+        F.round(
+            (F.col("true_sum") + noise_s).cast("double")
+            / F.greatest(F.col("n") + noise_n, F.lit(1)).cast("double"),
+            6,
+        ).alias("dp_mean"),
+        F.lit(1.386294).alias("epsilon"),  # 2·ln 2, repr-shared
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -10095,6 +10197,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_knn_curve": q_graph_knn_curve,
         "source_morisita": q_source_morisita,
         "entity_cpm3": q_entity_cpm3,
+        "bm25_err": q_bm25_err,
+        "vocab_gt": q_vocab_gt,
+        "dp_value_mean": q_dp_value_mean,
     }
 
 
@@ -19900,5 +20005,103 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT DISTINCT community, u.entity
         FROM reach, unnest(string_split(reach.k, '|')) AS u(entity)
+    """
+    # bm25_err: splice the bm25 body (the retrieval_rbo rule), rank on
+    # the UNROUNDED score, pivot graded rel, replay the exact dyadic
+    # cascade chain.
+    _bm25_err_body = (
+        d["bm25_topk"].rsplit("SELECT", 1)[0]
+        + "SELECT doc_id, n_terms, s0 + s1 + s2 AS sc FROM g"
+    )
+    _R = (
+        "CASE WHEN g_{i} <= 0 THEN 0.0 WHEN g_{i} = 1 THEN 0.125 "
+        "WHEN g_{i} = 2 THEN 0.375 ELSE 0.875 END"
+    )
+    _rcols = ",\n               ".join(
+        f"({_R.format(i=i)}) AS r{i}" for i in range(10)
+    )
+    _gcols = ",\n               ".join(
+        f"CAST(coalesce(max(CASE WHEN rn = {i + 1} THEN n_terms END), 0)"
+        f" AS BIGINT) AS g_{i}"
+        for i in range(10)
+    )
+    _carry = "1.0"
+    _terms = []
+    for i in range(10):
+        _terms.append(f"{_carry} * r{i} / {float(i + 1)!r}")
+        _carry = f"({_carry} * (1.0 - r{i}))"
+    _err_chain = " + ".join(_terms)
+    d["bm25_err"] = f"""
+        WITH ranked AS (
+          SELECT n_terms,
+                 row_number() OVER (ORDER BY sc DESC, doc_id) AS rn
+          FROM ({_bm25_err_body})
+        ),
+        piv AS (
+          SELECT {_gcols}
+          FROM ranked WHERE rn <= 10
+        ),
+        rs AS (
+          SELECT {_rcols}
+          FROM piv
+        )
+        SELECT CAST(10 AS BIGINT) AS k,
+               CAST((SELECT count(*) FROM ranked) AS BIGINT)
+                 AS n_candidates,
+               round({_err_chain}, 6) AS err
+        FROM rs
+    """
+    d["vocab_gt"] = f"""
+        WITH occ AS (SELECT unnest({_TOKS_SQL}) AS token
+                     FROM documents),
+        f AS (SELECT token, CAST(count(*) AS BIGINT) AS f
+              FROM occ GROUP BY 1),
+        spec AS (SELECT f AS r, CAST(count(*) AS BIGINT) AS n_r
+                 FROM f GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM occ)
+        SELECT s.r, s.n_r,
+               CAST(coalesce(nx.n_r, 0) AS BIGINT) AS n_r1,
+               CASE WHEN nx.n_r IS NOT NULL THEN
+                 round(CAST((s.r + 1) * nx.n_r AS DOUBLE)
+                       / CAST(s.n_r AS DOUBLE), 6) END AS r_star,
+               CASE WHEN nx.n_r IS NOT NULL THEN
+                 round(CAST((s.r + 1) * nx.n_r AS DOUBLE)
+                       / CAST(tot.n_tokens AS DOUBLE), 6)
+               END AS p_class
+        FROM spec s
+        LEFT JOIN spec nx ON nx.r = s.r + 1
+        CROSS JOIN tot
+    """
+    from deepie_spark.operators.privacy import geometric_thresholds
+
+    _D = geometric_thresholds(16)[0]
+
+    def _noise_u(key: str, salt: int) -> str:
+        ph = _poly_hash_sql(f"'{key}'")
+        return (
+            f"(({ph}) % {MOD} * {_MIX_A} + {salt} * {_MIX_B}) % {_D}"
+        )
+
+    from deepie_spark.operators.privacy import geometric_noise_sql
+
+    _ns = geometric_noise_sql(_noise_u("sum", 21))
+    _nn = geometric_noise_sql(_noise_u("count", 22))
+    d["dp_value_mean"] = f"""
+        WITH e AS (SELECT least(greatest(CAST(floor(value) AS BIGINT),
+                                         0), 100) AS d
+                   FROM events),
+        g AS (SELECT CAST(sum(d) AS BIGINT) AS true_sum,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM e),
+        nz AS (SELECT CAST(({_ns}) AS BIGINT) AS noise_sum,
+                      CAST(({_nn}) AS BIGINT) AS noise_n)
+        SELECT true_sum, n, noise_sum, noise_n,
+               CAST(true_sum + noise_sum AS BIGINT) AS noisy_sum,
+               CAST(greatest(n + noise_n, 1) AS BIGINT) AS noisy_n,
+               round(CAST(true_sum + noise_sum AS DOUBLE)
+                     / CAST(greatest(n + noise_n, 1) AS DOUBLE), 6)
+                 AS dp_mean,
+               1.386294 AS epsilon
+        FROM g CROSS JOIN nz
     """
     return d

@@ -960,3 +960,70 @@ def rbo_at_k(
         *[f"x{dd}" for dd in range(1, k + 1)],
         F.round(F.lit(0.5) * chain, 6).alias("rbo"),
     )
+
+
+def err_at_k(
+    scored: DataFrame,
+    k: int = 10,
+    rel_col: str = "rel",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    g_max: int = 3,
+) -> DataFrame:
+    """Expected reciprocal rank (Chapelle et al. 2009) at k over
+    graded relevance g ∈ 0..g_max:
+
+        ERR = Σ_{i≤k} (1/i) · R_i · Π_{j<i} (1 − R_j),
+        R = (2^g − 1) / 2^g_max
+
+    The cascade probabilities R are DYADIC rationals (exact doubles),
+    so the running "user survives to position i" product is exact;
+    the only rounding steps are the 1/i divides — identical IEEE
+    chains in both engines.  The top slice is TakeOrderedAndProject
+    ((score desc, id)) with positions off the ≤k-row bounded keyless
+    window and relevance pivoted to fixed columns (the ndcg
+    pattern).
+
+    Output: one row (k, n_candidates, err)."""
+    from pyspark.sql import Window as W
+
+    order = [F.desc(score_col), F.col(id_col)]
+    top = scored.orderBy(*order).limit(k)
+    w = W.orderBy(*order)
+    ranked = top.select(
+        F.row_number().over(w).alias("_r"),
+        F.col(rel_col).cast("long").alias("_g"),
+    )
+    piv = ranked.agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("_r") == i + 1, F.col("_g"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"g_{i}")
+            for i in range(k)
+        ]
+    )
+    denom = float(1 << g_max)
+    rmap = {g: ((1 << g) - 1) / denom for g in range(g_max + 1)}
+
+    def r_of(col):
+        expr = F.when(col <= 0, F.lit(0.0))
+        for g in range(1, g_max + 1):
+            expr = expr.when(col == g, F.lit(rmap[g]))
+        return expr.otherwise(F.lit(rmap[g_max]))
+
+    carry = F.lit(1.0)
+    err = None
+    for i in range(k):
+        ri = r_of(F.col(f"g_{i}"))
+        term = carry * ri / F.lit(float(i + 1))
+        err = term if err is None else err + term
+        carry = carry * (F.lit(1.0) - ri)
+    n = scored.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    return piv.crossJoin(F.broadcast(n)).select(
+        F.lit(k).cast("long").alias("k"),
+        "n_candidates",
+        F.round(err, 6).alias("err"),
+    )

@@ -436,3 +436,29 @@ def test_rbo_at_k_vs_python_twin(spark):
         [(f"z{i}", 10.0 - i) for i in range(12)], ["doc_id", "score"]
     )
     assert rbo_at_k(a, c, k=k).collect()[0].rbo == 0.0
+
+
+def test_err_at_k_vs_python_cascade(spark):
+    from deepie_spark.operators.retrieval import err_at_k
+
+    rels = [3, 0, 2, 1, 0, 3, 0, 0, 1, 2, 3, 0]  # score-desc order
+    df = spark.createDataFrame(
+        [(f"d{i:02d}", 100.0 - i, g) for i, g in enumerate(rels)],
+        ["doc_id", "score", "rel"],
+    )
+    k = 10
+    r = err_at_k(df, k=k).collect()[0]
+    err, carry = 0.0, 1.0
+    for i, g in enumerate(rels[:k]):
+        ri = (2**g - 1) / 8.0
+        err += carry * ri / (i + 1)
+        carry *= 1.0 - ri
+    assert r.k == k and r.n_candidates == len(rels)
+    assert r.err == round(err, 6)
+    # a perfect first hit dominates: ERR close to R_max = 7/8
+    assert 0.875 <= r.err < 1.0
+    # all-zero relevance: ERR = 0
+    import pyspark.sql.functions as F
+
+    z = df.select("doc_id", "score", (F.col("rel") * 0).alias("rel"))
+    assert err_at_k(z, k=k).collect()[0].err == 0.0
