@@ -9819,6 +9819,96 @@ def q_dp_value_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram novelty in doc_id order: the fraction of
+    a document's distinct 3-shingles first seen IN that document
+    (first-occurrence = min doc_id — the corpus-diversity /
+    diminishing-returns curve a training-data pipeline watches as it
+    appends feeds).  One distinct-shingle explode, one min agg, one
+    join-back — exact counts, one divide."""
+    from deepie_spark.functions.text import shingles
+
+    sh = (
+        _toks(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(shingles(F.col("toks"), 3)).alias("sh"),
+        )
+        .distinct()
+    )
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    j = sh.join(first, "sh")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_new"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_new",
+            F.round(
+                F.col("n_new").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+def q_sessionization_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-count sensitivity curve: total sessions under
+    idle-timeout thresholds 5/15/30/60 minutes from ONE lag pass
+    (a session starts at each user's first event and at every gap
+    above the threshold, so n_sessions(t) = n_users + Σ[gap > t]) —
+    the timeout-tuning audit beside user_sessions' fixed 30-minute
+    cut.  Exact integer gap comparisons; one shuffle on user_id."""
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gaps = e.select(
+        "user_id", (secs - F.lag(secs).over(w)).alias("gap")
+    )
+    agg = gaps.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        *[
+            F.sum(F.when(F.col("gap") > t * 60, 1).otherwise(0))
+            .cast("long")
+            .alias(f"brk{t}")
+            for t in (5, 15, 30, 60)
+        ],
+    )
+    rows = [
+        agg.select(
+            F.lit(t).cast("long").alias("timeout_min"),
+            "n_users",
+            (F.col(f"brk{t}") + F.col("n_users"))
+            .cast("long")
+            .alias("n_sessions"),
+        )
+        for t in (5, 15, 30, 60)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def q_texttile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling topic-shift gaps over 10-token blocks
+    (operators/keywords.py texttile_boundaries): integer-tf cosine
+    cohesion per adjacent-block gap, boundary decided by the exact
+    cross-multiplied comparison at threshold 1/2."""
+    from deepie_spark.operators.keywords import texttile_boundaries
+
+    return texttile_boundaries(_toks(spark, sf_dir), block=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -10200,6 +10290,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_err": q_bm25_err,
         "vocab_gt": q_vocab_gt,
         "dp_value_mean": q_dp_value_mean,
+        "doc_novelty": q_doc_novelty,
+        "sessionization_curve": q_sessionization_curve,
+        "texttile": q_texttile,
     }
 
 
@@ -20103,5 +20196,90 @@ def oracle_sql() -> dict[str, str]:
                  AS dp_mean,
                1.386294 AS epsilon
         FROM g CROSS JOIN nz
+    """
+    d["doc_novelty"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, s AS sh
+          FROM (SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM t)
+        ),
+        first AS (SELECT sh, min(doc_id) AS first_doc
+                  FROM sh GROUP BY 1)
+        SELECT sh.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN first.first_doc = sh.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+               round(CAST(sum(CASE WHEN first.first_doc = sh.doc_id
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS novelty
+        FROM sh JOIN first USING (sh)
+        GROUP BY sh.doc_id
+    """
+    d["sessionization_curve"] = """
+        WITH g AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT)
+                 - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS gap
+          FROM events
+        ),
+        a AS (
+          SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                 CAST(sum(CASE WHEN gap > 300 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS b5,
+                 CAST(sum(CASE WHEN gap > 900 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS b15,
+                 CAST(sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS b30,
+                 CAST(sum(CASE WHEN gap > 3600 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS b60
+          FROM g
+        )
+        SELECT CAST(5 AS BIGINT) AS timeout_min, n_users,
+               CAST(b5 + n_users AS BIGINT) AS n_sessions FROM a
+        UNION ALL
+        SELECT 15, n_users, CAST(b15 + n_users AS BIGINT) FROM a
+        UNION ALL
+        SELECT 30, n_users, CAST(b30 + n_users AS BIGINT) FROM a
+        UNION ALL
+        SELECT 60, n_users, CAST(b60 + n_users AS BIGINT) FROM a
+    """
+    d["texttile"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        occ AS (
+          SELECT doc_id, CAST(i // 10 AS BIGINT) AS blk,
+                 toks[i + 1] AS token
+          FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i
+                FROM t)
+        ),
+        tf AS (SELECT doc_id, blk, token,
+                      CAST(count(*) AS BIGINT) AS tf
+               FROM occ GROUP BY 1, 2, 3),
+        norms AS (SELECT doc_id, blk,
+                         CAST(sum(tf * tf) AS BIGINT) AS nsq
+                  FROM tf GROUP BY 1, 2),
+        gaps AS (
+          SELECT a.doc_id, a.blk AS gap, a.nsq AS na, b.nsq AS nb
+          FROM norms a
+          JOIN norms b ON b.doc_id = a.doc_id AND b.blk = a.blk + 1
+        ),
+        dots AS (
+          SELECT a.doc_id, a.blk AS gap,
+                 CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+          FROM tf a
+          JOIN tf b ON b.doc_id = a.doc_id AND b.blk = a.blk + 1
+                   AND b.token = a.token
+          GROUP BY 1, 2
+        )
+        SELECT g.doc_id, g.gap,
+               CAST(coalesce(d2.dot, 0) AS BIGINT) AS dot,
+               g.na, g.nb,
+               round(CAST(coalesce(d2.dot, 0) AS DOUBLE)
+                     / sqrt(CAST(g.na * g.nb AS DOUBLE)), 6)
+                 AS cohesion,
+               4 * coalesce(d2.dot, 0) * coalesce(d2.dot, 0)
+                 < g.na * g.nb AS is_boundary
+        FROM gaps g LEFT JOIN dots d2 USING (doc_id, gap)
     """
     return d

@@ -168,3 +168,98 @@ def kwic_windows(
         F.col("token").alias("term"),
         right.alias("right_ctx"),
     )
+
+
+def texttile_boundaries(
+    toks: DataFrame,
+    id_col: str = "doc_id",
+    toks_col: str = "toks",
+    block: int = 10,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """TextTiling-style topic-shift segmentation (Hearst 1997,
+    block-comparison variant): split each document into consecutive
+    ``block``-token blocks and score every inter-block gap by the
+    cosine of the adjacent blocks' integer term-frequency vectors; a
+    gap is a BOUNDARY when cohesion < threshold.
+
+    Exactness: tf vectors are integer, so dot and the two squared
+    norms are exact longs and the boundary decision is the
+    cross-multiplied integer comparison
+
+        den²·dot² < num²·‖a‖²·‖b‖²      (dot ≥ 0)
+
+    — no float threshold anywhere; the reported cohesion is one
+    identical IEEE chain.  Plan: one posexplode, one tf agg, one
+    adjacent-block equi-join on (id, block+1, token), one norm
+    join-back — all keyed on the document, no window, no cross join.
+
+    Output: (id_col, gap, dot, na, nb, cohesion, is_boundary) with
+    ``gap`` the left block index."""
+    if block < 1 or threshold_num < 0 or threshold_den <= 0:
+        raise ValueError("need block >= 1 and threshold >= 0")
+    occ = toks.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(toks_col)).alias("pos", "token"),
+    ).select(
+        "_id",
+        F.expr(f"pos div {block}").cast("long").alias("blk"),
+        "token",
+    )
+    tf = occ.groupBy("_id", "blk", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    norms = tf.groupBy("_id", "blk").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("nsq")
+    )
+    gaps = (
+        norms.select("_id", F.col("blk").alias("gap"),
+                     F.col("nsq").alias("na"))
+        .join(
+            norms.select(
+                "_id",
+                (F.col("blk") - 1).alias("gap"),
+                F.col("nsq").alias("nb"),
+            ),
+            ["_id", "gap"],
+        )
+    )
+    dots = (
+        tf.select("_id", F.col("blk").alias("gap"), "token",
+                  F.col("tf").alias("ta"))
+        .join(
+            tf.select(
+                "_id",
+                (F.col("blk") - 1).alias("gap"),
+                "token",
+                F.col("tf").alias("tb"),
+            ),
+            ["_id", "gap", "token"],
+        )
+        .groupBy("_id", "gap")
+        .agg(F.sum(F.col("ta") * F.col("tb")).cast("long").alias("dot"))
+    )
+    j = gaps.join(dots, ["_id", "gap"], "left").select(
+        "_id", "gap", "na", "nb",
+        F.coalesce("dot", F.lit(0)).cast("long").alias("dot"),
+    )
+    tn2 = threshold_num * threshold_num
+    td2 = threshold_den * threshold_den
+    is_b = (
+        F.lit(td2) * F.col("dot") * F.col("dot")
+        < F.lit(tn2) * F.col("na") * F.col("nb")
+    )
+    return j.select(
+        F.col("_id").alias(id_col),
+        "gap",
+        "dot",
+        "na",
+        "nb",
+        F.round(
+            F.col("dot").cast("double")
+            / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
+            6,
+        ).alias("cohesion"),
+        is_b.alias("is_boundary"),
+    )

@@ -114,3 +114,42 @@ def test_kwic_windows(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_texttile_boundaries_hand_doc(spark):
+    """Two topical halves with disjoint vocab: the mid gap is a
+    boundary (cohesion 0), intra-topic gaps are not; values match a
+    python twin."""
+    import math
+    from collections import Counter
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from deepie_spark.operators.keywords import texttile_boundaries
+
+    topic1 = "cat dog cat bird dog cat cat bird dog cat".split()
+    topic2 = "join scan hash join scan join hash scan join join".split()
+    doc = topic1 + topic1 + topic2 + topic2   # blocks 0,1 | 2,3
+    toks = spark.createDataFrame([(1, doc)], ["doc_id", "toks"])
+    out = {
+        r.gap: r
+        for r in texttile_boundaries(toks, block=10).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    blocks = [doc[i * 10:(i + 1) * 10] for i in range(4)]
+    for g in range(3):
+        ca, cb = Counter(blocks[g]), Counter(blocks[g + 1])
+        dot = sum(ca[t] * cb[t] for t in ca)
+        na = sum(v * v for v in ca.values())
+        nb = sum(v * v for v in cb.values())
+        r = out[g]
+        assert (r.dot, r.na, r.nb) == (dot, na, nb)
+        assert r.cohesion == round(dot / math.sqrt(na * nb), 6)
+        assert r.is_boundary == (4 * dot * dot < na * nb)
+    assert out[1].is_boundary and out[1].cohesion == 0.0
+    assert not out[0].is_boundary and not out[2].is_boundary
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        texttile_boundaries(toks, block=0)
