@@ -9909,6 +9909,55 @@ def q_texttile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return texttile_boundaries(_toks(spark, sf_dir), block=10)
 
 
+def q_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out next-event-prediction accuracy of the bigram Markov
+    model: train argmax transitions on even users, score top-1
+    predictions on odd users — the sequence-model eval beside
+    event_transitions/event_viterbi.  Argmax via min(struct(−n,
+    next)) partial agg (count-desc, lexicographic tie-break), exact
+    counts, one broadcast model join."""
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = e.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev"),
+        F.col("event_type").alias("cur"),
+    ).filter(F.col("prev").isNotNull())
+    train = (
+        trans.filter(F.col("user_id") % 2 == 0)
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    model = train.groupBy("prev").agg(
+        F.min(F.struct((-F.col("n")).alias("nn"), F.col("cur")))[
+            "cur"
+        ].alias("pred")
+    )
+    ev = trans.filter(F.col("user_id") % 2 == 1).join(
+        F.broadcast(model), "prev"
+    )
+    return (
+        ev.groupBy("prev", "pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum(F.when(F.col("cur") == F.col("pred"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "prev",
+            "pred",
+            "n_eval",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double")
+                / F.col("n_eval").cast("double"),
+                6,
+            ).alias("accuracy"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -10293,6 +10342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_novelty": q_doc_novelty,
         "sessionization_curve": q_sessionization_curve,
         "texttile": q_texttile,
+        "markov_accuracy": q_markov_accuracy,
     }
 
 
@@ -20281,5 +20331,31 @@ def oracle_sql() -> dict[str, str]:
                4 * coalesce(d2.dot, 0) * coalesce(d2.dot, 0)
                  < g.na * g.nb AS is_boundary
         FROM gaps g LEFT JOIN dots d2 USING (doc_id, gap)
+    """
+    d["markov_accuracy"] = """
+        WITH trans AS (
+          SELECT user_id,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev,
+                 event_type AS cur
+          FROM events
+        ),
+        t2 AS (SELECT * FROM trans WHERE prev IS NOT NULL),
+        train AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS n
+                  FROM t2 WHERE user_id % 2 = 0 GROUP BY 1, 2),
+        model AS (SELECT prev,
+                         (min(struct_pack(nn := -n, cur := cur))).cur
+                           AS pred
+                  FROM train GROUP BY 1)
+        SELECT prev, pred,
+               CAST(count(*) AS BIGINT) AS n_eval,
+               CAST(sum(CASE WHEN cur = pred THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct,
+               round(CAST(sum(CASE WHEN cur = pred THEN 1 ELSE 0 END)
+                          AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                 AS accuracy
+        FROM t2 JOIN model USING (prev)
+        WHERE user_id % 2 = 1
+        GROUP BY 1, 2
     """
     return d
