@@ -9958,6 +9958,20 @@ def q_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted hub-removal robustness of the rule-triple graph
+    (operators/graph.py attack_robustness): GCC size/share after
+    removing the 0/1/2/4 highest-degree entities — min-label CC to
+    the true fixpoint per leg; oracle = per-leg recursive
+    reachability closure."""
+    from deepie_spark.operators.graph import attack_robustness
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return attack_robustness(t)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -10343,6 +10357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization_curve": q_sessionization_curve,
         "texttile": q_texttile,
         "markov_accuracy": q_markov_accuracy,
+        "graph_robustness": q_graph_robustness,
     }
 
 
@@ -20357,5 +20372,141 @@ def oracle_sql() -> dict[str, str]:
         FROM t2 JOIN model USING (prev)
         WHERE user_id % 2 = 1
         GROUP BY 1, 2
+    """
+    d["graph_robustness"] = f"""
+        WITH {_MENTIONS_SQL.strip()},
+        {_TRIPLE_EDGES_SQL.strip()},
+        deg AS (SELECT n AS node, CAST(count(*) AS BIGINT) AS deg
+                FROM (SELECT a AS n FROM und
+                      UNION ALL SELECT b FROM und) GROUP BY 1),
+        hubs AS (SELECT node,
+                        row_number() OVER (ORDER BY deg DESC, node)
+                          AS rk
+                 FROM deg)
+
+        SELECT CAST(0 AS BIGINT) AS k_removed,
+               leg0.n_nodes_left, leg0.n_edges_left,
+               leg0.gcc_size,
+               round(CAST(leg0.gcc_size AS DOUBLE)
+                     / CAST((SELECT count(*) FROM deg) AS DOUBLE), 6)
+                 AS gcc_share
+        FROM (
+          WITH ek AS (
+            SELECT a, b FROM und
+            WHERE a NOT IN (SELECT node FROM hubs WHERE rk <= 0)
+              AND b NOT IN (SELECT node FROM hubs WHERE rk <= 0)
+          ),
+          sym AS (SELECT a AS x, b AS y FROM ek
+                  UNION SELECT b, a FROM ek),
+          nodes AS (SELECT DISTINCT x AS node FROM sym),
+          reach AS (
+            WITH RECURSIVE r(n2, l) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT s.x, r.l FROM sym s JOIN r ON r.n2 = s.y
+            )
+            SELECT n2, min(l) AS component FROM r GROUP BY 1
+          ),
+          sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS sz
+                    FROM reach GROUP BY 1)
+          SELECT CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_nodes_left,
+                 CAST((SELECT count(*) FROM ek) AS BIGINT)
+                   AS n_edges_left,
+                 CAST(coalesce(max(sz), 0) AS BIGINT) AS gcc_size
+          FROM sizes
+        ) leg0\n        UNION ALL\n
+        SELECT CAST(1 AS BIGINT) AS k_removed,
+               leg1.n_nodes_left, leg1.n_edges_left,
+               leg1.gcc_size,
+               round(CAST(leg1.gcc_size AS DOUBLE)
+                     / CAST((SELECT count(*) FROM deg) AS DOUBLE), 6)
+                 AS gcc_share
+        FROM (
+          WITH ek AS (
+            SELECT a, b FROM und
+            WHERE a NOT IN (SELECT node FROM hubs WHERE rk <= 1)
+              AND b NOT IN (SELECT node FROM hubs WHERE rk <= 1)
+          ),
+          sym AS (SELECT a AS x, b AS y FROM ek
+                  UNION SELECT b, a FROM ek),
+          nodes AS (SELECT DISTINCT x AS node FROM sym),
+          reach AS (
+            WITH RECURSIVE r(n2, l) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT s.x, r.l FROM sym s JOIN r ON r.n2 = s.y
+            )
+            SELECT n2, min(l) AS component FROM r GROUP BY 1
+          ),
+          sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS sz
+                    FROM reach GROUP BY 1)
+          SELECT CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_nodes_left,
+                 CAST((SELECT count(*) FROM ek) AS BIGINT)
+                   AS n_edges_left,
+                 CAST(coalesce(max(sz), 0) AS BIGINT) AS gcc_size
+          FROM sizes
+        ) leg1\n        UNION ALL\n
+        SELECT CAST(2 AS BIGINT) AS k_removed,
+               leg2.n_nodes_left, leg2.n_edges_left,
+               leg2.gcc_size,
+               round(CAST(leg2.gcc_size AS DOUBLE)
+                     / CAST((SELECT count(*) FROM deg) AS DOUBLE), 6)
+                 AS gcc_share
+        FROM (
+          WITH ek AS (
+            SELECT a, b FROM und
+            WHERE a NOT IN (SELECT node FROM hubs WHERE rk <= 2)
+              AND b NOT IN (SELECT node FROM hubs WHERE rk <= 2)
+          ),
+          sym AS (SELECT a AS x, b AS y FROM ek
+                  UNION SELECT b, a FROM ek),
+          nodes AS (SELECT DISTINCT x AS node FROM sym),
+          reach AS (
+            WITH RECURSIVE r(n2, l) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT s.x, r.l FROM sym s JOIN r ON r.n2 = s.y
+            )
+            SELECT n2, min(l) AS component FROM r GROUP BY 1
+          ),
+          sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS sz
+                    FROM reach GROUP BY 1)
+          SELECT CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_nodes_left,
+                 CAST((SELECT count(*) FROM ek) AS BIGINT)
+                   AS n_edges_left,
+                 CAST(coalesce(max(sz), 0) AS BIGINT) AS gcc_size
+          FROM sizes
+        ) leg2\n        UNION ALL\n
+        SELECT CAST(4 AS BIGINT) AS k_removed,
+               leg4.n_nodes_left, leg4.n_edges_left,
+               leg4.gcc_size,
+               round(CAST(leg4.gcc_size AS DOUBLE)
+                     / CAST((SELECT count(*) FROM deg) AS DOUBLE), 6)
+                 AS gcc_share
+        FROM (
+          WITH ek AS (
+            SELECT a, b FROM und
+            WHERE a NOT IN (SELECT node FROM hubs WHERE rk <= 4)
+              AND b NOT IN (SELECT node FROM hubs WHERE rk <= 4)
+          ),
+          sym AS (SELECT a AS x, b AS y FROM ek
+                  UNION SELECT b, a FROM ek),
+          nodes AS (SELECT DISTINCT x AS node FROM sym),
+          reach AS (
+            WITH RECURSIVE r(n2, l) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT s.x, r.l FROM sym s JOIN r ON r.n2 = s.y
+            )
+            SELECT n2, min(l) AS component FROM r GROUP BY 1
+          ),
+          sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS sz
+                    FROM reach GROUP BY 1)
+          SELECT CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_nodes_left,
+                 CAST((SELECT count(*) FROM ek) AS BIGINT)
+                   AS n_edges_left,
+                 CAST(coalesce(max(sz), 0) AS BIGINT) AS gcc_size
+          FROM sizes
+        ) leg4
     """
     return d

@@ -3654,3 +3654,131 @@ def kclique_communities3(
         F.explode(F.split(F.col("k"), "\\|")).alias("entity"),
     ).distinct()
     return parts
+
+
+def _min_label_cc(
+    und: DataFrame, max_rounds: int = 30
+) -> DataFrame:
+    """(node, component) over an undirected canonical edge set by
+    min-label propagation to the TRUE fixpoint (exceptAll check,
+    ``max_rounds`` backstop ≥ diameter) — component = smallest member
+    label, deterministic for any orderable node type (the cc.py
+    star-contraction twin for non-integer labels)."""
+    sym = und.select(
+        F.col("a").alias("x"), F.col("b").alias("y")
+    ).unionByName(
+        und.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    labels = (
+        sym.select(F.col("x").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        nbr = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("y"), "component"
+                ),
+                "y",
+            )
+            .groupBy(F.col("x").alias("node"))
+            .agg(F.min("component").alias("nbr_c"))
+        )
+        nxt = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_c", F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        if nxt.exceptAll(labels).isEmpty():
+            return nxt
+        labels = nxt
+    return labels
+
+
+def attack_robustness(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    ks: tuple = (0, 1, 2, 4),
+) -> DataFrame:
+    """Targeted-attack robustness curve (Albert, Jeong & Barabási
+    2000): remove the k highest-degree hubs ((deg desc, node)
+    deterministic order) and report the surviving giant component —
+    the KG-resilience audit that separates hub-and-spoke extraction
+    artifacts (GCC collapses at k = 1) from genuinely dense graphs.
+
+    Per leg: filter the canonical edge set, min-label CC to the true
+    fixpoint, one max-size agg.  The hub list is a bounded-k driver
+    collect (the rake stoplist rule); gcc_share is against the
+    ORIGINAL node count so legs are comparable.
+
+    Output: (k_removed, n_nodes_left, n_edges_left, gcc_size,
+    gcc_share)."""
+    und = _canonical_edges(edges, src, dst).localCheckpoint()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    n0 = deg.count()
+    kmax = max(ks)
+    hubs = [
+        r.node
+        for r in deg.orderBy(F.desc("deg"), "node").limit(kmax).collect()
+    ]
+    spark = edges.sparkSession
+    legs = []
+    for k in sorted(ks):
+        rm = hubs[:k]
+        ek = und.filter(
+            ~F.col("a").isin(rm) & ~F.col("b").isin(rm)
+        ) if rm else und
+        cc = _min_label_cc(ek)
+        sizes = cc.groupBy("component").agg(
+            F.count(F.lit(1)).cast("long").alias("sz")
+        )
+        leg = (
+            sizes.agg(
+                F.count(F.lit(1)).cast("long").alias("n_components"),
+                F.sum("sz").cast("long").alias("n_nodes_left"),
+                F.max("sz").cast("long").alias("gcc_size"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    ek.agg(
+                        F.count(F.lit(1)).cast("long").alias(
+                            "n_edges_left"
+                        )
+                    )
+                )
+            )
+            .select(
+                F.lit(k).cast("long").alias("k_removed"),
+                F.coalesce("n_nodes_left", F.lit(0))
+                .cast("long")
+                .alias("n_nodes_left"),
+                "n_edges_left",
+                F.coalesce("gcc_size", F.lit(0))
+                .cast("long")
+                .alias("gcc_size"),
+                F.round(
+                    F.coalesce("gcc_size", F.lit(0)).cast("double")
+                    / F.lit(float(n0)),
+                    6,
+                ).alias("gcc_share"),
+            )
+        )
+        legs.append(leg)
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

@@ -2308,3 +2308,25 @@ def test_kclique_communities3_overlap_semantics(spark):
     assert all("g" not in m for m in comm.values())
     # labels are the lexicographically-smallest member edge key
     assert set(comm) == {"a|b", "d|e"}
+
+
+def test_attack_robustness_star_collapse(spark):
+    """A star collapses at k=1; a ring survives hub removal."""
+    from deepie_spark.operators.graph import attack_robustness
+
+    # star 0-(1..6) plus ring 10-11-12-13-10
+    edges = [(0, i) for i in range(1, 7)] + [
+        (10, 11), (11, 12), (12, 13), (13, 10),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r.k_removed: r for r in attack_robustness(df).collect()}
+    n0 = 11
+    assert out[0].gcc_size == 7 and out[0].n_edges_left == 10
+    assert out[0].gcc_share == round(7 / n0, 6)
+    # hub 0 (deg 6) removed: star leaves become isolated (drop out of
+    # the edge set); ring (4 nodes) is now the giant component
+    assert out[1].gcc_size == 4
+    assert out[1].n_nodes_left == 4 and out[1].n_edges_left == 4
+    # k=2 removes a ring node too (deg 2, smallest id 10): path of 3
+    assert out[2].gcc_size == 3 and out[2].n_edges_left == 2
+    assert out[4].gcc_size <= out[2].gcc_size <= out[1].gcc_size
