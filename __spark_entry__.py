@@ -9972,6 +9972,74 @@ def q_graph_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attack_robustness(t)
 
 
+def q_mink_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-K% prob membership/contamination signal (Shi et al. 2024):
+    per document, the mean of the 20% LOWEST bigram log-probabilities
+    under the corpus LM — memorized/leaked text scores high because
+    even its rarest spans are unsurprising.  Logprobs are the
+    doc_perplexity chain (identical doubles), floor-quantized at 2²⁰
+    into exact longs so the per-doc bottom-k sum is order-free; ties
+    at the cut share one value, so the selected MULTISET — and the
+    sum — is deterministic under any row order.  The only window is
+    doc-keyed."""
+    t = _toks(spark, sf_dir).filter(F.size("toks") >= 2)
+    bigs = F.expr(
+        "transform(slice(toks, 1, size(toks) - 1),"
+        " (x, i) -> struct(x AS w1, concat(x, ' ', toks[i + 1]) AS big))"
+    )
+    bg = t.select("doc_id", F.explode(bigs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.big").alias("big")
+    )
+    cbg = bg.groupBy("big").agg(F.count("*").alias("c_bg"))
+    cw = bg.groupBy("w1").agg(F.count("*").alias("c_w"))
+    v1 = bg.agg(F.countDistinct("w1").cast("double").alias("v"))
+    scored = (
+        bg.join(cbg, "big")
+        .join(cw, "w1")
+        .crossJoin(F.broadcast(v1))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    (F.col("c_bg") + 1.0) / (F.col("c_w") + F.col("v"))
+                )
+                * F.lit(1048576.0)
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy("q")
+    ranked = scored.select(
+        "doc_id",
+        "q",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("n"),
+    )
+    sel = ranked.filter(
+        F.col("rn") <= F.expr("(n + 4) div 5")
+    )
+    return (
+        sel.groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_bigrams"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum("q").cast("long").alias("mink_fp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "k",
+            "mink_fp",
+            F.round(
+                F.col("mink_fp").cast("double")
+                / (F.col("k") * F.lit(1048576)).cast("double"),
+                6,
+            ).alias("mink_score"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -10358,6 +10426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "texttile": q_texttile,
         "markov_accuracy": q_markov_accuracy,
         "graph_robustness": q_graph_robustness,
+        "mink_prob": q_mink_prob,
     }
 
 
@@ -20508,5 +20577,31 @@ def oracle_sql() -> dict[str, str]:
                  CAST(coalesce(max(sz), 0) AS BIGINT) AS gcc_size
           FROM sizes
         ) leg4
+    """
+    # mink_prob shares the doc_perplexity CTE prefix (string surgery)
+    _ppl_prefix = d["doc_perplexity"].rsplit("SELECT", 1)[0]
+    d["mink_prob"] = f"""
+        {_ppl_prefix}
+        , qs AS (
+          SELECT doc_id,
+                 CAST(floor(lp * 1048576.0) AS BIGINT) AS q
+          FROM scored
+        ),
+        rk AS (
+          SELECT doc_id, q,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY q)
+                   AS rn,
+                 count(*) OVER (PARTITION BY doc_id) AS n
+          FROM qs
+        )
+        SELECT doc_id,
+               CAST(max(n) AS BIGINT) AS n_bigrams,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(q) AS BIGINT) AS mink_fp,
+               round(CAST(sum(q) AS DOUBLE)
+                     / CAST(count(*) * 1048576 AS DOUBLE), 6)
+                 AS mink_score
+        FROM rk WHERE rn <= (n + 4) // 5
+        GROUP BY doc_id
     """
     return d
