@@ -10040,6 +10040,93 @@ def q_mink_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln–Petersen / Chapman capture-recapture estimate of total
+    vocabulary size from two independent "captures" (the even-doc and
+    odd-doc halves): N̂ = n₁·n₂/m and the bias-corrected Chapman
+    (n₁+1)(n₂+1)/(m+1) − 1, against the true type count — the
+    mark-recapture sibling of vocab_chao1.  Exact-long counts, one
+    divide each."""
+    occ = _toks(spark, sf_dir).select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode("toks").alias("token"),
+    )
+    seen = occ.select("half", "token").distinct()
+    g = seen.agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    m = (
+        seen.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("m"),
+            F.count(F.lit(1)).cast("long").alias("true_types"),
+        )
+    )
+    j = g.crossJoin(F.broadcast(m))
+    lp = F.col("n1") * F.col("n2")
+    ch = (F.col("n1") + 1) * (F.col("n2") + 1)
+    return j.select(
+        "n1",
+        "n2",
+        "m",
+        "true_types",
+        F.when(
+            F.col("m") > 0,
+            F.round(lp.cast("double") / F.col("m").cast("double"), 6),
+        ).alias("lincoln_petersen"),
+        F.round(
+            ch.cast("double") / (F.col("m") + 1).cast("double")
+            - F.lit(1.0),
+            6,
+        ).alias("chapman"),
+    )
+
+
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard load audit under 8-way portable hash sharding of
+    events by user_id (the poly-hash shard key — xxhash64 stays
+    partition-only per the hashing convention): row count per shard,
+    plus the imbalance ratio max·k/total as one exact-derived divide
+    — the pre-flight check before committing a partition count."""
+    from deepie_spark.functions.text import char_poly_hash
+
+    k = 8
+    e = _events(spark, sf_dir).select(
+        (char_poly_hash(F.col("user_id").cast("string")) % k).alias(
+            "shard"
+        )
+    )
+    per = e.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    tot = per.agg(
+        F.sum("n_rows").cast("long").alias("total"),
+        F.max("n_rows").cast("long").alias("mx"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_rows",
+        F.round(
+            (F.col("n_rows") * F.lit(k)).cast("double")
+            / F.col("total").cast("double"),
+            6,
+        ).alias("load_factor"),
+        F.round(
+            (F.col("mx") * F.lit(k)).cast("double")
+            / F.col("total").cast("double"),
+            6,
+        ).alias("imbalance"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -10427,6 +10514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_accuracy": q_markov_accuracy,
         "graph_robustness": q_graph_robustness,
         "mink_prob": q_mink_prob,
+        "vocab_capture": q_vocab_capture,
+        "shard_balance": q_shard_balance,
     }
 
 
@@ -20603,5 +20692,49 @@ def oracle_sql() -> dict[str, str]:
                  AS mink_score
         FROM rk WHERE rn <= (n + 4) // 5
         GROUP BY doc_id
+    """
+    d["vocab_capture"] = f"""
+        WITH seen AS (
+          SELECT DISTINCT doc_id % 2 AS half, t.token
+          FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS token
+                FROM documents) t
+        ),
+        g AS (SELECT
+                CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n1,
+                CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n2
+              FROM seen),
+        mm AS (SELECT
+                 CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS m,
+                 CAST(count(*) AS BIGINT) AS true_types
+               FROM (SELECT token, count(*) AS c
+                     FROM seen GROUP BY 1))
+        SELECT n1, n2, m, true_types,
+               CASE WHEN m > 0 THEN
+                 round(CAST(n1 * n2 AS DOUBLE) / CAST(m AS DOUBLE), 6)
+               END AS lincoln_petersen,
+               round(CAST((n1 + 1) * (n2 + 1) AS DOUBLE)
+                     / CAST(m + 1 AS DOUBLE) - 1.0, 6) AS chapman
+        FROM g CROSS JOIN mm
+    """
+    d["shard_balance"] = f"""
+        WITH e AS (
+          SELECT {_poly_hash_sql("CAST(user_id AS VARCHAR)")} % 8
+                   AS shard
+          FROM events
+        ),
+        per AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_rows
+                FROM e GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+                       CAST(max(n_rows) AS BIGINT) AS mx
+                FROM per)
+        SELECT shard, n_rows,
+               round(CAST(n_rows * 8 AS DOUBLE)
+                     / CAST(total AS DOUBLE), 6) AS load_factor,
+               round(CAST(mx * 8 AS DOUBLE)
+                     / CAST(total AS DOUBLE), 6) AS imbalance
+        FROM per CROSS JOIN tot
     """
     return d
