@@ -10127,6 +10127,99 @@ def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-subgraph motif census of the rule-triple graph
+    (operators/graph.py motif_census): wedges / 3-stars / triangles /
+    3-paths / 4-cycles, all exact longs — the closed-form degree
+    identities (Σ C(d,2), Σ C(d,3), P₄ = Σ(d_a−1)(d_b−1) − 3T) plus
+    the degree-ordered triangle join and the codegree C₄ pair sum
+    (each cycle counted twice, once per diagonal, so DIV 4 is exact).
+    The oracle re-derives every count from the naive formulations."""
+    from deepie_spark.operators.graph import motif_census
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return motif_census(t)
+
+
+def q_value_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's homogeneity-of-variance test of event value (cents)
+    across the k event types (operators/stats.py bartlett_test) — the
+    normal-theory sibling of value_levene's Brown-Forsythe: every ln
+    rides difference-of-integer-logs (num/den exact longs from the
+    group moments), group sums ride fixed-point longs, Σ1/(n_g−1) is
+    a pure integer DIV — M, C and B = M/C one identical IEEE chain."""
+    from deepie_spark.operators.stats import bartlett_test
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return bartlett_test(e, "event_type", "cents")
+
+
+def _survival_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user (duration, event) rows — the user_survival_km cohort
+    (first→last event day, right-censored at the corpus max day),
+    plus the user's conversion flag for the two-sample tests."""
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+    )
+    pu = e.groupBy("user_id").agg(
+        F.min("day").alias("f"),
+        F.max("day").alias("l"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    mx = pu.agg(F.max("l").alias("maxd"))
+    return pu.crossJoin(F.broadcast(mx)).select(
+        F.datediff("l", "f").cast("long").alias("dur"),
+        F.when(F.col("l") < F.col("maxd"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ev"),
+        F.when(F.col("conv") == 1, F.lit("buyer"))
+        .otherwise(F.lit("browser"))
+        .alias("grp"),
+    )
+
+
+def q_user_survival_na(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over the user-lifetime cohort
+    (operators/stats.py nelson_aalen) — the hazard-scale companion to
+    user_survival_km on the SAME risk sets: per-step d/n and Aalen
+    variance d/n² as fixed-point exact longs, cumulated via
+    prefix_sum_in_order (no single-partition window)."""
+    from deepie_spark.operators.stats import nelson_aalen
+
+    return nelson_aalen(
+        _survival_durations(spark, sf_dir), "dur", "ev"
+    )
+
+
+def q_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test of user lifetime between converting
+    (≥1 purchase) and non-converting users (operators/stats.py
+    logrank_test): per-pooled-death-time O−E and hypergeometric V as
+    fixed-point exact-long sums over the shared zero-filled time
+    grid, z on exact-derived doubles — the survival-curve comparison
+    completing the KM/NA family."""
+    from deepie_spark.operators.stats import logrank_test
+
+    return logrank_test(
+        _survival_durations(spark, sf_dir),
+        "grp",
+        "dur",
+        "ev",
+        "buyer",
+        "browser",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -10516,6 +10609,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mink_prob": q_mink_prob,
         "vocab_capture": q_vocab_capture,
         "shard_balance": q_shard_balance,
+        "graph_motifs": q_graph_motifs,
+        "value_bartlett": q_value_bartlett,
+        "user_survival_na": q_user_survival_na,
+        "survival_logrank": q_survival_logrank,
     }
 
 
@@ -20736,5 +20833,190 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(mx * 8 AS DOUBLE)
                      / CAST(total AS DOUBLE), 6) AS imbalance
         FROM per CROSS JOIN tot
+    """
+    # graph_motifs twin: every count from the NAIVE formulation —
+    # a<b<c triangle join, full codegree pair table — against the
+    # Spark side's degree-ordered orientation and closed forms.
+    d["graph_motifs"] = f"""
+        WITH {_MENTIONS_SQL.strip()},
+        {_TRIPLE_EDGES_SQL.strip()},
+        deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+                  SELECT a AS n FROM und
+                  UNION ALL SELECT b FROM und) GROUP BY n),
+        base AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                        CAST(sum(deg * (deg - 1) // 2) AS BIGINT)
+                          AS wedges,
+                        CAST(sum(deg * (deg - 1) * (deg - 2) // 6)
+                          AS BIGINT) AS stars3
+                 FROM deg),
+        tri AS (SELECT CAST(count(*) AS BIGINT) AS triangles
+                FROM und e1
+                JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+        ep AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                      CAST(sum((da.deg - 1) * (db.deg - 1)) AS BIGINT)
+                        AS dps
+               FROM und JOIN deg da ON da.n = und.a
+                        JOIN deg db ON db.n = und.b),
+        adj AS (SELECT a AS n, b AS nb FROM und
+                UNION ALL SELECT b, a FROM und),
+        cd AS (SELECT x.nb AS p, y.nb AS q,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM adj x JOIN adj y ON x.n = y.n AND x.nb < y.nb
+               GROUP BY 1, 2),
+        c4 AS (SELECT CAST(coalesce(sum(c * (c - 1)), 0) // 4
+                 AS BIGINT) AS cycles4 FROM cd)
+        SELECT n_nodes, n_edges, wedges, stars3, triangles,
+               CAST(dps - 3 * triangles AS BIGINT) AS paths3, cycles4
+        FROM base CROSS JOIN tri CROSS JOIN ep CROSS JOIN c4
+    """
+    # value_bartlett twin: difference-of-integer-logs for every ln,
+    # the same fixed-point group sums and integer-DIV reciprocal sum,
+    # the identical M / C / B IEEE chains.
+    d["value_bartlett"] = """
+        WITH v AS (SELECT event_type AS g,
+                          CAST(round(value * 100) AS BIGINT) AS x
+                   FROM events),
+        g AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+                     CAST(sum(x) AS BIGINT) AS s_g,
+                     CAST(sum(x * x) AS BIGINT) AS q_g
+              FROM v GROUP BY 1),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                     CAST(sum(n_g) AS BIGINT) AS n,
+                     CAST(sum(CAST(floor(
+                       (CAST(n_g - 1 AS DOUBLE)
+                        * (ln(CAST(n_g * q_g - s_g * s_g AS DOUBLE))
+                           - ln(CAST(n_g * (n_g - 1) AS DOUBLE))))
+                       * 1048576.0) AS BIGINT)) AS BIGINT)
+                       AS sum_term_fp,
+                     CAST(sum(CAST(floor(
+                       CAST(n_g * q_g - s_g * s_g AS DOUBLE)
+                       / CAST(n_g AS DOUBLE) * 1048576.0) AS BIGINT))
+                       AS BIGINT) AS ssw_fp,
+                     CAST(sum(1048576 // (n_g - 1)) AS BIGINT)
+                       AS inv_fp
+              FROM g WHERE n_g >= 2)
+        SELECT k, n, ssw_fp, sum_term_fp, inv_fp,
+          CASE WHEN k > 1 AND n - k > 0 AND ssw_fp > 0 THEN
+            round(CAST(n - k AS DOUBLE)
+                  * (ln(CAST(ssw_fp AS DOUBLE))
+                     - ln(CAST((n - k) * 1048576 AS DOUBLE)))
+                  - sum_term_fp / 1048576.0, 6)
+          END AS m_stat,
+          round(1.0 + (inv_fp / 1048576.0
+                       - 1.0 / CAST(n - k AS DOUBLE))
+                      / (3.0 * CAST(k - 1 AS DOUBLE)), 6) AS c_factor,
+          CASE WHEN k > 1 AND n - k > 0 AND ssw_fp > 0 THEN
+            round((CAST(n - k AS DOUBLE)
+                   * (ln(CAST(ssw_fp AS DOUBLE))
+                      - ln(CAST((n - k) * 1048576 AS DOUBLE)))
+                   - sum_term_fp / 1048576.0)
+                  / (1.0 + (inv_fp / 1048576.0
+                            - 1.0 / CAST(n - k AS DOUBLE))
+                           / (3.0 * CAST(k - 1 AS DOUBLE))), 6)
+          END AS bartlett
+        FROM a
+    """
+    # user_survival_na twin: the user_survival_km risk-set CTEs with
+    # hazard/variance fixed-point terms instead of ln-survival.
+    d["user_survival_na"] = """
+        WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day
+                   FROM events),
+        pu AS (SELECT user_id, min(day) AS f, max(day) AS l
+               FROM e GROUP BY 1),
+        mx AS (SELECT max(l) AS maxd FROM pu),
+        du AS (SELECT CAST(l - f AS BIGINT) AS t,
+                      CASE WHEN l < maxd THEN 1 ELSE 0 END AS ev
+               FROM pu, mx),
+        pt AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+                      CAST(count(*) AS BIGINT) AS m
+               FROM du GROUP BY 1),
+        tot AS (SELECT CAST(sum(m) AS BIGINT) AS nn FROM pt),
+        cm AS (SELECT t, d, m,
+                      CAST(sum(m) OVER (ORDER BY t) AS BIGINT) AS cum
+               FROM pt),
+        rk AS (SELECT t, d,
+                      CAST(nn - (cum - m) AS BIGINT) AS n_risk
+               FROM cm, tot),
+        tm AS (SELECT t, n_risk, d,
+                 CAST(floor(CAST(d AS DOUBLE)
+                            / CAST(n_risk AS DOUBLE)
+                            * 1099511627776.0) AS BIGINT) AS hazard_fp,
+                 CAST(floor(CAST(d AS DOUBLE)
+                            / CAST(n_risk * n_risk AS DOUBLE)
+                            * 1099511627776.0) AS BIGINT) AS var_fp
+               FROM rk)
+        SELECT t, n_risk, d AS d_deaths, hazard_fp,
+               CAST(sum(hazard_fp) OVER (ORDER BY t) AS BIGINT)
+                 AS cum_hazard_fp,
+               CAST(sum(var_fp) OVER (ORDER BY t) AS BIGINT)
+                 AS cum_var_fp
+        FROM tm ORDER BY t
+    """
+    # survival_logrank twin: per-group cumulative at-risk over the
+    # shared zero-filled pooled grid, the same fixed-point O-E / V
+    # term chains, the same z.
+    d["survival_logrank"] = """
+        WITH e AS (SELECT user_id, event_type, CAST(ts AS DATE) AS day
+                   FROM events),
+        pu AS (SELECT user_id, min(day) AS f, max(day) AS l,
+                      max(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS conv
+               FROM e GROUP BY 1),
+        mx AS (SELECT max(l) AS maxd FROM pu),
+        du AS (SELECT CAST(l - f AS BIGINT) AS t,
+                      CASE WHEN l < maxd THEN 1 ELSE 0 END AS ev,
+                      CASE WHEN conv = 1 THEN 'buyer'
+                           ELSE 'browser' END AS g
+               FROM pu, mx),
+        per AS (SELECT g, t, CAST(sum(ev) AS BIGINT) AS d,
+                       CAST(count(*) AS BIGINT) AS m
+                FROM du GROUP BY 1, 2),
+        grid AS (SELECT DISTINCT t FROM per),
+        fa AS (SELECT grid.t, coalesce(p.d, 0) AS d_a,
+                      coalesce(p.m, 0) AS m_a
+               FROM grid LEFT JOIN
+                 (SELECT * FROM per WHERE g = 'buyer') p USING (t)),
+        ca AS (SELECT t, d_a, m_a,
+                      CAST(sum(m_a) OVER (ORDER BY t) AS BIGINT)
+                        AS cm_a FROM fa),
+        fb AS (SELECT grid.t, coalesce(p.d, 0) AS d_b,
+                      coalesce(p.m, 0) AS m_b
+               FROM grid LEFT JOIN
+                 (SELECT * FROM per WHERE g = 'browser') p USING (t)),
+        cb AS (SELECT t, d_b, m_b,
+                      CAST(sum(m_b) OVER (ORDER BY t) AS BIGINT)
+                        AS cm_b FROM fb),
+        nta AS (SELECT CAST(count(*) AS BIGINT) AS n_tot_a FROM du
+                WHERE g = 'buyer'),
+        ntb AS (SELECT CAST(count(*) AS BIGINT) AS n_tot_b FROM du
+                WHERE g = 'browser'),
+        j AS (SELECT ca.t, d_a, d_b,
+                     CAST(n_tot_a - (cm_a - m_a) AS BIGINT) AS n_a,
+                     CAST(n_tot_b - (cm_b - m_b) AS BIGINT) AS n_b
+              FROM ca JOIN cb USING (t), nta, ntb),
+        tm AS (SELECT d_a, n_a, n_b,
+                      CAST(d_a + d_b AS BIGINT) AS d,
+                      CAST(n_a + n_b AS BIGINT) AS n
+               FROM j),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n_times,
+                       CAST(sum(d_a) AS BIGINT) AS o_a,
+                       CAST(sum(CAST(floor(
+                         CAST(d * n_a AS DOUBLE) / CAST(n AS DOUBLE)
+                         * 1099511627776.0) AS BIGINT)) AS BIGINT)
+                         AS e_fp,
+                       CAST(sum(CAST(floor(
+                         CAST(d * n_a * n_b * (n - d) AS DOUBLE)
+                         / CAST(n * n * (n - 1) AS DOUBLE)
+                         * 1099511627776.0) AS BIGINT)) AS BIGINT)
+                         AS v_fp
+                FROM tm WHERE d >= 1 AND n > 1)
+        SELECT n_times, o_a, e_fp, v_fp,
+               round(e_fp / 1099511627776.0, 6) AS e_a,
+               CASE WHEN v_fp > 0 THEN
+                 round((o_a - e_fp / 1099511627776.0)
+                       / sqrt(v_fp / 1099511627776.0), 6)
+               END AS z
+        FROM agg
     """
     return d

@@ -3782,3 +3782,103 @@ def attack_robustness(
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+def motif_census(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Small-subgraph census of the undirected graph — the motif
+    signature KG-health profilers compare across extraction runs
+    (beside triangle_stats' single transitivity number): one row
+
+        (n_nodes, n_edges, wedges, stars3, triangles, paths3, cycles4)
+
+    with every count an EXACT long:
+
+    - wedges (P₃)   = Σ_v d(d−1) DIV 2          — one degree agg;
+    - stars3 (K₁,₃) = Σ_v d(d−1)(d−2) DIV 6     — same agg;
+    - triangles     — the degree-ordered oriented wedge join
+      (Θ(|E|^1.5) under skew, the triangle_stats plan);
+    - paths3 (P₄)   = Σ_{(a,b)∈E}(d_a−1)(d_b−1) − 3·triangles
+      — two degree join-backs onto the edge list, no path explosion;
+    - cycles4 (C₄)  = (Σ_{u<w} codeg(u,w)·(codeg−1)) DIV 4 — each
+      4-cycle is counted exactly twice, once per diagonal pair, and
+      the doubled pair sum is divisible by 4 in exact arithmetic.
+
+    The codegree stage generates Θ(Σ d²) wedge rows — fine on the
+    rule-triple graph, but at true web scale the C₄ stage is where
+    one switches to a Chiba-Nishizeki / butterfly-style degree
+    ordering (see bipartite_butterflies) or caps the wedge apex like
+    neighborhood_jaccard's hub guard."""
+    und = _canonical_edges(edges, src, dst).localCheckpoint()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    base = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) DIV 2")).cast("long").alias("wedges"),
+        F.sum(F.expr("deg * (deg - 1) * (deg - 2) DIV 6"))
+        .cast("long")
+        .alias("stars3"),
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    ed = und.join(da, "a").join(db, "b")
+    epairs = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum((F.col("deg_a") - 1) * (F.col("deg_b") - 1))
+        .cast("long")
+        .alias("deg_pair_sum"),
+    )
+    # triangles: orient low (deg, node) rank -> high, wedge at the apex
+    low_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).localCheckpoint()
+    w1 = oriented.select("u", F.col("v").alias("p"))
+    w2 = oriented.select("u", F.col("v").alias("q"))
+    owedges = (
+        w1.join(w2, "u")
+        .filter(F.col("p") < F.col("q"))
+        .select(F.least("p", "q").alias("a"), F.greatest("p", "q").alias("b"))
+    )
+    tri = owedges.join(und, ["a", "b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("triangles")
+    )
+    # C4 via codegrees: all wedges (any apex), endpoint pair p < q
+    adj = und.select(F.col("a").alias("n"), F.col("b").alias("nb")).unionByName(
+        und.select(F.col("b").alias("n"), F.col("a").alias("nb"))
+    )
+    x1 = adj.select(F.col("n"), F.col("nb").alias("p"))
+    x2 = adj.select(F.col("n"), F.col("nb").alias("q"))
+    codeg = (
+        x1.join(x2, "n")
+        .filter(F.col("p") < F.col("q"))
+        .groupBy("p", "q")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    c4 = codeg.agg(
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("_cc")
+    ).select(F.expr("_cc DIV 4").cast("long").alias("cycles4"))
+    return (
+        base.crossJoin(F.broadcast(epairs))
+        .crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(c4))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "wedges",
+            "stars3",
+            "triangles",
+            (
+                F.col("deg_pair_sum") - F.lit(3) * F.col("triangles")
+            ).cast("long").alias("paths3"),
+            "cycles4",
+        )
+    )

@@ -3146,3 +3146,231 @@ def page_trend_test(
         "e_l2",
         F.when(F.col("_v144") > 0, F.round(z, 6)).alias("z"),
     )
+
+
+def bartlett_test(
+    df: DataFrame, group_col: str, x_col: str
+) -> DataFrame:
+    """Bartlett's test of variance homogeneity across k groups over an
+    exact-long column — the parametric (normal-theory) sibling of
+    brown_forsythe, completing the variance-test pair the ANOVA
+    pre-flight needs:
+
+        M = (N−k)·ln(s_p²) − Σ_g (n_g−1)·ln(s_g²)
+        C = 1 + (Σ_g 1/(n_g−1) − 1/(N−k)) / (3(k−1)),  B = M/C
+
+    Engine-portability: every ln rides the difference-of-integer-logs
+    rule (the kaplan_meier scheme) — s_g² = num_g/den_g with
+    num_g = n_g·Q_g − S_g² and den_g = n_g·(n_g−1) exact longs, so
+    ln(s_g²) = ln(num_g) − ln(den_g) has exact-integer libm args; the
+    unordered group sums ride fixed-point longs (floor(2²⁰·term), the
+    value_anova rule); Σ(n_g−1)s_g² = Σ num_g/n_g is the fixed-point
+    ssw_fp, making ln(s_p²) = ln(ssw_fp) − ln(2²⁰·(N−k)) ANOTHER
+    integer-arg pair; and Σ 1/(n_g−1) is the pure integer DIV
+    2²⁰ DIV (n_g−1).  Overflow bound: n_g·Q_g < 2⁶³ and
+    2²⁰·num_g/n_g < 2⁶³ (|x| ≲ 2·10⁵ at n_g ≲ 10⁶ — pre-scale the
+    unit beyond that)."""
+    scale = F.lit(float(1 << 20))
+    v = df.select(
+        F.col(group_col).alias("g"), F.col(x_col).cast("long").alias("x")
+    )
+    g = v.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("x").cast("long").alias("s_g"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q_g"),
+    )
+    num = F.col("n_g") * F.col("q_g") - F.col("s_g") * F.col("s_g")
+    den = F.col("n_g") * (F.col("n_g") - 1)
+    ln_s2 = F.log(num.cast("double")) - F.log(den.cast("double"))
+    agg = g.filter(F.col("n_g") >= 2).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum(F.floor((F.col("n_g") - 1).cast("double") * ln_s2 * scale))
+        .cast("long")
+        .alias("sum_term_fp"),
+        F.sum(F.floor(num.cast("double") / F.col("n_g").cast("double") * scale))
+        .cast("long")
+        .alias("ssw_fp"),
+        F.sum(F.expr("1048576 DIV (n_g - 1)")).cast("long").alias("inv_fp"),
+    )
+    nk = (F.col("n") - F.col("k")).cast("long")
+    ln_sp2 = F.log(F.col("ssw_fp").cast("double")) - F.log(
+        (nk * F.lit(1048576)).cast("double")
+    )
+    m_stat = nk.cast("double") * ln_sp2 - F.col("sum_term_fp") / scale
+    c_factor = F.lit(1.0) + (
+        F.col("inv_fp") / scale - F.lit(1.0) / nk.cast("double")
+    ) / (F.lit(3.0) * (F.col("k") - 1).cast("double"))
+    return agg.select(
+        "k",
+        "n",
+        "ssw_fp",
+        "sum_term_fp",
+        "inv_fp",
+        F.when(
+            (F.col("k") > 1) & (nk > 0) & (F.col("ssw_fp") > 0),
+            F.round(m_stat, 6),
+        ).alias("m_stat"),
+        F.round(c_factor, 6).alias("c_factor"),
+        F.when(
+            (F.col("k") > 1) & (nk > 0) & (F.col("ssw_fp") > 0),
+            F.round(m_stat / c_factor, 6),
+        ).alias("bartlett"),
+    )
+
+
+def nelson_aalen(
+    df: DataFrame, dur_col: str, event_col: str
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard table from per-subject
+    (duration, event) rows — the hazard-scale companion to
+    kaplan_meier (same risk-set machinery, Ĥ(t) = Σ d/n instead of
+    Π(1−d/n)): one row per distinct duration with the at-risk count,
+    the per-step hazard d/n and Aalen variance d/n² as fixed-point
+    exact longs (floor(2⁴⁰·term) on identical IEEE divide chains —
+    the link_prediction rule makes the running sums order-free), both
+    cumulated via prefix_sum_in_order (no single-partition window)."""
+    from deepie_spark.operators.sweep import prefix_sum_in_order
+
+    per_t = df.groupBy(F.col(dur_col).cast("long").alias("_t")).agg(
+        F.sum(F.col(event_col).cast("long")).cast("long").alias("_d"),
+        F.count(F.lit(1)).cast("long").alias("_m"),
+    )
+    cm = prefix_sum_in_order(per_t, "_t", "_m", out_col="_cm")
+    tot = per_t.agg(F.sum("_m").cast("long").alias("_n"))
+    rk = cm.crossJoin(F.broadcast(tot)).select(
+        "_t",
+        "_d",
+        (F.col("_n") - (F.col("_cm") - F.col("_m")))
+        .cast("long")
+        .alias("_nr"),
+    )
+    scale = F.lit(float(1 << 40))
+    haz = F.floor(
+        F.col("_d").cast("double") / F.col("_nr").cast("double") * scale
+    ).cast("long")
+    var = F.floor(
+        F.col("_d").cast("double")
+        / (F.col("_nr") * F.col("_nr")).cast("double")
+        * scale
+    ).cast("long")
+    tm = rk.select(
+        "_t", "_nr", "_d", haz.alias("_hz"), var.alias("_vr")
+    )
+    h1 = prefix_sum_in_order(
+        tm.select("_t", "_hz"), "_t", "_hz", out_col="_H"
+    ).select("_t", "_H")
+    v1 = prefix_sum_in_order(
+        tm.select("_t", "_vr"), "_t", "_vr", out_col="_V"
+    ).select("_t", "_V")
+    return (
+        tm.join(h1, "_t")
+        .join(v1, "_t")
+        .select(
+            F.col("_t").alias("t"),
+            F.col("_nr").alias("n_risk"),
+            F.col("_d").alias("d_deaths"),
+            F.col("_hz").alias("hazard_fp"),
+            F.col("_H").alias("cum_hazard_fp"),
+            F.col("_V").alias("cum_var_fp"),
+        )
+        .orderBy("t")
+    )
+
+
+def logrank_test(
+    df: DataFrame,
+    group_col: str,
+    dur_col: str,
+    event_col: str,
+    group_a: str,
+    group_b: str,
+    scale_bits: int = 40,
+) -> DataFrame:
+    """Two-sample log-rank test over per-subject (group, duration,
+    event) rows — the survival-curve comparison beside kaplan_meier /
+    nelson_aalen: at every pooled death time, O−E for group A with
+    E_t = d_t·n_At/n_t and hypergeometric variance
+    V_t = d_t·n_At·n_Bt·(n_t−d_t) / (n_t²·(n_t−1)).
+
+    Per-time terms have varying denominators, so both sums ride
+    fixed-point longs floor(2^bits·num/den) with exact-long num/den
+    and ONE IEEE divide each (identical chains both engines); at-risk
+    counts come from per-group prefix sums over the SHARED pooled
+    time grid (zero-filled, so the cumulative is defined at every
+    grid point).  z = (O_A − E_A)/√V on exact-derived doubles — √ is
+    IEEE-exact."""
+    from deepie_spark.operators.sweep import prefix_sum_in_order
+
+    scale = F.lit(float(1 << scale_bits))
+    v = df.select(
+        F.col(group_col).alias("g"),
+        F.col(dur_col).cast("long").alias("t"),
+        F.col(event_col).cast("long").alias("ev"),
+    ).filter(F.col("g").isin([group_a, group_b]))
+    per = v.groupBy("g", "t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    grid = per.select("t").distinct()
+
+    def _cum(gname: str, dcol: str, mcol: str, cumcol: str) -> DataFrame:
+        side = per.filter(F.col("g") == gname).select("t", "d", "m")
+        filled = grid.join(side, "t", "left").select(
+            "t",
+            F.coalesce("d", F.lit(0)).cast("long").alias(dcol),
+            F.coalesce("m", F.lit(0)).cast("long").alias(mcol),
+        )
+        return prefix_sum_in_order(filled, "t", mcol, out_col=cumcol)
+
+    a = _cum(group_a, "d_a", "m_a", "cm_a")
+    b = _cum(group_b, "d_b", "m_b", "cm_b")
+    na = v.filter(F.col("g") == group_a).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tot_a")
+    )
+    nb = v.filter(F.col("g") == group_b).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tot_b")
+    )
+    j = (
+        a.join(b, "t")
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "t",
+            "d_a",
+            "d_b",
+            (F.col("n_tot_a") - (F.col("cm_a") - F.col("m_a")))
+            .cast("long")
+            .alias("n_a"),
+            (F.col("n_tot_b") - (F.col("cm_b") - F.col("m_b")))
+            .cast("long")
+            .alias("n_b"),
+        )
+    )
+    d = (F.col("d_a") + F.col("d_b")).cast("long")
+    n = (F.col("n_a") + F.col("n_b")).cast("long")
+    e_term = F.floor(
+        (d * F.col("n_a")).cast("double") / n.cast("double") * scale
+    ).cast("long")
+    v_num = (d * F.col("n_a") * F.col("n_b") * (n - d)).cast("long")
+    v_den = (n * n * (n - 1)).cast("long")
+    v_term = F.floor(
+        v_num.cast("double") / v_den.cast("double") * scale
+    ).cast("long")
+    agg = j.filter((d >= 1) & (n > 1)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_times"),
+        F.sum("d_a").cast("long").alias("o_a"),
+        F.sum(e_term).cast("long").alias("e_fp"),
+        F.sum(v_term).cast("long").alias("v_fp"),
+    )
+    z = (F.col("o_a") - F.col("e_fp") / scale) / F.sqrt(
+        F.col("v_fp") / scale
+    )
+    return agg.select(
+        "n_times",
+        "o_a",
+        "e_fp",
+        "v_fp",
+        F.round(F.col("e_fp") / scale, 6).alias("e_a"),
+        F.when(F.col("v_fp") > 0, F.round(z, 6)).alias("z"),
+    )

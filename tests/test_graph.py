@@ -2330,3 +2330,74 @@ def test_attack_robustness_star_collapse(spark):
     # k=2 removes a ring node too (deg 2, smallest id 10): path of 3
     assert out[2].gcc_size == 3 and out[2].n_edges_left == 2
     assert out[4].gcc_size <= out[2].gcc_size <= out[1].gcc_size
+
+
+def test_motif_census_bruteforce(spark):
+    from itertools import combinations, permutations
+
+    from deepie_spark.operators.graph import motif_census
+
+    # triangle + 4-cycle + 3-star sharing a node, plus a pendant
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),          # triangle
+        ("c", "d"), ("d", "e"), ("e", "f"), ("f", "c"),  # 4-cycle
+        ("f", "g"), ("f", "h"), ("f", "i"),          # star at f
+        ("i", "j"),                                  # pendant
+        ("b", "a"), ("a", "b"),                      # dup / reversed
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    r = motif_census(df).collect()[0]
+
+    und = {frozenset(e) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    adj = {n: set() for n in nodes}
+    for e in und:
+        x, y = sorted(e)
+        adj[x].add(y)
+        adj[y].add(x)
+
+    def connected(x, y):
+        return y in adj[x]
+
+    wedges = sum(
+        1
+        for c in nodes
+        for p, q in combinations(sorted(adj[c]), 2)
+    )
+    stars3 = sum(
+        1 for c in nodes for _ in combinations(sorted(adj[c]), 3)
+    )
+    triangles = sum(
+        1
+        for x, y, z in combinations(nodes, 3)
+        if connected(x, y) and connected(y, z) and connected(x, z)
+    )
+    paths3 = (
+        sum(
+            1
+            for p in permutations(nodes, 4)
+            if connected(p[0], p[1])
+            and connected(p[1], p[2])
+            and connected(p[2], p[3])
+        )
+        // 2
+    )
+    cycles4 = (
+        sum(
+            1
+            for p in permutations(nodes, 4)
+            if connected(p[0], p[1])
+            and connected(p[1], p[2])
+            and connected(p[2], p[3])
+            and connected(p[3], p[0])
+        )
+        // 8
+    )
+    assert r.n_nodes == len(nodes)
+    assert r.n_edges == len(und)
+    assert r.wedges == wedges
+    assert r.stars3 == stars3
+    assert r.triangles == triangles
+    assert r.paths3 == paths3
+    assert r.cycles4 == cycles4
+    assert (r.triangles, r.cycles4) == (1, 1)

@@ -1987,3 +1987,115 @@ def test_page_trend_perfect_monotone(spark):
     )
     assert r.z == round((l2 - e_l2) / (2 * math.sqrt(var)), 6)
     assert r.z > 0
+
+
+def test_bartlett_python_twin(spark):
+    import math
+
+    import numpy as np
+
+    from deepie_spark.operators.stats import bartlett_test
+
+    rng = np.random.RandomState(7)
+    groups = {
+        "a": [int(v) for v in rng.normal(500, 20, size=151)],
+        "b": [int(v) for v in rng.normal(500, 90, size=180)],
+        "c": [int(v) for v in rng.normal(500, 55, size=163)],
+    }
+    rows = [(g, v) for g, xs in groups.items() for v in xs]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    r = bartlett_test(df, "g", "x").collect()[0]
+
+    # float twin (unquantized textbook formula)
+    k = len(groups)
+    n = sum(len(xs) for xs in groups.values())
+    s2 = {
+        g: (len(xs) * sum(v * v for v in xs) - sum(xs) ** 2)
+        / (len(xs) * (len(xs) - 1))
+        for g, xs in groups.items()
+    }
+    sp2 = sum((len(xs) - 1) * s2[g] for g, xs in groups.items()) / (n - k)
+    m = (n - k) * math.log(sp2) - sum(
+        (len(xs) - 1) * math.log(s2[g]) for g, xs in groups.items()
+    )
+    c = 1 + (
+        sum(1.0 / (len(xs) - 1) for xs in groups.values())
+        - 1.0 / (n - k)
+    ) / (3 * (k - 1))
+    assert r.k == k and r.n == n
+    assert abs(r.m_stat - m) < 1e-3
+    assert abs(r.c_factor - c) < 1e-4
+    assert abs(r.bartlett - m / c) < 1e-3
+    # variances differ wildly -> decisive statistic
+    assert r.bartlett > 50
+
+
+def test_bartlett_equal_variances_small(spark):
+    from deepie_spark.operators.stats import bartlett_test
+
+    # identical distributions (shifted copies of the same residuals)
+    base = [3, -1, 4, -1, -5, 9, -2, 6, -5, -3, 5, 0] * 10
+    rows = [(g, 500 + v) for g in ("a", "b", "c") for v in base]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    r = bartlett_test(df, "g", "x").collect()[0]
+    assert abs(r.bartlett) < 1e-3
+
+
+def test_nelson_aalen_hand_case(spark):
+    import math
+
+    from deepie_spark.operators.stats import nelson_aalen
+
+    rows = [(1, 1), (1, 1), (2, 1), (3, 0), (4, 1)]
+    df = spark.createDataFrame(rows, "dur long, ev long")
+    out = {r.t: r for r in nelson_aalen(df, "dur", "ev").collect()}
+    S = float(1 << 40)
+    assert (out[1].n_risk, out[1].d_deaths) == (5, 2)
+    assert (out[2].n_risk, out[2].d_deaths) == (3, 1)
+    assert (out[3].n_risk, out[3].d_deaths) == (2, 0)
+    assert (out[4].n_risk, out[4].d_deaths) == (1, 1)
+    h1 = math.floor(2.0 / 5.0 * S)
+    h2 = math.floor(1.0 / 3.0 * S)
+    h4 = math.floor(1.0 / 1.0 * S)
+    assert out[1].hazard_fp == h1 and out[2].hazard_fp == h2
+    assert out[3].hazard_fp == 0 and out[4].hazard_fp == h4
+    assert out[2].cum_hazard_fp == h1 + h2
+    assert out[4].cum_hazard_fp == h1 + h2 + h4
+    # Aalen variance: d/n^2 terms
+    v1 = math.floor(2.0 / 25.0 * S)
+    v2 = math.floor(1.0 / 9.0 * S)
+    assert out[2].cum_var_fp == v1 + v2
+
+
+def test_logrank_python_twin(spark):
+    import math
+
+    from deepie_spark.operators.stats import logrank_test
+
+    # group A dies fast, group B slowly; some censoring in both
+    a = [(1, 1), (1, 1), (2, 1), (2, 1), (3, 1), (3, 0), (4, 1)]
+    b = [(2, 1), (4, 1), (5, 1), (5, 0), (6, 1), (7, 1), (8, 0)]
+    rows = [("A", t, e) for t, e in a] + [("B", t, e) for t, e in b]
+    df = spark.createDataFrame(rows, "g string, dur long, ev long")
+    r = logrank_test(df, "g", "dur", "ev", "A", "B").collect()[0]
+
+    # float twin over the pooled death times
+    times = sorted({t for t, _ in a + b})
+    o = e = v = 0.0
+    oa = 0
+    for t in times:
+        na = sum(1 for d, _ in a if d >= t)
+        nb = sum(1 for d, _ in b if d >= t)
+        da = sum(1 for d, ev in a if d == t and ev)
+        db = sum(1 for d, ev in b if d == t and ev)
+        d, n = da + db, na + nb
+        if d >= 1 and n > 1:
+            oa += da
+            e += d * na / n
+            v += d * na * nb * (n - d) / (n * n * (n - 1))
+    assert r.o_a == oa
+    assert abs(r.e_a - e) < 1e-4
+    z = (oa - e) / math.sqrt(v)
+    assert abs(r.z - z) < 1e-4
+    # A dies visibly faster -> strongly positive z
+    assert r.z > 1.5
