@@ -10220,6 +10220,287 @@ def q_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BINSEG_B = 64  # fixed bin-grid width for the changepoint scan
+
+
+def q_events_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint: the single split of the
+    64-bin event-count series minimizing total within-segment SSE —
+    the first round of the classic top-down changepoint recursion
+    (beside events_cusum/events_pettitt which TEST for a change, this
+    LOCATES it by least squares).  Prefix sums over the bounded grid
+    ride a triangular self-join (64² rows — no window anywhere);
+    each candidate's SSE = (QL − SL²/nL) + (QR − SR²/nR) is one
+    identical IEEE chain over exact longs, and the argmin is
+    min(struct(sse, k)) with the deterministic k tie-break."""
+    e = _events(spark, sf_dir).select(
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("es")
+    )
+    rng = e.agg(
+        F.min("es").alias("lo"),
+        (F.max("es") - F.min("es") + 1).alias("span"),
+    )
+    binned = e.crossJoin(F.broadcast(rng)).select(
+        F.expr(f"CAST(((es - lo) * {_BINSEG_B}) DIV span AS LONG)").alias(
+            "bin"
+        )
+    )
+    ct = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    grid = spark.range(_BINSEG_B).select(F.col("id").alias("bin"))
+    x = grid.join(ct, "bin", "left").select(
+        "bin", F.coalesce("n", F.lit(0)).cast("long").alias("x")
+    )
+    lo = x.select(F.col("bin").alias("b2"), F.col("x").alias("x2"))
+    pre = (
+        x.join(F.broadcast(lo), F.col("b2") <= F.col("bin"))
+        .groupBy("bin")
+        .agg(
+            F.sum("x2").cast("long").alias("s_l"),
+            F.sum(F.col("x2") * F.col("x2")).cast("long").alias("q_l"),
+        )
+    )
+    tot = x.agg(
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    )
+    cand = pre.crossJoin(F.broadcast(tot)).filter(
+        F.col("bin") < _BINSEG_B - 1
+    )
+    n_l = (F.col("bin") + 1).cast("long")
+    n_r = (F.lit(_BINSEG_B) - n_l).cast("long")
+    s_r = (F.col("s") - F.col("s_l")).cast("long")
+    q_r = (F.col("q") - F.col("q_l")).cast("long")
+    sse = (
+        F.col("q_l").cast("double")
+        - (F.col("s_l") * F.col("s_l")).cast("double") / n_l.cast("double")
+    ) + (
+        q_r.cast("double")
+        - (s_r * s_r).cast("double") / n_r.cast("double")
+    )
+    best = cand.agg(
+        F.min(
+            F.struct(
+                sse.alias("sse"),
+                F.col("bin").alias("k"),
+                F.col("s_l").alias("s_l"),
+                F.col("q_l").alias("q_l"),
+            )
+        ).alias("b")
+    ).select("b.*")
+    j = best.crossJoin(F.broadcast(tot))
+    n_lb = (F.col("k") + 1).cast("long")
+    n_rb = (F.lit(_BINSEG_B) - n_lb).cast("long")
+    s_rb = (F.col("s") - F.col("s_l")).cast("long")
+    sse_nosplit = (
+        F.col("q").cast("double")
+        - (F.col("s") * F.col("s")).cast("double")
+        / F.lit(float(_BINSEG_B))
+    )
+    return j.select(
+        F.lit(_BINSEG_B).cast("long").alias("n_bins"),
+        F.col("k").cast("long").alias("split_bin"),
+        F.round(F.col("sse"), 6).alias("sse_split"),
+        F.round(sse_nosplit, 6).alias("sse_nosplit"),
+        F.round(sse_nosplit - F.col("sse"), 6).alias("gain"),
+        F.round(
+            F.col("s_l").cast("double") / n_lb.cast("double"), 6
+        ).alias("mean_left"),
+        F.round(s_rb.cast("double") / n_rb.cast("double"), 6).alias(
+            "mean_right"
+        ),
+    )
+
+
+def q_events_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (lag-24h) forecast baseline over the dense
+    hourly event-count grid, with the standard accuracy battery every
+    real forecaster must beat: MAE and RMSE on exact longs, sMAPE as
+    order-free fixed-point per-term longs (denominators vary per
+    hour), and MASE as a ratio of two exact-long cross products
+    (sae·(T−1))/(sae1·m) — zero FP accumulation anywhere.  Lags are
+    hour-key equi-joins on the gap-filled grid, no window."""
+    e = _events(spark, sf_dir).select(
+        F.expr(
+            "unix_timestamp(CAST(ts AS TIMESTAMP)) DIV 3600"
+        ).alias("h")
+    )
+    ct = e.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rng = e.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = rng.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("h")
+    )
+    x = grid.join(ct, "h", "left").select(
+        "h", F.coalesce("n", F.lit(0)).cast("long").alias("x")
+    )
+    f24 = x.select((F.col("h") + 24).alias("h"), F.col("x").alias("f"))
+    ev = x.join(f24, "h").select("h", "x", "f")
+    d = F.abs(F.col("x") - F.col("f")).cast("long")
+    smape_scale = F.lit(float(1 << 30))
+    smape_term = F.when(
+        (F.col("x") + F.col("f")) > 0,
+        F.floor(
+            (F.lit(2) * d).cast("double")
+            / (F.col("x") + F.col("f")).cast("double")
+            * smape_scale
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    agg = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(d).cast("long").alias("sae"),
+        F.sum(d * d).cast("long").alias("sse"),
+        F.sum(smape_term).cast("long").alias("smape_fp"),
+    )
+    f1 = x.select((F.col("h") + 1).alias("h"), F.col("x").alias("p"))
+    n1 = x.join(f1, "h").agg(
+        F.count(F.lit(1)).cast("long").alias("m1"),
+        F.sum(F.abs(F.col("x") - F.col("p")).cast("long"))
+        .cast("long")
+        .alias("sae1"),
+    )
+    j = agg.crossJoin(F.broadcast(n1))
+    return j.select(
+        "m",
+        "sae",
+        "sse",
+        "smape_fp",
+        "sae1",
+        F.round(F.col("sae").cast("double") / F.col("m").cast("double"), 6)
+        .alias("mae"),
+        F.round(
+            F.sqrt(F.col("sse").cast("double") / F.col("m").cast("double")),
+            6,
+        ).alias("rmse"),
+        F.round(
+            F.col("smape_fp") / smape_scale / F.col("m").cast("double"),
+            6,
+        ).alias("smape"),
+        F.when(
+            F.col("sae1") > 0,
+            F.round(
+                (F.col("sae") * F.col("m1")).cast("double")
+                / (F.col("sae1") * F.col("m")).cast("double"),
+                6,
+            ),
+        ).alias("mase"),
+    )
+
+
+#: event type → single char for sequence-complexity parsing (the five
+#: types have distinct initials — a literal, engine-shared map).
+_LZ_CHAR_SQL = "substring(event_type, 1, 1)"
+
+
+def q_event_lz78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LZ78 dictionary-parse complexity of each user's event-type
+    sequence — the incompressibility score behaviour-mining uses to
+    separate rote automation (low phrase count) from diverse activity
+    (phrase count ≈ n/log n): walk the (ts, event_id)-ordered type
+    initials, growing the current word while it matches a previous
+    PHRASE, else emitting it as a new phrase.  Spark side is ONE
+    in-row aggregate fold (collection arg evaluated once — the
+    winnow_fingerprints rule); the oracle re-walks the same parse as
+    a per-user recursive CTE, char by char.  Pure integer output —
+    no FP anywhere."""
+    from deepie_spark.functions.text import lz78_phrase_count
+
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        F.struct(
+            F.col("ts"), F.col("event_id"), F.expr(_LZ_CHAR_SQL).alias("ch")
+        ).alias("o"),
+    )
+    seq = e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("o")), lambda s: s["ch"]
+            ),
+            "",
+        ).alias("s")
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("long").alias("n_events"),
+        lz78_phrase_count(F.col("s")).cast("long").alias("phrases"),
+    )
+
+
+import math as _math  # noqa: E402
+
+_SPRT_P0 = 0.18
+_SPRT_P1 = 0.22
+_SPRT_L1 = _math.log(_SPRT_P1 / _SPRT_P0)  # success increment
+_SPRT_L0 = _math.log((1.0 - _SPRT_P1) / (1.0 - _SPRT_P0))  # failure
+_SPRT_A = _math.log(0.95 / 0.05)  # upper boundary (accept H1)
+_SPRT_B = _math.log(0.05 / 0.95)  # lower boundary (accept H0)
+
+
+def q_ab_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT over the time-ordered purchase-conversion stream —
+    the always-valid sequential test the fixed-horizon battery
+    (ab_power / ab_srm_check) can't give: LLR_t = S_t·ln(p₁/p₀) +
+    (t−S_t)·ln(q₁/q₀) against the (α, β) = (0.05, 0.05) boundaries,
+    reporting the first crossing of each side and the decision.
+    Ranks ride rank_in_order over (epoch, event_id) (no global
+    window), cumulative successes ride prefix_sum_in_order, and every
+    LLR is a PER-ROW product of exact longs with repr-shared double
+    constants — no FP accumulation across rows."""
+    from deepie_spark.operators.dictionary import rank_in_order
+    from deepie_spark.operators.sweep import prefix_sum_in_order
+
+    e = _events(spark, sf_dir).select(
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("es"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("x"),
+    ).withColumn("_ord", F.struct("es", "event_id"))
+    ranked = rank_in_order(e, "_ord", start_id=1, id_col="t")
+    cum = prefix_sum_in_order(
+        ranked.select("t", "x"), "t", "x", out_col="s_t"
+    )
+    llr = F.col("s_t").cast("double") * F.lit(_SPRT_L1) + (
+        F.col("t") - F.col("s_t")
+    ).cast("double") * F.lit(_SPRT_L0)
+    marked = cum.select(
+        "t",
+        "s_t",
+        F.when(llr >= F.lit(_SPRT_A), F.col("t")).alias("up_t"),
+        F.when(llr <= F.lit(_SPRT_B), F.col("t")).alias("lo_t"),
+    )
+    agg = marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("s_t").cast("long").alias("successes"),
+        F.min("up_t").cast("long").alias("first_upper_t"),
+        F.min("lo_t").cast("long").alias("first_lower_t"),
+    )
+    dec = (
+        F.when(
+            F.col("first_upper_t").isNotNull()
+            & (
+                F.col("first_lower_t").isNull()
+                | (F.col("first_upper_t") < F.col("first_lower_t"))
+            ),
+            F.lit("accept_h1"),
+        )
+        .when(F.col("first_lower_t").isNotNull(), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+    )
+    final_llr = F.col("successes").cast("double") * F.lit(_SPRT_L1) + (
+        F.col("n") - F.col("successes")
+    ).cast("double") * F.lit(_SPRT_L0)
+    return agg.select(
+        "n",
+        "successes",
+        "first_upper_t",
+        "first_lower_t",
+        dec.alias("decision"),
+        F.round(final_llr, 6).alias("final_llr"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -10613,6 +10894,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_bartlett": q_value_bartlett,
         "user_survival_na": q_user_survival_na,
         "survival_logrank": q_survival_logrank,
+        "events_binseg": q_events_binseg,
+        "events_naive_forecast": q_events_naive_forecast,
+        "event_lz78": q_event_lz78,
+        "ab_sprt": q_ab_sprt,
     }
 
 
@@ -21017,6 +21302,164 @@ def oracle_sql() -> dict[str, str]:
                  round((o_a - e_fp / 1099511627776.0)
                        / sqrt(v_fp / 1099511627776.0), 6)
                END AS z
+        FROM agg
+    """
+    # events_binseg twin: window prefix sums (the INDEPENDENT
+    # formulation of the Spark triangular join), the identical SSE
+    # chain, ORDER BY sse, bin LIMIT 1 == min(struct(sse, k)).
+    d["events_binseg"] = f"""
+        WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es
+                   FROM events),
+        rng AS (SELECT min(es) AS lo, max(es) - min(es) + 1 AS span
+                FROM e),
+        ct AS (SELECT ((es - lo) * {_BINSEG_B}) // span AS bin,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM e, rng GROUP BY 1),
+        grid AS (SELECT unnest(range({_BINSEG_B})) AS bin),
+        x AS (SELECT grid.bin, CAST(coalesce(ct.n, 0) AS BIGINT) AS x
+              FROM grid LEFT JOIN ct USING (bin)),
+        pre AS (SELECT bin,
+                       CAST(sum(x) OVER (ORDER BY bin) AS BIGINT)
+                         AS s_l,
+                       CAST(sum(x * x) OVER (ORDER BY bin) AS BIGINT)
+                         AS q_l
+                FROM x),
+        tot AS (SELECT CAST(sum(x) AS BIGINT) AS s,
+                       CAST(sum(x * x) AS BIGINT) AS q FROM x),
+        cand AS (SELECT bin, s_l, q_l, s, q,
+                   (CAST(q_l AS DOUBLE)
+                    - CAST(s_l * s_l AS DOUBLE)
+                      / CAST(bin + 1 AS DOUBLE))
+                   + (CAST(q - q_l AS DOUBLE)
+                      - CAST((s - s_l) * (s - s_l) AS DOUBLE)
+                        / CAST({_BINSEG_B} - (bin + 1) AS DOUBLE))
+                     AS sse
+                 FROM pre, tot WHERE bin < {_BINSEG_B} - 1),
+        best AS (SELECT * FROM cand ORDER BY sse, bin LIMIT 1)
+        SELECT CAST({_BINSEG_B} AS BIGINT) AS n_bins,
+               CAST(bin AS BIGINT) AS split_bin,
+               round(sse, 6) AS sse_split,
+               round(CAST(q AS DOUBLE)
+                     - CAST(s * s AS DOUBLE) / {float(_BINSEG_B)!r},
+                     6) AS sse_nosplit,
+               round((CAST(q AS DOUBLE)
+                      - CAST(s * s AS DOUBLE) / {float(_BINSEG_B)!r})
+                     - sse, 6) AS gain,
+               round(CAST(s_l AS DOUBLE) / CAST(bin + 1 AS DOUBLE), 6)
+                 AS mean_left,
+               round(CAST(s - s_l AS DOUBLE)
+                     / CAST({_BINSEG_B} - (bin + 1) AS DOUBLE), 6)
+                 AS mean_right
+        FROM best
+    """
+    # events_naive_forecast twin: the same gap-filled hour grid,
+    # lag equi-joins, fixed-point sMAPE terms and exact-long MASE
+    # cross products.
+    d["events_naive_forecast"] = """
+        WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600
+                     AS h FROM events),
+        ct AS (SELECT h, CAST(count(*) AS BIGINT) AS n
+               FROM e GROUP BY 1),
+        rng AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+        grid AS (SELECT unnest(generate_series(lo, hi)) AS h
+                 FROM rng),
+        x AS (SELECT grid.h, CAST(coalesce(ct.n, 0) AS BIGINT) AS x
+              FROM grid LEFT JOIN ct USING (h)),
+        ev AS (SELECT a.h, a.x, b.x AS f
+               FROM x a JOIN x b ON a.h = b.h + 24),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                       CAST(sum(abs(x - f)) AS BIGINT) AS sae,
+                       CAST(sum(abs(x - f) * abs(x - f)) AS BIGINT)
+                         AS sse,
+                       CAST(sum(CASE WHEN x + f > 0 THEN
+                         CAST(floor(CAST(2 * abs(x - f) AS DOUBLE)
+                                    / CAST(x + f AS DOUBLE)
+                                    * 1073741824.0) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS smape_fp
+                FROM ev),
+        n1 AS (SELECT CAST(count(*) AS BIGINT) AS m1,
+                      CAST(sum(abs(a.x - b.x)) AS BIGINT) AS sae1
+               FROM x a JOIN x b ON a.h = b.h + 1)
+        SELECT m, sae, sse, smape_fp, sae1,
+               round(CAST(sae AS DOUBLE) / CAST(m AS DOUBLE), 6)
+                 AS mae,
+               round(sqrt(CAST(sse AS DOUBLE) / CAST(m AS DOUBLE)), 6)
+                 AS rmse,
+               round(smape_fp / 1073741824.0 / CAST(m AS DOUBLE), 6)
+                 AS smape,
+               CASE WHEN sae1 > 0 THEN
+                 round(CAST(sae * m1 AS DOUBLE)
+                       / CAST(sae1 * m AS DOUBLE), 6)
+               END AS mase
+        FROM agg CROSS JOIN n1
+    """
+    # event_lz78 twin: per-user recursive char walk carrying the
+    # phrase dictionary as a LIST — the sequential formulation of the
+    # Spark in-row fold.
+    d["event_lz78"] = """
+        WITH RECURSIVE seqs AS (
+          SELECT user_id,
+                 string_agg(substring(event_type, 1, 1), ''
+                            ORDER BY ts, event_id) AS s
+          FROM events GROUP BY 1
+        ),
+        walk(user_id, s, pos, dict, w, c) AS (
+          SELECT user_id, s, 1, CAST([] AS VARCHAR[]), '', 0
+          FROM seqs
+          UNION ALL
+          SELECT user_id, s, pos + 1,
+            CASE WHEN list_contains(dict, w || s[pos]) THEN dict
+                 ELSE list_append(dict, w || s[pos]) END,
+            CASE WHEN list_contains(dict, w || s[pos])
+                 THEN w || s[pos] ELSE '' END,
+            CASE WHEN list_contains(dict, w || s[pos]) THEN c
+                 ELSE c + 1 END
+          FROM walk WHERE pos <= len(s)
+        )
+        SELECT user_id, CAST(len(s) AS BIGINT) AS n_events,
+               CAST(c + CASE WHEN w != '' THEN 1 ELSE 0 END
+                 AS BIGINT) AS phrases
+        FROM walk WHERE pos = len(s) + 1
+    """
+    # ab_sprt twin: row_number/window cumulative over the same
+    # (epoch, event_id) order, repr-shared LLR constants, the same
+    # boundary constants and decision chain.
+    d["ab_sprt"] = f"""
+        WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                          event_id,
+                          CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END AS x
+                   FROM events),
+        r AS (SELECT CAST(row_number() OVER (ORDER BY es, event_id)
+                       AS BIGINT) AS t,
+                     CAST(sum(x) OVER (ORDER BY es, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS s_t
+              FROM e),
+        m AS (SELECT t, s_t,
+                CASE WHEN CAST(s_t AS DOUBLE) * {_SPRT_L1!r}
+                          + CAST(t - s_t AS DOUBLE) * {_SPRT_L0!r}
+                          >= {_SPRT_A!r} THEN t END AS up_t,
+                CASE WHEN CAST(s_t AS DOUBLE) * {_SPRT_L1!r}
+                          + CAST(t - s_t AS DOUBLE) * {_SPRT_L0!r}
+                          <= {_SPRT_B!r} THEN t END AS lo_t
+              FROM r),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(max(s_t) AS BIGINT) AS successes,
+                       CAST(min(up_t) AS BIGINT) AS first_upper_t,
+                       CAST(min(lo_t) AS BIGINT) AS first_lower_t
+                FROM m)
+        SELECT n, successes, first_upper_t, first_lower_t,
+               CASE
+                 WHEN first_upper_t IS NOT NULL
+                      AND (first_lower_t IS NULL
+                           OR first_upper_t < first_lower_t)
+                   THEN 'accept_h1'
+                 WHEN first_lower_t IS NOT NULL THEN 'accept_h0'
+                 ELSE 'continue' END AS decision,
+               round(CAST(successes AS DOUBLE) * {_SPRT_L1!r}
+                     + CAST(n - successes AS DOUBLE) * {_SPRT_L0!r},
+                     6) AS final_llr
         FROM agg
     """
     return d

@@ -425,3 +425,47 @@ def soundex_key(name: Column) -> Column:
     return F.when(
         F.length(s) > 0, F.concat(first, F.rpad(key3, 3, "0"))
     )
+
+
+def lz78_phrase_count(s: Column) -> Column:
+    """LZ78 dictionary-parse phrase count of a string — the classic
+    sequence-complexity score (incompressible sequences parse into
+    ≈ n/log n phrases, rote repetition into far fewer): walk the
+    chars growing the current word while it matches a previously
+    EMITTED phrase, else emit word+char as a new phrase; a trailing
+    partial word counts as one final phrase.  ONE in-row aggregate
+    fold (collection arg evaluated once — the winnow_fingerprints
+    rule), pure integer output, engine-portable (the DuckDB twin is
+    a per-row recursive walk)."""
+    init = F.expr(
+        "named_struct('dict', CAST(array() AS ARRAY<STRING>),"
+        " 'w', '', 'c', CAST(0 AS LONG))"
+    )
+
+    def step(acc: Column, ch: Column) -> Column:
+        cand = F.concat(acc["w"], ch)
+        return F.when(
+            F.array_contains(acc["dict"], cand),
+            F.struct(
+                acc["dict"].alias("dict"),
+                cand.alias("w"),
+                acc["c"].alias("c"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.array_append(acc["dict"], cand).alias("dict"),
+                F.lit("").alias("w"),
+                (acc["c"] + F.lit(1)).cast("long").alias("c"),
+            )
+        )
+
+    # split('', '') yields [''] — drop empty chars so '' parses to 0
+    return F.aggregate(
+        F.filter(F.split(s, ""), lambda c: c != F.lit("")),
+        init,
+        step,
+        lambda acc: acc["c"]
+        + F.when(acc["w"] != F.lit(""), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
