@@ -10501,6 +10501,226 @@ def q_ab_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini coefficient of an uplift ranking — the evaluation metric
+    for incremental-response models (beside conversion_lift's single
+    contrast, this scores a whole RANKING): users ordered by the
+    activity score (n_events desc, user_id tie-break), treatment from
+    the portable poly hash (%2), outcome = converts.  At every depth
+    k the uplift u_k = rt_k − rc_k·nt_k/nc_k has a varying
+    denominator, so the curve area rides per-rank fixed-point longs
+    (rt_k·2²⁰ − floor(2²⁰·rc_k·nt_k/nc_k)); the random-baseline area
+    u_N·(N+1)/2 stays in the same fixed point and the coefficient is
+    one final divide.  Ranks ride rank_in_order, cumulatives ride
+    prefix_sum_in_order — no global window anywhere."""
+    from deepie_spark.functions.text import char_poly_hash
+    from deepie_spark.operators.dictionary import rank_in_order
+    from deepie_spark.operators.sweep import prefix_sum_in_order
+
+    u = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "y",
+            (char_poly_hash(F.col("user_id").cast("string")) % 2)
+            .cast("long")
+            .alias("treat"),
+        )
+    )
+    ranked = rank_in_order(
+        u.withColumn(
+            "_ord", F.struct((-F.col("n_events")).alias("ns"), "user_id")
+        ),
+        "_ord",
+        start_id=1,
+        id_col="r",
+    ).select(
+        "r",
+        F.col("treat").alias("xt"),
+        (F.col("treat") * F.col("y")).cast("long").alias("yt"),
+        ((1 - F.col("treat")) * F.col("y")).cast("long").alias("yc"),
+    )
+    c1 = prefix_sum_in_order(ranked, "r", "xt", out_col="nt")
+    c2 = prefix_sum_in_order(
+        ranked.select("r", "yt"), "r", "yt", out_col="rt"
+    ).select("r", "rt")
+    c3 = prefix_sum_in_order(
+        ranked.select("r", "yc"), "r", "yc", out_col="rc"
+    ).select("r", "rc")
+    cum = c1.join(c2, "r").join(c3, "r").select(
+        "r",
+        "nt",
+        "rt",
+        "rc",
+        (F.col("r") - F.col("nt")).cast("long").alias("nc"),
+    )
+    scale = F.lit(float(1 << 20))
+    u_fp = F.when(
+        F.col("nc") > 0,
+        F.col("rt") * F.lit(1048576)
+        - F.floor(
+            (F.col("rc") * F.col("nt")).cast("double")
+            / F.col("nc").cast("double")
+            * scale
+        ).cast("long"),
+    ).otherwise(F.col("rt") * F.lit(1048576))
+    agg = cum.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(u_fp).cast("long").alias("area_fp"),
+    )
+    last = cum.crossJoin(
+        F.broadcast(agg.select(F.col("n").alias("_n")))
+    ).filter(F.col("r") == F.col("_n")).select(
+        u_fp.cast("long").alias("final_fp"),
+        F.col("rt").alias("rt_n"),
+        F.col("rc").alias("rc_n"),
+        F.col("nt").alias("nt_n"),
+        F.col("nc").alias("nc_n"),
+    )
+    j = agg.crossJoin(F.broadcast(last))
+    rand_fp = (F.col("final_fp") * (F.col("n") + 1)).cast("double") / F.lit(
+        2.0
+    )
+    qini = (
+        (F.col("area_fp").cast("double") - rand_fp)
+        / scale
+        / F.col("n").cast("double")
+    )
+    return j.select(
+        "n",
+        "nt_n",
+        "nc_n",
+        "rt_n",
+        "rc_n",
+        "area_fp",
+        "final_fp",
+        F.round(qini, 6).alias("qini"),
+    )
+
+
+#: orders columns profiled for candidate keys (bounded, literal set)
+_KEY_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def q_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery over the orders table — the uniqueness
+    side of schema profiling beside fd_profile (FDs) and ind_profile
+    (inclusion deps): exact distinct counts for every single column
+    and every ordered pair from the bounded literal column set, each
+    with its key flag (n_distinct = n_rows).  ONE aggregate with
+    count-distinct expressions (Catalyst Expand), stack-unpivoted —
+    at 10⁹ rows the same shape runs with approx_count_distinct."""
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    combos = [(c,) for c in _KEY_COLS] + [
+        (a, b)
+        for i, a in enumerate(_KEY_COLS)
+        for b in _KEY_COLS[i + 1 :]
+    ]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for combo in combos:
+        name = "d_" + "_".join(combo)
+        aggs.append(
+            F.countDistinct(*[F.col(c) for c in combo])
+            .cast("long")
+            .alias(name)
+        )
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        "'{0}', d_{1}".format("+".join(c), "_".join(c)) for c in combos
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(combos)}, {stack_args}) AS (columns, n_distinct)"
+        ),
+        "n_rows",
+    ).select(
+        "columns",
+        "n_distinct",
+        "n_rows",
+        (F.col("n_distinct") == F.col("n_rows")).alias("is_key"),
+    )
+
+
+_DTW_INF = 1 << 50
+
+
+def q_events_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping distance between the hour-of-day count
+    profiles of click vs purchase events — the elastic similarity
+    measure beside events_ccf's fixed-lag correlation.  Integer |Δ|
+    cell costs make the whole 24×24 DP EXACT LONGS; the Spark side is
+    one nested in-row aggregate fold (outer over the query series,
+    inner over the reference row carrying the sentinel-padded
+    previous DP row — collection args evaluated once, the
+    winnow_fingerprints rule), and the oracle re-walks the SAME
+    recurrence cell by cell as a 576-step recursive CTE — the
+    sequential formulation, no code shared."""
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.hour(F.col("ts").cast("timestamp")).cast("long").alias("hr"),
+    ).filter(F.col("event_type").isin(["click", "purchase"]))
+    ct = e.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    grid = spark.range(24).select(F.col("id").alias("hr"))
+    types = spark.createDataFrame(
+        [("click",), ("purchase",)], ["event_type"]
+    )
+    full = (
+        grid.crossJoin(types)
+        .join(ct, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+    )
+    arrs = full.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("hr", "n"))),
+            lambda s: s["n"],
+        ).alias("arr")
+    )
+    a = arrs.filter(F.col("event_type") == "click").select(
+        F.col("arr").alias("arr_a")
+    )
+    b = arrs.filter(F.col("event_type") == "purchase").select(
+        F.col("arr").alias("arr_b")
+    )
+    from deepie_spark.functions.series import dtw_distance
+
+    j = a.crossJoin(F.broadcast(b))
+    return j.select(
+        F.lit(24).cast("long").alias("n_hours"),
+        dtw_distance(F.col("arr_a"), F.col("arr_b")).alias("dtw"),
+        F.aggregate(
+            F.zip_with(
+                F.col("arr_a"),
+                F.col("arr_b"),
+                lambda x, y: F.abs(x - y).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda s, v: s + v,
+        ).alias("l1_aligned"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -10898,6 +11118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_naive_forecast": q_events_naive_forecast,
         "event_lz78": q_event_lz78,
         "ab_sprt": q_ab_sprt,
+        "value_qini": q_value_qini,
+        "key_discovery": q_key_discovery,
+        "events_dtw": q_events_dtw,
     }
 
 
@@ -21461,5 +21684,128 @@ def oracle_sql() -> dict[str, str]:
                      + CAST(n - successes AS DOUBLE) * {_SPRT_L0!r},
                      6) AS final_llr
         FROM agg
+    """
+    # value_qini twin: row_number/window cumulatives over the same
+    # (n_events DESC, user_id) order, the same poly-hash treatment
+    # split and fixed-point uplift terms.
+    d["value_qini"] = f"""
+        WITH u AS (SELECT user_id,
+                          CAST(count(*) AS BIGINT) AS n_events,
+                          CAST(max(CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS y
+                   FROM events GROUP BY 1),
+        t AS (SELECT user_id, n_events, y,
+                     CAST({_poly_hash_sql("CAST(user_id AS VARCHAR)")}
+                          % 2 AS BIGINT) AS treat
+              FROM u),
+        r AS (SELECT *, CAST(row_number() OVER (
+                ORDER BY n_events DESC, user_id) AS BIGINT) AS r
+              FROM t),
+        c AS (SELECT r,
+                     CAST(sum(treat) OVER w AS BIGINT) AS nt,
+                     CAST(sum(treat * y) OVER w AS BIGINT) AS rt,
+                     CAST(sum((1 - treat) * y) OVER w AS BIGINT) AS rc
+              FROM r
+              WINDOW w AS (ORDER BY r ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW)),
+        cc AS (SELECT r, nt, rt, rc, CAST(r - nt AS BIGINT) AS nc
+               FROM c),
+        ufp AS (SELECT r, nt, rt, rc, nc,
+                  CASE WHEN nc > 0 THEN rt * 1048576
+                    - CAST(floor(CAST(rc * nt AS DOUBLE)
+                                 / CAST(nc AS DOUBLE) * 1048576.0)
+                           AS BIGINT)
+                  ELSE rt * 1048576 END AS ufp
+                FROM cc),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(ufp) AS BIGINT) AS area_fp FROM ufp),
+        lastr AS (SELECT ufp AS final_fp, rt AS rt_n, rc AS rc_n,
+                         nt AS nt_n, nc AS nc_n
+                  FROM ufp, agg WHERE ufp.r = agg.n)
+        SELECT n, nt_n, nc_n, rt_n, rc_n, area_fp, final_fp,
+               round((CAST(area_fp AS DOUBLE)
+                      - CAST(final_fp * (n + 1) AS DOUBLE) / 2.0)
+                     / 1048576.0 / CAST(n AS DOUBLE), 6) AS qini
+        FROM agg CROSS JOIN lastr
+    """
+    # key_discovery twin: generated from the SAME _KEY_COLS literal
+    # set — one wide distinct-count agg, unpivoted by UNION ALL.
+    _kd_combos = [(c,) for c in _KEY_COLS] + [
+        (x, y)
+        for i, x in enumerate(_KEY_COLS)
+        for y in _KEY_COLS[i + 1 :]
+    ]
+    _kd_aggs = ", ".join(
+        "CAST(count(DISTINCT {0}) AS BIGINT) AS d{1}".format(
+            combo[0] if len(combo) == 1 else "(" + ", ".join(combo) + ")",
+            i,
+        )
+        for i, combo in enumerate(_kd_combos)
+    )
+    _kd_rows = " UNION ALL ".join(
+        f"SELECT '{'+'.join(combo)}' AS columns, d{i} AS n_distinct,"
+        f" n_rows, d{i} = n_rows AS is_key FROM w"
+        for i, combo in enumerate(_kd_combos)
+    )
+    d["key_discovery"] = f"""
+        WITH w AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                          {_kd_aggs}
+                   FROM orders)
+        {_kd_rows}
+    """
+    # events_dtw twin: the SAME sentinel-padded DP recurrence walked
+    # cell by cell as a 576-step recursive CTE (the sequential
+    # formulation of the Spark nested fold).
+    d["events_dtw"] = f"""
+        WITH RECURSIVE e AS (
+          SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr
+          FROM events WHERE event_type IN ('click', 'purchase')),
+        ct AS (SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n
+               FROM e GROUP BY 1, 2),
+        grid AS (SELECT unnest(range(24)) AS hr),
+        tp(event_type) AS (VALUES ('click'), ('purchase')),
+        filled AS (SELECT tp.event_type, grid.hr,
+                          CAST(coalesce(ct.n, 0) AS BIGINT) AS n
+                   FROM grid CROSS JOIN tp
+                   LEFT JOIN ct ON ct.event_type = tp.event_type
+                               AND ct.hr = grid.hr),
+        arrs AS (SELECT event_type, list(n ORDER BY hr) AS arr
+                 FROM filled GROUP BY 1),
+        ab AS (SELECT
+                 (SELECT arr FROM arrs WHERE event_type = 'click')
+                   AS aa,
+                 (SELECT arr FROM arrs WHERE event_type = 'purchase')
+                   AS bb),
+        walk(k, prevpad, cur) AS (
+          SELECT 0,
+                 [CAST(0 AS BIGINT)]
+                   || list_transform(generate_series(1, 24),
+                        x -> CAST({_DTW_INF} AS BIGINT)),
+                 CAST([] AS BIGINT[])
+          FROM ab
+          UNION ALL
+          SELECT k + 1,
+                 CASE WHEN (k % 24) = 23
+                   THEN [CAST({_DTW_INF} AS BIGINT)]
+                          || list_append(cur, cell)
+                   ELSE prevpad END,
+                 CASE WHEN (k % 24) = 23 THEN CAST([] AS BIGINT[])
+                      ELSE list_append(cur, cell) END
+          FROM (SELECT k, prevpad, cur,
+                  abs(aa[(k % 24) + 1] - bb[(k // 24) + 1])
+                  + least(prevpad[(k % 24) + 2],
+                          prevpad[(k % 24) + 1],
+                          CASE WHEN (k % 24) > 0 THEN cur[(k % 24)]
+                               ELSE CAST({_DTW_INF} AS BIGINT) END)
+                    AS cell
+                FROM walk, ab WHERE k < 576)
+        )
+        SELECT CAST(24 AS BIGINT) AS n_hours,
+               CAST(prevpad[25] AS BIGINT) AS dtw,
+               CAST((SELECT list_sum(list_transform(
+                       generate_series(1, 24),
+                       i -> abs(aa[i] - bb[i]))) FROM ab) AS BIGINT)
+                 AS l1_aligned
+        FROM walk WHERE k = 576
     """
     return d

