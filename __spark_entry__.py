@@ -10721,6 +10721,219 @@ def q_events_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check: orders placed in 1997
+    with at least one RETURNED line, counted per priority — the
+    EXISTS-semi-join shape (our lineitem has no commit/receipt dates,
+    so l_returnflag = 'R' stands in for the lateness predicate).
+    Spark expresses the EXISTS as a LEFT SEMI join (dedup-free, no
+    exploded fan-out at 10⁹ lines); counts exact longs."""
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    sel = o.filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderkey", "o_orderpriority")
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey"
+    )
+    return (
+        sel.join(
+            returned,
+            sel["o_orderkey"] == returned["l_orderkey"],
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped important-stock: per-part revenue share
+    above a global-fraction threshold.  Revenue in EXACT integer
+    cents (floor(ep·(1−disc)·100), identical IEEE product), the
+    HAVING-over-global-total comparison done by integer
+    CROSS-MULTIPLY (cents·10⁴ > total·7 ⇔ share > 0.07%) so the cut
+    is engine-portable — no float division anywhere.  The 1-row
+    global total is a broadcast nested-loop join, not a shuffle."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    cents = F.floor(
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * F.lit(100.0)
+    ).cast("long")
+    v = li.select(F.col("l_partkey"), cents.alias("c")).groupBy(
+        "l_partkey"
+    ).agg(F.sum("c").cast("long").alias("value_cents"))
+    tot = v.agg(F.sum("value_cents").cast("long").alias("total_cents"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("value_cents") * F.lit(10000)
+            > F.col("total_cents") * F.lit(7)
+        )
+        .select("l_partkey", "value_cents", "total_cents")
+        .orderBy(F.desc("value_cents"), "l_partkey")
+    )
+
+
+def q_tpch_cust_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer-order distribution: LEFT join
+    customers to their orders (zero-order customers kept), per-
+    customer order count, then the count-of-counts histogram — the
+    double-aggregation shape whose first groupBy key (c_custkey) is
+    the join key, so AQE coalesces both shuffles on one exchange."""
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    per = (
+        c.select("c_custkey")
+        .join(
+            o.select("o_custkey", "o_orderkey"),
+            c["c_custkey"] == o["o_custkey"],
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_tpch_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume orders: orders whose total
+    quantity exceeds 300, joined back to customer.  l_quantity is
+    integer-valued — cast to long BEFORE the sum so the HAVING cut
+    and the ordering are exact; the qualifying-order set is tiny, so
+    the join back to orders/customer broadcasts the aggregate side."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    big = (
+        li.select(
+            "l_orderkey", F.col("l_quantity").cast("long").alias("q")
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("q").cast("long").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        o.join(
+            F.broadcast(big), o["o_orderkey"] == big["l_orderkey"]
+        )
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias(
+                "o_orderdate"
+            ),
+            F.round(F.col("o_totalprice"), 6).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+    )
+
+
+def q_tpch_minsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped minimum-cost supplier: for every STANDARD-type
+    part, the supplier with the LOWEST account balance among the
+    suppliers that actually ship it (distinct part-supplier pairs
+    from lineitem stand in for partsupp).  The correlated-subquery
+    min is ONE min(struct(acctbal, suppkey)) argmin per part —
+    suppkey tie-break pinned inside the struct — with the 100-row
+    supplier dim broadcast."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    s = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    p = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    pairs = li.select("l_partkey", "l_suppkey")
+    best = (
+        pairs.join(
+            F.broadcast(
+                s.select("s_suppkey", "s_acctbal", "s_name")
+            ),
+            pairs["l_suppkey"] == s["s_suppkey"],
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("s_acctbal"), F.col("s_suppkey"), F.col("s_name")
+                )
+            ).alias("m")
+        )
+        .select(
+            "l_partkey",
+            F.col("m.s_suppkey").alias("s_suppkey"),
+            F.col("m.s_name").alias("s_name"),
+            F.round(F.col("m.s_acctbal"), 6).alias("s_acctbal"),
+        )
+    )
+    return (
+        p.filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey", "p_brand")
+        .join(best, F.col("p_partkey") == best["l_partkey"])
+        .select(
+            "p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal"
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def q_tpch_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped waiting-suppliers: on finalized multi-
+    supplier orders where EXACTLY ONE supplier has a returned line,
+    charge that supplier — the exists/not-exists double-correlation
+    collapsed into ONE per-order aggregate (distinct-supplier count,
+    distinct-late-supplier count, the argmin late supplier), then a
+    per-supplier count.  No self-joins on lineitem; the oracle is
+    the classic EXISTS + NOT EXISTS formulation, an independent
+    plan."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    s = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    per = (
+        li.join(
+            o.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey"
+            ),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias("ns"),
+            F.countDistinct(
+                F.when(
+                    F.col("l_returnflag") == "R", F.col("l_suppkey")
+                )
+            )
+            .cast("long")
+            .alias("nl"),
+            F.min(
+                F.when(
+                    F.col("l_returnflag") == "R", F.col("l_suppkey")
+                )
+            ).alias("late_s"),
+        )
+        .filter((F.col("ns") >= 2) & (F.col("nl") == 1))
+    )
+    return (
+        per.groupBy("late_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_name")),
+            F.col("late_s") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -11121,6 +11334,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_qini": q_value_qini,
         "key_discovery": q_key_discovery,
         "events_dtw": q_events_dtw,
+        "tpch_order_priority": q_tpch_order_priority,
+        "tpch_important_stock": q_tpch_important_stock,
+        "tpch_cust_dist": q_tpch_cust_dist,
+        "tpch_large_orders": q_tpch_large_orders,
+        "tpch_minsupp": q_tpch_minsupp,
+        "tpch_waiting_suppliers": q_tpch_waiting_suppliers,
     }
 
 
@@ -21807,5 +22026,105 @@ def oracle_sql() -> dict[str, str]:
                        i -> abs(aa[i] - bb[i]))) FROM ab) AS BIGINT)
                  AS l1_aligned
         FROM walk WHERE k = 576
+    """
+    # tpch_order_priority twin: the classic EXISTS formulation — an
+    # independent plan from Spark's LEFT SEMI join.
+    d["tpch_order_priority"] = """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """
+    d["tpch_important_stock"] = """
+        WITH v AS (
+          SELECT l_partkey,
+                 CAST(sum(CAST(floor(l_extendedprice
+                                     * (1.0 - l_discount)
+                                     * 100.0) AS BIGINT))
+                      AS BIGINT) AS value_cents
+          FROM lineitem GROUP BY l_partkey),
+        t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents
+              FROM v)
+        SELECT l_partkey, value_cents, total_cents
+        FROM v CROSS JOIN t
+        WHERE value_cents * 10000 > total_cents * 7
+        ORDER BY value_cents DESC, l_partkey
+    """
+    # tpch_cust_dist twin: correlated scalar-subquery count — the
+    # independent formulation of the LEFT-join double aggregation.
+    d["tpch_cust_dist"] = """
+        WITH per AS (
+          SELECT c_custkey,
+                 CAST((SELECT count(*) FROM orders o
+                       WHERE o.o_custkey = c.c_custkey) AS BIGINT)
+                   AS c_count
+          FROM customer c)
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM per
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """
+    d["tpch_large_orders"] = """
+        WITH big AS (
+          SELECT l_orderkey,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+        SELECT c_custkey, c_name, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               round(o_totalprice, 6) AS o_totalprice, total_qty
+        FROM big
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY total_qty DESC, o_orderkey
+    """
+    # tpch_minsupp twin: the classic correlated-min subquery of Q2 —
+    # independent of Spark's min(struct) argmin.
+    d["tpch_minsupp"] = """
+        WITH ps AS (
+          SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        j AS (
+          SELECT l_partkey, s_suppkey, s_name, s_acctbal
+          FROM ps JOIN supplier ON s_suppkey = l_suppkey)
+        SELECT p_partkey, p_brand, s_suppkey, s_name,
+               round(s_acctbal, 6) AS s_acctbal
+        FROM part, j
+        WHERE p_type = 'STANDARD' AND p_partkey = j.l_partkey
+          AND s_acctbal = (SELECT min(j2.s_acctbal) FROM j j2
+                           WHERE j2.l_partkey = j.l_partkey)
+          AND s_suppkey = (SELECT min(j3.s_suppkey) FROM j j3
+                           WHERE j3.l_partkey = j.l_partkey
+                             AND j3.s_acctbal = j.s_acctbal)
+        ORDER BY p_partkey
+    """
+    # tpch_waiting_suppliers twin: the classic Q21 EXISTS +
+    # NOT EXISTS double correlation on lineitem self-references —
+    # an independent plan from Spark's single per-order aggregate.
+    d["tpch_waiting_suppliers"] = """
+        WITH late AS (
+          SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+          FROM lineitem l1
+          JOIN orders ON o_orderkey = l1.l_orderkey
+                     AND o_orderstatus = 'F'
+          WHERE l1.l_returnflag = 'R'
+            AND EXISTS (SELECT 1 FROM lineitem l2
+                        WHERE l2.l_orderkey = l1.l_orderkey
+                          AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                            WHERE l3.l_orderkey = l1.l_orderkey
+                              AND l3.l_suppkey <> l1.l_suppkey
+                              AND l3.l_returnflag = 'R'))
+        SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM late JOIN supplier ON s_suppkey = l_suppkey
+        GROUP BY s_suppkey, s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
     """
     return d

@@ -827,3 +827,38 @@ def test_ccnet_buckets_partition_thirds(spark):
     assert rows["head"].max_ppl <= rows["middle"].min_ppl
     assert rows["middle"].max_ppl <= rows["tail"].min_ppl
     assert abs(sum(r.share for r in rows.values()) - 1.0) < 1e-5
+
+
+def test_tpch_q4_shape_semi_join_no_fanout(spark):
+    """Q4 shape: the EXISTS is a LEFT SEMI hash join (never an inner
+    join + distinct), with the date range pushed to the orders scan."""
+    import __spark_entry__ as e
+
+    df = e.queries()["tpch_order_priority"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = executed(df)
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_tpch_q18_and_q21_shapes(spark):
+    """Q18: the tiny qualifying-order set broadcasts (no shuffle join
+    back to orders); Q21: one aggregate over lineitem — NO lineitem
+    self-join (the EXISTS/NOT-EXISTS stays collapsed)."""
+    import __spark_entry__ as e
+
+    p18 = executed(
+        e.queries()["tpch_large_orders"](spark, "/root/testdata/sf0.001")
+    )
+    assert "BroadcastHashJoin" in p18
+    p21 = executed(
+        e.queries()["tpch_waiting_suppliers"](
+            spark, "/root/testdata/sf0.001"
+        )
+    )
+    # lineitem is scanned exactly once (AQE prints final + initial
+    # plans; count scans in the final section only)
+    final21 = p21.split("== Initial Plan ==")[0]
+    assert final21.count("lineitem.parquet") == 1
