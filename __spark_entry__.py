@@ -10934,6 +10934,86 @@ def q_tpch_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_drift_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded drift panel per source — Bhattacharyya coefficient,
+    Hellinger distance and total variation of each source's n_chars
+    distribution vs the rest, on the SAME 64-wide bins as
+    source_drift_psi (operators/curation.py hellinger_drift: exact-
+    integer sqrt args in a fixed-order bin chain, exact-long TV
+    numerator) — the saturating companions to PSI's unbounded
+    score."""
+    from deepie_spark.operators.curation import hellinger_drift
+
+    return hellinger_drift(
+        _docs(spark, sf_dir), "source", "n_chars", n_bins=10, width=64
+    )
+
+
+def q_value_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' maximum-studentized-deviate outlier over purchase
+    values in integer DOLLARS (the value_jarque_bera quantization —
+    n·Σx² must fit int64; bound documented in operators/stats.py
+    grubbs_stat): the deviation argmax rides an exact-long |n·x − Σx|
+    ordering with id tie-break, G is one identical IEEE chain."""
+    from deepie_spark.operators.stats import grubbs_stat
+
+    e = _events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.floor(F.col("value")).cast("long").alias("dollars"),
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+    return grubbs_stat(e, "dollars", "event_id")
+
+
+def q_graph_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural-balance census of the hash-signed rule-triple graph
+    (operators/graph.py balanced_triangles — Cartwright–Harary
+    balanced vs unbalanced triangles under deterministic poly-hash
+    edge signs, degree-ordered wedge orientation, signs computed
+    in-row from endpoint strings with no sign-table join)."""
+    from deepie_spark.operators.graph import balanced_triangles
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return balanced_triangles(t)
+
+
+def q_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view rewrite correctness: the monthly per-type
+    revenue rollup is answered FROM the daily (event_type, day) MV —
+    events are scanned exactly once to build the MV and never
+    rescanned — while the oracle computes the SAME months straight
+    from the raw events, so the hash match IS the MV-rewrite
+    invariant (the ivm_rollup scheme applied to query rewriting).
+    days_active falls out of the MV's (type, day) key for free."""
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    mv = e.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("c"),
+    )
+    return (
+        mv.select(
+            "event_type",
+            F.date_format("day", "yyyy-MM").alias("month"),
+            "n",
+            "c",
+        )
+        .groupBy("event_type", "month")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("c").cast("long").alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("days_active"),
+        )
+        .orderBy("event_type", "month")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -11340,6 +11420,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_large_orders": q_tpch_large_orders,
         "tpch_minsupp": q_tpch_minsupp,
         "tpch_waiting_suppliers": q_tpch_waiting_suppliers,
+        "source_drift_hellinger": q_source_drift_hellinger,
+        "value_grubbs": q_value_grubbs,
+        "graph_balance": q_graph_balance,
+        "mv_rewrite": q_mv_rewrite,
     }
 
 
@@ -22126,5 +22210,115 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY s_suppkey, s_name
         ORDER BY numwait DESC, s_name
         LIMIT 20
+    """
+    # source_drift_hellinger twin: the SAME fixed-order bin chains as
+    # the Spark side — exact-integer sqrt args, exact-long TV
+    # numerator (mirrors the source_drift_psi pivot scheme).
+    _HEL_A = ", ".join(
+        f"coalesce(max(CASE WHEN bin = {i} THEN cnt END), 0) AS a{i}"
+        for i in range(10)
+    )
+    _HEL_T = ", ".join(
+        f"CAST(coalesce(sum(CASE WHEN bin = {i} THEN cnt END), 0)"
+        f" AS BIGINT) AS t{i}"
+        for i in range(10)
+    )
+    _HEL_BC = " + ".join(
+        f"sqrt(CAST(a{i} * (t{i} - a{i}) AS DOUBLE))" for i in range(10)
+    )
+    _HEL_TV = " + ".join(
+        f"abs(a{i} * n_b - (t{i} - a{i}) * n_a)" for i in range(10)
+    )
+    d["source_drift_hellinger"] = f"""
+        WITH b AS (SELECT source AS g,
+                          least(9, n_chars // 64) AS bin
+                   FROM documents),
+        ct AS (SELECT g, bin, CAST(count(*) AS BIGINT) AS cnt
+               FROM b GROUP BY 1, 2),
+        pg AS (SELECT g, {_HEL_A} FROM ct GROUP BY g),
+        gl AS (SELECT {_HEL_T} FROM ct),
+        j AS (SELECT pg.*, gl.*,
+                     CAST({' + '.join(f'a{i}' for i in range(10))}
+                       AS BIGINT) AS n_a,
+                     CAST(({' + '.join(f't{i}' for i in range(10))})
+                       - ({' + '.join(f'a{i}' for i in range(10))})
+                       AS BIGINT) AS n_b
+              FROM pg CROSS JOIN gl),
+        k AS (SELECT g, n_a, n_b,
+                     CAST({_HEL_TV} AS BIGINT) AS tv_num,
+                     ({_HEL_BC})
+                       / sqrt(CAST(n_a * n_b AS DOUBLE)) AS bc
+              FROM j)
+        SELECT g AS source, n_a, n_b, tv_num,
+               round(bc, 6) AS bc,
+               round(sqrt(greatest(0.0, 1.0 - bc)), 6) AS hellinger,
+               round(CAST(tv_num AS DOUBLE)
+                     / CAST(2 * n_a * n_b AS DOUBLE), 6) AS tv
+        FROM k
+    """
+    d["value_grubbs"] = """
+        WITH e AS (SELECT CAST(floor(value) AS BIGINT) AS x,
+                          CAST(event_id AS BIGINT) AS rid
+                   FROM events WHERE event_type = 'purchase'),
+        mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS s,
+                       CAST(sum(x * x) AS BIGINT) AS s2 FROM e),
+        dev AS (SELECT n, s, s2, abs(n * x - s) AS devn, rid
+                FROM e, mom),
+        win AS (SELECT n, s, s2, CAST(devn AS BIGINT) AS devn, rid
+                FROM dev ORDER BY devn DESC, rid ASC LIMIT 1)
+        SELECT n, rid AS outlier_id, devn,
+               CAST(n * s2 - s * s AS BIGINT) AS var_num,
+               round((CAST(devn AS DOUBLE) / CAST(n AS DOUBLE))
+                     / sqrt(CAST(n * s2 - s * s AS DOUBLE)
+                            / CAST(n * (n - 1) AS DOUBLE)), 6)
+                 AS g_stat
+        FROM win
+    """
+    # graph_balance twin: the simpler a<b<c triangle enumeration,
+    # signed by the SAME portable poly hash of the canonical 'a|b'
+    # endpoint string (edges in und are already a<b canonical).
+    _neg = lambda x, y: (  # noqa: E731
+        "("
+        + _poly_hash_sql(f"least({x}, {y}) || '|' || greatest({x}, {y})")
+        + " % 2)"
+    )
+    d["graph_balance"] = f"""
+        WITH {_MENTIONS_SQL.strip()},
+        {_TRIPLE_EDGES_SQL.strip()},
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM und e1
+                JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+        sg AS (SELECT ({_neg('x', 'y')} + {_neg('x', 'z')}
+                       + {_neg('y', 'z')}) AS n_neg FROM tri),
+        ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                      CAST(sum({_neg('a', 'b')}) AS BIGINT)
+                        AS n_neg_edges
+               FROM und),
+        cen AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+                       CAST(sum(CASE WHEN n_neg % 2 = 0
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_balanced
+                FROM sg)
+        SELECT n_edges, n_neg_edges, n_triangles, n_balanced,
+               CAST(n_triangles - n_balanced AS BIGINT)
+                 AS n_unbalanced,
+               CASE WHEN n_triangles > 0 THEN
+                 round(CAST(n_balanced AS DOUBLE)
+                       / CAST(n_triangles AS DOUBLE), 6) END
+                 AS balance_index
+        FROM ne CROSS JOIN cen
+    """
+    # mv_rewrite twin: the months computed STRAIGHT from raw events —
+    # the hash match is the MV-rewrite correctness invariant.
+    d["mv_rewrite"] = """
+        SELECT event_type, strftime(ts, '%Y-%m') AS month,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents,
+               CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                 AS days_active
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """
     return d

@@ -783,3 +783,97 @@ def morisita_horn(
             F.round(num.cast("double") / den.cast("double"), 6),
         ).alias("mh"),
     )
+
+
+def hellinger_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_bins: int = 10,
+    width: int = 64,
+) -> DataFrame:
+    """Bounded drift distances of each group's ``value_col``
+    distribution against the REST of the corpus, on the SAME
+    fixed-width bins as :func:`psi_drift` — the [0,1]-bounded
+    companions to PSI's unbounded score (PSI explodes on empty bins;
+    these saturate):
+
+        BC  = Σ_i sqrt(p_i · q_i)                 (Bhattacharyya)
+        H   = sqrt(1 − BC)                        (Hellinger)
+        TV  = ½ Σ_i |p_i − q_i|                   (total variation)
+
+    Engine portability by construction: bin counts are exact longs;
+    each sqrt argument is ONE exact-integer product (sqrt is
+    IEEE-exact — the quality_correlation rule, never libm ln/pow);
+    the bin terms are added in FIXED left-to-right order; TV's
+    numerator Σ|a_i·B − b_i·A| is a pure exact-long sum divided once
+    at the end.  Products must fit int64 (counts to ~3·10⁹ a side).
+
+    Plan: identical to psi_drift — one (group, bin) count agg, one
+    per-group conditional pivot, one broadcast 1-row global bin
+    row; no data-keyed joins, no window.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    b = df.select(
+        F.col(group_col).alias("g"),
+        F.least(
+            F.lit(n_bins - 1),
+            (F.col(value_col).cast("long") / F.lit(width)).cast("long"),
+        ).alias("bin"),
+    )
+    ct = b.groupBy("g", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    per_g = ct.groupBy("g").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("bin") == i, F.col("cnt"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"a{i}")
+            for i in range(n_bins)
+        ]
+    )
+    glob = ct.groupBy().agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("bin") == i, F.col("cnt"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"t{i}")
+            for i in range(n_bins)
+        ]
+    )
+    j = per_g.crossJoin(F.broadcast(glob))
+    n_a = F.col("a0")
+    n_t = F.col("t0")
+    for i in range(1, n_bins):
+        n_a = n_a + F.col(f"a{i}")
+        n_t = n_t + F.col(f"t{i}")
+    j = j.withColumn("n_a", n_a.cast("long")).withColumn(
+        "n_b", (n_t - n_a).cast("long")
+    )
+    bc_sum = None
+    tv_num = None
+    for i in range(n_bins):
+        a_i = F.col(f"a{i}")
+        b_i = F.col(f"t{i}") - F.col(f"a{i}")
+        s = F.sqrt((a_i * b_i).cast("double"))
+        t = F.abs(a_i * F.col("n_b") - b_i * F.col("n_a"))
+        bc_sum = s if bc_sum is None else bc_sum + s
+        tv_num = t if tv_num is None else tv_num + t
+    bc = bc_sum / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double"))
+    return j.select(
+        F.col("g").alias(group_col),
+        "n_a",
+        "n_b",
+        tv_num.cast("long").alias("tv_num"),
+        F.round(bc, 6).alias("bc"),
+        F.round(F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - bc)), 6).alias(
+            "hellinger"
+        ),
+        F.round(
+            tv_num.cast("double")
+            / (F.lit(2) * F.col("n_a") * F.col("n_b")).cast("double"),
+            6,
+        ).alias("tv"),
+    )

@@ -3882,3 +3882,98 @@ def motif_census(
             "cycles4",
         )
     )
+
+
+def balanced_triangles(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Structural-balance census of a SIGNED version of the triple
+    graph (Cartwright–Harary): each undirected edge carries a
+    deterministic sign — negative when the portable BASE/MOD poly
+    hash of its canonical ``a|b`` endpoint string is odd — and a
+    triangle is *balanced* when its sign product is positive (an even
+    number of negative edges).  Balance theory's health signal for
+    contradiction-heavy KGs: low balance ⇒ antagonistic relation
+    cliques.
+
+    Scale plan: the SAME degree-ordered orientation as
+    :func:`triangle_stats` (wedge stage Θ(|E|^1.5) under skew); the
+    three edge signs are PURE in-row hash expressions of the endpoint
+    strings — no sign table is joined, so the signed census costs the
+    unsigned census plus a projection.  The hash is reproducible in
+    ANSI SQL, so the DuckDB oracle signs the simpler a<b<c
+    enumeration identically.
+    """
+    from deepie_spark.functions.text import char_poly_hash_str
+
+    und = _canonical_edges(edges, src, dst).localCheckpoint()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    low_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    ).localCheckpoint()
+    w1 = oriented.select(F.col("u"), F.col("v").alias("p"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("q"))
+    wedges = (
+        w1.join(w2, "u")
+        .filter(F.col("p") < F.col("q"))
+        .select("u", F.col("p").alias("a"), F.col("q").alias("b"))
+    )
+    tri = wedges.join(und, ["a", "b"]).select("u", "a", "b")
+
+    def neg(x, y):
+        pair = F.concat_ws(
+            "|", F.least(x, y), F.greatest(x, y)
+        )
+        return (char_poly_hash_str(pair) % 2).cast("long")
+
+    signed = tri.select(
+        (
+            neg(F.col("u"), F.col("a"))
+            + neg(F.col("u"), F.col("b"))
+            + neg(F.col("a"), F.col("b"))
+        ).alias("n_neg")
+    )
+    neg_edges = und.select(
+        neg(F.col("a"), F.col("b")).alias("ne")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum("ne").cast("long").alias("n_neg_edges"),
+    )
+    cen = signed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles"),
+        F.sum(F.when(F.col("n_neg") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_balanced"),
+    )
+    return neg_edges.crossJoin(F.broadcast(cen)).select(
+        "n_edges",
+        "n_neg_edges",
+        "n_triangles",
+        "n_balanced",
+        (F.col("n_triangles") - F.col("n_balanced"))
+        .cast("long")
+        .alias("n_unbalanced"),
+        F.when(
+            F.col("n_triangles") > 0,
+            F.round(
+                F.col("n_balanced").cast("double")
+                / F.col("n_triangles").cast("double"),
+                6,
+            ),
+        ).alias("balance_index"),
+    )

@@ -3374,3 +3374,67 @@ def logrank_test(
         F.round(F.col("e_fp") / scale, 6).alias("e_a"),
         F.when(F.col("v_fp") > 0, F.round(z, 6)).alias("z"),
     )
+
+
+def grubbs_stat(
+    df: DataFrame, value_col: str, id_col: str
+) -> DataFrame:
+    """Grubbs' maximum-studentized-deviate outlier statistic over an
+    integer-valued column:
+
+        G = max_i |x_i − x̄| / s
+
+    with the deviation ARGMAX (and its row id) pinned by an exact-long
+    tie-break.  All moments are exact integers (n, Σx, Σx²); the
+    per-row deviation is scaled by n — |n·x_i − Σx| is an exact long,
+    so the max and its winner are engine-portable with NO floats in
+    the ordering.  G itself is then ONE identical IEEE chain:
+    (devn/n) / sqrt(vn / (n·(n−1))) with vn = n·Σx² − (Σx)² exact
+    (sqrt is IEEE-exact).  One aggregate, map-side combinable; the
+    critical-value lookup (t-distribution) is a client-side concern.
+    """
+    x = F.col(value_col).cast("long")
+    base = df.select(
+        x.alias("x"), F.col(id_col).cast("long").alias("rid")
+    )
+    mom = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    dev = base.crossJoin(F.broadcast(mom)).select(
+        "n",
+        "s",
+        "s2",
+        F.abs(F.col("n") * F.col("x") - F.col("s"))
+        .cast("long")
+        .alias("devn"),
+        "rid",
+        "x",
+    )
+    top = dev.groupBy("n", "s", "s2").agg(
+        F.max(F.struct("devn", (-F.col("rid")).alias("nrid"))).alias("m")
+    )
+    winner = (
+        top.select(
+            "n",
+            "s",
+            "s2",
+            F.col("m.devn").alias("devn"),
+            (-F.col("m.nrid")).cast("long").alias("outlier_id"),
+        )
+    )
+    vn = F.col("n") * F.col("s2") - F.col("s") * F.col("s")
+    g = (
+        F.col("devn").cast("double") / F.col("n").cast("double")
+    ) / F.sqrt(
+        vn.cast("double")
+        / (F.col("n") * (F.col("n") - F.lit(1))).cast("double")
+    )
+    return winner.select(
+        "n",
+        "outlier_id",
+        F.col("devn"),
+        vn.cast("long").alias("var_num"),
+        F.round(g, 6).alias("g_stat"),
+    )

@@ -593,3 +593,33 @@ def test_morisita_horn_identity_and_disjoint(spark):
     )
     assert got[("a", "d")].num == num
     assert got[("a", "d")].mh == round(num / den, 6)
+
+
+def test_hellinger_drift_identical_halves_and_bounds(spark):
+    from deepie_spark.operators.curation import hellinger_drift
+
+    # identical multisets → BC = 1, Hellinger = 0, TV = 0
+    vals = [10, 70, 70, 130, 200, 200, 640, 1000]
+    rows = [("a", v) for v in vals] + [("b", v) for v in vals]
+    df = spark.createDataFrame(rows, ["source", "n_chars"])
+    got = {r.source: r for r in
+           hellinger_drift(df, "source", "n_chars", 10, 64).collect()}
+    for s in ("a", "b"):
+        assert got[s].bc == 1.0
+        assert got[s].hellinger == 0.0
+        assert got[s].tv == 0.0
+        assert got[s].tv_num == 0
+
+
+def test_hellinger_drift_disjoint_is_maximal(spark):
+    from deepie_spark.operators.curation import hellinger_drift
+
+    # disjoint bins → BC = 0, Hellinger = 1, TV = 1
+    rows = [("a", 5)] * 4 + [("b", 700)] * 4
+    df = spark.createDataFrame(rows, ["source", "n_chars"])
+    got = {r.source: r for r in
+           hellinger_drift(df, "source", "n_chars", 10, 64).collect()}
+    for s in ("a", "b"):
+        assert got[s].bc == 0.0
+        assert got[s].hellinger == 1.0
+        assert got[s].tv == 1.0

@@ -2401,3 +2401,32 @@ def test_motif_census_bruteforce(spark):
     assert r.paths3 == paths3
     assert r.cycles4 == cycles4
     assert (r.triangles, r.cycles4) == (1, 1)
+
+
+def test_balanced_triangles_census_vs_python(spark):
+    from itertools import combinations
+
+    from deepie_spark.operators.graph import balanced_triangles
+
+    # K5 on string nodes: C(5,3) = 10 triangles, every pair an edge
+    nodes = ["a", "b", "c", "d", "e"]
+    edges = [(x, y) for x, y in combinations(nodes, 2)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    r = balanced_triangles(df).collect()[0]
+    assert r.n_edges == 10 and r.n_triangles == 10
+
+    def neg(x, y):
+        a, b = min(x, y), max(x, y)
+        h = 0
+        for ch in f"{a}|{b}":
+            h = (h * 131 + ord(ch)) % 2147483647
+        return h % 2
+
+    n_bal = sum(
+        1
+        for t in combinations(nodes, 3)
+        if (neg(t[0], t[1]) + neg(t[0], t[2]) + neg(t[1], t[2])) % 2 == 0
+    )
+    assert r.n_balanced == n_bal
+    assert r.n_unbalanced == 10 - n_bal
+    assert r.n_neg_edges == sum(neg(x, y) for x, y in edges)

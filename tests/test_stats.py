@@ -2099,3 +2099,33 @@ def test_logrank_python_twin(spark):
     assert abs(r.z - z) < 1e-4
     # A dies visibly faster -> strongly positive z
     assert r.z > 1.5
+
+
+def test_grubbs_stat_planted_outlier(spark):
+    import math
+
+    from deepie_spark.operators.stats import grubbs_stat
+
+    vals = [10, 11, 9, 10, 12, 10, 11, 9, 10, 95]
+    rows = [(v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["v", "rid"])
+    r = grubbs_stat(df, "v", "rid").collect()[0]
+    assert r.outlier_id == 9  # the planted outlier's id
+    n = len(vals)
+    mean = sum(vals) / n
+    sd = math.sqrt(sum((v - mean) ** 2 for v in vals) / (n - 1))
+    assert abs(r.g_stat - abs(95 - mean) / sd) < 1e-6
+    # exact integer invariants
+    assert r.devn == abs(n * 95 - sum(vals))
+    assert r.var_num == n * sum(v * v for v in vals) - sum(vals) ** 2
+
+
+def test_grubbs_stat_tie_breaks_to_smallest_id(spark):
+    from deepie_spark.operators.stats import grubbs_stat
+
+    # two rows tie at max deviation → the SMALLER id wins
+    df = spark.createDataFrame(
+        [(0, 7), (20, 3), (20, 5), (10, 1)], ["v", "rid"]
+    )
+    r = grubbs_stat(df, "v", "rid").collect()[0]
+    assert r.outlier_id == 7  # |4·0−50|=50 beats |4·20−50|=30
