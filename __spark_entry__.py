@@ -11,6 +11,7 @@ summation-order ULP noise.
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Callable
 
@@ -11014,6 +11015,246 @@ def q_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_jt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-trend test of event value (cents)
+    across the day-of-week order Sunday→Saturday (operators/stats.py
+    jonckheere_terpstra): doubled statistic 2J exact from per-value
+    group histograms — Θ(distinct·k²), never row pairs — with the 7
+    inclusive CDFs on one bucket-keyed window; the monotone-trend
+    companion to value_mk_trend's time ordering."""
+    from deepie_spark.operators.stats import jonckheere_terpstra
+
+    e = _events(spark, sf_dir).select(
+        (F.dayofweek(F.col("ts").cast("timestamp")) - 1)
+        .cast("long")
+        .alias("dow"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return jonckheere_terpstra(e, "dow", "cents", groups=list(range(7)))
+
+
+def q_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time of user lifetimes — the area
+    under the Kaplan-Meier curve to the largest observed duration
+    (operators/stats.py restricted_mean_survival): the KM product
+    walked as ONE sequential in-row fold over the calendar-bounded
+    life table, the DuckDB twin walking the SAME recurrence as a
+    recursive CTE — the scalar "expected lifetime" readout beside
+    user_survival_km's per-time table."""
+    from deepie_spark.operators.stats import restricted_mean_survival
+
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+    )
+    pu = e.groupBy("user_id").agg(
+        F.min("day").alias("f"), F.max("day").alias("l")
+    )
+    mx = pu.agg(F.max("l").alias("maxd"))
+    du = pu.crossJoin(F.broadcast(mx)).select(
+        F.datediff("l", "f").cast("long").alias("dur"),
+        F.when(F.col("l") < F.col("maxd"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ev"),
+    )
+    return restricted_mean_survival(du, "dur", "ev")
+
+
+def q_events_vratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio panel of the hourly event-count
+    series at horizons q ∈ {2,4,8}: overlapping q-hour sums ride ONE
+    ordered window over the calendar-bounded dense hour grid (the
+    events_hourly_dense rule — grid size is bounded by the time span,
+    not the row count), all moments exact longs, VR and its z both
+    pinned IEEE chains of exact-integer ratios.  VR ≈ 1 ⇒ the counts
+    are serially uncorrelated; VR > 1 ⇒ positive persistence — the
+    random-walk audit beside events_acf/events_dw."""
+    e = _events(spark, sf_dir).select(
+        F.expr(
+            "CAST(unix_timestamp(CAST(ts AS TIMESTAMP)) AS BIGINT)"
+            " div 3600"
+        ).alias("hr")
+    )
+    ct = e.groupBy("hr").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    mm = ct.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    grid = mm.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hr")
+    )
+    full = (
+        grid.join(ct, "hr", "left")
+        .select("hr", F.coalesce("n", F.lit(0)).cast("long").alias("x"))
+    )
+    base = full.agg(
+        F.count(F.lit(1)).cast("long").alias("n1"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s12"),
+    )
+    ow = W.orderBy("hr")
+    win = full.select(
+        "x",
+        F.row_number().over(ow).cast("long").alias("rn"),
+        *[
+            F.sum("x")
+            .over(ow.rowsBetween(-(q - 1), W.currentRow))
+            .cast("long")
+            .alias(f"y{q}")
+            for q in (2, 4, 8)
+        ],
+    )
+    parts = []
+    for q in (2, 4, 8):
+        a = (
+            win.filter(F.col("rn") >= q)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_windows"),
+                F.sum(f"y{q}").cast("long").alias("sum_y"),
+                F.sum(F.col(f"y{q}") * F.col(f"y{q}"))
+                .cast("long")
+                .alias("sum_y2"),
+            )
+            .crossJoin(F.broadcast(base))
+        )
+        vnq = F.col("n_windows") * F.col("sum_y2") - F.col(
+            "sum_y"
+        ) * F.col("sum_y")
+        vn1 = F.col("n1") * F.col("s12") - F.col("s1") * F.col("s1")
+        vr = (
+            vnq.cast("double")
+            / (F.col("n_windows") * (F.col("n_windows") - 1)).cast(
+                "double"
+            )
+        ) / (
+            F.lit(float(q))
+            * vn1.cast("double")
+            / (F.col("n1") * (F.col("n1") - 1)).cast("double")
+        )
+        phi_num = 2 * (2 * q - 1) * (q - 1)
+        z = (vr - F.lit(1.0)) / F.sqrt(
+            F.lit(phi_num).cast("double")
+            / (F.lit(3 * q) * F.col("n1")).cast("double")
+        )
+        parts.append(
+            a.select(
+                F.lit(q).cast("long").alias("q"),
+                "n_windows",
+                "sum_y",
+                "sum_y2",
+                F.round(vr, 6).alias("vr"),
+                F.round(z, 6).alias("z"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("q")
+
+
+_HURST_2LN2 = 2 * math.log(2.0)
+
+
+def q_events_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the hourly event-count series by rescaled-
+    range analysis: for block sizes n ∈ {16,32,64}, per-block range
+    of SCALED cumulative deviations D_t = n·prefix_t − t·S (exact
+    longs — no float mean subtraction) over sqrt of the exact
+    variance numerator, quantized to 2²⁰ fixed point so the across-
+    block mean is an order-free integer sum; since the three block
+    sizes are log-equally spaced the OLS slope collapses to
+    (ln RS₆₄ − ln RS₁₆) / (2 ln 2) — one repr-shared constant, ln
+    args identical double divisions of exact longs.  H ≈ 0.5 ⇒
+    memoryless; H > 0.5 ⇒ long-range persistence."""
+    e = _events(spark, sf_dir).select(
+        F.expr(
+            "CAST(unix_timestamp(CAST(ts AS TIMESTAMP)) AS BIGINT)"
+            " div 3600"
+        ).alias("hr")
+    )
+    ct = e.groupBy("hr").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    mm = ct.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    grid = mm.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hr"),
+        F.col("h0"),
+    )
+    full = (
+        grid.join(ct, "hr", "left")
+        .select(
+            (F.col("hr") - F.col("h0")).cast("long").alias("i"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("x"),
+        )
+    )
+    aggs = []
+    for n in (16, 32, 64):
+        blk = full.select(
+            F.expr(f"i div {n}").cast("long").alias("blk"),
+            (F.col("i") % n + 1).cast("long").alias("t"),
+            "i",
+            "x",
+        )
+        w = (
+            W.partitionBy("blk")
+            .orderBy("i")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        dv = blk.select(
+            "blk",
+            "x",
+            (
+                F.lit(n) * F.sum("x").over(w)
+                - F.col("t") * F.sum("x").over(
+                    W.partitionBy("blk").orderBy("i").rowsBetween(
+                        W.unboundedPreceding,
+                        W.unboundedFollowing,
+                    )
+                )
+            )
+            .cast("long")
+            .alias("dd"),
+        )
+        per = dv.groupBy("blk").agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+            F.max("dd").cast("long").alias("dmax"),
+            F.min("dd").cast("long").alias("dmin"),
+        )
+        vn = F.lit(n) * F.col("sx2") - F.col("sx") * F.col("sx")
+        ok = per.filter((F.col("m") == n) & (vn > 0))
+        rs_fp = F.floor(
+            (F.col("dmax") - F.col("dmin")).cast("double")
+            / F.sqrt(vn.cast("double"))
+            * F.lit(1048576.0)
+        ).cast("long")
+        aggs.append(
+            ok.agg(
+                F.count(F.lit(1)).cast("long").alias(f"k{n}"),
+                F.sum(rs_fp).cast("long").alias(f"s{n}"),
+            )
+        )
+    j = aggs[0].crossJoin(F.broadcast(aggs[1])).crossJoin(
+        F.broadcast(aggs[2])
+    )
+    ln16 = F.log(
+        F.col("s16").cast("double")
+        / (F.col("k16") * F.lit(1048576)).cast("double")
+    )
+    ln64 = F.log(
+        F.col("s64").cast("double")
+        / (F.col("k64") * F.lit(1048576)).cast("double")
+    )
+    return j.select(
+        "k16",
+        "s16",
+        "k32",
+        "s32",
+        "k64",
+        "s64",
+        F.round(ln16, 6).alias("ln_rs16"),
+        F.round(ln64, 6).alias("ln_rs64"),
+        F.round((ln64 - ln16) / F.lit(_HURST_2LN2), 6).alias("hurst"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -11424,6 +11665,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_grubbs": q_value_grubbs,
         "graph_balance": q_graph_balance,
         "mv_rewrite": q_mv_rewrite,
+        "value_jt_trend": q_value_jt_trend,
+        "survival_rmst": q_survival_rmst,
+        "events_vratio": q_events_vratio,
+        "events_hurst": q_events_hurst,
     }
 
 
@@ -22320,5 +22565,200 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
                  AS days_active
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    # value_jt_trend twin: same histogram math, plain SQL windows for
+    # the per-group inclusive CDFs (no bucketing needed single-node).
+    _JT_K = 7
+    _JT_C = ", ".join(
+        f"CAST(coalesce(sum(CASE WHEN g = {i} THEN cnt END), 0)"
+        f" AS BIGINT) AS c{i}"
+        for i in range(_JT_K)
+    )
+    _JT_F = ", ".join(
+        f"CAST(sum(c{i}) OVER (ORDER BY v) AS BIGINT) AS f{i}"
+        for i in range(_JT_K)
+    )
+    _JT_N = ", ".join(
+        f"CAST(sum(c{i}) AS BIGINT) AS n{i}" for i in range(_JT_K)
+    )
+    _JT_TERMS = " + ".join(
+        f"c{i} * (2 * (n{j} - f{j}) + c{j})"
+        for i in range(_JT_K)
+        for j in range(i + 1, _JT_K)
+    )
+    _JT_NT = " + ".join(f"n{i}" for i in range(_JT_K))
+    _JT_SQ = " + ".join(f"n{i} * n{i}" for i in range(_JT_K))
+    _JT_VQ = " + ".join(
+        f"n{i} * n{i} * (2 * n{i} + 3)" for i in range(_JT_K)
+    )
+    d["value_jt_trend"] = f"""
+        WITH e AS (SELECT CAST(dayofweek(ts) AS BIGINT) AS g,
+                          CAST(round(value * 100) AS BIGINT) AS v
+                   FROM events),
+        h AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cnt
+              FROM e GROUP BY 1, 2),
+        wide AS (SELECT v, {_JT_C} FROM h GROUP BY v),
+        cum AS (SELECT *, {_JT_F} FROM wide),
+        tot AS (SELECT {_JT_N} FROM wide),
+        ctb AS (SELECT CAST(sum({_JT_TERMS}) AS BIGINT) AS j2
+                FROM cum CROSS JOIN tot),
+        st AS (SELECT CAST({_JT_NT} AS BIGINT) AS n_total,
+                      CAST(({_JT_NT}) * ({_JT_NT}) - ({_JT_SQ})
+                        AS BIGINT) AS e4_num,
+                      CAST(({_JT_NT}) * ({_JT_NT})
+                             * (2 * ({_JT_NT}) + 3) - ({_JT_VQ})
+                        AS BIGINT) AS v72_num
+               FROM tot)
+        SELECT n_total, j2, e4_num, v72_num,
+               CASE WHEN v72_num > 0 THEN
+                 round((CAST(j2 AS DOUBLE) / 2.0
+                        - CAST(e4_num AS DOUBLE) / 4.0)
+                       / sqrt(CAST(v72_num AS DOUBLE) / 72.0), 6) END
+                 AS z
+        FROM st CROSS JOIN ctb
+    """
+    # survival_rmst twin: the SAME sequential KM-area recurrence
+    # walked as a recursive CTE over the ordered life table.
+    d["survival_rmst"] = """
+        WITH RECURSIVE e AS (
+          SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        pu AS (SELECT user_id, min(day) AS f, max(day) AS l
+               FROM e GROUP BY 1),
+        mx AS (SELECT max(l) AS maxd FROM pu),
+        du AS (SELECT CAST(l - f AS BIGINT) AS t,
+                      CASE WHEN l < maxd THEN 1 ELSE 0 END AS ev
+               FROM pu, mx),
+        pt AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+                      CAST(count(*) AS BIGINT) AS m
+               FROM du GROUP BY 1),
+        tot AS (SELECT CAST(sum(m) AS BIGINT) AS n_subjects FROM pt),
+        lt AS (SELECT t, d,
+                      CAST(n_subjects
+                           - (sum(m) OVER (ORDER BY t) - m)
+                        AS BIGINT) AS nr,
+                      CAST(row_number() OVER (ORDER BY t) AS BIGINT)
+                        AS i
+               FROM pt, tot),
+        walk(i, prev, s, area) AS (
+          SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                 CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+          UNION ALL
+          SELECT w.i + 1, lt.t,
+                 w.s * (CAST(lt.nr - lt.d AS DOUBLE)
+                        / CAST(lt.nr AS DOUBLE)),
+                 w.area + w.s * CAST(lt.t - w.prev AS DOUBLE)
+          FROM walk w JOIN lt ON lt.i = w.i + 1),
+        fin AS (SELECT s, area FROM walk
+                ORDER BY i DESC LIMIT 1),
+        meta AS (SELECT CAST(count(*) AS BIGINT) AS n_times,
+                        CAST(max(t) AS BIGINT) AS tau FROM lt)
+        SELECT n_subjects, n_times, tau,
+               round(area, 6) AS rmst, round(s, 6) AS s_final
+        FROM tot CROSS JOIN meta CROSS JOIN fin
+    """
+    # events_vratio twin: same dense grid + window sums; one UNION
+    # branch per horizon with the identical pinned ratio chains.
+    _VR_BRANCH = []
+    for _q in (2, 4, 8):
+        _phi = 2 * (2 * _q - 1) * (_q - 1)
+        _VR_BRANCH.append(f"""
+        SELECT CAST({_q} AS BIGINT) AS q, n_windows, sum_y, sum_y2,
+               round((CAST(n_windows * sum_y2 - sum_y * sum_y
+                        AS DOUBLE)
+                      / CAST(n_windows * (n_windows - 1) AS DOUBLE))
+                     / ({float(_q)!r} * CAST(n1 * s12 - s1 * s1
+                                             AS DOUBLE)
+                        / CAST(n1 * (n1 - 1) AS DOUBLE)), 6) AS vr,
+               round(((CAST(n_windows * sum_y2 - sum_y * sum_y
+                         AS DOUBLE)
+                       / CAST(n_windows * (n_windows - 1) AS DOUBLE))
+                      / ({float(_q)!r} * CAST(n1 * s12 - s1 * s1
+                                              AS DOUBLE)
+                         / CAST(n1 * (n1 - 1) AS DOUBLE)) - 1.0)
+                     / sqrt(CAST({_phi} AS DOUBLE)
+                            / CAST({3 * _q} * n1 AS DOUBLE)), 6) AS z
+        FROM (SELECT CAST(count(*) AS BIGINT) AS n_windows,
+                     CAST(sum(y{_q}) AS BIGINT) AS sum_y,
+                     CAST(sum(y{_q} * y{_q}) AS BIGINT) AS sum_y2
+              FROM win WHERE rn >= {_q}) CROSS JOIN base""")
+    d["events_vratio"] = f"""
+        WITH ct AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600
+                      AS hr, CAST(count(*) AS BIGINT) AS n
+                    FROM events GROUP BY 1),
+        mm AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM ct),
+        grid AS (SELECT unnest(generate_series(h0, h1)) AS hr
+                 FROM mm),
+        gf AS (SELECT grid.hr,
+                      CAST(coalesce(ct.n, 0) AS BIGINT) AS x
+               FROM grid LEFT JOIN ct ON ct.hr = grid.hr),
+        base AS (SELECT CAST(count(*) AS BIGINT) AS n1,
+                        CAST(sum(x) AS BIGINT) AS s1,
+                        CAST(sum(x * x) AS BIGINT) AS s12 FROM gf),
+        win AS (SELECT x,
+                  CAST(row_number() OVER (ORDER BY hr) AS BIGINT)
+                    AS rn,
+                  CAST(sum(x) OVER (ORDER BY hr ROWS BETWEEN 1
+                    PRECEDING AND CURRENT ROW) AS BIGINT) AS y2,
+                  CAST(sum(x) OVER (ORDER BY hr ROWS BETWEEN 3
+                    PRECEDING AND CURRENT ROW) AS BIGINT) AS y4,
+                  CAST(sum(x) OVER (ORDER BY hr ROWS BETWEEN 7
+                    PRECEDING AND CURRENT ROW) AS BIGINT) AS y8
+                FROM gf)
+        {" UNION ALL ".join(_VR_BRANCH)}
+        ORDER BY q
+    """
+    # events_hurst twin: same block R/S with SQL windows; the OLS
+    # slope collapses to (ln RS64 − ln RS16)/(2 ln 2), repr-shared.
+    _H_BLK = []
+    for _n in (16, 32, 64):
+        _H_BLK.append(f"""
+        b{_n} AS (SELECT i // {_n} AS blk, (i % {_n}) + 1 AS t, i, x
+                  FROM gf),
+        d{_n} AS (SELECT blk, x,
+                    CAST({_n} * sum(x) OVER (PARTITION BY blk
+                           ORDER BY i ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW)
+                         - t * (sum(x) OVER (PARTITION BY blk))
+                      AS BIGINT) AS dd
+                  FROM b{_n}),
+        p{_n} AS (SELECT blk, CAST(count(*) AS BIGINT) AS m,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(x * x) AS BIGINT) AS sx2,
+                         CAST(max(dd) AS BIGINT) AS dmax,
+                         CAST(min(dd) AS BIGINT) AS dmin
+                  FROM d{_n} GROUP BY blk),
+        a{_n} AS (SELECT CAST(count(*) AS BIGINT) AS k{_n},
+                         CAST(sum(CAST(floor(
+                           CAST(dmax - dmin AS DOUBLE)
+                           / sqrt(CAST({_n} * sx2 - sx * sx
+                                       AS DOUBLE))
+                           * 1048576.0) AS BIGINT)) AS BIGINT)
+                           AS s{_n}
+                  FROM p{_n}
+                  WHERE m = {_n} AND {_n} * sx2 - sx * sx > 0)""")
+    d["events_hurst"] = f"""
+        WITH ct AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600
+                      AS hr, CAST(count(*) AS BIGINT) AS n
+                    FROM events GROUP BY 1),
+        mm AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM ct),
+        grid AS (SELECT unnest(generate_series(h0, h1)) AS hr, h0
+                 FROM mm),
+        gf AS (SELECT CAST(grid.hr - grid.h0 AS BIGINT) AS i,
+                      CAST(coalesce(ct.n, 0) AS BIGINT) AS x
+               FROM grid LEFT JOIN ct ON ct.hr = grid.hr),
+        {",".join(_H_BLK)}
+        SELECT k16, s16, k32, s32, k64, s64,
+               round(ln(CAST(s16 AS DOUBLE)
+                        / CAST(k16 * 1048576 AS DOUBLE)), 6)
+                 AS ln_rs16,
+               round(ln(CAST(s64 AS DOUBLE)
+                        / CAST(k64 * 1048576 AS DOUBLE)), 6)
+                 AS ln_rs64,
+               round((ln(CAST(s64 AS DOUBLE)
+                         / CAST(k64 * 1048576 AS DOUBLE))
+                      - ln(CAST(s16 AS DOUBLE)
+                           / CAST(k16 * 1048576 AS DOUBLE)))
+                     / {_HURST_2LN2!r}, 6) AS hurst
+        FROM a16 CROSS JOIN a32 CROSS JOIN a64
     """
     return d

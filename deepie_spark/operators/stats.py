@@ -3438,3 +3438,214 @@ def grubbs_stat(
         vn.cast("long").alias("var_num"),
         F.round(g, 6).alias("g_stat"),
     )
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    groups: list[int],
+    buckets: int | None = None,
+) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative trend test: with
+    groups carrying an A-PRIORI order g₁ < g₂ < … < gₖ,
+
+        J = Σ_{i<j} U_ij,   U_ij = #{x∈gᵢ, y∈gⱼ : x<y} + ½·#{x=y}
+
+    against H₀ of no monotone trend.  The doubled statistic
+    2J = Σ_{i<j} [2·#(x<y) + #(x=y)] is an EXACT LONG — no halves —
+    computed from per-value GROUP HISTOGRAMS, never from row pairs:
+    for each distinct value v, #(x<y) contributions are
+    cnt_i(v)·(n_j − F_j(v)) with F_j the inclusive per-group CDF, so
+    the whole test is Θ(distinct values · k²) instead of Θ(N²).
+
+    The k inclusive CDFs ride ONE bucket-keyed window over the
+    pinned range bucketing (the rank_in_order scheme, k running sums
+    at once) plus the triangular broadcast offset join — no
+    single-partition window.  E[J] and Var[J] (no-ties normal
+    approximation) are exact integer numerators (4E = N²−Σnᵢ²,
+    72V = N²(2N+3) − Σnᵢ²(2nᵢ+3) — N²(2N+3) must fit int64: fine to
+    ~10⁶ rows; past that compute v72 in double); z is one identical
+    IEEE chain.
+    """
+    k = len(groups)
+    if k < 2:
+        raise ValueError("need >= 2 ordered groups")
+    from deepie_spark.operators.sweep import pinned_range_bucket
+
+    hist = (
+        df.select(
+            F.col(group_col).cast("long").alias("g"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wide = hist.groupBy("v").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("g") == gi, F.col("cnt"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"c{i}")
+            for i, gi in enumerate(groups)
+        ]
+    )
+    spark = df.sparkSession
+    if buckets is None:
+        buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    b = pinned_range_bucket(wide, "v", buckets)
+    w = (
+        W.partitionBy("_bkt")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = b.select(
+        "*",
+        *[
+            F.sum(f"c{i}").over(w).cast("long").alias(f"l{i}")
+            for i in range(k)
+        ],
+    )
+    sums = b.groupBy("_bkt").agg(
+        *[F.sum(f"c{i}").cast("long").alias(f"s{i}") for i in range(k)]
+    )
+    lower = sums.select(
+        F.col("_bkt").alias("_lo"),
+        *[F.col(f"s{i}").alias(f"lo{i}") for i in range(k)],
+    )
+    offsets = (
+        sums.select("_bkt")
+        .join(F.broadcast(lower), F.col("_lo") < F.col("_bkt"), "left")
+        .groupBy("_bkt")
+        .agg(
+            *[
+                F.coalesce(F.sum(f"lo{i}"), F.lit(0))
+                .cast("long")
+                .alias(f"o{i}")
+                for i in range(k)
+            ]
+        )
+    )
+    tot = wide.agg(
+        *[F.sum(f"c{i}").cast("long").alias(f"n{i}") for i in range(k)]
+    )
+    full = cum.join(F.broadcast(offsets), "_bkt").crossJoin(
+        F.broadcast(tot)
+    )
+    contrib = None
+    for i in range(k):
+        for j in range(i + 1, k):
+            fj = F.col(f"o{j}") + F.col(f"l{j}")  # inclusive CDF of j
+            term = F.col(f"c{i}") * (
+                F.lit(2) * (F.col(f"n{j}") - fj) + F.col(f"c{j}")
+            )
+            contrib = term if contrib is None else contrib + term
+    j2 = full.agg(F.sum(contrib).cast("long").alias("j2"))
+    n_total = None
+    sq = None
+    vq = None
+    for i in range(k):
+        ni = F.col(f"n{i}")
+        n_total = ni if n_total is None else n_total + ni
+        sq = ni * ni if sq is None else sq + ni * ni
+        t = ni * ni * (F.lit(2) * ni + F.lit(3))
+        vq = t if vq is None else vq + t
+    st = tot.select(
+        n_total.cast("long").alias("n_total"),
+        (n_total * n_total - sq).cast("long").alias("e4_num"),
+        (
+            n_total * n_total * (F.lit(2) * n_total + F.lit(3)) - vq
+        )
+        .cast("long")
+        .alias("v72_num"),
+    )
+    out = st.crossJoin(F.broadcast(j2))
+    z = (
+        F.col("j2").cast("double") / F.lit(2.0)
+        - F.col("e4_num").cast("double") / F.lit(4.0)
+    ) / F.sqrt(F.col("v72_num").cast("double") / F.lit(72.0))
+    return out.select(
+        "n_total",
+        "j2",
+        "e4_num",
+        "v72_num",
+        F.when(F.col("v72_num") > 0, F.round(z, 6)).alias("z"),
+    )
+
+
+def restricted_mean_survival(
+    df: DataFrame, dur_col: str, event_col: str
+) -> DataFrame:
+    """Restricted mean survival time: the area under the Kaplan-Meier
+    step curve up to τ = the largest observed duration,
+
+        RMST = Σ_i S(t_{i-1}) · (t_i − t_{i-1})
+
+    — the distribution-free "expected survival" readout beside
+    :func:`kaplan_meier`'s per-time table.  The KM product has no
+    order-free exact form, so the fold is SEQUENTIAL BY CONSTRUCTION:
+    the life table (distinct durations with at-risk/death counts —
+    bounded by the calendar, not the row count) is sorted into ONE
+    in-row array and walked by a single ``aggregate`` fold whose
+    every multiply/divide is one pinned IEEE operation; the DuckDB
+    twin walks the SAME recurrence as a recursive CTE, so both
+    engines execute the identical chain.  At-risk counts ride
+    prefix_sum_in_order (no single-partition window); only the
+    calendar-bounded life table is collected into the array.
+    """
+    from deepie_spark.operators.sweep import prefix_sum_in_order
+
+    per_t = df.groupBy(
+        F.col(dur_col).cast("long").alias("t")
+    ).agg(
+        F.sum(F.col(event_col).cast("long")).cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    cm = prefix_sum_in_order(per_t, "t", "m", out_col="cmi")
+    tot = per_t.agg(F.sum("m").cast("long").alias("n_subjects"))
+    rk = cm.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        "n_subjects",
+        (F.col("n_subjects") - (F.col("cmi") - F.col("m")))
+        .cast("long")
+        .alias("nr"),
+    )
+    arr = rk.groupBy("n_subjects").agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", "nr", "d"))
+        ).alias("lt"),
+        F.count(F.lit(1)).cast("long").alias("n_times"),
+        F.max("t").cast("long").alias("tau"),
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("prev"),
+        F.lit(1.0).alias("s"),
+        F.lit(0.0).alias("area"),
+    )
+    fold = F.aggregate(
+        F.col("lt"),
+        init,
+        lambda acc, r: F.struct(
+            r["t"].alias("prev"),
+            (
+                acc["s"]
+                * (
+                    (r["nr"] - r["d"]).cast("double")
+                    / r["nr"].cast("double")
+                )
+            ).alias("s"),
+            (
+                acc["area"]
+                + acc["s"] * (r["t"] - acc["prev"]).cast("double")
+            ).alias("area"),
+        ),
+    )
+    return arr.select(
+        "n_subjects",
+        "n_times",
+        "tau",
+        F.round(fold["area"], 6).alias("rmst"),
+        F.round(fold["s"], 6).alias("s_final"),
+    )

@@ -2129,3 +2129,47 @@ def test_grubbs_stat_tie_breaks_to_smallest_id(spark):
     )
     r = grubbs_stat(df, "v", "rid").collect()[0]
     assert r.outlier_id == 7  # |4·0−50|=50 beats |4·20−50|=30
+
+
+def test_jonckheere_terpstra_brute_force_twin(spark):
+    from itertools import product
+
+    from deepie_spark.operators.stats import jonckheere_terpstra
+
+    data = {
+        0: [3, 5, 5, 8],
+        1: [4, 6, 9],
+        2: [5, 9, 10, 12, 2],
+    }
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = jonckheere_terpstra(df, "g", "v", groups=[0, 1, 2]).collect()[0]
+    j2 = 0
+    for i in range(3):
+        for j in range(i + 1, 3):
+            for x, y in product(data[i], data[j]):
+                j2 += 2 if x < y else (1 if x == y else 0)
+    assert r.j2 == j2
+    n = sum(len(v) for v in data.values())
+    assert r.n_total == n
+    assert r.e4_num == n * n - sum(len(v) ** 2 for v in data.values())
+    assert r.v72_num == n * n * (2 * n + 3) - sum(
+        len(v) ** 2 * (2 * len(v) + 3) for v in data.values()
+    )
+
+
+def test_restricted_mean_survival_hand_km(spark):
+    from deepie_spark.operators.stats import restricted_mean_survival
+
+    # durations (t, event): deaths at 2 and 5, censor at 3, max at 7
+    rows = [(2, 1), (3, 0), (5, 1), (7, 0), (7, 0)]
+    df = spark.createDataFrame(rows, ["dur", "ev"])
+    r = restricted_mean_survival(df, "dur", "ev").collect()[0]
+    # life table: t=2 n=5 d=1 -> S=0.8; t=3 n=4 d=0 -> S=0.8;
+    # t=5 n=3 d=1 -> S=0.8*(2/3); t=7 n=2 d=0
+    s2 = 1.0 * (4 / 5)
+    s5 = s2 * (2 / 3)
+    area = 1.0 * 2 + s2 * (3 - 2) + s2 * (5 - 3) + s5 * (7 - 5)
+    assert r.tau == 7 and r.n_times == 4 and r.n_subjects == 5
+    assert abs(r.rmst - area) < 1e-6
+    assert abs(r.s_final - s5) < 1e-6
