@@ -11255,6 +11255,202 @@ def q_events_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the hourly event-count series at
+    lags 1–3 by Durbin-Levinson closed forms over the GATED acf
+    values: both engines consume the identical 6-dp-rounded ACF row
+    (the oracle nests the events_acf twin verbatim, the retrieval_mrr
+    no-drift rule), so every φ is one shared IEEE chain — the
+    AR-order probe beside events_acf."""
+    acf = q_events_acf(spark, sf_dir).filter(F.col("lag") <= 3)
+    piv = acf.agg(
+        *[
+            F.min(F.when(F.col("lag") == k, F.col("acf"))).alias(
+                f"r{k}"
+            )
+            for k in (1, 2, 3)
+        ]
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    den2 = F.lit(1.0) - r1 * r1
+    phi22 = (r2 - r1 * r1) / den2
+    phi21 = r1 * (F.lit(1.0) - phi22)
+    num3 = r3 - phi21 * r2 - phi22 * r1
+    den3 = F.lit(1.0) - phi21 * r1 - phi22 * r2
+    phi33 = num3 / den3
+    return piv.select(
+        "r1",
+        "r2",
+        "r3",
+        F.round(r1, 6).alias("pacf1"),
+        F.round(phi22, 6).alias("pacf2"),
+        F.round(phi33, 6).alias("pacf3"),
+    )
+
+
+_CH_SCALE = 65536.0  # 2^16 — Σ_d (Σ_c S_cd)² must fit int64: ok to sf0.1
+
+
+def q_cluster_ch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calinski-Harabasz variance-ratio validity of the ground-truth
+    embedding labels — the global companion to embedding_silhouette's
+    per-point score.  Coordinates are floor-quantized at 2¹⁶ into
+    exact longs (the embedding_quantize rule at a scale whose squared
+    per-dim sums fit int64 to sf0.1), so the within/total scatter
+    numerators are EXACT via Huygens' identity (n_c·Σ‖x‖² − ‖Σx‖²)
+    and W folds its 10 per-cluster ratios in FIXED label order; CH is
+    one pinned chain.  Plan: one in-row quantize+fold, one
+    (label,dim) agg, two label-level 10-row aggs — no pairwise
+    distances anywhere (CH needs none)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.select(
+        F.col("label").cast("long").alias("lab"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(_CH_SCALE)).cast(
+                "long"
+            ),
+        ).alias("qv"),
+    )
+    row = q.select(
+        "lab",
+        F.aggregate(
+            F.col("qv"),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v * v,
+        ).alias("ssq"),
+        "qv",
+    )
+    lab = row.groupBy("lab").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c"),
+        F.sum("ssq").cast("long").alias("ssqc"),
+    )
+    dims = (
+        q.select("lab", F.posexplode("qv").alias("dim", "qd"))
+        .groupBy("lab", "dim")
+        .agg(F.sum("qd").cast("long").alias("sd"))
+    )
+    s2 = dims.groupBy("lab").agg(
+        F.sum(F.col("sd") * F.col("sd")).cast("long").alias("s2c")
+    )
+    t2 = (
+        dims.groupBy("dim")
+        .agg(F.sum("sd").cast("long").alias("std"))
+        .agg(F.sum(F.col("std") * F.col("std")).cast("long").alias("st2"))
+    )
+    per = lab.join(s2, "lab").select(
+        "lab",
+        "n_c",
+        (F.col("n_c") * F.col("ssqc") - F.col("s2c"))
+        .cast("long")
+        .alias("wnum"),
+        "ssqc",
+    )
+    piv = per.agg(
+        F.sum("n_c").cast("long").alias("n_vecs"),
+        F.sum("ssqc").cast("long").alias("ssqt"),
+        F.sum("wnum").cast("long").alias("wnum_total"),
+        *[
+            F.min(F.when(F.col("lab") == i, F.col("wnum"))).alias(
+                f"w{i}"
+            )
+            for i in range(10)
+        ],
+        *[
+            F.min(F.when(F.col("lab") == i, F.col("n_c"))).alias(
+                f"m{i}"
+            )
+            for i in range(10)
+        ],
+    )
+    j = piv.crossJoin(F.broadcast(t2))
+    w = None
+    for i in range(10):
+        term = F.col(f"w{i}").cast("double") / F.col(f"m{i}").cast(
+            "double"
+        )
+        w = term if w is None else w + term
+    t_num = F.col("n_vecs") * F.col("ssqt") - F.col("st2")
+    t = t_num.cast("double") / F.col("n_vecs").cast("double")
+    b = t - w
+    ch = (b / F.lit(9.0)) / (
+        w / (F.col("n_vecs") - F.lit(10)).cast("double")
+    )
+    return j.select(
+        "n_vecs",
+        F.lit(10).cast("long").alias("k"),
+        "wnum_total",
+        t_num.cast("long").alias("t_num"),
+        F.round(w, 6).alias("w_scatter"),
+        F.round(b, 6).alias("b_scatter"),
+        F.round(ch, 6).alias("ch"),
+    )
+
+
+def q_events_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE level/trend/seasonal smoothing of the
+    hourly event-count series, period 24, with exact-dyadic gains
+    (α=1/4, β=1/8, γ=1/2 — every multiply a clean IEEE operation):
+    the seasonal extension of events_holt.  The recurrence is
+    SEQUENTIAL BY CONSTRUCTION, so the calendar-bounded grid is
+    folded by ONE in-row aggregate whose accumulator carries the
+    24-slot seasonal array (updated via indexed transform — the
+    events_dtw ring-buffer rule), while the DuckDB twin walks the
+    SAME recurrence as a recursive CTE rebuilding the list per step;
+    both engines execute the identical chain.  Cold start is all-
+    zeros state — uniform, no special-cased first period."""
+    srs = _hourly_dense_counts(spark, sf_dir)
+    arr = srs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "y"))),
+            lambda s: s["y"].cast("double"),
+        ).alias("xs"),
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("t"),
+        F.lit(0.0).alias("lvl"),
+        F.lit(0.0).alias("tr"),
+        F.lit(0.0).alias("sse"),
+        F.array_repeat(F.lit(0.0), 24).alias("s"),
+    )
+
+    def step(acc, xv):
+        idx = (acc["t"] % 24).cast("int")
+        sv = F.element_at(acc["s"], idx + 1)
+        lvl2 = F.lit(0.25) * (xv - sv) + F.lit(0.75) * (
+            acc["lvl"] + acc["tr"]
+        )
+        tr2 = F.lit(0.125) * (lvl2 - acc["lvl"]) + F.lit(0.875) * acc[
+            "tr"
+        ]
+        err = xv - ((acc["lvl"] + acc["tr"]) + sv)
+        return F.struct(
+            (acc["t"] + 1).alias("t"),
+            lvl2.alias("lvl"),
+            tr2.alias("tr"),
+            (acc["sse"] + err * err).alias("sse"),
+            F.transform(
+                acc["s"],
+                lambda v, j: F.when(
+                    j == idx, F.lit(0.5) * (xv - lvl2) + F.lit(0.5) * v
+                ).otherwise(v),
+            ).alias("s"),
+        )
+
+    fold = F.aggregate(F.col("xs"), init, step)
+    nxt = fold["lvl"] + fold["tr"] + F.element_at(
+        fold["s"], (fold["t"] % 24).cast("int") + 1
+    )
+    return arr.select(
+        "n_hours",
+        F.round(fold["lvl"], 6).alias("level"),
+        F.round(fold["tr"], 6).alias("trend"),
+        F.round(fold["sse"], 6).alias("sse"),
+        F.round(nxt, 6).alias("forecast_next"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -11669,6 +11865,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_rmst": q_survival_rmst,
         "events_vratio": q_events_vratio,
         "events_hurst": q_events_hurst,
+        "events_pacf": q_events_pacf,
+        "cluster_ch": q_cluster_ch,
+        "events_hw": q_events_hw,
     }
 
 
@@ -22760,5 +22959,125 @@ def oracle_sql() -> dict[str, str]:
                            / CAST(k16 * 1048576 AS DOUBLE)))
                      / {_HURST_2LN2!r}, 6) AS hurst
         FROM a16 CROSS JOIN a32 CROSS JOIN a64
+    """
+    # events_pacf twin: nests the events_acf oracle VERBATIM (the
+    # retrieval_mrr no-drift rule) and applies the same
+    # Durbin-Levinson closed forms to the rounded acf values.
+    d["events_pacf"] = f"""
+        WITH acfr AS ({d["events_acf"]}),
+        piv AS (SELECT
+                  min(CASE WHEN lag = 1 THEN acf END) AS r1,
+                  min(CASE WHEN lag = 2 THEN acf END) AS r2,
+                  min(CASE WHEN lag = 3 THEN acf END) AS r3
+                FROM acfr),
+        c AS (SELECT r1, r2, r3,
+                     (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22
+              FROM piv),
+        c2 AS (SELECT *, r1 * (1.0 - phi22) AS phi21 FROM c)
+        SELECT r1, r2, r3,
+               round(r1, 6) AS pacf1,
+               round(phi22, 6) AS pacf2,
+               round((r3 - phi21 * r2 - phi22 * r1)
+                     / (1.0 - phi21 * r1 - phi22 * r2), 6) AS pacf3
+        FROM c2
+    """
+    # cluster_ch twin: same 2^16 quantization, Huygens numerators and
+    # FIXED label-order W chain.
+    _CH_W = " + ".join(
+        f"(CAST(w{i} AS DOUBLE) / CAST(m{i} AS DOUBLE))"
+        for i in range(10)
+    )
+    _CH_WP = ", ".join(
+        f"min(CASE WHEN lab = {i} THEN wnum END) AS w{i}"
+        for i in range(10)
+    )
+    _CH_MP = ", ".join(
+        f"min(CASE WHEN lab = {i} THEN n_c END) AS m{i}"
+        for i in range(10)
+    )
+    d["cluster_ch"] = f"""
+        WITH q AS (SELECT CAST(label AS BIGINT) AS lab,
+                          list_transform(embedding, x ->
+                            CAST(floor(CAST(x AS DOUBLE) * 65536.0)
+                                 AS BIGINT)) AS qv
+                   FROM embeddings),
+        r AS (SELECT lab,
+                     CAST(list_sum(list_transform(qv, v -> v * v))
+                       AS BIGINT) AS ssq, qv
+              FROM q),
+        lab AS (SELECT lab, CAST(count(*) AS BIGINT) AS n_c,
+                       CAST(sum(ssq) AS BIGINT) AS ssqc
+                FROM r GROUP BY lab),
+        dims AS (SELECT lab, i AS dim,
+                        CAST(sum(qv[i + 1]) AS BIGINT) AS sd
+                 FROM q CROSS JOIN
+                      (SELECT unnest(range(64)) AS i)
+                 GROUP BY lab, i),
+        s2 AS (SELECT lab,
+                      CAST(sum(sd * sd) AS BIGINT) AS s2c
+               FROM dims GROUP BY lab),
+        t2 AS (SELECT CAST(sum(std * std) AS BIGINT) AS st2 FROM
+                 (SELECT dim, CAST(sum(sd) AS BIGINT) AS std
+                  FROM dims GROUP BY dim)),
+        per AS (SELECT lab.lab, n_c,
+                       CAST(n_c * ssqc - s2c AS BIGINT) AS wnum,
+                       ssqc
+                FROM lab JOIN s2 ON s2.lab = lab.lab),
+        piv AS (SELECT CAST(sum(n_c) AS BIGINT) AS n_vecs,
+                       CAST(sum(ssqc) AS BIGINT) AS ssqt,
+                       CAST(sum(wnum) AS BIGINT) AS wnum_total,
+                       {_CH_WP}, {_CH_MP}
+                FROM per),
+        j AS (SELECT piv.*, t2.st2,
+                     ({_CH_W}) AS w,
+                     CAST(n_vecs * ssqt - st2 AS BIGINT) AS t_num
+              FROM piv CROSS JOIN t2)
+        SELECT n_vecs, CAST(10 AS BIGINT) AS k, wnum_total, t_num,
+               round(w, 6) AS w_scatter,
+               round(CAST(t_num AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+                     - w, 6) AS b_scatter,
+               round(((CAST(t_num AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+                       - w) / 9.0)
+                     / (w / CAST(n_vecs - 10 AS DOUBLE)), 6) AS ch
+        FROM j
+    """
+    # events_hw twin: the SAME Holt-Winters recurrence walked as a
+    # recursive CTE, the 24-slot seasonal list rebuilt per step with
+    # identical exact-dyadic gain chains.
+    d["events_hw"] = f"""
+        WITH RECURSIVE {_HOURLY_SRS.strip()},
+        ab AS (SELECT list(y ORDER BY idx) AS xs,
+                      CAST(count(*) AS BIGINT) AS n_hours FROM srs),
+        walk(t, lvl, tr, sse, s) AS (
+          SELECT CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE),
+                 CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                 list_transform(range(24), j -> CAST(0.0 AS DOUBLE))
+          FROM ab
+          UNION ALL
+          SELECT t + 1,
+                 lvl2,
+                 0.125 * (lvl2 - lvl) + 0.875 * tr,
+                 sse + (x - ((lvl + tr) + sv))
+                     * (x - ((lvl + tr) + sv)),
+                 list_transform(range(24), j -> CASE WHEN j = idx
+                     THEN 0.5 * (x - lvl2) + 0.5 * s[j + 1]
+                     ELSE s[j + 1] END)
+          FROM (SELECT w.t, w.lvl, w.tr, w.sse, w.s,
+                       CAST(w.t % 24 AS BIGINT) AS idx,
+                       CAST(xs[w.t + 1] AS DOUBLE) AS x,
+                       w.s[(w.t % 24) + 1] AS sv,
+                       0.25 * (CAST(xs[w.t + 1] AS DOUBLE)
+                               - w.s[(w.t % 24) + 1])
+                         + 0.75 * (w.lvl + w.tr) AS lvl2
+                FROM walk w, ab WHERE w.t < ab.n_hours)),
+        fin AS (SELECT t, lvl, tr, sse, s FROM walk
+                ORDER BY t DESC LIMIT 1)
+        SELECT n_hours,
+               round(lvl, 6) AS level,
+               round(tr, 6) AS trend,
+               round(sse, 6) AS sse,
+               round(lvl + tr + s[CAST(t % 24 AS BIGINT) + 1], 6)
+                 AS forecast_next
+        FROM ab CROSS JOIN fin
     """
     return d

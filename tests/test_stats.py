@@ -2173,3 +2173,58 @@ def test_restricted_mean_survival_hand_km(spark):
     assert r.tau == 7 and r.n_times == 4 and r.n_subjects == 5
     assert abs(r.rmst - area) < 1e-6
     assert abs(r.s_final - s5) < 1e-6
+
+
+def test_holt_winters_query_python_twin(spark):
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    r = e.queries()["events_hw"](spark, sf).collect()[0]
+    srs = e._hourly_dense_counts(spark, sf).orderBy("idx").collect()
+    xs = [float(row.y) for row in srs]
+    lvl = tr = sse = 0.0
+    s = [0.0] * 24
+    for t, x in enumerate(xs):
+        i = t % 24
+        sv = s[i]
+        lvl2 = 0.25 * (x - sv) + 0.75 * (lvl + tr)
+        tr2 = 0.125 * (lvl2 - lvl) + 0.875 * tr
+        err = x - ((lvl + tr) + sv)
+        sse = sse + err * err
+        s[i] = 0.5 * (x - lvl2) + 0.5 * sv
+        lvl, tr = lvl2, tr2
+    assert r.n_hours == len(xs)
+    assert abs(r.level - lvl) < 1e-6
+    assert abs(r.trend - tr) < 1e-6
+    assert abs(r.sse - sse) < 1e-4
+    assert abs(r.forecast_next - (lvl + tr + s[len(xs) % 24])) < 1e-6
+
+
+def test_cluster_ch_sklearn_style_twin(spark):
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    r = e.queries()["cluster_ch"](spark, sf).collect()[0]
+    emb = spark.read.parquet(sf + "/embeddings.parquet").collect()
+    import math
+
+    pts = {}
+    for row in emb:
+        q = [math.floor(float(x) * 65536.0) for x in row.embedding]
+        pts.setdefault(int(row.label), []).append(q)
+    n = sum(len(v) for v in pts.values())
+    w = 0.0
+    for lab in sorted(pts):
+        vs = pts[lab]
+        nc = len(vs)
+        ssq = sum(x * x for v in vs for x in v)
+        s2 = sum(sum(v[d] for v in vs) ** 2 for d in range(64))
+        w += (nc * ssq - s2) / nc
+    allv = [v for vs in pts.values() for v in vs]
+    ssqt = sum(x * x for v in allv for x in v)
+    st2 = sum(sum(v[d] for v in allv) ** 2 for d in range(64))
+    t = (n * ssqt - st2) / n
+    b = t - w
+    ch = (b / 9.0) / (w / (n - 10))
+    assert r.n_vecs == n
+    assert abs(r.ch - ch) / ch < 1e-6
