@@ -11451,6 +11451,24 @@ def q_events_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_ad_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling comparison of click vs purchase
+    value distributions (operators/stats.py anderson_darling_2sample
+    — Scholz-Stephens midrank version with ties exact via doubled
+    counts, per-value fixed-point terms summed order-free): the
+    tail-sensitive companion to value_ks_test's max-gap and
+    value_mwu's location shift."""
+    from deepie_spark.operators.stats import anderson_darling_2sample
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return anderson_darling_2sample(
+        e, "event_type", "cents", "click", "purchase"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -11868,6 +11886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pacf": q_events_pacf,
         "cluster_ch": q_cluster_ch,
         "events_hw": q_events_hw,
+        "value_ad_test": q_value_ad_test,
     }
 
 
@@ -23079,5 +23098,63 @@ def oracle_sql() -> dict[str, str]:
                round(lvl + tr + s[CAST(t % 24 AS BIGINT) + 1], 6)
                  AS forecast_next
         FROM ab CROSS JOIN fin
+    """
+    # value_ad_test twin: same midrank doubled counts, plain SQL
+    # window CDFs, identical per-value fixed-point term chains.
+    d["value_ad_test"] = """
+        WITH e AS (SELECT event_type AS g,
+                          CAST(round(value * 100) AS BIGINT) AS v
+                   FROM events
+                   WHERE event_type IN ('click', 'purchase')),
+        h AS (SELECT v, CAST(count(*) AS BIGINT) AS l,
+                     CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS la
+              FROM e GROUP BY v),
+        c AS (SELECT v, l, la,
+                     CAST(sum(l) OVER (ORDER BY v) AS BIGINT) AS cum,
+                     CAST(sum(la) OVER (ORDER BY v) AS BIGINT) AS cuma
+              FROM h),
+        tot AS (SELECT CAST(sum(l) AS BIGINT) AS n_total,
+                       CAST(sum(la) AS BIGINT) AS n_a
+                FROM h),
+        j AS (SELECT v, l, la, n_total, n_a,
+                     CAST(n_total - n_a AS BIGINT) AS n_b,
+                     CAST(2 * cum - l AS BIGINT) AS b2,
+                     CAST(2 * cuma - la AS BIGINT) AS ma2,
+                     CAST(2 * (cum - cuma) - (l - la) AS BIGINT) AS mb2
+              FROM c, tot),
+        k AS (SELECT *,
+                     CAST(b2 * (2 * n_total - b2) - n_total * l
+                       AS BIGINT) AS den4
+              FROM j),
+        t AS (SELECT n_total, n_a, n_b,
+                CAST(floor(CAST(l AS DOUBLE)
+                           * CAST(n_total * ma2 - n_a * b2 AS DOUBLE)
+                           * CAST(n_total * ma2 - n_a * b2 AS DOUBLE)
+                           / (CAST(n_total AS DOUBLE)
+                              * CAST(den4 AS DOUBLE))
+                           * 1048576.0) AS BIGINT) AS fa,
+                CAST(floor(CAST(l AS DOUBLE)
+                           * CAST(n_total * mb2 - n_b * b2 AS DOUBLE)
+                           * CAST(n_total * mb2 - n_b * b2 AS DOUBLE)
+                           / (CAST(n_total AS DOUBLE)
+                              * CAST(den4 AS DOUBLE))
+                           * 1048576.0) AS BIGINT) AS fb
+              FROM k WHERE den4 > 0),
+        agg AS (SELECT CAST(max(n_total) AS BIGINT) AS n_total,
+                       CAST(max(n_a) AS BIGINT) AS n_a,
+                       CAST(max(n_b) AS BIGINT) AS n_b,
+                       CAST(count(*) AS BIGINT) AS n_values,
+                       CAST(sum(fa) AS BIGINT) AS sfp_a,
+                       CAST(sum(fb) AS BIGINT) AS sfp_b
+                FROM t)
+        SELECT n_total, n_a, n_b, n_values, sfp_a, sfp_b,
+               round((CAST(n_total - 1 AS DOUBLE)
+                      / CAST(n_total AS DOUBLE))
+                     * ((CAST(sfp_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                         + CAST(sfp_b AS DOUBLE)
+                           / CAST(n_b AS DOUBLE))
+                        / 1048576.0), 6) AS a2
+        FROM agg
     """
     return d

@@ -3649,3 +3649,123 @@ def restricted_mean_survival(
         F.round(fold["area"], 6).alias("rmst"),
         F.round(fold["s"], 6).alias("s_final"),
     )
+
+
+def anderson_darling_2sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    g_a,
+    g_b,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Two-sample Anderson-Darling test (Scholz–Stephens k=2 midrank
+    version, ties handled exactly):
+
+        A² = (N−1)/N · Σ_i 1/nᵢ Σ_j lⱼ·Dᵢⱼ² / (N·(2Bⱼ(2N−2Bⱼ)−N·lⱼ))
+        Dᵢⱼ = N·(2Mᵢⱼ) − nᵢ·(2Bⱼ)
+
+    over the DISTINCT values j in sort order, with every midrank
+    half eliminated by DOUBLING (2B = 2·cum − l, 2M likewise — the
+    mann_whitney_u rule), so D, the denominator and lⱼ are exact
+    longs.  The per-j rational term is one pinned IEEE chain
+    quantized to 2²⁰ fixed point, making the Σⱼ an ORDER-FREE exact
+    integer sum (the link_prediction rule) — no sorted fold.  The
+    tail-weighting denominator vanishes at the last distinct value
+    (2B = 2N) — that j contributes 0 in the continuous formula and
+    is excluded exactly.  Cumulative counts ride prefix_sum_in_order
+    twice (no single-partition window).  A² ≫ 1 rejects "same
+    distribution"; its null mean is 1.
+    """
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+    ).filter(F.col("g").isin([g_a, g_b]))
+    h = base.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("l"),
+        F.sum(F.when(F.col("g") == g_a, 1).otherwise(0))
+        .cast("long")
+        .alias("la"),
+    )
+    from deepie_spark.operators.sweep import prefix_sum_in_order
+
+    # two INDEPENDENT passes over the PINNED histogram joined on the
+    # distinct value — chaining the second prefix pass on the first
+    # one's output (or fanning two passes out of one lazy plan) trips
+    # a Catalyst attribute-binding error inside the pruned _bkt
+    # window; localCheckpoint makes h a leaf so both passes bind
+    # cleanly, and the join keeps them consistent regardless of
+    # bucket boundaries (exact integer sums)
+    h = h.localCheckpoint()
+    c1 = prefix_sum_in_order(h, "v", "l", out_col="cum", buckets=buckets)
+    c2 = prefix_sum_in_order(
+        h.select(F.col("v").alias("v2"), "la"),
+        "v2",
+        "la",
+        out_col="cuma",
+        buckets=buckets,
+    ).select("v2", "cuma")
+    c2 = c1.join(c2, F.col("v") == F.col("v2")).drop("v2")
+    tot = h.agg(
+        F.sum("l").cast("long").alias("n_total"),
+        F.sum("la").cast("long").alias("n_a"),
+    )
+    j = c2.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "l",
+        "la",
+        "n_total",
+        "n_a",
+        (F.col("n_total") - F.col("n_a")).cast("long").alias("n_b"),
+        (F.lit(2) * F.col("cum") - F.col("l")).cast("long").alias("b2"),
+        (F.lit(2) * F.col("cuma") - F.col("la"))
+        .cast("long")
+        .alias("ma2"),
+        (
+            F.lit(2) * (F.col("cum") - F.col("cuma"))
+            - (F.col("l") - F.col("la"))
+        )
+        .cast("long")
+        .alias("mb2"),
+    )
+    nn = F.col("n_total")
+    den4 = F.col("b2") * (F.lit(2) * nn - F.col("b2")) - nn * F.col("l")
+    scale = F.lit(1048576.0)
+
+    def term_fp(m2, ni):
+        d = nn * F.col(m2) - F.col(ni) * F.col("b2")
+        t = (
+            F.col("l").cast("double")
+            * d.cast("double")
+            * d.cast("double")
+            / (nn.cast("double") * den4.cast("double"))
+        )
+        return F.floor(t * scale).cast("long")
+
+    agg = j.filter(den4 > 0).agg(
+        F.max("n_total").alias("n_total"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum(term_fp("ma2", "n_a")).cast("long").alias("sfp_a"),
+        F.sum(term_fp("mb2", "n_b")).cast("long").alias("sfp_b"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+    )
+    a2 = (
+        (F.col("n_total") - 1).cast("double")
+        / F.col("n_total").cast("double")
+    ) * (
+        (
+            F.col("sfp_a").cast("double") / F.col("n_a").cast("double")
+            + F.col("sfp_b").cast("double") / F.col("n_b").cast("double")
+        )
+        / F.lit(1048576.0)
+    )
+    return agg.select(
+        "n_total",
+        "n_a",
+        "n_b",
+        "n_values",
+        "sfp_a",
+        "sfp_b",
+        F.round(a2, 6).alias("a2"),
+    )

@@ -2228,3 +2228,63 @@ def test_cluster_ch_sklearn_style_twin(spark):
     ch = (b / 9.0) / (w / (n - 10))
     assert r.n_vecs == n
     assert abs(r.ch - ch) / ch < 1e-6
+
+
+def test_anderson_darling_2sample_python_twin(spark):
+    import math
+
+    from deepie_spark.operators.stats import anderson_darling_2sample
+
+    a = [1, 2, 2, 3, 5, 8, 9, 9, 12]
+    b = [2, 3, 3, 4, 6, 10, 11, 14, 14, 20]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = anderson_darling_2sample(df, "g", "v", "a", "b").collect()[0]
+    # python twin of the Scholz-Stephens midrank formula
+    vals = sorted(set(a + b))
+    N, na, nb = len(a) + len(b), len(a), len(b)
+    cum = cuma = 0
+    sa = sb = 0
+    for v in vals:
+        l = (a + b).count(v)
+        la = a.count(v)
+        cum += l
+        cuma += la
+        b2 = 2 * cum - l
+        ma2 = 2 * cuma - la
+        mb2 = 2 * (cum - cuma) - (l - la)
+        den4 = b2 * (2 * N - b2) - N * l
+        if den4 <= 0:
+            continue
+        for m2, ni, acc in ((ma2, na, "a"), (mb2, nb, "b")):
+            d = N * m2 - ni * b2
+            t = float(l) * float(d) * float(d) / (
+                float(N) * float(den4)
+            )
+            fp = math.floor(t * 1048576.0)
+            if acc == "a":
+                sa += fp
+            else:
+                sb += fp
+    a2 = ((N - 1) / N) * ((sa / na + sb / nb) / 1048576.0)
+    assert r.n_total == N and r.n_a == na and r.n_b == nb
+    assert r.sfp_a == sa and r.sfp_b == sb
+    assert abs(r.a2 - a2) < 1e-6
+
+
+def test_anderson_darling_shift_detects(spark):
+    from deepie_spark.operators.stats import anderson_darling_2sample
+
+    same = [("a", v % 7) for v in range(200)] + [
+        ("b", v % 7) for v in range(200)
+    ]
+    shifted = [("a", v % 7) for v in range(200)] + [
+        ("b", v % 7 + 5) for v in range(200)
+    ]
+    r_same = anderson_darling_2sample(
+        spark.createDataFrame(same, ["g", "v"]), "g", "v", "a", "b"
+    ).collect()[0]
+    r_shift = anderson_darling_2sample(
+        spark.createDataFrame(shifted, ["g", "v"]), "g", "v", "a", "b"
+    ).collect()[0]
+    assert r_shift.a2 > 10 * max(r_same.a2, 0.1)
