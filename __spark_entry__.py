@@ -11469,6 +11469,39 @@ def q_value_ad_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-clustering-coefficient histogram of the rule-triple
+    graph (operators/graph.py local_clustering_hist): per-node
+    lcc = 2t/(d(d−1)) binned and fixed-point-summed in PURE integer
+    arithmetic over the degree-ordered triangle enumeration — the
+    per-node refinement of triangle_stats' one global number."""
+    from deepie_spark.operators.graph import local_clustering_hist
+
+    t = q_triples_rules(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return local_clustering_hist(t)
+
+
+def q_er_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed precision/recall/F of the 2-iteration k=8 k-means
+    clusters against the gold embedding labels (operators/
+    clustering.py bcubed_eval — contingency-cell exact sums, integer
+    DIV fixed point): the Bagga-Baldwin ER metric beside
+    cluster_eval's ARI/NMI and er_pairwise_prf's pair counts.  The
+    oracle nests the SHARED unrolled-Lloyd CTE (_KMEANS_A3_CTES)."""
+    from deepie_spark.operators.clustering import bcubed_eval, kmeans_fit
+
+    emb = _emb(spark, sf_dir)
+    assigned, _ = kmeans_fit(emb, k=8, iters=2)
+    labels = assigned.select(
+        "vec_id", F.col("cluster").alias("label_a")
+    ).join(
+        emb.select("vec_id", F.col("label").alias("label_b")), "vec_id"
+    )
+    return bcubed_eval(labels)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -11887,6 +11920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_ch": q_cluster_ch,
         "events_hw": q_events_hw,
         "value_ad_test": q_value_ad_test,
+        "graph_lcc": q_graph_lcc,
+        "er_bcubed": q_er_bcubed,
     }
 
 
@@ -23155,6 +23190,74 @@ def oracle_sql() -> dict[str, str]:
                          + CAST(sfp_b AS DOUBLE)
                            / CAST(n_b AS DOUBLE))
                         / 1048576.0), 6) AS a2
+        FROM agg
+    """
+    # graph_lcc twin: the simpler a<b<c triangle enumeration charged
+    # to its 3 corners, SAME integer-DIV bin and fixed-point lcc.
+    d["graph_lcc"] = f"""
+        WITH {_MENTIONS_SQL.strip()},
+        {_TRIPLE_EDGES_SQL.strip()},
+        deg AS (SELECT n AS node, CAST(count(*) AS BIGINT) AS deg
+                FROM (SELECT a AS n FROM und
+                      UNION ALL SELECT b FROM und) GROUP BY n),
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM und e1
+                JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+        pn AS (SELECT node, CAST(count(*) AS BIGINT) AS t
+               FROM (SELECT x AS node FROM tri
+                     UNION ALL SELECT y FROM tri
+                     UNION ALL SELECT z FROM tri) GROUP BY node),
+        nodes AS (SELECT d.deg,
+                         CAST(coalesce(pn.t, 0) AS BIGINT) AS t
+                  FROM deg d LEFT JOIN pn ON pn.node = d.node
+                  WHERE d.deg >= 2)
+        SELECT bin, CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(fp) AS BIGINT) AS sum_lcc_fp,
+               CAST(sum(t) AS BIGINT) AS sum_tri
+        FROM (SELECT CAST(least(9, (2 * t * 10)
+                                   // (deg * (deg - 1))) AS BIGINT)
+                       AS bin,
+                     CAST((2 * t * 1048576) // (deg * (deg - 1))
+                       AS BIGINT) AS fp,
+                     t
+              FROM nodes)
+        GROUP BY bin ORDER BY bin
+    """
+    # er_bcubed twin: nests the SHARED unrolled-Lloyd CTE; same
+    # contingency cells and integer-DIV fixed-point sums.
+    d["er_bcubed"] = f"""
+        {_KMEANS_A3_CTES},
+        lab AS (SELECT a3.cid AS c, emb.label AS g
+                FROM a3 JOIN embeddings emb USING (vec_id)),
+        cells AS (SELECT c, g, CAST(count(*) AS BIGINT) AS n_cg
+                  FROM lab GROUP BY 1, 2),
+        szc AS (SELECT c, CAST(sum(n_cg) AS BIGINT) AS n_c
+                FROM cells GROUP BY c),
+        szg AS (SELECT g, CAST(sum(n_cg) AS BIGINT) AS n_g
+                FROM cells GROUP BY g),
+        agg AS (SELECT CAST(sum(n_cg) AS BIGINT) AS n_items,
+                       CAST(sum((n_cg * n_cg * 1073741824) // n_c)
+                         AS BIGINT) AS p_fp,
+                       CAST(sum((n_cg * n_cg * 1073741824) // n_g)
+                         AS BIGINT) AS r_fp
+                FROM cells JOIN szc USING (c) JOIN szg USING (g))
+        SELECT n_items, p_fp, r_fp,
+               round(CAST(p_fp AS DOUBLE)
+                     / CAST(n_items * 1073741824 AS DOUBLE), 6)
+                 AS p_b3,
+               round(CAST(r_fp AS DOUBLE)
+                     / CAST(n_items * 1073741824 AS DOUBLE), 6)
+                 AS r_b3,
+               round(2.0 * (CAST(p_fp AS DOUBLE)
+                            / CAST(n_items * 1073741824 AS DOUBLE))
+                         * (CAST(r_fp AS DOUBLE)
+                            / CAST(n_items * 1073741824 AS DOUBLE))
+                     / ((CAST(p_fp AS DOUBLE)
+                         / CAST(n_items * 1073741824 AS DOUBLE))
+                        + (CAST(r_fp AS DOUBLE)
+                           / CAST(n_items * 1073741824 AS DOUBLE))),
+                     6) AS f_b3
         FROM agg
     """
     return d

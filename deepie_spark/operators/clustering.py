@@ -738,3 +738,56 @@ def centroid_stats(
         "nn_cos_fp",
         F.round(F.col("nn_cos_fp") / F.lit(sc), 6).alias("separation"),
     )
+
+
+def bcubed_eval(
+    labels: DataFrame,
+    pred_col: str = "label_a",
+    gold_col: str = "label_b",
+    scale_bits: int = 30,
+) -> DataFrame:
+    """B-cubed precision/recall/F of a predicted clustering against
+    gold classes (Bagga-Baldwin — the entity-resolution evaluation
+    standard beside pairwise PRF): per-item precision overlap/|pred
+    cluster| and recall overlap/|gold class|, averaged.  Collapsing
+    items into (pred, gold) contingency cells makes both sums
+        Σ_cells n_cg² / n_c      and      Σ_cells n_cg² / n_g
+    — each cell term an exact long via INTEGER DIV at 2^scale_bits
+    fixed point (order-free sums, the er_bcubed rule: n_cg²·2³⁰ must
+    fit int64 — fine to ~10⁵-item clusters).  One contingency agg,
+    two broadcast size joins, one final row.
+    """
+    cells = labels.groupBy(
+        F.col(pred_col).alias("c"), F.col(gold_col).alias("g")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_cg"))
+    szc = cells.groupBy("c").agg(
+        F.sum("n_cg").cast("long").alias("n_c")
+    )
+    szg = cells.groupBy("g").agg(
+        F.sum("n_cg").cast("long").alias("n_g")
+    )
+    s = 1 << scale_bits
+    j = cells.join(F.broadcast(szc), "c").join(F.broadcast(szg), "g")
+    agg = j.agg(
+        F.sum("n_cg").cast("long").alias("n_items"),
+        F.sum(F.expr(f"(n_cg * n_cg * {s}) div n_c"))
+        .cast("long")
+        .alias("p_fp"),
+        F.sum(F.expr(f"(n_cg * n_cg * {s}) div n_g"))
+        .cast("long")
+        .alias("r_fp"),
+    )
+    p = F.col("p_fp").cast("double") / (
+        F.col("n_items") * F.lit(s)
+    ).cast("double")
+    r = F.col("r_fp").cast("double") / (
+        F.col("n_items") * F.lit(s)
+    ).cast("double")
+    return agg.select(
+        "n_items",
+        "p_fp",
+        "r_fp",
+        F.round(p, 6).alias("p_b3"),
+        F.round(r, 6).alias("r_b3"),
+        F.round(F.lit(2.0) * p * r / (p + r), 6).alias("f_b3"),
+    )

@@ -3977,3 +3977,79 @@ def balanced_triangles(
             ),
         ).alias("balance_index"),
     )
+
+
+def local_clustering_hist(
+    edges: DataFrame, src: str = "src", dst: str = "dst", n_bins: int = 10
+) -> DataFrame:
+    """Histogram of per-node LOCAL clustering coefficients
+    lcc(v) = 2·t_v / (d_v·(d_v−1)) over nodes with degree ≥ 2 —
+    the per-node refinement of triangle_stats' global transitivity
+    (a KG whose global coefficient hides a bimodal local mix —
+    cliquey rule clusters + star hubs — shows it here).
+
+    Scale plan: triangles come from the SAME degree-ordered wedge
+    orientation as :func:`triangle_stats` (Θ(|E|^1.5) bound), then
+    ONE explode charges each triangle to its 3 corners.  The bin and
+    the fixed-point lcc are INTEGER arithmetic — bin = min(9,
+    (2·t·10) div (d(d−1))), fp = (2·t·2²⁰) div (d(d−1)) — so the
+    histogram and the order-free per-bin fp sums are exact longs
+    (the integer-DIV rule: never float-divide-then-truncate).
+    """
+    und = _canonical_edges(edges, src, dst).localCheckpoint()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    low_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    ).localCheckpoint()
+    w1 = oriented.select(F.col("u"), F.col("v").alias("p"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("q"))
+    wedges = (
+        w1.join(w2, "u")
+        .filter(F.col("p") < F.col("q"))
+        .select("u", F.col("p").alias("a"), F.col("q").alias("b"))
+    )
+    tri = wedges.join(und, ["a", "b"]).select("u", "a", "b")
+    per_node = (
+        tri.select(F.explode(F.array("u", "a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    nodes = deg.filter(F.col("deg") >= 2).join(
+        per_node, "node", "left"
+    ).select(
+        "node",
+        "deg",
+        F.coalesce("t", F.lit(0)).cast("long").alias("t"),
+    )
+    binc = F.least(
+        F.lit(n_bins - 1).cast("long"),
+        F.expr(f"(2 * t * {n_bins}) div (deg * (deg - 1))").cast("long"),
+    )
+    fp = F.expr("(2 * t * 1048576) div (deg * (deg - 1))").cast("long")
+    return (
+        nodes.select(
+            binc.cast("long").alias("bin"), fp.alias("fp"), "t"
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("fp").cast("long").alias("sum_lcc_fp"),
+            F.sum("t").cast("long").alias("sum_tri"),
+        )
+        .orderBy("bin")
+    )

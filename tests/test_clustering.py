@@ -487,3 +487,20 @@ def test_centroid_stats_separable_labels(spark):
     assert got["a"].cohesion > 0.99 and got["b"].cohesion > 0.99
     assert got["a"].separation < 0.1 and got["b"].separation < 0.1
     assert got["a"].nn_label == "b" and got["b"].nn_label == "a"
+
+
+def test_bcubed_eval_hand_example(spark):
+    from deepie_spark.operators.clustering import bcubed_eval
+
+    # pred cluster 1 = {g1,g1,g2}; cluster 2 = {g2,g2}
+    rows = [(1, "g1"), (1, "g1"), (1, "g2"), (2, "g2"), (2, "g2")]
+    df = spark.createDataFrame(rows, ["label_a", "label_b"])
+    r = bcubed_eval(df).collect()[0]
+    # precision: items in c1: 2*(2/3) + 1/3; c2: 2*1 -> sum/5
+    p = (2 * (2 / 3) + 1 / 3 + 2 * 1.0) / 5
+    # recall: g1 size 2: 2*(2/2); g2 size 3: 1/3 + 2*(2/3)
+    rr = (2 * 1.0 + 1 / 3 + 2 * (2 / 3)) / 5
+    assert abs(r.p_b3 - p) < 1e-5
+    assert abs(r.r_b3 - rr) < 1e-5
+    assert abs(r.f_b3 - 2 * p * rr / (p + rr)) < 1e-4
+    assert r.n_items == 5

@@ -2430,3 +2430,20 @@ def test_balanced_triangles_census_vs_python(spark):
     assert r.n_balanced == n_bal
     assert r.n_unbalanced == 10 - n_bal
     assert r.n_neg_edges == sum(neg(x, y) for x, y in edges)
+
+
+def test_local_clustering_hist_python_twin(spark):
+    from itertools import combinations
+
+    from deepie_spark.operators.graph import local_clustering_hist
+
+    # K4 plus a pendant: a,b,c,d complete; e attached to a
+    edges = list(combinations(["a", "b", "c", "d"], 2)) + [("a", "e")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = {r.bin: r for r in local_clustering_hist(df).collect()}
+    # b,c,d: deg 3, t 3 -> lcc 1.0 -> bin 9; a: deg 4, t 3 -> 0.5 ->
+    # bin 5; e: deg 1 excluded
+    assert rows[9].n_nodes == 3 and rows[9].sum_tri == 9
+    assert rows[5].n_nodes == 1 and rows[5].sum_tri == 3
+    assert rows[5].sum_lcc_fp == (2 * 3 * 1048576) // (4 * 3)
+    assert set(rows) == {5, 9}
