@@ -11502,6 +11502,24 @@ def q_er_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bcubed_eval(labels)
 
 
+def q_value_kuiper_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kuiper V and Cramér-von Mises T between click and purchase
+    value distributions (operators/stats.py kuiper_cvm_2sample —
+    cross-multiplied exact ECDF deltas, two one-sided integer maxima,
+    fixed-point tie-exact CvM sum): V catches the cancelling-shift
+    shapes KS misses; T integrates the whole gap — completing the
+    two-sample family beside value_ks_test and value_ad_test."""
+    from deepie_spark.operators.stats import kuiper_cvm_2sample
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return kuiper_cvm_2sample(
+        e, "event_type", "cents", "click", "purchase"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -11922,6 +11940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_ad_test": q_value_ad_test,
         "graph_lcc": q_graph_lcc,
         "er_bcubed": q_er_bcubed,
+        "value_kuiper_cvm": q_value_kuiper_cvm,
     }
 
 
@@ -23258,6 +23277,53 @@ def oracle_sql() -> dict[str, str]:
                         + (CAST(r_fp AS DOUBLE)
                            / CAST(n_items * 1073741824 AS DOUBLE))),
                      6) AS f_b3
+        FROM agg
+    """
+    # value_kuiper_cvm twin: same cross-multiplied ECDF deltas with
+    # plain SQL window cumulatives.
+    d["value_kuiper_cvm"] = """
+        WITH e AS (SELECT CASE WHEN event_type = 'click'
+                               THEN 1 ELSE 0 END AS a,
+                          CAST(round(value * 100) AS BIGINT) AS x
+                   FROM events
+                   WHERE event_type IN ('click', 'purchase')),
+        pv AS (SELECT x, CAST(sum(a) AS BIGINT) AS ca,
+                      CAST(sum(1 - a) AS BIGINT) AS cb,
+                      CAST(count(*) AS BIGINT) AS l
+               FROM e GROUP BY x),
+        c AS (SELECT x, l,
+                     CAST(sum(ca) OVER (ORDER BY x) AS BIGINT)
+                       AS cuma,
+                     CAST(sum(cb) OVER (ORDER BY x) AS BIGINT)
+                       AS cumb
+              FROM pv),
+        tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                       CAST(sum(cb) AS BIGINT) AS n_b,
+                       CAST(sum(l) AS BIGINT) AS n_total
+                FROM pv),
+        j AS (SELECT c.*, tot.*,
+                     CAST(cuma * n_b - cumb * n_a AS BIGINT) AS delta
+              FROM c, tot),
+        agg AS (SELECT CAST(max(n_a) AS BIGINT) AS n_a,
+                       CAST(max(n_b) AS BIGINT) AS n_b,
+                       CAST(max(n_total) AS BIGINT) AS n_total,
+                       CAST(greatest(max(delta), 0) AS BIGINT)
+                         AS dplus_num,
+                       CAST(greatest(max(-delta), 0) AS BIGINT)
+                         AS dminus_num,
+                       CAST(sum(CAST(floor(
+                         CAST(l AS DOUBLE)
+                         * CAST(delta AS DOUBLE)
+                         * CAST(delta AS DOUBLE)
+                         / (CAST(n_total * n_total AS DOUBLE)
+                            * CAST(n_a * n_b AS DOUBLE))
+                         * 1048576.0) AS BIGINT)) AS BIGINT)
+                         AS cvm_fp
+                FROM j)
+        SELECT n_a, n_b, n_total, dplus_num, dminus_num, cvm_fp,
+               round(CAST(dplus_num + dminus_num AS DOUBLE)
+                     / CAST(n_a * n_b AS DOUBLE), 6) AS kuiper_v,
+               round(CAST(cvm_fp AS DOUBLE) / 1048576.0, 6) AS cvm_t
         FROM agg
     """
     return d

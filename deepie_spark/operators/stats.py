@@ -3769,3 +3769,94 @@ def anderson_darling_2sample(
         "sfp_b",
         F.round(a2, 6).alias("a2"),
     )
+
+
+def kuiper_cvm_2sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Kuiper and Cramér-von Mises two-sample statistics from the
+    SAME cross-multiplied exact ECDF machinery as :func:`ks_2sample`:
+
+        V = D⁺ + D⁻ = (max_v Δ_v + max_v −Δ_v) / (n_a·n_b)
+        T = Σ_j l_j·Δ_j² / (N²·n_a·n_b)        (ties exact)
+
+    with Δ_v = cum_a(v)·n_b − cum_b(v)·n_a an exact long.  Kuiper's
+    two one-sided maxima are order-free integer aggregates (V sees
+    shape differences KS misses when the two shifts cancel); the CvM
+    per-value term is one pinned IEEE chain quantized to 2²⁰ fixed
+    point so Σ_j is an order-free exact sum (the l·Δ² product can
+    pass int64 — the anderson_darling rule).  Cumulatives ride
+    prefix_sum_in_order twice, joined on the value grid."""
+    from deepie_spark.operators.sweep import prefix_sum_in_order
+
+    g = F.col(group_col)
+    base = df.filter(g.isin(group_a, group_b)).select(
+        F.when(g == group_a, 1).otherwise(0).alias("_a"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    per_v = base.groupBy("_x").agg(
+        F.sum("_a").cast("long").alias("_ca"),
+        F.sum(1 - F.col("_a")).cast("long").alias("_cb"),
+        F.count(F.lit(1)).cast("long").alias("_l"),
+    )
+    ca = prefix_sum_in_order(
+        per_v.select("_x", "_ca"), "_x", "_ca", out_col="_cuma"
+    ).select("_x", "_cuma")
+    cb = prefix_sum_in_order(
+        per_v.select("_x", "_cb"), "_x", "_cb", out_col="_cumb"
+    ).select("_x", "_cumb")
+    tot = per_v.agg(
+        F.sum("_ca").cast("long").alias("n_a"),
+        F.sum("_cb").cast("long").alias("n_b"),
+        F.sum("_l").cast("long").alias("n_total"),
+    )
+    j = (
+        ca.join(cb, "_x")
+        .join(per_v.select("_x", "_l"), "_x")
+        .crossJoin(F.broadcast(tot))
+    )
+    delta = F.col("_cuma") * F.col("n_b") - F.col("_cumb") * F.col(
+        "n_a"
+    )
+    cvm_fp = F.floor(
+        F.col("_l").cast("double")
+        * delta.cast("double")
+        * delta.cast("double")
+        / (
+            (F.col("n_total") * F.col("n_total")).cast("double")
+            * (F.col("n_a") * F.col("n_b")).cast("double")
+        )
+        * F.lit(1048576.0)
+    ).cast("long")
+    agg = j.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max("n_total").alias("n_total"),
+        F.greatest(F.max(delta), F.lit(0).cast("long"))
+        .cast("long")
+        .alias("dplus_num"),
+        F.greatest(F.max(-delta), F.lit(0).cast("long"))
+        .cast("long")
+        .alias("dminus_num"),
+        F.sum(cvm_fp).cast("long").alias("cvm_fp"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_total",
+        "dplus_num",
+        "dminus_num",
+        "cvm_fp",
+        F.round(
+            (F.col("dplus_num") + F.col("dminus_num")).cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double"),
+            6,
+        ).alias("kuiper_v"),
+        F.round(
+            F.col("cvm_fp").cast("double") / F.lit(1048576.0), 6
+        ).alias("cvm_t"),
+    )

@@ -2288,3 +2288,38 @@ def test_anderson_darling_shift_detects(spark):
         spark.createDataFrame(shifted, ["g", "v"]), "g", "v", "a", "b"
     ).collect()[0]
     assert r_shift.a2 > 10 * max(r_same.a2, 0.1)
+
+
+def test_kuiper_cvm_python_twin(spark):
+    import math
+
+    from deepie_spark.operators.stats import kuiper_cvm_2sample
+
+    a = [1, 2, 2, 3, 5, 8, 9, 9, 12]
+    b = [2, 3, 3, 4, 6, 10, 11, 14, 14, 20]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = kuiper_cvm_2sample(df, "g", "v", "a", "b").collect()[0]
+    na, nb = len(a), len(b)
+    nt = na + nb
+    vals = sorted(set(a + b))
+    dplus = dminus = 0
+    cvm_fp = 0
+    cuma = cumb = 0
+    for v in vals:
+        la, lb = a.count(v), b.count(v)
+        cuma += la
+        cumb += lb
+        delta = cuma * nb - cumb * na
+        dplus = max(dplus, delta)
+        dminus = max(dminus, -delta)
+        t = (
+            float(la + lb)
+            * float(delta)
+            * float(delta)
+            / (float(nt * nt) * float(na * nb))
+        )
+        cvm_fp += math.floor(t * 1048576.0)
+    assert r.dplus_num == dplus and r.dminus_num == dminus
+    assert r.cvm_fp == cvm_fp
+    assert abs(r.kuiper_v - (dplus + dminus) / (na * nb)) < 1e-6
