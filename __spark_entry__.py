@@ -11520,6 +11520,68 @@ def q_value_kuiper_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_ansari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley scale test between click and purchase values
+    (operators/stats.py ansari_bradley — doubled midrank scores
+    min(r, N+1−r), tie-exact finite-population moments): the
+    DISPERSION alternative the MWU/t location tests are blind to,
+    completing the two-sample family."""
+    from deepie_spark.operators.stats import ansari_bradley
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return ansari_bradley(e, "event_type", "cents", "click", "purchase")
+
+
+def q_value_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile QQ table of click vs purchase value (integer cents):
+    both groups' exact order statistics at the 9 deciles via the
+    radix-selection exact_quantiles (≤8 histogram passes per rank,
+    never a global sort — the exact_order_stats machinery applied
+    per group), matched decile-by-decile with the integer shift —
+    the distribution-comparison readout the scalar two-sample tests
+    summarize away."""
+    from deepie_spark.operators.selection import exact_quantiles
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    a = e.filter(F.col("event_type") == "click").select("cents")
+    b = e.filter(F.col("event_type") == "purchase").select("cents")
+    na, nb = a.count(), b.count()
+    ks_a = [max(1, (d * na) // 10) for d in range(1, 10)]
+    ks_b = [max(1, (d * nb) // 10) for d in range(1, 10)]
+    qa = exact_quantiles(a, "cents", ks_a).select(
+        F.col("k").alias("k_a"), F.col("value").alias("q_click")
+    )
+    qb = exact_quantiles(b, "cents", ks_b).select(
+        F.col("k").alias("k_b"), F.col("value").alias("q_purchase")
+    )
+    spark_ = e.sparkSession
+    deciles = spark_.createDataFrame(
+        [(d, ks_a[d - 1], ks_b[d - 1]) for d in range(1, 10)],
+        "decile long, k_a long, k_b long",
+    )
+    return (
+        deciles.join(F.broadcast(qa), "k_a")
+        .join(F.broadcast(qb), "k_b")
+        .select(
+            "decile",
+            "k_a",
+            "k_b",
+            "q_click",
+            "q_purchase",
+            (F.col("q_purchase") - F.col("q_click"))
+            .cast("long")
+            .alias("shift_cents"),
+        )
+        .orderBy("decile")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline at sf0.001 (pages → triples)."""
     return q_pipeline_triples(spark, "/root/testdata/sf0.001")
@@ -11941,6 +12003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lcc": q_graph_lcc,
         "er_bcubed": q_er_bcubed,
         "value_kuiper_cvm": q_value_kuiper_cvm,
+        "value_ansari": q_value_ansari,
+        "value_qq": q_value_qq,
     }
 
 
@@ -23325,5 +23389,81 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(n_a * n_b AS DOUBLE), 6) AS kuiper_v,
                round(CAST(cvm_fp AS DOUBLE) / 1048576.0, 6) AS cvm_t
         FROM agg
+    """
+    # value_ansari twin: same doubled midrank scores over a plain SQL
+    # window cumulative; identical pinned moment chains.
+    d["value_ansari"] = """
+        WITH e AS (SELECT CASE WHEN event_type = 'click'
+                               THEN 1 ELSE 0 END AS a,
+                          CAST(round(value * 100) AS BIGINT) AS x
+                   FROM events
+                   WHERE event_type IN ('click', 'purchase')),
+        pv AS (SELECT x, CAST(sum(a) AS BIGINT) AS la,
+                      CAST(count(*) AS BIGINT) AS l
+               FROM e GROUP BY x),
+        c AS (SELECT x, la, l,
+                     CAST(sum(l) OVER (ORDER BY x) AS BIGINT) AS cum
+              FROM pv),
+        tot AS (SELECT CAST(sum(la) AS BIGINT) AS n_a,
+                       CAST(sum(l) AS BIGINT) AS n_total
+                FROM pv),
+        sc AS (SELECT la, l,
+                      least(2 * cum - l + 1,
+                            2 * (n_total + 1) - (2 * cum - l + 1))
+                        AS s2
+               FROM c, tot),
+        agg AS (SELECT
+                  (SELECT n_a FROM tot) AS n_a,
+                  (SELECT n_total FROM tot) AS n_total,
+                  CAST(sum(la * s2) AS BIGINT) AS ab2,
+                  CAST(sum(l * s2) AS BIGINT) AS t2,
+                  CAST(sum(l * s2 * s2) AS BIGINT) AS s4
+                FROM sc)
+        SELECT n_a,
+               CAST(n_total - n_a AS BIGINT) AS n_b,
+               n_total, ab2, t2, s4,
+               round((CAST(ab2 AS DOUBLE)
+                      - CAST(n_a AS DOUBLE) * CAST(t2 AS DOUBLE)
+                        / CAST(n_total AS DOUBLE))
+                     / sqrt(CAST(n_a * (n_total - n_a) AS DOUBLE)
+                            * (CAST(n_total AS DOUBLE)
+                                 * CAST(s4 AS DOUBLE)
+                               - CAST(t2 AS DOUBLE)
+                                 * CAST(t2 AS DOUBLE))
+                            / (CAST(n_total - 1 AS DOUBLE)
+                               * CAST(n_total * n_total AS DOUBLE))),
+                     6) AS z
+        FROM agg
+    """
+    # value_qq twin: brute-force row_number order statistics per
+    # group at the SAME decile ranks ((d·n) div 10, floor-at-1).
+    d["value_qq"] = """
+        WITH e AS (SELECT event_type,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events
+                   WHERE event_type IN ('click', 'purchase')),
+        ra AS (SELECT cents,
+                      CAST(row_number() OVER (ORDER BY cents)
+                        AS BIGINT) AS r
+               FROM e WHERE event_type = 'click'),
+        rb AS (SELECT cents,
+                      CAST(row_number() OVER (ORDER BY cents)
+                        AS BIGINT) AS r
+               FROM e WHERE event_type = 'purchase'),
+        na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ra),
+        nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rb),
+        dec AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS decile),
+        keys AS (SELECT decile,
+                        greatest(1, (decile * na.n) // 10) AS k_a,
+                        greatest(1, (decile * nb.n) // 10) AS k_b
+                 FROM dec, na, nb)
+        SELECT decile, k_a, k_b,
+               ra.cents AS q_click,
+               rb.cents AS q_purchase,
+               CAST(rb.cents - ra.cents AS BIGINT) AS shift_cents
+        FROM keys
+        JOIN ra ON ra.r = keys.k_a
+        JOIN rb ON rb.r = keys.k_b
+        ORDER BY decile
     """
     return d

@@ -3860,3 +3860,80 @@ def kuiper_cvm_2sample(
             F.col("cvm_fp").cast("double") / F.lit(1048576.0), 6
         ).alias("cvm_t"),
     )
+
+
+def ansari_bradley(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Ansari-Bradley rank test for a SCALE difference between two
+    samples (same location, different dispersion — the alternative
+    the location tests are blind to): each pooled observation gets
+    the score min(rank, N+1−rank) — small at both extremes, large in
+    the middle — and AB = Σ scores of sample a.  A compressed sample
+    concentrates in the middle ⇒ large AB.
+
+    Midrank ties are handled EXACTLY by doubling (the mann_whitney_u
+    rule): 2r_j = 2·cum_j − l_j + 1 and 2s_j = min(2r_j, 2(N+1)−2r_j)
+    are exact longs, so AB2 = Σ l_aj·2s_j, T2 = Σ l_j·2s_j and
+    S4 = Σ l_j·(2s_j)² are order-free exact sums.  The finite-
+    population null moments are score-exact under ties:
+    E[AB2] = n_a·T2/N, Var[AB2] = n_a·n_b·(N·S4 − T2²)/((N−1)·N²) —
+    z is one pinned IEEE chain (N·S4 passes int64 near 10⁶ rows, so
+    the variance core multiplies in double).  Cumulatives ride
+    prefix_sum_in_order over the distinct value grid."""
+    from deepie_spark.operators.sweep import prefix_sum_in_order
+
+    g = F.col(group_col)
+    base = df.filter(g.isin(group_a, group_b)).select(
+        F.when(g == group_a, 1).otherwise(0).alias("_a"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    per_v = base.groupBy("_x").agg(
+        F.sum("_a").cast("long").alias("_la"),
+        F.count(F.lit(1)).cast("long").alias("_l"),
+    )
+    c = prefix_sum_in_order(
+        per_v, "_x", "_l", out_col="_cum"
+    )
+    tot = per_v.agg(
+        F.sum("_la").cast("long").alias("n_a"),
+        F.sum("_l").cast("long").alias("n_total"),
+    )
+    j = c.crossJoin(F.broadcast(tot))
+    r2 = F.lit(2) * F.col("_cum") - F.col("_l") + F.lit(1)
+    s2 = F.least(r2, F.lit(2) * (F.col("n_total") + 1) - r2)
+    agg = j.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_total").alias("n_total"),
+        F.sum(F.col("_la") * s2).cast("long").alias("ab2"),
+        F.sum(F.col("_l") * s2).cast("long").alias("t2"),
+        F.sum(F.col("_l") * s2 * s2).cast("long").alias("s4"),
+    )
+    nn = F.col("n_total")
+    nb = nn - F.col("n_a")
+    e2 = F.col("n_a").cast("double") * F.col("t2").cast(
+        "double"
+    ) / nn.cast("double")
+    vcore = nn.cast("double") * F.col("s4").cast("double") - F.col(
+        "t2"
+    ).cast("double") * F.col("t2").cast("double")
+    var2 = (
+        (F.col("n_a") * nb).cast("double")
+        * vcore
+        / ((nn - 1).cast("double") * (nn * nn).cast("double"))
+    )
+    return agg.select(
+        "n_a",
+        nb.cast("long").alias("n_b"),
+        "n_total",
+        "ab2",
+        "t2",
+        "s4",
+        F.round(
+            (F.col("ab2").cast("double") - e2) / F.sqrt(var2), 6
+        ).alias("z"),
+    )

@@ -2323,3 +2323,32 @@ def test_kuiper_cvm_python_twin(spark):
     assert r.dplus_num == dplus and r.dminus_num == dminus
     assert r.cvm_fp == cvm_fp
     assert abs(r.kuiper_v - (dplus + dminus) / (na * nb)) < 1e-6
+
+
+def test_ansari_bradley_python_twin(spark):
+    from deepie_spark.operators.stats import ansari_bradley
+
+    a = [5, 6, 6, 7, 8]          # compressed around the middle
+    b = [1, 2, 6, 12, 13, 14]    # spread to the extremes
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = ansari_bradley(df, "g", "v", "a", "b").collect()[0]
+    pooled = sorted(a + b)
+    N = len(pooled)
+    # doubled midrank scores per distinct value
+    ab2 = t2 = s4 = 0
+    cum = 0
+    for v in sorted(set(pooled)):
+        l = pooled.count(v)
+        la = a.count(v)
+        cum += l
+        r2 = 2 * cum - l + 1
+        s2 = min(r2, 2 * (N + 1) - r2)
+        ab2 += la * s2
+        t2 += l * s2
+        s4 += l * s2 * s2
+    assert r.ab2 == ab2 and r.t2 == t2 and r.s4 == s4
+    assert r.n_a == len(a) and r.n_b == len(b)
+    # the compressed sample's scores sit above the null mean
+    assert r.ab2 > len(a) * t2 / N
+    assert r.z > 0
