@@ -263,3 +263,31 @@ def distinct_counts(state: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_distinct"),
         F.sum("supp").cast("long").alias("n_rows"),
     )
+
+
+def topk_state(
+    df: DataFrame, val_col: str, key_col: str, k: int
+) -> DataFrame:
+    """The maintainable TOP-K view state under INSERT-only deltas:
+    the k largest rows by (val desc, key asc).  Plans as
+    TakeOrderedAndProject — no global sort, no window."""
+    return (
+        df.select(
+            F.col(key_col).cast("long").alias("key"),
+            F.col(val_col).cast("long").alias("val"),
+        )
+        .orderBy(F.desc("val"), "key")
+        .limit(k)
+    )
+
+
+def merge_topk(state: DataFrame, delta: DataFrame, k: int) -> DataFrame:
+    """state ⊕ delta for the top-k view: top-k(A ∪ Δ) =
+    top-k(top-k(A) ∪ top-k(Δ)) — exact for insert-only streams
+    (every global top-k row survives its side's local top-k), so the
+    merge touches 2k rows, never the base."""
+    return (
+        state.unionByName(delta)
+        .orderBy(F.desc("val"), "key")
+        .limit(k)
+    )
