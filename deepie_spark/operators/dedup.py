@@ -892,3 +892,69 @@ def _cdc_step(acc, e, min_len, max_len, divisor, bw):
             acc["cs"].alias("cs"),
         )
     )
+
+
+_OPH_BORROW = 1 << 40  # borrow offset: above the hash range, so a
+#                        densified slot only matches an identically
+#                        densified slot (same source bin AND distance)
+
+
+def oph_signatures(
+    df: DataFrame,
+    n_bins: int = 32,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-permutation hashing signatures (Li-Owen-Zhang) with
+    rotation densification (Shrivastava-Li): ONE hash pass bins each
+    shingle by h mod B and keeps min(h div B) per bin — B times
+    cheaper than B-permutation minhash at the same signature length —
+    and every EMPTY bin borrows from its nearest non-empty cyclic
+    right neighbor at distance t, offset by t·2⁴⁰ so borrowed slots
+    only collide when both docs borrowed the same value over the same
+    distance.  The "first non-empty at increasing t" scan is
+    reformulated ORDER-FREE as t = min over filled bins of
+    ((bin−j) mod B), so both engines express densification as pure
+    in-row list algebra (no sequential fold).  Everything is exact
+    longs on the portable poly hash; Jaccard estimate for a pair =
+    matching slots / B."""
+    from deepie_spark.functions.text import char_poly_hash_str
+
+    sh = doc_shingles(df, id_col, text_col, k).withColumn(
+        "h0", char_poly_hash_str(F.col("shingle"))
+    )
+    binned = sh.groupBy(
+        "id", (F.col("h0") % n_bins).cast("long").alias("bin")
+    ).agg(
+        F.min(F.expr(f"h0 div {n_bins}")).cast("long").alias("v")
+    )
+    ent_df = binned.groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct("bin", "v"))).alias("ent")
+    )
+
+    def lookup(j):
+        return F.try_element_at(
+            F.filter(F.col("ent"), lambda e: e["bin"] == j), F.lit(1)
+        )["v"]
+
+    def tmin(j):
+        return F.array_min(
+            F.transform(
+                F.col("ent"),
+                lambda e: ((e["bin"] - j) % n_bins + n_bins) % n_bins,
+            )
+        )
+
+    def slot(j):
+        tm = tmin(j)
+        return F.coalesce(
+            lookup(j),
+            lookup((j + tm) % n_bins) + tm * F.lit(_OPH_BORROW),
+        )
+
+    sig = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(n_bins - 1).cast("long")),
+        lambda j: slot(j),
+    )
+    return ent_df.select("id", sig.alias("sig"))

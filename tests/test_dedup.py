@@ -656,3 +656,42 @@ def test_er_pairwise_prf_vs_bruteforce(spark):
     assert r.pair_f1 == round(
         2 * r.tp_pairs2 / (r.pred_pairs2 + r.true_pairs2), 6
     )
+
+
+def test_oph_signatures_python_twin(spark):
+    from deepie_spark.operators.dedup import oph_signatures
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog end"),
+        (2, "the quick brown fox jumps over the lazy dog end"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = {r.id: list(r.sig) for r in oph_signatures(df, 32, 3).collect()}
+    assert all(len(s) == 32 for s in sigs.values())
+    assert sigs[1] == sigs[2]  # identical docs -> identical sigs
+    m13 = sum(1 for x, y in zip(sigs[1], sigs[3]) if x == y)
+    assert m13 <= 4  # disjoint shingle sets: only chance collisions
+
+    # python twin of binning + rotation densification on doc 1
+    def poly(s):
+        h = 0
+        for ch in s:
+            h = (h * 131 + ord(ch)) % 2147483647
+        return h
+
+    toks = rows[0][1].split()
+    shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    bins = {}
+    for s in shingles:
+        h = poly(s)
+        b = h % 32
+        bins[b] = min(bins.get(b, 1 << 62), h // 32)
+    sig = []
+    for j in range(32):
+        if j in bins:
+            sig.append(bins[j])
+        else:
+            t = min(((b - j) % 32) for b in bins)
+            sig.append(bins[(j + t) % 32] + t * (1 << 40))
+    assert sigs[1] == sig
