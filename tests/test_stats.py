@@ -2352,3 +2352,25 @@ def test_ansari_bradley_python_twin(spark):
     # the compressed sample's scores sit above the null mean
     assert r.ab2 > len(a) * t2 / N
     assert r.z > 0
+
+
+def test_markov_stationary_is_fixed_point(spark):
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    pi = {
+        r.event_type: r.pi
+        for r in e.queries()["event_markov_stationary"](
+            spark, sf
+        ).collect()
+    }
+    assert abs(sum(pi.values()) - 1.0) < 1e-4
+    # fixed point: pi P == pi (within convergence tolerance)
+    tr = {
+        (r.prev_type, r.next_type): r.prob
+        for r in e.queries()["event_transitions"](spark, sf).collect()
+    }
+    types = sorted(pi)
+    for j in types:
+        nxt = sum(pi[i] * tr.get((i, j), 0.0) for i in types)
+        assert abs(nxt - pi[j]) < 1e-3
