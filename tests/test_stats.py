@@ -2374,3 +2374,30 @@ def test_markov_stationary_is_fixed_point(spark):
     for j in types:
         nxt = sum(pi[i] * tr.get((i, j), 0.0) for i in types)
         assert abs(nxt - pi[j]) < 1e-3
+
+
+def test_periodogram_daily_harmonic_dominates(spark):
+    import __spark_entry__ as e
+
+    rows = {
+        r.harmonic: r.power
+        for r in e.queries()["events_periodogram"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == set(range(1, 7))
+    # a diurnal synthetic load: the k=1 daily line carries the most
+    # power of the six harmonics
+    assert rows[1] == max(rows.values())
+
+
+def test_chow_detects_planted_break(spark):
+    import __spark_entry__ as e
+
+    r = e.queries()["events_chow"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r.n_hours > 100
+    # pooled SSE can never be below the sum of the split fits
+    assert r.sse_pooled >= r.sse_a + r.sse_b - 1e-6
+    assert r.f_stat is not None and r.f_stat >= 0
