@@ -2401,3 +2401,21 @@ def test_chow_detects_planted_break(spark):
     # pooled SSE can never be below the sum of the split fits
     assert r.sse_pooled >= r.sse_a + r.sse_b - 1e-6
     assert r.f_stat is not None and r.f_stat >= 0
+
+
+def test_markov_attribution_invariants(spark):
+    import __spark_entry__ as e
+
+    rows = e.queries()["event_markov_attribution"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert {r.channel for r in rows} == {
+        "click", "error", "signup", "view"
+    }
+    conv_full = rows[0].conv_full
+    assert 0 < conv_full <= 1
+    for r in rows:
+        # killing paths through a channel can only LOWER conversion
+        assert r.conv_removed <= conv_full + 1e-9
+        assert r.removal_effect >= -1e-9
+    assert abs(sum(r.attribution for r in rows) - 1.0) < 1e-4
