@@ -170,3 +170,36 @@ def test_key_discovery_known_keys(spark):
     assert not rows["o_orderstatus"].is_key
     for r in rows.values():
         assert r.n_distinct <= r.n_rows
+
+
+def test_nw_score_python_twin(spark):
+    from pyspark.sql import functions as F
+
+    from deepie_spark.functions.series import nw_score
+
+    a = [1, 2, 3, 2, 1, 4]
+    b = [1, 3, 3, 2, 4]
+    df = spark.createDataFrame([(a, b)], ["arr_a", "arr_b"])
+    got = df.select(
+        nw_score(F.col("arr_a"), F.col("arr_b")).alias("s")
+    ).collect()[0].s
+
+    # textbook DP twin
+    la, lb = len(a), len(b)
+    D = [[0] * (la + 1) for _ in range(lb + 1)]
+    for j in range(la + 1):
+        D[0][j] = -j
+    for i in range(1, lb + 1):
+        D[i][0] = -i
+        for j in range(1, la + 1):
+            s = 2 if a[j - 1] == b[i - 1] else -1
+            D[i][j] = max(
+                D[i - 1][j - 1] + s, D[i - 1][j] - 1, D[i][j - 1] - 1
+            )
+    assert got == D[lb][la]
+
+    # identical sequences score 2·n; empty-vs-x scores -len(x)
+    same = spark.createDataFrame([(a, a)], ["arr_a", "arr_b"])
+    assert same.select(
+        nw_score(F.col("arr_a"), F.col("arr_b")).alias("s")
+    ).collect()[0].s == 2 * len(a)
