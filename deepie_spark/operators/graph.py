@@ -4053,3 +4053,77 @@ def local_clustering_hist(
         )
         .orderBy("bin")
     )
+
+
+def edge_embeddedness_hist(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Histogram of EDGE EMBEDDEDNESS — the number of common
+    neighbors of each edge's endpoints (Granovetter: embeddedness 0
+    = a *local bridge*, the tie whose removal lengthens paths; high
+    embeddedness = a strongly embedded intra-community tie).  Each
+    triangle closes exactly one oriented wedge, so counting wedge
+    closures per canonical edge (the triangle_stats orientation,
+    Θ(|E|^1.5) under skew) gives every edge's common-neighbor count
+    without a neighborhood self-join; edges never closed LEFT-join
+    to 0.  Output: one row per embeddedness level with its edge
+    count — level 0's count is the local-bridge census."""
+    und = _canonical_edges(edges, src, dst).localCheckpoint()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    low_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    ).localCheckpoint()
+    w1 = oriented.select(F.col("u"), F.col("v").alias("p"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("q"))
+    wedges = (
+        w1.join(w2, "u")
+        .filter(F.col("p") < F.col("q"))
+        .select("u", F.col("p").alias("a"), F.col("q").alias("b"))
+    )
+    tri = wedges.join(und, ["a", "b"]).select("u", "a", "b")
+    # each triangle (u,a,b) closes all three of its edges once
+    closed = (
+        tri.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("u", "a").alias("x"),
+                        F.greatest("u", "a").alias("y"),
+                    ),
+                    F.struct(
+                        F.least("u", "b").alias("x"),
+                        F.greatest("u", "b").alias("y"),
+                    ),
+                    F.struct(F.col("a").alias("x"), F.col("b").alias("y")),
+                )
+            ).alias("e")
+        )
+        .select("e.x", "e.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("emb"))
+    )
+    per_edge = und.join(
+        closed,
+        (und["a"] == closed["x"]) & (und["b"] == closed["y"]),
+        "left",
+    ).select(F.coalesce("emb", F.lit(0)).cast("long").alias("emb"))
+    return (
+        per_edge.groupBy("emb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        .orderBy("emb")
+    )
