@@ -2447,3 +2447,15 @@ def test_local_clustering_hist_python_twin(spark):
     assert rows[5].n_nodes == 1 and rows[5].sum_tri == 3
     assert rows[5].sum_lcc_fp == (2 * 3 * 1048576) // (4 * 3)
     assert set(rows) == {5, 9}
+
+
+def test_edge_embeddedness_k4_plus_pendant(spark):
+    from itertools import combinations
+
+    from deepie_spark.operators.graph import edge_embeddedness_hist
+
+    edges = list(combinations(["a", "b", "c", "d"], 2)) + [("a", "e")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = {r.emb: r.n_edges for r in edge_embeddedness_hist(df).collect()}
+    # K4 edges each share 2 common neighbors; the pendant shares none
+    assert rows == {0: 1, 2: 6}
