@@ -2419,3 +2419,32 @@ def test_markov_attribution_invariants(spark):
         assert r.conv_removed <= conv_full + 1e-9
         assert r.removal_effect >= -1e-9
     assert abs(sum(r.attribution for r in rows) - 1.0) < 1e-4
+
+
+def test_kleinberg_bursts_python_twin(spark):
+    import math
+
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    r = e.queries()["events_bursts"](spark, sf).collect()[0]
+    srs = e._hourly_dense_counts(spark, sf).orderBy("idx").collect()
+    ys = [row.y for row in srs]
+    n, s = len(ys), sum(ys)
+    lam0 = s / n
+    lnl0, lnl1 = math.log(lam0), math.log(2.0 * lam0)
+    gam = math.floor(math.log(float(n)) * 1048576.0)
+    c0, n0, c1, n1 = 0, 0, gam, 0
+    for y in ys:
+        e0 = math.floor((lam0 - float(y) * lnl0) * 1048576.0)
+        e1 = math.floor((2.0 * lam0 - float(y) * lnl1) * 1048576.0)
+        p0 = (c1, n1) if (c1, n1) < (c0, n0) else (c0, n0)
+        alt = (c0 + gam, n0)
+        p1 = alt if alt < (c1, n1) else (c1, n1)
+        c0, n0 = p0[0] + e0, p0[1]
+        c1, n1 = p1[0] + e1, p1[1] + 1
+    best = min((c0, n0), (c1, n1))
+    assert r.n_hours == n and r.gam == gam
+    assert r.best_cost_fp == best[0]
+    assert r.n_burst_hours == best[1]
+    assert 0 <= r.n_burst_hours <= n
